@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`: for every query
+result parquet in <outDir>, executes the matching oracle SQL from
+oracle_sql.json in DuckDB over the same fixture tables, sorts columns by
+name and rows by all columns, and compares cell-by-cell (exact for
+non-floats; floats must match to 1e-9 after the query's own rounding).
+
+Usage: python3 scripts/check.py <sfDir> <outDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def cells_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        if (a is None or (isinstance(a, float) and math.isnan(a))) and \
+           (b is None or (isinstance(b, float) and math.isnan(b))):
+            return True
+        if a is None or b is None:
+            return False
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(cells_equal(x, y) for x, y in zip(la, lb))
+    return a == b
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    import os
+    results = {}
+    query_dirs = sorted(d for d in os.listdir(out_dir)
+                        if os.path.isdir(f"{out_dir}/{d}"))
+    for name in query_dirs:
+        try:
+            spark_df = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            results[name] = f"READ-FAIL {e}"
+            continue
+        if name not in oracles:
+            results[name] = f"rows-only ({len(spark_df)} rows)" \
+                if len(spark_df) > 0 else "EMPTY (rows-only FAIL)"
+            continue
+        try:
+            oracle_df = con.sql(oracles[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-FAIL {e}"
+            continue
+        a, b = canon(spark_df), canon(oracle_df)
+        if list(a.columns) != list(b.columns):
+            results[name] = f"SCHEMA-MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"
+            continue
+        if len(a) != len(b):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(a)} oracle={len(b)}"
+            continue
+        bad = []
+        av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+        for i in range(len(a)):
+            for j in range(len(a.columns)):
+                if not cells_equal(av[i, j], bv[i, j]):
+                    bad.append((i, a.columns[j], av[i, j], bv[i, j]))
+                    if len(bad) >= 3:
+                        break
+            if len(bad) >= 3:
+                break
+        results[name] = "OK" if not bad else f"VALUE-MISMATCH {bad}"
+
+    n_ok = sum(1 for v in results.values()
+               if v == "OK" or v.startswith("rows-only"))
+    for name, v in sorted(results.items()):
+        mark = "✓" if (v == "OK" or v.startswith("rows-only")) else "✗"
+        print(f"{mark} {name}: {v}")
+    print(f"\n{n_ok}/{len(results)} passing")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

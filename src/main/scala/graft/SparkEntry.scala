@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import java.nio.file.Files
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{QueryDef, Relational, StoreQueries}
+import graft.store.Store
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def registry: Seq[QueryDef] =
+    StoreQueries.defs ++ Relational.defs
+
+  /** Flagship (SURVEY.md §7.2 slice 0): load lineitem into the versioned
+    * store with a Date partition key, read it back via the `use_last`
+    * pointer, and run the TPC-H Q1 aggregate over it. Driver smoke-checks
+    * rows > 0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val store = new Store(spark, Files.createTempDirectory("graft_entry_").toString)
+    store.load(
+      Tables.read(spark, dir, "lineitem"),
+      "tpch/lineitem",
+      Map("l_shipdate" -> Store.KeyDate))
+    store.get("tpch/lineitem", useLast = true)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ListMap(registry.map(q => q.name -> q.fn): _*)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    ListMap(registry.flatMap(q => q.oracle.map(q.name -> _.trim)): _*)
 }

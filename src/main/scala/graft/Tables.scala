@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated fixture tables (TESTDATA.md).
+  *
+  * Each table is a single Parquet file `<sfDir>/<name>.parquet`. Columns are
+  * pruned and predicates pushed down by the Parquet scan automatically, so
+  * callers should express the full query declaratively and let Catalyst pick
+  * the physical plan.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
+    * Spark reader rejects by default (PARQUET_TYPE_ILLEGAL). Read it as
+    * nanos-since-epoch via the legacy conf and convert to a microsecond
+    * TimestampType column (the fixture's nanos are all whole microseconds).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+  }
+}

@@ -1,0 +1,501 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Relational parity layer (SURVEY.md §2.3): the operator families the
+  * reference delegates to client-side pandas, re-expressed as stock Spark
+  * DataFrame programs. Zero custom Catalyst code — predicate pushdown,
+  * column pruning, join selection (broadcast for the small dimensions),
+  * partial aggregation and whole-stage codegen all come from Catalyst.
+  *
+  * Scale notes: every query here shuffles only on its natural keys;
+  * dimension joins (region/nation/customer/supplier/part) stay below the
+  * broadcast threshold at any SF (they scale ~100× slower than the fact
+  * tables), so the fact tables never shuffle for those joins.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.read(s, dir, n)
+
+  /** Money columns are 2-decimal values stored as double. Summing them in
+    * double and rounding is nondeterministic across engines at exact
+    * round-half ties, so money arithmetic is done in DECIMAL (exact) and
+    * only the final result is cast back to double — bitwise identical in
+    * Spark and DuckDB. Mirrored in every oracle.
+    */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact decimal `sum(price * (1 - discount))`, as double. */
+  private def revenue: Column =
+    sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double")
+
+  // -------------------------------------------------------------- queries
+
+  /** TPC-H Q1 shape: scan+filter+hash-aggregate on lineitem. */
+  private def q01TpchQ1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        revenue.as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Projection + filter; predicates and column pruning reach the scan. */
+  private def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_returnflag") === "R" && col("l_quantity") > 25)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double").as("net_price"),
+        year(col("l_shipdate")).as("ship_year"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** 3-way equi-join + aggregate (customer is broadcast-sized). */
+  private def q03JoinAggSegment(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(revenue.as("revenue"), countDistinct("o_orderkey").as("n_orders"))
+      .orderBy("c_mktsegment")
+
+  /** 5-way join down the region→nation→customer→orders→lineitem chain. */
+  private def q04Join5Revenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(revenue.as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** Left outer join preserving customers with no orders. */
+  private def q05LeftJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("total_spent"))
+      .orderBy("c_custkey")
+
+  /** Left-semi join (pandas `isin`). */
+  private def q06SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(
+        t(s, dir, "lineitem").where(col("l_quantity") > 49),
+        col("o_orderkey") === col("l_orderkey"),
+        "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** Left-anti join (pandas `~isin`): customers that never ordered. */
+  private def q07AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Cross join of the two tiny dimensions. */
+  private def q08CrossJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region")
+      .crossJoin(t(s, dir, "nation"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  /** Ranking window: top-3 orders per customer. */
+  private def q09WindowTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Analytic window: lag/lead of order value per customer. */
+  private def q10WindowLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        round(lead("o_totalprice", 1).over(w), 2).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Rolling window: mean over the current + 2 previous orders. */
+  private def q11WindowRollingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-2, 0)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        round(avg("o_totalprice").over(w), 4).as("rolling_avg3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Expanding window: running total per customer (pandas `cumsum`). */
+  private def q12WindowCumsum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("cum_spent"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Global top-k — Catalyst collapses to TakeOrderedAndProject (no full
+    * sort of the 100 TB table; per-partition heaps + driver merge).
+    */
+  private def q13TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(100)
+
+  /** DISTINCT (pandas `drop_duplicates`). */
+  private def q14Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Set ops: INTERSECT / EXCEPT / UNION ALL over yearly customer sets. */
+  private def q15SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def yr(y: Int) = o.where(year(col("o_orderdate")) === y).select("o_custkey")
+    val a = yr(1996)
+    val b = yr(1997)
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("only_1996")))
+      .unionByName(b.except(a).withColumn("tag", lit("only_1997")))
+      .orderBy("tag", "o_custkey")
+  }
+
+  /** CUBE grouping sets. */
+  private def q16Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"),
+        col("n"))
+      .orderBy("rf", "ls")
+
+  /** ROLLUP grouping sets along year → priority. */
+  private def q17Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .rollup("order_year", "o_orderpriority")
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("total"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("order_year").cast("string"), lit("ALL")).as("order_year"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total"),
+        col("n"))
+      .orderBy("order_year", "priority")
+
+  /** Exact COUNT(DISTINCT) — expands to a two-stage aggregate. */
+  private def q18CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Statistical aggregates (sample stddev/variance, min/max). */
+  private def q19Stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        round(avg("l_tax"), 6).as("avg_tax"))
+      .orderBy("l_returnflag")
+
+  /** Exact interpolated percentiles + median. */
+  private def q20Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("median(l_extendedprice)"), 4).as("median_price"))
+      .orderBy("l_returnflag")
+
+  /** String scalar-function family. */
+  private def q21StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        length(col("p_name")).as("name_len"),
+        size(split(col("p_name"), " ")).as("name_words"),
+        regexp_extract(lower(col("p_type")), "([a-z]+)$", 1).as("type_last"),
+        concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("brand_size"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"))
+      .orderBy("p_partkey")
+
+  /** Date/time scalar-function family (session TZ pinned UTC). */
+  private def q22DateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since_95"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) / 1000000L).cast("long").as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  /** JSON extraction over the `events.props` payload column. */
+  private def q23Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        sum("k").as("sum_k"),
+        round(avg("k"), 4).as("avg_k"),
+        round(avg("value"), 4).as("avg_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Conditionals + null handling (np.where / fillna parity). */
+  private def q24CondNull(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("bal_bucket"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(redacted)")).as("segment"),
+        col("c_acctbal"))
+      .groupBy("bal_bucket", "segment")
+      .agg(count(lit(1)).as("n"), sum(dec(col("c_acctbal"))).cast("double").as("bal_sum"))
+      .orderBy("bal_bucket", "segment")
+
+  // -------------------------------------------------------------- oracles
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_tpch_q1_agg", q01TpchQ1 _, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+    QueryDef("q02_filter_project", q02FilterProject _, Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price,
+             CAST(year(l_shipdate) AS INTEGER) AS ship_year
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND l_quantity > 25
+      ORDER BY l_orderkey, l_linenumber""")),
+    QueryDef("q03_join_agg_segment", q03JoinAggSegment _, Some("""
+      SELECT c_mktsegment,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             count(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")),
+    QueryDef("q04_join5_revenue", q04Join5Revenue _, Some("""
+      SELECT r_name, n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""")),
+    QueryDef("q05_left_join", q05LeftJoin _, Some("""
+      SELECT c_custkey,
+             count(o_orderkey) AS n_orders,
+             coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) AS total_spent
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey""")),
+    QueryDef("q06_semi_join", q06SemiJoin _, Some("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+      ORDER BY o_orderkey""")),
+    QueryDef("q07_anti_join", q07AntiJoin _, Some("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey""")),
+    QueryDef("q08_cross_join", q08CrossJoin _, Some("""
+      SELECT r_name, n_name
+      FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name""")),
+    QueryDef("q09_window_topk_per_group", q09WindowTopkPerGroup _, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn""")),
+    QueryDef("q10_window_lag_lead", q10WindowLagLead _, Some("""
+      SELECT o_custkey, o_orderkey,
+             round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+             round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""")),
+    QueryDef("q11_window_rolling_avg", q11WindowRollingAvg _, Some("""
+      SELECT o_custkey, o_orderkey,
+             round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_avg3
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""")),
+    QueryDef("q12_window_cumsum", q12WindowCumsum _, Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spent
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""")),
+    QueryDef("q13_topk", q13TopK _, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100""")),
+    QueryDef("q14_distinct", q14Distinct _, Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus
+      FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""")),
+    QueryDef("q15_set_ops", q15SetOps _, Some("""
+      WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+           b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      UNION ALL
+      SELECT o_custkey, 'only_1996' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      UNION ALL
+      SELECT o_custkey, 'only_1997' AS tag FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      ORDER BY tag, o_custkey""")),
+    QueryDef("q16_cube", q16Cube _, Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY rf, ls""")),
+    QueryDef("q17_rollup", q17Rollup _, Some("""
+      SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM orders
+      GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+      ORDER BY order_year, priority""")),
+    QueryDef("q18_count_distinct", q18CountDistinct _, Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+    QueryDef("q19_stats", q19Stats _, Some("""
+      SELECT l_returnflag,
+             round(stddev_samp(l_quantity), 4) AS sd_qty,
+             round(var_samp(l_quantity), 4) AS var_qty,
+             round(min(l_extendedprice), 2) AS min_price,
+             round(max(l_extendedprice), 2) AS max_price,
+             round(avg(l_tax), 6) AS avg_tax
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+    QueryDef("q20_percentiles", q20Percentiles _, Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+             round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+    QueryDef("q21_string_funcs", q21StringFuncs _, Some("""
+      SELECT p_partkey,
+             upper(p_brand) AS brand_u,
+             lower(p_type) AS type_l,
+             substring(p_name, 1, 8) AS name_pfx,
+             CAST(length(p_name) AS INTEGER) AS name_len,
+             CAST(len(string_split(p_name, ' ')) AS INTEGER) AS name_words,
+             regexp_extract(lower(p_type), '([a-z]+)$', 1) AS type_last,
+             concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+             lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+      FROM part
+      ORDER BY p_partkey""")),
+    QueryDef("q22_date_funcs", q22DateFuncs _, Some("""
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(month(o_orderdate) AS INTEGER) AS o_month,
+             CAST(day(o_orderdate) AS INTEGER) AS o_day,
+             strftime(o_orderdate, '%Y-%m') AS o_ym,
+             CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS days_since_95,
+             CAST(o_orderdate AS DATE) + 30 AS due_date,
+             epoch_us(o_orderdate) // 1000000 AS epoch_s
+      FROM orders
+      ORDER BY o_orderkey""")),
+    QueryDef("q23_json", q23Json _, Some("""
+      SELECT event_type,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+             round(avg(value), 4) AS avg_value,
+             count(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""")),
+    QueryDef("q24_cond_null", q24CondNull _, Some("""
+      SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS bal_bucket,
+             coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS segment,
+             count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      FROM customer
+      GROUP BY 1, 2
+      ORDER BY bal_bucket, segment"""))
+  )
+}

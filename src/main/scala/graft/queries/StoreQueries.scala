@@ -1,0 +1,116 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.store.Store
+
+/** End-to-end queries through the versioned [[graft.store.Store]] (the
+  * faithful layer, SURVEY.md §2.1/2.2). Each loads fixture data into a
+  * fresh temp-dir store, reads it back through the store's version
+  * semantics, and aggregates — so the DuckDB oracle (plain SQL over the
+  * original parquet) only matches if the store round-trip is lossless and
+  * the version selection (accumulate / use_last / keep_last) is right.
+  */
+object StoreQueries {
+
+  private def freshStore(s: SparkSession): Store =
+    new Store(s, Files.createTempDirectory("graft_store_").toString)
+
+  /** Write with an ID-range partition key, read back `use_last`, aggregate
+    * per range bucket. Round-trip fidelity + ID bucketing (README.md:200-207).
+    */
+  private def roundtripIdKey(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    val orders = Tables.read(s, dir, "orders")
+    store.load(orders, "tpch/orders", Map("o_custkey" -> Store.KeyId), externalKey = "v1")
+    store.get("tpch/orders", useLast = true)
+      .groupBy((floor(col("o_custkey") / 1000) * 1000).cast("long").as("cust_bucket"))
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy("cust_bucket")
+  }
+
+  /** Two versions loaded, no selector on read → union of all versions
+    * (accumulate semantics, README.md:86). Split/merge must reconstruct the
+    * full table exactly.
+    */
+  private def versionAccumulate(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    val orders = Tables.read(s, dir, "orders")
+    val cut = year(col("o_orderdate")) < 1998
+    store.load(orders.where(cut), "tpch/orders", externalKey = "old")
+    store.load(orders.where(!cut), "tpch/orders", externalKey = "new")
+    store.get("tpch/orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy("order_year")
+  }
+
+  /** `keep_last=true` load supersedes prior versions (client.py:72,
+    * README.md:114-124): only the second load's rows survive.
+    */
+  private def keepLastOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    val orders = Tables.read(s, dir, "orders")
+    store.load(orders, "tpch/orders", externalKey = "v1")
+    store.load(orders.where(col("o_orderstatus") === "F"), "tpch/orders",
+      externalKey = "v2", keepLast = true)
+    store.get("tpch/orders")
+      .groupBy("o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Date-key partitioning (README.md:191-198): month-grain derived read
+    * through partition-pruned directories; prune filter on `__p_*` column.
+    */
+  private def datePartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    val orders = Tables.read(s, dir, "orders")
+      .where(year(col("o_orderdate")) === 1997)
+    store.load(orders, "tpch/orders_97", Map("o_orderdate" -> Store.KeyDate),
+      externalKey = "v1")
+    store.getPartitioned("tpch/orders_97", useLast = true)
+      .where(col(Store.partColName("o_orderdate")).cast("string") >= "1997-06-01")
+      .groupBy(month(col("o_orderdate")).as("o_month"))
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy("o_month")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("qs01_store_roundtrip_idkey", roundtripIdKey _, Some("""
+      SELECT CAST(floor(o_custkey / 1000) * 1000 AS BIGINT) AS cust_bucket,
+             round(sum(o_totalprice), 2) AS total,
+             count(*) AS n
+      FROM orders
+      GROUP BY 1
+      ORDER BY cust_bucket""")),
+    QueryDef("qs02_store_version_accumulate", versionAccumulate _, Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             round(sum(o_totalprice), 2) AS total,
+             count(*) AS n
+      FROM orders
+      GROUP BY 1
+      ORDER BY order_year""")),
+    QueryDef("qs03_store_keep_last", keepLastOverwrite _, Some("""
+      SELECT o_orderpriority,
+             round(sum(o_totalprice), 2) AS total,
+             count(*) AS n
+      FROM orders
+      WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")),
+    QueryDef("qs04_store_date_prune", datePartitionPrune _, Some("""
+      SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
+             round(sum(o_totalprice), 2) AS total,
+             count(*) AS n
+      FROM orders
+      WHERE year(o_orderdate) = 1997
+        AND CAST(o_orderdate AS DATE) >= DATE '1997-06-01'
+      GROUP BY 1
+      ORDER BY o_month"""))
+  )
+}

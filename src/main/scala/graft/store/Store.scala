@@ -1,0 +1,299 @@
+package graft.store
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.format.DateTimeFormatter
+import java.time.{ZoneOffset, ZonedDateTime}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+
+/** Summary of one stored table, as returned by [[Store.list]]. */
+final case class TableInfo(
+    name: String,
+    versions: Seq[String],
+    lastVersion: Option[String],
+    columnsKeys: Map[String, String])
+
+/** Versioned, partitioned DataFrame store — the "faithful layer".
+  *
+  * Re-expresses the capability surface of the reference SDK
+  * (`/root/reference/src/pandas_db_sdk/client.py`) Spark-first:
+  *
+  *   - `load` (client.py:66-137): validate + write a DataFrame under a
+  *     hierarchical slash-separated name with optional `Date` / `ID`
+  *     partition keys (client.py:105-110) and a version label
+  *     (`externalKey`, default server-assigned "NOW", client.py:71).
+  *   - `get` (client.py:139-183): read back; no filter → union of ALL
+  *     versions (accumulate semantics, README.md:86), `externalKey` → exact
+  *     version, `useLast` → newest version via pointer (README.md:217).
+  *   - `list` (client.py:185-215): enumerate stored tables by prefix.
+  *
+  * Divergences from the reference's storage design, on purpose (SURVEY.md
+  * §1.4): Parquet + snappy at rest instead of gzipped 100K-row CSV chunks
+  * (README.md:20-21) — columnar, splittable, schema-carrying; Hive-style
+  * partition directories instead of bespoke date/range dirs
+  * (README.md:189-218) so Catalyst partition-prunes version/date/ID-range
+  * filters with zero custom code.
+  *
+  * Layout on disk:
+  * {{{
+  *   <root>/<name>/__version=v_<label>/[__p_<dateCol>=2024-01-01/]
+  *       [__p_<idCol>=from_1000_to_2000/]part-*.parquet
+  *   <root>/<name>/_last          # newest version label (pointer file)
+  *   <root>/<name>/_meta.json     # columnsKeys used at load time
+  * }}}
+  *
+  * Version labels are stored URL-encoded with a `v_` prefix so the partition
+  * directory value is never parseable as a number/date — this pins the
+  * inferred partition column type to STRING, keeping `__version = 'v_x'`
+  * filters exactly partition-prunable.
+  *
+  * Scale notes (100 TB): the data path is a plain
+  * `DataFrameWriter.partitionBy(...).parquet` / `spark.read.parquet`, so
+  * writes parallelize per task and reads prune partitions before listing
+  * file footers. The only driver-side work is pointer/metadata upkeep (a
+  * few small files per table). `list` does directory listing only — no data
+  * reads, no content summaries.
+  */
+final class Store(
+    spark: SparkSession,
+    root: String,
+    idBucketWidth: Long = 1000L,
+    maxRecordsPerFile: Long = 0L) {
+
+  import Store._
+
+  private val rootPath = new Path(root)
+  private def fs: FileSystem =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------------------------------- load
+
+  /** Store `df` under `name`. Mirrors `load_dataframe` (client.py:66-137).
+    *
+    * @param columnsKeys column → key type, key type ∈ {"Date", "ID"}
+    *                    (client.py:105-110)
+    * @param externalKey version label; "NOW" → timestamp version
+    *                    (client.py:71)
+    * @param keepLast    true → retain only this version (client.py:72);
+    *                    false (default) → accumulate versions
+    * @return metadata about the write (name, version, partition keys)
+    */
+  def load(
+      df: DataFrame,
+      name: String,
+      columnsKeys: Map[String, String] = Map.empty,
+      externalKey: String = "NOW",
+      keepLast: Boolean = false): Map[String, String] = {
+    val relPath = validateName(name)
+    require(df.schema.nonEmpty, "DataFrame must have at least one column")
+    columnsKeys.foreach { case (c, kt) =>
+      if (kt != KeyDate && kt != KeyId)
+        throw new IllegalArgumentException(
+          s"Invalid key type '$kt' for column '$c': must be '$KeyDate' or '$KeyId'")
+      if (!df.columns.contains(c))
+        throw new IllegalArgumentException(
+          s"Key column '$c' not found in DataFrame columns ${df.columns.mkString("[", ", ", "]")}")
+    }
+    require(externalKey.nonEmpty, "externalKey must be non-empty")
+
+    val label =
+      if (externalKey == NowKey)
+        ZonedDateTime.now(ZoneOffset.UTC).format(NowFormat)
+      else externalKey
+
+    // Derived partition columns; originals stay in the data files so the
+    // schema round-trips losslessly (unlike the reference's JSON wire,
+    // client.py:114 — a deliberate improvement, SURVEY.md §7.4).
+    val derived: Seq[(String, Column)] = columnsKeys.toSeq.sortBy(_._1).map {
+      case (c, KeyDate) => partColName(c) -> date_format(col(c).cast("date"), "yyyy-MM-dd")
+      case (c, _) =>
+        val lo = floor(col(c).cast("long") / idBucketWidth) * idBucketWidth
+        partColName(c) -> concat(lit("from_"), lo, lit("_to_"), lo + idBucketWidth)
+    }
+    val augmented = derived.foldLeft(df.withColumn(VersionCol, lit(encodeVersion(label)))) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
+    val partCols = VersionCol +: derived.map(_._1)
+
+    val tableDir = new Path(rootPath, relPath)
+    var writer = augmented.write
+      .partitionBy(partCols: _*)
+      .mode(if (keepLast) SaveMode.Overwrite else SaveMode.Append)
+    if (maxRecordsPerFile > 0)
+      writer = writer.option("maxRecordsPerFile", maxRecordsPerFile)
+    writer.parquet(tableDir.toString)
+
+    writeSmall(new Path(tableDir, LastFile), label)
+    writeSmall(new Path(tableDir, MetaFile), metaJson(columnsKeys))
+
+    Map(
+      "name" -> name,
+      "version" -> label,
+      "keep_last" -> keepLast.toString,
+      "partition_keys" -> columnsKeys.toSeq.sortBy(_._1).map { case (c, t) => s"$c:$t" }.mkString(","))
+  }
+
+  // ----------------------------------------------------------------- get
+
+  /** Read a stored table. Mirrors `get_dataframe` (client.py:139-183).
+    *
+    * No selector → all versions unioned (accumulate, README.md:86).
+    * `externalKey` → that version only (client.py:162-163).
+    * `useLast` → version named by the `_last` pointer (client.py:164-165).
+    * Internal partition columns are dropped; callers needing date/ID-range
+    * partition pruning use [[getPartitioned]] and filter on `__p_*`.
+    */
+  def get(
+      name: String,
+      externalKey: Option[String] = None,
+      useLast: Boolean = false): DataFrame = {
+    val withParts = getPartitioned(name, externalKey, useLast)
+    val internal = withParts.columns.filter(_.startsWith(InternalPrefix))
+    withParts.drop(internal: _*)
+  }
+
+  /** Like [[get]] but retains `__version` / `__p_*` partition columns so
+    * filters on them partition-prune (e.g.
+    * `.where(col("__p_l_shipdate") >= "1996-01-01")` reads only those
+    * directories — the 100 TB fast path).
+    */
+  def getPartitioned(
+      name: String,
+      externalKey: Option[String] = None,
+      useLast: Boolean = false): DataFrame = {
+    val relPath = validateName(name)
+    val tableDir = new Path(rootPath, relPath)
+    if (!fs.exists(tableDir))
+      throw new NoSuchElementException(s"DataFrame '$name' not found under $root")
+    val base = spark.read.parquet(tableDir.toString)
+    externalKey match {
+      case Some(k) => base.where(col(VersionCol) === encodeVersion(k))
+      case None if useLast =>
+        val last = lastVersion(name).getOrElse(
+          throw new NoSuchElementException(s"No '$LastFile' pointer for '$name'"))
+        base.where(col(VersionCol) === encodeVersion(last))
+      case None => base
+    }
+  }
+
+  /** Newest version label from the `_last` pointer file (README.md:217),
+    * falling back to the lexicographic max of version directories.
+    */
+  def lastVersion(name: String): Option[String] = {
+    val tableDir = new Path(rootPath, validateName(name))
+    val pointer = new Path(tableDir, LastFile)
+    if (fs.exists(pointer)) Some(readSmall(pointer))
+    else versionsOf(tableDir).sorted.lastOption
+  }
+
+  // ---------------------------------------------------------------- list
+
+  /** Enumerate stored tables, optionally by name prefix. Mirrors
+    * `list_dataframes` (client.py:185-215). Directory listing only.
+    */
+  def list(prefix: Option[String] = None): Seq[TableInfo] = {
+    if (!fs.exists(rootPath)) return Seq.empty
+    val tables = Seq.newBuilder[TableInfo]
+    def walk(dir: Path, rel: List[String]): Unit = {
+      val children = fs.listStatus(dir)
+      val isTable = children.exists(_.getPath.getName == MetaFile)
+      if (isTable) {
+        val name = rel.reverse.mkString("/")
+        if (prefix.forall(name.startsWith)) {
+          tables += TableInfo(
+            name = name,
+            versions = versionsOf(dir).sorted,
+            lastVersion = {
+              val p = new Path(dir, LastFile)
+              if (fs.exists(p)) Some(readSmall(p)) else None
+            },
+            columnsKeys = parseMeta(readSmall(new Path(dir, MetaFile))))
+        }
+      } else {
+        children.filter(_.isDirectory).foreach { st =>
+          walk(st.getPath, st.getPath.getName :: rel)
+        }
+      }
+    }
+    walk(rootPath, Nil)
+    tables.result().sortBy(_.name)
+  }
+
+  /** Delete a stored table (test/housekeeping helper; no reference analog). */
+  def drop(name: String): Boolean =
+    fs.delete(new Path(rootPath, validateName(name)), true)
+
+  // ------------------------------------------------------------- helpers
+
+  private def versionsOf(tableDir: Path): Seq[String] =
+    if (!fs.exists(tableDir)) Seq.empty
+    else
+      fs.listStatus(tableDir)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$VersionCol="))
+        .map(st => decodeVersion(st.getPath.getName.drop(VersionCol.length + 1)))
+        .toSeq
+
+  private def writeSmall(p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(UTF_8))
+    finally out.close()
+  }
+
+  private def readSmall(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString(UTF_8)
+    } finally in.close()
+  }
+}
+
+object Store {
+  val KeyDate = "Date"
+  val KeyId = "ID"
+  val NowKey = "NOW"
+  val VersionCol = "__version"
+  val InternalPrefix = "__"
+  val LastFile = "_last"
+  val MetaFile = "_meta.json"
+  private val NowFormat = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssSSS")
+
+  def partColName(c: String): String = s"__p_$c"
+
+  /** `v_` prefix + URL-encoding pins the partition value to STRING under
+    * partition-column type inference and keeps labels path-safe.
+    */
+  def encodeVersion(label: String): String =
+    "v_" + URLEncoder.encode(label, UTF_8)
+
+  def decodeVersion(dirValue: String): String =
+    URLDecoder.decode(dirValue.stripPrefix("v_"), UTF_8)
+
+  /** Hierarchical names are slash-separated (client.py:18, README.md:66-72);
+    * interpolated into paths, so sanitize hard (SURVEY.md §7.4).
+    */
+  def validateName(name: String): String = {
+    require(name != null && name.nonEmpty, "DataFrame name must be non-empty")
+    val segs = name.split("/", -1)
+    require(
+      segs.forall(s => s.nonEmpty && s.matches("[A-Za-z0-9._-]+") && s != "." && s != ".."),
+      s"Invalid DataFrame name '$name': segments must match [A-Za-z0-9._-]+ and not be '.'/'..'")
+    segs.mkString("/")
+  }
+
+  private def metaJson(keys: Map[String, String]): String =
+    keys.toSeq.sortBy(_._1)
+      .map { case (c, t) => s""""${c}":"${t}"""" }
+      .mkString("{", ",", "}")
+
+  private[store] def parseMeta(json: String): Map[String, String] = {
+    val Pair = """"([^"]+)":"([^"]+)"""".r
+    Pair.findAllMatchIn(json).map(m => m.group(1) -> m.group(2)).toMap
+  }
+}
