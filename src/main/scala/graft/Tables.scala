@@ -24,8 +24,10 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `ts div 1000`, not `ts / 1000`: `/` promotes to double and epoch
+    // nanos exceed double's 2^53 exact-integer range (off-by-1-µs bugs).
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 }

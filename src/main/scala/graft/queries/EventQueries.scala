@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Time-series queries over the `events` fixture: as-of join, interval
+  * range join, and the batch equivalents of the streaming window operators
+  * (tumbling / sliding / session). The same window expressions run under
+  * Structured Streaming in `graft.streaming` — batch/stream equivalence is
+  * asserted in the test suite; here the batch side is graded against the
+  * DuckDB oracle.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  private def decSum(c: String) =
+    sum(col(c).cast(DecimalType(18, 2))).cast("double")
+
+  /** merge_asof parity: latest click at-or-before each purchase, per user.
+    * Right side deduped per (user, ts) so the match is deterministic.
+    */
+  private def qAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("click_id"))
+      .withColumn("click_ts_us", unix_micros(col("ts")))
+    AsOfJoin.backward(
+      purchases, clicks,
+      on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      payload = Seq("click_id", "click_ts_us"), tieBreak = Some("click_id"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("purchase_ts_us"),
+        col("asof_click_id").as("click_id"),
+        col("asof_click_ts_us").as("click_ts_us"))
+      .orderBy("event_id")
+  }
+
+  /** Interval range join: clicks in the 10 minutes before each purchase. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(
+        c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") < col("p_ts"),
+        "left")
+      .groupBy(col("p_id"), col("p_user"))
+      .agg(count(col("c_id")).as("n_clicks_10m"))
+      .select(col("p_id").as("event_id"), col("p_user").as("user_id"), col("n_clicks_10m"))
+      .orderBy("event_id")
+  }
+
+  /** Tumbling 1-hour window aggregate (streaming window, batch mode). */
+  private def qTumbling(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum("value").as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("wstart_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart_us", "event_type")
+
+  /** Sliding 1-hour window, 30-minute slide: each event lands in 2 windows. */
+  private def qSliding(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), decSum("value").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("wstart_us"), col("n"), col("sum_value"))
+      .orderBy("wstart_us")
+
+  /** Session window with a 10-minute gap, per user. */
+  private def qSession(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"), decSum("value").as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q25_asof_join", qAsof _, Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts, max(event_id) AS click_id
+                 FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+           m AS (SELECT p.event_id, c.click_id, epoch_us(c.ts) AS click_ts_us,
+                        row_number() OVER (PARTITION BY p.event_id
+                                           ORDER BY c.ts DESC, c.click_id DESC) AS rn
+                 FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
+             m.click_id, m.click_ts_us
+      FROM p LEFT JOIN m ON p.event_id = m.event_id AND m.rn = 1
+      ORDER BY p.event_id""")),
+    QueryDef("q26_range_join", qRangeJoin _, Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, count(c.event_id) AS n_clicks_10m
+      FROM p LEFT JOIN c ON p.user_id = c.user_id
+           AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+      GROUP BY p.event_id, p.user_id
+      ORDER BY p.event_id""")),
+    QueryDef("q27_tumbling_window", qTumbling _, Some("""
+      SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS wstart_us,
+             event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY wstart_us, event_type""")),
+    QueryDef("q28_sliding_window", qSliding _, Some("""
+      WITH starts AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS wstart, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS wstart, value
+        FROM events)
+      SELECT epoch_us(wstart) AS wstart_us,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM starts
+      GROUP BY 1
+      ORDER BY wstart_us""")),
+    QueryDef("q29_session_window", qSession _, Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us"""))
+  )
+}
