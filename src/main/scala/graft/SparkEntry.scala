@@ -7,14 +7,14 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventQueries, QueryDef, Relational, StoreQueries}
+import graft.queries.{EventQueries, NorthStar, QueryDef, Relational, StoreQueries}
 import graft.store.Store
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    StoreQueries.defs ++ Relational.defs ++ EventQueries.defs
+    StoreQueries.defs ++ Relational.defs ++ EventQueries.defs ++ NorthStar.defs
 
   /** Flagship (SURVEY.md §7.2 slice 0): load lineitem into the versioned
     * store with a Date partition key, read it back via the `use_last`

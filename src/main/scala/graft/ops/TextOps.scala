@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting, shingling.
+  *
+  * Everything here is pure `Column` expressions (built-in + higher-order
+  * functions) — no UDFs — so the whole pipeline stays inside whole-stage
+  * codegen and needs zero serialization: per-row, shuffle-free, and
+  * embarrassingly parallel at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def charCount(c: Column): Column = length(c)
+
+  /** Type-token ratio: distinct tokens / total tokens (repetition signal). */
+  def typeTokenRatio(c: Column): Column =
+    size(array_distinct(tokens(c))).cast("double") / size(tokens(c))
+
+  /** Mean word length: non-space chars / token count. */
+  def avgWordLen(c: Column): Column =
+    length(regexp_replace(c, "\\s+", "")).cast("double") / size(tokens(c))
+
+  /** Heuristic quality score in [0,1]: length, lexical diversity, word
+    * shape. Deterministic; thresholds are pipeline-tunable.
+    */
+  def qualityScore(c: Column): Column =
+    round(
+      least(tokenCount(c).cast("double") / 50d, lit(1d)) * 0.4 +
+        typeTokenRatio(c) * 0.3 +
+        least(avgWordLen(c) / 8d, lit(1d)) * 0.3,
+      4)
+
+  /** Stopword-list hit counts per candidate language. Word-boundary
+    * regexes keep this codegen'd (`regexp_count` is a native expression).
+    */
+  val langPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|is|to)\\b",
+    "es" -> "\\b(el|los|las|una|y|que)\\b",
+    "fr" -> "\\b(le|les|et|un|une|est)\\b",
+    "de" -> "\\b(der|die|das|und|ein|ist)\\b")
+
+  val cjkPattern = "[\\x{4e00}-\\x{9fff}]"
+
+  /** N-gram-heuristic language ID: argmax of stopword hits, CJK script
+    * short-circuits to zh, ties resolve in `langPatterns` order, no hits →
+    * "und". Mirrors exactly into ANSI SQL (see NorthStar oracle).
+    */
+  def langId(c: Column): Column = {
+    val counts = langPatterns.map { case (l, p) => l -> regexp_count(c, lit(p)) }
+    val Seq(en, es, fr, de) = counts.map(_._2)
+    when(regexp_count(c, lit(cjkPattern)) > 0, "zh")
+      .when(en + es + fr + de === 0, "und")
+      .when(en >= es && en >= fr && en >= de, "en")
+      .when(es >= fr && es >= de, "es")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+  }
+
+  /** Polynomial rolling-hash document fingerprint over characters,
+    * mod 1e9+7 (all intermediate values < 2^35, exact in Long on any
+    * engine). Content-defined, order-sensitive, collision-sparse — the
+    * classic dedup fingerprint.
+    */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      split(c, ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
+
+  /** Word n-gram shingles (distinct), the near-dup unit for Jaccard /
+    * MinHash. Empty array when the document has fewer than n tokens.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array()))
+  }
+}

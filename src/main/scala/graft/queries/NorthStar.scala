@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** North-star LLM-pipeline operators (BASELINE.json): dedup at every
+  * fuzziness level, embedding similarity search, text analysis, and
+  * multimodal column plumbing, over the `documents` / `embeddings`
+  * fixtures. Oracle SQL provided wherever DuckDB can express the same
+  * computation; hash-dependent ops (MinHash, SimHash, LSH, IVF) are
+  * rows-only checked.
+  */
+object NorthStar {
+
+  private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.read(s, dir, "embeddings")
+
+  /** Exact dedup: first doc per identical text + copy count. */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), md5(col("text").cast("binary")).as("text_hash"))
+      .orderBy("keep_id")
+
+  /** Exact all-pairs 3-gram Jaccard near-dup pairs (≥ 0.8). */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  /** MinHash+LSH candidate near-dup pairs (approximate; rows-only). */
+  private def qMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(docs(s, dir), "doc_id", "text",
+        n = 3, distanceThreshold = 0.3)
+      .orderBy("doc_a", "doc_b")
+
+  /** SimHash banded near-dup pairs (hash-dependent; rows-only). */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** Text quality statistics per (lang, source). */
+  private def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val c = col("text")
+    docs(s, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg(TextOps.tokenCount(c)), 4).as("avg_tokens"),
+        round(avg(TextOps.typeTokenRatio(c)), 4).as("avg_ttr"),
+        round(avg(TextOps.qualityScore(c)), 4).as("avg_quality"))
+      .orderBy("lang", "source")
+  }
+
+  /** Heuristic language-ID vs the labeled `lang` column. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("predicted", TextOps.langId(col("text")))
+      .groupBy("predicted")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .orderBy("predicted")
+
+  /** Polynomial rolling-hash fingerprint per document. */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Brute-force exact cosine top-10 for query vector 0. */
+  private def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.topKPerQuery(e, e.where(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Brute-force exact cosine top-5 for 8 query vectors (one scan). */
+  private def qCosineTopKMulti(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.topKPerQuery(e, e.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-dup pairs: all pairs with cosine ≥ 0.4. */
+  private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** Random-projection LSH neighbors (approximate; rows-only). */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNeighbors(emb(s, dir), "vec_id", "embedding",
+        euclidThreshold = 1.1)
+      .orderBy("id_a", "id_b")
+
+  /** IVF (k-means cells + probe) ANN top-5 for 8 queries (rows-only). */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nlist = 8, nProbe = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multimodal: binary payload → per-partition feature extraction
+    * (decode STUBBED, plumbing real).
+    */
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.attachBinary(docs(s, dir), "doc_id", "text", "text/plain"))
+      .toDF()
+      .orderBy("doc_id")
+
+  /** Multimodal frame sampling: explode stub-decoded frames, then count. */
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.extractFeatures(
+        Multimodal.attachBinary(docs(s, dir), "doc_id", "text", "video/fake")))
+    frames.agg(
+      countDistinct("doc_id").as("n_media"),
+      count(lit(1)).as("n_frames_total"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
+      FROM documents
+      GROUP BY text
+      ORDER BY keep_id""")),
+    QueryDef("qn02_dedup_ngram_jaccard", qNgramJaccard _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+             FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             round(common / (na.n_sh + nb.n_sh - common), 4) AS jaccard
+      FROM pairs
+      JOIN counts na ON doc_a = na.doc_id
+      JOIN counts nb ON doc_b = nb.doc_id
+      WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8
+      ORDER BY doc_a, doc_b""")),
+    QueryDef("qn03_dedup_minhash_lsh", qMinhash _, None),
+    QueryDef("qn04_dedup_simhash", qSimhash _, None),
+    QueryDef("qn05_text_stats", qTextStats _, Some("""
+      WITH f AS (
+        SELECT lang, source, n_chars,
+               len(string_split_regex(trim(text), '\s+')) AS toks,
+               len(list_distinct(string_split_regex(trim(text), '\s+')))
+                 / len(string_split_regex(trim(text), '\s+')) AS ttr,
+               len(regexp_replace(text, '\s+', '', 'g'))
+                 / len(string_split_regex(trim(text), '\s+')) AS awl
+        FROM documents)
+      SELECT lang, source,
+             count(*) AS n_docs,
+             round(avg(n_chars), 4) AS avg_chars,
+             round(avg(toks), 4) AS avg_tokens,
+             round(avg(ttr), 4) AS avg_ttr,
+             round(avg(round(least(toks / 50.0, 1.0) * 0.4 + ttr * 0.3
+                             + least(awl / 8.0, 1.0) * 0.3, 4)), 4) AS avg_quality
+      FROM f
+      GROUP BY lang, source
+      ORDER BY lang, source""")),
+    QueryDef("qn06_langid", qLangId _, Some("""
+      WITH scored AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '\b(the|a|of|and|is|to)\b')) AS en,
+               len(regexp_extract_all(text, '\b(el|los|las|una|y|que)\b')) AS es,
+               len(regexp_extract_all(text, '\b(le|les|et|un|une|est)\b')) AS fr,
+               len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b')) AS de,
+               len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+        FROM documents),
+      pred AS (
+        SELECT lang,
+               CASE WHEN zh > 0 THEN 'zh'
+                    WHEN en + es + fr + de = 0 THEN 'und'
+                    WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+                    WHEN es >= fr AND es >= de THEN 'es'
+                    WHEN fr >= de THEN 'fr'
+                    ELSE 'de' END AS predicted
+        FROM scored)
+      SELECT predicted, count(*) AS n,
+             CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM pred
+      GROUP BY predicted
+      ORDER BY predicted""")),
+    QueryDef("qn07_fingerprint", qFingerprint _, Some("""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''),
+                                x -> CAST(ascii(x) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      FROM documents
+      ORDER BY doc_id""")),
+    QueryDef("qn08_cosine_topk", qCosineTopK _, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id = 0),
+      scored AS (SELECT q.query_id, e.vec_id,
+                        round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS sim
+                 FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, vec_id, sim,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+                 FROM scored)
+      SELECT query_id, vec_id, sim, rank FROM ranked
+      WHERE rank <= 10
+      ORDER BY query_id, rank""")),
+    QueryDef("qn09_cosine_topk_multi", qCosineTopKMulti _, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      scored AS (SELECT q.query_id, e.vec_id,
+                        round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS sim
+                 FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, vec_id, sim,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+                 FROM scored)
+      SELECT query_id, vec_id, sim, rank FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank""")),
+    QueryDef("qn10_embedding_neardup", qEmbeddingNearDup _, Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+      ORDER BY id_a, id_b""")),
+    QueryDef("qn11_ann_lsh", qAnnLsh _, None),
+    QueryDef("qn12_ann_ivf", qAnnIvf _, None),
+    QueryDef("qn13_multimodal_features", qMultimodalFeatures _, Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS digest,
+             CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+             CAST(64 + (octet_length(encode(text)) * 31) % 411 AS INTEGER) AS height,
+             CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames
+      FROM documents
+      ORDER BY doc_id""")),
+    QueryDef("qn14_multimodal_frames", qMultimodalFrames _, Some("""
+      SELECT count(*) AS n_media,
+             CAST(sum(1 + octet_length(encode(text)) % 7) AS BIGINT) AS n_frames_total
+      FROM documents"""))
+  )
+}
