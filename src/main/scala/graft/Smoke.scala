@@ -41,6 +41,19 @@ object Smoke {
     store.load(li.limit(10), "proj/b/t2")
     println(s"[smoke] list()=${store.list().map(i => s"${i.name}{v=${i.versions.mkString("|")},last=${i.lastVersion.orNull},keys=${i.columnsKeys}}").mkString("; ")}")
     println(s"[smoke] list(prefix=proj/a)=${store.list(Some("proj/a")).map(_.name).mkString(",")}")
+
+    // Streaming surface: tumbling-window counts from a file-source stream
+    // drained into the memory sink.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_smoke_stream_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = graft.streaming.EventStreams.readEvents(spark, streamDir.toString)
+    val windowed = graft.streaming.EventStreams.runToMemory(
+      spark, graft.streaming.EventStreams.tumblingCounts(stream, "1 hour", "10 minutes"),
+      "smoke_tumble")
+    println(s"[smoke] streaming tumbling windows=${windowed.count()} rows, " +
+      s"total events=${windowed.agg(org.apache.spark.sql.functions.sum("n")).collect().head.get(0)}")
     spark.stop()
   }
 }

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+
+/** Structured Streaming layer over the `events` table shape (SURVEY.md
+  * §2.3 "Streaming"). The reference has no streaming at all; these are the
+  * Spark-native stream forms of the batch window queries in
+  * [[graft.queries.EventQueries]] — batch/stream equivalence is asserted
+  * in `StreamingSpec`.
+  *
+  * Scale notes: all aggregations are keyed by (window, …) or user_id, so
+  * state is partitioned across executors by the shuffle; watermarks bound
+  * state size (late rows beyond the watermark are dropped, old windows
+  * are evicted). File-source streaming reads incrementally —
+  * `maxFilesPerTrigger` shapes micro-batches at scale.
+  */
+object EventStreams {
+
+  /** The events schema as the nanos-tolerant file source sees it
+    * (ts read as LongType nanos; see Tables.events).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the events parquet directory as a stream (one file = one batch
+    * at fixture scale), converting nano `ts` to a proper timestamp.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts with a watermark bounding state. */
+  def tumblingCounts(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_micros(col("window.start")).as("wstart_us"),
+        col("event_type"), col("n"))
+
+  /** Sliding-window aggregate. */
+  def slidingCounts(events: DataFrame, windowLen: String, slide: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("wstart_us"), col("n"))
+
+  /** Session windows (gap-based) per user. */
+  def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+
+  /** Streaming exact dedup on event_id with watermark-bounded state. */
+  def dedupedEvents(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful operator: running per-user totals via
+    * mapGroupsWithState (the escape hatch when built-in windows can't
+    * express the state machine).
+    */
+  def userRunningTotals(events: DataFrame): Dataset[UserStat] = {
+    implicit val longEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.product[(Long, Double)]
+    implicit val statEnc = Encoders.product[UserStat]
+    events
+      .select(col("user_id").as("_1"), col("value").as("_2"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(user, 0L, 0d))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { r => n += 1; tot += r._2 }
+          val next = UserStat(user, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Write a streaming frame to an in-memory table and drain all pending
+    * micro-batches (test/demo sink; production would target kafka/delta/
+    * parquet with checkpointing).
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    df.sparkSession.table(name)
+  }
+}

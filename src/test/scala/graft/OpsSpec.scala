@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** Operator-level unit tests on hand-built frames with known answers. */
+class OpsSpec extends SparkSpec {
+
+  test("as-of join picks latest right row at or before left ts") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 100L), (2L, "u", 205L), (3L, "v", 50L))
+      .toDF("lid", "k", "ts")
+    val right = Seq(("u", 90L, "a"), ("u", 100L, "b"), ("u", 200L, "c"), ("v", 60L, "d"))
+      .toDF("k", "ts", "payload")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("payload"))
+      .orderBy("lid").collect().map(r => (r.getLong(0), r.getString(3)))
+    // lid=1 matches the simultaneous right row 'b'; lid=2 the latest 'c';
+    // lid=3 has no right row at/before ts=50 -> null
+    assert(out.toSeq == Seq((1L, "b"), (2L, "c"), (3L, null)))
+  }
+
+  test("as-of join tie-break is deterministic") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 100L)).toDF("lid", "k", "ts")
+    val right = Seq(("u", 100L, "x"), ("u", 100L, "y")).toDF("k", "ts", "payload")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts",
+      Seq("payload"), tieBreak = Some("payload"))
+    assert(out.collect().head.getString(3) == "y") // last in tieBreak order
+  }
+
+  test("exactKeepFirst keeps lowest-order row per key") {
+    import spark.implicits._
+    val df = Seq((1L, "t1"), (2L, "t1"), (3L, "t2")).toDF("id", "text")
+    val out = Dedup.exactKeepFirst(df, Seq("text"), "id")
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  test("ngram jaccard: identical docs = 1.0, disjoint docs filtered") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "x y z w q t")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical texts have hamming 0 and band-join finds them") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+      (3L, "completely different words here now")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("cosine kernel: identity = 1, orthogonal = 0") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0f), Array(1.0f, 0f), Array(0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a").cast("array<double>"), col("b").cast("array<double>")),
+      Similarity.cosine(col("a").cast("array<double>"), col("c").cast("array<double>")))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("topKPerQuery excludes self and ranks by similarity") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1.0f)),
+      (3L, Array(-1.0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.topKPerQuery(df, df.where(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("langId spots stopword-marked languages and CJK") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat is on a mat and it sleeps",
+      "el gato y la casa que los ninos",
+      "der hund und das haus ist ein",
+      "你好世界").toDF("text")
+    val out = df.select(TextOps.langId(col("text"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "es", "de", "zh"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val df = Seq("ab", "ba", "ab").toDF("text")
+    val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+    assert(fps(0) == ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)
+  }
+
+  test("quality score bounded in [0,1]") {
+    val docs = Tables.read(spark, sf(), "documents")
+    val mm = docs.select(
+      min(TextOps.qualityScore(col("text"))), max(TextOps.qualityScore(col("text"))))
+      .collect().head
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+}

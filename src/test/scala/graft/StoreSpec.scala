@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.store.{Store, Wire}
+
+/** Store semantics from the reference surface (SURVEY.md §2.1/2.2):
+  * round-trip fidelity, version accumulate/keep-last/use-last, partition
+  * layout, listing, validation.
+  */
+class StoreSpec extends SparkSpec {
+
+  private def freshStore(width: Long = 1000L): Store =
+    new Store(spark, Files.createTempDirectory("graft_test_").toString, idBucketWidth = width)
+
+  private def sampleDf() = {
+    import spark.implicits._
+    Seq(
+      ("2024-01-01", 1L, 10.5, "a"),
+      ("2024-01-01", 1500L, 20.0, "b"),
+      ("2024-01-02", 2999L, 30.25, "c")
+    ).toDF("date", "id", "value", "tag")
+  }
+
+  test("round-trip preserves schema and data") {
+    val store = freshStore()
+    val df = sampleDf()
+    store.load(df, "proj/t", Map("date" -> "Date", "id" -> "ID"))
+    val back = store.get("proj/t", useLast = true)
+    assert(back.schema.fieldNames.sorted.toSeq == df.schema.fieldNames.sorted.toSeq)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("default read accumulates all versions (README.md:86 semantics)") {
+    val store = freshStore()
+    store.load(sampleDf(), "t", externalKey = "v1")
+    store.load(sampleDf(), "t", externalKey = "v2")
+    assert(store.get("t").count() == 6)
+    assert(store.get("t", externalKey = Some("v1")).count() == 3)
+  }
+
+  test("keep_last retains only the newest version") {
+    val store = freshStore()
+    store.load(sampleDf(), "t", externalKey = "v1")
+    store.load(sampleDf().limit(1), "t", externalKey = "v2", keepLast = true)
+    assert(store.get("t").count() == 1)
+    assert(store.lastVersion("t").contains("v2"))
+  }
+
+  test("use_last resolves the pointer to the newest load") {
+    val store = freshStore()
+    store.load(sampleDf(), "t", externalKey = "old")
+    store.load(sampleDf().limit(2), "t", externalKey = "new")
+    assert(store.get("t", useLast = true).count() == 2)
+    assert(store.get("t").count() == 5)
+  }
+
+  test("NOW external key assigns distinct increasing versions") {
+    val store = freshStore()
+    store.load(sampleDf(), "t")
+    Thread.sleep(5)
+    store.load(sampleDf(), "t")
+    val versions = store.list().head.versions
+    assert(versions.size == 2 && versions.distinct.size == 2)
+    assert(store.lastVersion("t").contains(versions.max))
+  }
+
+  test("Date and ID keys produce Hive-style partition directories") {
+    val store = freshStore()
+    val root = store.list() // force nothing; layout checked via fs below
+    store.load(sampleDf(), "t", Map("date" -> "Date", "id" -> "ID"), externalKey = "v1")
+    val tableDir = new java.io.File(
+      store.get("t").queryExecution.logical.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+        .relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.rootPaths.head.toUri.getPath)
+    val versionDirs = tableDir.listFiles().filter(_.getName.startsWith("__version="))
+    assert(versionDirs.nonEmpty)
+    val dateDirs = versionDirs.head.listFiles().filter(_.getName.startsWith("__p_date="))
+    assert(dateDirs.map(_.getName).sorted.toSeq ==
+      Seq("__p_date=2024-01-01", "__p_date=2024-01-02"))
+    val idDirs = dateDirs.flatMap(_.listFiles()).filter(_.getName.startsWith("__p_id="))
+    assert(idDirs.map(_.getName).toSet ==
+      Set("__p_id=from_1000_to_2000", "__p_id=from_0_to_1000", "__p_id=from_2000_to_3000"))
+  }
+
+  test("version filter prunes partitions in the physical plan") {
+    val store = freshStore()
+    store.load(sampleDf(), "t", externalKey = "v1")
+    store.load(sampleDf(), "t", externalKey = "v2")
+    val pruned = store.getPartitioned("t", externalKey = Some("v1"))
+    val filesRead = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(filesRead.nonEmpty && filesRead.forall(_.contains("__version=v_v1")))
+  }
+
+  test("list with and without prefix") {
+    val store = freshStore()
+    store.load(sampleDf(), "a/x")
+    store.load(sampleDf(), "a/y", Map("id" -> "ID"))
+    store.load(sampleDf(), "b/z")
+    assert(store.list().map(_.name) == Seq("a/x", "a/y", "b/z"))
+    assert(store.list(Some("a/")).map(_.name) == Seq("a/x", "a/y"))
+    assert(store.list(Some("a/")).find(_.name == "a/y").get.columnsKeys == Map("id" -> "ID"))
+  }
+
+  test("validation rejects bad inputs with reference-shaped errors") {
+    val store = freshStore()
+    val df = sampleDf()
+    assertThrows[IllegalArgumentException](store.load(df, "t", Map("id" -> "Hash")))
+    assertThrows[IllegalArgumentException](store.load(df, "t", Map("missing" -> "ID")))
+    assertThrows[IllegalArgumentException](store.load(df, ""))
+    assertThrows[IllegalArgumentException](store.load(df, "../evil"))
+    assertThrows[NoSuchElementException](store.get("nope"))
+  }
+
+  test("id bucket width is configurable and labels match README shape") {
+    val store = freshStore(width = 500L)
+    store.load(sampleDf(), "t", Map("id" -> "ID"), externalKey = "v1")
+    val parts = store.getPartitioned("t").select("__p_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("from_0_to_500", "from_1500_to_2000", "from_2500_to_3000"))
+  }
+
+  test("wire shim round-trips rows as JSON records") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "v")
+    val back = Wire.fromJsonRecords(spark, Wire.toJsonRecords(df))
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("id", "name", "v"))
+  }
+
+  test("empty-schema frame rejected") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], StructType(Seq.empty))
+    assertThrows[IllegalArgumentException](freshStore().load(empty, "t"))
+  }
+}
