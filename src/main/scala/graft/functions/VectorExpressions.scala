@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, MinHashSignatureExpr, SimHash64Expr, SrpSketchExpr, WordShinglesExpr}
+
+/** Facade over the custom Catalyst expressions in
+  * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
+  * access `private[sql]` planner types).
+  *
+  * The generic higher-order-function formulation (`zip_with` +
+  * `aggregate`) allocates an intermediate array per row-pair and walks the
+  * lambda interpreter; on an all-pairs similarity join that is the entire
+  * runtime. These expressions compile to a tight primitive loop inside
+  * whole-stage codegen (`DotProductD`) or a single JVM call
+  * (`SimHash64Expr`) — SURVEY.md §7.3's "custom codegen Expression only if
+  * bench demands" clause, triggered by BENCH round 1.
+  */
+object VectorExpressions {
+
+  /** Codegen'd dot product of two `array<double>` columns. */
+  def dotD(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductD(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** 64-bit SimHash of an `array<string>` token column. */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
+
+  /** MinHash signature (`array<long>` of length numHashes) of an
+    * `array<string>` shingle column.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(shingles), numHashes))
+
+  /** 32-bit signed-random-projection sketch of an `array<double>` vector. */
+  def srpSketch(vec: Column, planes: Array[Double], dim: Int): Column =
+    ColumnBridge.column(SrpSketchExpr(ColumnBridge.expression(vec), planes, dim))
+
+  /** Distinct word n-gram shingles of an `array<string>` token column. */
+  def wordShingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(tokens), n))
+}

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -15,7 +14,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   *     drop shingles above a document-frequency cap (stopword shingles
   *     contribute almost nothing to Jaccard but dominate join fanout);
   *   - MinHash LSH reduces candidate generation to equality joins on
-  *     banded signatures (spark.ml, shuffle on band hash);
+  *     banded signatures (native AND-of-OR amplification, shuffle on
+  *     band hash only);
   *   - SimHash packs a document into 64 bits; candidate pairs come from
   *     equality joins on 16-bit bands (pigeonhole: hamming ≤ 3 ⇒ some
   *     band equal), then exact hamming ranks survivors. Everything is
@@ -72,57 +72,71 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash+LSH candidate pairs via spark.ml (HashingTF on shingles →
-    * banded MinHash signatures → equality join on bands). Approximate:
-    * returns candidates with estimated Jaccard distance ≤ threshold.
+  /** MinHash signature: `numHashes` minimums over the shingle set, hash
+    * family g_i = h1 + i·h2 (Kirsch-Mitzenmacher double hashing from two
+    * seeded xxhash64 base hashes), computed in a single native-expression
+    * call (see [[org.apache.spark.sql.graft.MinHashSignatureExpr]]).
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    graft.functions.VectorExpressions.minhashSignature(shingleCol, numHashes)
+
+  /** MinHash+LSH candidate pairs with banded (AND×OR) amplification:
+    * signature of `bands·rowsPerBand` minhashes, one hash per band of
+    * `rowsPerBand` consecutive values, candidates = equality join on
+    * (band index, band hash), similarity estimated as the fraction of
+    * matching minhashes, filtered at `simThreshold`.
+    *
+    * Collision probability for a pair with Jaccard j is
+    * 1-(1-j^r)^b — with r=4, b=8: j=0.9 → 0.999, j=0.2 → 0.013, so the
+    * candidate join stays tiny even when low-similarity pairs abound
+    * (spark.ml's MinHashLSH is OR-only, which floods the verifier at
+    * scale; this shape is what survives a 100 TB corpus).
     */
   def minhashCandidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      distanceThreshold: Double = 0.3,
-      numHashTables: Int = 8): DataFrame = {
+      simThreshold: Double = 0.7,
+      bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
 
-    val withShingles = df.select(col(idCol).as("id"),
+    val numHashes = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
         TextOps.shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feats = tf.transform(withShingles)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
-      .setNumHashTables(numHashTables).setSeed(42L)
-    val model = lsh.fit(feats)
-    model.approxSimilarityJoin(feats, feats, distanceThreshold, "jaccard_dist")
-      .select(
-        col("datasetA.id").as("doc_a"),
-        col("datasetB.id").as("doc_b"),
-        round(lit(1.0) - col("jaccard_dist"), 4).as("est_jaccard"))
-      .where(col("doc_a") < col("doc_b"))
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4))
+      .where(col("est_jaccard") >= simThreshold)
+      .select("doc_a", "doc_b", "est_jaccard")
   }
 
   /** 64-bit SimHash of the token stream: per token, xxhash64 bits vote
-    * +1/-1 per position; fingerprint bit b = sign of vote b. Pure
-    * higher-order-function fold — per-row, no shuffle.
+    * +1/-1 per position; fingerprint bit b = sign of vote b. Single
+    * native-expression call per row (see
+    * [[org.apache.spark.sql.graft.SimHash64Expr]]) — per-row, no shuffle.
     */
-  def simhash64(textCol: Column): Column = {
-    val toks = TextOps.tokens(textCol)
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, bitVector(h), (a, v) => a + v)
-      })
-    val bits = transform(votes, v => when(v >= 0, 1L).otherwise(0L))
-    val powers = array((0 until 64).map(b => lit(1L << b)): _*)
-    aggregate(zip_with(bits, powers, (b, p) => b * p), lit(0L), (a, x) => a + x)
-  }
-
-  /** ±1 vote vector from the 64 bits of a long. */
-  private def bitVector(h: Column): Column =
-    array((0 until 64).map(
-      b => when(shiftrightunsigned(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*)
+  def simhash64(textCol: Column): Column =
+    graft.functions.VectorExpressions.simhash64(TextOps.tokens(textCol))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, using
     * 16-bit band equality for candidate generation (exact for

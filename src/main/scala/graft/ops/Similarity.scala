@@ -6,6 +6,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
+import graft.functions.VectorExpressions.dotD
+
 /** Embedding similarity search over `ArrayType(FloatType)` columns.
   *
   * The scalar kernel (dot / norm / cosine) is built from array
@@ -42,6 +44,16 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** L2-normalize once per row so pair scoring is a single codegen'd dot
+    * product (`cos(a,b) = dot(â,b̂)`) instead of dot + two norms per pair.
+    * Zero vectors normalize to zeros (cosine 0 against everything).
+    */
+  def normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0d, transform(v, _ => lit(0d)))
+      .otherwise(transform(v, x => x / n))
+  }
+
   /** Exact top-k neighbors for each query vector (brute force, broadcast
     * queries). Excludes self-matches on id equality.
     */
@@ -52,12 +64,14 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
 
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("vec_id"),
+      normalize(asDouble(col(vecCol))).as("nv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      normalize(asDouble(col(vecCol))).as("qnv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(dotD(col("qnv"), col("nv")), 6).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -72,10 +86,11 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val e = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val e = corpus.select(col(idCol).as("id"),
+      normalize(asDouble(col(vecCol))).as("nv"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("sim"))
+        dotD(col("a.nv"), col("b.nv")).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
@@ -94,7 +109,7 @@ object Similarity {
       numHashTables: Int = 4): DataFrame = {
 
     val e = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nv", transform(col("v"), x => x / norm(col("v"))))
+      .withColumn("nv", normalize(col("v")))
       .withColumn("features", array_to_vector(col("nv")))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
@@ -104,8 +119,50 @@ object Similarity {
       .select(
         col("datasetA.id").as("id_a"),
         col("datasetB.id").as("id_b"),
-        round(cosine(col("datasetA.v"), col("datasetB.v")), 6).as("sim"))
+        round(dotD(col("datasetA.nv"), col("datasetB.nv")), 6).as("sim"))
       .where(col("id_a") < col("id_b"))
+  }
+
+  /** Native cosine-LSH: signed-random-projection sketches (one codegen'd
+    * expression call per row), banded equality join for candidates, exact
+    * dot-product re-rank. P(band match) = (1-θ/π)^bitsPerBand per band —
+    * tuned for high-similarity search; corpus-size-linear sketch pass +
+    * an equality-join shuffle, the ANN shape that scales past the
+    * brute-force cross join.
+    */
+  def srpNeighbors(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      cosThreshold: Double,
+      numPlanes: Int = 24,
+      bands: Int = 4): DataFrame = {
+
+    require(numPlanes % bands == 0 && numPlanes <= 32, "numPlanes = bands * bits, <= 32")
+    val bitsPerBand = numPlanes / bands
+    val rng = new scala.util.Random(42L)
+    val planes = Array.fill(numPlanes * dim)(rng.nextGaussian())
+
+    val e = corpus.select(col(idCol).as("id"),
+        normalize(asDouble(col(vecCol))).as("nv"))
+      .withColumn("sketch", graft.functions.VectorExpressions.srpSketch(col("nv"), planes, dim))
+    val mask = (1 << bitsPerBand) - 1
+    val banded = e.select(col("id"), col("nv"),
+      posexplode(array((0 until bands).map(
+        b => shiftrightunsigned(col("sketch"), b * bitsPerBand).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.nv").as("nva"), col("b.nv").as("nvb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), round(dotD(col("nva"), col("nvb")), 6).as("sim"))
+      .where(col("sim") >= cosThreshold)
   }
 
   /** IVF-style ANN: coarse-quantize the corpus into `nlist` k-means cells,
@@ -122,28 +179,30 @@ object Similarity {
 
     import org.apache.spark.ml.clustering.KMeans
     val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", normalize(col("v")))
       .withColumn("features", array_to_vector(col("v")))
     val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(e)
-    val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
+    val assigned = model.transform(e).select(col("vec_id"), col("nv"), col("cell"))
 
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
     val centroidDf = corpus.sparkSession.createDataFrame(centroids.toSeq)
       .toDF("cell", "centroid")
 
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnv", normalize(col("qv")))
     val probes = q.crossJoin(broadcast(centroidDf))
       .withColumn("cdist", -cosine(col("qv"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))))
       .where(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+      .select(col("query_id"), col("qnv"), col("cell"))
 
     val scored = probes.join(assigned, "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("sim"))
+        round(dotD(col("qnv"), col("nv")), 6).as("sim"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))))
       .where(col("rank") <= k)

@@ -77,14 +77,9 @@ object TextOps {
 
   /** Word n-gram shingles (distinct), the near-dup unit for Jaccard /
     * MinHash. Empty array when the document has fewer than n tokens.
+    * Native single-call expression
+    * ([[org.apache.spark.sql.graft.WordShinglesExpr]]).
     */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array()))
-  }
+  def shingles(c: Column, n: Int): Column =
+    graft.functions.VectorExpressions.wordShingles(tokens(c), n)
 }

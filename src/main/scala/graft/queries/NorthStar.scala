@@ -34,7 +34,7 @@ object NorthStar {
   /** MinHash+LSH candidate near-dup pairs (approximate; rows-only). */
   private def qMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidatePairs(docs(s, dir), "doc_id", "text",
-        n = 3, distanceThreshold = 0.3)
+        n = 3, simThreshold = 0.7)
       .orderBy("doc_a", "doc_b")
 
   /** SimHash banded near-dup pairs (hash-dependent; rows-only). */
@@ -91,10 +91,10 @@ object NorthStar {
     Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
 
-  /** Random-projection LSH neighbors (approximate; rows-only). */
+  /** Signed-random-projection LSH neighbors (approximate; rows-only). */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshNeighbors(emb(s, dir), "vec_id", "embedding",
-        euclidThreshold = 1.1)
+    Similarity.srpNeighbors(emb(s, dir), "vec_id", "embedding",
+        dim = 64, cosThreshold = 0.35)
       .orderBy("id_a", "id_b")
 
   /** IVF (k-means cells + probe) ANN top-5 for 8 queries (rows-only). */

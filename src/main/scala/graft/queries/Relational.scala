@@ -301,6 +301,38 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(dec(col("c_acctbal"))).cast("double").as("bal_sum"))
       .orderBy("bal_bucket", "segment")
 
+  /** Map-typed column functions over JSON-parsed props. */
+  private def q30MapFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "k").cast("long").as("k_val"),
+        size(map_keys(col("m"))).as("n_keys"))
+      .orderBy("event_id")
+
+  /** HLL++ approximate distinct (built-in sketch; engine-specific values,
+    * so rows-only checked).
+    */
+  private def q31ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  /** Pivot (pandas pivot_table parity): returnflag columns × linestatus. */
+  private def q32Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(dec(col("l_quantity"))).cast("double"))
+      .orderBy("l_linestatus")
+
   // -------------------------------------------------------------- oracles
 
   val defs: Seq[QueryDef] = Seq(
@@ -496,6 +528,24 @@ object Relational {
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
       FROM customer
       GROUP BY 1, 2
-      ORDER BY bal_bucket, segment"""))
+      ORDER BY bal_bucket, segment""")),
+    QueryDef("q30_map_funcs", q30MapFuncs _, Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+      FROM events
+      ORDER BY event_id""")),
+    QueryDef("q31_approx_distinct", q31ApproxDistinct _, None),
+    QueryDef("q32_pivot", q32Pivot _, Some("""
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN l_returnflag = 'A'
+                           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+             CAST(sum(CASE WHEN l_returnflag = 'N'
+                           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus"""))
   )
 }

@@ -1,0 +1,201 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `dot(a, b)` over `array<double>`: one fused multiply-add loop, no
+  * allocation. Null array → null; null elements are read as 0 garbage —
+  * callers guarantee dense arrays (embeddings are).
+  */
+case class DotProductD(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0d
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      code"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += $a.getDouble($i) * $b.getDouble($i);
+        }
+        ${ev.value} = $s;
+      """.toString
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash over a token array: xxhash64 each token (seed 42, same
+  * family as `functions.xxhash64`), ±1 bit votes, sign → fingerprint bit.
+  * Single JVM call per row (CodegenFallback), zero allocation beyond the
+  * 64-int vote buffer.
+  */
+case class SimHash64Expr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) >= 0) fp |= 1L << b; b += 1 }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature in one call: for each shingle, two base xxhash64
+  * values (seeds 42 / 1337) combine as g_i = h1 + i·h2
+  * (Kirsch-Mitzenmacher); output = per-i minimum over the shingle set as
+  * `array<long>`. One string hash pass + numHashes·|shingles| long
+  * multiply-adds per row — no per-hash rehashing, no allocation beyond
+  * the signature buffer.
+  */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = XxHash64Function.hash(s, StringType, 42L)
+        val h2 = XxHash64Function.hash(s, StringType, 1337L)
+        var k = 0
+        var g = h1
+        while (k < numHashes) {
+          if (g < sig(k)) sig(k) = g
+          g += h2
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Signed-random-projection sketch: 32 hyperplane sign bits packed into an
+  * int (cosine-LSH). Hyperplane matrix passed as a flat double array
+  * (row-major, numPlanes × dim), generated once driver-side with a fixed
+  * seed.
+  */
+case class SrpSketchExpr(child: Expression, planes: Array[Double], dim: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "srp_sketch"
+
+  private val numPlanes: Int = planes.length / dim
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var sketch = 0
+    var p = 0
+    while (p < numPlanes) {
+      var s = 0d
+      var i = 0
+      val base = p * dim
+      while (i < n) { s += v.getDouble(i) * planes(base + i); i += 1 }
+      if (s >= 0) sketch |= 1 << p
+      p += 1
+    }
+    sketch
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word n-gram shingles from a token array, in one call:
+  * `["a","b","c","d"], n=3` → `["a b c", "b c d"]` (first-occurrence
+  * order, duplicates dropped). Replaces the interpreted
+  * transform+slice+concat_ws+array_distinct pipeline that dominated the
+  * dedup benchmarks.
+  */
+case class WordShinglesExpr(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) {
+        window(j) = if (toks.isNullAt(i + j)) {
+          org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+        } else toks.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, window: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
