@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans for representative queries so the
+  * shuffle/pushdown/broadcast/codegen story can be audited per round
+  * (the `.explain("formatted")` loop the build plan calls for).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args(1).split(",").toSet else Set.empty[String]
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries
+      .filter { case (n, _) => names.isEmpty || names.contains(n) }
+      .foreach { case (name, fn) =>
+        println(s"\n===== $name =====")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"(failed: ${e.getMessage})") }
+      }
+    spark.stop()
+  }
+}

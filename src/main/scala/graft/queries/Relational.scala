@@ -333,6 +333,37 @@ object Relational {
       .agg(sum(dec(col("l_quantity"))).cast("double"))
       .orderBy("l_linestatus")
 
+  /** GROUPING SETS through the SQL interface (temp view + spark.sql). */
+  private def q33GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT coalesce(CAST(order_year AS STRING), 'ALL') AS order_year,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((order_year), (o_orderpriority), ())
+      ORDER BY order_year, priority""")
+  }
+
+  /** Extended window analytics: ntile, percent_rank, first/last/nth. */
+  private def q34WindowExtended(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        first("o_orderkey").over(w).as("first_ok"),
+        last("o_orderkey").over(wFull).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // -------------------------------------------------------------- oracles
 
   val defs: Seq[QueryDef] = Seq(
@@ -546,6 +577,26 @@ object Relational {
                            THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
       FROM lineitem
       GROUP BY l_linestatus
-      ORDER BY l_linestatus"""))
+      ORDER BY l_linestatus""")),
+    QueryDef("q33_grouping_sets", q33GroupingSets _, Some("""
+      SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+      ORDER BY order_year, priority""")),
+    QueryDef("q34_window_extended", q34WindowExtended _, Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             first_value(o_orderkey) OVER w AS first_ok,
+             last_value(o_orderkey) OVER wf AS last_ok,
+             nth_value(o_orderkey, 2) OVER wf AS second_ok
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey"""))
   )
 }

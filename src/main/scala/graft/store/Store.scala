@@ -226,6 +226,30 @@ final class Store(
   def drop(name: String): Boolean =
     fs.delete(new Path(rootPath, validateName(name)), true)
 
+  /** At-rest-compat export: gzip CSV chunks of ≤`maxRecords` rows
+    * (README.md:20-21's `chunk_uuid.csv.gz`, 100K rows/chunk). The store
+    * itself stays Parquet; this is the interchange path for reference-era
+    * consumers.
+    */
+  def exportCsvGz(
+      name: String,
+      outDir: String,
+      externalKey: Option[String] = None,
+      useLast: Boolean = false,
+      maxRecords: Long = 100000L): Unit =
+    get(name, externalKey, useLast).write
+      .option("compression", "gzip")
+      .option("header", "true")
+      .option("maxRecordsPerFile", maxRecords)
+      .mode(SaveMode.Overwrite)
+      .csv(outDir)
+
+  /** Re-import a gzip-CSV export (schema re-inferred, like the
+    * reference's JSON wire — lossy by design on the compat path).
+    */
+  def importCsvGz(dir: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+
   // ------------------------------------------------------------- helpers
 
   private def versionsOf(tableDir: Path): Seq[String] =

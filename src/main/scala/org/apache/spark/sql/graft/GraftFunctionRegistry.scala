@@ -1,0 +1,51 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the engine's custom expressions as SQL functions, so
+  * `spark.sql("SELECT vec_dot(a, b) …")` works alongside the Column API.
+  *
+  * Two entry points:
+  *   - [[GraftFunctionRegistry.register]] for an existing session;
+  *   - [[GraftExtensions]] for cluster deployment via
+  *     `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
+  */
+object GraftFunctionRegistry {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "built-in")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
+      (e: Seq[Expression]) => DotProductD(e.head, e(1))),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of array<string>"),
+      (e: Seq[Expression]) => SimHash64Expr(e.head)),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(tokens, n) - distinct word n-grams"),
+      (e: Seq[Expression]) => WordShinglesExpr(e.head,
+        e(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(shingles, k) - k-minhash array<long>"),
+      (e: Seq[Expression]) => MinHashSignatureExpr(e.head,
+        e(1).eval().asInstanceOf[Number].intValue())))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, inf, builder) =>
+      registry.registerFunction(ident, inf, builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions` hook injecting the function set at session build
+  * time (survives into every derived session on a cluster).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctionRegistry.functions.foreach(ext.injectFunction)
+}

@@ -134,6 +134,31 @@ class StoreSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq == Seq("id", "name", "v"))
   }
 
+  test("csv.gz export/import compat path (README.md:20-21 at-rest shape)") {
+    val store = freshStore()
+    store.load(sampleDf(), "t", externalKey = "v1")
+    val out = Files.createTempDirectory("graft_csv_").toString
+    store.exportCsvGz("t", out, useLast = true, maxRecords = 2)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv.gz"))
+    assert(files.nonEmpty)
+    val back = store.importCsvGz(out)
+    assert(back.count() == 3)
+    assert(back.columns.sorted.toSeq == Seq("date", "id", "tag", "value"))
+  }
+
+  test("custom expressions registered as SQL functions") {
+    org.apache.spark.sql.graft.GraftFunctionRegistry.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                simhash64(array('a','b')) AS sh,
+                word_shingles(array('a','b','c'), 2) AS ws,
+                size(minhash_signature(array('a','b'), 16)) AS mh""").collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) != 0L)
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+    assert(r.getInt(3) == 16)
+  }
+
   test("empty-schema frame rejected") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], StructType(Seq.empty))
