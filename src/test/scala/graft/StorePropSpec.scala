@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.store.Store
+
+/** Property tests (SURVEY.md §5.3): store round-trip is identity, version
+  * accumulation is additive, keep_last is idempotent — over randomly
+  * generated frames and key configurations.
+  */
+object StorePropSpec extends Properties("Store") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+  import org.apache.spark.sql.functions.col
+
+  private val genRow: Gen[(Long, String, Double, String)] = for {
+    id <- Gen.choose(0L, 5000L)
+    date <- Gen.oneOf("2024-01-01", "2024-01-02", "2024-02-15", "2024-03-31", "2024-12-31")
+    value <- Gen.choose(-1000000L, 1000000L).map(_ / 100.0)
+    tag <- Gen.alphaNumStr.map(_.take(8))
+  } yield (id, date, value, tag)
+
+  private val genFrame: Gen[Seq[(Long, String, Double, String)]] =
+    Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, genRow))
+
+  private val genKeys: Gen[Map[String, String]] = Gen.oneOf(
+    Map.empty[String, String],
+    Map("id" -> Store.KeyId),
+    Map("date" -> Store.KeyDate),
+    Map("date" -> Store.KeyDate, "id" -> Store.KeyId))
+
+  private def toDf(rows: Seq[(Long, String, Double, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "date", "value", "tag")
+  }
+
+  private def freshStore() =
+    new Store(spark, Files.createTempDirectory("graft_prop_").toString)
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id"), col("date"), col("value"), col("tag"))
+      .collect().map(_.toSeq).sortBy(_.toString())
+
+  property("write-read round trip is identity") =
+    Prop.forAllNoShrink(genFrame, genKeys) { (rows, keys) =>
+      val store = freshStore()
+      val df = toDf(rows)
+      store.load(df, "p/t", keys, externalKey = "v1")
+      canon(store.get("p/t", useLast = true)).sameElements(canon(df))
+    }
+
+  property("version accumulation is additive") =
+    Prop.forAllNoShrink(genFrame, Gen.chooseNum(1, 3)) { (rows, k) =>
+      val store = freshStore()
+      val df = toDf(rows)
+      (1 to k).foreach(i => store.load(df, "p/t", externalKey = s"v$i"))
+      store.get("p/t").count() == rows.size.toLong * k
+    }
+
+  property("keep_last load is idempotent") =
+    Prop.forAllNoShrink(genFrame) { rows =>
+      val store = freshStore()
+      val df = toDf(rows)
+      store.load(df, "p/t", externalKey = "a")
+      store.load(df, "p/t", externalKey = "b", keepLast = true)
+      store.load(df, "p/t", externalKey = "c", keepLast = true)
+      canon(store.get("p/t")).sameElements(canon(df)) &&
+        store.lastVersion("p/t").contains("c")
+    }
+}
