@@ -46,6 +46,8 @@ object GraftFunctionRegistry {
   * time (survives into every derived session on a cluster).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctionRegistry.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => IdRangePruningRule)
+  }
 }

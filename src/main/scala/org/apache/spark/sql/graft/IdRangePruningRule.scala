@@ -1,0 +1,93 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Optimizer rule: rewrite numeric predicates on an ID-keyed column into
+  * predicates on its derived `__p_<col>` range-partition label so the
+  * scan partition-prunes (SURVEY.md §4's "ID-range predicate → bucket
+  * rewrite", the one deferred custom rule).
+  *
+  * A store table ID-keyed on `x` carries both `x` and the partition
+  * column `__p_x` with directory values `from_<lo>_to_<hi>` (rows satisfy
+  * lo ≤ x < hi). For a conjunct on `x` with a literal bound this rule
+  * adds the implied conjunct on the label's parsed bounds:
+  *
+  *   - `x >= a` / `x > a`  →  parsedHi > a
+  *   - `x <= b` / `x < b`  →  parsedLo <= b
+  *   - `x = v`             →  parsedLo <= v AND parsedHi > v
+  *
+  * where parsedLo/parsedHi = `CAST(split(__p_x, '_')[1|3] AS BIGINT)`.
+  * FileSourceStrategy evaluates any deterministic predicate over
+  * partition attributes at planning time, so the added conjunct prunes
+  * directories without knowing the bucket width. The original predicate
+  * stays — the rewrite is purely additive, hence always sound.
+  *
+  * Inject with `spark.experimental.extraOptimizations` or via
+  * [[GraftExtensions]].
+  */
+object IdRangePruningRule extends Rule[LogicalPlan] {
+
+  private def parsedBound(p: Attribute, idx: Int): Expression =
+    Cast(
+      GetArrayItem(
+        StringSplit(p, Literal("_"), Literal(-1)),
+        Literal(idx)),
+      LongType)
+
+  private def boundsFor(cond: Expression, x: Attribute, p: Attribute): Option[Expression] = {
+    val lo = parsedBound(p, 1)
+    val hi = parsedBound(p, 3)
+    cond match {
+      case GreaterThanOrEqual(a: Attribute, l: Literal) if a.semanticEquals(x) =>
+        Some(GreaterThan(hi, Cast(l, LongType)))
+      case GreaterThan(a: Attribute, l: Literal) if a.semanticEquals(x) =>
+        Some(GreaterThan(hi, Cast(l, LongType)))
+      case LessThanOrEqual(a: Attribute, l: Literal) if a.semanticEquals(x) =>
+        Some(LessThanOrEqual(lo, Cast(l, LongType)))
+      case LessThan(a: Attribute, l: Literal) if a.semanticEquals(x) =>
+        Some(LessThanOrEqual(lo, Cast(l, LongType)))
+      case EqualTo(a: Attribute, l: Literal) if a.semanticEquals(x) =>
+        Some(And(LessThanOrEqual(lo, Cast(l, LongType)), GreaterThan(hi, Cast(l, LongType))))
+      case EqualTo(l: Literal, a: Attribute) if a.semanticEquals(x) =>
+        Some(And(LessThanOrEqual(lo, Cast(l, LongType)), GreaterThan(hi, Cast(l, LongType))))
+      case _ => None
+    }
+  }
+
+  /** Marker so we never re-add the same derived conjunct. */
+  private val Tag = org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.idRangePruned")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, child) if f.getTagValue(Tag).isEmpty =>
+      val partnersByName: Map[String, Attribute] =
+        child.output.collect {
+          case p if p.name.startsWith("__p_") && p.dataType == StringType => p.name -> p
+        }.toMap
+      if (partnersByName.isEmpty) f
+      else {
+        val conjuncts = splitConjuncts(cond)
+        val derived = conjuncts.flatMap { c =>
+          c.references.toSeq match {
+            case Seq(x) =>
+              partnersByName.get(s"__p_${x.name}")
+                .flatMap(p => boundsFor(c, x, p))
+            case _ => None
+          }
+        }
+        if (derived.isEmpty) f
+        else {
+          val nf = Filter(derived.foldLeft(cond)(And(_, _)), child)
+          nf.setTagValue(Tag, true)
+          nf
+        }
+      }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewTools
+import graft.store.Store
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Scale-machinery tests: optimizer-rule partition pruning, salted joins,
+  * bucketed co-located joins.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("IdRangePruningRule prunes ID-range partitions from user predicates") {
+    val store = new Store(spark, Files.createTempDirectory("graft_rule_").toString)
+    import spark.implicits._
+    val df = (0L until 10000L).map(i => (i, s"row$i")).toDF("id", "payload")
+    store.load(df, "t", Map("id" -> Store.KeyId), externalKey = "v1")
+
+    // numFiles on the scan node measures files actually scanned
+    // (input_file_name would undercount: parquet stats skip rowless
+    // files). AQE off so the scan metric sits on this Dataset's own
+    // executed plan; the metric populates when THIS Dataset executes.
+    def scannedFiles(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.metrics("numFiles").value
+      }.head
+    }
+
+    def rangeQuery(st: Store) =
+      st.getPartitioned("t").where(col("id") >= 7500L && col("id") < 8200L)
+
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // control: without the rule every bucket dir is scanned
+      assert(scannedFiles(rangeQuery(store)) == 10L)
+
+      spark.experimental.extraOptimizations =
+        Seq(org.apache.spark.sql.graft.IdRangePruningRule)
+      val q = rangeQuery(store)
+      // ids 7500..8199 live in from_7000_to_8000 and from_8000_to_9000
+      assert(scannedFiles(q) == 2L)
+      assert(q.count() == 700)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val left = (0 until 5000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, i))
+      .toDF("k", "v")
+    val right = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("rk", "name")
+    val plain = left.join(right, col("k") === col("rk"))
+      .groupBy("name").count().orderBy("name").collect()
+    val salted = SkewTools.saltedJoin(left, right, "k", "rk", saltFactor = 8)
+      .groupBy("name").count().orderBy("name").collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val orders = Tables.read(spark, sf(), "orders")
+    val lineitem = Tables.read(spark, sf(), "lineitem")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("o_orderkey") >= 0) // defeat broadcast with a no-op? keep plan natural
+    val planStr = joined.queryExecution.executedPlan.toString
+    // With both sides bucketed on the join key into the same bucket count,
+    // SortMergeJoin needs no Exchange (broadcast may also appear at this
+    // tiny SF; accept either a broadcast join or an exchange-free SMJ).
+    val noShuffle = !planStr.contains("Exchange hashpartitioning")
+    assert(noShuffle, s"unexpected shuffle in plan:\n$planStr")
+  }
+}
