@@ -130,6 +130,62 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Connected components over an undirected pair list (doc_a, doc_b) by
+    * iterative min-label propagation: every node repeatedly adopts the
+    * smallest label among itself and its neighbors until fixpoint. This is
+    * the "apply" step of near-dup dedup — pair lists from
+    * [[ngramJaccardPairs]]/[[minhashCandidatePairs]]/etc. become dedup
+    * groups keyed by their smallest member.
+    *
+    * Each iteration is one shuffle (join on node) + one aggregate;
+    * iterations ≤ graph diameter (near-dup graphs are shallow — chains of
+    * near-identical docs). Convergence is checked with a cheap count of
+    * changed labels. Returns (node, component) where component = min id
+    * reachable.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("u").as("node"))
+      .distinct()
+      .withColumn("component", col("node"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("v") === labels("node"))
+        .groupBy(edges("u").as("node"))
+        .agg(min("component").as("nbr_min"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .cache()
+      val changed = updated.as("n").join(labels.as("o"), Seq("node"))
+        .where(col("n.component") =!= col("o.component"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full near-dup dedup: detect pairs (exact n-gram Jaccard), cluster
+    * them, keep the smallest id per cluster. Non-clustered docs survive.
+    */
+  def dedupByJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold)
+    val comps = connectedComponents(pairs, "doc_a", "doc_b")
+    val losers = comps.where(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash of the token stream: per token, xxhash64 bits vote
     * +1/-1 per position; fingerprint bit b = sign of vote b. Single
     * native-expression call per row (see

@@ -105,6 +105,26 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** Near-dup dedup applied end-to-end: detect pairs, cluster via
+    * connected components (iterative min-label propagation), keep the
+    * smallest doc per cluster. Oracle = recursive-CTE transitive closure.
+    */
+  private def qDedupApply(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupByJaccard(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** Edit-distance + character-transform text functions. */
+  private def qTextDistance(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        levenshtein(substring(col("text"), 1, 40),
+          lit("the quick brown fox jumps over")).as("lev"),
+        translate(substring(col("text"), 1, 20), "aeiou", "AEIOU").as("tr"),
+        regexp_replace(substring(col("text"), 1, 30), "[aeiou]", "").as("novowel"))
+      .orderBy("doc_id")
+
   /** Multimodal: binary payload → per-partition feature extraction
     * (decode STUBBED, plumbing real).
     */
@@ -246,6 +266,37 @@ object NorthStar {
     QueryDef("qn14_multimodal_frames", qMultimodalFrames _, Some("""
       SELECT count(*) AS n_media,
              CAST(sum(1 + octet_length(encode(text)) % 7) AS BIGINT) AS n_frames_total
-      FROM documents"""))
+      FROM documents""")),
+    QueryDef("qn15_dedup_apply", qDedupApply _, Some("""
+      WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+             FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      qpairs AS (SELECT doc_a, doc_b FROM prs
+                 JOIN counts na ON doc_a = na.doc_id
+                 JOIN counts nb ON doc_b = nb.doc_id
+                 WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM qpairs
+                UNION SELECT doc_b, doc_a FROM qpairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+                      UNION
+                      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+      ORDER BY doc_id""")),
+    QueryDef("qn16_text_distance", qTextDistance _, Some("""
+      SELECT doc_id,
+             CAST(levenshtein(substring(text, 1, 40),
+                              'the quick brown fox jumps over') AS INTEGER) AS lev,
+             translate(substring(text, 1, 20), 'aeiou', 'AEIOU') AS tr,
+             regexp_replace(substring(text, 1, 30), '[aeiou]', '', 'g') AS novowel
+      FROM documents
+      ORDER BY doc_id"""))
   )
 }

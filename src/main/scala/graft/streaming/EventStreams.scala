@@ -77,6 +77,24 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** Stream-stream interval join: each purchase matched to the clicks of
+    * the same user within the preceding `window`. Watermarks on both
+    * sides bound the join state (Spark evicts click state older than
+    * purchase watermark − window).
+    */
+  def purchaseClickJoin(events: DataFrame, window: String, watermark: String): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+        col("c_ts") < col("p_ts"))
+  }
+
   final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom stateful operator: running per-user totals via

@@ -57,6 +57,26 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == batchEvents.select("event_id").distinct().count())
   }
 
+  test("stream-stream interval join matches batch range join") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    val streamed = EventStreams.runToMemory(spark,
+      EventStreams.purchaseClickJoin(stream, "10 MINUTES", "1 hour")
+        .select("p_id", "c_id"),
+      "t_ssjoin", OutputMode.Append())
+    val e = batchEvents
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+      .select("p_id", "c_id")
+    assert(streamed.orderBy("p_id", "c_id").collect().toSeq ==
+      batch.orderBy("p_id", "c_id").collect().toSeq)
+  }
+
   test("mapGroupsWithState running totals match batch groupBy") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     val streamed = EventStreams.runToMemory(spark,
