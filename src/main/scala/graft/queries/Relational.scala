@@ -364,6 +364,19 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Stratified sampling (pandas sample / sampleBy parity). Sampling is
+    * engine-specific even with a fixed seed, so rows-only checked.
+    */
+  private def q35Sample(s: SparkSession, dir: String): DataFrame = {
+    val fractions = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      .map(p => (p: Any) -> 0.2).toMap
+    t(s, dir, "orders")
+      .stat.sampleBy("o_orderpriority", fractions, seed = 42L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("o_orderpriority")
+  }
+
   // -------------------------------------------------------------- oracles
 
   val defs: Seq[QueryDef] = Seq(
@@ -597,6 +610,7 @@ object Relational {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
              wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-      ORDER BY o_custkey, o_orderkey"""))
+      ORDER BY o_custkey, o_orderkey""")),
+    QueryDef("q35_stratified_sample", q35Sample _, None)
   )
 }

@@ -14,7 +14,9 @@ final case class TableInfo(
     name: String,
     versions: Seq[String],
     lastVersion: Option[String],
-    columnsKeys: Map[String, String])
+    columnsKeys: Map[String, String],
+    numFiles: Long = 0L,
+    sizeBytes: Long = 0L)
 
 /** Versioned, partitioned DataFrame store — the "faithful layer".
   *
@@ -61,7 +63,13 @@ final class Store(
     spark: SparkSession,
     root: String,
     idBucketWidth: Long = 1000L,
-    maxRecordsPerFile: Long = 0L) {
+    maxRecordsPerFile: Long = 0L,
+    /** API-parity no-op slots mirroring the reference ctor's auth context
+      * (client.py:45-64: bearer token + region). A local/cluster engine
+      * has no Cognito; kept so reference-era call sites type-check.
+      */
+    region: Option[String] = None,
+    authToken: Option[String] = None) {
 
   import Store._
 
@@ -135,10 +143,14 @@ final class Store(
       .mode(if (keepLast) SaveMode.Overwrite else SaveMode.Append)
     if (maxRecordsPerFile > 0)
       writer = writer.option("maxRecordsPerFile", maxRecordsPerFile)
-    writer.parquet(tableDir.toString)
-
-    writeSmall(new Path(tableDir, LastFile), label)
-    writeSmall(new Path(tableDir, MetaFile), metaJson(columnsKeys))
+    try {
+      writer.parquet(tableDir.toString)
+      writeSmall(new Path(tableDir, LastFile), label)
+      writeSmall(new Path(tableDir, MetaFile), metaJson(columnsKeys))
+    } catch {
+      case e: Exception =>
+        throw new Store.LoadError(s"Error loading DataFrame '$name': ${e.getMessage}", e)
+    }
 
     Map(
       "name" -> name,
@@ -178,13 +190,13 @@ final class Store(
     val relPath = validateName(name)
     val tableDir = new Path(rootPath, relPath)
     if (!fs.exists(tableDir))
-      throw new NoSuchElementException(s"DataFrame '$name' not found under $root")
+      throw new Store.GetError(s"DataFrame '$name' not found under $root", null)
     val base = spark.read.parquet(tableDir.toString)
     externalKey match {
       case Some(k) => base.where(col(VersionCol) === encodeVersion(k))
       case None if useLast =>
         val last = lastVersion(name).getOrElse(
-          throw new NoSuchElementException(s"No '$LastFile' pointer for '$name'"))
+          throw new Store.GetError(s"No '$LastFile' pointer for '$name'", null))
         base.where(col(VersionCol) === encodeVersion(last))
       case None => base
     }
@@ -214,6 +226,7 @@ final class Store(
       if (isTable) {
         val name = rel.reverse.mkString("/")
         if (prefix.forall(name.startsWith)) {
+          val (nFiles, bytes) = dataFileStats(dir)
           tables += TableInfo(
             name = name,
             versions = versionsOf(dir).sorted,
@@ -221,7 +234,9 @@ final class Store(
               val p = new Path(dir, LastFile)
               if (fs.exists(p)) Some(readSmall(p)) else None
             },
-            columnsKeys = parseMeta(readSmall(new Path(dir, MetaFile))))
+            columnsKeys = parseMeta(readSmall(new Path(dir, MetaFile))),
+            numFiles = nFiles,
+            sizeBytes = bytes)
         }
       } else {
         children.filter(_.isDirectory).foreach { st =>
@@ -229,8 +244,25 @@ final class Store(
         }
       }
     }
-    walk(rootPath, Nil)
+    try {
+      walk(rootPath, Nil)
+    } catch {
+      case e: Exception =>
+        throw new Store.ListError(s"Error listing DataFrames: ${e.getMessage}", e)
+    }
     tables.result().sortBy(_.name)
+  }
+
+  /** Recursive (files, bytes) under a table dir — listing only. */
+  private def dataFileStats(dir: Path): (Long, Long) = {
+    var n = 0L
+    var b = 0L
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (!st.getPath.getName.startsWith("_")) { n += 1; b += st.getLen }
+    }
+    (n, b)
   }
 
   /** Delete a stored table (test/housekeeping helper; no reference analog). */
@@ -290,6 +322,19 @@ final class Store(
 }
 
 object Store {
+
+  /** Domain errors mirroring the reference's normalized error surface
+    * (client.py:132-137, 178-183, 210-215). Validation failures stay
+    * IllegalArgumentException (the ValueError analog, client.py:98-110);
+    * these wrap I/O-layer causes. GetError extends NoSuchElementException
+    * so lookup-miss call sites can catch either.
+    */
+  final class LoadError(msg: String, cause: Throwable) extends RuntimeException(msg, cause)
+  final class GetError(msg: String, cause: Throwable) extends NoSuchElementException(msg) {
+    if (cause != null) initCause(cause)
+  }
+  final class ListError(msg: String, cause: Throwable) extends RuntimeException(msg, cause)
+
   val KeyDate = "Date"
   val KeyId = "ID"
   val NowKey = "NOW"
