@@ -39,27 +39,31 @@ object AsOfJoin {
 
     require(payload.nonEmpty, "payload must name at least one right column")
     val leftCols = left.columns.toSeq
+    val PayloadCol = "__asof_payload"
 
+    // Payload travels as ONE struct so the matched right row is taken
+    // atomically — per-column last(ignoreNulls) would stitch together
+    // fields from different right rows whenever the latest row holds a
+    // NULL in one payload column.
     val taggedRight = right.select(
-      (on.map(col) :+ col(rightTs).as(TsCol) :+ lit(0).as(SideCol)) ++
-        payload.map(c => col(c).as(s"asof_$c")): _*)
+      (on.map(col) :+ col(rightTs).as(TsCol) :+ lit(0).as(SideCol)) :+
+        struct(payload.map(c => col(c).as(c)): _*).as(PayloadCol): _*)
     val taggedLeft = left.select(
       (leftCols.map(col) :+ col(leftTs).as(TsCol) :+ lit(1).as(SideCol)): _*)
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
     val orderCols: Seq[Column] =
-      Seq(col(TsCol), col(SideCol)) ++ tieBreak.map(c => col(s"asof_$c")).toSeq
+      Seq(col(TsCol), col(SideCol)) ++
+        tieBreak.map(c => col(PayloadCol).getField(c)).toSeq
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-
-    filled
+    unioned
+      .withColumn(PayloadCol, last(col(PayloadCol), ignoreNulls = true).over(w))
       .where(col(SideCol) === 1)
-      .select((leftCols ++ payload.map(c => s"asof_$c")).map(col): _*)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(PayloadCol).getField(c).as(s"asof_$c")): _*)
   }
 }

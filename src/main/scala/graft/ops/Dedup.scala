@@ -144,7 +144,7 @@ object Dedup {
     * reachable.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
@@ -152,6 +152,7 @@ object Dedup {
     var labels = edges.select(col("u").as("node"))
       .distinct()
       .withColumn("component", col("node"))
+      .cache()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -167,11 +168,21 @@ object Dedup {
       val changed = updated.as("n").join(labels.as("o"), Seq("node"))
         .where(col("n.component") =!= col("o.component"))
         .limit(1).count()
+      labels.unpersist()
       labels = updated
       converged = changed == 0
       iter += 1
     }
-    labels
+    // Truncate the 50-join lineage and release the iteration caches;
+    // localCheckpoint materializes distributed (no driver collect).
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(component chain longer than maxIter; raise maxIter)")
+    result
   }
 
   /** Full near-dup dedup: detect pairs (exact n-gram Jaccard), cluster

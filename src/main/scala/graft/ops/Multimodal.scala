@@ -37,8 +37,8 @@ object Multimodal {
     * available; signature and batch shape stay identical.
     */
   def decodeStub(content: Array[Byte]): (Int, Int, Int) = {
-    val n = content.length
-    (64 + n % 577, 64 + (n * 31) % 411, 1 + n % 7)
+    val n = content.length.toLong // Long math: n*31 overflows Int at ~69 MB
+    ((64 + n % 577).toInt, (64 + (n * 31) % 411).toInt, (1 + n % 7).toInt)
   }
 
   /** Attach a binary payload column (here: UTF-8 bytes of `textCol`, as a

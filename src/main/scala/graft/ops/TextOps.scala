@@ -13,20 +13,30 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenizer. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokenizer; empty/whitespace-only input → empty array
+    * (bare split would yield [""], giving empty docs tokenCount 1 and a
+    * nonzero quality score).
+    */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
   def charCount(c: Column): Column = length(c)
 
-  /** Type-token ratio: distinct tokens / total tokens (repetition signal). */
+  /** Type-token ratio: distinct tokens / total tokens (repetition signal).
+    * 0 for empty docs (guards ANSI divide-by-zero, on by default in
+    * Spark 4).
+    */
   def typeTokenRatio(c: Column): Column =
-    size(array_distinct(tokens(c))).cast("double") / size(tokens(c))
+    when(size(tokens(c)) === 0, 0d)
+      .otherwise(size(array_distinct(tokens(c))).cast("double") / size(tokens(c)))
 
-  /** Mean word length: non-space chars / token count. */
+  /** Mean word length: non-space chars / token count; 0 for empty docs. */
   def avgWordLen(c: Column): Column =
-    length(regexp_replace(c, "\\s+", "")).cast("double") / size(tokens(c))
+    when(size(tokens(c)) === 0, 0d)
+      .otherwise(length(regexp_replace(c, "\\s+", "")).cast("double") / size(tokens(c)))
 
   /** Heuristic quality score in [0,1]: length, lexical diversity, word
     * shape. Deterministic; thresholds are pipeline-tunable.

@@ -97,6 +97,11 @@ final class Store(
       keepLast: Boolean = false): Map[String, String] = {
     val relPath = validateName(name)
     require(df.schema.nonEmpty, "DataFrame must have at least one column")
+    val reserved = df.columns.filter(_.startsWith(InternalPrefix))
+    if (reserved.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Column names starting with '$InternalPrefix' are reserved for the store: " +
+          reserved.mkString(", "))
     columnsKeys.foreach { case (c, kt) =>
       if (kt != KeyDate && kt != KeyId)
         throw new IllegalArgumentException(
@@ -138,9 +143,14 @@ final class Store(
       else augmented.repartition(partCols.map(col): _*)
 
     val tableDir = new Path(rootPath, relPath)
+    assertNoTableNesting(relPath, tableDir)
     var writer = clustered.write
       .partitionBy(partCols: _*)
       .mode(if (keepLast) SaveMode.Overwrite else SaveMode.Append)
+      // keep_last means "drop ALL prior versions" (client.py:72); under a
+      // session-level partitionOverwriteMode=dynamic, Overwrite would
+      // only replace the incoming __version subtree — pin static here.
+      .option("partitionOverwriteMode", "static")
     if (maxRecordsPerFile > 0)
       writer = writer.option("maxRecordsPerFile", maxRecordsPerFile)
     try {
@@ -294,6 +304,29 @@ final class Store(
     spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
 
   // ------------------------------------------------------------- helpers
+
+  /** A table may not live inside another table's directory (reading the
+    * parent would hit conflicting partition layouts and listing would
+    * hide the child), nor may it contain an existing table.
+    */
+  private def assertNoTableNesting(relPath: String, tableDir: Path): Unit = {
+    val segs = relPath.split("/")
+    segs.init.inits.toSeq.init.foreach { ancestor =>
+      val p = new Path(rootPath, ancestor.mkString("/"))
+      if (fs.exists(new Path(p, MetaFile)))
+        throw new IllegalArgumentException(
+          s"Cannot store '$relPath' inside existing DataFrame '${ancestor.mkString("/")}'")
+    }
+    if (fs.exists(tableDir) && !fs.exists(new Path(tableDir, MetaFile))) {
+      val it = fs.listFiles(tableDir, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName == MetaFile)
+          throw new IllegalArgumentException(
+            s"Cannot store '$relPath': it would contain the existing DataFrame at '${f.getParent}'")
+      }
+    }
+  }
 
   private def versionsOf(tableDir: Path): Seq[String] =
     if (!fs.exists(tableDir)) Seq.empty

@@ -37,22 +37,36 @@ object IdRangePruningRule extends Rule[LogicalPlan] {
         Literal(idx)),
       LongType)
 
+  /** Guarded derived conjunct: rows whose partition value does not parse
+    * as a `from_<lo>_to_<hi>` label (foreign `__p_*` columns, NULLs) are
+    * always kept — otherwise the added conjunct would evaluate to NULL
+    * and AND-drop rows the original predicate admits.
+    */
+  private def guarded(p: Attribute, pred: Expression): Expression =
+    Coalesce(Seq(
+      Or(
+        Not(RLike(p, Literal("^from_-?[0-9]+_to_-?[0-9]+$"))),
+        pred),
+      Literal(true)))
+
   private def boundsFor(cond: Expression, x: Attribute, p: Attribute): Option[Expression] = {
-    val lo = parsedBound(p, 1)
-    val hi = parsedBound(p, 3)
+    def lo = parsedBound(p, 1)
+    def hi = parsedBound(p, 3)
     cond match {
       case GreaterThanOrEqual(a: Attribute, l: Literal) if a.semanticEquals(x) =>
-        Some(GreaterThan(hi, Cast(l, LongType)))
+        Some(guarded(p, GreaterThan(hi, Cast(l, LongType))))
       case GreaterThan(a: Attribute, l: Literal) if a.semanticEquals(x) =>
-        Some(GreaterThan(hi, Cast(l, LongType)))
+        Some(guarded(p, GreaterThan(hi, Cast(l, LongType))))
       case LessThanOrEqual(a: Attribute, l: Literal) if a.semanticEquals(x) =>
-        Some(LessThanOrEqual(lo, Cast(l, LongType)))
+        Some(guarded(p, LessThanOrEqual(lo, Cast(l, LongType))))
       case LessThan(a: Attribute, l: Literal) if a.semanticEquals(x) =>
-        Some(LessThanOrEqual(lo, Cast(l, LongType)))
+        Some(guarded(p, LessThanOrEqual(lo, Cast(l, LongType))))
       case EqualTo(a: Attribute, l: Literal) if a.semanticEquals(x) =>
-        Some(And(LessThanOrEqual(lo, Cast(l, LongType)), GreaterThan(hi, Cast(l, LongType))))
+        Some(guarded(p,
+          And(LessThanOrEqual(lo, Cast(l, LongType)), GreaterThan(hi, Cast(l, LongType)))))
       case EqualTo(l: Literal, a: Attribute) if a.semanticEquals(x) =>
-        Some(And(LessThanOrEqual(lo, Cast(l, LongType)), GreaterThan(hi, Cast(l, LongType))))
+        Some(guarded(p,
+          And(LessThanOrEqual(lo, Cast(l, LongType)), GreaterThan(hi, Cast(l, LongType)))))
       case _ => None
     }
   }

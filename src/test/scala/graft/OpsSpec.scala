@@ -30,6 +30,39 @@ class OpsSpec extends SparkSpec {
     assert(out.collect().head.getString(3) == "y") // last in tieBreak order
   }
 
+  test("as-of join takes the matched right row atomically (null payload field)") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 250L)).toDF("lid", "k", "ts")
+    val right = Seq(("u", 100L, Some(1), Some("x")), ("u", 200L, Some(2), None))
+      .toDF("k", "ts", "a", "b")
+    val r = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("a", "b"))
+      .collect().head
+    // latest right row is (a=2, b=NULL); a per-column fill would smuggle
+    // b="x" from the older row
+    assert(r.getInt(3) == 2 && r.isNullAt(4))
+  }
+
+  test("empty and whitespace-only docs have zero tokens and quality") {
+    import spark.implicits._
+    val df = Seq("", "   ", "one two").toDF("text")
+    val out = df.select(
+      TextOps.tokenCount(col("text")),
+      TextOps.qualityScore(col("text"))).collect()
+    assert(out(0).getInt(0) == 0 && out(1).getInt(0) == 0 && out(2).getInt(0) == 2)
+    assert(out(0).isNullAt(1) || out(0).getDouble(1) == 0.0)
+  }
+
+  test("connectedComponents handles chains longer than one hop") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comps(_) == 1L))
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+
   test("exactKeepFirst keeps lowest-order row per key") {
     import spark.implicits._
     val df = Seq((1L, "t1"), (2L, "t1"), (3L, "t2")).toDF("id", "text")

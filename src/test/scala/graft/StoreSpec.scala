@@ -159,6 +159,33 @@ class StoreSpec extends SparkSpec {
     assert(r.getInt(3) == 16)
   }
 
+  test("reserved __ column prefix and table nesting rejected") {
+    import spark.implicits._
+    val store = freshStore()
+    val bad = Seq((1L, "x")).toDF("id", "__p_id")
+    assertThrows[IllegalArgumentException](store.load(bad, "t"))
+    store.load(sampleDf(), "a")
+    assertThrows[IllegalArgumentException](store.load(sampleDf(), "a/b"))
+    store.load(sampleDf(), "c/d")
+    assertThrows[IllegalArgumentException](store.load(sampleDf(), "c"))
+  }
+
+  test("keep_last overwrites all versions even under dynamic overwrite mode") {
+    val store = freshStore()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      store.load(sampleDf(), "t", externalKey = "v1")
+      store.load(sampleDf().limit(1), "t", externalKey = "v2", keepLast = true)
+      assert(store.get("t").count() == 1)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("empty-schema frame rejected") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], StructType(Seq.empty))
