@@ -201,7 +201,11 @@ final class Store(
     val tableDir = new Path(rootPath, relPath)
     if (!fs.exists(tableDir))
       throw new Store.GetError(s"DataFrame '$name' not found under $root", null)
-    val base = spark.read.parquet(tableDir.toString)
+    // mergeSchema: versions are independent uploads with re-inferred
+    // schemas (client.py:114/176 semantics) — an accumulate read across
+    // versions with added/dropped columns must union by name with nulls,
+    // not silently project to the first footer's schema.
+    val base = spark.read.option("mergeSchema", "true").parquet(tableDir.toString)
     externalKey match {
       case Some(k) => base.where(col(VersionCol) === encodeVersion(k))
       case None if useLast =>
@@ -210,6 +214,24 @@ final class Store(
         base.where(col(VersionCol) === encodeVersion(last))
       case None => base
     }
+  }
+
+  /** Retention: delete all but the newest `keepVersions` versions (by
+    * version-label sort, same ordering `lastVersion` uses). Generalizes
+    * the reference's binary keep_last (client.py:72) into a policy; the
+    * `_last` pointer is preserved. Directory operations only.
+    */
+  def vacuum(name: String, keepVersions: Int): Seq[String] = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val tableDir = new Path(rootPath, validateName(name))
+    if (!fs.exists(tableDir))
+      throw new Store.GetError(s"DataFrame '$name' not found under $root", null)
+    val versions = versionsOf(tableDir).sorted
+    val doomed = versions.dropRight(keepVersions)
+    doomed.foreach { v =>
+      fs.delete(new Path(tableDir, s"$VersionCol=${encodeVersion(v)}"), true)
+    }
+    doomed
   }
 
   /** Newest version label from the `_last` pointer file (README.md:217),

@@ -186,6 +186,30 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("accumulate read merges schemas across versions (nulls for missing cols)") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((1L, "a")).toDF("id", "tag"), "t", externalKey = "v1")
+    store.load(Seq((2L, "b", 9.5)).toDF("id", "tag", "score"), "t", externalKey = "v2")
+    val all = store.get("t")
+    assert(all.columns.sorted.toSeq == Seq("id", "score", "tag"))
+    val byId = all.orderBy("id").collect()
+    assert(byId(0).isNullAt(byId(0).fieldIndex("score")))
+    assert(byId(1).getDouble(byId(1).fieldIndex("score")) == 9.5)
+  }
+
+  test("vacuum keeps only the newest k versions") {
+    val store = freshStore()
+    store.load(sampleDf(), "t", externalKey = "v1")
+    store.load(sampleDf(), "t", externalKey = "v2")
+    store.load(sampleDf(), "t", externalKey = "v3")
+    val deleted = store.vacuum("t", keepVersions = 2)
+    assert(deleted == Seq("v1"))
+    assert(store.list().head.versions == Seq("v2", "v3"))
+    assert(store.get("t").count() == 6)
+    assert(store.get("t", useLast = true).count() == 3)
+  }
+
   test("empty-schema frame rejected") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], StructType(Seq.empty))
