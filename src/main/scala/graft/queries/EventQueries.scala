@@ -93,6 +93,21 @@ object EventQueries {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start_us")
 
+  /** Time-based rolling window: trailing 1-hour sum per user via a RANGE
+    * frame over epoch-micros (event-count-independent, unlike ROWS).
+    */
+  private def qRangeWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    ev(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .withColumn("trailing_1h_sum", sum("v").over(w).cast("double"))
+      .select("event_id", "user_id", "ts_us", "trailing_1h_sum")
+      .orderBy("event_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_asof_join", qAsof _, Some("""
       WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
@@ -152,6 +167,14 @@ object EventQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM sess
       GROUP BY user_id, sid
-      ORDER BY user_id, session_start_us"""))
+      ORDER BY user_id, session_start_us""")),
+    QueryDef("q36_window_range_time", qRangeWindow _, Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trailing_1h_sum
+      FROM events
+      ORDER BY event_id"""))
   )
 }

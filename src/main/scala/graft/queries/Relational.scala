@@ -377,6 +377,17 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Pure theta (non-equi) join — BroadcastNestedLoopJoin path. */
+  private def q37ThetaJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").as("s1")
+      .join(t(s, dir, "supplier").as("s2"),
+        col("s1.s_nationkey") < col("s2.s_nationkey") &&
+          col("s1.s_acctbal") > col("s2.s_acctbal"))
+      .select(
+        col("s1.s_suppkey").as("supp_a"),
+        col("s2.s_suppkey").as("supp_b"))
+      .orderBy("supp_a", "supp_b")
+
   // -------------------------------------------------------------- oracles
 
   val defs: Seq[QueryDef] = Seq(
@@ -611,6 +622,11 @@ object Relational {
              wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY o_custkey, o_orderkey""")),
-    QueryDef("q35_stratified_sample", q35Sample _, None)
+    QueryDef("q35_stratified_sample", q35Sample _, None),
+    QueryDef("q37_theta_join", q37ThetaJoin _, Some("""
+      SELECT s1.s_suppkey AS supp_a, s2.s_suppkey AS supp_b
+      FROM supplier s1 JOIN supplier s2
+        ON s1.s_nationkey < s2.s_nationkey AND s1.s_acctbal > s2.s_acctbal
+      ORDER BY supp_a, supp_b"""))
   )
 }
