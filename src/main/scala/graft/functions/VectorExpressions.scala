@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, MinHashSignatureExpr, SimHash64Expr, SrpSketchExpr, WordShinglesExpr}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, L2NormalizeExpr, MinHashSignatureExpr, SimHash64Expr, SrpSketchExpr, WordShinglesExpr}
 
 /** Facade over the custom Catalyst expressions in
   * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
@@ -39,4 +39,8 @@ object VectorExpressions {
   /** Distinct word n-gram shingles of an `array<string>` token column. */
   def wordShingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(tokens), n))
+
+  /** L2-normalize an `array<double>` (zero-norm input → zero vector). */
+  def l2Normalize(vec: Column): Column =
+    ColumnBridge.column(L2NormalizeExpr(ColumnBridge.expression(vec)))
 }

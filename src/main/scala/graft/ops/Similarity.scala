@@ -44,15 +44,14 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** L2-normalize once per row so pair scoring is a single codegen'd dot
-    * product (`cos(a,b) = dot(â,b̂)`) instead of dot + two norms per pair.
-    * Zero vectors normalize to zeros (cosine 0 against everything).
+  /** L2-normalize once per row (single native call — see
+    * [[org.apache.spark.sql.graft.L2NormalizeExpr]]) so pair scoring is a
+    * single codegen'd dot product (`cos(a,b) = dot(â,b̂)`) instead of dot
+    * + two norms per pair. Zero vectors normalize to zeros (cosine 0
+    * against everything).
     */
-  def normalize(v: Column): Column = {
-    val n = norm(v)
-    when(n === 0d, transform(v, _ => lit(0d)))
-      .otherwise(transform(v, x => x / n))
-  }
+  def normalize(v: Column): Column =
+    graft.functions.VectorExpressions.l2Normalize(v)
 
   /** Exact top-k neighbors for each query vector (brute force, broadcast
     * queries). Excludes self-matches on id equality.

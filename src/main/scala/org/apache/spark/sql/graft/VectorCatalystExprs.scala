@@ -199,3 +199,37 @@ case class WordShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** L2-normalize an `array<double>` in one call: one pass for the norm,
+  * one for the division. Zero-norm input → all-zero vector. Replaces the
+  * higher-order `transform(v, x / norm(v))` formulation, which re-evaluates
+  * the interpreted norm aggregate once per ELEMENT (O(dim^2) lambda steps
+  * per row).
+  */
+case class L2NormalizeExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "l2_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var ss = 0d
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); ss += x * x; i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    if (norm == 0d) {
+      while (i < n) { out(i) = 0d; i += 1 }
+    } else {
+      while (i < n) { out(i) = v.getDouble(i) / norm; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
