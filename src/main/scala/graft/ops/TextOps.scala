@@ -39,14 +39,15 @@ object TextOps {
       .otherwise(length(regexp_replace(c, "\\s+", "")).cast("double") / size(tokens(c)))
 
   /** Heuristic quality score in [0,1]: length, lexical diversity, word
-    * shape. Deterministic; thresholds are pipeline-tunable.
+    * shape. Deterministic and unrounded — the raw double is bitwise
+    * reproducible across engines (identical IEEE op sequence), whereas
+    * per-row rounding diverges at round-half ties; round at output sites
+    * only.
     */
   def qualityScore(c: Column): Column =
-    round(
-      least(tokenCount(c).cast("double") / 50d, lit(1d)) * 0.4 +
-        typeTokenRatio(c) * 0.3 +
-        least(avgWordLen(c) / 8d, lit(1d)) * 0.3,
-      4)
+    least(tokenCount(c).cast("double") / 50d, lit(1d)) * 0.4 +
+      typeTokenRatio(c) * 0.3 +
+      least(avgWordLen(c) / 8d, lit(1d)) * 0.3
 
   /** Stopword-list hit counts per candidate language. Word-boundary
     * regexes keep this codegen'd (`regexp_count` is a native expression).

@@ -125,6 +125,24 @@ object NorthStar {
         regexp_replace(substring(col("text"), 1, 30), "[aeiou]", "").as("novowel"))
       .orderBy("doc_id")
 
+  /** End-to-end training-data pipeline: quality-score filter → language
+    * filter → fingerprint dedup → per-source stats. Composes TextOps +
+    * Dedup in one declarative plan (one scan, one window shuffle, one
+    * aggregate — the shape a 100 TB curation job takes).
+    */
+  private def qPipeline(s: SparkSession, dir: String): DataFrame = {
+    val c = col("text")
+    val filtered = docs(s, dir)
+      .withColumn("quality", TextOps.qualityScore(c))
+      .withColumn("predicted", TextOps.langId(c))
+      .withColumn("fp", TextOps.fingerprint(c))
+      .where(col("quality") >= 0.6 && col("predicted") === "en")
+    Dedup.exactKeepFirst(filtered, Seq("fp"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("source")
+  }
+
   /** Multimodal: binary payload → per-partition feature extraction
     * (decode STUBBED, plumbing real).
     */
@@ -181,8 +199,8 @@ object NorthStar {
              round(avg(n_chars), 4) AS avg_chars,
              round(avg(toks), 4) AS avg_tokens,
              round(avg(ttr), 4) AS avg_ttr,
-             round(avg(round(least(toks / 50.0, 1.0) * 0.4 + ttr * 0.3
-                             + least(awl / 8.0, 1.0) * 0.3, 4)), 4) AS avg_quality
+             round(avg(least(toks / 50.0, 1.0) * 0.4 + ttr * 0.3
+                       + least(awl / 8.0, 1.0) * 0.3), 4) AS avg_quality
       FROM f
       GROUP BY lang, source
       ORDER BY lang, source""")),
@@ -297,6 +315,39 @@ object NorthStar {
              translate(substring(text, 1, 20), 'aeiou', 'AEIOU') AS tr,
              regexp_replace(substring(text, 1, 30), '[aeiou]', '', 'g') AS novowel
       FROM documents
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+    QueryDef("qn17_pipeline", qPipeline _, Some("""
+      WITH f AS (
+        SELECT doc_id, source,
+               least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) * 0.4
+                 + (len(list_distinct(string_split_regex(trim(text), '\s+')))
+                    / len(string_split_regex(trim(text), '\s+'))) * 0.3
+                 + least((len(regexp_replace(text, '\s+', '', 'g'))
+                    / len(string_split_regex(trim(text), '\s+'))) / 8.0, 1.0) * 0.3
+                 AS quality,
+               CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+                    WHEN len(regexp_extract_all(text, '\b(the|a|of|and|is|to)\b'))
+                       + len(regexp_extract_all(text, '\b(el|los|las|una|y|que)\b'))
+                       + len(regexp_extract_all(text, '\b(le|les|et|un|une|est)\b'))
+                       + len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b')) = 0 THEN 'und'
+                    WHEN len(regexp_extract_all(text, '\b(the|a|of|and|is|to)\b')) >= len(regexp_extract_all(text, '\b(el|los|las|una|y|que)\b'))
+                     AND len(regexp_extract_all(text, '\b(the|a|of|and|is|to)\b')) >= len(regexp_extract_all(text, '\b(le|les|et|un|une|est)\b'))
+                     AND len(regexp_extract_all(text, '\b(the|a|of|and|is|to)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b')) THEN 'en'
+                    WHEN len(regexp_extract_all(text, '\b(el|los|las|una|y|que)\b')) >= len(regexp_extract_all(text, '\b(le|les|et|un|une|est)\b'))
+                     AND len(regexp_extract_all(text, '\b(el|los|las|una|y|que)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b')) THEN 'es'
+                    WHEN len(regexp_extract_all(text, '\b(le|les|et|un|une|est)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b')) THEN 'fr'
+                    ELSE 'de' END AS predicted,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        FROM documents),
+      filtered AS (SELECT * FROM f WHERE quality >= 0.6 AND predicted = 'en'),
+      deduped AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                  FROM filtered)
+      SELECT source, count(*) AS n_docs, round(avg(quality), 4) AS avg_quality
+      FROM deduped WHERE rn = 1
+      GROUP BY source
+      ORDER BY source"""))
   )
 }

@@ -388,6 +388,26 @@ object Relational {
         col("s2.s_suppkey").as("supp_b"))
       .orderBy("supp_a", "supp_b")
 
+  /** Unpivot / melt (pandas melt parity). */
+  private def q38Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** Correlation / covariance aggregates (pandas corr/cov parity). */
+  private def q39CorrCov(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
+        round(covar_pop(col("l_discount"), col("l_tax")), 8).as("cov_disc_tax"))
+      .orderBy("l_returnflag")
+
   // -------------------------------------------------------------- oracles
 
   val defs: Seq[QueryDef] = Seq(
@@ -627,6 +647,19 @@ object Relational {
       SELECT s1.s_suppkey AS supp_a, s2.s_suppkey AS supp_b
       FROM supplier s1 JOIN supplier s2
         ON s1.s_nationkey < s2.s_nationkey AND s1.s_acctbal > s2.s_acctbal
-      ORDER BY supp_a, supp_b"""))
+      ORDER BY supp_a, supp_b""")),
+    QueryDef("q38_unpivot", q38Unpivot _, Some("""
+      SELECT l_orderkey, l_linenumber, measure, val
+      FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax FROM lineitem)
+      UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+      ORDER BY l_orderkey, l_linenumber, measure""")),
+    QueryDef("q39_corr_cov", q39CorrCov _, Some("""
+      SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+             round(covar_pop(l_discount, l_tax), 8) AS cov_disc_tax
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
   )
 }
