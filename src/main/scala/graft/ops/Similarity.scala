@@ -180,7 +180,7 @@ object Similarity {
     val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nv", normalize(col("v")))
       .withColumn("features", array_to_vector(col("v")))
-    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(e)
     val assigned = model.transform(e).select(col("vec_id"), col("nv"), col("cell"))

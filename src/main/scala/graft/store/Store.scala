@@ -201,18 +201,30 @@ final class Store(
     val tableDir = new Path(rootPath, relPath)
     if (!fs.exists(tableDir))
       throw new Store.GetError(s"DataFrame '$name' not found under $root", null)
-    // mergeSchema: versions are independent uploads with re-inferred
-    // schemas (client.py:114/176 semantics) — an accumulate read across
-    // versions with added/dropped columns must union by name with nulls,
-    // not silently project to the first footer's schema.
-    val base = spark.read.option("mergeSchema", "true").parquet(tableDir.toString)
+    // Version known up front → open only that version's subtree
+    // (basePath keeps the partition columns). This skips footer reads for
+    // every other version — with mergeSchema on a whole 100 TB table the
+    // relation build itself would touch every file. Accumulate reads (no
+    // selector) span versions, which are independent uploads with
+    // re-inferred schemas (client.py:114/176), so they merge schemas to
+    // union by name with nulls instead of projecting to one footer.
+    def versionScan(label: String): DataFrame = {
+      val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")
+      if (!fs.exists(vDir))
+        throw new Store.GetError(s"Version '$label' of '$name' not found", null)
+      spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", tableDir.toString)
+        .parquet(vDir.toString)
+    }
     externalKey match {
-      case Some(k) => base.where(col(VersionCol) === encodeVersion(k))
+      case Some(k) => versionScan(k)
       case None if useLast =>
         val last = lastVersion(name).getOrElse(
           throw new Store.GetError(s"No '$LastFile' pointer for '$name'", null))
-        base.where(col(VersionCol) === encodeVersion(last))
-      case None => base
+        versionScan(last)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(tableDir.toString)
     }
   }
 
