@@ -408,6 +408,29 @@ object Relational {
         round(covar_pop(col("l_discount"), col("l_tax")), 8).as("cov_disc_tax"))
       .orderBy("l_returnflag")
 
+  /** Histogram bucketing (pandas cut parity): fixed-width buckets. */
+  private def q40Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(floor(col("o_totalprice") / 50000d).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** Array-function family over the embeddings vectors. */
+  private def q41ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(array_max(v), 6).as("v_max"),
+        round(array_min(v), 6).as("v_min"),
+        round(element_at(v, 1), 6).as("v_first"),
+        round(aggregate(v, lit(0d), (a, x) => a + x), 6).as("v_sum"),
+        round(element_at(array_sort(v), 32), 6).as("v_med_lo"))
+      .orderBy("vec_id")
+  }
+
   // -------------------------------------------------------------- oracles
 
   val defs: Seq[QueryDef] = Seq(
@@ -660,6 +683,22 @@ object Relational {
              round(covar_pop(l_discount, l_tax), 8) AS cov_disc_tax
       FROM lineitem
       GROUP BY l_returnflag
-      ORDER BY l_returnflag"""))
+      ORDER BY l_returnflag""")),
+    QueryDef("q40_histogram", q40Histogram _, Some("""
+      SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM orders
+      GROUP BY 1
+      ORDER BY bucket""")),
+    QueryDef("q41_array_funcs", q41ArrayFuncs _, Some("""
+      SELECT vec_id,
+             CAST(len(embedding) AS INTEGER) AS dim,
+             round(list_max(embedding::DOUBLE[]), 6) AS v_max,
+             round(list_min(embedding::DOUBLE[]), 6) AS v_min,
+             round(embedding[1]::DOUBLE, 6) AS v_first,
+             round(list_sum(embedding::DOUBLE[]), 6) AS v_sum,
+             round(list_sort(embedding::DOUBLE[])[32], 6) AS v_med_lo
+      FROM embeddings
+      ORDER BY vec_id"""))
   )
 }
