@@ -173,15 +173,18 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged) {
+      labels.unpersist()
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(component chain longer than maxIter; raise maxIter)")
+    }
     // Truncate the 50-join lineage and release the iteration caches;
     // localCheckpoint materializes distributed (no driver collect).
     val result = labels.localCheckpoint(true)
     labels.unpersist()
     edges.unpersist()
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter iterations " +
-          "(component chain longer than maxIter; raise maxIter)")
     result
   }
 

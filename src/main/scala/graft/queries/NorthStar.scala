@@ -188,11 +188,14 @@ object NorthStar {
     QueryDef("qn05_text_stats", qTextStats _, Some("""
       WITH f AS (
         SELECT lang, source, n_chars,
-               len(string_split_regex(trim(text), '\s+')) AS toks,
-               len(list_distinct(string_split_regex(trim(text), '\s+')))
-                 / len(string_split_regex(trim(text), '\s+')) AS ttr,
-               len(regexp_replace(text, '\s+', '', 'g'))
-                 / len(string_split_regex(trim(text), '\s+')) AS awl
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+                      / len(string_split_regex(trim(text), '\s+')) END AS ttr,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(regexp_replace(text, '\s+', '', 'g'))
+                      / len(string_split_regex(trim(text), '\s+')) END AS awl
         FROM documents)
       SELECT lang, source,
              count(*) AS n_docs,
@@ -287,7 +290,8 @@ object NorthStar {
       FROM documents""")),
     QueryDef("qn15_dedup_apply", qDedupApply _, Some("""
       WITH RECURSIVE
-      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents WHERE trim(text) <> ''),
       sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
       counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

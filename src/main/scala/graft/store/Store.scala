@@ -238,30 +238,50 @@ final class Store(
     val tableDir = new Path(rootPath, validateName(name))
     if (!fs.exists(tableDir))
       throw new Store.GetError(s"DataFrame '$name' not found under $root", null)
-    val versions = versionsOf(tableDir).sorted
-    val doomed = versions.dropRight(keepVersions)
+    // Recency = load order (directory mtime, label tiebreak) — NOT
+    // lexicographic label order, which would rank 'v10' < 'v2' and
+    // delete the newest data.
+    val byRecency = versionsByRecency(tableDir)
+    val doomed = byRecency.dropRight(keepVersions).map(_._1)
     doomed.foreach { v =>
       fs.delete(new Path(tableDir, s"$VersionCol=${encodeVersion(v)}"), true)
     }
+    // Re-point _last if it referenced a deleted version.
+    val pointer = new Path(tableDir, LastFile)
+    if (fs.exists(pointer) && doomed.contains(readSmall(pointer)))
+      byRecency.takeRight(keepVersions).lastOption
+        .foreach { case (label, _) => writeSmall(pointer, label) }
     doomed
   }
 
   /** Newest version label from the `_last` pointer file (README.md:217),
-    * falling back to the lexicographic max of version directories.
+    * falling back to the most recently written version directory.
     */
   def lastVersion(name: String): Option[String] = {
     val tableDir = new Path(rootPath, validateName(name))
     val pointer = new Path(tableDir, LastFile)
     if (fs.exists(pointer)) Some(readSmall(pointer))
-    else versionsOf(tableDir).sorted.lastOption
+    else versionsByRecency(tableDir).lastOption.map(_._1)
   }
+
+  /** Version labels ordered oldest → newest by (dir mtime, label). */
+  private def versionsByRecency(tableDir: Path): Seq[(String, Long)] =
+    if (!fs.exists(tableDir)) Seq.empty
+    else
+      fs.listStatus(tableDir)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$VersionCol="))
+        .map(st => decodeVersion(st.getPath.getName.drop(VersionCol.length + 1))
+          -> st.getModificationTime)
+        .sortBy { case (label, mtime) => (mtime, label) }
+        .toSeq
 
   // ---------------------------------------------------------------- list
 
   /** Enumerate stored tables, optionally by name prefix. Mirrors
-    * `list_dataframes` (client.py:185-215). Directory listing only.
+    * `list_dataframes` (client.py:185-215). Directory listing only unless
+    * `withSizes` (then file counts/bytes are computed per table).
     */
-  def list(prefix: Option[String] = None): Seq[TableInfo] = {
+  def list(prefix: Option[String] = None, withSizes: Boolean = false): Seq[TableInfo] = {
     if (!fs.exists(rootPath)) return Seq.empty
     val tables = Seq.newBuilder[TableInfo]
     def walk(dir: Path, rel: List[String]): Unit = {
@@ -270,7 +290,10 @@ final class Store(
       if (isTable) {
         val name = rel.reverse.mkString("/")
         if (prefix.forall(name.startsWith)) {
-          val (nFiles, bytes) = dataFileStats(dir)
+          // File stats are opt-in: recursing every data file turns a
+          // cheap metadata listing into O(total files) of LIST calls on
+          // a large store.
+          val (nFiles, bytes) = if (withSizes) dataFileStats(dir) else (0L, 0L)
           tables += TableInfo(
             name = name,
             versions = versionsOf(dir).sorted,

@@ -32,7 +32,10 @@ object GraftFunctionRegistry {
     (FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(shingles, k) - k-minhash array<long>"),
       (e: Seq[Expression]) => MinHashSignatureExpr(e.head,
-        e(1).eval().asInstanceOf[Number].intValue())))
+        e(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("l2_normalize"),
+      info("l2_normalize", "l2_normalize(v) - L2-normalized array<double>"),
+      (e: Seq[Expression]) => L2NormalizeExpr(e.head)))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

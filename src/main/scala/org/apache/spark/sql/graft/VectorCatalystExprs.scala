@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * callers guarantee dense arrays (embeddings are).
   */
 case class DotProductD(left: Expression, right: Expression)
-  extends BinaryExpression with ExpectsInputTypes {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
@@ -132,7 +132,7 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
   * seed.
   */
 case class SrpSketchExpr(child: Expression, planes: Array[Double], dim: Int)
-  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = IntegerType
@@ -207,17 +207,22 @@ case class WordShinglesExpr(child: Expression, n: Int)
   * per row).
   */
 case class L2NormalizeExpr(child: Expression)
-  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "l2_normalize"
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
-    var ss = 0d
+    // A null element poisons the vector: result is null (matches the
+    // higher-order formulation this replaced, where norm became null).
     var i = 0
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    var ss = 0d
+    i = 0
     while (i < n) { val x = v.getDouble(i); ss += x * x; i += 1 }
     val norm = math.sqrt(ss)
     val out = new Array[Any](n)

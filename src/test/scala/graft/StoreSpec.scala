@@ -210,6 +210,18 @@ class StoreSpec extends SparkSpec {
     assert(store.get("t", useLast = true).count() == 3)
   }
 
+  test("vacuum orders by recency, not label lexicographics (v10 > v9)") {
+    val store = freshStore()
+    (1 to 10).foreach { i =>
+      store.load(sampleDf().limit(i % 3 + 1), "t", externalKey = s"v$i")
+      Thread.sleep(2) // distinct mtimes
+    }
+    val deleted = store.vacuum("t", keepVersions = 1)
+    assert(!deleted.contains("v10"), s"newest version deleted: $deleted")
+    assert(store.list().head.versions == Seq("v10"))
+    assert(store.get("t", useLast = true).count() == store.get("t").count())
+  }
+
   test("empty-schema frame rejected") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], StructType(Seq.empty))
