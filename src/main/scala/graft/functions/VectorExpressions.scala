@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, L2NormalizeExpr, MinHashSignatureExpr, SimHash64Expr, SrpSketchExpr, WordShinglesExpr}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, L2NormalizeExpr, MinHashSignatureExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
 
 /** Facade over the custom Catalyst expressions in
   * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
@@ -43,4 +43,12 @@ object VectorExpressions {
   /** L2-normalize an `array<double>` (zero-norm input → zero vector). */
   def l2Normalize(vec: Column): Column =
     ColumnBridge.column(L2NormalizeExpr(ColumnBridge.expression(vec)))
+
+  /** Exact top-k (score, id) aggregate with map-side partial combine;
+    * returns array<struct<sim,vec_id>> best-first.
+    */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKByScoreAgg(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
 }

@@ -71,9 +71,19 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dotD(col("qnv"), col("nv")), 6).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // Bounded-heap aggregate with map-side combine: each partition ships
+    // <= k candidates per query instead of sorting the whole scored
+    // corpus through the shuffle (TopKByScoreAgg).
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("sim"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.vec_id").as("vec_id"),
+        col("col.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).

@@ -1,0 +1,112 @@
+package org.apache.spark.sql.graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Exact top-k by score as a typed imperative aggregate — the UDAF case
+  * SURVEY.md §2.3 reserves for "exact top-k-by-similarity".
+  *
+  * Buffer = bounded list of (score, id), kept ≤ 2k and trimmed to the
+  * best k by (score desc, id asc) on overflow (amortized O(1) per row).
+  * Because this is an aggregate, Catalyst runs it map-side first: each
+  * partition ships at most k candidates to the final aggregation instead
+  * of the whole scored corpus through a sort — the difference between an
+  * O(|corpus|) and an O(partitions·k) shuffle in brute-force similarity
+  * search.
+  *
+  * Output: array<struct<sim double, vec_id long>> sorted best-first.
+  */
+case class TopKByScoreAgg(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
+  with ImplicitCastInputTypes {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("sim", DoubleType, nullable = false),
+      StructField("vec_id", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "topk_by_score"
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def trim(buf: ArrayBuffer[(Double, Long)]): Unit =
+    if (buf.length > k) {
+      val best = buf.sortWith(better).take(k)
+      buf.clear()
+      buf ++= best
+    }
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
+    ArrayBuffer.empty
+
+  override def update(
+      buf: ArrayBuffer[(Double, Long)], input: InternalRow): ArrayBuffer[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
+      if (buf.length >= 2 * k) trim(buf)
+    }
+    buf
+  }
+
+  override def merge(
+      buf: ArrayBuffer[(Double, Long)],
+      other: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
+    buf ++= other
+    trim(buf)
+    buf
+  }
+
+  override def eval(buf: ArrayBuffer[(Double, Long)]): Any = {
+    val best = buf.sortWith(better).take(k)
+    new GenericArrayData(best.map { case (s, i) =>
+      InternalRow(s, i)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: ArrayBuffer[(Double, Long)]): Array[Byte] = {
+    trim(buf)
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.length)
+    buf.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < n) { buf += ((in.readDouble(), in.readLong())); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScoreAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScoreAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+}
