@@ -121,6 +121,21 @@ object EventStreams {
       }
   }
 
+  /** Production-shaped file sink: append to parquet with a checkpoint so
+    * a restarted query resumes exactly-once (processed source files are
+    * tracked in the checkpoint's file-source log).
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Write a streaming frame to an in-memory table and drain all pending
     * micro-batches (test/demo sink; production would target kafka/delta/
     * parquet with checkpointing).
