@@ -26,11 +26,16 @@ object SkewTools {
       saltFactor: Int): DataFrame = {
 
     require(saltFactor > 1, "saltFactor must be > 1")
-    // Deterministic scatter: hash of the full row modulo saltFactor
-    // (rand() would break retry idempotence — a task retry must re-salt
-    // rows identically or rows are lost/duplicated across reducers).
+    // Deterministic scatter: hash of (full row, per-partition row counter)
+    // modulo saltFactor. The counter spreads fully identical duplicate
+    // rows (the common hot-key shape in event data) across salt buckets —
+    // a row-content hash alone would send all copies to one reducer and
+    // keep the skew. monotonically_increasing_id is deterministic under
+    // task retry for a stable input partitioning, unlike rand(), so a
+    // retried task re-salts its rows identically.
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(struct(left.columns.map(col) :+ monotonically_increasing_id(): _*)),
+        lit(saltFactor)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated,

@@ -224,13 +224,18 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
-  /** Statistical aggregates (sample stddev/variance, min/max). */
+  /** Statistical aggregates (sample stddev/variance, min/max, population
+    * skewness/kurtosis — Spark's `skewness`/`kurtosis` are the population
+    * moments g1/g2; the oracle converts DuckDB's sample statistics).
+    */
   private def q19Stats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
         round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(skewness(col("l_quantity")), 4).as("skew_qty"),
+        round(kurtosis(col("l_quantity")), 4).as("kurt_qty"),
         round(min("l_extendedprice"), 2).as("min_price"),
         round(max("l_extendedprice"), 2).as("max_price"),
         round(avg("l_tax"), 6).as("avg_tax"))
@@ -276,14 +281,23 @@ object Relational {
         (unix_micros(col("o_orderdate").cast("timestamp")) / 1000000L).cast("long").as("epoch_s"))
       .orderBy("o_orderkey")
 
-  /** JSON extraction over the `events.props` payload column. */
+  /** JSON extraction over the `events.props` payload column: path-based
+    * (`get_json_object`), positional (`json_tuple` generator) and schema
+    * inference (`schema_of_json` over a representative literal).
+    */
   private def q23Json(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      .groupBy("event_type")
+      .select(
+        col("event_type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        json_tuple(col("props"), "k"),
+        schema_of_json(lit("""{"k": 1}""")).as("k_schema"))
+      .withColumn("k2", col("c0").cast("long"))
+      .groupBy("event_type", "k_schema")
       .agg(
         sum("k").as("sum_k"),
-        round(avg("k"), 4).as("avg_k"),
+        round(avg("k2"), 4).as("avg_k"),
         round(avg("value"), 4).as("avg_value"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
@@ -431,6 +445,74 @@ object Relational {
       .orderBy("vec_id")
   }
 
+  /** collect_list / collect_set (pandas groupby.agg(list) parity).
+    * Arrays are sort_array-wrapped (collection order is
+    * partition-dependent, the sorted array is deterministic) and
+    * serialized to CSV strings — the driver's row-sort/hash compare can't
+    * order list-typed cells.
+    */
+  private def q42CollectList(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("order_keys"),
+        concat_ws(",", sort_array(collect_set(col("o_orderpriority")))).as("priorities"),
+        count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+
+  /** mode() aggregate. Fixture linestatus counts per returnflag are
+    * distinct (no tie), so the engine-specific tie-break never fires.
+    */
+  private def q43Mode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(mode(col("l_linestatus")).as("mode_ls"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Right outer join preserving customers with no 1998 orders. */
+  private def q44RightOuterJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(year(col("o_orderdate")) === 1998)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(
+        count(col("o_orderkey")).as("n_orders_98"),
+        coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("spent_98"))
+      .orderBy("c_custkey")
+
+  /** Full outer join: 1996 vs 1997 spend per customer, either side null
+    * for one-year-only buyers.
+    */
+  private def q45FullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def spend(yr: Int) = o
+      .where(year(col("o_orderdate")) === yr)
+      .groupBy(col("o_custkey").as(s"ck$yr"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as(s"spent_$yr"))
+    val a = spend(1996)
+    val b = spend(1997)
+    a.join(b, a(s"ck1996") === b(s"ck1997"), "full")
+      .select(
+        coalesce(a("ck1996"), b("ck1997")).as("custkey"),
+        col("spent_1996"),
+        col("spent_1997"))
+      .orderBy("custkey")
+  }
+
+  /** DataFrameNaFunctions surface (pandas fillna/dropna): na.fill on a
+    * nulled-out string column, na.drop on a nulled-out numeric column.
+    */
+  private def q46NaFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("segment", nullif(col("c_mktsegment"), lit("BUILDING")))
+      .withColumn("bal",
+        when(col("c_acctbal") < 0, lit(null).cast("double")).otherwise(col("c_acctbal")))
+      .na.fill(Map("segment" -> "(none)"))
+      .na.drop(Seq("bal"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum(dec(col("bal"))).cast("double").as("bal_sum"))
+      .orderBy("segment")
+
   // -------------------------------------------------------------- oracles
 
   val defs: Seq[QueryDef] = Seq(
@@ -569,6 +651,9 @@ object Relational {
       SELECT l_returnflag,
              round(stddev_samp(l_quantity), 4) AS sd_qty,
              round(var_samp(l_quantity), 4) AS var_qty,
+             round(skewness(l_quantity) * (count(*) - 2)
+                   / sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_qty,
+             round(kurtosis_pop(l_quantity), 4) AS kurt_qty,
              round(min(l_extendedprice), 2) AS min_price,
              round(max(l_extendedprice), 2) AS max_price,
              round(avg(l_tax), 6) AS avg_tax
@@ -610,6 +695,7 @@ object Relational {
       ORDER BY o_orderkey""")),
     QueryDef("q23_json", q23Json _, Some("""
       SELECT event_type,
+             'STRUCT<k: BIGINT>' AS k_schema,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
              round(avg(value), 4) AS avg_value,
@@ -699,6 +785,45 @@ object Relational {
              round(list_sum(embedding::DOUBLE[]), 6) AS v_sum,
              round(list_sort(embedding::DOUBLE[])[32], 6) AS v_med_lo
       FROM embeddings
-      ORDER BY vec_id"""))
+      ORDER BY vec_id""")),
+    QueryDef("q42_collect_list", q42CollectList _, Some("""
+      SELECT o_custkey,
+             array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+             array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+             count(*) AS n
+      FROM orders
+      GROUP BY o_custkey
+      ORDER BY o_custkey""")),
+    QueryDef("q43_mode", q43Mode _, Some("""
+      SELECT l_returnflag, mode(l_linestatus) AS mode_ls, count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+    QueryDef("q44_right_outer_join", q44RightOuterJoin _, Some("""
+      SELECT c_custkey, c_mktsegment,
+             count(o_orderkey) AS n_orders_98,
+             coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0) AS spent_98
+      FROM (SELECT * FROM orders WHERE year(o_orderdate) = 1998) o
+      RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment
+      ORDER BY c_custkey""")),
+    QueryDef("q45_full_outer_join", q45FullOuterJoin _, Some("""
+      WITH a AS (SELECT o_custkey AS ck,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent_1996
+                 FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+           b AS (SELECT o_custkey AS ck,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent_1997
+                 FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1)
+      SELECT coalesce(a.ck, b.ck) AS custkey, spent_1996, spent_1997
+      FROM a FULL JOIN b ON a.ck = b.ck
+      ORDER BY custkey""")),
+    QueryDef("q46_na_funcs", q46NaFuncs _, Some("""
+      SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS segment,
+             count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      FROM customer
+      WHERE c_acctbal >= 0
+      GROUP BY 1
+      ORDER BY segment"""))
   )
 }

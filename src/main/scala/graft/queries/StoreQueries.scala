@@ -5,6 +5,8 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import org.apache.spark.sql.types.DecimalType
+
 import graft.Tables
 import graft.store.Store
 
@@ -29,7 +31,7 @@ object StoreQueries {
     store.load(orders, "tpch/orders", Map("o_custkey" -> Store.KeyId), externalKey = "v1")
     store.get("tpch/orders", useLast = true)
       .groupBy((floor(col("o_custkey") / 1000) * 1000).cast("long").as("cust_bucket"))
-      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
       .orderBy("cust_bucket")
   }
 
@@ -45,7 +47,7 @@ object StoreQueries {
     store.load(orders.where(!cut), "tpch/orders", externalKey = "new")
     store.get("tpch/orders")
       .groupBy(year(col("o_orderdate")).as("order_year"))
-      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
       .orderBy("order_year")
   }
 
@@ -60,7 +62,7 @@ object StoreQueries {
       externalKey = "v2", keepLast = true)
     store.get("tpch/orders")
       .groupBy("o_orderpriority")
-      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
   }
 
@@ -76,28 +78,28 @@ object StoreQueries {
     store.getPartitioned("tpch/orders_97", useLast = true)
       .where(col(Store.partColName("o_orderdate")).cast("string") >= "1997-06-01")
       .groupBy(month(col("o_orderdate")).as("o_month"))
-      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
       .orderBy("o_month")
   }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qs01_store_roundtrip_idkey", roundtripIdKey _, Some("""
       SELECT CAST(floor(o_custkey / 1000) * 1000 AS BIGINT) AS cust_bucket,
-             round(sum(o_totalprice), 2) AS total,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
              count(*) AS n
       FROM orders
       GROUP BY 1
       ORDER BY cust_bucket""")),
     QueryDef("qs02_store_version_accumulate", versionAccumulate _, Some("""
       SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
-             round(sum(o_totalprice), 2) AS total,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
              count(*) AS n
       FROM orders
       GROUP BY 1
       ORDER BY order_year""")),
     QueryDef("qs03_store_keep_last", keepLastOverwrite _, Some("""
       SELECT o_orderpriority,
-             round(sum(o_totalprice), 2) AS total,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
              count(*) AS n
       FROM orders
       WHERE o_orderstatus = 'F'
@@ -105,7 +107,7 @@ object StoreQueries {
       ORDER BY o_orderpriority""")),
     QueryDef("qs04_store_date_prune", datePartitionPrune _, Some("""
       SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
-             round(sum(o_totalprice), 2) AS total,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
              count(*) AS n
       FROM orders
       WHERE year(o_orderdate) = 1997

@@ -289,7 +289,12 @@ final class Store(
       val isTable = children.exists(_.getPath.getName == MetaFile)
       if (isTable) {
         val name = rel.reverse.mkString("/")
-        if (prefix.forall(name.startsWith)) {
+        // Segment-wise prefix match: "proj/a" matches table "proj/a" and
+        // "proj/a/x" but not "proj/ab" (hierarchical names, not raw
+        // string prefixes). A prefix ending in "/" matches children only.
+        def segMatch(p: String): Boolean =
+          name == p || name.startsWith(if (p.endsWith("/")) p else p + "/")
+        if (prefix.forall(segMatch)) {
           // File stats are opt-in: recursing every data file turns a
           // cheap metadata listing into O(total files) of LIST calls on
           // a large store.

@@ -18,6 +18,28 @@ object GraftFunctionRegistry {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "built-in")
 
+  /** Evaluate a builder argument that must be a foldable non-null integer
+    * (e.g. the shingle width), failing analysis cleanly — not with a
+    * ClassCastException/NPE at plan-build — on `word_shingles(toks, col)`
+    * or a NULL literal.
+    */
+  private def constInt(fn: String, arg: String, e: Expression): Int = {
+    if (!e.foldable) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3055",
+        messageParameters = Map("errorMessage" ->
+          s"$fn() requires a constant integer for $arg, got non-foldable: ${e.sql}"))
+    }
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3055",
+          messageParameters = Map("errorMessage" ->
+            s"$fn() requires a non-null constant integer for $arg, got: $other"))
+    }
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
@@ -28,11 +50,11 @@ object GraftFunctionRegistry {
     (FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(tokens, n) - distinct word n-grams"),
       (e: Seq[Expression]) => WordShinglesExpr(e.head,
-        e(1).eval().asInstanceOf[Number].intValue())),
+        constInt("word_shingles", "n", e(1)))),
     (FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(shingles, k) - k-minhash array<long>"),
       (e: Seq[Expression]) => MinHashSignatureExpr(e.head,
-        e(1).eval().asInstanceOf[Number].intValue())),
+        constInt("minhash_signature", "k", e(1)))),
     (FunctionIdentifier("l2_normalize"),
       info("l2_normalize", "l2_normalize(v) - L2-normalized array<double>"),
       (e: Seq[Expression]) => L2NormalizeExpr(e.head)))
