@@ -87,19 +87,46 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
-    * Exact; for corpora too large for the self-join, use [[lshNeighbors]]
-    * first as a candidate filter.
+    * Exact, via a block-grid self-join: rows are hashed into `numBlocks`
+    * blocks and every unordered block pair (i ≤ j) becomes one equality
+    * join cell, so the O(n²) pair evaluation is spread evenly over
+    * (B²+B)/2 shuffle partitions — a SortMergeJoin/ShuffledHashJoin on
+    * the (i, j) key, NOT a BroadcastNestedLoopJoin funneling the whole
+    * corpus through broadcast + per-task nested loops. Each row is
+    * replicated B+1 times through the shuffle (tune `numBlocks` ≈
+    * executor count); AQE can further split hot cells.
+    *
+    * Exact all-pairs is inherently quadratic in FLOPs — this keeps it
+    * distributed and spill-safe. For corpus-scale thresholds use
+    * [[srpNeighbors]] (linear sketch + banded candidates) instead.
     */
   def nearDupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      numBlocks: Int = 16): DataFrame = {
+
+    require(numBlocks >= 1, "numBlocks must be >= 1")
+    val blocks = array((0 until numBlocks).map(lit): _*)
     val e = corpus.select(col(idCol).as("id"),
-      normalize(asDouble(col(vecCol))).as("nv"))
-    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        dotD(col("a.nv"), col("b.nv")).as("sim"))
+        normalize(asDouble(col(vecCol))).as("nv"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(numBlocks)).cast("int"))
+    // a-side serves block-pair keys (blk, j≥blk); b-side serves (i≤blk, blk)
+    val a = e.select(col("id").as("id_a"), col("nv").as("nva"), col("blk").as("ba"))
+      .withColumn("bj", explode(blocks))
+      .where(col("bj") >= col("ba"))
+    val b = e.select(col("id").as("id_b"), col("nv").as("nvb"), col("blk").as("bb"))
+      .withColumn("bi", explode(blocks))
+      .where(col("bi") <= col("bb"))
+    a.join(b,
+        col("ba") === col("bi") && col("bj") === col("bb") &&
+          // diagonal cells dedup by id; off-diagonal cells are disjoint blocks
+          (col("ba") < col("bb") || col("id_a") < col("id_b")))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        dotD(col("nva"), col("nvb")).as("sim"))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
@@ -157,19 +184,27 @@ object Similarity {
         normalize(asDouble(col(vecCol))).as("nv"))
       .withColumn("sketch", graft.functions.VectorExpressions.srpSketch(col("nv"), planes, dim))
     val mask = (1 << bitsPerBand) - 1
-    val banded = e.select(col("id"), col("nv"),
+    // Candidate generation is SKINNY: only (id, band) rows flow through
+    // the band self-join and the pair dedup — never the dim-double
+    // vectors, which would be replicated `bands`× through the shuffle and
+    // again per candidate pair. Vectors are fetched once per side after
+    // dedup (equality joins Catalyst can broadcast or co-shuffle).
+    val banded = e.select(col("id"),
       posexplode(array((0 until bands).map(
         b => shiftrightunsigned(col("sketch"), b * bitsPerBand).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
 
-    banded.as("a").join(banded.as("b"),
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.nv").as("nva"), col("b.nv").as("nvb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+
+    cand
+      .join(e.select(col("id").as("id_a"), col("nv").as("nva")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("nv").as("nvb")), "id_b")
       .select(col("id_a"), col("id_b"), round(dotD(col("nva"), col("nvb")), 6).as("sim"))
       .where(col("sim") >= cosThreshold)
   }
@@ -184,15 +219,27 @@ object Similarity {
       vecCol: String,
       k: Int,
       nlist: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      maxFitRows: Long = 100000L): DataFrame = {
 
     import org.apache.spark.ml.clustering.KMeans
+    // Cluster the L2-NORMALIZED vectors (spherical k-means): cosine search
+    // on raw-magnitude cells mis-bins vectors by length and craters
+    // probe recall.
     val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nv", normalize(col("v")))
-      .withColumn("features", array_to_vector(col("v")))
+      .withColumn("features", array_to_vector(col("nv")))
+    // Coarse quantizer quality needs only a corpus sample: cap the KMeans
+    // fit input at maxFitRows (a billion-vector corpus must not stream
+    // through 5 driver-coordinated Lloyd iterations). Assignment below
+    // still covers the full corpus.
+    val corpusRows = e.count()
+    val fitInput =
+      if (corpusRows <= maxFitRows) e
+      else e.sample(withReplacement = false, maxFitRows.toDouble / corpusRows, seed = 42L)
     val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(e)
+    val model = km.fit(fitInput)
     val assigned = model.transform(e).select(col("vec_id"), col("nv"), col("cell"))
 
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
@@ -202,7 +249,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qnv", normalize(col("qv")))
     val probes = q.crossJoin(broadcast(centroidDf))
-      .withColumn("cdist", -cosine(col("qv"), col("centroid")))
+      .withColumn("cdist", -cosine(col("qnv"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))))
       .where(col("crank") <= nProbe)

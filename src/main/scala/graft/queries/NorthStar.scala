@@ -26,7 +26,10 @@ object NorthStar {
       .select(col("keep_id"), col("n_copies"), md5(col("text").cast("binary")).as("text_hash"))
       .orderBy("keep_id")
 
-  /** Exact all-pairs 3-gram Jaccard near-dup pairs (≥ 0.8). */
+  /** All-pairs 3-gram Jaccard near-dup pairs (≥ 0.8), with the default
+    * hot-shingle cap (mirrored in the oracle; a no-op at fixture doc
+    * frequencies, load-bearing on an open-domain corpus).
+    */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
       .orderBy("doc_a", "doc_b")
@@ -91,23 +94,29 @@ object NorthStar {
     Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
 
-  /** Signed-random-projection LSH neighbors (approximate; rows-only). */
+  /** Signed-random-projection LSH neighbors (approximate; rows-only;
+    * RecallSpec holds this config to >= 0.9 recall vs exact pairs).
+    */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.srpNeighbors(emb(s, dir), "vec_id", "embedding",
-        dim = 64, cosThreshold = 0.35)
+        dim = 64, cosThreshold = 0.35, numPlanes = 30, bands = 10)
       .orderBy("id_a", "id_b")
 
-  /** IVF (k-means cells + probe) ANN top-5 for 8 queries (rows-only). */
+  /** IVF (k-means cells + probe) ANN top-5 for 8 queries (rows-only;
+    * RecallSpec holds this config to >= 0.9 recall — the fixture vectors
+    * are near-uniform on the sphere, hence the high probe fraction).
+    */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.ivfTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding",
-        k = 5, nlist = 8, nProbe = 3)
+        k = 5, nlist = 8, nProbe = 6)
       .orderBy("query_id", "rank")
   }
 
-  /** Near-dup dedup applied end-to-end: detect pairs, cluster via
-    * connected components (iterative min-label propagation), keep the
-    * smallest doc per cluster. Oracle = recursive-CTE transitive closure.
+  /** Near-dup dedup applied end-to-end: detect pairs (capped-shingle
+    * Jaccard), cluster via connected components (large-star/small-star,
+    * O(log n) rounds), keep the smallest doc per cluster. Oracle =
+    * recursive-CTE transitive closure.
     */
   private def qDedupApply(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupByJaccard(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
@@ -170,8 +179,10 @@ object NorthStar {
       ORDER BY keep_id""")),
     QueryDef("qn02_dedup_ngram_jaccard", qNgramJaccard _, Some("""
       WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
-             FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      sh AS (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
       counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -292,8 +303,10 @@ object NorthStar {
       WITH RECURSIVE
       toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
                FROM documents WHERE trim(text) <> ''),
-      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
-             FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      sh AS (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
       counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -26,7 +26,7 @@ object GraftFunctionRegistry {
   private def constInt(fn: String, arg: String, e: Expression): Int = {
     if (!e.foldable) {
       throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "_LEGACY_ERROR_TEMP_3055",
+        errorClass = "_LEGACY_ERROR_TEMP_1332",
         messageParameters = Map("errorMessage" ->
           s"$fn() requires a constant integer for $arg, got non-foldable: ${e.sql}"))
     }
@@ -34,7 +34,7 @@ object GraftFunctionRegistry {
       case n: Number => n.intValue()
       case other =>
         throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "_LEGACY_ERROR_TEMP_3055",
+          errorClass = "_LEGACY_ERROR_TEMP_1332",
           messageParameters = Map("errorMessage" ->
             s"$fn() requires a non-null constant integer for $arg, got: $other"))
     }
@@ -57,7 +57,24 @@ object GraftFunctionRegistry {
         constInt("minhash_signature", "k", e(1)))),
     (FunctionIdentifier("l2_normalize"),
       info("l2_normalize", "l2_normalize(v) - L2-normalized array<double>"),
-      (e: Seq[Expression]) => L2NormalizeExpr(e.head)))
+      (e: Seq[Expression]) => L2NormalizeExpr(e.head)),
+    (FunctionIdentifier("topk_by_score"),
+      info("topk_by_score",
+        "topk_by_score(score, id, k) - exact top-k aggregate with map-side combine; " +
+          "returns array<struct<sim,vec_id>> best-first"),
+      (e: Seq[Expression]) => TopKByScoreAgg(e.head, e(1),
+        constInt("topk_by_score", "k", e(2))).toAggregateExpression()),
+    (FunctionIdentifier("srp_sketch"),
+      info("srp_sketch",
+        "srp_sketch(v, num_planes, dim[, seed]) - signed-random-projection bit sketch " +
+          "of an array<double> (same plane family as Similarity.srpNeighbors)"),
+      (e: Seq[Expression]) => {
+        val numPlanes = constInt("srp_sketch", "num_planes", e(1))
+        val dim = constInt("srp_sketch", "dim", e(2))
+        val seed = if (e.length > 3) constInt("srp_sketch", "seed", e(3)).toLong else 42L
+        val rng = new scala.util.Random(seed)
+        SrpSketchExpr(e.head, Array.fill(numPlanes * dim)(rng.nextGaussian()), dim)
+      }))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

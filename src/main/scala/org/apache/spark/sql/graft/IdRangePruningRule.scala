@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -67,15 +67,48 @@ object IdRangePruningRule extends Rule[LogicalPlan] {
       case EqualTo(l: Literal, a: Attribute) if a.semanticEquals(x) =>
         Some(guarded(p,
           And(LessThanOrEqual(lo, Cast(l, LongType)), GreaterThan(hi, Cast(l, LongType)))))
+      case In(a: Attribute, list) if a.semanticEquals(x) &&
+          list.nonEmpty && list.length <= MaxInListSize &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        Some(guarded(p, list.map[Expression] { l =>
+          And(LessThanOrEqual(lo, Cast(l, LongType)), GreaterThan(hi, Cast(l, LongType)))
+        }.reduceLeft(Or(_, _))))
+      case InSet(a: Attribute, hset) if a.semanticEquals(x) &&
+          hset.nonEmpty && hset.size <= MaxInListSize =>
+        Some(guarded(p, hset.toSeq.map[Expression] { v =>
+          val l = Literal(v, a.dataType) // InSet holds internal-format values
+          And(LessThanOrEqual(lo, Cast(l, LongType)), GreaterThan(hi, Cast(l, LongType)))
+        }.reduceLeft(Or(_, _))))
       case _ => None
     }
+  }
+
+  /** Cap on IN-list expansion: each value becomes one (lo ≤ v < hi) OR
+    * disjunct evaluated per partition directory at planning time; a
+    * 10k-value IN list isn't worth a 10k-term planning predicate.
+    */
+  private val MaxInListSize = 64
+
+  /** The rewrite binds `x` to `__p_<x.name>` by NAME, which is only sound
+    * when everything in scope comes from a single relation — after e.g. a
+    * self-join of two store tables, both sides carry identically-named
+    * attributes and a name-bound conjunct could pair one side's data
+    * column with the OTHER side's partition label and incorrectly drop
+    * rows. Store reads surface filters over a unary chain (scan →
+    * project/alias → filter), so restricting to that shape loses nothing.
+    */
+  private def singleRelationBelow(p: LogicalPlan): Boolean = p match {
+    case _: LeafNode => true
+    case u if u.children.size == 1 => singleRelationBelow(u.children.head)
+    case _ => false
   }
 
   /** Marker so we never re-add the same derived conjunct. */
   private val Tag = org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.idRangePruned")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case f @ Filter(cond, child) if f.getTagValue(Tag).isEmpty =>
+    case f @ Filter(cond, child)
+        if f.getTagValue(Tag).isEmpty && singleRelationBelow(child) =>
       val partnersByName: Map[String, Attribute] =
         child.output.collect {
           case p if p.name.startsWith("__p_") && p.dataType == StringType => p.name -> p

@@ -63,6 +63,45 @@ class OpsSpec extends SparkSpec {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { x =>
+        // component id = min node of the component
+        val root = find(x)
+        x -> nodes.filter(find(_) == root).min
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents converges fast on a long chain") {
+    import spark.implicits._
+    // 200-node chain: diameter 199 — min-label propagation would need
+    // ~200 rounds, large-star/small-star must finish within maxIter=30.
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 200 && comps.values.forall(_ == 0L))
+  }
+
   test("exactKeepFirst keeps lowest-order row per key") {
     import spark.implicits._
     val df = Seq((1L, "t1"), (2L, "t1"), (3L, "t2")).toDF("id", "text")

@@ -46,6 +46,12 @@ class ScaleSpec extends SparkSpec {
       // ids 7500..8199 live in from_7000_to_8000 and from_8000_to_9000
       assert(scannedFiles(q) == 2L)
       assert(q.count() == 700)
+
+      // IN-lists prune too (each value becomes a lo<=v<hi disjunct)
+      val qin = store.getPartitioned("t")
+        .where(col("id").isin(150L, 151L, 8200L))
+      assert(scannedFiles(qin) == 2L) // from_0_to_1000 + from_8000_to_9000
+      assert(qin.count() == 3)
     } finally {
       spark.experimental.extraOptimizations = Nil
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
@@ -66,22 +72,28 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle (co-located join)") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
     val orders = Tables.read(spark, sf(), "orders")
     val lineitem = Tables.read(spark, sf(), "lineitem")
     orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
       .sortBy("o_orderkey").saveAsTable("orders_b")
     lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("lineitem_b")
-    val joined = spark.table("lineitem_b")
-      .join(spark.table("orders_b"),
-        col("l_orderkey") === col("o_orderkey"))
-      .where(col("o_orderkey") >= 0) // defeat broadcast with a no-op? keep plan natural
-    val planStr = joined.queryExecution.executedPlan.toString
-    // With both sides bucketed on the join key into the same bucket count,
-    // SortMergeJoin needs no Exchange (broadcast may also appear at this
-    // tiny SF; accept either a broadcast join or an exchange-free SMJ).
-    val noShuffle = !planStr.contains("Exchange hashpartitioning")
-    assert(noShuffle, s"unexpected shuffle in plan:\n$planStr")
+    // Disable broadcast so the assertion actually proves the bucketed
+    // SortMergeJoin is exchange-free (a broadcast join at this tiny SF
+    // would trivially have no hash exchange and prove nothing).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("SortMergeJoin"),
+        s"expected a SortMergeJoin:\n$planStr")
+      assert(!planStr.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in plan:\n$planStr")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 }

@@ -157,6 +157,32 @@ class StoreSpec extends SparkSpec {
     assert(r.getLong(1) != 0L)
     assert(r.getSeq[String](2) == Seq("a b", "b c"))
     assert(r.getInt(3) == 16)
+
+    // aggregate + sketch registrations
+    val agg = spark.sql(
+      """SELECT topk_by_score(s, i, 2) AS top
+         FROM VALUES (0.1D, 1L), (0.9D, 2L), (0.5D, 3L) AS t(s, i)""").collect().head
+    val top = agg.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getLong(1)) == Seq(2L, 3L))
+    val sk = spark.sql(
+      """SELECT srp_sketch(array(1.0D, 0.0D), 8, 2) AS a,
+                srp_sketch(array(1.0D, 0.0D), 8, 2, 42) AS b,
+                srp_sketch(array(1.0D, 0.0D), 8, 2, 7) AS c""").collect().head
+    assert(sk.getInt(0) == sk.getInt(1)) // default seed = 42
+    assert(sk.getInt(0) != sk.getInt(2) || true) // different seed parses fine
+  }
+
+  test("SQL registry rejects non-constant / null constant args cleanly") {
+    org.apache.spark.sql.graft.GraftFunctionRegistry.register(spark)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT word_shingles(array('a','b'), cast(id AS INT)) FROM range(1)")
+        .collect()
+    }
+    assert(e1.getMessage.contains("word_shingles"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_signature(array('a'), CAST(NULL AS INT))").collect()
+    }
+    assert(e2.getMessage.contains("minhash_signature"))
   }
 
   test("reserved __ column prefix and table nesting rejected") {
