@@ -36,8 +36,10 @@ object SparkEntry {
     store.get("tpch/lineitem", useLast = true)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_base_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
