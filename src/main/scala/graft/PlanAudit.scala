@@ -15,6 +15,7 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", classOf[graft.hadoop.FastLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries
