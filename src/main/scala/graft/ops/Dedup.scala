@@ -62,12 +62,17 @@ object Dedup {
 
     val sh0 = df.select(col(idCol).as("id"),
         explode(TextOps.shingles(col(textCol), n)).as("s"))
-    val sh =
+    val shPlan =
       if (maxShingleDocFreq <= 0) sh0
       else {
         val hot = sh0.groupBy("s").count().where(col("count") > maxShingleDocFreq).select("s")
         sh0.join(broadcast(hot), Seq("s"), "left_anti")
       }
+    // The filtered shingle set feeds BOTH self-join sides and the
+    // per-doc counts — materialize the skinny (id, shingle) rows once
+    // (localCheckpoint: distributed, plan-truncating) instead of
+    // re-running the explode + hot-filter groupBy/anti-join shuffles 3×.
+    val sh = shPlan.localCheckpoint(true)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
     val common = sh.as("a").join(sh.as("b"),
@@ -114,10 +119,14 @@ object Dedup {
       rowsPerBand: Int = 4): DataFrame = {
 
     val numHashes = bands * rowsPerBand
+    // Signatures feed banding AND both post-dedup fetch joins;
+    // materialize the (id, 32-int sig) set once rather than re-shingling
+    // and re-hashing the text corpus three times.
     val sig = df.select(col(idCol).as("id"),
         TextOps.shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .localCheckpoint(true)
 
     // Skinny candidate generation: only (id, band hash) rows go through
     // the self-join and pair dedup; the numHashes-long signatures are
