@@ -82,6 +82,25 @@ object StoreQueries {
       .orderBy("o_month")
   }
 
+  /** Three disjoint accumulate loads into ONE version, then [[Store.compact]]
+    * rewrites the version subtree (one file per partition dir). The oracle
+    * over plain `orders` only matches if compaction is lossless AND the
+    * three appends reassemble the full table.
+    */
+  private def compactRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    val orders = Tables.read(s, dir, "orders")
+    (0 until 3).foreach { i =>
+      store.load(orders.where(pmod(col("o_orderkey"), lit(3)) === i),
+        "tpch/orders_c", Map("o_custkey" -> Store.KeyId), externalKey = "v1")
+    }
+    store.compact("tpch/orders_c")
+    store.get("tpch/orders_c", externalKey = Some("v1"))
+      .groupBy((floor(col("o_custkey") / 1000) * 1000).cast("long").as("cust_bucket"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
+      .orderBy("cust_bucket")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qs01_store_roundtrip_idkey", roundtripIdKey _, Some("""
       SELECT CAST(floor(o_custkey / 1000) * 1000 AS BIGINT) AS cust_bucket,
@@ -113,6 +132,13 @@ object StoreQueries {
       WHERE year(o_orderdate) = 1997
         AND CAST(o_orderdate AS DATE) >= DATE '1997-06-01'
       GROUP BY 1
-      ORDER BY o_month"""))
+      ORDER BY o_month""")),
+    QueryDef("qs05_store_compact", compactRoundtrip _, Some("""
+      SELECT CAST(floor(o_custkey / 1000) * 1000 AS BIGINT) AS cust_bucket,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM orders
+      GROUP BY 1
+      ORDER BY cust_bucket"""))
   )
 }

@@ -254,6 +254,81 @@ final class Store(
     doomed
   }
 
+  /** Compact a version's data files: rewrite the version subtree so each
+    * partition directory holds one file (or `ceil(bytes/targetFileBytes)`
+    * files for unpartitioned tables). Every accumulate-mode [[load]] into
+    * the same version appends one file set; at scale the store's read
+    * cost becomes listing/footer-bound long before it is data-bound —
+    * compaction is the OPTIMIZE step that keeps old versions scannable.
+    *
+    * Runs per version: read subtree (schema-merged across appends),
+    * cluster by the derived partition columns (one shuffle), write to a
+    * hidden sibling dir, then swap via two renames. Not transactional
+    * (same as the reference's storage, README.md:189-218): a concurrent
+    * reader can observe the brief swap window; run from the maintenance
+    * path, not a live query path. The `_last` pointer and `_meta.json`
+    * are untouched; directory-mtime recency fallback may be perturbed
+    * (the pointer is authoritative).
+    *
+    * @param externalKey only this version (default: all versions)
+    * @param targetFileBytes target file size for unpartitioned tables
+    * @return (filesBefore, filesAfter) summed over compacted versions
+    */
+  def compact(
+      name: String,
+      externalKey: Option[String] = None,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    val relPath = validateName(name)
+    val tableDir = new Path(rootPath, relPath)
+    if (!fs.exists(tableDir))
+      throw new Store.GetError(s"DataFrame '$name' not found under $root", null)
+    val labels = externalKey match {
+      case Some(k) => Seq(k)
+      case None => versionsOf(tableDir)
+    }
+    var (beforeTotal, afterTotal) = (0L, 0L)
+    labels.foreach { label =>
+      val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")
+      if (!fs.exists(vDir))
+        throw new Store.GetError(s"Version '$label' of '$name' not found", null)
+      val (beforeFiles, beforeBytes) = dataFileStats(vDir)
+      val df = spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", tableDir.toString)
+        .parquet(vDir.toString)
+      val partCols = df.columns.filter(c => c.startsWith(InternalPrefix) && c != VersionCol).toSeq
+      val clustered =
+        if (partCols.nonEmpty) df.drop(VersionCol).repartition(partCols.map(col): _*)
+        else {
+          val nFiles = math.max(1L, (beforeBytes + targetFileBytes - 1) / targetFileBytes).toInt
+          df.drop(VersionCol).repartition(nFiles)
+        }
+      val tmp = new Path(tableDir, s".compact_tmp_${encodeVersion(label)}")
+      val old = new Path(tableDir, s".compact_old_${encodeVersion(label)}")
+      fs.delete(tmp, true)
+      fs.delete(old, true)
+      try {
+        var writer = clustered.write.mode(SaveMode.Overwrite)
+        if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
+        if (maxRecordsPerFile > 0)
+          writer = writer.option("maxRecordsPerFile", maxRecordsPerFile)
+        writer.parquet(tmp.toString)
+        if (!fs.rename(vDir, old) || !fs.rename(tmp, vDir))
+          throw new java.io.IOException(s"swap rename failed for version '$label'")
+        fs.delete(old, true)
+      } catch {
+        case e: Exception =>
+          // Roll the swap back if the new subtree never landed.
+          if (!fs.exists(vDir) && fs.exists(old)) fs.rename(old, vDir)
+          fs.delete(tmp, true)
+          throw new Store.LoadError(s"Error compacting '$name' version '$label': ${e.getMessage}", e)
+      }
+      afterTotal += dataFileStats(vDir)._1
+      beforeTotal += beforeFiles
+    }
+    (beforeTotal, afterTotal)
+  }
+
   /** Newest version label from the `_last` pointer file (README.md:217),
     * falling back to the most recently written version directory.
     */

@@ -248,6 +248,39 @@ class StoreSpec extends SparkSpec {
     assert(store.get("t", useLast = true).count() == store.get("t").count())
   }
 
+  test("compact merges per-load file sets losslessly (partitioned)") {
+    val store = freshStore()
+    // three accumulate loads into the SAME version → 3 file sets per dir
+    (1 to 3).foreach { _ =>
+      store.load(sampleDf(), "t", Map("id" -> "ID"), externalKey = "v1")
+    }
+    val before = store.get("t", externalKey = Some("v1")).orderBy("id", "tag").collect().toSeq
+    val (nBefore, nAfter) = store.compact("t")
+    assert(nBefore > nAfter, s"expected fewer files, got $nBefore -> $nAfter")
+    assert(nAfter == 3, s"one file per __p_id bucket dir expected, got $nAfter")
+    val after = store.get("t", externalKey = Some("v1")).orderBy("id", "tag").collect().toSeq
+    assert(after == before)
+    // pointer + metadata survive, partition pruning still works
+    assert(store.lastVersion("t").contains("v1"))
+    assert(store.list().head.columnsKeys == Map("id" -> "ID"))
+    assert(store.getPartitioned("t", useLast = true)
+      .where(col(Store.partColName("id")) === "from_1000_to_2000").count() == 3)
+  }
+
+  test("compact targets one version; unpartitioned tables coalesce to one file") {
+    val store = freshStore()
+    store.load(sampleDf(), "t", externalKey = "v1")
+    store.load(sampleDf(), "t", externalKey = "v1")
+    store.load(sampleDf(), "t", externalKey = "v2")
+    val (b1, a1) = store.compact("t", externalKey = Some("v1"))
+    assert(b1 >= 2 && a1 == 1, s"v1: $b1 -> $a1")
+    assert(store.get("t", externalKey = Some("v1")).count() == 6)
+    assert(store.get("t", externalKey = Some("v2")).count() == 3)
+    assert(store.get("t").count() == 9)
+    assertThrows[Store.GetError](store.compact("t", externalKey = Some("nope")))
+    assertThrows[Store.GetError](store.compact("missing"))
+  }
+
   test("empty-schema frame rejected") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], StructType(Seq.empty))
