@@ -93,4 +93,59 @@ object TextOps {
     */
   def shingles(c: Column, n: Int): Column =
     graft.functions.VectorExpressions.wordShingles(tokens(c), n)
+
+  /** Fraction of tokens that are (English) stopwords — the classic
+    * "natural language vs word-soup" discriminator in C4/Gopher-style
+    * corpus filters. 0 for empty docs.
+    */
+  def stopwordFraction(c: Column): Column =
+    when(size(tokens(c)) === 0, 0d)
+      .otherwise(regexp_count(c, lit(langPatterns.head._2)).cast("double") / size(tokens(c)))
+
+  /** C4/Gopher-style quality rule flags, one boolean per rule so a
+    * pipeline can report per-rule drop counts (a silent composite filter
+    * hides WHY a corpus shrank — at 100 TB you audit rule-by-rule before
+    * committing to a cut). Pure per-row Column expressions; composition
+    * stays inside whole-stage codegen.
+    */
+  final case class QualityRules(
+      lengthOk: Column, wordShapeOk: Column, repetitionOk: Column, stopwordOk: Column) {
+    def keep: Column = lengthOk && wordShapeOk && repetitionOk && stopwordOk
+  }
+
+  def qualityRules(
+      c: Column,
+      minTokens: Int = 25,
+      maxTokens: Int = 100000,
+      minAvgWordLen: Double = 3d,
+      maxAvgWordLen: Double = 10d,
+      minTypeTokenRatio: Double = 0.45,
+      minStopwordFraction: Double = 0.05): QualityRules =
+    QualityRules(
+      lengthOk = tokenCount(c).between(minTokens, maxTokens),
+      wordShapeOk = avgWordLen(c).between(minAvgWordLen, maxAvgWordLen),
+      repetitionOk = typeTokenRatio(c) >= minTypeTokenRatio,
+      stopwordOk = stopwordFraction(c) >= minStopwordFraction)
+
+  /** PII patterns (email / NANP-style phone / IPv4) — deliberately in the
+    * common subset of Java regex and RE2 (no lookaround) so the same
+    * pattern runs on Spark and any RE2-based engine.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?1-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Redact all [[piiPatterns]] with their sentinel tokens. Chained
+    * `regexp_replace` — per-row, codegen'd, shuffle-free; the redaction
+    * pass an open-corpus pipeline runs before anything else ships.
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, re, repl)) =>
+      regexp_replace(acc, lit(re), lit(repl))
+    }
+
+  /** Per-pattern PII match counts (audit metric for the redaction pass). */
+  def piiCounts(c: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, re, _) => name -> regexp_count(c, lit(re)) }
 }

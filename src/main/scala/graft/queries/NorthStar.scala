@@ -152,6 +152,69 @@ object NorthStar {
       .orderBy("source")
   }
 
+  /** C4/Gopher-style corpus quality filter with per-rule drop accounting:
+    * keep counts plus WHY-dropped counts per (lang, source) — the audit a
+    * 100 TB cut runs before committing. Pure per-row codegen'd rules, one
+    * aggregate, no shuffle beyond the groupBy.
+    */
+  private def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val r = TextOps.qualityRules(col("text"))
+    docs(s, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(r.keep, 1).otherwise(0)).as("n_kept"),
+        sum(when(!r.lengthOk, 1).otherwise(0)).as("n_fail_len"),
+        sum(when(!r.wordShapeOk, 1).otherwise(0)).as("n_fail_shape"),
+        sum(when(!r.repetitionOk, 1).otherwise(0)).as("n_fail_rep"),
+        sum(when(!r.stopwordOk, 1).otherwise(0)).as("n_fail_stop"))
+      .orderBy("lang", "source")
+  }
+
+  /** PII redaction (email / phone / IPv4 → sentinels) with per-pattern
+    * audit counts. The fixture corpus is synthetic and PII-free, so PII
+    * is INJECTED deterministically (docs with doc_id % 7 == 0 get a
+    * doc_id-derived email + phone + IP appended) by the query itself,
+    * identically mirrored in the oracle — the regexes are genuinely
+    * exercised and the md5 of each redacted text must match DuckDB's.
+    */
+  private def qRedactPii(s: SparkSession, dir: String): DataFrame = {
+    val injected = when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" at 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".17")))
+      .otherwise(col("text"))
+    val cnts = TextOps.piiCounts(injected).map { case (name, c) => c.as(s"n_$name") }
+    docs(s, dir)
+      .where(pmod(col("doc_id"), lit(7)) === 0)
+      .select(Seq(col("doc_id"),
+        md5(TextOps.redactPii(injected).cast("binary")).as("redacted_md5"),
+        length(TextOps.redactPii(injected)).as("redacted_len")) ++ cnts: _*)
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: assign docs to ~2048-token training bins by
+    * cumulative token count per source (deterministic doc_id order).
+    * One window + one aggregate; at scale each source packs
+    * independently (partitioned window), the standard pre-tokenization
+    * batching step.
+    */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("source"), col("doc_id"), TextOps.tokenCount(col("text")).as("toks"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("toks")).over(w), lit(0L)) / lit(2048)).cast("long"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
   /** Multimodal: binary payload → per-partition feature extraction
     * (decode STUBBED, plumbing real).
     */
@@ -365,6 +428,86 @@ object NorthStar {
       SELECT source, count(*) AS n_docs, round(avg(quality), 4) AS avg_quality
       FROM deduped WHERE rn = 1
       GROUP BY source
-      ORDER BY source"""))
+      ORDER BY source""")),
+    QueryDef("qn18_quality_filter", qQualityFilter _, Some("""
+      WITH f AS (
+        SELECT lang, source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(regexp_replace(text, '\s+', '', 'g'))
+                      * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS awl,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+                      * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS ttr,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(regexp_extract_all(text, '\b(the|a|of|and|is|to)\b'))
+                      * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS stopfrac
+        FROM documents),
+      r AS (
+        SELECT lang, source,
+               (toks BETWEEN 25 AND 100000) AS length_ok,
+               (awl BETWEEN 3.0 AND 10.0) AS shape_ok,
+               (ttr >= 0.45) AS rep_ok,
+               (stopfrac >= 0.05) AS stop_ok
+        FROM f)
+      SELECT lang, source,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN length_ok AND shape_ok AND rep_ok AND stop_ok
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN NOT length_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+             CAST(sum(CASE WHEN NOT shape_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_shape,
+             CAST(sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rep,
+             CAST(sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
+      FROM r
+      GROUP BY lang, source
+      ORDER BY lang, source""")),
+    QueryDef("qn19_redact_pii", qRedactPii _, Some("""
+      WITH inj AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17' AS t
+        FROM documents WHERE doc_id % 7 = 0),
+      red AS (
+        SELECT doc_id, t,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\+?1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS rt
+        FROM inj)
+      SELECT doc_id,
+             md5(rt) AS redacted_md5,
+             CAST(len(rt) AS INTEGER) AS redacted_len,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+             CAST(len(regexp_extract_all(t, '\+?1-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phone,
+             CAST(len(regexp_extract_all(t,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ipv4
+      FROM red
+      ORDER BY doc_id""")),
+    QueryDef("qn20_pack_sequences", qPackSequences _, Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+        FROM documents),
+      b AS (
+        SELECT source, doc_id, toks,
+               CAST(floor(coalesce(sum(toks) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
+        FROM t)
+      SELECT source, bin,
+             count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS sum_tokens,
+             min(doc_id) AS first_doc,
+             max(doc_id) AS last_doc
+      FROM b
+      GROUP BY source, bin
+      ORDER BY source, bin"""))
   )
 }

@@ -181,4 +181,34 @@ class OpsSpec extends SparkSpec {
       .collect().head
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
+
+  test("redactPii replaces email/phone/ipv4 and leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      "reach me at jane.doe+x@sub.example.org today",
+      "call +1-555-0199 or 1-555-0200 now",
+      "host 192.168.0.17 responded",
+      "nothing sensitive here at all").toDF("text")
+    val out = df.select(TextOps.redactPii(col("text")).as("r")).as[String].collect()
+    assert(out(0) == "reach me at <EMAIL> today")
+    assert(out(1) == "call <PHONE> or <PHONE> now")
+    assert(out(2) == "host <IP> responded")
+    assert(out(3) == "nothing sensitive here at all")
+  }
+
+  test("quality rules: keep requires every rule; flags discriminate") {
+    import spark.implicits._
+    val good = ("the cat and the dog walked to a park of trees and " +
+      "a bird sang of summer to the wind and all was well in the land " +
+      "of green hills where a river ran to the sea").trim
+    val tooShort = "the a of and"
+    val soup = Seq.fill(40)("zzz").mkString(" ") // repetitive, no stopwords
+    val df = Seq(good, tooShort, soup).toDF("text")
+    val r = TextOps.qualityRules(col("text"))
+    val rows = df.select(r.keep, r.lengthOk, r.repetitionOk, r.stopwordOk).collect()
+    assert(rows(0).getBoolean(0), "good doc should be kept")
+    assert(!rows(1).getBoolean(0) && !rows(1).getBoolean(1), "short doc fails length")
+    assert(!rows(2).getBoolean(0) && !rows(2).getBoolean(2) && !rows(2).getBoolean(3),
+      "word soup fails repetition + stopword")
+  }
 }
