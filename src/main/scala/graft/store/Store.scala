@@ -416,6 +416,17 @@ final class Store(
   def drop(name: String): Boolean =
     fs.delete(new Path(rootPath, validateName(name)), true)
 
+  /** Delete one version's subtree, if present. Idempotent — the replay
+    * guard for exactly-once streaming ingest (see
+    * [[graft.streaming.EventStreams.writeToStore]]): a micro-batch that
+    * re-runs after a crash first drops its own batch-keyed version, so
+    * re-writing it cannot double rows.
+    */
+  def dropVersion(name: String, label: String): Boolean = {
+    val tableDir = new Path(rootPath, validateName(name))
+    fs.delete(new Path(tableDir, s"$VersionCol=${encodeVersion(label)}"), true)
+  }
+
   /** At-rest-compat export: gzip CSV chunks of ≤`maxRecords` rows
     * (README.md:20-21's `chunk_uuid.csv.gz`, 100K rows/chunk). The store
     * itself stays Parquet; this is the interchange path for reference-era

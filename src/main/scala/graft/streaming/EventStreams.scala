@@ -136,6 +136,34 @@ object EventStreams {
     finally q.stop()
   }
 
+  /** Stream → versioned [[graft.store.Store]] ingest with exactly-once
+    * table contents: each micro-batch lands as its own store version
+    * keyed by the batch id (`b<id>`), and a replayed batch (restart
+    * between sink write and checkpoint commit) first drops its own
+    * version subtree, so the rewrite is idempotent — at-least-once
+    * delivery × idempotent per-batch write = exactly-once state.
+    * An accumulate read (`store.get(name)`) is then exactly the stream
+    * so far; `useLast` is the newest batch.
+    */
+  def writeToStore(
+      df: DataFrame,
+      store: graft.store.Store,
+      name: String,
+      columnsKeys: Map[String, String],
+      checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        store.dropVersion(name, s"b$id")
+        store.load(batch.toDF(), name, columnsKeys, externalKey = s"b$id")
+        (): Unit
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Write a streaming frame to an in-memory table and drain all pending
     * micro-batches (test/demo sink; production would target kafka/delta/
     * parquet with checkpointing).

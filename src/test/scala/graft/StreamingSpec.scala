@@ -100,6 +100,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2000)
   }
 
+  test("stream -> store ingest: batch-keyed versions, exactly-once, replay-idempotent") {
+    import graft.store.Store
+    val src = java.nio.file.Files.createTempDirectory("graft_ing_src_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ing_ckpt_").toString
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft_ing_store_").toString)
+    val fixture = java.nio.file.Paths.get(s"${sf()}/events.parquet")
+    java.nio.file.Files.copy(fixture, src.resolve("batch1.parquet"))
+
+    def ingest(): Unit = EventStreams.writeToStore(
+      EventStreams.readEvents(spark, src.toString)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+      store, "streams/events", Map("user_id" -> Store.KeyId), ckpt)
+
+    ingest()
+    assert(store.get("streams/events").count() == 1000)
+    assert(store.list().head.versions == Seq("b0"))
+    // restart with a new file: only the new batch lands, as a new version
+    java.nio.file.Files.copy(fixture, src.resolve("batch2.parquet"))
+    ingest()
+    assert(store.get("streams/events").count() == 2000)
+    assert(store.list().head.versions == Seq("b0", "b1"))
+    assert(store.get("streams/events", useLast = true).count() == 1000)
+    // idle restart ingests nothing
+    ingest()
+    assert(store.get("streams/events").count() == 2000)
+    // simulated sink replay of an already-written batch (crash between
+    // sink write and checkpoint commit): drop-then-rewrite cannot double
+    val replay = Tables.events(spark, sf())
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    store.dropVersion("streams/events", "b1")
+    store.load(replay, "streams/events", Map("user_id" -> Store.KeyId), externalKey = "b1")
+    assert(store.get("streams/events").count() == 2000)
+  }
+
   test("mapGroupsWithState running totals match batch groupBy") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     val streamed = EventStreams.runToMemory(spark,
