@@ -27,14 +27,18 @@ object Bench {
     // inflating qs01 by ~5s). Exercises scan, shuffle, and the write
     // path once; its wall time is recorded separately as "warmup_sec".
     val w0 = System.nanoTime()
-    locally {
+    // Warmup failure must not kill the bench — the per-query loop still
+    // reports every query (first-query timing just absorbs the init).
+    try {
       import org.apache.spark.sql.functions.col
       val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_warm_")
       val region = spark.read.parquet(s"$sfDir/region.parquet")
       region.repartition(2, col("r_regionkey")).write
         .mode("overwrite").parquet(warmDir.resolve("w").toString)
       spark.read.parquet(warmDir.resolve("w").toString).count()
-    }
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(warmDir.toString), true)
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

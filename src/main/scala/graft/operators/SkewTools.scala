@@ -26,15 +26,19 @@ object SkewTools {
       saltFactor: Int): DataFrame = {
 
     require(saltFactor > 1, "saltFactor must be > 1")
-    // Deterministic scatter: hash of (full row, per-partition row counter)
-    // modulo saltFactor. The counter spreads fully identical duplicate
-    // rows (the common hot-key shape in event data) across salt buckets —
-    // a row-content hash alone would send all copies to one reducer and
-    // keep the skew. monotonically_increasing_id is deterministic under
-    // task retry for a stable input partitioning, unlike rand(), so a
-    // retried task re-salts its rows identically.
+    // Deterministic scatter: hash of (full row, source partition index)
+    // modulo saltFactor. The partition index spreads fully identical
+    // duplicate rows that span input partitions (the common hot-key shape
+    // in event data) without sacrificing retry safety: a recomputed task
+    // keeps its partition index, so it re-salts every row identically —
+    // unlike rand() or monotonically_increasing_id(), whose values depend
+    // on nondeterministic within-partition row order and can duplicate or
+    // drop join rows when a map task is retried after a partial reducer
+    // fetch. Identical duplicates WITHIN one input partition still share
+    // a salt; if one partition holds a pathological duplicate run,
+    // pre-aggregate (dedup with count, multiply after the join) instead.
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col) :+ monotonically_increasing_id(): _*)),
+      pmod(xxhash64(struct(left.columns.map(col) :+ spark_partition_id(): _*)),
         lit(saltFactor)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))

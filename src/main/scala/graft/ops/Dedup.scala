@@ -72,7 +72,10 @@ object Dedup {
     // per-doc counts — materialize the skinny (id, shingle) rows once
     // (localCheckpoint: distributed, plan-truncating) instead of
     // re-running the explode + hot-filter groupBy/anti-join shuffles 3×.
-    val sh = shPlan.localCheckpoint(true)
+    // Lazy (eager=false): constructing the DataFrame (explain, dry
+    // planning) runs no job; the first real action materializes and every
+    // later branch reuses the cache.
+    val sh = shPlan.localCheckpoint(false)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
     val common = sh.as("a").join(sh.as("b"),
@@ -126,7 +129,7 @@ object Dedup {
         TextOps.shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: no job at plan-construction time
 
     // Skinny candidate generation: only (id, band hash) rows go through
     // the self-join and pair dedup; the numHashes-long signatures are
@@ -217,22 +220,35 @@ object Dedup {
       (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
 
-    var edges = pairs
-      .select(col(aCol).as("u"), col(bCol).as("v"))
-      .where(col("u") =!= col("v"))
+    // Materialized distributed via lazy localCheckpoint per round (the
+    // signature action forces it); the plan never deepens past one round.
+    // Each round unpersists its predecessor's cache — a long session
+    // running many dedups must not accumulate per-round edge-set blocks
+    // until GC happens to run.
+    def checkpointed(e: DataFrame): DataFrame = e.localCheckpoint(false)
+    def unpersistCheckpoint(e: DataFrame): Unit =
+      e.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+
+    val allNodes = pairs.select(col(aCol).as("node"))
+      .union(pairs.select(col(bCol).as("node")))
       .distinct()
-      .localCheckpoint(true)
+    var edges = checkpointed(
+      pairs
+        .select(col(aCol).as("u"), col(bCol).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct())
     var sig = signature(edges)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // localCheckpoint(eager) materializes the round distributed (no
-      // driver collect) and truncates the plan, so Catalyst never sees a
-      // 2·rounds-deep join tree.
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = checkpointed(smallStar(largeStar(edges)))
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
+      unpersistCheckpoint(edges)
       edges = next
       iter += 1
     }
@@ -242,10 +258,16 @@ object Dedup {
           "(pathological graph; raise maxIter)")
     }
     // At fixpoint the edge set is a star forest: every edge is
-    // (node, component-min). Roots label themselves.
-    edges.select(col("u").as("node"), col("v").as("component"))
+    // (node, component-min); roots label themselves. Nodes whose only
+    // input edges were self-pairs (u,u) have no surviving edge — they are
+    // singleton components and label themselves too, so EVERY node in the
+    // input pair list appears exactly once in the output.
+    val labeled = edges.select(col("u").as("node"), col("v").as("component"))
       .union(edges.select(col("v").as("node"), col("v").as("component")))
       .distinct()
+    labeled.union(
+      allNodes.join(labeled.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("component")))
   }
 
   /** Full near-dup dedup: detect pairs (exact n-gram Jaccard), cluster

@@ -233,6 +233,8 @@ object Similarity {
     // fit input at maxFitRows (a billion-vector corpus must not stream
     // through 5 driver-coordinated Lloyd iterations). Assignment below
     // still covers the full corpus.
+    // Column pruning reduces this count to an empty-projection scan (no
+    // vector decode, no normalize — those exprs are pruned from the plan).
     val corpusRows = e.count()
     val fitInput =
       if (corpusRows <= maxFitRows) e

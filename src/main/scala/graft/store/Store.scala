@@ -155,7 +155,17 @@ final class Store(
       writer = writer.option("maxRecordsPerFile", maxRecordsPerFile)
     try {
       writer.parquet(tableDir.toString)
-      writeSmall(new Path(tableDir, LastFile), label)
+      // A 0-row input creates no __version subtree (partitioned writes
+      // materialize directories per actual row); advancing the pointer
+      // would leave `_last` naming a version that does not exist and
+      // break every use_last read. Metadata still lands so the table is
+      // listable.
+      if (fs.exists(new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")))
+        writeSmall(new Path(tableDir, LastFile), label)
+      else if (keepLast)
+        // keep_last with 0 rows wiped every version: a surviving pointer
+        // would dangle at the pre-overwrite label.
+        fs.delete(new Path(tableDir, LastFile), false)
       writeSmall(new Path(tableDir, MetaFile), metaJson(columnsKeys))
     } catch {
       case e: Exception =>
@@ -292,6 +302,7 @@ final class Store(
       if (!fs.exists(vDir))
         throw new Store.GetError(s"Version '$label' of '$name' not found", null)
       val (beforeFiles, beforeBytes) = dataFileStats(vDir)
+      val beforeMtime = fs.getFileStatus(vDir).getModificationTime
       val df = spark.read
         .option("mergeSchema", "true")
         .option("basePath", tableDir.toString)
@@ -316,6 +327,11 @@ final class Store(
         if (!fs.rename(vDir, old) || !fs.rename(tmp, vDir))
           throw new java.io.IOException(s"swap rename failed for version '$label'")
         fs.delete(old, true)
+        // Compaction must not rewrite history: vacuum/lastVersion order
+        // versions by directory mtime, and a freshly-swapped dir would
+        // rank an OLD version as newest — vacuum would then delete the
+        // genuinely newest data. Restore the original mtime.
+        fs.setTimes(vDir, beforeMtime, -1)
       } catch {
         case e: Exception =>
           // Roll the swap back if the new subtree never landed.

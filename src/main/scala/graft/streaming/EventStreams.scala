@@ -155,8 +155,13 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        store.dropVersion(name, s"b$id")
-        store.load(batch.toDF(), name, columnsKeys, externalKey = s"b$id")
+        // Empty triggers write nothing (a 0-row load would also not
+        // advance the pointer — see Store.load — but skipping avoids the
+        // metadata churn entirely).
+        if (!batch.isEmpty) {
+          store.dropVersion(name, s"b$id")
+          store.load(batch.toDF(), name, columnsKeys, externalKey = s"b$id")
+        }
         (): Unit
       }
       .start()

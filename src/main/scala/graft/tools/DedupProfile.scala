@@ -28,7 +28,8 @@ object DedupProfile {
     val sh0 = docs.select(col("doc_id").as("id"),
       explode(TextOps.shingles(col("text"), 3)).as("s"))
     t("shingle explode count") { sh0.count() }
-    val hot = sh0.groupBy("s").count().where(col("count") > 1000).select("s")
+    val hot = sh0.groupBy("s").count()
+      .where(col("count") > Dedup.DefaultMaxShingleDocFreq).select("s")
     t("hot list") { hot.count() }
     val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
     val shCp = t("checkpoint sh") { sh.localCheckpoint(true) }

@@ -63,6 +63,14 @@ class OpsSpec extends SparkSpec {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("connectedComponents labels every input node, incl. self-pair-only nodes") {
+    import spark.implicits._
+    val pairs = Seq((1L, 1L), (2L, 3L), (7L, 7L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 2L), (7L, 7L)))
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

@@ -281,6 +281,30 @@ class StoreSpec extends SparkSpec {
     assertThrows[Store.GetError](store.compact("missing"))
   }
 
+  test("compact preserves version recency: vacuum still deletes the oldest") {
+    val store = freshStore()
+    store.load(sampleDf(), "t", externalKey = "v1")
+    Thread.sleep(5)
+    store.load(sampleDf().limit(1), "t", externalKey = "v2")
+    store.compact("t", externalKey = Some("v1")) // rewrites v1's directory
+    val deleted = store.vacuum("t", keepVersions = 1)
+    assert(deleted == Seq("v1"), s"vacuum must still rank v2 newest, deleted: $deleted")
+    assert(store.list().head.versions == Seq("v2"))
+  }
+
+  test("0-row load neither advances nor dangles the _last pointer") {
+    val store = freshStore()
+    store.load(sampleDf(), "t", externalKey = "v1")
+    store.load(sampleDf().where(lit(false)), "t", externalKey = "v2")
+    assert(store.lastVersion("t").contains("v1"))
+    assert(store.get("t", useLast = true).count() == 3)
+    assert(store.list().head.versions == Seq("v1"))
+    // keep_last with 0 rows wipes the table; the pointer must not dangle
+    store.load(sampleDf().where(lit(false)), "t", externalKey = "v3", keepLast = true)
+    assert(store.lastVersion("t").isEmpty)
+    assert(store.list().head.versions.isEmpty)
+  }
+
   test("empty-schema frame rejected") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], StructType(Seq.empty))
