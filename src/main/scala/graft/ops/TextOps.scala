@@ -23,6 +23,17 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-ish subword token count: GPT-2-style pre-tokenization classes
+    * (optionally space-prefixed letter runs / digit runs / punctuation
+    * runs), minus the lookahead tricks so the same pattern runs on RE2
+    * engines. Counts pre-tokens — the unit BPE merges start from — which
+    * tracks real tokenizer token counts far better than whitespace words
+    * on code/punctuation-heavy text.
+    */
+  val bpePretokenPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpePretokenPattern))
+
   def charCount(c: Column): Column = length(c)
 
   /** Type-token ratio: distinct tokens / total tokens (repetition signal).

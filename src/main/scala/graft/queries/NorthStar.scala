@@ -54,6 +54,7 @@ object NorthStar {
         count(lit(1)).as("n_docs"),
         round(avg("n_chars"), 4).as("avg_chars"),
         round(avg(TextOps.tokenCount(c)), 4).as("avg_tokens"),
+        round(avg(TextOps.bpeTokenCount(c)), 4).as("avg_bpe_tokens"),
         round(avg(TextOps.typeTokenRatio(c)), 4).as("avg_ttr"),
         round(avg(TextOps.qualityScore(c)), 4).as("avg_quality"))
       .orderBy("lang", "source")
@@ -264,6 +265,7 @@ object NorthStar {
         SELECT lang, source, n_chars,
                CASE WHEN trim(text) = '' THEN 0
                     ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+               len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS bpe,
                CASE WHEN trim(text) = '' THEN 0.0
                     ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
                       / len(string_split_regex(trim(text), '\s+')) END AS ttr,
@@ -275,6 +277,7 @@ object NorthStar {
              count(*) AS n_docs,
              round(avg(n_chars), 4) AS avg_chars,
              round(avg(toks), 4) AS avg_tokens,
+             round(avg(bpe), 4) AS avg_bpe_tokens,
              round(avg(ttr), 4) AS avg_ttr,
              round(avg(least(toks / 50.0, 1.0) * 0.4 + ttr * 0.3
                        + least(awl / 8.0, 1.0) * 0.3), 4) AS avg_quality

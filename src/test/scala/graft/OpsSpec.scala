@@ -190,6 +190,14 @@ class OpsSpec extends SparkSpec {
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
 
+  test("bpeTokenCount splits letter/digit/punct runs, not just whitespace") {
+    import spark.implicits._
+    val df = Seq("hello world", "a1b!", "it's 42km, ok?", "").toDF("text")
+    val n = df.select(TextOps.bpeTokenCount(col("text"))).as[Int].collect().toSeq
+    // "it's 42km, ok?" -> it ' s _42 km , _ok ? = 8 pre-tokens vs 3 words
+    assert(n == Seq(2, 4, 8, 0))
+  }
+
   test("redactPii replaces email/phone/ipv4 and leaves clean text alone") {
     import spark.implicits._
     val df = Seq(
