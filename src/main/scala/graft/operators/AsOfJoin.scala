@@ -6,28 +6,99 @@ import org.apache.spark.sql.{Column, DataFrame}
 
 /** As-of join (pandas `merge_asof` parity — SURVEY.md §2.3 "Joins"):
   * for each left row, attach the payload of the single right row with the
-  * greatest `rightTs <= leftTs` (backward direction) within the same join
-  * key(s).
+  * greatest `rightTs <= leftTs` ([[backward]]), the smallest
+  * `rightTs >= leftTs` ([[forward]]), or whichever of the two is closer in
+  * time ([[nearest]], ties to backward — pandas semantics), within the
+  * same join key(s). An optional `tolerance` (seconds for timestamp
+  * columns; plain units for numeric ts) nulls out matches further away
+  * than the bound, like pandas' `Timedelta` tolerance.
   *
   * Spark has no built-in as-of join, and the naive formulation
   * (range join + per-left-row argmax) explodes to |L|×|R| intermediate
-  * rows per key. This implementation uses the union + last-value trick:
+  * rows per key. This implementation uses the union + edge-value trick:
   * tag both sides, union them, and for each left row take the last
-  * non-null right payload over a window ordered by (ts, side). One shuffle
-  * on the join keys, O(|L|+|R|) rows total, no explosion — the shape that
-  * survives 100 TB (each key's timeline is processed as one sorted run;
-  * for mega-hot keys, pre-bucket by coarse time range first).
+  * (backward) / first (forward) non-null right payload over a window
+  * ordered by (ts, side). One shuffle on the join keys, O(|L|+|R|) rows
+  * total, no explosion — the shape that survives 100 TB (each key's
+  * timeline is processed as one sorted run; for mega-hot keys, pre-bucket
+  * by coarse time range first). [[nearest]] computes both directions over
+  * the same union: still one shuffle, two local sorts.
   *
-  * Ties: right rows sort before left rows at equal timestamps, so an
-  * exactly-simultaneous right row IS visible to the left row. If several
-  * right rows share (keys, ts), the one last in `tieBreak` order wins —
+  * Ties: an exactly-simultaneous right row IS visible to the left row in
+  * every direction. If several right rows share (keys, ts), backward
+  * takes the one last in `tieBreak` order and forward the one first —
   * pass a unique column for determinism.
   */
 object AsOfJoin {
 
   private val SideCol = "__asof_side"
   private val TsCol = "__asof_ts"
+  private val PayloadCol = "__asof_payload"
+  private val MatchTs = "__asof_mts"
 
+  /** Tag, union, and attach per-direction matched-payload columns.
+    * Payload travels as ONE struct (with the matched ts riding along) so
+    * the matched right row is taken atomically — per-column
+    * last(ignoreNulls) would stitch together fields from different right
+    * rows whenever the latest row holds a NULL in one payload column.
+    */
+  private def matched(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tieBreak: Option[String],
+      needBackward: Boolean,
+      needForward: Boolean): (DataFrame, Seq[String]) = {
+
+    require(payload.nonEmpty, "payload must name at least one right column")
+    val leftCols = left.columns.toSeq
+    val taggedRight = right.select(
+      (on.map(col) :+ col(rightTs).as(TsCol) :+ lit(0).as(SideCol)) :+
+        struct(payload.map(c => col(c).as(c)) :+ col(rightTs).as(MatchTs): _*).as(PayloadCol): _*)
+    val taggedLeft = left.select(
+      (leftCols.map(col) :+ col(leftTs).as(TsCol) :+ lit(1).as(SideCol)): _*)
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+
+    val tie = tieBreak.map(c => col(PayloadCol).getField(c)).toSeq
+    // Backward: right (side 0) sorts before left at equal ts, so the
+    // simultaneous right row falls inside the preceding frame.
+    val wBack = Window.partitionBy(on.map(col): _*)
+      .orderBy(Seq(col(TsCol), col(SideCol)) ++ tie: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Forward: left sorts before right at equal ts, so the simultaneous
+    // right row falls inside the following frame.
+    val wFwd = Window.partitionBy(on.map(col): _*)
+      .orderBy(Seq(col(TsCol), col(SideCol).desc) ++ tie: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    var df = unioned
+    if (needBackward) df = df.withColumn("__bwd", last(col(PayloadCol), ignoreNulls = true).over(wBack))
+    if (needForward) df = df.withColumn("__fwd", first(col(PayloadCol), ignoreNulls = true).over(wFwd))
+    (df.where(col(SideCol) === 1), leftCols)
+  }
+
+  /** Null out a matched payload further than `tolerance` from the left ts.
+    * Comparison in double (epoch seconds for timestamps).
+    */
+  private def tolerated(p: Column, tol: Option[Double], forward: Boolean): Column =
+    tol match {
+      case None => p
+      case Some(t) =>
+        val gap =
+          if (forward) p.getField(MatchTs).cast("double") - col(TsCol).cast("double")
+          else col(TsCol).cast("double") - p.getField(MatchTs).cast("double")
+        when(p.isNotNull && gap <= t, p)
+    }
+
+  private def project(df: DataFrame, leftCols: Seq[String], payload: Seq[String],
+      chosen: Column): DataFrame =
+    df.select(leftCols.map(col) ++
+      payload.map(c => chosen.getField(c).as(s"asof_$c")): _*)
+
+  /** Latest right row at-or-before each left row. */
   def backward(
       left: DataFrame,
       right: DataFrame,
@@ -35,35 +106,50 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       payload: Seq[String],
-      tieBreak: Option[String] = None): DataFrame = {
+      tieBreak: Option[String] = None,
+      tolerance: Option[Double] = None): DataFrame = {
+    val (df, leftCols) = matched(left, right, on, leftTs, rightTs, payload, tieBreak,
+      needBackward = true, needForward = false)
+    project(df, leftCols, payload, tolerated(col("__bwd"), tolerance, forward = false))
+  }
 
-    require(payload.nonEmpty, "payload must name at least one right column")
-    val leftCols = left.columns.toSeq
-    val PayloadCol = "__asof_payload"
+  /** Earliest right row at-or-after each left row. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tieBreak: Option[String] = None,
+      tolerance: Option[Double] = None): DataFrame = {
+    val (df, leftCols) = matched(left, right, on, leftTs, rightTs, payload, tieBreak,
+      needBackward = false, needForward = true)
+    project(df, leftCols, payload, tolerated(col("__fwd"), tolerance, forward = true))
+  }
 
-    // Payload travels as ONE struct so the matched right row is taken
-    // atomically — per-column last(ignoreNulls) would stitch together
-    // fields from different right rows whenever the latest row holds a
-    // NULL in one payload column.
-    val taggedRight = right.select(
-      (on.map(col) :+ col(rightTs).as(TsCol) :+ lit(0).as(SideCol)) :+
-        struct(payload.map(c => col(c).as(c)): _*).as(PayloadCol): _*)
-    val taggedLeft = left.select(
-      (leftCols.map(col) :+ col(leftTs).as(TsCol) :+ lit(1).as(SideCol)): _*)
-
-    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
-
-    val orderCols: Seq[Column] =
-      Seq(col(TsCol), col(SideCol)) ++
-        tieBreak.map(c => col(PayloadCol).getField(c)).toSeq
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    unioned
-      .withColumn(PayloadCol, last(col(PayloadCol), ignoreNulls = true).over(w))
-      .where(col(SideCol) === 1)
-      .select(leftCols.map(col) ++
-        payload.map(c => col(PayloadCol).getField(c).as(s"asof_$c")): _*)
+  /** Closest right row in either direction; equidistant ties go backward
+    * (pandas `direction="nearest"` semantics). One shuffle, two sorts.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tieBreak: Option[String] = None,
+      tolerance: Option[Double] = None): DataFrame = {
+    val (df, leftCols) = matched(left, right, on, leftTs, rightTs, payload, tieBreak,
+      needBackward = true, needForward = true)
+    val b = tolerated(col("__bwd"), tolerance, forward = false)
+    val f = tolerated(col("__fwd"), tolerance, forward = true)
+    val gapB = col(TsCol).cast("double") - b.getField(MatchTs).cast("double")
+    val gapF = f.getField(MatchTs).cast("double") - col(TsCol).cast("double")
+    val chosen = when(b.isNull, f)
+      .when(f.isNull, b)
+      .when(gapB <= gapF, b)
+      .otherwise(f)
+    project(df, leftCols, payload, chosen)
   }
 }

@@ -45,6 +45,55 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** merge_asof direction="forward": earliest click at-or-after each
+    * purchase, per user.
+    */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("click_id"))
+      .withColumn("click_ts_us", unix_micros(col("ts")))
+    AsOfJoin.forward(
+      purchases, clicks,
+      on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      payload = Seq("click_id", "click_ts_us"), tieBreak = Some("click_id"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("purchase_ts_us"),
+        col("asof_click_id").as("click_id"),
+        col("asof_click_ts_us").as("click_ts_us"))
+      .orderBy("event_id")
+  }
+
+  /** merge_asof direction="nearest" with a 10-minute tolerance: closest
+    * click within ±600s of each purchase, equidistant ties to backward.
+    */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("click_id"))
+      .withColumn("click_ts_us", unix_micros(col("ts")))
+    AsOfJoin.nearest(
+      purchases, clicks,
+      on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      payload = Seq("click_id", "click_ts_us"), tieBreak = Some("click_id"),
+      tolerance = Some(600d))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("purchase_ts_us"),
+        col("asof_click_id").as("click_id"),
+        col("asof_click_ts_us").as("click_ts_us"))
+      .orderBy("event_id")
+  }
+
   /** Interval range join: clicks in the 10 minutes before each purchase. */
   private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
@@ -117,6 +166,33 @@ object EventQueries {
                         row_number() OVER (PARTITION BY p.event_id
                                            ORDER BY c.ts DESC, c.click_id DESC) AS rn
                  FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
+             m.click_id, m.click_ts_us
+      FROM p LEFT JOIN m ON p.event_id = m.event_id AND m.rn = 1
+      ORDER BY p.event_id""")),
+    QueryDef("q47_asof_forward", qAsofForward _, Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts, max(event_id) AS click_id
+                 FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+           m AS (SELECT p.event_id, c.click_id, epoch_us(c.ts) AS click_ts_us,
+                        row_number() OVER (PARTITION BY p.event_id
+                                           ORDER BY c.ts ASC, c.click_id ASC) AS rn
+                 FROM p JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts)
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
+             m.click_id, m.click_ts_us
+      FROM p LEFT JOIN m ON p.event_id = m.event_id AND m.rn = 1
+      ORDER BY p.event_id""")),
+    QueryDef("q48_asof_nearest", qAsofNearest _, Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts, max(event_id) AS click_id
+                 FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+           m AS (SELECT p.event_id, c.click_id, epoch_us(c.ts) AS click_ts_us,
+                        row_number() OVER (PARTITION BY p.event_id
+                          ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                                   CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                                   c.click_id) AS rn
+                 FROM p JOIN c ON p.user_id = c.user_id
+                      AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000)
       SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
              m.click_id, m.click_ts_us
       FROM p LEFT JOIN m ON p.event_id = m.event_id AND m.rn = 1

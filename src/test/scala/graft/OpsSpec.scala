@@ -42,6 +42,51 @@ class OpsSpec extends SparkSpec {
     assert(r.getInt(3) == 2 && r.isNullAt(4))
   }
 
+  test("as-of forward picks earliest right row at or after left ts") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 100L), (2L, "u", 205L), (3L, "v", 70L))
+      .toDF("lid", "k", "ts")
+    val right = Seq(("u", 90L, "a"), ("u", 100L, "b"), ("u", 200L, "c"), ("v", 60L, "d"))
+      .toDF("k", "ts", "payload")
+    val out = AsOfJoin.forward(left, right, Seq("k"), "ts", "ts", Seq("payload"))
+      .orderBy("lid").collect().map(r => (r.getLong(0), r.getString(3)))
+    // lid=1 matches the simultaneous 'b'; lid=2 has nothing at/after 205;
+    // lid=3 has nothing at/after 70 for key v
+    assert(out.toSeq == Seq((1L, "b"), (2L, null), (3L, null)))
+  }
+
+  test("as-of nearest picks the closer side, ties to backward, tolerance nulls") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 100L), (2L, "u", 149L), (3L, "u", 151L), (4L, "u", 1000L))
+      .toDF("lid", "k", "ts")
+    val right = Seq(("u", 90L, "a"), ("u", 210L, "b")).toDF("k", "ts", "payload")
+    val out = AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts", Seq("payload"))
+      .orderBy("lid").collect().map(r => (r.getLong(0), r.getString(3)))
+    // lid=1: 10 back vs 110 fwd -> a; lid=2: 59 back vs 61 fwd -> a;
+    // lid=3: 61 back vs 59 fwd -> b; lid=4: only backward candidate b
+    assert(out.toSeq == Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")))
+    val tied = AsOfJoin.nearest(
+      Seq((1L, "u", 150L)).toDF("lid", "k", "ts"),
+      right, Seq("k"), "ts", "ts", Seq("payload"))
+      .collect().head.getString(3)
+    assert(tied == "a", "equidistant tie must go backward")
+    val tol = AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts", Seq("payload"),
+      tolerance = Some(100d))
+      .orderBy("lid").collect().map(r => (r.getLong(0), r.getString(3)))
+    // lid=4 is 790 units from its only candidate -> nulled by tolerance
+    assert(tol.toSeq == Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, null)))
+  }
+
+  test("as-of backward tolerance nulls matches older than the bound") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 100L), (2L, "u", 500L)).toDF("lid", "k", "ts")
+    val right = Seq(("u", 90L, "a")).toDF("k", "ts", "payload")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("payload"),
+      tolerance = Some(50d))
+      .orderBy("lid").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, null)))
+  }
+
   test("empty and whitespace-only docs have zero tokens and quality") {
     import spark.implicits._
     val df = Seq("", "   ", "one two").toDF("text")
