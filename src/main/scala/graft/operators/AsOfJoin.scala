@@ -35,6 +35,8 @@ object AsOfJoin {
   private val TsCol = "__asof_ts"
   private val PayloadCol = "__asof_payload"
   private val MatchTs = "__asof_mts"
+  private val BwdCol = "__asof_bwd"
+  private val FwdCol = "__asof_fwd"
 
   /** Tag, union, and attach per-direction matched-payload columns.
     * Payload travels as ONE struct (with the matched ts riding along) so
@@ -75,22 +77,43 @@ object AsOfJoin {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     var df = unioned
-    if (needBackward) df = df.withColumn("__bwd", last(col(PayloadCol), ignoreNulls = true).over(wBack))
-    if (needForward) df = df.withColumn("__fwd", first(col(PayloadCol), ignoreNulls = true).over(wFwd))
+    if (needBackward)
+      df = df.withColumn(BwdCol, last(col(PayloadCol), ignoreNulls = true).over(wBack))
+    if (needForward)
+      df = df.withColumn(FwdCol, first(col(PayloadCol), ignoreNulls = true).over(wFwd))
     (df.where(col(SideCol) === 1), leftCols)
   }
 
-  /** Null out a matched payload further than `tolerance` from the left ts.
-    * Comparison in double (epoch seconds for timestamps).
+  /** Exact numeric view of a ts value for gap arithmetic: integer
+    * microseconds for timestamps (a double-epoch-seconds cast has
+    * ~2.4e-7 s ulp at current epochs — enough to flip a boundary
+    * tolerance or an equidistant nearest-tie against an exact-integer
+    * oracle), plain double otherwise (exact for longs < 2^53).
     */
-  private def tolerated(p: Column, tol: Option[Double], forward: Boolean): Column =
+  private def tsExact(c: Column, timestampTs: Boolean): Column =
+    if (timestampTs) unix_micros(c).cast("double") else c.cast("double")
+
+  private def isTimestamp(df: DataFrame, tsCol: String): Boolean =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+
+  /** Null out a matched payload further than `tolerance` from the left
+    * ts. Tolerance is in seconds for timestamp ts columns (converted to
+    * exact micros), plain ts units otherwise.
+    */
+  private def tolerated(p: Column, tol: Option[Double], forward: Boolean,
+      timestampTs: Boolean): Column =
     tol match {
       case None => p
       case Some(t) =>
+        val bound = if (timestampTs) t * 1e6 else t
         val gap =
-          if (forward) p.getField(MatchTs).cast("double") - col(TsCol).cast("double")
-          else col(TsCol).cast("double") - p.getField(MatchTs).cast("double")
-        when(p.isNotNull && gap <= t, p)
+          if (forward) tsExact(p.getField(MatchTs), timestampTs) - tsExact(col(TsCol), timestampTs)
+          else tsExact(col(TsCol), timestampTs) - tsExact(p.getField(MatchTs), timestampTs)
+        when(p.isNotNull && gap <= bound, p)
     }
 
   private def project(df: DataFrame, leftCols: Seq[String], payload: Seq[String],
@@ -110,7 +133,8 @@ object AsOfJoin {
       tolerance: Option[Double] = None): DataFrame = {
     val (df, leftCols) = matched(left, right, on, leftTs, rightTs, payload, tieBreak,
       needBackward = true, needForward = false)
-    project(df, leftCols, payload, tolerated(col("__bwd"), tolerance, forward = false))
+    project(df, leftCols, payload,
+      tolerated(col(BwdCol), tolerance, forward = false, isTimestamp(left, leftTs)))
   }
 
   /** Earliest right row at-or-after each left row. */
@@ -125,7 +149,8 @@ object AsOfJoin {
       tolerance: Option[Double] = None): DataFrame = {
     val (df, leftCols) = matched(left, right, on, leftTs, rightTs, payload, tieBreak,
       needBackward = false, needForward = true)
-    project(df, leftCols, payload, tolerated(col("__fwd"), tolerance, forward = true))
+    project(df, leftCols, payload,
+      tolerated(col(FwdCol), tolerance, forward = true, isTimestamp(left, leftTs)))
   }
 
   /** Closest right row in either direction; equidistant ties go backward
@@ -142,10 +167,11 @@ object AsOfJoin {
       tolerance: Option[Double] = None): DataFrame = {
     val (df, leftCols) = matched(left, right, on, leftTs, rightTs, payload, tieBreak,
       needBackward = true, needForward = true)
-    val b = tolerated(col("__bwd"), tolerance, forward = false)
-    val f = tolerated(col("__fwd"), tolerance, forward = true)
-    val gapB = col(TsCol).cast("double") - b.getField(MatchTs).cast("double")
-    val gapF = f.getField(MatchTs).cast("double") - col(TsCol).cast("double")
+    val tsTs = isTimestamp(left, leftTs)
+    val b = tolerated(col(BwdCol), tolerance, forward = false, tsTs)
+    val f = tolerated(col(FwdCol), tolerance, forward = true, tsTs)
+    val gapB = tsExact(col(TsCol), tsTs) - tsExact(b.getField(MatchTs), tsTs)
+    val gapF = tsExact(f.getField(MatchTs), tsTs) - tsExact(col(TsCol), tsTs)
     val chosen = when(b.isNull, f)
       .when(f.isNull, b)
       .when(gapB <= gapF, b)

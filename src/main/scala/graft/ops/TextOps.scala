@@ -26,11 +26,14 @@ object TextOps {
   /** BPE-ish subword token count: GPT-2-style pre-tokenization classes
     * (optionally space-prefixed letter runs / digit runs / punctuation
     * runs), minus the lookahead tricks so the same pattern runs on RE2
-    * engines. Counts pre-tokens — the unit BPE merges start from — which
-    * tracks real tokenizer token counts far better than whitespace words
-    * on code/punctuation-heavy text.
+    * engines. Unicode classes, not ASCII — the corpus is multilingual
+    * and `[A-Za-z]` would shred accented words into per-character
+    * "punctuation" runs (\p{L}/\p{N} are in the Java-regex/RE2 common
+    * subset too). Counts pre-tokens — the unit BPE merges start from —
+    * which tracks real tokenizer token counts far better than whitespace
+    * words on code/punctuation-heavy text.
     */
-  val bpePretokenPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+  val bpePretokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N}\\s]+"
 
   def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpePretokenPattern))
 

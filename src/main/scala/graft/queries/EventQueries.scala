@@ -21,10 +21,12 @@ object EventQueries {
   private def decSum(c: String) =
     sum(col(c).cast(DecimalType(18, 2))).cast("double")
 
-  /** merge_asof parity: latest click at-or-before each purchase, per user.
-    * Right side deduped per (user, ts) so the match is deterministic.
+  /** Shared purchase/click as-of shape: right side deduped per (user, ts)
+    * so the match is deterministic; `join` supplies the direction
+    * (backward q25 / forward q47 / nearest-with-tolerance q48).
     */
-  private def qAsof(s: SparkSession, dir: String): DataFrame = {
+  private def asofClicks(s: SparkSession, dir: String)(
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val e = ev(s, dir)
     val purchases = e.where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
@@ -32,10 +34,7 @@ object EventQueries {
       .groupBy("user_id", "ts")
       .agg(max("event_id").as("click_id"))
       .withColumn("click_ts_us", unix_micros(col("ts")))
-    AsOfJoin.backward(
-      purchases, clicks,
-      on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-      payload = Seq("click_id", "click_ts_us"), tieBreak = Some("click_id"))
+    join(purchases, clicks)
       .select(
         col("event_id"),
         col("user_id"),
@@ -45,54 +44,27 @@ object EventQueries {
       .orderBy("event_id")
   }
 
-  /** merge_asof direction="forward": earliest click at-or-after each
-    * purchase, per user.
-    */
-  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
-    val e = ev(s, dir)
-    val purchases = e.where(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val clicks = e.where(col("event_type") === "click")
-      .groupBy("user_id", "ts")
-      .agg(max("event_id").as("click_id"))
-      .withColumn("click_ts_us", unix_micros(col("ts")))
-    AsOfJoin.forward(
-      purchases, clicks,
+  private val asofPayload = Seq("click_id", "click_ts_us")
+
+  /** merge_asof parity: latest click at-or-before each purchase, per user. */
+  private def qAsof(s: SparkSession, dir: String): DataFrame =
+    asofClicks(s, dir)((p, c) => AsOfJoin.backward(p, c,
       on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-      payload = Seq("click_id", "click_ts_us"), tieBreak = Some("click_id"))
-      .select(
-        col("event_id"),
-        col("user_id"),
-        unix_micros(col("ts")).as("purchase_ts_us"),
-        col("asof_click_id").as("click_id"),
-        col("asof_click_ts_us").as("click_ts_us"))
-      .orderBy("event_id")
-  }
+      payload = asofPayload, tieBreak = Some("click_id")))
+
+  /** merge_asof direction="forward": earliest click at-or-after. */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame =
+    asofClicks(s, dir)((p, c) => AsOfJoin.forward(p, c,
+      on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      payload = asofPayload, tieBreak = Some("click_id")))
 
   /** merge_asof direction="nearest" with a 10-minute tolerance: closest
-    * click within ±600s of each purchase, equidistant ties to backward.
+    * click within ±600s, equidistant ties to backward.
     */
-  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
-    val e = ev(s, dir)
-    val purchases = e.where(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val clicks = e.where(col("event_type") === "click")
-      .groupBy("user_id", "ts")
-      .agg(max("event_id").as("click_id"))
-      .withColumn("click_ts_us", unix_micros(col("ts")))
-    AsOfJoin.nearest(
-      purchases, clicks,
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame =
+    asofClicks(s, dir)((p, c) => AsOfJoin.nearest(p, c,
       on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-      payload = Seq("click_id", "click_ts_us"), tieBreak = Some("click_id"),
-      tolerance = Some(600d))
-      .select(
-        col("event_id"),
-        col("user_id"),
-        unix_micros(col("ts")).as("purchase_ts_us"),
-        col("asof_click_id").as("click_id"),
-        col("asof_click_ts_us").as("click_ts_us"))
-      .orderBy("event_id")
-  }
+      payload = asofPayload, tieBreak = Some("click_id"), tolerance = Some(600d)))
 
   /** Interval range join: clicks in the 10 minutes before each purchase. */
   private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {

@@ -265,7 +265,7 @@ object NorthStar {
         SELECT lang, source, n_chars,
                CASE WHEN trim(text) = '' THEN 0
                     ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
-               len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS bpe,
+               len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+')) AS bpe,
                CASE WHEN trim(text) = '' THEN 0.0
                     ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
                       / len(string_split_regex(trim(text), '\s+')) END AS ttr,

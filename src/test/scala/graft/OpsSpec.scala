@@ -237,10 +237,11 @@ class OpsSpec extends SparkSpec {
 
   test("bpeTokenCount splits letter/digit/punct runs, not just whitespace") {
     import spark.implicits._
-    val df = Seq("hello world", "a1b!", "it's 42km, ok?", "").toDF("text")
+    val df = Seq("hello world", "a1b!", "it's 42km, ok?", "año mañana", "").toDF("text")
     val n = df.select(TextOps.bpeTokenCount(col("text"))).as[Int].collect().toSeq
-    // "it's 42km, ok?" -> it ' s _42 km , _ok ? = 8 pre-tokens vs 3 words
-    assert(n == Seq(2, 4, 8, 0))
+    // "it's 42km, ok?" -> it ' s _42 km , _ok ? = 8 pre-tokens vs 3 words;
+    // accented words stay single letter-runs (Unicode \p{L}, not ASCII)
+    assert(n == Seq(2, 4, 8, 2, 0))
   }
 
   test("redactPii replaces email/phone/ipv4 and leaves clean text alone") {
