@@ -96,4 +96,28 @@ class ScaleSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("as-of nearest runs on ONE shuffle (two sorted window passes, no join)") {
+    import graft.operators.AsOfJoin
+    import spark.implicits._
+    val left = (0L until 500L).map(i => (i, i % 7, i * 10)).toDF("lid", "k", "ts")
+    val right = (0L until 300L).map(i => (i % 7, i * 17, s"p$i")).toDF("k", "ts", "payload")
+    val out = AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts", Seq("payload"))
+    out.collect()
+    // AQE's toString prints Final AND Initial plan sections — count
+    // operators in the final section only.
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"as-of must shuffle once on the keys, saw $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not join:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).length >= 2,
+      s"expected backward+forward window passes:\n$plan")
+  }
+
+  test("qn10 exact near-dup plan is a hash join over block pairs, never a nested loop") {
+    val q = graft.SparkEntry.queries("qn10_embedding_neardup")(spark, sf("sf0.01"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"block-grid self-join must be an equality join:\n$plan")
+  }
 }
