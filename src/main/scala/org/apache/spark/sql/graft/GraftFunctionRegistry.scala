@@ -74,7 +74,25 @@ object GraftFunctionRegistry {
         val seed = if (e.length > 3) constInt("srp_sketch", "seed", e(3)).toLong else 42L
         val rng = new scala.util.Random(seed)
         SrpSketchExpr(e.head, Array.fill(numPlanes * dim)(rng.nextGaussian()), dim)
-      }))
+      }),
+    // Column-composed text ops (built-in expression trees, still fully
+    // codegen'd) exposed to SQL through the Column bridge.
+    (FunctionIdentifier("redact_pii"),
+      info("redact_pii", "redact_pii(text) - email/phone/IPv4 replaced with sentinel tokens"),
+      (e: Seq[Expression]) => ColumnBridge.catalystExpression(
+        graft.ops.TextOps.redactPii(ColumnBridge.column(e.head)))),
+    (FunctionIdentifier("bpe_token_count"),
+      info("bpe_token_count", "bpe_token_count(text) - GPT-2-style pre-token count"),
+      (e: Seq[Expression]) => ColumnBridge.catalystExpression(
+        graft.ops.TextOps.bpeTokenCount(ColumnBridge.column(e.head)))),
+    (FunctionIdentifier("lang_id"),
+      info("lang_id", "lang_id(text) - stopword/script-heuristic language code"),
+      (e: Seq[Expression]) => ColumnBridge.catalystExpression(
+        graft.ops.TextOps.langId(ColumnBridge.column(e.head)))),
+    (FunctionIdentifier("quality_score"),
+      info("quality_score", "quality_score(text) - [0,1] heuristic corpus-quality score"),
+      (e: Seq[Expression]) => ColumnBridge.catalystExpression(
+        graft.ops.TextOps.qualityScore(ColumnBridge.column(e.head)))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

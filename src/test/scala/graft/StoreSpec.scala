@@ -170,6 +170,17 @@ class StoreSpec extends SparkSpec {
                 srp_sketch(array(1.0D, 0.0D), 8, 2, 7) AS c""").collect().head
     assert(sk.getInt(0) == sk.getInt(1)) // default seed = 42
     assert(sk.getInt(0) != sk.getInt(2) || true) // different seed parses fine
+
+    // Column-composed text ops
+    val txt = spark.sql(
+      """SELECT redact_pii('mail a@b.io or 1-555-0100') AS red,
+                bpe_token_count('it''s 42km') AS bpe,
+                lang_id('the cat and the dog of the house is a pet') AS lang,
+                quality_score('') AS q0""").collect().head
+    assert(txt.getString(0) == "mail <EMAIL> or <PHONE>")
+    assert(txt.getInt(1) == 5) // it ' s _42 km
+    assert(txt.getString(2) == "en")
+    assert(txt.getDouble(3) == 0.0)
   }
 
   test("SQL registry rejects non-constant / null constant args cleanly") {
