@@ -77,6 +77,68 @@ class OpsSpec extends SparkSpec {
     assert(tol.toSeq == Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, null)))
   }
 
+  test("as-of directions match a brute-force range join on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 200).map(i =>
+      (i.toLong, "k" + rnd.nextInt(5), rnd.nextInt(500).toLong)).toDF("lid", "k", "ts")
+    val right = (1 to 150).map(i =>
+      ("k" + rnd.nextInt(5), rnd.nextInt(500).toLong, i.toLong)).toDF("k", "ts", "pid")
+
+    // brute force: range join then rank; backward = latest ts (max pid at
+    // ties), forward = earliest ts (min pid at ties) — AsOfJoin's
+    // documented tie rules with tieBreak = pid
+    def brute(cmp: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+        backward: Boolean): Map[Long, Long] = {
+      val j = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && cmp(col("r.ts"), col("l.ts")))
+      val ord = if (backward) Seq(col("r.ts").desc, col("r.pid").desc)
+                else Seq(col("r.ts").asc, col("r.pid").asc)
+      j.withColumn("rn", row_number().over(
+          Window.partitionBy(col("l.lid")).orderBy(ord: _*)))
+        .where(col("rn") === 1)
+        .select(col("l.lid"), col("r.pid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def got(df: DataFrame): Map[Long, Long] =
+      df.where(col("asof_pid").isNotNull)
+        .select(col("lid"), col("asof_pid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(got(AsOfJoin.backward(left, right, Seq("k"), "ts", "ts",
+      Seq("pid"), tieBreak = Some("pid"))) == brute(_ <= _, backward = true))
+    assert(got(AsOfJoin.forward(left, right, Seq("k"), "ts", "ts",
+      Seq("pid"), tieBreak = Some("pid"))) == brute(_ >= _, backward = false))
+
+    // nearest vs brute force on a (k, ts)-unique right side (so the only
+    // tie rule in play is the documented equidistant-goes-backward)
+    val rightU = right.groupBy("k", "ts").agg(max("pid").as("pid"))
+    val bruteNearest = left.as("l").join(rightU.as("r"), col("l.k") === col("r.k"))
+      .withColumn("gap", abs(col("r.ts") - col("l.ts")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("l.lid"))
+        .orderBy(col("gap"), when(col("r.ts") <= col("l.ts"), 0).otherwise(1))))
+      .where(col("rn") === 1)
+      .select(col("l.lid"), col("r.pid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(AsOfJoin.nearest(left, rightU, Seq("k"), "ts", "ts",
+      Seq("pid"))) == bruteNearest)
+
+    // tolerance: brute force filters by gap before ranking
+    val tol = 40d
+    val bruteTol = left.as("l").join(rightU.as("r"),
+        col("l.k") === col("r.k") && abs(col("r.ts") - col("l.ts")) <= tol)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("l.lid"))
+        .orderBy(abs(col("r.ts") - col("l.ts")),
+          when(col("r.ts") <= col("l.ts"), 0).otherwise(1))))
+      .where(col("rn") === 1)
+      .select(col("l.lid"), col("r.pid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(AsOfJoin.nearest(left, rightU, Seq("k"), "ts", "ts",
+      Seq("pid"), tolerance = Some(tol))) == bruteTol)
+  }
+
   test("as-of backward tolerance nulls matches older than the bound") {
     import spark.implicits._
     val left = Seq((1L, "u", 100L), (2L, "u", 500L)).toDF("lid", "k", "ts")
