@@ -72,4 +72,17 @@ object StorePropSpec extends Properties("Store") {
       canon(store.get("p/t")).sameElements(canon(df)) &&
         store.lastVersion("p/t").contains("c")
     }
+
+  property("compact preserves content for any key config and split count") =
+    Prop.forAllNoShrink(genFrame, genKeys, Gen.chooseNum(1, 3)) { (rows, keys, nLoads) =>
+      val store = freshStore()
+      val df = toDf(rows)
+      // split the frame across nLoads appends into ONE version
+      (0 until nLoads).foreach { i =>
+        store.load(df.where(col("id") % nLoads === i), "p/t", keys, externalKey = "v1")
+      }
+      val before = canon(store.get("p/t"))
+      val (nb, na) = store.compact("p/t")
+      canon(store.get("p/t")).sameElements(before) && na <= math.max(nb, 1L)
+    }
 }
