@@ -4,12 +4,17 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line with per-query wall
-  * seconds. A failed query is reported in `failures` (and its slot in
-  * `queries` is -1) instead of contributing a misleadingly tiny timing;
-  * `value` sums successful queries only. `cpus`/`shuffle_partitions` are
-  * recorded so cross-round comparisons are apples-to-apples; the default
-  * local[32] matches the driver harness and the recorded BENCH_r01
-  * (override via SPARK_GRAFT_CPUS).
+  * seconds. Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3)
+  * and `queries` reports the per-query MEDIAN — a single sample is at the
+  * mercy of one GC pause or JIT recompilation wave (the recorded
+  * BENCH_r02 showed a contiguous q39→q45 run-order window at 2–5× its
+  * true cost for exactly this reason); min/max land in `queries_min` /
+  * `queries_max` so spread stays visible. A failed query is reported in
+  * `failures` (and its slot in `queries` is -1) instead of contributing a
+  * misleadingly tiny timing; `value` sums successful medians only.
+  * `cpus`/`shuffle_partitions` are recorded so cross-round comparisons
+  * are apples-to-apples; the default local[32] matches the driver harness
+  * and the recorded BENCH_r01 (override via SPARK_GRAFT_CPUS).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,22 +45,33 @@ object Bench {
         .delete(new org.apache.hadoop.fs.Path(warmDir.toString), true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val warmupSec = (System.nanoTime() - w0) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) secs else -1.0, ok)
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val times = Seq.newBuilder[Double]
+      var ok = true
+      var r = 0
+      while (ok && r < reps) { // a failing query fails deterministically — don't retry it reps×
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => ok = false }
+        if (ok) times += (System.nanoTime() - t0) / 1e9
+        r += 1
+      }
+      (name, times.result(), ok)
+    }
+    def timeMap(f: Seq[Double] => Double): String =
+      results.map { case (k, ts, ok) => s"\"" + k + "\":" + (if (ok) f(ts) else -1.0) }
+        .mkString("{", ",", "}")
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, ts, true) => median(ts) }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failures":$failures,"cpus":$cpus,"shuffle_partitions":$cpus,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${timeMap(median)},""" +
+        s""""queries_min":${timeMap(_.min)},"queries_max":${timeMap(_.max)},""" +
+        s""""reps":$reps,"failures":$failures,"cpus":$cpus,"shuffle_partitions":$cpus,""" +
         s""""warmup_sec":$warmupSec,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)

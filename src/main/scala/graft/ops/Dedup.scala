@@ -23,6 +23,23 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** Materialization primitive for the multi-pass dedup pipelines. If the
+    * session has a reliable checkpoint directory configured
+    * (`sparkContext.setCheckpointDir(...)`), uses `Dataset.checkpoint`:
+    * the intermediate lands in fault-tolerant storage with lineage
+    * truncated, so an executor loss halfway through a multi-hour 100 TB
+    * dedup recomputes nothing and — unlike a lost `localCheckpoint`
+    * block, which has no lineage to rebuild from — does not fail the job.
+    * Without one (local mode, short jobs) it falls back to lazy
+    * `localCheckpoint`, which caches on executors and is cheaper but dies
+    * with them. Both are lazy (`eager = false`): constructing the
+    * DataFrame (explain, dry planning) runs no job; the first real action
+    * materializes, and every later branch reuses the materialized blocks.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+
   /** Exact dedup (pandas drop_duplicates): keep all columns, first row
     * per key by `orderCol`.
     */
@@ -70,12 +87,10 @@ object Dedup {
       }
     // The filtered shingle set feeds BOTH self-join sides and the
     // per-doc counts — materialize the skinny (id, shingle) rows once
-    // (localCheckpoint: distributed, plan-truncating) instead of
-    // re-running the explode + hot-filter groupBy/anti-join shuffles 3×.
-    // Lazy (eager=false): constructing the DataFrame (explain, dry
-    // planning) runs no job; the first real action materializes and every
-    // later branch reuses the cache.
-    val sh = shPlan.localCheckpoint(false)
+    // (plan-truncating; reliable checkpoint when a checkpoint dir is
+    // configured, see [[materialize]]) instead of re-running the explode
+    // + hot-filter groupBy/anti-join shuffles 3×.
+    val sh = materialize(shPlan)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
     val common = sh.as("a").join(sh.as("b"),
@@ -125,11 +140,10 @@ object Dedup {
     // Signatures feed banding AND both post-dedup fetch joins;
     // materialize the (id, 32-int sig) set once rather than re-shingling
     // and re-hashing the text corpus three times.
-    val sig = df.select(col(idCol).as("id"),
+    val sig = materialize(df.select(col(idCol).as("id"),
         TextOps.shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-      .localCheckpoint(false) // lazy: no job at plan-construction time
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig")))
 
     // Skinny candidate generation: only (id, band hash) rows go through
     // the self-join and pair dedup; the numHashes-long signatures are
@@ -220,15 +234,25 @@ object Dedup {
       (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
 
-    // Materialized distributed via lazy localCheckpoint per round (the
+    // Materialized distributed per round via [[materialize]] (the
     // signature action forces it); the plan never deepens past one round.
-    // Each round unpersists its predecessor's cache — a long session
+    // Each round drops its predecessor's materialization — a long session
     // running many dedups must not accumulate per-round edge-set blocks
+    // (or, in reliable mode, per-round checkpoint snapshots on disk)
     // until GC happens to run.
-    def checkpointed(e: DataFrame): DataFrame = e.localCheckpoint(false)
+    def checkpointed(e: DataFrame): DataFrame = materialize(e)
     def unpersistCheckpoint(e: DataFrame): Unit =
       e.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+          // Reliable mode: the superseded round's checkpoint files are
+          // dead as soon as the next round is materialized — a 30-round
+          // CC must not hoard 30 edge-set snapshots in the checkpoint dir.
+          lr.rdd.getCheckpointFile.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(e.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
         case _ => ()
       }
 

@@ -188,11 +188,16 @@ object NorthStar {
         lit(" at 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".17")))
       .otherwise(col("text"))
     val cnts = TextOps.piiCounts(injected).map { case (name, c) => c.as(s"n_$name") }
+    // Bind the redacted text ONCE and branch md5/length off the bound
+    // column — Catalyst CSE usually rescues a doubled expression tree,
+    // but a 6-regex chain is too expensive to leave to "usually".
+    val redacted = TextOps.redactPii(injected)
     docs(s, dir)
       .where(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("__redacted", redacted)
       .select(Seq(col("doc_id"),
-        md5(TextOps.redactPii(injected).cast("binary")).as("redacted_md5"),
-        length(TextOps.redactPii(injected)).as("redacted_len")) ++ cnts: _*)
+        md5(col("__redacted").cast("binary")).as("redacted_md5"),
+        length(col("__redacted")).as("redacted_len")) ++ cnts: _*)
       .orderBy("doc_id")
   }
 

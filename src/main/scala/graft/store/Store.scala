@@ -371,6 +371,15 @@ final class Store(
   /** Enumerate stored tables, optionally by name prefix. Mirrors
     * `list_dataframes` (client.py:185-215). Directory listing only unless
     * `withSizes` (then file counts/bytes are computed per table).
+    *
+    * The walk is a driver-side O(table dirs) recursion by design — the
+    * reference's list is likewise a metadata enumeration (one DynamoDB/S3
+    * listing per call, client.py:185-215), and a catalog query should not
+    * cost a distributed job. It touches only directory entries plus one
+    * `_meta.json` read per table; data files are never listed unless
+    * `withSizes` opts in. A store with millions of TABLES (not rows)
+    * would want a real catalog service; that is out of scope per
+    * SURVEY.md §2.1 and the tradeoff is intentional.
     */
   def list(prefix: Option[String] = None, withSizes: Boolean = false): Seq[TableInfo] = {
     if (!fs.exists(rootPath)) return Seq.empty

@@ -217,6 +217,41 @@ class OpsSpec extends SparkSpec {
     assert(comps.size == 200 && comps.values.forall(_ == 0L))
   }
 
+  test("dedup pipeline is identical under a reliable checkpoint dir (qn15 pipeline)") {
+    // Cluster-reliability path: with sparkContext.setCheckpointDir set,
+    // every materialization in the dedup pipeline (shingle set, CC
+    // rounds) goes through reliable Dataset.checkpoint instead of
+    // localCheckpoint — an executor loss mid-dedup reloads from the
+    // checkpoint files instead of failing the job. Results must be
+    // bit-identical to the localCheckpoint default.
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    def run(): Seq[Long] =
+      graft.ops.Dedup.dedupByJaccard(docs, "doc_id", "text")
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val baseline = run() // localCheckpoint default (no checkpoint dir)
+    assert(baseline.nonEmpty)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      assert(run() == baseline)
+      // Prove the reliable path actually engaged: the final round's
+      // snapshot survives as an rdd-* dir (superseded rounds are deleted
+      // as the CC loop advances).
+      val ckptPath = new org.apache.hadoop.fs.Path(ckptDir)
+      val fs = ckptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sub = fs.listStatus(ckptPath)
+      assert(sub.nonEmpty, "checkpoint dir was never initialized")
+      val rddDirs = sub.flatMap(d => fs.listStatus(d.getPath))
+        .filter(_.getPath.getName.startsWith("rdd-"))
+      assert(rddDirs.nonEmpty, "no reliable checkpoint was ever written")
+    } finally {
+      org.apache.spark.CheckpointDirTestBridge.clear(spark.sparkContext)
+      val ckptPath = new org.apache.hadoop.fs.Path(ckptDir)
+      ckptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(ckptPath, true)
+    }
+  }
+
   test("exactKeepFirst keeps lowest-order row per key") {
     import spark.implicits._
     val df = Seq((1L, "t1"), (2L, "t1"), (3L, "t2")).toDF("id", "text")
