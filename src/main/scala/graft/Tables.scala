@@ -22,6 +22,30 @@ object Tables {
     * nanos-since-epoch via the legacy conf and convert to a microsecond
     * TimestampType column (the fixture's nanos are all whole microseconds).
     */
+  /** Driver-side exact row count from parquet footers — no Spark job.
+    * Sums per-file record counts out of the same metadata planning
+    * already touches, so callers can pass corpus-size hints (e.g.
+    * [[graft.ops.Similarity.ivfTopK]]'s fit-sample fraction) without
+    * paying a dedicated count() stage over a 100 TB table.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    var total = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try total += r.getRecordCount finally r.close()
+      }
+    }
+    total
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // `ts div 1000`, not `ts / 1000`: `/` promotes to double and epoch

@@ -10,13 +10,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
   * (the Scala analog of `mapInPandas`: one decoder instance per
   * partition, streaming batches, no per-row setup cost).
   *
-  * The actual media decode is STUBBED — image/audio codecs are not in
-  * this container — behind [[decodeStub]], a deterministic fake that
-  * derives "decoded" dimensions from the payload bytes. Everything
-  * around it is real and load-bearing: the binary-column schema, the
-  * `Dataset[T]` encoder plumbing, per-partition batching, and the
-  * explode path for frame sampling. Swapping `decodeStub` for a real
-  * codec changes no query shape.
+  * Decode is dispatched on the mime tag: image-mime payloads decode FOR
+  * REAL through the in-JDK `javax.imageio` readers (PNG/JPEG/BMP/GIF —
+  * zero external dependencies, [[decodeImage]]); video/audio mimes stay
+  * on [[decodeStub]], a deterministic fake, because those codecs
+  * genuinely are not in this container. Everything around the decoders
+  * is real and load-bearing: the binary-column schema, the `Dataset[T]`
+  * encoder plumbing, per-partition batching, and the explode path for
+  * frame sampling. Swapping the stub for ffmpeg changes no query shape.
   */
 object Multimodal {
 
@@ -32,13 +33,53 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
-  /** Deterministic fake decode: dimensions/frame-count derived from the
-    * byte payload. ??? -- replace with a real codec (libjpeg/ffmpeg) when
-    * available; signature and batch shape stay identical.
+  /** Deterministic fake decode for VIDEO/AUDIO payloads:
+    * dimensions/frame-count derived from the byte payload. ??? -- replace
+    * with a real codec (ffmpeg) when available; signature and batch shape
+    * stay identical. Images do NOT go through this — see [[decodeImage]].
     */
   def decodeStub(content: Array[Byte]): (Int, Int, Int) = {
     val n = content.length.toLong // Long math: n*31 overflows Int at ~69 MB
     ((64 + n % 577).toInt, (64 + (n * 31) % 411).toInt, (1 + n % 7).toInt)
+  }
+
+  /** REAL image decode via the in-JDK `javax.imageio` readers (PNG, JPEG,
+    * BMP, GIF — no external codec dependency). Returns
+    * (width, height, 1 frame); rejects undecodable payloads.
+    */
+  def decodeImage(content: Array[Byte]): (Int, Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, "payload is not a decodable image")
+    (img.getWidth, img.getHeight, 1)
+  }
+
+  /** Mime-dispatched decode: image mimes decode for real, everything
+    * else (video/audio) takes the declared stub.
+    */
+  def decode(content: Array[Byte], mime: String): (Int, Int, Int) =
+    if (mime != null && mime.startsWith("image/")) decodeImage(content)
+    else decodeStub(content)
+
+  /** Deterministic synthetic PNG (TYPE_INT_RGB; each pixel a pure
+    * function of (seed, x, y)), generated executor-side — graded
+    * image-decode queries need no binary fixtures, and the oracle can
+    * mirror the dimension formulas as literals.
+    */
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((seed * 1315423911L + y.toLong * width + x) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Attach a binary payload column (here: UTF-8 bytes of `textCol`, as a
@@ -61,7 +102,7 @@ object Multimodal {
       rows.map { r =>
         md.reset()
         val digest = md.digest(r.content).map("%02x".format(_)).mkString
-        val (w, h, f) = decodeStub(r.content)
+        val (w, h, f) = decode(r.content, r.mime)
         MediaFeatures(r.doc_id, r.content.length.toLong, digest, w, h, f)
       }
     }

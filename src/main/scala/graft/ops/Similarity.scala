@@ -211,6 +211,13 @@ object Similarity {
 
   /** IVF-style ANN: coarse-quantize the corpus into `nlist` k-means cells,
     * probe the `nProbe` nearest cells per query, exact re-rank inside.
+    *
+    * @param corpusRows caller-supplied corpus size hint (e.g. from table
+    *        metadata — [[graft.Tables.parquetRowCount]] reads it from
+    *        parquet footers driver-side). With a hint the fit-sample
+    *        fraction needs no count() job; without one, a count runs
+    *        (column-pruned to an empty-projection scan, but still a whole
+    *        extra stage over a 100 TB corpus).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -220,7 +227,8 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nProbe: Int = 4,
-      maxFitRows: Long = 100000L): DataFrame = {
+      maxFitRows: Long = 100000L,
+      corpusRows: Option[Long] = None): DataFrame = {
 
     import org.apache.spark.ml.clustering.KMeans
     // Cluster the L2-NORMALIZED vectors (spherical k-means): cosine search
@@ -233,12 +241,10 @@ object Similarity {
     // fit input at maxFitRows (a billion-vector corpus must not stream
     // through 5 driver-coordinated Lloyd iterations). Assignment below
     // still covers the full corpus.
-    // Column pruning reduces this count to an empty-projection scan (no
-    // vector decode, no normalize — those exprs are pruned from the plan).
-    val corpusRows = e.count()
+    val nRows = corpusRows.getOrElse(e.count())
     val fitInput =
-      if (corpusRows <= maxFitRows) e
-      else e.sample(withReplacement = false, maxFitRows.toDouble / corpusRows, seed = 42L)
+      if (nRows <= maxFitRows) e
+      else e.sample(withReplacement = false, maxFitRows.toDouble / nRows, seed = 42L)
     val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(fitInput)

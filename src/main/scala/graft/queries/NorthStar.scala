@@ -109,8 +109,11 @@ object NorthStar {
     */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    // Corpus size from parquet footers (driver-side metadata read) — the
+    // fit-sample fraction must not cost a count() job over the corpus.
     Similarity.ivfTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding",
-        k = 5, nlist = 8, nProbe = 6)
+        k = 5, nlist = 8, nProbe = 6,
+        corpusRows = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
       .orderBy("query_id", "rank")
   }
 
@@ -238,6 +241,28 @@ object NorthStar {
     frames.agg(
       countDistinct("doc_id").as("n_media"),
       count(lit(1)).as("n_frames_total"))
+  }
+
+  /** REAL image decode: deterministic synthetic PNGs are rendered and
+    * encoded executor-side (dimensions a pure function of doc_id), then
+    * decoded back through the `javax.imageio` path of
+    * [[Multimodal.extractFeatures]] — the decoded width/height must
+    * reproduce the generator's formulas, which the oracle states as
+    * literals. This grades a full render → PNG-encode → decode
+    * round-trip; only video remains on the declared stub (qn14).
+    */
+  private def qImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).where(col("doc_id") < 48)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + (id * 3) % 16).toInt
+        Multimodal.MediaRecord(id, Multimodal.syntheticPng(w, h, id), "image/png")
+      }
+    Multimodal.extractFeatures(media.toDF()).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"))
+      .orderBy("doc_id")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -516,6 +541,14 @@ object NorthStar {
              max(doc_id) AS last_doc
       FROM b
       GROUP BY source, bin
-      ORDER BY source, bin"""))
+      ORDER BY source, bin""")),
+    QueryDef("qn21_image_decode", qImageDecode _, Some("""
+      SELECT doc_id,
+             CAST(8 + doc_id % 16 AS INTEGER) AS width,
+             CAST(8 + (doc_id * 3) % 16 AS INTEGER) AS height,
+             CAST(1 AS INTEGER) AS n_frames
+      FROM documents
+      WHERE doc_id < 48
+      ORDER BY doc_id"""))
   )
 }

@@ -252,6 +252,23 @@ object Relational {
         round(expr("median(l_extendedprice)"), 4).as("median_price"))
       .orderBy("l_returnflag")
 
+  /** Sketch percentiles — the percentile you'd actually run at 100 TB:
+    * `percentile_approx` (Greenwald-Khanna) is a bounded-memory sketch
+    * with map-side partial merge, where exact `percentile` buffers every
+    * value per group through the aggregation. Approximate by contract →
+    * no value oracle (DuckDB's `approx_quantile` is a t-digest, a
+    * different sketch with different answers); OpsSpec bounds the error
+    * against the exact percentiles instead.
+    */
+  private def q49ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("p25"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
+      .orderBy("l_returnflag")
+
   /** String scalar-function family. */
   private def q21StringFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -824,6 +841,7 @@ object Relational {
       FROM customer
       WHERE c_acctbal >= 0
       GROUP BY 1
-      ORDER BY segment"""))
+      ORDER BY segment""")),
+    QueryDef("q49_approx_percentile", q49ApproxPercentile _, None)
   )
 }

@@ -252,6 +252,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("image decode round-trips real dimensions; non-image mimes stay stubbed") {
+    import graft.ops.Multimodal
+    val png = Multimodal.syntheticPng(33, 17, 7L)
+    assert(Multimodal.decodeImage(png) == ((33, 17, 1)))
+    assert(Multimodal.decode(png, "image/png") == ((33, 17, 1)))
+    val txt = "hello".getBytes("UTF-8")
+    assert(Multimodal.decode(txt, "text/plain") == Multimodal.decodeStub(txt))
+    intercept[IllegalArgumentException](Multimodal.decodeImage(txt))
+  }
+
+  test("approx_percentile error is bounded vs exact (q49 contract)") {
+    // q49 is rows-only graded (DuckDB's approx_quantile is a different
+    // sketch) — this is its accuracy gate: GK with accuracy=10000
+    // guarantees rank error <= n/10000, which at any SF this test sees
+    // maps to a tiny value error; assert 1% of the value range.
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val row = li.agg(
+      expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.95), 10000)").as("a"),
+      expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").as("e"),
+      max("l_extendedprice").as("hi"), min("l_extendedprice").as("lo")).head()
+    val approx = row.getAs[scala.collection.Seq[Double]](0)
+    val exact = row.getAs[scala.collection.Seq[Double]](1)
+    val range = row.getDouble(2) - row.getDouble(3)
+    approx.zip(exact).foreach { case (a, ex) =>
+      assert(math.abs(a - ex) <= 0.01 * range, s"approx $a vs exact $ex")
+    }
+  }
+
   test("exactKeepFirst keeps lowest-order row per key") {
     import spark.implicits._
     val df = Seq((1L, "t1"), (2L, "t1"), (3L, "t2")).toDF("id", "text")
