@@ -144,17 +144,31 @@ final class Store(
 
     val tableDir = new Path(rootPath, relPath)
     assertNoTableNesting(relPath, tableDir)
+    // Stage each load into its own hidden dir, then file-rename into the
+    // live tree. Two things this buys at once:
+    //   - CONCURRENT WRITERS: direct appends from two jobs share one
+    //     `_temporary` committer dir under the table and clobber each
+    //     other's task commits; per-load staging dirs never collide, and
+    //     the final merge is per-file renames of task-UUID-unique names —
+    //     interleaved loads (even into the same version) both land intact.
+    //   - CRASH SAFETY: a load that dies mid-write leaves only a hidden
+    //     `.staging_*` dir (invisible to readers — partition discovery
+    //     skips dot/underscore paths); the live tree is never half-written.
+    // keep_last ("drop ALL prior versions", client.py:72) deletes the
+    // existing version subtrees only after the staged write succeeded.
+    val staging = new Path(tableDir, s".staging_${java.util.UUID.randomUUID().toString.take(12)}")
     var writer = clustered.write
       .partitionBy(partCols: _*)
-      .mode(if (keepLast) SaveMode.Overwrite else SaveMode.Append)
-      // keep_last means "drop ALL prior versions" (client.py:72); under a
-      // session-level partitionOverwriteMode=dynamic, Overwrite would
-      // only replace the incoming __version subtree — pin static here.
-      .option("partitionOverwriteMode", "static")
+      .mode(SaveMode.Overwrite)
     if (maxRecordsPerFile > 0)
       writer = writer.option("maxRecordsPerFile", maxRecordsPerFile)
     try {
-      writer.parquet(tableDir.toString)
+      writer.parquet(staging.toString)
+      if (keepLast)
+        versionsOf(tableDir).foreach { v =>
+          fs.delete(new Path(tableDir, s"$VersionCol=${encodeVersion(v)}"), true)
+        }
+      mergeMove(staging, tableDir)
       // A 0-row input creates no __version subtree (partitioned writes
       // materialize directories per actual row); advancing the pointer
       // would leave `_last` naming a version that does not exist and
@@ -169,6 +183,7 @@ final class Store(
       writeSmall(new Path(tableDir, MetaFile), metaJson(columnsKeys))
     } catch {
       case e: Exception =>
+        fs.delete(staging, true)
         throw new Store.LoadError(s"Error loading DataFrame '$name': ${e.getMessage}", e)
     }
 
@@ -276,7 +291,11 @@ final class Store(
     * hidden sibling dir, then swap via two renames. Not transactional
     * (same as the reference's storage, README.md:189-218): a concurrent
     * reader can observe the brief swap window; run from the maintenance
-    * path, not a live query path. The `_last` pointer and `_meta.json`
+    * path, not a live query path. This is deliberately WEAKER than
+    * [[load]]'s concurrency story (staged per-load dirs + per-file
+    * renames + atomic `_last` publish make concurrent loads safe):
+    * making the swap atomic would need a directory-pointer indirection
+    * the reference's plain-directory layout doesn't have. The `_last` pointer and `_meta.json`
     * are untouched; directory-mtime recency fallback may be perturbed
     * (the pointer is authoritative).
     *
@@ -509,10 +528,50 @@ final class Store(
         .map(st => decodeVersion(st.getPath.getName.drop(VersionCol.length + 1)))
         .toSeq
 
+  /** Move every staged data file into the live table tree, preserving
+    * relative layout. Per-file renames: directories are created as
+    * needed and each file keeps its task-UUID-unique name, so merges
+    * from concurrent loads interleave without clobbering and a reader
+    * never observes a torn file (rename is atomic per file). Committer
+    * markers (`_SUCCESS`) stay behind and die with the staging dir.
+    */
+  private def mergeMove(stagingDir: Path, destDir: Path): Unit = {
+    val base = fs.makeQualified(stagingDir).toString
+    val it = fs.listFiles(stagingDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
+        val dest = new Path(destDir, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(s"failed to move staged file '$rel'")
+      }
+    }
+    fs.delete(stagingDir, true)
+  }
+
+  /** Atomic small-file publish: write a hidden temp name, rename over
+    * the target. A concurrent reader of `_last` sees either the old or
+    * the new pointer — never a torn or empty file. (The rename-refused
+    * fallback covers filesystems that won't rename onto an existing
+    * file: delete-then-rename leaves a tiny not-exists window but still
+    * never partial content.)
+    */
   private def writeSmall(p: Path, content: String): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes(UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"failed to publish '${p.getName}'")
+      }
+    }
   }
 
   private def readSmall(p: Path): String = {

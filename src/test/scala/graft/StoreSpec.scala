@@ -223,6 +223,52 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("concurrent loads to one table: both versions land intact, pointer names one") {
+    // Two interleaved writers — the classic failure is a shared
+    // `_temporary` committer dir under the table clobbering task commits;
+    // per-load staging dirs + file-level merge renames make the loads
+    // independent. `_last` is published by atomic rename, so it must name
+    // exactly one of the two versions (last-writer-wins, torn never).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    import spark.implicits._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = Files.createTempDirectory("graft_conc_").toString
+    val store = new Store(spark, root)
+    val a = (0L until 2000L).map(i => (i, "a")).toDF("id", "src")
+    val b = (0L until 3000L).map(i => (i, "b")).toDF("id", "src")
+    val fa = Future(store.load(a, "conc/t", Map("id" -> Store.KeyId), externalKey = "va"))
+    val fb = Future(store.load(b, "conc/t", Map("id" -> Store.KeyId), externalKey = "vb"))
+    Await.result(fa, 120.seconds)
+    Await.result(fb, 120.seconds)
+    assert(store.get("conc/t", externalKey = Some("va")).count() == 2000)
+    assert(store.get("conc/t", externalKey = Some("vb")).count() == 3000)
+    assert(Set("va", "vb").contains(store.lastVersion("conc/t").get))
+    assert(store.get("conc/t").count() == 5000) // accumulate sees both
+    // no staging/committer debris left in the live tree
+    val tableDir = new org.apache.hadoop.fs.Path(root, "conc/t")
+    val leftover = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(tableDir).map(_.getPath.getName)
+      .filter(n => n.startsWith(".staging_") || n == "_temporary")
+    assert(leftover.isEmpty, s"debris: ${leftover.mkString(",")}")
+  }
+
+  test("concurrent accumulate appends into ONE version both survive") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    import spark.implicits._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val store = freshStore()
+    val a = (0L until 1000L).map(i => (i, "a")).toDF("id", "src")
+    val b = (1000L until 2500L).map(i => (i, "b")).toDF("id", "src")
+    val fa = Future(store.load(a, "conc/u", externalKey = "v1"))
+    val fb = Future(store.load(b, "conc/u", externalKey = "v1"))
+    Await.result(fa, 120.seconds)
+    Await.result(fb, 120.seconds)
+    // file names are task-UUID-unique, so the merged version holds both
+    assert(store.get("conc/u", externalKey = Some("v1")).count() == 2500)
+  }
+
   test("accumulate read merges schemas across versions (nulls for missing cols)") {
     import spark.implicits._
     val store = freshStore()
