@@ -20,9 +20,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   * (backward) / first (forward) non-null right payload over a window
   * ordered by (ts, side). One shuffle on the join keys, O(|L|+|R|) rows
   * total, no explosion — the shape that survives 100 TB (each key's
-  * timeline is processed as one sorted run; for mega-hot keys, pre-bucket
-  * by coarse time range first). [[nearest]] computes both directions over
-  * the same union: still one shuffle, two local sorts.
+  * timeline is processed as one sorted run; for mega-hot keys pass
+  * `bucketWidth` to spread a single key's timeline over many window
+  * partitions with carry-row boundary stitching — see [[bucketed]]).
+  * [[nearest]] computes both directions over the same union: still one
+  * shuffle, two local sorts.
   *
   * Ties: an exactly-simultaneous right row IS visible to the left row in
   * every direction. If several right rows share (keys, ts), backward
@@ -37,12 +39,19 @@ object AsOfJoin {
   private val MatchTs = "__asof_mts"
   private val BwdCol = "__asof_bwd"
   private val FwdCol = "__asof_fwd"
+  private val BktCol = "__asof_bkt"
+  private val OrdCol = "__asof_ord"
 
   /** Tag, union, and attach per-direction matched-payload columns.
     * Payload travels as ONE struct (with the matched ts riding along) so
     * the matched right row is taken atomically — per-column
     * last(ignoreNulls) would stitch together fields from different right
     * rows whenever the latest row holds a NULL in one payload column.
+    *
+    * With `bucketWidth` set (the mega-hot-key mitigation) the window
+    * partitions by (keys, coarse time bucket) instead of keys alone, so
+    * one power-law key's timeline spreads over many tasks; boundary
+    * stitching is done with per-bucket carry rows — see [[bucketed]].
     */
   private def matched(
       left: DataFrame,
@@ -53,7 +62,8 @@ object AsOfJoin {
       payload: Seq[String],
       tieBreak: Option[String],
       needBackward: Boolean,
-      needForward: Boolean): (DataFrame, Seq[String]) = {
+      needForward: Boolean,
+      bucketWidth: Option[Double]): (DataFrame, Seq[String]) = {
 
     require(payload.nonEmpty, "payload must name at least one right column")
     val leftCols = left.columns.toSeq
@@ -62,18 +72,27 @@ object AsOfJoin {
         struct(payload.map(c => col(c).as(c)) :+ col(rightTs).as(MatchTs): _*).as(PayloadCol): _*)
     val taggedLeft = left.select(
       (leftCols.map(col) :+ col(leftTs).as(TsCol) :+ lit(1).as(SideCol)): _*)
-    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
     val tie = tieBreak.map(c => col(PayloadCol).getField(c)).toSeq
+    val (unioned, part, ord) = bucketWidth match {
+      case None =>
+        (taggedLeft.unionByName(taggedRight, allowMissingColumns = true),
+          on.map(col), Seq.empty[Column])
+      case Some(w) =>
+        (bucketed(taggedLeft, taggedRight, on, tieBreak, needBackward, needForward,
+            w, isTimestamp(left, leftTs)),
+          on.map(col) :+ col(BktCol), Seq(col(OrdCol)))
+    }
     // Backward: right (side 0) sorts before left at equal ts, so the
-    // simultaneous right row falls inside the preceding frame.
-    val wBack = Window.partitionBy(on.map(col): _*)
-      .orderBy(Seq(col(TsCol), col(SideCol)) ++ tie: _*)
+    // simultaneous right row falls inside the preceding frame. Carry rows
+    // (ord -1/+1) sort strictly before/after every real row (ord 0).
+    val wBack = Window.partitionBy(part: _*)
+      .orderBy(ord ++ Seq(col(TsCol), col(SideCol)) ++ tie: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Forward: left sorts before right at equal ts, so the simultaneous
     // right row falls inside the following frame.
-    val wFwd = Window.partitionBy(on.map(col): _*)
-      .orderBy(Seq(col(TsCol), col(SideCol).desc) ++ tie: _*)
+    val wFwd = Window.partitionBy(part: _*)
+      .orderBy(ord ++ Seq(col(TsCol), col(SideCol).desc) ++ tie: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     var df = unioned
@@ -82,6 +101,75 @@ object AsOfJoin {
     if (needForward)
       df = df.withColumn(FwdCol, first(col(PayloadCol), ignoreNulls = true).over(wFwd))
     (df.where(col(SideCol) === 1), leftCols)
+  }
+
+  /** Coarse time-range pre-bucketing for mega-hot keys: rows land in
+    * bucket floor(ts / width) and the as-of windows partition by
+    * (keys, bucket), so one key that owns 90% of a 100 TB table's rows
+    * is processed by timeline-span/width tasks instead of serializing
+    * through a single window partition.
+    *
+    * Cross-boundary stitching: a left row's match may live in an earlier
+    * (backward) or later (forward) bucket. For every (key, bucket) seen
+    * on EITHER side, one synthetic carry row per needed direction is
+    * injected:
+    *   - backward carry = the last right row over all earlier buckets
+    *     (running `last` over the per-bucket maxima, ordered by bucket),
+    *     with ord −1 so it sorts before every real row in the bucket;
+    *   - forward carry = the first right row over all later buckets,
+    *     ord +1, sorting after every real row.
+    * The carry computation runs on per-(key, bucket) AGGREGATED rows —
+    * its key-only window moves one row per bucket, not per event, so the
+    * hot key costs O(#buckets) there. Equal timestamps always share a
+    * bucket (same floor), so tie semantics are untouched.
+    */
+  private def bucketed(
+      taggedLeft: DataFrame,
+      taggedRight: DataFrame,
+      on: Seq[String],
+      tieBreak: Option[String],
+      needBackward: Boolean,
+      needForward: Boolean,
+      width: Double,
+      timestampTs: Boolean): DataFrame = {
+
+    require(width > 0, "bucketWidth must be > 0")
+    val widthExact = if (timestampTs) width * 1e6 else width
+    def bkt(c: Column): Column = floor(tsExact(c, timestampTs) / widthExact).cast("long")
+    val leftB = taggedLeft.withColumn(BktCol, bkt(col(TsCol))).withColumn(OrdCol, lit(0))
+    val rightB = taggedRight.withColumn(BktCol, bkt(col(TsCol))).withColumn(OrdCol, lit(0))
+
+    // Within a bucket the backward match is the row LAST in (ts, tie)
+    // order and the forward match the row FIRST in it — same ordering the
+    // real windows use (side breaks no ties here: all rows are right
+    // rows).
+    val ordKey = struct(col(TsCol) +: tieBreak.map(c => col(PayloadCol).getField(c)).toSeq: _*)
+    val inBucket = rightB.groupBy(on.map(col) :+ col(BktCol): _*)
+      .agg(max_by(col(PayloadCol), ordKey).as("__last_in"),
+        min_by(col(PayloadCol), ordKey).as("__first_in"))
+    val keyCols = on :+ BktCol
+    val allBuckets = leftB.select(keyCols.map(col): _*)
+      .union(rightB.select(keyCols.map(col): _*))
+      .distinct()
+    val wPrev = Window.partitionBy(on.map(col): _*).orderBy(col(BktCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(on.map(col): _*).orderBy(col(BktCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carrySrc = allBuckets.join(inBucket, keyCols, "left")
+      .withColumn("__bwd_c", last(col("__last_in"), ignoreNulls = true).over(wPrev))
+      .withColumn("__fwd_c", first(col("__first_in"), ignoreNulls = true).over(wNext))
+
+    def carry(c: String, ordVal: Int): DataFrame =
+      carrySrc.where(col(c).isNotNull).select(
+        on.map(col) :+ col(BktCol) :+ lit(0).as(SideCol) :+
+          lit(ordVal).as(OrdCol) :+ col(c).as(PayloadCol): _*)
+
+    var u = leftB.unionByName(rightB, allowMissingColumns = true)
+    if (needBackward)
+      u = u.unionByName(carry("__bwd_c", -1), allowMissingColumns = true)
+    if (needForward)
+      u = u.unionByName(carry("__fwd_c", 1), allowMissingColumns = true)
+    u
   }
 
   /** Exact numeric view of a ts value for gap arithmetic: integer
@@ -121,7 +209,12 @@ object AsOfJoin {
     df.select(leftCols.map(col) ++
       payload.map(c => chosen.getField(c).as(s"asof_$c")): _*)
 
-  /** Latest right row at-or-before each left row. */
+  /** Latest right row at-or-before each left row.
+    * @param bucketWidth coarse time-bucket width (seconds for timestamp
+    *        ts columns, plain ts units otherwise) for the mega-hot-key
+    *        mitigation — see [[bucketed]]. None (default) = one window
+    *        partition per key.
+    */
   def backward(
       left: DataFrame,
       right: DataFrame,
@@ -130,9 +223,10 @@ object AsOfJoin {
       rightTs: String,
       payload: Seq[String],
       tieBreak: Option[String] = None,
-      tolerance: Option[Double] = None): DataFrame = {
+      tolerance: Option[Double] = None,
+      bucketWidth: Option[Double] = None): DataFrame = {
     val (df, leftCols) = matched(left, right, on, leftTs, rightTs, payload, tieBreak,
-      needBackward = true, needForward = false)
+      needBackward = true, needForward = false, bucketWidth)
     project(df, leftCols, payload,
       tolerated(col(BwdCol), tolerance, forward = false, isTimestamp(left, leftTs)))
   }
@@ -146,9 +240,10 @@ object AsOfJoin {
       rightTs: String,
       payload: Seq[String],
       tieBreak: Option[String] = None,
-      tolerance: Option[Double] = None): DataFrame = {
+      tolerance: Option[Double] = None,
+      bucketWidth: Option[Double] = None): DataFrame = {
     val (df, leftCols) = matched(left, right, on, leftTs, rightTs, payload, tieBreak,
-      needBackward = false, needForward = true)
+      needBackward = false, needForward = true, bucketWidth)
     project(df, leftCols, payload,
       tolerated(col(FwdCol), tolerance, forward = true, isTimestamp(left, leftTs)))
   }
@@ -164,9 +259,10 @@ object AsOfJoin {
       rightTs: String,
       payload: Seq[String],
       tieBreak: Option[String] = None,
-      tolerance: Option[Double] = None): DataFrame = {
+      tolerance: Option[Double] = None,
+      bucketWidth: Option[Double] = None): DataFrame = {
     val (df, leftCols) = matched(left, right, on, leftTs, rightTs, payload, tieBreak,
-      needBackward = true, needForward = true)
+      needBackward = true, needForward = true, bucketWidth)
     val tsTs = isTimestamp(left, leftTs)
     val b = tolerated(col(BwdCol), tolerance, forward = false, tsTs)
     val f = tolerated(col(FwdCol), tolerance, forward = true, tsTs)

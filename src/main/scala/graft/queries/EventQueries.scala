@@ -66,6 +66,18 @@ object EventQueries {
       on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
       payload = asofPayload, tieBreak = Some("click_id"), tolerance = Some(600d)))
 
+  /** q48's nearest-with-tolerance run through the mega-hot-key path:
+    * `bucketWidth` spreads each user's timeline over 1-hour window
+    * partitions with carry-row boundary stitching. Semantically identical
+    * by construction, so it grades against q48's oracle SQL verbatim —
+    * the DuckDB gate proves the bucketed path end-to-end on real data.
+    */
+  private def qAsofBucketed(s: SparkSession, dir: String): DataFrame =
+    asofClicks(s, dir)((p, c) => AsOfJoin.nearest(p, c,
+      on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      payload = asofPayload, tieBreak = Some("click_id"), tolerance = Some(600d),
+      bucketWidth = Some(3600d)))
+
   /** Interval range join: clicks in the 10 minutes before each purchase. */
   private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
@@ -155,6 +167,21 @@ object EventQueries {
       FROM p LEFT JOIN m ON p.event_id = m.event_id AND m.rn = 1
       ORDER BY p.event_id""")),
     QueryDef("q48_asof_nearest", qAsofNearest _, Some("""
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts, max(event_id) AS click_id
+                 FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+           m AS (SELECT p.event_id, c.click_id, epoch_us(c.ts) AS click_ts_us,
+                        row_number() OVER (PARTITION BY p.event_id
+                          ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                                   CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                                   c.click_id) AS rn
+                 FROM p JOIN c ON p.user_id = c.user_id
+                      AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000)
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
+             m.click_id, m.click_ts_us
+      FROM p LEFT JOIN m ON p.event_id = m.event_id AND m.rn = 1
+      ORDER BY p.event_id""")),
+    QueryDef("q50_asof_bucketed", qAsofBucketed _, Some("""
       WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
            c AS (SELECT user_id, ts, max(event_id) AS click_id
                  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),

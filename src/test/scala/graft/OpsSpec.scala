@@ -139,6 +139,34 @@ class OpsSpec extends SparkSpec {
       Seq("pid"), tolerance = Some(tol))) == bruteTol)
   }
 
+  test("as-of hot-key pre-bucketing matches the unbucketed path exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // one key owns ~90% of both sides — the power-law shape bucketWidth
+    // exists for; width 150 over a 2000-tick span = ~13 buckets, so
+    // plenty of matches cross bucket boundaries and exercise the carry
+    // rows in every direction.
+    val left = (1 to 400).map { i =>
+      (i.toLong, if (rnd.nextInt(10) == 0) "cold" + rnd.nextInt(3) else "hot",
+        rnd.nextInt(2000).toLong)
+    }.toDF("lid", "k", "ts")
+    val right = (1 to 300).map { i =>
+      (if (rnd.nextInt(10) == 0) "cold" + rnd.nextInt(3) else "hot",
+        rnd.nextInt(2000).toLong, i.toLong)
+    }.toDF("k", "ts", "pid")
+    def run(bw: Option[Double]): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("pid"),
+        tieBreak = Some("pid"), bucketWidth = bw),
+      AsOfJoin.forward(left, right, Seq("k"), "ts", "ts", Seq("pid"),
+        tieBreak = Some("pid"), bucketWidth = bw),
+      AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts", Seq("pid"),
+        tieBreak = Some("pid"), bucketWidth = bw),
+      AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts", Seq("pid"),
+        tieBreak = Some("pid"), tolerance = Some(75d), bucketWidth = bw)
+    ).map(_.orderBy("lid").collect().toSeq)
+    assert(run(Some(150d)) == run(None))
+  }
+
   test("as-of backward tolerance nulls matches older than the bound") {
     import spark.implicits._
     val left = Seq((1L, "u", 100L), (2L, "u", 500L)).toDF("lid", "k", "ts")

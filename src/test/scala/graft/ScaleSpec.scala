@@ -114,6 +114,43 @@ class ScaleSpec extends SparkSpec {
       s"expected backward+forward window passes:\n$plan")
   }
 
+  test("as-of bucketWidth spreads a mega-hot key over many window partitions") {
+    import graft.operators.AsOfJoin
+    import spark.implicits._
+    // 90% of rows on ONE key; 40000-tick timeline, width 4000 → the hot
+    // key's as-of work spans 10 (k, bucket) partitions instead of
+    // serializing through one.
+    val left = (0L until 3000L).map(i =>
+      (i, if (i % 10 == 0) "c" + (i % 5) else "hot", (i * 13) % 40000)).toDF("lid", "k", "ts")
+    val right = (0L until 2000L).map(i =>
+      (if (i % 10 == 0) "c" + (i % 5) else "hot", (i * 17) % 40000, i)).toDF("k", "ts", "pid")
+    val q = AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts", Seq("pid"),
+      tieBreak = Some("pid"), bucketWidth = Some(4000d))
+    // >1 task actually touches the hot key: count hot rows per output
+    // RDD partition (narrow over the window stage, so its partitioning =
+    // the (keys, bucket) window exchange). AQE's partition coalescing
+    // merges this KB-scale shuffle into one task regardless of keys —
+    // disable it so the assertion measures the partitioning, not the
+    // test data's size.
+    val coalesceWas = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val hotPerPart = q.rdd
+        .mapPartitions(it => Iterator(it.count(_.getString(1) == "hot")))
+        .collect()
+      assert(hotPerPart.count(_ > 0) > 1,
+        s"hot key still serialized through one task: ${hotPerPart.mkString(",")}")
+      // the window exchange hash-partitions on (keys, bucket)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(plan.contains("__asof_bkt"), s"bucket column missing from plan:\n$plan")
+      // and output is identical to the single-partition-per-key path
+      val base = AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts", Seq("pid"),
+        tieBreak = Some("pid"))
+      assert(q.orderBy("lid").collect().toSeq == base.orderBy("lid").collect().toSeq)
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesceWas)
+  }
+
   test("qn10 exact near-dup plan is a hash join over block pairs, never a nested loop") {
     val q = graft.SparkEntry.queries("qn10_embedding_neardup")(spark, sf("sf0.01"))
     val plan = q.queryExecution.executedPlan.toString
