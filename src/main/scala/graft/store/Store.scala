@@ -534,21 +534,30 @@ final class Store(
     * from concurrent loads interleave without clobbering and a reader
     * never observes a torn file (rename is atomic per file). Committer
     * markers (`_SUCCESS`) stay behind and die with the staging dir.
+    *
+    * Walks with `listStatus` recursion, NOT `listFiles(recursive)`:
+    * the latter materializes `LocatedFileStatus` entries whose
+    * permissions load EAGERLY — on the local filesystem that forks an
+    * `ls` subprocess per entry (~13ms each; profiled at 4.9s of a 366-dir
+    * date-keyed load, the same disease `FastLocalFileSystem` cures on
+    * the write side). `listStatus` defers permission loading and this
+    * walk never asks for it.
     */
   private def mergeMove(stagingDir: Path, destDir: Path): Unit = {
     val base = fs.makeQualified(stagingDir).toString
-    val it = fs.listFiles(stagingDir, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-        val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
-        val dest = new Path(destDir, rel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(st.getPath, dest))
-          throw new java.io.IOException(s"failed to move staged file '$rel'")
+    def walk(dir: Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath)
+        else if (!name.startsWith("_") && !name.startsWith(".")) {
+          val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
+          val dest = new Path(destDir, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(st.getPath, dest))
+            throw new java.io.IOException(s"failed to move staged file '$rel'")
+        }
       }
-    }
+    walk(stagingDir)
     fs.delete(stagingDir, true)
   }
 

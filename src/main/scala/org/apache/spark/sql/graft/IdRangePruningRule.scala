@@ -89,36 +89,42 @@ object IdRangePruningRule extends Rule[LogicalPlan] {
     */
   private val MaxInListSize = 64
 
-  /** The rewrite binds `x` to `__p_<x.name>` by NAME, which is only sound
-    * when everything in scope comes from a single relation — after e.g. a
-    * self-join of two store tables, both sides carry identically-named
-    * attributes and a name-bound conjunct could pair one side's data
-    * column with the OTHER side's partition label and incorrectly drop
-    * rows. Store reads surface filters over a unary chain (scan →
-    * project/alias → filter), so restricting to that shape loses nothing.
+  /** The rewrite binds `x` to `__p_<x.name>` by NAME, which is only
+    * sound when both attributes are the LEAF relation's own columns —
+    * after a self-join both sides carry identically-named attributes,
+    * and even on a unary chain a projection can alias some other column
+    * to the data column's name (`select(col("v").as("id"), col("__p_id"))`),
+    * either of which would pair a value with the wrong partition label
+    * and incorrectly drop rows. So: the plan below the filter must be a
+    * unary chain to one leaf, AND both the data column and its `__p_`
+    * partner must carry the leaf's own exprIds (aliases mint fresh
+    * exprIds, so any renaming in between disqualifies the rewrite).
+    * Store reads surface filters over exactly this shape — pass-through
+    * projections over one scan — so the restriction loses nothing.
     */
-  private def singleRelationBelow(p: LogicalPlan): Boolean = p match {
-    case _: LeafNode => true
-    case u if u.children.size == 1 => singleRelationBelow(u.children.head)
-    case _ => false
+  private def leafOutputIds(p: LogicalPlan): Option[Set[ExprId]] = p match {
+    case l: LeafNode => Some(l.output.map(_.exprId).toSet)
+    case u if u.children.size == 1 => leafOutputIds(u.children.head)
+    case _ => None
   }
 
   /** Marker so we never re-add the same derived conjunct. */
   private val Tag = org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.idRangePruned")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case f @ Filter(cond, child)
-        if f.getTagValue(Tag).isEmpty && singleRelationBelow(child) =>
+    case f @ Filter(cond, child) if f.getTagValue(Tag).isEmpty =>
+      val leafIds = leafOutputIds(child).getOrElse(Set.empty)
       val partnersByName: Map[String, Attribute] =
         child.output.collect {
-          case p if p.name.startsWith("__p_") && p.dataType == StringType => p.name -> p
+          case p if p.name.startsWith("__p_") && p.dataType == StringType &&
+              leafIds.contains(p.exprId) => p.name -> p
         }.toMap
       if (partnersByName.isEmpty) f
       else {
         val conjuncts = splitConjuncts(cond)
         val derived = conjuncts.flatMap { c =>
           c.references.toSeq match {
-            case Seq(x) =>
+            case Seq(x) if leafIds.contains(x.exprId) =>
               partnersByName.get(s"__p_${x.name}")
                 .flatMap(p => boundsFor(c, x, p))
             case _ => None

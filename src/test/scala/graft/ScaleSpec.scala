@@ -58,6 +58,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("pruning rule refuses to bind through aliases (no wrong pruning)") {
+    val store = new Store(spark, Files.createTempDirectory("graft_rule2_").toString)
+    import spark.implicits._
+    // v = id + 5000: projecting v AS "id" next to __p_id must not let the
+    // rule pair v's values with id's partition labels — the derived
+    // conjunct (parsedHi > 14900, max real hi = 10000) would silently
+    // drop every matching row. The exprId-through-to-leaf guard makes
+    // the rule skip aliased bindings entirely.
+    val df = (0L until 10000L).map(i => (i, i + 5000L)).toDF("id", "v")
+    store.load(df, "t", Map("id" -> Store.KeyId), externalKey = "v1")
+    spark.experimental.extraOptimizations =
+      Seq(org.apache.spark.sql.graft.IdRangePruningRule)
+    try {
+      val tricky = store.getPartitioned("t")
+        .select(col("v").as("id"), col(Store.partColName("id")))
+        .where(col("id") >= 14900L)
+      assert(tricky.count() == 100L) // v ∈ [14900, 15000) — nothing pruned away
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     // 90% of rows share one hot key
