@@ -33,16 +33,19 @@ object Tables {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     var total = 0L
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val n = st.getPath.getName
-      if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-        try total += r.getRecordCount finally r.close()
+    // listStatus recursion, not listFiles(recursive): the latter loads
+    // permissions eagerly — a forked `ls` per entry on the local FS.
+    def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
+      if (st.isDirectory) fs.listStatus(st.getPath).foreach(walk)
+      else {
+        val n = st.getPath.getName
+        if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+          try total += r.getRecordCount finally r.close()
+        }
       }
-    }
+    walk(fs.getFileStatus(root))
     total
   }
 

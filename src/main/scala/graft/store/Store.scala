@@ -444,13 +444,23 @@ final class Store(
     tables.result().sortBy(_.name)
   }
 
+  /** listStatus-recursion walk over every FILE under `dir`. Always
+    * prefer this over `listFiles(recursive)` on metadata paths: the
+    * latter's `LocatedFileStatus` entries load permissions eagerly,
+    * which on the local filesystem forks an `ls` subprocess per entry
+    * (see [[mergeMove]]); `listStatus` defers them and these walks never
+    * ask.
+    */
+  private def walkFiles(dir: Path)(f: org.apache.hadoop.fs.FileStatus => Unit): Unit =
+    fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory) walkFiles(st.getPath)(f) else f(st)
+    }
+
   /** Recursive (files, bytes) under a table dir — listing only. */
   private def dataFileStats(dir: Path): (Long, Long) = {
     var n = 0L
     var b = 0L
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val st = it.next()
+    walkFiles(dir) { st =>
       if (!st.getPath.getName.startsWith("_")) { n += 1; b += st.getLen }
     }
     (n, b)
@@ -510,12 +520,10 @@ final class Store(
           s"Cannot store '$relPath' inside existing DataFrame '${ancestor.mkString("/")}'")
     }
     if (fs.exists(tableDir) && !fs.exists(new Path(tableDir, MetaFile))) {
-      val it = fs.listFiles(tableDir, true)
-      while (it.hasNext) {
-        val f = it.next().getPath
-        if (f.getName == MetaFile)
+      walkFiles(tableDir) { st =>
+        if (st.getPath.getName == MetaFile)
           throw new IllegalArgumentException(
-            s"Cannot store '$relPath': it would contain the existing DataFrame at '${f.getParent}'")
+            s"Cannot store '$relPath': it would contain the existing DataFrame at '${st.getPath.getParent}'")
       }
     }
   }
