@@ -108,6 +108,31 @@ object TextOps {
   def shingles(c: Column, n: Int): Column =
     graft.functions.VectorExpressions.wordShingles(tokens(c), n)
 
+  /** Benchmark decontamination: per corpus document, the number of
+    * distinct word n-gram shingles it shares with a (small) benchmark
+    * set — the standard pre-training step that flags documents leaking
+    * eval data into the training corpus.
+    *
+    * Scale shape: the BENCHMARK's distinct shingle set is broadcast
+    * (benchmarks are MBs; the corpus is the 100 TB side), so the corpus
+    * crosses no shuffle for the match itself — explode, broadcast-hash
+    * join, per-doc count. Docs with zero overlap are absent from the
+    * result (flag-and-drop pipelines anti-join on it).
+    */
+  def contaminationOverlap(
+      corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val benchSh = benchmark.select(explode(shingles(col(textCol), n)).as("__s")).distinct()
+    corpus.select(col(idCol), explode(shingles(col(textCol), n)).as("__s"))
+      .join(broadcast(benchSh), "__s")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_overlap")) // corpus shingles are per-doc distinct
+  }
+
   /** Fraction of tokens that are (English) stopwords — the classic
     * "natural language vs word-soup" discriminator in C4/Gopher-style
     * corpus filters. 0 for empty docs.

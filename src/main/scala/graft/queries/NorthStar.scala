@@ -265,6 +265,30 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: docs with doc_id % 50 == 3 play the
+    * "benchmark"; every other doc sharing >= 1 word-3-gram with it is
+    * flagged with its distinct-overlap count. Broadcast semi-match —
+    * the corpus side never shuffles for the match.
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isBench = pmod(col("doc_id"), lit(50)) === 3
+    TextOps.contaminationOverlap(d.where(!isBench), d.where(isBench), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Corpus vocabulary stats: top-30 tokens by document frequency
+    * (distinct doc per token). One explode + one hash agg + global
+    * top-k — the vocab-building pass of a tokenizer pipeline.
+    */
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("tok"))
+      .limit(30)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -549,6 +573,25 @@ object NorthStar {
              CAST(1 AS INTEGER) AS n_frames
       FROM documents
       WHERE doc_id < 48
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+    QueryDef("qn22_decontaminate", qDecontaminate _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE trim(text) <> ''),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+             FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 3)
+      SELECT c.doc_id, count(*) AS n_overlap
+      FROM sh c JOIN bench b ON c.s = b.s
+      WHERE c.doc_id % 50 <> 3
+      GROUP BY c.doc_id
+      ORDER BY doc_id""")),
+    QueryDef("qn23_vocab", qVocab _, Some("""
+      WITH t AS (SELECT doc_id,
+                        unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+                 FROM documents WHERE trim(text) <> '')
+      SELECT tok, count(*) AS doc_freq
+      FROM t GROUP BY tok
+      ORDER BY doc_freq DESC, tok
+      LIMIT 30"""))
   )
 }

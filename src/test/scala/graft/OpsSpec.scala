@@ -380,6 +380,23 @@ class OpsSpec extends SparkSpec {
     assert(fps(0) == ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)
   }
 
+  test("contaminationOverlap counts shared shingles; clean docs absent; broadcast plan") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"), // shares "the quick brown","quick brown fox"
+      (2L, "totally unrelated words here now"), // clean
+      (3L, "the quick brown fox")              // shares the same 2
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "the quick brown fox sat")).toDF("doc_id", "text")
+    val out = TextOps.contaminationOverlap(corpus, bench, "doc_id", "text")
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 2L)) // doc 2 absent, not zero
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n$plan")
+  }
+
   test("quality score bounded in [0,1]") {
     val docs = Tables.read(spark, sf(), "documents")
     val mm = docs.select(
