@@ -290,6 +290,29 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeImage(txt))
   }
 
+  test("approx_count_distinct and stratified sample stay within statistical bounds") {
+    // q31 and q35 are rows-only graded (approx/sampled by contract) —
+    // these are their accuracy gates, mirroring the RecallSpec pattern.
+    // q31: HLL++ at rsd 0.02 — gate at 5 sigma = 10% relative error.
+    SparkEntry.queries("q31_approx_distinct")(spark, sf("sf0.01")).collect().foreach { r =>
+      val approx = r.getLong(1); val exact = r.getLong(2)
+      assert(math.abs(approx - exact) <= math.max(5.0, 0.10 * exact),
+        s"HLL estimate $approx too far from exact $exact")
+    }
+    // q35: per-stratum count ~ Binomial(N_p, 0.2) — gate at 5 sigma.
+    val orders = spark.read.parquet(s"${sf("sf0.01")}/orders.parquet")
+    val totals = orders.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = SparkEntry.queries("q35_stratified_sample")(spark, sf("sf0.01")).collect()
+    assert(sampled.nonEmpty)
+    sampled.foreach { r =>
+      val p = r.getString(0); val n = r.getLong(1); val tot = totals(p)
+      val mean = 0.2 * tot; val sd = math.sqrt(tot * 0.2 * 0.8)
+      assert(math.abs(n - mean) <= 5 * sd,
+        s"stratum $p sampled $n, expected $mean ± ${5 * sd}")
+    }
+  }
+
   test("approx_percentile error is bounded vs exact (q49 contract)") {
     // q49 is rows-only graded (DuckDB's approx_quantile is a different
     // sketch) — this is its accuracy gate: GK with accuracy=10000
