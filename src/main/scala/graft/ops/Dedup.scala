@@ -307,6 +307,22 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Full near-dup dedup over MinHash+LSH candidates — the corpus-scale
+    * variant of [[dedupByJaccard]] (banded equality joins instead of the
+    * exact shingle self-join): detect candidate pairs at
+    * `simThreshold` estimated Jaccard, cluster, keep the smallest id
+    * per cluster.
+    */
+  def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, simThreshold: Double = 0.7,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, n, simThreshold, bands, rowsPerBand)
+    val comps = connectedComponents(pairs, "doc_a", "doc_b")
+    val losers = comps.where(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash of the token stream: per token, xxhash64 bits vote
     * +1/-1 per position; fingerprint bit b = sign of vote b. Single
     * native-expression call per row (see

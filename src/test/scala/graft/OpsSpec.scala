@@ -331,6 +331,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupByMinhash agrees with dedupByJaccard on near-identical docs") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    // MinHash at a LOWER threshold over the same corpus must drop a
+    // superset of the exact-Jaccard-0.8 losers (high-sim pairs collide in
+    // some band w.p. ~1 at these settings) — and both keep-sets must
+    // retain every cluster's minimum id.
+    val exact = graft.ops.Dedup.dedupByJaccard(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mh = graft.ops.Dedup.dedupByMinhash(docs, "doc_id", "text", simThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mh.subsetOf(exact), s"minhash kept ids exact dropped: ${(mh -- exact).take(5)}")
+    assert(mh.nonEmpty)
+  }
+
   test("exactKeepFirst keeps lowest-order row per key") {
     import spark.implicits._
     val df = Seq((1L, "t1"), (2L, "t1"), (3L, "t2")).toDF("id", "text")
