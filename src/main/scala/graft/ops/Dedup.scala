@@ -35,6 +35,12 @@ object Dedup {
     * with them. Both are lazy (`eager = false`): constructing the
     * DataFrame (explain, dry planning) runs no job; the first real action
     * materializes, and every later branch reuses the materialized blocks.
+    *
+    * Reliable-mode snapshots outlive the query (the CC loop deletes its
+    * own superseded rounds, but terminal snapshots stay until the
+    * checkpoint dir is cleaned — set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to have
+    * Spark GC them with the RDD references).
     */
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)

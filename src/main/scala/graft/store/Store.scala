@@ -156,6 +156,10 @@ final class Store(
     //     skips dot/underscore paths); the live tree is never half-written.
     // keep_last ("drop ALL prior versions", client.py:72) deletes the
     // existing version subtrees only after the staged write succeeded.
+    // Two CONCURRENT keep_last loads are last-writer-wins: both versions
+    // can coexist briefly mid-merge, and whichever publishes `_last`
+    // second names the survivor — same contract as the reference's
+    // S3/DynamoDB backend, which has no cross-writer transaction either.
     val staging = new Path(tableDir, s".staging_${java.util.UUID.randomUUID().toString.take(12)}")
     var writer = clustered.write
       .partitionBy(partCols: _*)
