@@ -530,6 +530,30 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(dec(col("bal"))).cast("double").as("bal_sum"))
       .orderBy("segment")
 
+  /** pandas `fillna(method='ffill'/'bfill')` parity: group-wise
+    * forward/backward fill over an ordered timeline —
+    * `last/first(ignoreNulls)` over running window frames. Nulls are
+    * injected deterministically (every 7th order key) so the fill paths
+    * are genuinely exercised; filled values are ORIGINAL doubles (no
+    * arithmetic), so the hash gate compares them exactly.
+    */
+  private def q51FfillBfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .withColumn("price",
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")))
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        last(col("price"), ignoreNulls = true).over(wf).as("ffill_price"),
+        first(col("price"), ignoreNulls = true).over(wb).as("bfill_price"))
+      .orderBy("o_orderkey")
+  }
+
   // -------------------------------------------------------------- oracles
 
   val defs: Seq[QueryDef] = Seq(
@@ -842,6 +866,20 @@ object Relational {
       WHERE c_acctbal >= 0
       GROUP BY 1
       ORDER BY segment""")),
-    QueryDef("q49_approx_percentile", q49ApproxPercentile _, None)
+    QueryDef("q49_approx_percentile", q49ApproxPercentile _, None),
+    QueryDef("q51_ffill_bfill", q51FfillBfill _, Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS price
+        FROM orders)
+      SELECT o_orderkey, o_custkey,
+             last_value(price IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_price,
+             first_value(price IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill_price
+      FROM base
+      ORDER BY o_orderkey"""))
   )
 }
