@@ -557,6 +557,12 @@ final class Store(
     */
   private def mergeMove(stagingDir: Path, destDir: Path): Unit = {
     val base = fs.makeQualified(stagingDir).toString
+    // Track moved files so a mid-merge failure (disk full, permissions)
+    // rolls the already-published files back out — a half-merged version
+    // must not become visible to accumulate/externalKey readers. File
+    // names are load-unique, so the rollback deletes only this load's
+    // files even when appending into an existing version.
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
     def walk(dir: Path): Unit =
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
@@ -567,9 +573,15 @@ final class Store(
           fs.mkdirs(dest.getParent)
           if (!fs.rename(st.getPath, dest))
             throw new java.io.IOException(s"failed to move staged file '$rel'")
+          moved += dest
         }
       }
-    walk(stagingDir)
+    try walk(stagingDir)
+    catch {
+      case e: Exception =>
+        moved.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
+        throw e
+    }
     fs.delete(stagingDir, true)
   }
 
