@@ -383,12 +383,19 @@ object Relational {
   private def q34WindowExtended(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // rank/dense_rank/cume_dist need REAL ties to mean anything — the
+    // (date, key) order is unique per partition, so they run over the
+    // order YEAR instead (tie-stable, hence deterministic under ties).
+    val wt = Window.partitionBy("o_custkey").orderBy(year(col("o_orderdate")))
     t(s, dir, "orders")
       .select(
         col("o_custkey"),
         col("o_orderkey"),
         ntile(4).over(w).as("quartile"),
         round(percent_rank().over(w), 6).as("pct_rank"),
+        rank().over(wt).as("yr_rank"),
+        dense_rank().over(wt).as("yr_dense_rank"),
+        round(cume_dist().over(wt), 6).as("yr_cume_dist"),
         first("o_orderkey").over(w).as("first_ok"),
         last("o_orderkey").over(wFull).as("last_ok"),
         nth_value(col("o_orderkey"), 2).over(wFull).as("second_ok"))
@@ -784,13 +791,17 @@ object Relational {
       SELECT o_custkey, o_orderkey,
              CAST(ntile(4) OVER w AS INTEGER) AS quartile,
              round(percent_rank() OVER w, 6) AS pct_rank,
+             CAST(rank() OVER wt AS INTEGER) AS yr_rank,
+             CAST(dense_rank() OVER wt AS INTEGER) AS yr_dense_rank,
+             round(cume_dist() OVER wt, 6) AS yr_cume_dist,
              first_value(o_orderkey) OVER w AS first_ok,
              last_value(o_orderkey) OVER wf AS last_ok,
              nth_value(o_orderkey, 2) OVER wf AS second_ok
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
              wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             wt AS (PARTITION BY o_custkey ORDER BY year(o_orderdate))
       ORDER BY o_custkey, o_orderkey""")),
     QueryDef("q35_stratified_sample", q35Sample _, None),
     QueryDef("q37_theta_join", q37ThetaJoin _, Some("""
