@@ -561,6 +561,38 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** pandas `interpolate(method='linear')` parity, group-wise: interior
+    * null runs are linearly interpolated by row position between their
+    * non-null neighbors; leading nulls stay null and trailing nulls
+    * carry the last value (pandas' default limit_direction='forward').
+    * Pure window arithmetic — two ignoreNulls lookups each way plus the
+    * closed-form line equation; identical expression on the DuckDB side
+    * so IEEE doubles agree bit-for-bit (rounded to 6 for belt and
+    * braces).
+    */
+  private def q52Interpolate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    val price = when(pmod(col("o_orderkey"), lit(5)) === 0, lit(null).cast("double"))
+      .otherwise(col("o_totalprice"))
+    val pos = row_number().over(w).cast("double")
+    val posIfSet = when(price.isNotNull, pos)
+    val prevV = last(price, ignoreNulls = true).over(wPrev)
+    val prevP = last(posIfSet, ignoreNulls = true).over(wPrev)
+    val nextV = first(price, ignoreNulls = true).over(wNext)
+    val nextP = first(posIfSet, ignoreNulls = true).over(wNext)
+    val interp = when(price.isNotNull, price)
+      .when(prevV.isNull, lit(null).cast("double"))
+      .when(nextV.isNull, prevV)
+      .otherwise(prevV + (nextV - prevV) * (pos - prevP) / (nextP - prevP))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(interp, 6).as("interp_price"))
+      .orderBy("o_orderkey")
+  }
+
   // -------------------------------------------------------------- oracles
 
   val defs: Seq[QueryDef] = Seq(
@@ -891,6 +923,32 @@ object Relational {
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill_price
       FROM base
+      ORDER BY o_orderkey""")),
+    QueryDef("q52_interpolate", q52Interpolate _, Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS price,
+               CAST(row_number() OVER w AS DOUBLE) AS pos
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      n AS (
+        SELECT o_orderkey, o_custkey, price, pos,
+               last_value(price IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN price IS NOT NULL THEN pos END IGNORE NULLS) OVER wp AS prev_p,
+               first_value(price IGNORE NULLS) OVER wn AS next_v,
+               first_value(CASE WHEN price IS NOT NULL THEN pos END IGNORE NULLS) OVER wn AS next_p
+        FROM base
+        WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wn AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      SELECT o_orderkey, o_custkey,
+             round(CASE WHEN price IS NOT NULL THEN price
+                        WHEN prev_v IS NULL THEN NULL
+                        WHEN next_v IS NULL THEN prev_v
+                        ELSE prev_v + (next_v - prev_v) * (pos - prev_p) / (next_p - prev_p)
+                   END, 6) AS interp_price
+      FROM n
       ORDER BY o_orderkey"""))
   )
 }
