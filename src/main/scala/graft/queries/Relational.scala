@@ -128,12 +128,18 @@ object Relational {
   /** Analytic window: lag/lead of order value per customer. */
   private def q10WindowLagLead(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    // diff/pct_change (pandas Series.diff / .pct_change parity): both are
+    // lag compositions, written identically in the oracle so the double
+    // arithmetic agrees exactly.
+    val prev = lag("o_totalprice", 1).over(w)
     t(s, dir, "orders")
       .select(
         col("o_custkey"),
         col("o_orderkey"),
-        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
-        round(lead("o_totalprice", 1).over(w), 2).as("next_price"))
+        round(prev, 2).as("prev_price"),
+        round(lead("o_totalprice", 1).over(w), 2).as("next_price"),
+        round(col("o_totalprice") - prev, 2).as("diff_price"),
+        round((col("o_totalprice") - prev) / prev, 6).as("pct_change"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -667,7 +673,10 @@ object Relational {
     QueryDef("q10_window_lag_lead", q10WindowLagLead _, Some("""
       SELECT o_custkey, o_orderkey,
              round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
-             round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+             round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+             round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS diff_price,
+             round((o_totalprice - lag(o_totalprice, 1) OVER w)
+                   / lag(o_totalprice, 1) OVER w, 6) AS pct_change
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_orderkey""")),
