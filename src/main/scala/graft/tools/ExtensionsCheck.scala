@@ -53,6 +53,18 @@ object ExtensionsCheck {
       }.head
       require(files == 2L, s"pruning rule did not fire: scanned $files files, expected 2")
       require(q.count() == 700L, "wrong row count after pruning")
+
+      // 3. Date-partition pruning rule injected too (10 date dirs → 3).
+      store.load((0 until 1000).map(i =>
+          (i.toLong, java.sql.Date.valueOf(f"2024-01-${i % 10 + 1}%02d"))).toDF("id", "d"),
+        "td", Map("d" -> Store.KeyDate), externalKey = "v1")
+      val qd = store.getPartitioned("td").where(col("d") >= "2024-01-08")
+      qd.collect()
+      val dFiles = qd.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.metrics("numFiles").value
+      }.head
+      require(dFiles == 3L, s"date pruning rule did not fire: scanned $dFiles files, expected 3")
+      require(qd.count() == 300L, "wrong row count after date pruning")
       println("[extcheck] OK")
     } finally spark.stop()
   }

@@ -109,5 +109,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctionRegistry.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => IdRangePruningRule)
+    ext.injectOptimizerRule(_ => DatePartitionPruningRule)
   }
 }

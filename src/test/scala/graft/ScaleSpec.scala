@@ -58,6 +58,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("DatePartitionPruningRule prunes date dirs from natural data-column predicates") {
+    val store = new Store(spark, Files.createTempDirectory("graft_drule_").toString)
+    import spark.implicits._
+    val df = (0 until 1000).map(i =>
+      (i.toLong, java.sql.Date.valueOf(f"2024-01-${i % 10 + 1}%02d"), s"r$i"))
+      .toDF("id", "d", "payload")
+    store.load(df, "t", Map("d" -> Store.KeyDate), externalKey = "v1")
+
+    def scannedFiles(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metrics("numFiles").value
+      }.head
+    }
+    def rangeQuery(st: Store) =
+      st.getPartitioned("t").where(col("d") >= "2024-01-08") // data column, no __p_ in sight
+
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      assert(scannedFiles(rangeQuery(store)) == 10L) // control: all 10 date dirs
+      spark.experimental.extraOptimizations =
+        Seq(org.apache.spark.sql.graft.DatePartitionPruningRule)
+      val q = rangeQuery(store)
+      assert(scannedFiles(q) == 3L) // 2024-01-08..10
+      assert(q.count() == 300L)
+      val qin = store.getPartitioned("t").where(col("d").isin(
+        java.sql.Date.valueOf("2024-01-02"), java.sql.Date.valueOf("2024-01-09")))
+      assert(scannedFiles(qin) == 2L)
+      assert(qin.count() == 200L)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
   test("pruning rule refuses to bind through aliases (no wrong pruning)") {
     val store = new Store(spark, Files.createTempDirectory("graft_rule2_").toString)
     import spark.implicits._
