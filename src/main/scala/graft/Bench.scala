@@ -4,17 +4,22 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line with per-query wall
-  * seconds. Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3)
-  * and `queries` reports the per-query MEDIAN — a single sample is at the
-  * mercy of one GC pause or JIT recompilation wave (the recorded
-  * BENCH_r02 showed a contiguous q39→q45 run-order window at 2–5× its
-  * true cost for exactly this reason); min/max land in `queries_min` /
-  * `queries_max` so spread stays visible. A failed query is reported in
-  * `failures` (and its slot in `queries` is -1) instead of contributing a
-  * misleadingly tiny timing; `value` sums successful medians only.
-  * `cpus`/`shuffle_partitions` are recorded so cross-round comparisons
-  * are apples-to-apples; the default local[32] matches the driver harness
-  * and the recorded BENCH_r01 (override via SPARK_GRAFT_CPUS).
+  * seconds. The suite runs as `SPARK_GRAFT_BENCH_REPS` (default 3) full
+  * round-robin PASSES — pass 1 runs every query once, then pass 2, then
+  * pass 3 — and `queries` reports the per-query MEDIAN across passes.
+  * Interleaving is deliberate: reps of one query run minutes apart, so a
+  * transient system stall inflates at most ONE of a query's three
+  * samples and the median survives. (Back-to-back reps did not: the
+  * recorded BENCH_r02 and BENCH_r04 each showed a contiguous run-order
+  * window at 2–7× its true cost because one stall poisoned all three
+  * consecutive reps of every query in the window.) Min/max land in
+  * `queries_min` / `queries_max` so spread stays visible. A failed query
+  * is reported in `failures` (and its slot in `queries` is -1) instead
+  * of contributing a misleadingly tiny timing; `value` sums successful
+  * medians only. `cpus`/`shuffle_partitions` are recorded so cross-round
+  * comparisons are apples-to-apples; the default local[32] matches the
+  * driver harness and the recorded BENCH_r01 (override via
+  * SPARK_GRAFT_CPUS).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,18 +55,18 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = Seq.newBuilder[Double]
-      var ok = true
-      var r = 0
-      while (ok && r < reps) { // a failing query fails deterministically — don't retry it reps×
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => ok = false }
-        if (ok) times += (System.nanoTime() - t0) / 1e9
-        r += 1
-      }
-      (name, times.result(), ok)
+    val names = SparkEntry.queries.keys.toSeq
+    val times = scala.collection.mutable.Map(names.map(_ -> Seq.newBuilder[Double]): _*)
+    val okMap = scala.collection.mutable.Map(names.map(_ -> true): _*)
+    for (_ <- 0 until reps; name <- names if okMap(name)) {
+      // a failing query fails deterministically — don't retry it reps×
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        times(name) += (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => okMap(name) = false }
     }
+    val results = names.map(n => (n, times(n).result(), okMap(n)))
     def timeMap(f: Seq[Double] => Double): String =
       results.map { case (k, ts, ok) => s"\"" + k + "\":" + (if (ok) f(ts) else -1.0) }
         .mkString("{", ",", "}")

@@ -225,7 +225,9 @@ object NorthStar {
   }
 
   /** Multimodal: binary payload → per-partition feature extraction
-    * (decode STUBBED, plumbing real).
+    * (text/plain stand-in payloads take the declared byte-stats
+    * fallback; real decode is graded by qn21 for images and qn14 for
+    * video).
     */
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
@@ -233,14 +235,34 @@ object NorthStar {
       .toDF()
       .orderBy("doc_id")
 
-  /** Multimodal frame sampling: explode stub-decoded frames, then count. */
+  /** REAL video decode + frame sampling: deterministic synthetic
+    * ANIMATED GIFs (frame count and dimensions pure functions of doc_id)
+    * are written executor-side through the JDK GIF sequence writer, then
+    * decoded back through the `javax.imageio` multi-frame path of
+    * [[Multimodal.extractFeatures]] (`ImageReader.getNumImages(true)`),
+    * and exploded by [[Multimodal.sampleFrames]]. The decoded
+    * width/height/frame-count and the exploded row count must all
+    * reproduce the generator's formulas, which the oracle states as
+    * literals — this grades a full multi-frame render → GIF-encode →
+    * decode → explode round-trip, the video analog of qn21.
+    */
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
-    val frames = Multimodal.sampleFrames(
-      Multimodal.extractFeatures(
-        Multimodal.attachBinary(docs(s, dir), "doc_id", "text", "video/fake")))
-    frames.agg(
-      countDistinct("doc_id").as("n_media"),
-      count(lit(1)).as("n_frames_total"))
+    import s.implicits._
+    val media = docs(s, dir).where(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + (id * 3) % 16).toInt
+        val f = (1 + id % 5).toInt
+        Multimodal.MediaRecord(id, Multimodal.syntheticGif(w, h, f, id), "video/gif")
+      }
+    val feats = Multimodal.extractFeatures(media.toDF())
+    val exploded = Multimodal.sampleFrames(feats)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_frames_exploded"))
+    feats.toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"))
+      .join(exploded, "doc_id")
+      .orderBy("doc_id")
   }
 
   /** REAL image decode: deterministic synthetic PNGs are rendered and
@@ -416,9 +438,14 @@ object NorthStar {
       FROM documents
       ORDER BY doc_id""")),
     QueryDef("qn14_multimodal_frames", qMultimodalFrames _, Some("""
-      SELECT count(*) AS n_media,
-             CAST(sum(1 + octet_length(encode(text)) % 7) AS BIGINT) AS n_frames_total
-      FROM documents""")),
+      SELECT doc_id,
+             CAST(8 + doc_id % 16 AS INTEGER) AS width,
+             CAST(8 + (doc_id * 3) % 16 AS INTEGER) AS height,
+             CAST(1 + doc_id % 5 AS INTEGER) AS n_frames,
+             CAST(1 + doc_id % 5 AS BIGINT) AS n_frames_exploded
+      FROM documents
+      WHERE doc_id < 64
+      ORDER BY doc_id""")),
     QueryDef("qn15_dedup_apply", qDedupApply _, Some("""
       WITH RECURSIVE
       toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -261,19 +261,32 @@ object Relational {
   /** Sketch percentiles — the percentile you'd actually run at 100 TB:
     * `percentile_approx` (Greenwald-Khanna) is a bounded-memory sketch
     * with map-side partial merge, where exact `percentile` buffers every
-    * value per group through the aggregation. Approximate by contract →
-    * no value oracle (DuckDB's `approx_quantile` is a t-digest, a
-    * different sketch with different answers); OpsSpec bounds the error
-    * against the exact percentiles instead.
+    * value per group through the aggregation. The sketch values are
+    * engine-specific (DuckDB's `approx_quantile` is a t-digest, a
+    * different sketch with different answers), so the graded output is
+    * the DETERMINISTIC contract instead: exact medians plus booleans
+    * asserting each GK estimate lies between the exact percentiles at
+    * p ± 2/accuracy (GK guarantees rank error <= 1/accuracy; the 2×
+    * margin absorbs interpolation at the rank boundaries). The DuckDB
+    * oracle states those booleans as literal `true`, making this a full
+    * hash-matched row; OpsSpec additionally bounds the raw value error.
     */
-  private def q49ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+  private def q49ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val eps = 2.0 / 10000 // 2× the GK rank-error guarantee at accuracy=10000
+    def bounded(p: Double, name: String) =
+      (percentile_approx(col("l_extendedprice"), lit(p), lit(10000))
+        .between(
+          expr(s"percentile(l_extendedprice, ${p - eps})"),
+          expr(s"percentile(l_extendedprice, ${p + eps})"))).as(name)
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("p25"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+        bounded(0.25, "p25_ok"),
+        bounded(0.5, "p50_ok"),
+        bounded(0.95, "p95_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** String scalar-function family. */
   private def q21StringFuncs(s: SparkSession, dir: String): DataFrame =
@@ -351,8 +364,13 @@ object Relational {
         size(map_keys(col("m"))).as("n_keys"))
       .orderBy("event_id")
 
-  /** HLL++ approximate distinct (built-in sketch; engine-specific values,
-    * so rows-only checked).
+  /** HLL++ approximate distinct. The sketch value is engine-specific, so
+    * the graded output is the DETERMINISTIC contract: the exact distinct
+    * count plus a boolean asserting the HLL++ estimate is within 5
+    * standard errors (rsd=0.02 → 10% relative, floor 5 absolute for tiny
+    * groups) of exact. The DuckDB oracle states the boolean as literal
+    * `true`, making this a full hash-matched row; OpsSpec independently
+    * re-derives the same gate from raw aggregates.
     */
   private def q31ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -360,6 +378,11 @@ object Relational {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct("l_partkey").as("exact_parts"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          greatest(lit(5.0), col("exact_parts") * 0.10)).as("approx_ok"))
       .orderBy("l_returnflag")
 
   /** Pivot (pandas pivot_table parity): returnflag columns × linestatus. */
@@ -808,7 +831,13 @@ object Relational {
              CAST(len(json_keys(props)) AS INTEGER) AS n_keys
       FROM events
       ORDER BY event_id""")),
-    QueryDef("q31_approx_distinct", q31ApproxDistinct _, None),
+    QueryDef("q31_approx_distinct", q31ApproxDistinct _, Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_parts,
+             true AS approx_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
     QueryDef("q32_pivot", q32Pivot _, Some("""
       SELECT l_linestatus,
              CAST(sum(CASE WHEN l_returnflag = 'A'
@@ -918,7 +947,15 @@ object Relational {
       WHERE c_acctbal >= 0
       GROUP BY 1
       ORDER BY segment""")),
-    QueryDef("q49_approx_percentile", q49ApproxPercentile _, None),
+    QueryDef("q49_approx_percentile", q49ApproxPercentile _, Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+             true AS p25_ok,
+             true AS p50_ok,
+             true AS p95_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
     QueryDef("q51_ffill_bfill", q51FfillBfill _, Some("""
       WITH base AS (
         SELECT o_orderkey, o_custkey, o_orderdate,

@@ -280,24 +280,49 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("image decode round-trips real dimensions; non-image mimes stay stubbed") {
+  test("image decode round-trips real dimensions; non-media mimes take the fallback") {
     import graft.ops.Multimodal
     val png = Multimodal.syntheticPng(33, 17, 7L)
     assert(Multimodal.decodeImage(png) == ((33, 17, 1)))
     assert(Multimodal.decode(png, "image/png") == ((33, 17, 1)))
     val txt = "hello".getBytes("UTF-8")
-    assert(Multimodal.decode(txt, "text/plain") == Multimodal.decodeStub(txt))
+    assert(Multimodal.decode(txt, "text/plain") == Multimodal.byteStatsFallback(txt))
     intercept[IllegalArgumentException](Multimodal.decodeImage(txt))
+  }
+
+  test("video decode round-trips real multi-frame GIF dimensions and frame count") {
+    import graft.ops.Multimodal
+    // Full render → GIF-encode → decode round-trip across frame counts,
+    // incl. 1 (a single-frame GIF is still a valid container).
+    for (frames <- Seq(1, 3, 7); (w, h) <- Seq((24, 11), (9, 31))) {
+      val gif = Multimodal.syntheticGif(w, h, frames, seed = w * 100L + h)
+      assert(Multimodal.decodeVideo(gif) == ((w, h, frames)),
+        s"GIF ${w}x$h x$frames did not round-trip")
+      assert(Multimodal.decode(gif, "video/gif") == ((w, h, frames)))
+    }
+    // Undecodable payloads fail honestly — no fake numbers on the video path.
+    intercept[IllegalArgumentException](
+      Multimodal.decodeVideo("not a media container".getBytes("UTF-8")))
   }
 
   test("approx_count_distinct and stratified sample stay within statistical bounds") {
     // q31 and q35 are rows-only graded (approx/sampled by contract) —
     // these are their accuracy gates, mirroring the RecallSpec pattern.
     // q31: HLL++ at rsd 0.02 — gate at 5 sigma = 10% relative error.
+    // Re-derived from raw aggregates (not the graded query's own boolean,
+    // which would be circular) — and the graded boolean must agree.
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, countDistinct}
+    spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("a"),
+        countDistinct("l_partkey").as("e"))
+      .collect().foreach { r =>
+        val approx = r.getLong(1); val exact = r.getLong(2)
+        assert(math.abs(approx - exact) <= math.max(5.0, 0.10 * exact),
+          s"HLL estimate $approx too far from exact $exact")
+      }
     SparkEntry.queries("q31_approx_distinct")(spark, sf("sf0.01")).collect().foreach { r =>
-      val approx = r.getLong(1); val exact = r.getLong(2)
-      assert(math.abs(approx - exact) <= math.max(5.0, 0.10 * exact),
-        s"HLL estimate $approx too far from exact $exact")
+      assert(r.getBoolean(2), s"graded approx_ok=false for ${r.getString(0)}")
     }
     // q35: per-stratum count ~ Binomial(N_p, 0.2) — gate at 5 sigma.
     val orders = spark.read.parquet(s"${sf("sf0.01")}/orders.parquet")
