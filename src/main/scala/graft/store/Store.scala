@@ -290,18 +290,33 @@ final class Store(
     * cost becomes listing/footer-bound long before it is data-bound —
     * compaction is the OPTIMIZE step that keeps old versions scannable.
     *
-    * Runs per version: read subtree (schema-merged across appends),
-    * cluster by the derived partition columns (one shuffle), write to a
-    * hidden sibling dir, then swap via two renames. Not transactional
-    * (same as the reference's storage, README.md:189-218): a concurrent
-    * reader can observe the brief swap window; run from the maintenance
-    * path, not a live query path. This is deliberately WEAKER than
-    * [[load]]'s concurrency story (staged per-load dirs + per-file
-    * renames + atomic `_last` publish make concurrent loads safe):
-    * making the swap atomic would need a directory-pointer indirection
-    * the reference's plain-directory layout doesn't have. The `_last` pointer and `_meta.json`
-    * are untouched; directory-mtime recency fallback may be perturbed
-    * (the pointer is authoritative).
+    * Runs per version: SNAPSHOT the version's data-file list, read
+    * exactly those files (schema-merged across appends), cluster by the
+    * derived partition columns (one shuffle), write to a hidden sibling
+    * dir, then swap via two renames.
+    *
+    * Concurrency contract vs [[load]]:
+    *   - A `.compact_lease_*` marker file (atomic create-exclusive)
+    *     serializes compactors: two concurrent compacts of one version
+    *     would double-swap and strand each other's output. A lease older
+    *     than [[Store.CompactLeaseTtlMs]] is presumed abandoned (crashed
+    *     compactor) and stolen.
+    *   - A load PUBLISHING INTO THE SAME VERSION mid-compact is safe:
+    *     the compacted output contains precisely the snapshot's files,
+    *     so before the old subtree is deleted, any data file that landed
+    *     in it after the snapshot (a racing [[load]]'s per-file rename
+    *     publish) is salvaged into the new subtree — rows are neither
+    *     lost nor duplicated, whichever side of the swap the publish
+    *     lands on. [[mergeMove]] retries renames through the sub-second
+    *     swap window (the version dir briefly does not exist), and if a
+    *     load recreates the dir inside that window the compacted files
+    *     merge in per-file instead of dir-renaming.
+    * A concurrent READER can still observe the brief swap window (same
+    * as the reference's plain-directory storage, README.md:189-218):
+    * making the swap atomic for readers would need a directory-pointer
+    * indirection the layout doesn't have. The `_last` pointer and
+    * `_meta.json` are untouched; directory-mtime recency fallback may be
+    * perturbed (the pointer is authoritative).
     *
     * @param externalKey only this version (default: all versions)
     * @param targetFileBytes target file size for unpartitioned tables
@@ -324,48 +339,129 @@ final class Store(
       val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")
       if (!fs.exists(vDir))
         throw new Store.GetError(s"Version '$label' of '$name' not found", null)
-      val (beforeFiles, beforeBytes) = dataFileStats(vDir)
-      val beforeMtime = fs.getFileStatus(vDir).getModificationTime
-      val df = spark.read
-        .option("mergeSchema", "true")
-        .option("basePath", tableDir.toString)
-        .parquet(vDir.toString)
-      val partCols = df.columns.filter(c => c.startsWith(InternalPrefix) && c != VersionCol).toSeq
-      val clustered =
-        if (partCols.nonEmpty) df.drop(VersionCol).repartition(partCols.map(col): _*)
-        else {
-          val nFiles = math.max(1L, (beforeBytes + targetFileBytes - 1) / targetFileBytes).toInt
-          df.drop(VersionCol).repartition(nFiles)
-        }
-      val tmp = new Path(tableDir, s".compact_tmp_${encodeVersion(label)}")
-      val old = new Path(tableDir, s".compact_old_${encodeVersion(label)}")
-      fs.delete(tmp, true)
-      fs.delete(old, true)
+      val lease = acquireCompactLease(tableDir, label, name)
       try {
-        var writer = clustered.write.mode(SaveMode.Overwrite)
-        if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
-        if (maxRecordsPerFile > 0)
-          writer = writer.option("maxRecordsPerFile", maxRecordsPerFile)
-        writer.parquet(tmp.toString)
-        if (!fs.rename(vDir, old) || !fs.rename(tmp, vDir))
-          throw new java.io.IOException(s"swap rename failed for version '$label'")
+        // Snapshot the input file set FIRST, then read exactly those
+        // files: the compacted output then holds precisely the
+        // snapshot's rows, and any file landing in the version dir after
+        // this point (a concurrent accumulate load publishing
+        // mid-compact) is salvaged from the old subtree before deletion
+        // — no lost rows, no duplicated rows.
+        val snapshot = scala.collection.mutable.ArrayBuffer.empty[Path]
+        var beforeBytes = 0L
+        walkFiles(vDir) { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            snapshot += st.getPath; beforeBytes += st.getLen
+          }
+        }
+        val beforeFiles = snapshot.size.toLong
+        val vBase = fs.makeQualified(vDir).toString
+        def relOf(p: Path): String =
+          fs.makeQualified(p).toString.stripPrefix(vBase).stripPrefix("/")
+        val snapRel = snapshot.map(relOf).toSet
+        val beforeMtime = fs.getFileStatus(vDir).getModificationTime
+        val df = spark.read
+          .option("mergeSchema", "true")
+          .option("basePath", tableDir.toString)
+          .parquet(snapshot.map(_.toString).toSeq: _*)
+        val partCols = df.columns.filter(c => c.startsWith(InternalPrefix) && c != VersionCol).toSeq
+        val clustered =
+          if (partCols.nonEmpty) df.drop(VersionCol).repartition(partCols.map(col): _*)
+          else {
+            val nFiles = math.max(1L, (beforeBytes + targetFileBytes - 1) / targetFileBytes).toInt
+            df.drop(VersionCol).repartition(nFiles)
+          }
+        val tmp = new Path(tableDir, s".compact_tmp_${encodeVersion(label)}")
+        val old = new Path(tableDir, s".compact_old_${encodeVersion(label)}")
+        fs.delete(tmp, true)
         fs.delete(old, true)
-        // Compaction must not rewrite history: vacuum/lastVersion order
-        // versions by directory mtime, and a freshly-swapped dir would
-        // rank an OLD version as newest — vacuum would then delete the
-        // genuinely newest data. Restore the original mtime.
-        fs.setTimes(vDir, beforeMtime, -1)
-      } catch {
-        case e: Exception =>
-          // Roll the swap back if the new subtree never landed.
-          if (!fs.exists(vDir) && fs.exists(old)) fs.rename(old, vDir)
-          fs.delete(tmp, true)
-          throw new Store.LoadError(s"Error compacting '$name' version '$label': ${e.getMessage}", e)
-      }
-      afterTotal += dataFileStats(vDir)._1
-      beforeTotal += beforeFiles
+        var swapDone = false
+        try {
+          var writer = clustered.write.mode(SaveMode.Overwrite)
+          if (partCols.nonEmpty) writer = writer.partitionBy(partCols: _*)
+          if (maxRecordsPerFile > 0)
+            writer = writer.option("maxRecordsPerFile", maxRecordsPerFile)
+          writer.parquet(tmp.toString)
+          compactTestHook("pre-swap")
+          if (!fs.rename(vDir, old))
+            throw new java.io.IOException(s"swap rename failed for version '$label'")
+          compactTestHook("mid-swap")
+          if (fs.exists(vDir)) {
+            // A concurrent load recreated the version dir inside the
+            // swap window — merge the compacted files in per-file.
+            mergeMove(tmp, vDir)
+          } else if (!fs.rename(tmp, vDir)) {
+            if (fs.exists(vDir)) mergeMove(tmp, vDir)
+            else throw new java.io.IOException(s"swap rename failed for version '$label'")
+          }
+          swapDone = true
+          // Salvage: any data file that landed under the old subtree
+          // after the snapshot (a racing load publish) moves into the
+          // new subtree instead of dying with it.
+          val oldBase = fs.makeQualified(old).toString
+          walkFiles(old) { st =>
+            val n = st.getPath.getName
+            if (!n.startsWith("_") && !n.startsWith(".")) {
+              val r = fs.makeQualified(st.getPath).toString
+                .stripPrefix(oldBase).stripPrefix("/")
+              if (!snapRel.contains(r)) {
+                val dest = new Path(vDir, r)
+                fs.mkdirs(dest.getParent)
+                if (!fs.rename(st.getPath, dest))
+                  throw new java.io.IOException(s"failed to salvage concurrently-loaded file '$r'")
+              }
+            }
+          }
+          fs.delete(old, true)
+          // Compaction must not rewrite history: vacuum/lastVersion order
+          // versions by directory mtime, and a freshly-swapped dir would
+          // rank an OLD version as newest — vacuum would then delete the
+          // genuinely newest data. Restore the original mtime.
+          fs.setTimes(vDir, beforeMtime, -1)
+        } catch {
+          case e: Exception =>
+            // Roll the swap back only if the new subtree never landed;
+            // after a successful swap the compacted data is live and a
+            // salvage failure must NOT restore old files next to it
+            // (duplication) — the hidden old dir is left for manual
+            // recovery instead.
+            if (!swapDone && !fs.exists(vDir) && fs.exists(old)) fs.rename(old, vDir)
+            if (!swapDone) fs.delete(tmp, true)
+            throw new Store.LoadError(s"Error compacting '$name' version '$label': ${e.getMessage}", e)
+        }
+        afterTotal += dataFileStats(vDir)._1
+        beforeTotal += beforeFiles
+      } finally fs.delete(lease, false)
     }
     (beforeTotal, afterTotal)
+  }
+
+  /** Test-only interposition point for deterministic compact/load race
+    * tests (StoreSpec): invoked with "pre-swap" (compacted tmp written,
+    * live dir still in place) and "mid-swap" (live dir renamed away, new
+    * dir not yet in place). No-op in production.
+    */
+  private[graft] var compactTestHook: String => Unit = _ => ()
+
+  /** Create the compactor-exclusion lease marker atomically
+    * (create-exclusive). A lease older than [[Store.CompactLeaseTtlMs]]
+    * belongs to a crashed compactor and is stolen once.
+    */
+  private def acquireCompactLease(tableDir: Path, label: String, name: String): Path = {
+    val lease = new Path(tableDir, s".compact_lease_${encodeVersion(label)}")
+    def tryCreate(): Boolean =
+      try { fs.create(lease, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val age = try System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
+      catch { case _: java.io.IOException => 0L } // vanished → racer active
+      if (age > CompactLeaseTtlMs) fs.delete(lease, false)
+      if (age <= CompactLeaseTtlMs || !tryCreate())
+        throw new Store.LoadError(
+          s"Version '$label' of '$name' is already being compacted (lease ${lease.getName})", null)
+    }
+    lease
   }
 
   /** Newest version label from the `_last` pointer file (README.md:217),
@@ -571,7 +667,20 @@ final class Store(
           val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
           val dest = new Path(destDir, rel)
           fs.mkdirs(dest.getParent)
-          if (!fs.rename(st.getPath, dest))
+          // Retry through a concurrent compact's sub-second swap window:
+          // the version dir (dest's parent) can vanish between mkdirs
+          // and rename while the compactor's two renames are in flight.
+          // Re-mkdirs + retry lands the file in the NEW subtree; without
+          // the retry, a publish racing a compact swap would fail.
+          var ok = fs.rename(st.getPath, dest)
+          var tries = 0
+          while (!ok && tries < 50) {
+            Thread.sleep(20)
+            fs.mkdirs(dest.getParent)
+            ok = fs.rename(st.getPath, dest)
+            tries += 1
+          }
+          if (!ok)
             throw new java.io.IOException(s"failed to move staged file '$rel'")
           moved += dest
         }
@@ -640,6 +749,11 @@ object Store {
   val InternalPrefix = "__"
   val LastFile = "_last"
   val MetaFile = "_meta.json"
+
+  /** Compact-lease staleness horizon: a `.compact_lease_*` marker older
+    * than this belongs to a crashed compactor and may be stolen.
+    */
+  val CompactLeaseTtlMs: Long = 60L * 60 * 1000
   private val NowFormat = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssSSS")
 
   def partColName(c: String): String = s"__p_$c"

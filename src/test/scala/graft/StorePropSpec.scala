@@ -73,6 +73,69 @@ object StorePropSpec extends Properties("Store") {
         store.lastVersion("p/t").contains("c")
     }
 
+  property("schema evolution: accumulate unions by name with nulls; per-version reads keep their own schema") =
+    Prop.forAllNoShrink(
+      Gen.listOfN(3, Gen.someOf(Seq("tag", "score", "flag"))),
+      Gen.chooseNum(2, 3)) { (subsets0, k) =>
+      import org.apache.spark.sql.functions.{concat, lit}
+      import spark.implicits._
+      val store = freshStore()
+      val subsets = subsets0.take(k).map(_.toSet)
+      subsets.zipWithIndex.foreach { case (cols, i) =>
+        var df = Seq((i.toLong * 10 + 1, s"v$i"), (i.toLong * 10 + 2, s"v$i"))
+          .toDF("id", "src")
+        if (cols("tag")) df = df.withColumn("tag", concat(lit("t"), col("id")))
+        if (cols("score")) df = df.withColumn("score", col("id") * 1.5)
+        if (cols("flag")) df = df.withColumn("flag", col("id") % 2 === 0)
+        store.load(df, "p/t", externalKey = s"v$i")
+      }
+      // Accumulate read: union-by-name over every version's schema,
+      // nulls where a version lacked the column.
+      val all = store.get("p/t")
+      val expectedCols = (Seq("id", "src") ++ subsets.flatten.distinct).sorted
+      val colsOk = all.columns.sorted.toSeq == expectedCols
+      val nullPatternOk = all.collect().forall { r =>
+        val i = r.getString(r.fieldIndex("src")).drop(1).toInt
+        Seq("tag", "score", "flag").filter(all.columns.contains).forall { c =>
+          r.isNullAt(r.fieldIndex(c)) == !subsets(i)(c)
+        }
+      }
+      // Per-version read: exactly that version's own columns, no
+      // phantom nulls from sibling versions.
+      val perVersionOk = subsets.zipWithIndex.forall { case (cols, i) =>
+        store.get("p/t", externalKey = Some(s"v$i")).columns.sorted.toSeq ==
+          (Seq("id", "src") ++ cols).sorted
+      }
+      val countOk = all.count() == 2L * k
+      colsOk && nullPatternOk && perVersionOk && countOk
+    }
+
+  property("schema evolution: compact schema-merges mixed-schema appends losslessly") =
+    Prop.forAllNoShrink(Gen.someOf(Seq("tag", "score")), Gen.someOf(Seq("score", "flag"))) {
+      (colsA0, colsB0) =>
+        import org.apache.spark.sql.functions.{concat, lit}
+        import spark.implicits._
+        val store = freshStore()
+        val (colsA, colsB) = (colsA0.toSet, colsB0.toSet)
+        def frame(ids: Range, cols: Set[String]) = {
+          var df = ids.map(i => (i.toLong, s"r$i")).toDF("id", "src")
+          if (cols("tag")) df = df.withColumn("tag", concat(lit("t"), col("id")))
+          if (cols("score")) df = df.withColumn("score", col("id") * 1.5)
+          if (cols("flag")) df = df.withColumn("flag", col("id") % 2 === 0)
+          df
+        }
+        // Two appends with different schemas into ONE version.
+        store.load(frame(1 to 5, colsA), "p/t", externalKey = "v1")
+        store.load(frame(6 to 10, colsB), "p/t", externalKey = "v1")
+        def canonAll(df: org.apache.spark.sql.DataFrame) =
+          df.select(df.columns.sorted.map(col): _*)
+            .collect().map(_.toSeq).sortBy(_.toString())
+        val before = canonAll(store.get("p/t"))
+        store.compact("p/t")
+        val after = canonAll(store.get("p/t"))
+        before.sameElements(after) && before.length == 10
+    }
+
   property("compact preserves content for any key config and split count") =
     Prop.forAllNoShrink(genFrame, genKeys, Gen.chooseNum(1, 3)) { (rows, keys, nLoads) =>
       val store = freshStore()

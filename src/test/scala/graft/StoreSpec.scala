@@ -269,6 +269,66 @@ class StoreSpec extends SparkSpec {
     assert(store.get("conc/u", externalKey = Some("v1")).count() == 2500)
   }
 
+  test("compact racing a load publish PRE-swap: late files are salvaged, no loss/dup") {
+    // Ordering 1: the load publishes into the live version dir after
+    // compact snapshotted its input but before the swap — the late files
+    // ride the rename into the hidden old subtree, and the salvage pass
+    // must rescue them into the compacted tree before deletion.
+    import spark.implicits._
+    val store = freshStore()
+    store.load((1L to 100L).map(i => (i, s"r$i")).toDF("id", "s"), "t", externalKey = "v1")
+    store.load((101L to 150L).map(i => (i, s"r$i")).toDF("id", "s"), "t", externalKey = "v1")
+    store.compactTestHook = {
+      case "pre-swap" =>
+        store.load((151L to 170L).map(i => (i, s"r$i")).toDF("id", "s"), "t", externalKey = "v1")
+      case _ => ()
+    }
+    try store.compact("t", Some("v1")) finally store.compactTestHook = _ => ()
+    val ids = store.get("t", externalKey = Some("v1")).select("id").as[Long].collect()
+    assert(ids.length == 170, s"rows lost or duplicated: ${ids.length}")
+    assert(ids.toSet == (1L to 170L).toSet)
+  }
+
+  test("compact racing a load publish MID-swap: publish retries into the new tree") {
+    // Ordering 2: the load publishes inside the swap window itself (the
+    // version dir briefly does not exist). mergeMove's re-mkdirs+retry
+    // recreates the dir and lands the files; compact then merges its
+    // compacted output in per-file instead of dir-renaming over it.
+    import spark.implicits._
+    val store = freshStore()
+    store.load((1L to 100L).map(i => (i, s"r$i")).toDF("id", "s"), "t", externalKey = "v1")
+    store.load((101L to 150L).map(i => (i, s"r$i")).toDF("id", "s"), "t", externalKey = "v1")
+    store.compactTestHook = {
+      case "mid-swap" =>
+        store.load((151L to 170L).map(i => (i, s"r$i")).toDF("id", "s"), "t", externalKey = "v1")
+      case _ => ()
+    }
+    try store.compact("t", Some("v1")) finally store.compactTestHook = _ => ()
+    val ids = store.get("t", externalKey = Some("v1")).select("id").as[Long].collect()
+    assert(ids.length == 170, s"rows lost or duplicated: ${ids.length}")
+    assert(ids.toSet == (1L to 170L).toSet)
+  }
+
+  test("compact lease excludes a second concurrent compactor, then releases") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lease_").toString
+    val store = new Store(spark, root)
+    val rival = new Store(spark, root)
+    store.load((1L to 50L).map(i => (i, s"r$i")).toDF("id", "s"), "t", externalKey = "v1")
+    var rivalErr: Option[Throwable] = None
+    store.compactTestHook = {
+      case "pre-swap" =>
+        rivalErr = Some(intercept[Store.LoadError](rival.compact("t", Some("v1"))))
+      case _ => ()
+    }
+    try store.compact("t", Some("v1")) finally store.compactTestHook = _ => ()
+    assert(rivalErr.exists(_.getMessage.contains("already being compacted")))
+    // lease released → a later compact proceeds
+    val (_, after) = rival.compact("t", Some("v1"))
+    assert(after >= 1)
+    assert(store.get("t", externalKey = Some("v1")).count() == 50)
+  }
+
   test("accumulate read merges schemas across versions (nulls for missing cols)") {
     import spark.implicits._
     val store = freshStore()
