@@ -78,6 +78,14 @@ object Bench {
         s""""queries_min":${timeMap(_.min)},"queries_max":${timeMap(_.max)},""" +
         s""""reps":$reps,"failures":$failures,"cpus":$cpus,"shuffle_partitions":$cpus,""" +
         s""""warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+    // The driver's artifact keeps only the TAIL of stdout. The long line
+    // above gets truncated from the front, so the total and medians were
+    // unrecoverable in BENCH_r04/r05 (only queries_max survived). Repeat
+    // the headline total + per-query MEDIANS as the final, short line so
+    // the surviving fragment always contains the statistics that matter.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median",""" +
+        s""""queries":${timeMap(median)},"reps":$reps,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

@@ -34,16 +34,69 @@ object NorthStar {
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8)
       .orderBy("doc_a", "doc_b")
 
-  /** MinHash+LSH candidate near-dup pairs (approximate; rows-only). */
-  private def qMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidatePairs(docs(s, dir), "doc_id", "text",
-        n = 3, simThreshold = 0.7)
-      .orderBy("doc_a", "doc_b")
+  /** MinHash+LSH graded as a DETERMINISTIC CONTRACT (the q31/q49
+    * playbook): the exact Jaccard pair set at the same threshold is
+    * recomputed with the engine's own exact operator (SQL-expressible —
+    * the DuckDB oracle rebuilds it, qn02-style), and the MinHash
+    * candidate set is graded against it as booleans the oracle states
+    * as literals: recall >= 0.9 (integer-exact 10·found >= 9·truth) and
+    * max |estimated − exact| Jaccard <= 0.25 over recovered pairs
+    * (32 hashes → σ ≈ 0.08 at j=0.7; seeds fixed, so the value is
+    * deterministic, and RecallSpec pins this config to recall = 1.0).
+    */
+  private def qMinhash(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cand = Dedup.minhashCandidatePairs(d, "doc_id", "text",
+      n = 3, simThreshold = 0.7)
+    val truth = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      n = 3, threshold = 0.7)
+    truth
+      .join(cand.select(col("doc_a"), col("doc_b"), col("est_jaccard")),
+        Seq("doc_a", "doc_b"), "left")
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        (sum(when(col("est_jaccard").isNotNull, 1L).otherwise(0L)) * 10L >=
+          count(lit(1)) * 9L).as("recall_ok"),
+        coalesce(max(abs(col("est_jaccard") - col("jaccard"))) <= 0.25,
+          lit(false)).as("est_err_ok"))
+  }
 
-  /** SimHash banded near-dup pairs (hash-dependent; rows-only). */
-  private def qSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+  /** SimHash graded as a DETERMINISTIC CONTRACT. Two guarantees, both
+    * stateable by the oracle as literals:
+    *   - identical-text pairs (SQL: self-join on text equality) MUST
+    *     come out of the banded pipeline with hamming 0 — identical
+    *     text → identical fingerprint → every band collides;
+    *   - the banded candidate pipeline is EXACT for hamming <= 3
+    *     (pigeonhole over 4×16-bit bands), verified in-query against a
+    *     brute-force fingerprint cross-pair scan (25M cheap bit_count
+    *     evals at sf0.1 — the check is quadratic but over 8-byte
+    *     fingerprints, not documents) and emitted as one constant
+    *     boolean column.
+    */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cand = Dedup.simhashNearDupPairs(d, "doc_id", "text", maxHamming = 3)
+    val fp = d.select(col("doc_id").as("id"), Dedup.simhash64(col("text")).as("fp"))
+    val truth = fp.as("a").join(fp.as("b"), col("a.id") < col("b.id"))
+      .where(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    val bandExact = truth.join(cand.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_miss"))
+      .crossJoin(cand.select("doc_a", "doc_b")
+        .join(truth, Seq("doc_a", "doc_b"), "left_anti")
+        .agg(count(lit(1)).as("n_extra")))
+      .select((col("n_miss") === 0 && col("n_extra") === 0).as("band_exact_ok"))
+    val dup = d.as("x").join(d.as("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    dup.join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        col("hamming").isNotNull.as("found"),
+        coalesce(col("hamming") === 0, lit(false)).as("hamming_zero"))
+      .crossJoin(broadcast(bandExact))
       .orderBy("doc_a", "doc_b")
+  }
 
   /** Text quality statistics per (lang, source). */
   private def qTextStats(s: SparkSession, dir: String): DataFrame = {
@@ -95,26 +148,70 @@ object NorthStar {
     Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
 
-  /** Signed-random-projection LSH neighbors (approximate; rows-only;
-    * RecallSpec holds this config to >= 0.9 recall vs exact pairs).
+  /** SRP-LSH graded as a DETERMINISTIC CONTRACT: the exact cosine pair
+    * set at the same threshold is recomputed with the engine's exact
+    * block-grid operator (SQL-expressible — the oracle rebuilds it with
+    * `list_cosine_similarity`, qn10-style), and the SRP candidates are
+    * graded as literal-stateable booleans: recall >= 0.9 (RecallSpec
+    * pins this config at 0.95; planes are seed-fixed → deterministic),
+    * re-ranked sims identical to exact sims (the re-rank IS the exact
+    * dot product), and precision 1.0 (candidates are exact-filtered at
+    * the threshold, so no non-true pair can survive).
     */
-  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.srpNeighbors(emb(s, dir), "vec_id", "embedding",
-        dim = 64, cosThreshold = 0.35, numPlanes = 30, bands = 10)
-      .orderBy("id_a", "id_b")
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cand = Similarity.srpNeighbors(e, "vec_id", "embedding",
+      dim = 64, cosThreshold = 0.35, numPlanes = 30, bands = 10)
+    val truth = Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.35)
+    truth
+      .join(cand.select(col("id_a"), col("id_b"), col("sim").as("cand_sim")),
+        Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        (sum(when(col("cand_sim").isNotNull, 1L).otherwise(0L)) * 10L >=
+          count(lit(1)) * 9L).as("recall_ok"),
+        coalesce(max(abs(col("cand_sim") - col("sim"))) === 0.0,
+          lit(false)).as("rerank_exact_ok"))
+      .crossJoin(
+        cand.join(truth.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+          .agg((count(lit(1)) === 0).as("precision_ok")))
+  }
 
-  /** IVF (k-means cells + probe) ANN top-5 for 8 queries (rows-only;
-    * RecallSpec holds this config to >= 0.9 recall — the fixture vectors
-    * are near-uniform on the sphere, hence the high probe fraction).
+  /** IVF ANN graded as a DETERMINISTIC CONTRACT: exact brute-force top-5
+    * per query (qn09's operator; SQL-expressible) is the truth set, and
+    * the IVF probe results are graded per query as literal-stateable
+    * values: k_exact (always 5 — the corpus dwarfs k), returned_ok (IVF
+    * yields exactly k rows per query), and a global recall >= 0.9
+    * boolean (RecallSpec pins this config at 0.925 on the deliberately
+    * worst-case near-uniform fixture; k-means seed fixed →
+    * deterministic).
     */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    val queries = e.where(col("vec_id") < 8)
     // Corpus size from parquet footers (driver-side metadata read) — the
     // fit-sample fraction must not cost a count() job over the corpus.
-    Similarity.ivfTopK(e, e.where(col("vec_id") < 8), "vec_id", "embedding",
-        k = 5, nlist = 8, nProbe = 6,
-        corpusRows = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
-      .orderBy("query_id", "rank")
+    val ivf = Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nProbe = 6,
+      corpusRows = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
+    val exact = Similarity.topKPerQuery(e, queries, "vec_id", "embedding", k = 5)
+    val perQuery = exact
+      .join(ivf.select(col("query_id"), col("vec_id"), lit(1L).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val returned = ivf.groupBy("query_id")
+      .agg((count(lit(1)) === 5).as("returned_ok"))
+    val global = perQuery
+      .agg((sum("n_hit") * 10L >= sum("k_exact") * 9L).as("recall_ok"))
+    perQuery
+      .join(returned, Seq("query_id"), "left")
+      .crossJoin(broadcast(global))
+      .select(col("query_id"), col("k_exact"),
+        coalesce(col("returned_ok"), lit(false)).as("returned_ok"),
+        col("recall_ok"))
+      .orderBy("query_id")
   }
 
   /** Near-dup dedup applied end-to-end: detect pairs (capped-shingle
@@ -334,8 +431,28 @@ object NorthStar {
       JOIN counts nb ON doc_b = nb.doc_id
       WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8
       ORDER BY doc_a, doc_b""")),
-    QueryDef("qn03_dedup_minhash_lsh", qMinhash _, None),
-    QueryDef("qn04_dedup_simhash", qSimhash _, None),
+    QueryDef("qn03_dedup_minhash_lsh", qMinhash _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      sh AS (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      truth AS (SELECT doc_a, doc_b FROM pairs
+                JOIN counts na ON doc_a = na.doc_id
+                JOIN counts nb ON doc_b = nb.doc_id
+                WHERE common / (na.n_sh + nb.n_sh - common) >= 0.7)
+      SELECT count(*) AS n_true_pairs, true AS recall_ok, true AS est_err_ok
+      FROM truth""")),
+    QueryDef("qn04_dedup_simhash", qSimhash _, Some("""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             true AS found, true AS hamming_zero, true AS band_exact_ok
+      FROM documents a JOIN documents b
+        ON a.text = b.text AND a.doc_id < b.doc_id
+      ORDER BY doc_a, doc_b""")),
     QueryDef("qn05_text_stats", qTextStats _, Some("""
       WITH f AS (
         SELECT lang, source, n_chars,
@@ -426,8 +543,21 @@ object NorthStar {
       WHERE a.vec_id < b.vec_id
         AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
       ORDER BY id_a, id_b""")),
-    QueryDef("qn11_ann_lsh", qAnnLsh _, None),
-    QueryDef("qn12_ann_ivf", qAnnIvf _, None),
+    QueryDef("qn11_ann_lsh", qAnnLsh _, Some("""
+      WITH truth AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.35)
+      SELECT count(*) AS n_true_pairs, true AS recall_ok,
+             true AS rerank_exact_ok, true AS precision_ok
+      FROM truth""")),
+    QueryDef("qn12_ann_ivf", qAnnIvf _, Some("""
+      SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_exact,
+             true AS returned_ok, true AS recall_ok
+      FROM embeddings WHERE vec_id < 8
+      ORDER BY query_id""")),
     QueryDef("qn13_multimodal_features", qMultimodalFeatures _, Some("""
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

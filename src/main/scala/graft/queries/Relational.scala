@@ -431,16 +431,32 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** Stratified sampling (pandas sample / sampleBy parity). Sampling is
-    * engine-specific even with a fixed seed, so rows-only checked.
+  /** Stratified sampling (pandas sample / sampleBy parity), graded as a
+    * DETERMINISTIC CONTRACT (the q31/q49 playbook): sampled counts are
+    * engine-specific even with a fixed seed, so the graded output is the
+    * exact per-stratum population (SQL-stateable) plus a boolean holding
+    * each sampled count within 6σ + 5 of Binomial(n_total, 0.2) — the
+    * seed is fixed, so the boolean is a deterministic true, and the
+    * DuckDB oracle states it as a literal. OpsSpec independently
+    * re-derives a 5σ bound from the raw sampleBy output.
     */
   private def q35Sample(s: SparkSession, dir: String): DataFrame = {
     val fractions = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
       .map(p => (p: Any) -> 0.2).toMap
-    t(s, dir, "orders")
+    val sampled = t(s, dir, "orders")
       .stat.sampleBy("o_orderpriority", fractions, seed = 42L)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_sampled"))
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_total"))
+      .join(sampled, Seq("o_orderpriority"), "left")
+      .select(
+        col("o_orderpriority"),
+        col("n_total"),
+        (abs(coalesce(col("n_sampled"), lit(0L)) - lit(0.2) * col("n_total")) <=
+          lit(6.0) * sqrt(col("n_total") * lit(0.2) * lit(0.8)) + lit(5.0))
+          .as("sample_ok"))
       .orderBy("o_orderpriority")
   }
 
@@ -873,7 +889,11 @@ object Relational {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
              wt AS (PARTITION BY o_custkey ORDER BY year(o_orderdate))
       ORDER BY o_custkey, o_orderkey""")),
-    QueryDef("q35_stratified_sample", q35Sample _, None),
+    QueryDef("q35_stratified_sample", q35Sample _, Some("""
+      SELECT o_orderpriority, count(*) AS n_total, true AS sample_ok
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")),
     QueryDef("q37_theta_join", q37ThetaJoin _, Some("""
       SELECT s1.s_suppkey AS supp_a, s2.s_suppkey AS supp_b
       FROM supplier s1 JOIN supplier s2

