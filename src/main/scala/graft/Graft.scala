@@ -35,12 +35,19 @@ final case class Graft(
     this
   }
 
-  /** Install the ID-range partition-pruning rewrite for this session. */
+  /** Install the ID-range and Date partition-pruning rewrites for this
+    * session (idempotent). Both rules are exprId-guarded no-ops on plans
+    * without store partition columns, so leaving them installed is safe
+    * session-wide.
+    */
   def installPruningRule(): Graft = {
+    val wanted = Seq(
+      org.apache.spark.sql.graft.IdRangePruningRule,
+      org.apache.spark.sql.graft.DatePartitionPruningRule)
     val rules = spark.experimental.extraOptimizations
-    if (!rules.contains(org.apache.spark.sql.graft.IdRangePruningRule))
-      spark.experimental.extraOptimizations =
-        rules :+ org.apache.spark.sql.graft.IdRangePruningRule
+    val missing = wanted.filterNot(rules.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = rules ++ missing
     this
   }
 

@@ -101,6 +101,31 @@ object StoreQueries {
       .orderBy("cust_bucket")
   }
 
+  /** Date-key partitioning pruned by the OPTIMIZER RULE from a NATURAL
+    * data-column predicate: unlike qs04 (whose filter names the derived
+    * `__p_*` column explicitly), the user here writes the predicate they
+    * would write against any table — `where(col("o_date") >= DATE
+    * '1997-06-01')` — and [[org.apache.spark.sql.graft.DatePartitionPruningRule]]
+    * (installed session-wide via [[graft.Graft.installPruningRule]], the
+    * same rules `GraftExtensions` deploys) derives the partition
+    * conjunct. ScaleSpec asserts this exact query shape scans fewer
+    * files than the version holds; the oracle grades the values.
+    */
+  private def naturalDatePrune(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.Graft(s, Files.createTempDirectory("graft_store_").toString)
+      .installPruningRule()
+    val orders = Tables.read(s, dir, "orders")
+      .where(year(col("o_orderdate")) === 1997)
+      .withColumn("o_date", col("o_orderdate").cast("date"))
+    g.store.load(orders, "tpch/orders_97n", Map("o_date" -> Store.KeyDate),
+      externalKey = "v1")
+    g.store.getPartitioned("tpch/orders_97n", useLast = true)
+      .where(col("o_date") >= lit("1997-06-01").cast("date"))
+      .groupBy(month(col("o_date")).as("o_month"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
+      .orderBy("o_month")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qs01_store_roundtrip_idkey", roundtripIdKey _, Some("""
       SELECT CAST(floor(o_custkey / 1000) * 1000 AS BIGINT) AS cust_bucket,
@@ -139,6 +164,15 @@ object StoreQueries {
              count(*) AS n
       FROM orders
       GROUP BY 1
-      ORDER BY cust_bucket"""))
+      ORDER BY cust_bucket""")),
+    QueryDef("qs06_store_natural_date_prune", naturalDatePrune _, Some("""
+      SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM orders
+      WHERE year(o_orderdate) = 1997
+        AND CAST(o_orderdate AS DATE) >= DATE '1997-06-01'
+      GROUP BY 1
+      ORDER BY o_month"""))
   )
 }

@@ -94,6 +94,44 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("qs06 natural-predicate store read scans fewer files than the version holds") {
+    // End-to-end twin of the graded qs06 query: date-keyed store load,
+    // rules installed the way a user installs them (Graft
+    // .installPruningRule), NATURAL data-column predicate — and the scan
+    // must touch only the matching date dirs, not the whole version.
+    val rulesWere = spark.experimental.extraOptimizations
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val g = Graft(spark, Files.createTempDirectory("graft_qs06_").toString)
+        .installPruningRule()
+      val orders = Tables.read(spark, sf("sf0.001"), "orders")
+        .where(year(col("o_orderdate")) === 1997)
+        .withColumn("o_date", col("o_orderdate").cast("date"))
+      g.store.load(orders, "t", Map("o_date" -> Store.KeyDate), externalKey = "v1")
+      val totalFiles = {
+        val all = g.store.getPartitioned("t", useLast = true)
+        all.collect()
+        all.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f.metrics("numFiles").value
+        }.head
+      }
+      val pruned = g.store.getPartitioned("t", useLast = true)
+        .where(col("o_date") >= lit("1997-06-01").cast("date"))
+      pruned.collect()
+      val scanned = pruned.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.metrics("numFiles").value
+      }.head
+      info(s"qs06 shape scanned $scanned of $totalFiles files")
+      assert(scanned < totalFiles)
+      assert(pruned.count() ==
+        orders.where(col("o_date") >= lit("1997-06-01").cast("date")).count())
+    } finally {
+      spark.experimental.extraOptimizations = rulesWere
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
   test("pruning rule refuses to bind through aliases (no wrong pruning)") {
     val store = new Store(spark, Files.createTempDirectory("graft_rule2_").toString)
     import spark.implicits._
