@@ -23,4 +23,20 @@ import org.apache.hadoop.fs.permission.FsPermission
   */
 class FastLocalFileSystem extends RawLocalFileSystem {
   override def setPermission(p: Path, permission: FsPermission): Unit = ()
+
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    if (f.getName.endsWith(".parquet"))
+      FastLocalFileSystem.parquetOpens.incrementAndGet()
+    super.open(f, bufferSize)
+  }
+}
+
+object FastLocalFileSystem {
+  /** Count of parquet-file opens through this filesystem — an observable
+    * proxy for footer reads, used by StoreSpec to assert that
+    * sidecar-schema reads build relations with ZERO data-file I/O
+    * (where a mergeSchema sweep opens every footer). One branch per
+    * open; negligible in production.
+    */
+  val parquetOpens = new java.util.concurrent.atomic.AtomicLong
 }

@@ -7,6 +7,7 @@ import java.time.{ZoneOffset, ZonedDateTime}
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Summary of one stored table, as returned by [[Store.list]]. */
@@ -178,9 +179,19 @@ final class Store(
       // would leave `_last` naming a version that does not exist and
       // break every use_last read. Metadata still lands so the table is
       // listable.
-      if (fs.exists(new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")))
+      val publishedVDir = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")
+      if (fs.exists(publishedVDir)) {
+        // Per-load schema sidecar: accumulate reads union these tiny
+        // driver-side files instead of mergeSchema-sweeping every data
+        // file's footer (at 100 TB × many versions the footer sweep IS
+        // the relation-build cost). One uniquely-named file per load —
+        // concurrent loads into one version never contend — recording
+        // the DATA schema (partition columns live in dir names).
+        writeSmall(new Path(publishedVDir,
+          s"$SchemaFilePrefix${java.util.UUID.randomUUID().toString.take(12)}.json"),
+          df.schema.json)
         writeSmall(new Path(tableDir, LastFile), label)
-      else if (keepLast)
+      } else if (keepLast)
         // keep_last with 0 rows wiped every version: a surviving pointer
         // would dangle at the pre-overwrite label.
         fs.delete(new Path(tableDir, LastFile), false)
@@ -241,10 +252,11 @@ final class Store(
       val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")
       if (!fs.exists(vDir))
         throw new Store.GetError(s"Version '$label' of '$name' not found", null)
-      spark.read
-        .option("mergeSchema", "true")
-        .option("basePath", tableDir.toString)
-        .parquet(vDir.toString)
+      val base = spark.read.option("basePath", tableDir.toString)
+      sidecarSchema(Seq(vDir)) match {
+        case Some(schema) => base.schema(schema).parquet(vDir.toString)
+        case None => base.option("mergeSchema", "true").parquet(vDir.toString)
+      }
     }
     externalKey match {
       case Some(k) => versionScan(k)
@@ -253,9 +265,44 @@ final class Store(
           throw new Store.GetError(s"No '$LastFile' pointer for '$name'", null))
         versionScan(last)
       case None =>
-        spark.read.option("mergeSchema", "true").parquet(tableDir.toString)
+        val vDirs = versionsOf(tableDir)
+          .map(l => new Path(tableDir, s"$VersionCol=${encodeVersion(l)}"))
+        sidecarSchema(vDirs) match {
+          case Some(schema) => spark.read.schema(schema).parquet(tableDir.toString)
+          case None => spark.read.option("mergeSchema", "true").parquet(tableDir.toString)
+        }
     }
   }
+
+  /** Union of the per-load `_schema_*.json` sidecars across the given
+    * version dirs — the driver-side replacement for parquet
+    * `mergeSchema`'s per-FILE footer sweep: O(loads) tiny JSON reads
+    * instead of O(data files) footer fetches at relation-build time.
+    * Merge semantics are parquet's own ([[SchemaBridge.merge]] calls the
+    * same `StructType.merge`); the union is forced nullable because a
+    * column absent from one version reads as nulls. Returns None — and
+    * the caller falls back to the legacy mergeSchema sweep — when any
+    * version predates sidecars or a sidecar fails to parse/merge (a
+    * genuine type conflict then surfaces as parquet's standard
+    * mergeSchema error at read time).
+    */
+  private def sidecarSchema(vDirs: Seq[Path]): Option[StructType] =
+    try {
+      if (vDirs.isEmpty) None
+      else {
+        val perVersion = vDirs.map { v =>
+          fs.listStatus(v).filter(st =>
+            !st.isDirectory && st.getPath.getName.startsWith(SchemaFilePrefix))
+        }
+        if (perVersion.exists(_.isEmpty)) None
+        else {
+          val merged = perVersion.flatten
+            .map(st => org.apache.spark.sql.graft.SchemaBridge.fromJson(readSmall(st.getPath)))
+            .reduce(org.apache.spark.sql.graft.SchemaBridge.merge)
+          Some(StructType(merged.map(_.copy(nullable = true))))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Retention: delete all but the newest `keepVersions` versions (by
     * version-label sort, same ordering `lastVersion` uses). Generalizes
@@ -408,14 +455,20 @@ final class Store(
           swapDone = true
           // Salvage: any data file that landed under the old subtree
           // after the snapshot (a racing load publish) moves into the
-          // new subtree instead of dying with it.
+          // new subtree instead of dying with it. Schema sidecars
+          // (`_schema_*.json`) are salvaged unconditionally — compaction
+          // rewrites files, not schemas, so the per-load sidecars stay
+          // the version's schema record (and a racing load's sidecar,
+          // which landed after the snapshot, must survive or its new
+          // columns would silently read as nulls on accumulate).
           val oldBase = fs.makeQualified(old).toString
           walkFiles(old) { st =>
             val n = st.getPath.getName
-            if (!n.startsWith("_") && !n.startsWith(".")) {
+            val isSidecar = n.startsWith(SchemaFilePrefix)
+            if (isSidecar || (!n.startsWith("_") && !n.startsWith("."))) {
               val r = fs.makeQualified(st.getPath).toString
                 .stripPrefix(oldBase).stripPrefix("/")
-              if (!snapRel.contains(r)) {
+              if (isSidecar || !snapRel.contains(r)) {
                 val dest = new Path(vDir, r)
                 fs.mkdirs(dest.getParent)
                 if (!fs.rename(st.getPath, dest))
@@ -808,6 +861,12 @@ object Store {
   val InternalPrefix = "__"
   val LastFile = "_last"
   val MetaFile = "_meta.json"
+
+  /** Per-load schema sidecar name prefix (one `_schema_<uuid>.json` per
+    * load inside its version dir); underscore-prefixed so partition
+    * discovery and data-file walks skip them.
+    */
+  val SchemaFilePrefix = "_schema_"
 
   /** Compact-lease staleness horizon: a `.compact_lease_*` marker older
     * than this belongs to a crashed compactor and may be stolen.

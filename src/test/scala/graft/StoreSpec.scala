@@ -341,6 +341,60 @@ class StoreSpec extends SparkSpec {
     assert(byId(1).getDouble(byId(1).fieldIndex("score")) == 9.5)
   }
 
+  test("accumulate read builds its relation from schema sidecars, zero footer reads") {
+    import spark.implicits._
+    val rootDir = Files.createTempDirectory("graft_test_").toString
+    val store = new Store(spark, rootDir)
+    store.load(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), "t", externalKey = "v1")
+    store.load(Seq((3L, "c", 1.5)).toDF("id", "tag", "score"), "t", externalKey = "v2")
+    // Relation build (schema resolution + partition discovery) must not
+    // open any parquet file: the union schema comes from the per-load
+    // `_schema_*.json` sidecars. mergeSchema would open every footer
+    // here — the 100 TB accumulate-read cost this kills.
+    val before = graft.hadoop.FastLocalFileSystem.parquetOpens.get()
+    val all = store.get("t")
+    val schemaFields = all.schema.fieldNames.sorted.toSeq
+    val opens = graft.hadoop.FastLocalFileSystem.parquetOpens.get() - before
+    assert(opens == 0L, s"relation build opened $opens parquet files")
+    assert(schemaFields == Seq("id", "score", "tag"))
+    // ... and the data still reads correctly (nulls for missing columns).
+    val rows = all.orderBy("id").collect()
+    assert(rows.length == 3 && rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(2).getDouble(rows(2).fieldIndex("score")) == 1.5)
+    // Legacy tables without sidecars still read (mergeSchema fallback).
+    val tableDir = new org.apache.hadoop.fs.Path(rootDir, "t")
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(tableDir)
+      .filter(_.getPath.getName.startsWith("__version="))
+      .foreach { v =>
+        fs.listStatus(v.getPath)
+          .filter(_.getPath.getName.startsWith(graft.store.Store.SchemaFilePrefix))
+          .foreach(s => fs.delete(s.getPath, false))
+      }
+    val legacy = store.get("t")
+    assert(legacy.schema.fieldNames.sorted.toSeq == Seq("id", "score", "tag"))
+    assert(legacy.count() == 3)
+  }
+
+  test("sidecar-schema reads keep partition columns typed and prunable") {
+    import spark.implicits._
+    val store = freshStore()
+    val df = (0 until 100).map(i =>
+      (i.toLong, java.sql.Date.valueOf(f"2024-02-${i % 5 + 1}%02d"), s"r$i"))
+      .toDF("id", "d", "payload")
+    store.load(df, "t", Map("d" -> graft.store.Store.KeyDate), externalKey = "v1")
+    store.load(df, "t", Map("d" -> graft.store.Store.KeyDate), externalKey = "v2")
+    val part = store.getPartitioned("t")
+    // Partition columns must survive the explicit-schema read path with
+    // their inferred types (the Date pruning rule requires DateType).
+    assert(part.columns.contains("__version"))
+    val pcol = part.schema(graft.store.Store.partColName("d"))
+    assert(pcol.dataType == org.apache.spark.sql.types.DateType, s"got ${pcol.dataType}")
+    assert(part.where(col(graft.store.Store.partColName("d")) ===
+      java.sql.Date.valueOf("2024-02-03")).count() == 40L)
+    assert(store.get("t").count() == 200L)
+  }
+
   test("vacuum keeps only the newest k versions") {
     val store = freshStore()
     store.load(sampleDf(), "t", externalKey = "v1")
