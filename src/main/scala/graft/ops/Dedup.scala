@@ -329,6 +329,100 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** The per-document shingle signature table — the state a production
+    * corpus pipeline PERSISTS between ingests (e.g. via
+    * [[graft.store.Store.load]] under a `dedup/signatures` name, one
+    * version per ingest day) so each new batch is deduped against the
+    * whole history without ever re-pairing the history with itself
+    * (see [[dedupIncremental]]). Skinny (id, shingle) rows; distinct by
+    * construction (shingling dedups per doc).
+    */
+  def shingleSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(TextOps.shingles(col(textCol), n)).as("s"))
+
+  /** Incremental near-dup dedup of a NEW batch against an already-deduped
+    * corpus — the op a real pipeline runs daily. The quadratic full-corpus
+    * re-pair is replaced by exactly two joins:
+    *
+    *   - CROSS pairs: previous signatures ⋈ new signatures on shingle —
+    *     O(|new| × overlap), never corpus × corpus;
+    *   - NEW×NEW pairs: the batch self-join (small side squared).
+    *
+    * plus one linear aggregate over the signature table for per-doc
+    * shingle counts (no self-join touches the corpus side). Components
+    * are computed over the reduced edge set only; a new doc survives iff
+    * it is its component's minimum — since ingest ids grow
+    * monotonically, a component touching ANY previous doc has a previous
+    * minimum and the whole new contingent drops, and new-only clusters
+    * keep their smallest member: precisely the one-shot
+    * [[dedupByJaccard]] outcome on (prev ∪ new) whenever no new doc
+    * BRIDGES two previously-distinct clusters (previously published
+    * survivors are never retracted — the incremental contract).
+    *
+    * `prevSignatures` must cover ALL previously seen docs (kept and
+    * dropped): a new doc similar only to a dropped near-dup must still
+    * be dropped.
+    *
+    * @param prevSignatures (id, s) rows from [[shingleSignatures]],
+    *        typically read back from the store
+    */
+  def dedupIncremental(
+      newDocs: DataFrame,
+      prevSignatures: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleDocFreq: Long = DefaultMaxShingleDocFreq): DataFrame = {
+
+    val prevSig0 = prevSignatures.select(col("id"), col("s"))
+    val newSig0 = shingleSignatures(newDocs, idCol, textCol, n)
+    // Hot-shingle cap over prev ∪ new doc frequency — the same stopword
+    // shingles the one-shot dedup drops (fanout bound on the cross join).
+    val (prevSig, newSigPlan) =
+      if (maxShingleDocFreq <= 0) (prevSig0, newSig0)
+      else {
+        val hot = prevSig0.union(newSig0).groupBy("s").count()
+          .where(col("count") > maxShingleDocFreq).select("s")
+        (prevSig0.join(broadcast(hot), Seq("s"), "left_anti"),
+          newSig0.join(broadcast(hot), Seq("s"), "left_anti"))
+      }
+    // The new batch's signatures feed the cross join, the self-join (both
+    // sides) and the counts — materialize once. The corpus side streams
+    // through each consumer without materialization (it is the 100 TB
+    // side).
+    val newSig = materialize(newSigPlan)
+    val prevCounts = prevSig.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val newCounts = newSig.groupBy("id").agg(count(lit(1)).as("n_sh"))
+
+    def jaccardPairs(pairs: DataFrame, aCounts: DataFrame, bCounts: DataFrame) =
+      pairs
+        .join(aCounts.select(col("id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(bCounts.select(col("id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .where(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")) >= threshold)
+        .select("doc_a", "doc_b")
+
+    val cross = jaccardPairs(
+      prevSig.as("p").join(newSig.as("q"), col("p.s") === col("q.s"))
+        .groupBy(col("p.id").as("doc_a"), col("q.id").as("doc_b"))
+        .agg(count(lit(1)).as("common")),
+      prevCounts, newCounts)
+    val newNew = jaccardPairs(
+      newSig.as("a").join(newSig.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        .agg(count(lit(1)).as("common")),
+      newCounts, newCounts)
+
+    val comps = connectedComponents(cross.union(newNew), "doc_a", "doc_b")
+    val losers = comps.where(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    newDocs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash of the token stream: per token, xxhash64 bits vote
     * +1/-1 per position; fingerprint bit b = sign of vote b. Single
     * native-expression call per row (see

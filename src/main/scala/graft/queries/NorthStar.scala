@@ -224,6 +224,35 @@ object NorthStar {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** Incremental dedup replay — the daily-ingest shape: the corpus's
+    * FIRST half (by doc_id; ingest ids grow monotonically) is deduped
+    * one-shot and its full shingle-signature table is persisted through
+    * the versioned store; the second half then arrives as a new batch
+    * and is deduped INCREMENTALLY against the read-back signatures
+    * ([[Dedup.dedupIncremental]]: cross join + batch self-join only —
+    * the history is never re-paired with itself). The survivors of
+    * (one-shot first half) ∪ (incremental second half) must equal the
+    * one-shot dedup of the WHOLE corpus, which is exactly what the
+    * oracle states (qn15's recursive-CTE SQL): the equivalence holds
+    * because no fixture doc bridges two previously-distinct clusters.
+    * The split point comes from parquet footer metadata — no count job.
+    */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = Tables.parquetRowCount(s, s"$dir/documents.parquet") / 2
+    val old = d.where(col("doc_id") < cut)
+    val fresh = d.where(col("doc_id") >= cut)
+    val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3, threshold = 0.8)
+    val store = new graft.store.Store(s,
+      java.nio.file.Files.createTempDirectory("graft_dedup_").toString)
+    store.load(Dedup.shingleSignatures(old, "doc_id", "text", n = 3),
+      "dedup/signatures", externalKey = "day0")
+    val keptNew = Dedup.dedupIncremental(fresh,
+      store.get("dedup/signatures", useLast = true),
+      "doc_id", "text", n = 3, threshold = 0.8)
+    keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
+  }
+
   /** Edit-distance + character-transform text functions. */
   private def qTextDistance(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -749,6 +778,32 @@ object NorthStar {
       SELECT tok, count(*) AS doc_freq
       FROM t GROUP BY tok
       ORDER BY doc_freq DESC, tok
-      LIMIT 30"""))
+      LIMIT 30""")),
+    QueryDef("qn24_dedup_incremental", qDedupIncremental _, Some("""
+      WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents WHERE trim(text) <> ''),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      sh AS (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      qpairs AS (SELECT doc_a, doc_b FROM prs
+                 JOIN counts na ON doc_a = na.doc_id
+                 JOIN counts nb ON doc_b = nb.doc_id
+                 WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM qpairs
+                UNION SELECT doc_b, doc_a FROM qpairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+                      UNION
+                      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+      ORDER BY doc_id"""))
   )
 }

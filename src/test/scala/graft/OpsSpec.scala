@@ -364,6 +364,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupIncremental replay equals one-shot dedup, including vs-dropped-doc matches") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val uniq = "one two three four five six seven eight nine ten"
+    val novel = "completely different words entirely fresh content arrives here now"
+    val all = Seq(
+      (0L, base), (1L, base + " lambda"), // old cluster {0,1} → keep 0
+      (2L, uniq),                         // old unique → keep
+      (10L, base + " lambda"),            // new, near-dup of DROPPED doc 1 → drop
+      (11L, uniq),                        // new, dup of kept doc 2 → drop
+      (12L, novel),                       // new unique → keep
+      (13L, novel)                        // new dup of new 12 → drop
+    ).toDF("doc_id", "text")
+    val old = all.where(col("doc_id") < 10)
+    val fresh = all.where(col("doc_id") >= 10)
+    val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text")
+    val keptNew = Dedup.dedupIncremental(fresh,
+      Dedup.shingleSignatures(old, "doc_id", "text"), "doc_id", "text")
+    val replay = keptOld.select("doc_id").union(keptNew.select("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val oneShot = Dedup.dedupByJaccard(all, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay == Set(0L, 2L, 12L))
+    assert(replay == oneShot)
+  }
+
   test("dedupByMinhash agrees with dedupByJaccard on near-identical docs") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     // MinHash at a LOWER threshold over the same corpus must drop a
