@@ -157,6 +157,115 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Per-FRAME features from a decoded frame's actual pixels. */
+  final case class FrameFeatures(
+      doc_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      pix_checksum: Long)
+
+  /** REAL per-frame decode: `ImageReader.read(i)` every frame of the
+    * container and reduce its PIXELS to a position-weighted checksum
+    * (Σ value·(y·w+x+1) over the blue channel) — the per-frame payload
+    * [[sampleFrames]]'s count-based explode never touched. Works for any
+    * `javax.imageio` container (a PNG is the 1-frame case); payloads no
+    * reader understands are rejected.
+    */
+  def decodeVideoFrames(content: Array[Byte]): Seq[(Int, Int, Int, Long)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "payload is not a decodable media container")
+      val reader = readers.next()
+      reader.setInput(iis, false, true)
+      try {
+        val frames = reader.getNumImages(true)
+        require(frames >= 1, "media container holds no frames")
+        (0 until frames).map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += (img.getRGB(x, y) & 0xFF).toLong * (y.toLong * w + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          (i, w, h, sum)
+        }
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Per-partition per-frame extraction: one reader pipeline per
+    * partition, each media row exploding into its decoded frames WITH
+    * their pixel payloads reduced to features — the real generator/UDTF
+    * shape of a video pipeline (vs [[sampleFrames]], which explodes on
+    * the frame count alone).
+    */
+  def extractFrameFeatures(media: DataFrame): Dataset[FrameFeatures] = {
+    implicit val enc = Encoders.product[FrameFeatures]
+    implicit val inEnc = Encoders.product[MediaRecord]
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeVideoFrames(r.content).map { case (i, w, h, sum) =>
+          FrameFeatures(r.doc_id, i, w, h, sum)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic animated GIF with an EXPLICIT 256-gray
+    * indexed palette, so GIF encoding is pixel-LOSSLESS (the RGB variant
+    * [[syntheticGif]] gets palette-quantized by the writer, making
+    * decoded pixel values unstateable): pixel value =
+    * (seed·131 + frame·31 + y·width + x·7) mod 251 — small-term integer
+    * math an oracle reproduces exactly (and 64-bit-overflow-free on both
+    * engines). Graded per-frame queries state the resulting
+    * position-weighted checksum ([[decodeVideoFrames]]) in SQL from this
+    * formula alone.
+    */
+  def syntheticGifIndexed(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val grays = Array.tabulate(256)(i => i.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0,
+              ((seed * 131 + f * 31 + y.toLong * width + x * 7) % 251).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** Attach a binary payload column (here: UTF-8 bytes of `textCol`, as a
     * stand-in for real media bytes read from a blob store).
     */

@@ -267,8 +267,19 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dotD(col("qnv"), col("nv")), 6).as("sim"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))))
-      .where(col("rank") <= k)
+    // Re-rank through the same bounded-heap aggregate as [[topKPerQuery]]
+    // (map-side partial top-k): each partition ships <= k candidates per
+    // query instead of sorting every probed cell's scores through a
+    // window shuffle.
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("sim"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.vec_id").as("vec_id"),
+        col("col.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 }

@@ -391,6 +391,32 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** REAL per-frame video decode (the qn14 round-trip, one level deeper):
+    * deterministic synthetic ANIMATED GIFs with a lossless indexed-gray
+    * palette are rendered and encoded executor-side (every pixel a pure
+    * small-integer function of (doc_id, frame, x, y)), then EVERY frame
+    * is decoded back via `ImageReader.read(i)` and its actual pixels
+    * reduced to a position-weighted checksum
+    * ([[Multimodal.decodeVideoFrames]]). The oracle recomputes each
+    * frame's checksum in SQL from the generator formula alone
+    * (generate_series over frames × rows × cols) — so the graded rows
+    * only match if the render → GIF-encode → per-frame-decode →
+    * per-pixel-read pipeline is exact.
+    */
+  private def qVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).where(col("doc_id") < 48)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val w = (6 + id % 10).toInt
+        val h = (6 + (id * 3) % 10).toInt
+        val f = (1 + id % 4).toInt
+        Multimodal.MediaRecord(id, Multimodal.syntheticGifIndexed(w, h, f, id), "video/gif")
+      }
+    Multimodal.extractFrameFeatures(media.toDF()).toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** REAL image decode: deterministic synthetic PNGs are rendered and
     * encoded executor-side (dimensions a pure function of doc_id), then
     * decoded back through the `javax.imageio` path of
@@ -804,6 +830,21 @@ object NorthStar {
                FROM reach GROUP BY u)
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+    QueryDef("qn25_video_frames", qVideoFrames _, Some("""
+      WITH d AS (SELECT doc_id,
+                        CAST(6 + doc_id % 10 AS INTEGER) AS w,
+                        CAST(6 + (doc_id * 3) % 10 AS INTEGER) AS h,
+                        1 + doc_id % 4 AS nf
+                 FROM documents WHERE doc_id < 48),
+      f AS (SELECT doc_id, w, h, fi FROM d, unnest(range(0, nf)) t(fi)),
+      px AS (SELECT doc_id, w, h, fi, y, x,
+                    (doc_id * 131 + fi * 31 + y * w + x * 7) % 251 AS v
+             FROM f, unnest(range(0, h)) ty(y), unnest(range(0, w)) tx(x))
+      SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx, w AS width, h AS height,
+             CAST(sum(v * (y * w + x + 1)) AS BIGINT) AS pix_checksum
+      FROM px
+      GROUP BY doc_id, fi, w, h
+      ORDER BY doc_id, frame_idx"""))
   )
 }

@@ -78,11 +78,15 @@ class RecallSpec extends SparkSpec {
     // the probed fraction (measured: 3/8 cells → 0.625, 6/8 → 0.925). On
     // clustered corpora (the real ANN use case) small nProbe/nlist
     // suffices; this gate pins the honest uniform-data configuration.
-    val cand = topkSet(
-      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
-        nlist = 8, nProbe = 6))
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+      nlist = 8, nProbe = 6)
+    val cand = topkSet(ivf)
     val recall = (truth & cand).size.toDouble / truth.size
     info(f"ivf recall = $recall%.4f over ${truth.size} true neighbors")
     assert(truth.size == 40 && recall >= 0.9)
+    // The re-rank must run through the bounded-heap aggregate (map-side
+    // partial top-k), not a per-query row_number window sort.
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("topk_by_score"), "IVF re-rank not using TopKByScoreAgg")
   }
 }
