@@ -23,6 +23,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** Per-round connected-components diagnostics (edge count + wall time
+    * per star round), enabled by setting GRAFT_CC_LOG in the
+    * environment. Dev tooling — never on in graded runs.
+    */
+  private val ccLogEnabled: Boolean = sys.env.contains("GRAFT_CC_LOG")
+
   /** Materialization primitive for the multi-pass dedup pipelines. If the
     * session has a reliable checkpoint directory configured
     * (`sparkContext.setCheckpointDir(...)`), uses `Dataset.checkpoint`:
@@ -274,6 +280,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      val t0 = System.nanoTime()
       val next = checkpointed(smallStar(largeStar(edges)))
       val nextSig = signature(next)
       converged = nextSig == sig
@@ -281,6 +288,11 @@ object Dedup {
       unpersistCheckpoint(edges)
       edges = next
       iter += 1
+      // Round diagnostics (edge count is free — it is half the
+      // convergence signature); off unless GRAFT_CC_LOG is set.
+      if (Dedup.ccLogEnabled)
+        println(f"[cc] round $iter: edges=${nextSig._1} converged=$converged " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     if (!converged) {
       throw new IllegalStateException(

@@ -131,6 +131,26 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Embedding near-dup dedup applied end-to-end — the cosine analog of
+    * [[Dedup.dedupByJaccard]]: detect pairs with the exact block-grid
+    * self-join, cluster them via connected components
+    * (large-star/small-star), keep the smallest id per cluster.
+    * Non-clustered rows survive. At corpus scale swap the detector for
+    * [[srpNeighbors]] (identical downstream shape).
+    */
+  def dedupByCosine(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numBlocks: Int = 16): DataFrame = {
+    val pairs = nearDupPairs(corpus, idCol, vecCol, threshold, numBlocks)
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val losers = comps.where(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Approximate neighbors via random-projection LSH over normalized
     * vectors; euclidean distance on the unit sphere = sqrt(2-2·cos), so
     * the bucket join preserves cosine order. Returns candidate pairs with

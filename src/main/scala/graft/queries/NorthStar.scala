@@ -224,6 +224,16 @@ object NorthStar {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** Embedding near-dup dedup applied end-to-end: exact cosine pairs at
+    * 0.4 (qn10's detector) → connected components → keep the smallest
+    * vec_id per cluster. Oracle = recursive-CTE transitive closure over
+    * DuckDB-computed exact cosine pairs (the embedding analog of qn15).
+    */
+  private def qDedupCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.dedupByCosine(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
+      .select("vec_id")
+      .orderBy("vec_id")
+
   /** Incremental dedup replay — the daily-ingest shape: the corpus's
     * FIRST half (by doc_id; ingest ids grow monotonically) is deduped
     * one-shot and its full shingle-signature table is persisted through
@@ -845,6 +855,22 @@ object NorthStar {
              CAST(sum(v * (y * w + x + 1)) AS BIGINT) AS pix_checksum
       FROM px
       GROUP BY doc_id, fi, w, h
-      ORDER BY doc_id, frame_idx"""))
+      ORDER BY doc_id, frame_idx""")),
+    QueryDef("qn26_dedup_embedding_apply", qDedupCosine _, Some("""
+      WITH RECURSIVE
+      p AS (SELECT a.vec_id AS u, b.vec_id AS v
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4),
+      edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+      reach(u, v) AS (SELECT u, v FROM edges
+                      UNION
+                      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u)
+      SELECT vec_id FROM embeddings
+      WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> component)
+      ORDER BY vec_id"""))
   )
 }

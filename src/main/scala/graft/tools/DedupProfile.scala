@@ -44,6 +44,13 @@ object DedupProfile {
     t("full dedupByJaccard") {
       Dedup.dedupByJaccard(docs, "doc_id", "text").count()
     }
+    // qn15 drift watch: repeated end-to-end runs (set GRAFT_CC_LOG=1 for
+    // per-CC-round edge counts + wall).
+    (1 to 5).foreach { i =>
+      t(s"qn15 shape rep $i") {
+        Dedup.dedupByJaccard(docs, "doc_id", "text").select("doc_id").count()
+      }
+    }
     spark.stop()
   }
 }
