@@ -266,6 +266,90 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Extracted per-audio features (decoded format + PCM payload). */
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      pcm_checksum: Long)
+
+  /** REAL audio decode via the in-JDK `javax.sound.sampled` readers
+    * (WAV/AIFF/AU PCM — no external codec dependency): parse the
+    * container, stream the decoded PCM, and reduce the actual 16-bit
+    * little-endian samples to a position-weighted checksum
+    * (Σ sample·(i+1)). Payloads no installed reader understands (MP3 in
+    * this container) are rejected with a clear error, mirroring
+    * [[decodeVideo]]'s honesty contract.
+    */
+  def decodeAudio(content: Array[Byte]): (Int, Int, Long, Long) = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException("payload is not a decodable audio container", e)
+      }
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"expected 16-bit little-endian PCM, got $fmt")
+      val frames = ais.getFrameLength
+      val buf = ais.readAllBytes()
+      val samples = buf.length / 2
+      var sum = 0L
+      var i = 0
+      while (i < samples) {
+        val v = (((buf(2 * i + 1) & 0xFF) << 8) | (buf(2 * i) & 0xFF)).toShort.toLong
+        sum += v * (i + 1)
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, fmt.getChannels, frames, sum)
+    } finally ais.close()
+  }
+
+  /** Per-partition audio extraction: one decode pipeline per partition,
+    * each row's PCM reduced executor-side — the audio leg of the
+    * multimodal feature family (images [[extractFeatures]], video
+    * frames [[extractFrameFeatures]]).
+    */
+  def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    implicit val inEnc = Encoders.product[MediaRecord]
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, ch, n, sum) = decodeAudio(r.content)
+        AudioFeatures(r.doc_id, rate, ch, n, sum)
+      }
+    }
+  }
+
+  /** Deterministic synthetic WAV: 16-bit little-endian mono PCM, sample
+    * i = (seed·131 + i·7) mod 4001 − 2000 — small-term integer math an
+    * oracle reproduces exactly — written through the JDK WAV writer.
+    * The PCM round-trips bit-exact (WAV is uncompressed), so graded
+    * audio queries state the decoded checksum in SQL from this formula
+    * alone, the audio analog of [[syntheticGifIndexed]].
+    */
+  def syntheticWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = ((seed * 131 + i.toLong * 7) % 4001 - 2000).toShort
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
   /** Attach a binary payload column (here: UTF-8 bytes of `textCol`, as a
     * stand-in for real media bytes read from a blob store).
     */

@@ -449,6 +449,28 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** REAL audio decode — the audio leg of the multimodal family:
+    * deterministic synthetic WAVs are rendered and encoded executor-side
+    * (every 16-bit PCM sample a pure small-integer function of
+    * (doc_id, i)), then decoded back through `javax.sound.sampled` and
+    * reduced to a position-weighted checksum
+    * ([[Multimodal.decodeAudio]]). The oracle recomputes every checksum
+    * in SQL from the generator formula (generate_series over samples) —
+    * the rows only match if the render → WAV-encode → decode →
+    * per-sample-read pipeline is bit-exact.
+    */
+  private def qAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).where(col("doc_id") < 48)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val n = (4000 + (id % 5) * 2000).toInt
+        Multimodal.MediaRecord(id, Multimodal.syntheticWav(n, 8000, id), "audio/wav")
+      }
+    Multimodal.extractAudioFeatures(media.toDF()).toDF()
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: docs with doc_id % 50 == 3 play the
     * "benchmark"; every other doc sharing >= 1 word-3-gram with it is
     * flagged with its distinct-overlap count. Broadcast semi-match —
@@ -871,6 +893,20 @@ object NorthStar {
                FROM reach GROUP BY u)
       SELECT vec_id FROM embeddings
       WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> component)
-      ORDER BY vec_id"""))
+      ORDER BY vec_id""")),
+    QueryDef("qn27_audio_decode", qAudioDecode _, Some("""
+      WITH d AS (SELECT doc_id, 4000 + (doc_id % 5) * 2000 AS n
+                 FROM documents WHERE doc_id < 48),
+      s AS (SELECT doc_id, n, i,
+                   (doc_id * 131 + i * 7) % 4001 - 2000 AS v
+            FROM d, unnest(range(0, n)) t(i))
+      SELECT doc_id,
+             CAST(8000 AS INTEGER) AS sample_rate,
+             CAST(1 AS INTEGER) AS channels,
+             CAST(n AS BIGINT) AS n_samples,
+             CAST(sum(v * (i + 1)) AS BIGINT) AS pcm_checksum
+      FROM s
+      GROUP BY doc_id, n
+      ORDER BY doc_id"""))
   )
 }

@@ -290,6 +290,23 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeImage(txt))
   }
 
+  test("audio decode round-trips real WAV PCM bit-exact; non-audio rejected") {
+    import graft.ops.Multimodal
+    for ((n, rate, seed) <- Seq((4000, 8000, 3L), (777, 44100, 11L), (1, 8000, 0L))) {
+      val wav = Multimodal.syntheticWav(n, rate, seed)
+      val (r, ch, frames, sum) = Multimodal.decodeAudio(wav)
+      assert((r, ch, frames) == ((rate, 1, n.toLong)), s"WAV $n@$rate header mismatch")
+      // Recompute the checksum from the generator formula — only matches
+      // if every decoded 16-bit sample is bit-identical to the render.
+      var expected = 0L
+      var i = 0
+      while (i < n) { expected += ((seed * 131 + i.toLong * 7) % 4001 - 2000) * (i + 1); i += 1 }
+      assert(sum == expected, s"WAV $n@$rate PCM checksum mismatch")
+    }
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAudio("not audio".getBytes("UTF-8")))
+  }
+
   test("video decode round-trips real multi-frame GIF dimensions and frame count") {
     import graft.ops.Multimodal
     // Full render → GIF-encode → decode round-trip across frame counts,
