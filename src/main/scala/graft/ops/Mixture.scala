@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Training-data mixture sampling: select documents per source, in a
+  * deterministic pseudo-random order, until each source's token budget is
+  * reached — the op that turns "30% web / 30% code / 40% books" into a
+  * concrete document set, reproducibly.
+  *
+  * Semantics (per source): order documents by [[priority]] (a fixed
+  * multiplicative hash of the id — a deterministic shuffle both engines
+  * can state), then take documents while the running token total BEFORE
+  * the document is still under the budget. The document that crosses the
+  * budget is included (standard "fill to budget" behavior); everything
+  * after it is not.
+  *
+  * Scale design: the naive formulation is one cumulative-sum window
+  * partitioned by source — at 100 TB with a handful of sources that is a
+  * single reducer per source sorting the whole corpus. Instead the
+  * priority space is split into ordered buckets and selection runs in two
+  * phases:
+  *
+  *   1. per-(source, bucket) token totals — one map-side-combined
+  *      aggregate, output is |sources|·|buckets| rows;
+  *   2. a cumulative window over that TINY table classifies each bucket:
+  *      `full` (entirely under budget — take all rows, no sort anywhere),
+  *      `skip` (entirely over — drop), or the single per-source
+  *      `boundary` bucket, whose rows alone (≈ 1/buckets of one source)
+  *      pass through an exact per-row cumulative window.
+  *
+  * Result is row-identical to the naive single-window formulation
+  * (MixtureSpec proves equivalence on random inputs); the full corpus
+  * crosses one aggregate shuffle and one broadcast join, never a
+  * per-source global sort.
+  */
+object Mixture {
+
+  /** Deterministic pseudo-shuffle priority in [0, 2^32): Knuth
+    * multiplicative hash of the id — `(id * 2654435761) mod 2^32`,
+    * stateable verbatim in ANSI SQL (and thus in the DuckDB oracle).
+    */
+  def priority(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  private val PrioritySpace = 4294967296L
+
+  /** Select rows of `docs` whose per-source running token total (in
+    * [[priority]] order, ties broken by id) starts under that source's
+    * budget.
+    *
+    * @param budgets (sourceCol, "budget") rows — one per source; sources
+    *                absent from it select nothing. Broadcast.
+    * @param numBuckets priority-range split for the two-phase plan; must
+    *                   divide 2^32. More buckets = smaller boundary
+    *                   window; |sources|·numBuckets stays driver-tiny.
+    */
+  def sampleByTokenBudget(
+      docs: DataFrame,
+      idCol: String,
+      tokCol: String,
+      sourceCol: String,
+      budgets: DataFrame,
+      numBuckets: Int = 256): DataFrame = {
+
+    require(numBuckets >= 1 && PrioritySpace % numBuckets == 0,
+      s"numBuckets must divide 2^32, got $numBuckets")
+    require(budgets.columns.contains(sourceCol) && budgets.columns.contains("budget"),
+      s"budgets must have columns ($sourceCol, budget)")
+    val bucketWidth = PrioritySpace / numBuckets
+
+    val t = docs
+      .withColumn("__mx_pr", priority(col(idCol)))
+      .withColumn("__mx_bkt", (col("__mx_pr") / bucketWidth).cast("int"))
+
+    // Phase 1: per-(source, bucket) token totals. Partial aggregation
+    // means each input partition ships at most |sources|·numBuckets rows.
+    val per = t.groupBy(col(sourceCol), col("__mx_bkt"))
+      .agg(sum(col(tokCol).cast("long")).as("__mx_btoks"))
+
+    // Phase 2: classify buckets on the tiny per-bucket table. `full` is
+    // STRICT (before + btoks < budget) so every row in it satisfies
+    // `prior < budget` even when a row has 0 tokens; the boundary bucket
+    // (before < budget <= before + btoks) is unique per source because
+    // `before` is monotone in bucket order.
+    val cls = per
+      .withColumn("__mx_before",
+        coalesce(
+          sum("__mx_btoks").over(
+            Window.partitionBy(sourceCol).orderBy("__mx_bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .join(broadcast(budgets.select(col(sourceCol), col("budget").cast("long").as("__mx_budget"))),
+        Seq(sourceCol))
+      .withColumn("__mx_class",
+        when(col("__mx_before") + col("__mx_btoks") < col("__mx_budget"), lit("full"))
+          .when(col("__mx_before") < col("__mx_budget"), lit("boundary"))
+          .otherwise(lit("skip")))
+      .select(col(sourceCol), col("__mx_bkt"), col("__mx_before"),
+        col("__mx_budget"), col("__mx_class"))
+
+    val joined = t.join(broadcast(cls), Seq(sourceCol, "__mx_bkt"))
+    val full = joined.where(col("__mx_class") === "full")
+    // Only the boundary bucket's rows are sorted — the one window in the
+    // plan that touches data rows, bounded to ~1/numBuckets of a source.
+    val boundary = joined.where(col("__mx_class") === "boundary")
+      .withColumn("__mx_prior_in",
+        coalesce(
+          sum(col(tokCol).cast("long")).over(
+            Window.partitionBy(col(sourceCol), col("__mx_bkt"))
+              .orderBy(col("__mx_pr"), col(idCol))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .where(col("__mx_before") + col("__mx_prior_in") < col("__mx_budget"))
+
+    val keep = docs.columns.map(col)
+    full.select(keep: _*).unionByName(boundary.select(keep: _*))
+  }
+
+  /** Reference formulation — ONE cumulative window partitioned by source
+    * over every row. Row-identical to [[sampleByTokenBudget]] (MixtureSpec
+    * asserts it); kept as the equivalence oracle and for small inputs. Do
+    * not use at scale: one reducer sorts each source's entire corpus.
+    */
+  def sampleByTokenBudgetNaive(
+      docs: DataFrame,
+      idCol: String,
+      tokCol: String,
+      sourceCol: String,
+      budgets: DataFrame): DataFrame = {
+    val prior = coalesce(
+      sum(col(tokCol).cast("long")).over(
+        Window.partitionBy(sourceCol).orderBy(priority(col(idCol)), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val keep = docs.columns.map(col)
+    docs
+      .join(broadcast(budgets.select(col(sourceCol), col("budget").cast("long").as("__mx_budget"))),
+        Seq(sourceCol))
+      .withColumn("__mx_prior", prior)
+      .where(col("__mx_prior") < col("__mx_budget"))
+      .select(keep: _*)
+  }
+}

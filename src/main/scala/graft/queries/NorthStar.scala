@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Mixture, Multimodal, Similarity, TextOps}
 
 /** North-star LLM-pipeline operators (BASELINE.json): dedup at every
   * fuzziness level, embedding similarity search, text analysis, and
@@ -495,6 +495,24 @@ object NorthStar {
       .orderBy(col("doc_freq").desc, col("tok"))
       .limit(30)
 
+  /** Mixture sampling: fill each source's token budget in deterministic
+    * pseudo-shuffle order ([[Mixture.priority]]). Budgets are formulaic
+    * (200 + 50·K for source `srcK`) so the oracle states them without
+    * enumerating sources. Runs the two-phase bucket plan — the full
+    * corpus crosses one aggregate shuffle, only the per-source boundary
+    * bucket is row-sorted.
+    */
+  private def qMixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("toks", TextOps.tokenCount(col("text")).cast("long"))
+    val budgets = d.select(col("source")).distinct()
+      .withColumn("budget",
+        lit(200L) + lit(50L) * substring(col("source"), 4, 8).cast("long"))
+    Mixture.sampleByTokenBudget(d, "doc_id", "toks", "source", budgets)
+      .select(col("doc_id"), col("source"), col("toks").cast("int").as("toks"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -907,6 +925,22 @@ object NorthStar {
              CAST(sum(v * (i + 1)) AS BIGINT) AS pcm_checksum
       FROM s
       GROUP BY doc_id, n
+      ORDER BY doc_id""")),
+    QueryDef("qn28_mixture_sample", qMixtureSample _, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+               (doc_id * 2654435761) % 4294967296 AS pr,
+               200 + 50 * CAST(substr(source, 4) AS INT) AS budget
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, toks, budget,
+               coalesce(sum(toks) OVER (PARTITION BY source ORDER BY pr, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        FROM t)
+      SELECT doc_id, source, CAST(toks AS INT) AS toks
+      FROM c WHERE prior < budget
       ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.ops.Mixture
+
+/** Mixture sampling: the two-phase bucket plan must be row-identical to
+  * the naive single-window formulation (which IS the declared semantics
+  * and the shape the DuckDB oracle states), across random corpora,
+  * budgets, and bucket counts — including 0-token docs, budget 0, and
+  * budgets exceeding a source's total.
+  */
+object MixturePropSpec extends Properties("Mixture") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = SparkSpec.session
+
+  private val genDoc = for {
+    id <- Gen.choose(0L, 100000L)
+    src <- Gen.oneOf("a", "b", "c", "d")
+    toks <- Gen.frequency(9 -> Gen.choose(0L, 200L), 1 -> Gen.const(0L))
+  } yield (id, src, toks)
+
+  private val genCorpus =
+    Gen.chooseNum(1, 120).flatMap(n => Gen.listOfN(n, genDoc))
+      // Priority ties are fine (ordering falls back to id) but duplicate
+      // IDS are not part of the contract — dedupe.
+      .map(_.groupBy(_._1).map(_._2.head).toList)
+
+  private val genBudgets = Gen.listOfN(4, Gen.choose(0L, 2000L))
+    .map(bs => List("a", "b", "c", "d").zip(bs))
+
+  property("two-phase bucket plan == naive window plan") =
+    Prop.forAllNoShrink(genCorpus, genBudgets,
+      Gen.oneOf(1, 2, 16, 256, 65536)) { (rows, budgetRows, buckets) =>
+      val s = spark
+      import s.implicits._
+      val docs = rows.toDF("doc_id", "source", "toks")
+      val budgets = budgetRows.toDF("source", "budget")
+      val fast = Mixture.sampleByTokenBudget(docs, "doc_id", "toks", "source", budgets, buckets)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val slow = Mixture.sampleByTokenBudgetNaive(docs, "doc_id", "toks", "source", budgets)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      fast == slow
+    }
+}
+
+class MixtureSpec extends SparkSpec {
+
+  test("budget fill: crossing doc included, later docs excluded, order is priority order") {
+    import spark.implicits._
+    // One source; priorities of ids 0..4 determine the fill order.
+    val docs = Seq((0L, "s", 10L), (1L, "s", 10L), (2L, "s", 10L), (3L, "s", 10L), (4L, "s", 10L))
+      .toDF("doc_id", "source", "toks")
+    val order = docs.withColumn("pr", Mixture.priority(col("doc_id")))
+      .orderBy("pr").select("doc_id").as[Long].collect().toSeq
+    // budget 25 -> running totals 10,20,30: third doc crosses and is kept.
+    val budgets = Seq(("s", 25L)).toDF("source", "budget")
+    val got = Mixture.sampleByTokenBudget(docs, "doc_id", "toks", "source", budgets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == order.take(3).toSet)
+  }
+
+  test("sources missing from the budget table select nothing; zero budget selects nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "x", 5L), (2L, "y", 5L)).toDF("doc_id", "source", "toks")
+    val budgets = Seq(("x", 0L)).toDF("source", "budget")
+    assert(Mixture.sampleByTokenBudget(docs, "doc_id", "toks", "source", budgets).count() == 0L)
+  }
+
+  test("budget above total selects the whole source") {
+    import spark.implicits._
+    val docs = Seq((1L, "x", 5L), (2L, "x", 0L), (3L, "x", 7L)).toDF("doc_id", "source", "toks")
+    val budgets = Seq(("x", 1000L)).toDF("source", "budget")
+    assert(Mixture.sampleByTokenBudget(docs, "doc_id", "toks", "source", budgets).count() == 3L)
+  }
+}
