@@ -126,6 +126,39 @@ object StoreQueries {
       .orderBy("o_month")
   }
 
+  /** CDC merge chain: base load, an upsert delta (updates + inserts),
+    * then a delta with tombstone deletes; [[Store.getMerged]] resolves
+    * newest-wins-per-key at read time. The oracle replays the same three
+    * batches in SQL (anti-join + union), so it only matches if merge
+    * resolution picks exactly the right version of every key and drops
+    * exactly the tombstoned keys. Values pass through unrounded — both
+    * engines carry the identical doubles.
+    */
+  private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    val orders = Tables.read(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val key = col("o_orderkey")
+    store.load(orders.where(pmod(key, lit(4)) =!= 3), "tpch/orders_cdc",
+      Map("o_orderkey" -> Store.KeyId), externalKey = "v1")
+    // Delta 1: keys % 5 == 0 get +1000 (an update where the key exists
+    // in base, an insert where base skipped it via % 4 == 3).
+    store.merge(
+      orders.where(pmod(key, lit(5)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000d),
+      "tpch/orders_cdc", Seq("o_orderkey"), externalKey = "v2")
+    // Delta 2: keys % 7 == 0 are tombstoned; keys % 11 == 0 get 2x.
+    store.merge(
+      orders.where(pmod(key, lit(7)) === 0 || pmod(key, lit(11)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2d)
+        .withColumn("is_del", pmod(key, lit(7)) === 0),
+      "tpch/orders_cdc", Seq("o_orderkey"), externalKey = "v3",
+      deleteCol = Some("is_del"))
+    store.getMerged("tpch/orders_cdc")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qs01_store_roundtrip_idkey", roundtripIdKey _, Some("""
       SELECT CAST(floor(o_custkey / 1000) * 1000 AS BIGINT) AS cust_bucket,
@@ -173,6 +206,27 @@ object StoreQueries {
       WHERE year(o_orderdate) = 1997
         AND CAST(o_orderdate AS DATE) >= DATE '1997-06-01'
       GROUP BY 1
-      ORDER BY o_month"""))
+      ORDER BY o_month""")),
+    QueryDef("qs07_store_merge_cdc", mergeUpsert _, Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 <> 3),
+      m1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 = 0),
+      m2 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+               (o_orderkey % 7 = 0) AS is_del
+        FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0),
+      r1 AS (
+        SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM m1)
+        UNION ALL SELECT * FROM m1),
+      r2 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM r1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM m2)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM m2 WHERE NOT is_del)
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM r2 ORDER BY o_orderkey"""))
   )
 }

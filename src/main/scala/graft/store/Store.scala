@@ -330,6 +330,149 @@ final class Store(
     doomed
   }
 
+  // --------------------------------------------------------------- merge
+
+  /** CDC upsert: write `df` as a MERGE DELTA version of an existing
+    * table. A delta row REPLACES the current row with the same key (or
+    * inserts, if the key is new); rows flagged true in `deleteCol` are
+    * tombstones that delete their key. Nothing is rewritten at merge
+    * time — this is the merge-on-read half of the Hudi/Iceberg pattern:
+    * [[getMerged]] resolves newest-wins-per-key at read time, and
+    * [[materializeMerged]] is the copy-on-write step that folds the
+    * delta chain back into one version when read amplification warrants.
+    * The daily-corpus-update shape at 100 TB: each day's merge writes
+    * O(delta), never O(table).
+    *
+    * Ordering contract: resolution orders versions by LABEL (ascending,
+    * on the encoded label — same total order for alphanumeric labels).
+    * `NOW` labels are timestamp-formatted and sort in ingest order;
+    * explicit labels must be chosen to sort in ingest order (v1 < v2).
+    * Within one delta batch keys must be unique — two rows with one key
+    * in the same version resolve arbitrarily.
+    *
+    * The delta inherits the table's partition keys (its batch must carry
+    * those columns) so delta files co-locate with base files per
+    * partition. Key columns may not change partition-key values for an
+    * existing key's row unless the key itself is the partition column —
+    * resolution is global per key either way; pruned reads
+    * ([[getPartitioned]]) do not resolve merges.
+    */
+  def merge(
+      df: DataFrame,
+      name: String,
+      keyCols: Seq[String],
+      externalKey: String = NowKey,
+      deleteCol: Option[String] = None): Map[String, String] = {
+    val relPath = validateName(name)
+    val tableDir = new Path(rootPath, relPath)
+    if (!fs.exists(new Path(tableDir, MetaFile)))
+      throw new Store.GetError(s"Cannot merge into '$name': table not found under $root", null)
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    keyCols.foreach { k =>
+      if (!df.columns.contains(k))
+        throw new IllegalArgumentException(
+          s"Merge key column '$k' not found in DataFrame columns ${df.columns.mkString("[", ", ", "]")}")
+    }
+    deleteCol.foreach { d =>
+      if (!df.columns.contains(d))
+        throw new IllegalArgumentException(
+          s"Delete column '$d' not found in DataFrame columns ${df.columns.mkString("[", ", ", "]")}")
+    }
+    val columnsKeys = Store.parseMeta(readSmall(new Path(tableDir, MetaFile)))
+    columnsKeys.keys.foreach { c =>
+      if (!df.columns.contains(c))
+        throw new IllegalArgumentException(
+          s"Merge batch must carry the table's partition key column '$c'")
+    }
+    val sortedKeys = keyCols.sorted
+    mergeMarkers(tableDir).foreach { case (label, keys, _) =>
+      if (keys != sortedKeys)
+        throw new IllegalArgumentException(
+          s"Merge keys ${sortedKeys.mkString(",")} conflict with version '$label' " +
+            s"merged on ${keys.mkString(",")}")
+    }
+
+    val info = load(df, name, columnsKeys, externalKey, keepLast = false)
+    val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(info("version"))}")
+    // 0-row deltas publish no version dir (see load) — nothing to mark.
+    if (fs.exists(vDir)) {
+      val del = deleteCol.map(d => s""","delete_col":"$d"""").getOrElse("")
+      writeSmall(new Path(vDir, MergeFile), s"""{"keys":"${sortedKeys.mkString(",")}"$del}""")
+    }
+    info + ("merge_keys" -> sortedKeys.mkString(","))
+  }
+
+  /** Read `name` with merge resolution: one row per key, from the
+    * highest-labeled version containing that key; tombstoned keys are
+    * absent; tombstone columns are dropped. Tables with no merge deltas
+    * read as plain accumulate.
+    *
+    * One map-side-combined aggregate shuffle resolves the whole chain
+    * regardless of how many delta versions exist (`max_by(row, version)`
+    * partial-aggregates inside each task — repeated updates to one key
+    * collapse before crossing the wire), vs. a per-delta anti-join chain
+    * (N shuffles) or a global rank window (full sort, no partial).
+    */
+  def getMerged(name: String): DataFrame = {
+    val relPath = validateName(name)
+    val tableDir = new Path(rootPath, relPath)
+    val markers = mergeMarkers(tableDir)
+    val withParts = getPartitioned(name)
+    val internal = withParts.columns.filter(_.startsWith(InternalPrefix))
+    if (markers.isEmpty) return withParts.drop(internal: _*)
+
+    val keySets = markers.map(_._2).distinct
+    if (keySets.size > 1)
+      throw new Store.GetError(
+        s"Inconsistent merge keys across versions of '$name': " +
+          keySets.map(_.mkString(",")).mkString(" vs "), null)
+    val keys = keySets.head
+    keys.foreach { k =>
+      if (!withParts.columns.contains(k))
+        throw new Store.GetError(s"Merge key column '$k' missing from '$name' schema", null)
+    }
+    val delCols = markers.flatMap(_._3).distinct.filter(withParts.columns.contains)
+    val dataCols = withParts.columns.filterNot(_.startsWith(InternalPrefix)).toSeq
+
+    val resolved = withParts
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct((dataCols :+ VersionCol).map(col): _*), col(VersionCol)).as("__mrg"))
+      .select(col("__mrg.*"))
+      .drop(VersionCol)
+    delCols
+      .foldLeft(resolved)((d, c) => d.where(!coalesce(col(c).cast("boolean"), lit(false))))
+      .drop(delCols: _*)
+  }
+
+  /** Copy-on-write materialization: rewrite [[getMerged]]'s resolution as
+    * a single keep-last version, superseding the base + delta chain (and
+    * their merge markers — the table reads as a plain table again).
+    * Run when the delta chain's read amplification outweighs a table
+    * rewrite, like [[compact]] for small files.
+    */
+  def materializeMerged(name: String, externalKey: String = NowKey): Map[String, String] = {
+    val resolved = getMerged(name)
+    val tableDir = new Path(rootPath, validateName(name))
+    val columnsKeys = Store.parseMeta(readSmall(new Path(tableDir, MetaFile)))
+      .filter { case (c, _) => resolved.columns.contains(c) }
+    load(resolved, name, columnsKeys, externalKey, keepLast = true)
+  }
+
+  /** (label, sorted merge keys, delete column) for each version carrying
+    * a `_merge.json` marker, in encoded-label order.
+    */
+  private def mergeMarkers(tableDir: Path): Seq[(String, Seq[String], Option[String])] =
+    versionsOf(tableDir).sortBy(encodeVersion).flatMap { label =>
+      val marker = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}/$MergeFile")
+      if (!fs.exists(marker)) None
+      else {
+        val m = Store.parseMeta(readSmall(marker))
+        Some((label,
+          m.getOrElse("keys", "").split(",").filter(_.nonEmpty).toSeq,
+          m.get("delete_col")))
+      }
+    }
+
   /** Compact a version's data files: rewrite the version subtree so each
     * partition directory holds one file (or `ceil(bytes/targetFileBytes)`
     * files for unpartitioned tables). Every accumulate-mode [[load]] into
@@ -861,6 +1004,12 @@ object Store {
   val InternalPrefix = "__"
   val LastFile = "_last"
   val MetaFile = "_meta.json"
+
+  /** Per-version merge-delta marker (inside the version dir): records the
+    * merge key columns and optional tombstone column. Underscore-prefixed
+    * so partition discovery and data-file walks skip it.
+    */
+  val MergeFile = "_merge.json"
 
   /** Per-load schema sidecar name prefix (one `_schema_<uuid>.json` per
     * load inside its version dir); underscore-prefixed so partition

@@ -148,4 +148,39 @@ object StorePropSpec extends Properties("Store") {
       val (nb, na) = store.compact("p/t")
       canon(store.get("p/t")).sameElements(before) && na <= math.max(nb, 1L)
     }
+
+  // Random CDC chains: a base load plus N key-unique delta batches (some
+  // rows tombstoned) must resolve exactly like an in-memory map replay —
+  // newest version wins per key, tombstoned keys absent. Also checked
+  // after materializeMerged (copy-on-write fold).
+  private val genDelta: Gen[Seq[(Long, String, Double, String, Boolean)]] =
+    Gen.chooseNum(1, 15).flatMap(n => Gen.listOfN(n, for {
+      (id, date, value, tag) <- genRow
+      del <- Gen.frequency(4 -> Gen.const(false), 1 -> Gen.const(true))
+    } yield (id, date, value, tag, del)))
+      .map(_.groupBy(_._1).map(_._2.head).toSeq) // key-unique per batch
+
+  property("merge chain == in-memory replay (+ materialize)") =
+    Prop.forAllNoShrink(genFrame, Gen.listOfN(3, genDelta), genKeys, Gen.oneOf(true, false)) {
+      (base0, deltas, keys, materialize) =>
+        import org.apache.spark.sql.functions.lit
+        val store = freshStore()
+        // key-unique base too: merge semantics are per unique key
+        val base = base0.groupBy(_._1).map(_._2.head).toSeq
+        store.load(toDf(base).withColumn("del", lit(false)), "p/t", keys, externalKey = "v1")
+        deltas.zipWithIndex.foreach { case (d, i) =>
+          import spark.implicits._
+          store.merge(d.toDF("id", "date", "value", "tag", "del"),
+            "p/t", Seq("id"), externalKey = s"v${i + 2}", deleteCol = Some("del"))
+        }
+        val replay = scala.collection.mutable.Map[Long, (Long, String, Double, String)]()
+        base.foreach(r => replay(r._1) = r)
+        deltas.foreach(_.foreach { case (id, date, value, tag, del) =>
+          if (del) replay.remove(id) else replay(id) = (id, date, value, tag)
+        })
+        if (materialize) store.materializeMerged("p/t", externalKey = "vz")
+        val got = canon(store.getMerged("p/t"))
+        val want = canon(toDf(replay.values.toSeq))
+        got.sameElements(want)
+    }
 }

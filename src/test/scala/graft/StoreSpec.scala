@@ -481,4 +481,89 @@ class StoreSpec extends SparkSpec {
       spark.sparkContext.emptyRDD[Row], StructType(Seq.empty))
     assertThrows[IllegalArgumentException](freshStore().load(empty, "t"))
   }
+
+  // ------------------------------------------------------------- merge
+
+  test("merge upserts: delta replaces matching keys, inserts new ones") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v"),
+      "t", externalKey = "v1")
+    store.merge(Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("k", "s", "v"),
+      "t", Seq("k"), externalKey = "v2")
+    val got = store.getMerged("t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0)))
+  }
+
+  test("merge tombstones delete keys; tombstone column is dropped from reads") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"),
+      "t", externalKey = "v1")
+    store.merge(
+      Seq((2L, 0.0, true), (3L, 35.0, false)).toDF("k", "v", "del"),
+      "t", Seq("k"), externalKey = "v2", deleteCol = Some("del"))
+    val back = store.getMerged("t")
+    assert(!back.columns.contains("del"))
+    val got = back.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (3L, 35.0)))
+  }
+
+  test("merge chain resolves newest version per key; re-inserting a deleted key works") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((1L, "base")).toDF("k", "s"), "t", externalKey = "v1")
+    store.merge(Seq((1L, "upd", false), (2L, "new", false)).toDF("k", "s", "del"),
+      "t", Seq("k"), externalKey = "v2", deleteCol = Some("del"))
+    store.merge(Seq((1L, "x", true)).toDF("k", "s", "del"),
+      "t", Seq("k"), externalKey = "v3", deleteCol = Some("del"))
+    store.merge(Seq((1L, "back", false)).toDF("k", "s", "del"),
+      "t", Seq("k"), externalKey = "v4", deleteCol = Some("del"))
+    val got = store.getMerged("t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "back"), (2L, "new")))
+  }
+
+  test("merge deltas inherit the table's partition layout") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((1L, "2024-01-01", 1.0)).toDF("k", "d", "v"),
+      "t", Map("d" -> "Date"), externalKey = "v1")
+    store.merge(Seq((1L, "2024-01-02", 2.0)).toDF("k", "d", "v"),
+      "t", Seq("k"), externalKey = "v2")
+    // The delta version dir must carry the same __p_d partition subdirs.
+    val parts = store.getPartitioned("t", externalKey = Some("v2")).columns
+    assert(parts.contains(Store.partColName("d")))
+    // And the batch missing the partition key column is rejected.
+    assertThrows[IllegalArgumentException](
+      store.merge(Seq((1L, 3.0)).toDF("k", "v"), "t", Seq("k"), externalKey = "v3"))
+  }
+
+  test("materializeMerged folds the chain into one plain version") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), "t", externalKey = "v1")
+    store.merge(Seq((1L, 0.0, true), (3L, 30.0, false)).toDF("k", "v", "del"),
+      "t", Seq("k"), externalKey = "v2", deleteCol = Some("del"))
+    val expect = store.getMerged("t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    store.materializeMerged("t", externalKey = "v3")
+    assert(store.list().head.versions == Seq("v3"))
+    // Reads as a plain table now (no markers), same rows.
+    val got = store.getMerged("t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect && got == Seq((2L, 20.0), (3L, 30.0)))
+  }
+
+  test("merge validation: missing table, missing key column, conflicting keys") {
+    import spark.implicits._
+    val store = freshStore()
+    val df = Seq((1L, 1.0)).toDF("k", "v")
+    assertThrows[Store.GetError](store.merge(df, "nope", Seq("k")))
+    store.load(df, "t", externalKey = "v1")
+    assertThrows[IllegalArgumentException](store.merge(df, "t", Seq("missing")))
+    store.merge(df, "t", Seq("k"), externalKey = "v2")
+    assertThrows[IllegalArgumentException](store.merge(df, "t", Seq("v"), externalKey = "v3"))
+  }
 }
