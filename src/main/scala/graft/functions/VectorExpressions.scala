@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, L2NormalizeExpr, MinHashSignatureExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, L2NormalizeExpr, MinHashSignatureExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
 
 /** Facade over the custom Catalyst expressions in
   * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
@@ -51,4 +51,17 @@ object VectorExpressions {
     ColumnBridge.column(
       TopKByScoreAgg(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
         .toAggregateExpression())
+
+  /** Product-quantization encode: `array<double>` vector → `m`-byte code. */
+  def pqEncode(vec: Column, codebook: Array[Double], dim: Int, m: Int, ksub: Int): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(vec), codebook, dim, m, ksub))
+
+  /** Per-query ADC lookup table (`array<double>` of length m·ksub). */
+  def pqAdcTable(vec: Column, codebook: Array[Double], dim: Int, m: Int, ksub: Int): Column =
+    ColumnBridge.column(PqAdcTableExpr(ColumnBridge.expression(vec), codebook, dim, m, ksub))
+
+  /** ADC approximate inner product of a PQ code against a query table. */
+  def pqAdcScore(codes: Column, table: Column, ksub: Int): Column =
+    ColumnBridge.column(PqAdcScoreExpr(
+      ColumnBridge.expression(codes), ColumnBridge.expression(table), ksub))
 }

@@ -229,6 +229,136 @@ object Similarity {
       .where(col("sim") >= cosThreshold)
   }
 
+  /** Product-quantization ANN: the memory-bound billion-vector path.
+    *
+    * Train (driver-side, on a bounded corpus sample — FAISS-style, the
+    * codebook is `m·ksub·dim/m` doubles regardless of corpus size): an
+    * independent k-means per contiguous subspace. Encode (one distributed
+    * pass, [[org.apache.spark.sql.graft.PqEncodeExpr]]): each vector
+    * becomes `m` bytes — a 64-dim float corpus shrinks 32× before any
+    * join, which is what lets the candidate pass hold a billion vectors
+    * in cluster memory. Search: per query, an ADC lookup table
+    * (`m·ksub` inner products, once), then scoring a corpus code is `m`
+    * array lookups; a bounded-heap aggregate keeps the `shortlist` best
+    * per query map-side, and only those fetch their full vectors for the
+    * exact re-rank to `k`.
+    *
+    * The corpus crosses: one scan (encode), one `(id, code)` shuffle
+    * into the shortlist aggregate, and an equality join fetching
+    * `shortlist` vectors per query. No dim-wide math touches the corpus
+    * after encode.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      shortlist: Int = 50,
+      maxFitRows: Long = 100000L,
+      corpusRows: Option[Long] = None): DataFrame = {
+
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    require(shortlist >= k, "shortlist must be >= k")
+    val e = corpus.select(col(idCol).as("vec_id"),
+      normalize(asDouble(col(vecCol))).as("nv"))
+    val nRows = corpusRows.getOrElse(e.count())
+    val fitInput =
+      if (nRows <= maxFitRows) e
+      else e.sample(withReplacement = false, maxFitRows.toDouble / nRows, seed = 42L)
+    val sample = fitInput.select("nv").collect()
+      .map(_.getSeq[Double](0).toArray).filter(_.length == dim)
+    require(sample.nonEmpty, s"no fit vectors of dim $dim")
+    val codebook = trainPqCodebook(sample, dim, m, ksub)
+
+    val fn = graft.functions.VectorExpressions
+    val coded = e.withColumn("code", fn.pqEncode(col("nv"), codebook, dim, m, ksub))
+      .select("vec_id", "code")
+    val q = queries.select(col(idCol).as("query_id"),
+        normalize(asDouble(col(vecCol))).as("qnv"))
+      .withColumn("qtable", fn.pqAdcTable(col("qnv"), codebook, dim, m, ksub))
+
+    // Candidate pass: only (vec_id, m-byte code) per corpus row crosses
+    // the broadcast join + bounded-heap shortlist aggregate.
+    val shortlisted = coded.crossJoin(broadcast(q.select("query_id", "qtable")))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        fn.pqAdcScore(col("code"), col("qtable"), ksub).as("adc"))
+      .groupBy("query_id")
+      .agg(fn.topKByScore(col("adc"), col("vec_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+
+    // Exact re-rank: fetch the shortlist vectors once, score exactly,
+    // keep k. |queries|·shortlist rows — broadcast-joinable.
+    shortlisted
+      .join(e, "vec_id")
+      .join(broadcast(q.select("query_id", "qnv")), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dotD(col("qnv"), col("nv")), 6).as("sim"))
+      .groupBy("query_id")
+      .agg(fn.topKByScore(col("sim"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.vec_id").as("vec_id"),
+        col("col.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Per-subspace Lloyd k-means on a driver-side sample, fully
+    * deterministic: centroids init from evenly strided sample points, 10
+    * fixed iterations, empty clusters keep their previous centroid. Flat
+    * layout `[(subspace·ksub + code)·dsub + t]`.
+    */
+  private[ops] def trainPqCodebook(
+      sample: Array[Array[Double]], dim: Int, m: Int, ksub: Int): Array[Double] = {
+    val dsub = dim / m
+    val codebook = new Array[Double](m * ksub * dsub)
+    val n = sample.length
+    for (j <- 0 until m) {
+      val pts = Array.tabulate(n)(i => java.util.Arrays.copyOfRange(sample(i), j * dsub, (j + 1) * dsub))
+      val cents = Array.tabulate(ksub)(c => pts((c.toLong * n / ksub).toInt % n).clone())
+      var iter = 0
+      while (iter < 10) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        var i = 0
+        while (i < n) {
+          val p = pts(i)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0d
+            var t = 0
+            while (t < dsub) { val x = p(t) - cents(c)(t); d += x * x; t += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var t = 0
+          while (t < dsub) { sums(best)(t) += p(t); t += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        var c = 0
+        while (c < ksub) {
+          if (counts(c) > 0) {
+            var t = 0
+            while (t < dsub) { cents(c)(t) = sums(c)(t) / counts(c); t += 1 }
+          }
+          c += 1
+        }
+        iter += 1
+      }
+      for (c <- 0 until ksub; t <- 0 until dsub)
+        codebook((j * ksub + c) * dsub + t) = cents(c)(t)
+    }
+    codebook
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus into `nlist` k-means cells,
     * probe the `nProbe` nearest cells per query, exact re-rank inside.
     *

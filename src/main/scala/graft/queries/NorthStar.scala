@@ -214,6 +214,41 @@ object NorthStar {
       .orderBy("query_id")
   }
 
+  /** Product-quantization ANN graded as a deterministic contract, same
+    * playbook as qn12: exact brute-force top-5 is the truth set;
+    * k_exact/returned_ok are exact-stateable and recall >= 0.9 is a
+    * bound RecallSpec pins at 0.95. PQ codes (16 bytes per 64-dim
+    * vector, 16× smaller) drive the candidate shortlist; the exact
+    * re-rank touches only shortlist·|queries| vectors. The near-uniform
+    * fixture is PQ's worst case (see the qn12 note) — coarser configs
+    * (m=8: 0.80) miss the gate; m=16 keeps 4 dims per subspace.
+    */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.where(col("vec_id") < 8)
+    val pq = Similarity.pqTopK(e, queries, "vec_id", "embedding",
+      dim = 64, k = 5, m = 16, ksub = 16, shortlist = 50,
+      corpusRows = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
+    val exact = Similarity.topKPerQuery(e, queries, "vec_id", "embedding", k = 5)
+    val perQuery = exact
+      .join(pq.select(col("query_id"), col("vec_id"), lit(1L).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val returned = pq.groupBy("query_id")
+      .agg((count(lit(1)) === 5).as("returned_ok"))
+    val global = perQuery
+      .agg((sum("n_hit") * 10L >= sum("k_exact") * 9L).as("recall_ok"))
+    perQuery
+      .join(returned, Seq("query_id"), "left")
+      .crossJoin(broadcast(global))
+      .select(col("query_id"), col("k_exact"),
+        coalesce(col("returned_ok"), lit(false)).as("returned_ok"),
+        col("recall_ok"))
+      .orderBy("query_id")
+  }
+
   /** Near-dup dedup applied end-to-end: detect pairs (capped-shingle
     * Jaccard), cluster via connected components (large-star/small-star,
     * O(log n) rounds), keep the smallest doc per cluster. Oracle =
@@ -941,6 +976,11 @@ object NorthStar {
         FROM t)
       SELECT doc_id, source, CAST(toks AS INT) AS toks
       FROM c WHERE prior < budget
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+    QueryDef("qn29_ann_pq", qAnnPq _, Some("""
+      SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_exact,
+             true AS returned_ok, true AS recall_ok
+      FROM embeddings WHERE vec_id < 8
+      ORDER BY query_id"""))
   )
 }

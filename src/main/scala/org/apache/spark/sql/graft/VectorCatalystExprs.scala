@@ -200,6 +200,131 @@ case class WordShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Product-quantization encode: split the vector into `m` contiguous
+  * subspaces of `dim/m` dims, emit the index of the nearest (max inner
+  * product — inputs are L2-normalized per subspace centroid geometry) of
+  * `ksub` codebook centroids per subspace, packed as `m` bytes. The
+  * codebook is a driver-trained literal, flat layout
+  * `[(subspace*ksub + code)*dsub + t]`. This is the memory-bound
+  * billion-vector layout: a 64-dim float vector (256 B) becomes `m` bytes
+  * in the candidate-generation pass.
+  */
+case class PqEncodeExpr(child: Expression, codebook: Array[Double], dim: Int, m: Int, ksub: Int)
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  require(dim % m == 0, s"dim $dim must be divisible by m $m")
+  require(ksub <= 256, "ksub must fit one byte")
+  private val dsub = dim / m
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var s = 0d
+        var t = 0
+        while (t < dsub) {
+          val i = j * dsub + t
+          if (i < n) s += v.getDouble(i) * codebook(base + t)
+          t += 1
+        }
+        if (s > bestDot) { bestDot = s; best = c }
+        c += 1
+      }
+      codes(j) = best.toByte
+      j += 1
+    }
+    codes
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-query ADC (asymmetric distance computation) lookup table: for each
+  * (subspace, code) pair, the inner product of the query's subvector with
+  * that codebook centroid — `array<double>` of length `m*ksub`. Computed
+  * once per QUERY row; scoring a corpus code against it is then `m` array
+  * lookups instead of a `dim`-wide dot product ([[PqAdcScoreExpr]]).
+  */
+case class PqAdcTableExpr(child: Expression, codebook: Array[Double], dim: Int, m: Int, ksub: Int)
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  require(dim % m == 0, s"dim $dim must be divisible by m $m")
+  private val dsub = dim / m
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_adc_table"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val table = new Array[Any](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var s = 0d
+        var t = 0
+        while (t < dsub) {
+          val i = j * dsub + t
+          if (i < n) s += v.getDouble(i) * codebook(base + t)
+          t += 1
+        }
+        table(j * ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(table)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC score: `sum_j table[j*ksub + codes[j]]` — the approximate inner
+  * product of a PQ-coded corpus vector with the query behind `table`.
+  * The per-pair hot loop of PQ search: m byte reads + m adds, no
+  * dim-wide math.
+  */
+case class PqAdcScoreExpr(left: Expression, right: Expression, ksub: Int)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  override protected def nullSafeEval(codesAny: Any, tableAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[Array[Byte]]
+    val table = tableAny.asInstanceOf[ArrayData]
+    var s = 0d
+    var j = 0
+    while (j < codes.length) {
+      s += table.getDouble(j * ksub + (codes(j) & 0xff))
+      j += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2-normalize an `array<double>` in one call: one pass for the norm,
   * one for the division. Zero-norm input → all-zero vector. Replaces the
   * higher-order `transform(v, x / norm(v))` formulation, which re-evaluates

@@ -89,4 +89,36 @@ class RecallSpec extends SparkSpec {
     val plan = ivf.queryExecution.executedPlan.toString
     assert(plan.contains("topk_by_score"), "IVF re-rank not using TopKByScoreAgg")
   }
+
+  test("qn29 PQ top-k recall >= 0.9 vs exact brute-force top-k") {
+    val queries = emb.where(col("vec_id") < 8)
+    def topkSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = topkSet(
+      Similarity.topKPerQuery(emb, queries, "vec_id", "embedding", k = 5))
+    // 16-byte codes over 64 dims (4 dims × 4 bits per subspace), then an
+    // exact re-rank of the 50-deep ADC shortlist: recall is set by
+    // whether the true top-5 survive into the shortlist. Measured on the
+    // near-uniform worst-case fixture: m=8 → 0.80, m=16 → 0.95 (finer
+    // subspaces beat more codes per subspace here). Deterministic
+    // training → a fixed number, gated at the qn29 contract's 0.9.
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 5, m = 16, ksub = 16, shortlist = 50)
+    val cand = topkSet(pq)
+    val recall = (truth & cand).size.toDouble / truth.size
+    info(f"pq recall = $recall%.4f over ${truth.size} true neighbors")
+    assert(truth.size == 40 && recall >= 0.9)
+    // Re-ranked hits carry EXACT cosine: every returned (query, vec, sim)
+    // in the truth intersection must match brute force bit-for-bit.
+    val exactSims = Similarity.topKPerQuery(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mismatched = pq.select("query_id", "vec_id", "sim").collect()
+      .flatMap { r =>
+        exactSims.get((r.getLong(0), r.getLong(1)))
+          .filter(_ != r.getDouble(2)).map(_ => (r.getLong(0), r.getLong(1)))
+      }
+    assert(mismatched.isEmpty, s"re-rank sims diverge from exact: ${mismatched.take(3).toSeq}")
+  }
 }
