@@ -84,7 +84,7 @@ object Mixture {
     // `prior < budget` even when a row has 0 tokens; the boundary bucket
     // (before < budget <= before + btoks) is unique per source because
     // `before` is monotone in bucket order.
-    val cls = per
+    val cls0 = per
       .withColumn("__mx_before",
         coalesce(
           sum("__mx_btoks").over(
@@ -99,6 +99,16 @@ object Mixture {
           .otherwise(lit("skip")))
       .select(col(sourceCol), col("__mx_bkt"), col("__mx_before"),
         col("__mx_budget"), col("__mx_class"))
+    // Bucket stats are metadata-scale (≤ |sources|·numBuckets rows, like
+    // IVF centroids or a PQ codebook) — materialize them driver-side so
+    // the two data branches below join against a local relation instead
+    // of each re-running the aggregation (which re-scans the corpus:
+    // lazily, `cls0` appears twice in the plan and cost 4 extra corpus
+    // scans before this).
+    val cls = {
+      import scala.jdk.CollectionConverters._
+      docs.sparkSession.createDataFrame(cls0.collect().toSeq.asJava, cls0.schema)
+    }
 
     val joined = t.join(broadcast(cls), Seq(sourceCol, "__mx_bkt"))
     val full = joined.where(col("__mx_class") === "full")
