@@ -159,6 +159,33 @@ object StoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Data-skipping lifecycle end-to-end: three appends write per-file
+    * min/max sidecars, OPTIMIZE-style compact Z-ORDERs the version by
+    * (o_custkey, o_totalprice), and the read scans only files whose
+    * recorded o_custkey range intersects the predicate
+    * ([[Store.getStatsPruned]]) — file skipping on a NON-partition
+    * column, the complement to qs04/qs06's directory pruning.
+    * StoreStatsSpec asserts the skipping rate on this exact shape; the
+    * oracle (plain SQL with the same BETWEEN) grades that skipping
+    * never drops or duplicates a row.
+    */
+  private def statsZorderPrune(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    val orders = Tables.read(s, dir, "orders")
+    (0 until 3).foreach { i =>
+      store.load(orders.where(pmod(col("o_orderkey"), lit(3)) === i),
+        "tpch/orders_z", externalKey = "v1",
+        statsCols = Seq("o_custkey", "o_totalprice"))
+    }
+    store.compact("tpch/orders_z", targetFileBytes = 256L * 1024,
+      zorderBy = Seq("o_custkey", "o_totalprice"))
+    store.getStatsPruned("tpch/orders_z", "o_custkey", 100L, 500L,
+      externalKey = Some("v1"))
+      .groupBy((floor(col("o_custkey") / 100) * 100).cast("long").as("cust_bucket"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
+      .orderBy("cust_bucket")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qs01_store_roundtrip_idkey", roundtripIdKey _, Some("""
       SELECT CAST(floor(o_custkey / 1000) * 1000 AS BIGINT) AS cust_bucket,
@@ -227,6 +254,14 @@ object StoreQueries {
         UNION ALL
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM m2 WHERE NOT is_del)
       SELECT o_orderkey, o_orderstatus, o_totalprice
-      FROM r2 ORDER BY o_orderkey"""))
+      FROM r2 ORDER BY o_orderkey""")),
+    QueryDef("qs08_store_zorder_skip", statsZorderPrune _, Some("""
+      SELECT CAST(floor(o_custkey / 100) * 100 AS BIGINT) AS cust_bucket,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM orders
+      WHERE o_custkey BETWEEN 100 AND 500
+      GROUP BY 1
+      ORDER BY cust_bucket"""))
   )
 }

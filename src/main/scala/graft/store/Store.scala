@@ -95,7 +95,8 @@ final class Store(
       name: String,
       columnsKeys: Map[String, String] = Map.empty,
       externalKey: String = "NOW",
-      keepLast: Boolean = false): Map[String, String] = {
+      keepLast: Boolean = false,
+      statsCols: Seq[String] = Nil): Map[String, String] = {
     val relPath = validateName(name)
     require(df.schema.nonEmpty, "DataFrame must have at least one column")
     val reserved = df.columns.filter(_.startsWith(InternalPrefix))
@@ -169,6 +170,14 @@ final class Store(
       writer = writer.option("maxRecordsPerFile", maxRecordsPerFile)
     try {
       writer.parquet(staging.toString)
+      // File-level min/max sidecar (data skipping, [[FileStats]]): hoist
+      // the freshly-written footers' statistics BEFORE the merge — the
+      // staged files are final content, and reading them here never
+      // races a concurrent writer. O(files this load) driver-side footer
+      // reads, paid once at write time.
+      val stagedStats =
+        if (statsCols.isEmpty) Nil
+        else FileStats.collect(fs, spark.sparkContext.hadoopConfiguration, staging, statsCols)
       if (keepLast)
         versionsOf(tableDir).foreach { v =>
           fs.delete(new Path(tableDir, s"$VersionCol=${encodeVersion(v)}"), true)
@@ -190,6 +199,15 @@ final class Store(
         writeSmall(new Path(publishedVDir,
           s"$SchemaFilePrefix${java.util.UUID.randomUUID().toString.take(12)}.json"),
           df.schema.json)
+        val versionPrefix = s"$VersionCol=${encodeVersion(label)}/"
+        val inVersion = stagedStats.collect {
+          case (rel, m) if rel.startsWith(versionPrefix) && m.nonEmpty =>
+            rel.stripPrefix(versionPrefix) -> m
+        }
+        if (inVersion.nonEmpty)
+          writeSmall(new Path(publishedVDir,
+            s"$StatsFilePrefix${java.util.UUID.randomUUID().toString.take(12)}.tsv"),
+            FileStats.encode(inVersion))
         writeSmall(new Path(tableDir, LastFile), label)
       } else if (keepLast)
         // keep_last with 0 rows wiped every version: a surviving pointer
@@ -444,6 +462,98 @@ final class Store(
       .drop(delCols: _*)
   }
 
+  // --------------------------------------------------------- data skipping
+
+  /** Read `name` restricted to `lower <= colName <= upper`, scanning ONLY
+    * the data files whose [[FileStats]] min/max range intersects the
+    * predicate — file-level data skipping on NON-partition columns, the
+    * complement to `__p_*` directory pruning. The surviving file list is
+    * decided driver-side from the per-load `_stats_*.tsv` sidecars
+    * (O(loads) small reads — never a footer fetch per data file), then
+    * the exact predicate is applied on top, so the result equals
+    * `get(...).where(between)` row-for-row. Files with no recorded range
+    * for the column are always scanned.
+    *
+    * Skipping quality is a LAYOUT property: after an append-heavy
+    * history, ranges overlap and little skips; [[compact]] with
+    * `zorderBy` rewrites the version so each file owns a tight range on
+    * every z-ordered column.
+    */
+  def getStatsPruned(
+      name: String,
+      colName: String,
+      lower: Any,
+      upper: Any,
+      externalKey: Option[String] = None,
+      useLast: Boolean = false): DataFrame = {
+    val relPath = validateName(name)
+    val tableDir = new Path(rootPath, relPath)
+    if (!fs.exists(tableDir))
+      throw new Store.GetError(s"DataFrame '$name' not found under $root", null)
+    val labels = externalKey match {
+      case Some(k) => Seq(k)
+      case None if useLast =>
+        Seq(lastVersion(name).getOrElse(
+          throw new Store.GetError(s"No '$LastFile' pointer for '$name'", null)))
+      case None => versionsOf(tableDir)
+    }
+    val vDirs = labels.map { l =>
+      val d = new Path(tableDir, s"$VersionCol=${encodeVersion(l)}")
+      if (!fs.exists(d))
+        throw new Store.GetError(s"Version '$l' of '$name' not found", null)
+      d
+    }
+    val (kept, total) = prunedDataFiles(vDirs, colName, lower, upper)
+    val predicate = col(colName) >= lit(lower) && col(colName) <= lit(upper)
+    val base = spark.read.option("basePath", tableDir.toString)
+    val reader = sidecarSchema(vDirs) match {
+      case Some(schema) => base.schema(schema)
+      case None => base.option("mergeSchema", "true")
+    }
+    // All files skipped → nothing can match; an empty path list cannot
+    // be planned, so scan the (cheap) directory tree and let the
+    // predicate return the empty result with the right schema.
+    val df =
+      if (kept.isEmpty || kept.size == total)
+        reader.parquet(vDirs.map(_.toString): _*)
+          .where(if (kept.isEmpty) lit(false) else predicate)
+      else reader.parquet(kept.map(_.toString): _*).where(predicate)
+    val internal = df.columns.filter(_.startsWith(InternalPrefix))
+    df.drop(internal: _*)
+  }
+
+  /** (surviving files, total data files) for a range predicate on
+    * `colName` under the given version dirs — the data-skipping decision
+    * itself, exposed so tests and capacity tooling can assert skipping
+    * rates without running a scan.
+    */
+  def prunedDataFiles(
+      vDirs: Seq[Path],
+      colName: String,
+      lower: Any,
+      upper: Any): (Seq[Path], Int) = {
+    val kept = Seq.newBuilder[Path]
+    var total = 0
+    vDirs.foreach { vDir =>
+      val ranges = fs.listStatus(vDir)
+        .filter(st => !st.isDirectory && st.getPath.getName.startsWith(StatsFilePrefix))
+        .map(st => FileStats.parse(readSmall(st.getPath)))
+        .foldLeft(Map.empty[String, Map[String, FileStats.ColRange]])(_ ++ _)
+      val vBase = fs.makeQualified(vDir).toString
+      walkFiles(vDir) { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          total += 1
+          val rel = fs.makeQualified(st.getPath).toString.stripPrefix(vBase).stripPrefix("/")
+          val keep = ranges.get(rel).flatMap(_.get(colName))
+            .forall(_.intersects(lower, upper))
+          if (keep) kept += st.getPath
+        }
+      }
+    }
+    (kept.result(), total)
+  }
+
   /** Copy-on-write materialization: rewrite [[getMerged]]'s resolution as
     * a single keep-last version, superseding the base + delta chain (and
     * their merge markers — the table reads as a plain table again).
@@ -456,6 +566,37 @@ final class Store(
     val columnsKeys = Store.parseMeta(readSmall(new Path(tableDir, MetaFile)))
       .filter { case (c, _) => resolved.columns.contains(c) }
     load(resolved, name, columnsKeys, externalKey, keepLast = true)
+  }
+
+  /** Morton code of the given numeric columns: each value min/max-scaled
+    * to 16 bits (ranges from one driver-side aggregate over the input —
+    * compaction is already a full rewrite, the extra pass is footer-cheap
+    * relative to it), bits interleaved so sorting by the code clusters
+    * rows that are close in EVERY dimension. Nulls sort first (bucket 0).
+    */
+  private def zorderValue(df: DataFrame, cols: Seq[String]): Column = {
+    val bits = 16
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      // All-null / empty input: min and max come back null; any constant
+      // range works (every row lands in bucket 0 via the null coalesce).
+      val (mn, mx) =
+        if (row.isNullAt(2 * i)) (0d, 1d)
+        else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      val range = if (mx > mn) mx - mn else 1d
+      coalesce(
+        floor((col(c).cast("double") - lit(mn)) / lit(range) * lit((1 << bits) - 1))
+          .cast("long"),
+        lit(0L))
+    }
+    val n = cols.size
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      scaled.zipWithIndex.foldLeft(acc) { case (a, (s, i)) =>
+        a.bitwiseOR(shiftleft(shiftrightunsigned(s, b).bitwiseAND(lit(1L)), b * n + i))
+      }
+    }
   }
 
   /** (label, sorted merge keys, delete column) for each version carrying
@@ -510,12 +651,21 @@ final class Store(
     *
     * @param externalKey only this version (default: all versions)
     * @param targetFileBytes target file size for unpartitioned tables
+    * @param zorderBy numeric columns to Z-ORDER the rewrite by: rows are
+    *        sorted by the interleaved-bit Morton code of the (min/max
+    *        scaled) columns, so each output file owns a tight min/max
+    *        range on EVERY listed column simultaneously, and a fresh
+    *        [[FileStats]] sidecar is written from the compacted footers —
+    *        [[getStatsPruned]] then skips most files for a range
+    *        predicate on any one of them. The OPTIMIZE ZORDER step of a
+    *        Delta-style maintenance cycle.
     * @return (filesBefore, filesAfter) summed over compacted versions
     */
   def compact(
       name: String,
       externalKey: Option[String] = None,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): (Long, Long) = {
     val relPath = validateName(name)
     val tableDir = new Path(rootPath, relPath)
     if (!fs.exists(tableDir))
@@ -538,12 +688,16 @@ final class Store(
         // mid-compact) is salvaged from the old subtree before deletion
         // — no lost rows, no duplicated rows.
         val snapshot = scala.collection.mutable.ArrayBuffer.empty[Path]
+        // Stats sidecars present at snapshot time describe snapshot files
+        // and die with them; one landing AFTER (a racing load's) describes
+        // salvaged files and must be salvaged too — remember which is which.
+        val preStats = scala.collection.mutable.Set.empty[String]
         var beforeBytes = 0L
         walkFiles(vDir) { st =>
           val n = st.getPath.getName
           if (!n.startsWith("_") && !n.startsWith(".")) {
             snapshot += st.getPath; beforeBytes += st.getLen
-          }
+          } else if (n.startsWith(StatsFilePrefix)) preStats += n
         }
         val beforeFiles = snapshot.size.toLong
         val vBase = fs.makeQualified(vDir).toString
@@ -556,12 +710,29 @@ final class Store(
           .option("basePath", tableDir.toString)
           .parquet(snapshot.map(_.toString).toSeq: _*)
         val partCols = df.columns.filter(c => c.startsWith(InternalPrefix) && c != VersionCol).toSeq
+        val nFiles = math.max(1L, (beforeBytes + targetFileBytes - 1) / targetFileBytes).toInt
         val clustered =
-          if (partCols.nonEmpty) df.drop(VersionCol).repartition(partCols.map(col): _*)
-          else {
-            val nFiles = math.max(1L, (beforeBytes + targetFileBytes - 1) / targetFileBytes).toInt
-            df.drop(VersionCol).repartition(nFiles)
-          }
+          if (zorderBy.nonEmpty) {
+            zorderBy.foreach(c => require(df.columns.contains(c),
+              s"zorderBy column '$c' not found in '$name'"))
+            val zval = zorderValue(df, zorderBy)
+            // Partitioned: keep the one-writer-task-per-dir clustering and
+            // z-sort WITHIN it (maxRecordsPerFile then splits the sorted
+            // run into consecutive tight-range files — per-partition
+            // Z-ORDER, as Delta does). Unpartitioned: range-partition by
+            // the Morton code so every task owns a disjoint z-range.
+            if (partCols.nonEmpty)
+              df.drop(VersionCol).withColumn("__z", zval)
+                .repartition(partCols.map(col): _*)
+                .sortWithinPartitions((partCols.map(col) :+ col("__z")): _*)
+                .drop("__z")
+            else
+              df.drop(VersionCol).withColumn("__z", zval)
+                .repartitionByRange(nFiles, col("__z"))
+                .sortWithinPartitions(col("__z"))
+                .drop("__z")
+          } else if (partCols.nonEmpty) df.drop(VersionCol).repartition(partCols.map(col): _*)
+          else df.drop(VersionCol).repartition(nFiles)
         val tmp = new Path(tableDir, s".compact_tmp_${encodeVersion(label)}")
         val old = new Path(tableDir, s".compact_old_${encodeVersion(label)}")
         fs.delete(tmp, true)
@@ -573,6 +744,18 @@ final class Store(
           if (maxRecordsPerFile > 0)
             writer = writer.option("maxRecordsPerFile", maxRecordsPerFile)
           writer.parquet(tmp.toString)
+          // Z-ordered rewrites get a fresh file-stats sidecar computed
+          // from the compacted footers, INSIDE tmp so the swap publishes
+          // data + stats atomically. Pre-compact sidecars die with the
+          // old subtree (their file names no longer exist).
+          if (zorderBy.nonEmpty) {
+            val stats = FileStats.collect(
+              fs, spark.sparkContext.hadoopConfiguration, tmp, zorderBy)
+            if (stats.exists(_._2.nonEmpty))
+              writeSmall(new Path(tmp,
+                s"$StatsFilePrefix${java.util.UUID.randomUUID().toString.take(12)}.tsv"),
+                FileStats.encode(stats.filter(_._2.nonEmpty)))
+          }
           compactTestHook("pre-swap")
           if (!fs.rename(vDir, old))
             throw new java.io.IOException(s"swap rename failed for version '$label'")
@@ -607,7 +790,8 @@ final class Store(
           val oldBase = fs.makeQualified(old).toString
           walkFiles(old) { st =>
             val n = st.getPath.getName
-            val isSidecar = n.startsWith(SchemaFilePrefix)
+            val isSidecar = n.startsWith(SchemaFilePrefix) ||
+              (n.startsWith(StatsFilePrefix) && !preStats.contains(n))
             if (isSidecar || (!n.startsWith("_") && !n.startsWith("."))) {
               val r = fs.makeQualified(st.getPath).toString
                 .stripPrefix(oldBase).stripPrefix("/")
@@ -1016,6 +1200,12 @@ object Store {
     * discovery and data-file walks skip them.
     */
   val SchemaFilePrefix = "_schema_"
+
+  /** Per-load file-statistics sidecar prefix (`_stats_<uuid>.tsv` inside
+    * the version dir — see [[FileStats]]); underscore-prefixed so
+    * partition discovery and data-file walks skip them.
+    */
+  val StatsFilePrefix = "_stats_"
 
   /** Compact-lease staleness horizon: a `.compact_lease_*` marker older
     * than this belongs to a crashed compactor and may be stolen.
