@@ -37,6 +37,31 @@ object TextOps {
 
   def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpePretokenPattern))
 
+  /** Split each document into overlapping token windows (`window` tokens,
+    * every `stride`) — the chunking pass between curation and
+    * tokenization in a training pipeline (stride < window keeps
+    * boundary context in two chunks). One generate per row, no shuffle;
+    * the last chunk truncates at the document end, empty docs emit
+    * nothing. Output: (id, chunk_idx, chunk_len, chunk_text).
+    */
+  def chunkSequences(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be >= 1")
+    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .where(size(col("__w")) > 0)
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(0), size(col("__w")) - 1, lit(stride))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        slice(col("__w"), col("col") + 1, lit(window)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).as("chunk_len"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
   def charCount(c: Column): Column = length(c)
 
   /** Type-token ratio: distinct tokens / total tokens (repetition signal).

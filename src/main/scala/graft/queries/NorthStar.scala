@@ -548,6 +548,16 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Document chunking: 64-token windows every 48 tokens (16-token
+    * overlap), the curation→tokenization bridge. Chunk text is reduced
+    * to md5 so the gate compares content without multi-KB cells.
+    */
+  private def qChunkSequences(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkSequences(docs(s, dir), "doc_id", "text", window = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_len"),
+        md5(col("chunk_text")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -981,6 +991,22 @@ object NorthStar {
       SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_exact,
              true AS returned_ok, true AS recall_ok
       FROM embeddings WHERE vec_id < 8
-      ORDER BY query_id"""))
+      ORDER BY query_id""")),
+    QueryDef("qn30_chunk_sequences", qChunkSequences _, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''),
+      starts AS (
+        SELECT doc_id, w, CAST(st AS BIGINT) AS st,
+               CAST(st / 48 AS INT) AS chunk_idx
+        FROM toks, unnest(range(0, len(w), 48)) t(st)),
+      chunks AS (
+        SELECT doc_id, chunk_idx, list_slice(w, st + 1, st + 64) AS chunk
+        FROM starts)
+      SELECT doc_id, chunk_idx,
+             CAST(len(chunk) AS INT) AS chunk_len,
+             md5(array_to_string(chunk, ' ')) AS chunk_hash
+      FROM chunks
+      ORDER BY doc_id, chunk_idx"""))
   )
 }

@@ -556,4 +556,24 @@ class OpsSpec extends SparkSpec {
     assert(!rows(2).getBoolean(0) && !rows(2).getBoolean(2) && !rows(2).getBoolean(3),
       "word soup fails repetition + stopword")
   }
+
+  test("chunkSequences: stride windows, truncation, overlap, empty docs") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "   ")).toDF("id", "text")
+    val out = TextOps.chunkSequences(df, "id", "text", window = 4, stride = 3)
+      .orderBy("id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 1: starts 0,3,6,9 -> windows of 4,4,4 and a truncated 1.
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(c => (c._2, c._3)).toSeq ==
+      Seq((0, 4), (1, 4), (2, 4), (3, 1)))
+    assert(doc1(0)._4 == "t1 t2 t3 t4" && doc1(1)._4 == "t4 t5 t6 t7",
+      "stride 3 must repeat the boundary token in both chunks")
+    assert(doc1(3)._4 == "t10")
+    // doc 2 (shorter than the window): one truncated chunk; doc 3
+    // (whitespace only): nothing.
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b")))
+    assert(!out.exists(_._1 == 3L))
+  }
 }
