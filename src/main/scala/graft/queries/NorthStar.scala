@@ -558,6 +558,26 @@ object NorthStar {
         md5(col("chunk_text")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Intra-document repetition: the fraction of a doc's word-3-gram
+    * occurrences that belong to a 3-gram repeated WITHIN the same doc —
+    * the within-document half of the dedup literature's repetition
+    * signals (boilerplate, template spam), complementing the
+    * cross-document ops (qn02–qn04). [[TextOps.chunkSequences]] with
+    * window=3, stride=1 IS the non-distinct shingle stream; two hash
+    * aggregates, no joins.
+    */
+  private def qIntraDocRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkSequences(docs(s, dir), "doc_id", "text", window = 3, stride = 1)
+      .where(col("chunk_len") === 3)
+      .groupBy("doc_id", "chunk_text")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_shingles"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_repeated"))
+      .withColumn("rep_frac", round(col("n_repeated") / col("n_shingles"), 4))
+      .orderBy("doc_id")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -1007,6 +1027,18 @@ object NorthStar {
              CAST(len(chunk) AS INT) AS chunk_len,
              md5(array_to_string(chunk, ' ')) AS chunk_hash
       FROM chunks
-      ORDER BY doc_id, chunk_idx"""))
+      ORDER BY doc_id, chunk_idx""")),
+    QueryDef("qn31_intradoc_repetition", qIntraDocRepetition _, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''),
+      sh AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+             FROM toks, unnest(range(1, len(w) - 1)) t(i)),
+      cnts AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_repeated,
+             round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) / sum(c), 4) AS rep_frac
+      FROM cnts GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
