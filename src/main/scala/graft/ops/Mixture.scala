@@ -128,6 +128,76 @@ object Mixture {
     full.select(keep: _*).unionByName(boundary.select(keep: _*))
   }
 
+  /** Assign every row a shard id such that shards hold ≈ equal token
+    * counts — output sharding for training data, where a shard is a unit
+    * of work and token balance IS wall-clock balance. Rows stream in
+    * [[priority]] order; a row's shard is `prior_tokens div target`
+    * (target = ceil(total/numShards)), so shard boundaries cut the
+    * stream exactly once and every shard except the last is within one
+    * document of the target.
+    *
+    * Distributed prefix-sum, same bucket discipline as
+    * [[sampleByTokenBudget]]: per-bucket totals (one map-combined
+    * aggregate) are collected driver-side (≤ numBuckets rows), prefix
+    * sums across buckets become a broadcast, and the exact within-bucket
+    * running total is a window over each (1/numBuckets)-sized bucket —
+    * ~numBuckets-way parallel sorts, never one global one.
+    *
+    * @return `docs` plus a `shard_id` int column.
+    */
+  def tokenShards(
+      docs: DataFrame,
+      idCol: String,
+      tokCol: String,
+      numShards: Int,
+      numBuckets: Int = 256): DataFrame = {
+
+    require(numShards >= 1, "numShards must be >= 1")
+    require(numBuckets >= 1 && PrioritySpace % numBuckets == 0,
+      s"numBuckets must divide 2^32, got $numBuckets")
+    val bucketWidth = PrioritySpace / numBuckets
+
+    val t = docs
+      .withColumn("__mx_pr", priority(col(idCol)))
+      .withColumn("__mx_bkt", (col("__mx_pr") / bucketWidth).cast("int"))
+
+    // Bucket totals: metadata-scale, exact longs — the prefix sums and
+    // the global total are computed driver-side from one aggregate.
+    val perBucket = t.groupBy("__mx_bkt")
+      .agg(sum(col(tokCol).cast("long")).as("__mx_btoks"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = perBucket.map(_._2).sum
+    val target = math.max(1L, (total + numShards - 1) / numShards)
+    val before = {
+      var acc = 0L
+      perBucket.toSeq.map { case (b, n) => val r = (b, acc); acc += n; r }
+    }
+    val beforeDf = {
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__mx_bkt", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__mx_before", org.apache.spark.sql.types.LongType)))
+      docs.sparkSession.createDataFrame(
+        before.map { case (b, acc) => org.apache.spark.sql.Row(b, acc) }.asJava, schema)
+    }
+
+    val prior = col("__mx_before") + coalesce(
+      sum(col(tokCol).cast("long")).over(
+        Window.partitionBy("__mx_bkt")
+          .orderBy(col("__mx_pr"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val keep = docs.columns.map(col)
+    t.join(broadcast(beforeDf), Seq("__mx_bkt"))
+      .withColumn("__mx_prior", prior)
+      // Integer division on exact longs — bit-identical in any engine
+      // (a 0-token tail row can land prior == total; clamp keeps it in
+      // the last shard).
+      .withColumn("shard_id",
+        least(expr(s"__mx_prior div $target"), lit(numShards - 1L)).cast("int"))
+      .select((keep :+ col("shard_id")): _*)
+  }
+
   /** Reference formulation — ONE cumulative window partitioned by source
     * over every row. Row-identical to [[sampleByTokenBudget]] (MixtureSpec
     * asserts it); kept as the equivalence oracle and for small inputs. Do

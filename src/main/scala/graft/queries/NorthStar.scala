@@ -578,6 +578,20 @@ object NorthStar {
       .withColumn("rep_frac", round(col("n_repeated") / col("n_shingles"), 4))
       .orderBy("doc_id")
 
+  /** Token-balanced output sharding: 8 training shards of ≈ equal token
+    * mass, assignment by integer-exact running totals in deterministic
+    * priority order — both engines state the same longs, so per-shard
+    * doc and token counts hash-match exactly.
+    */
+  private def qTokenShards(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("toks", TextOps.tokenCount(col("text")).cast("long"))
+    Mixture.tokenShards(d, "doc_id", "toks", numShards = 8)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("shard_tokens"))
+      .orderBy("shard_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -1039,6 +1053,26 @@ object NorthStar {
              CAST(sum(c) AS BIGINT) AS n_shingles,
              CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_repeated,
              round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) / sum(c), 4) AS rep_frac
-      FROM cnts GROUP BY doc_id ORDER BY doc_id"""))
+      FROM cnts GROUP BY doc_id ORDER BY doc_id""")),
+    QueryDef("qn32_token_shards", qTokenShards _, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks,
+               (doc_id * 2654435761) % 4294967296 AS pr
+        FROM documents),
+      c AS (
+        SELECT doc_id, toks,
+               coalesce(sum(toks) OVER (ORDER BY pr, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        FROM t),
+      tot AS (SELECT greatest(1, (sum(toks) + 7) // 8) AS target FROM t),
+      a AS (
+        SELECT doc_id, toks,
+               CAST(least(prior // target, 7) AS INT) AS shard_id
+        FROM c, tot)
+      SELECT shard_id, count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS shard_tokens
+      FROM a GROUP BY shard_id ORDER BY shard_id"""))
   )
 }

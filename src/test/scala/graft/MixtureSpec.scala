@@ -46,6 +46,30 @@ object MixturePropSpec extends Properties("Mixture") {
         .select("doc_id").as[Long].collect().sorted.toSeq
       fast == slow
     }
+
+  property("tokenShards == naive global-window assignment") =
+    Prop.forAllNoShrink(genCorpus, Gen.oneOf(1, 3, 8),
+      Gen.oneOf(1, 2, 256, 65536)) { (rows, shards, buckets) =>
+      val s = spark
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val docs = rows.toDF("doc_id", "source", "toks")
+      val fast = Mixture.tokenShards(docs, "doc_id", "toks", shards, buckets)
+        .select("doc_id", "shard_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val total = rows.map(_._3).sum
+      val target = math.max(1L, (total + shards - 1) / shards)
+      val slow = docs
+        .withColumn("prior", coalesce(
+          sum(col("toks")).over(Window.orderBy(Mixture.priority(col("doc_id")), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("shard_id",
+          least(expr(s"prior div $target"), lit(shards - 1L)).cast("int"))
+        .select("doc_id", "shard_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      fast == slow
+    }
 }
 
 class MixtureSpec extends SparkSpec {
@@ -76,5 +100,20 @@ class MixtureSpec extends SparkSpec {
     val docs = Seq((1L, "x", 5L), (2L, "x", 0L), (3L, "x", 7L)).toDF("doc_id", "source", "toks")
     val budgets = Seq(("x", 1000L)).toDF("source", "budget")
     assert(Mixture.sampleByTokenBudget(docs, "doc_id", "toks", "source", budgets).count() == 3L)
+  }
+
+  test("tokenShards: every shard within one doc of target; all shards used") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, 1L + i % 50)).toDF("doc_id", "toks")
+    val out = Mixture.tokenShards(docs, "doc_id", "toks", numShards = 8)
+    val per = out.groupBy("shard_id").agg(sum("toks").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = (0L until 400L).map(i => 1L + i % 50).sum
+    val target = (total + 7) / 8
+    assert(per.keySet == (0 until 8).toSet, s"shards used: ${per.keySet}")
+    // A shard closes only when a doc CROSSES target: overshoot < max doc.
+    per.foreach { case (sid, t) =>
+      if (sid < 7) assert(t >= target - 50 && t < target + 50, s"shard $sid off: $t vs $target")
+    }
   }
 }
