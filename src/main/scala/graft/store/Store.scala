@@ -322,6 +322,20 @@ final class Store(
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Repoint the `_last` pointer at an existing version — instant
+    * time-travel undo for use_last readers after a bad load or merge
+    * (versions are immutable snapshots; rollback is a one-file publish,
+    * no data moves). Accumulate reads are unaffected; pair with
+    * [[vacuum]]/[[dropVersion]] to actually discard the bad version.
+    */
+  def rollback(name: String, label: String): Unit = {
+    val tableDir = new Path(rootPath, validateName(name))
+    val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")
+    if (!fs.exists(vDir))
+      throw new Store.GetError(s"Version '$label' of '$name' not found", null)
+    writeSmall(new Path(tableDir, LastFile), label)
+  }
+
   /** Retention: delete all but the newest `keepVersions` versions (by
     * version-label sort, same ordering `lastVersion` uses). Generalizes
     * the reference's binary keep_last (client.py:72) into a policy; the

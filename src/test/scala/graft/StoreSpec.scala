@@ -556,6 +556,20 @@ class StoreSpec extends SparkSpec {
     assert(got == expect && got == Seq((2L, 20.0), (3L, 30.0)))
   }
 
+  test("rollback repoints use_last; missing version rejected") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((1L, "good")).toDF("k", "s"), "t", externalKey = "v1")
+    store.load(Seq((1L, "bad")).toDF("k", "s"), "t", externalKey = "v2")
+    assert(store.get("t", useLast = true).head().getString(1) == "bad")
+    store.rollback("t", "v1")
+    assert(store.get("t", useLast = true).head().getString(1) == "good")
+    assert(store.lastVersion("t").contains("v1"))
+    // Accumulate still sees both versions; bad version can be dropped.
+    assert(store.get("t").count() == 2L)
+    assertThrows[Store.GetError](store.rollback("t", "nope"))
+  }
+
   test("merge validation: missing table, missing key column, conflicting keys") {
     import spark.implicits._
     val store = freshStore()
