@@ -169,6 +169,52 @@ object EventStreams {
     finally q.stop()
   }
 
+  /** Stream → store CDC MERGE sink: each micro-batch UPSERTS into the
+    * merge-managed table ([[graft.store.Store.merge]]) instead of
+    * appending — streaming ingestion of a mutable keyed table (user
+    * profiles, document metadata, label corrections). Per batch: rows
+    * collapse to newest-per-key by `seqCol` (a batch may carry several
+    * updates to one key; merge requires key-unique deltas), the batch's
+    * own version is dropped first (replay-idempotent, same exactly-once
+    * argument as [[writeToStore]]), and batch ids become ZERO-PADDED
+    * labels so merge resolution's label order is ingest order past batch
+    * 9. The first batch of a fresh table loads as the base version.
+    * `store.getMerged(name)` is then always "the table as of the stream
+    * so far"; tombstones via `deleteCol` delete keys mid-stream.
+    */
+  def mergeToStore(
+      df: DataFrame,
+      store: graft.store.Store,
+      name: String,
+      keyCols: Seq[String],
+      seqCol: String,
+      checkpointDir: String,
+      columnsKeys: Map[String, String] = Map.empty,
+      deleteCol: Option[String] = None): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val label = f"b$id%09d"
+          val cols = batch.columns
+          val latest = batch.toDF()
+            .groupBy(keyCols.map(col): _*)
+            .agg(max_by(struct(cols.map(col): _*), col(seqCol)).as("__r"))
+            .select(col("__r.*"))
+          store.dropVersion(name, label)
+          if (store.lastVersion(name).isEmpty)
+            store.load(latest, name, columnsKeys, externalKey = label)
+          else
+            store.merge(latest, name, keyCols, externalKey = label, deleteCol = deleteCol)
+        }
+        (): Unit
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Write a streaming frame to an in-memory table and drain all pending
     * micro-batches (test/demo sink; production would target kafka/delta/
     * parquet with checkpointing).

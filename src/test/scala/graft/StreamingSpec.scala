@@ -135,6 +135,51 @@ class StreamingSpec extends SparkSpec {
     assert(store.get("streams/events").count() == 2000)
   }
 
+  test("stream -> store CDC merge sink: upserts, deletes, replay-idempotent") {
+    import spark.implicits._
+    import graft.store.Store
+    val src = java.nio.file.Files.createTempDirectory("graft_cdc_src_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt_").toString
+    val store = new Store(spark,
+      java.nio.file.Files.createTempDirectory("graft_cdc_store_").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("state", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("del", org.apache.spark.sql.types.BooleanType)))
+    def writeBatch(n: String, rows: Seq[(Long, Long, String, Boolean)]): Unit =
+      rows.toDF("user_id", "seq", "state", "del").coalesce(1)
+        .write.parquet(src.resolve(n).toString)
+    def run(): Unit = EventStreams.mergeToStore(
+      spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet")
+        .parquet(src.toString + "/*"),
+      store, "cdc/users", Seq("user_id"), "seq", ckpt, deleteCol = Some("del"))
+    def snapshot(): Seq[(Long, String)] =
+      store.getMerged("cdc/users").orderBy("user_id")
+        .select("user_id", "state").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    // Batch 0 (fresh table -> base load): users 1-3, including an
+    // in-batch double update to user 2 (seq decides).
+    writeBatch("b0", Seq((1L, 10L, "a", false), (2L, 11L, "old", false),
+      (2L, 12L, "b", false), (3L, 13L, "c", false)))
+    run()
+    assert(snapshot() == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // Batch 1 (merge): update 1, delete 2, insert 4.
+    writeBatch("b1", Seq((1L, 20L, "a2", false), (2L, 21L, "x", true),
+      (4L, 22L, "d", false)))
+    run()
+    assert(snapshot() == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
+    // Idle restart changes nothing; simulated replay of batch 1 (crash
+    // between sink write and checkpoint commit) cannot double-apply.
+    run()
+    store.dropVersion("cdc/users", "b000000001")
+    store.merge(Seq((1L, 20L, "a2", false), (2L, 21L, "x", true), (4L, 22L, "d", false))
+      .toDF("user_id", "seq", "state", "del"),
+      "cdc/users", Seq("user_id"), externalKey = "b000000001", deleteCol = Some("del"))
+    assert(snapshot() == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
+  }
+
   test("mapGroupsWithState running totals match batch groupBy") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     val streamed = EventStreams.runToMemory(spark,
