@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.Tables
 import graft.ops.{Dedup, Mixture, Multimodal, Similarity, TextOps}
@@ -592,6 +592,35 @@ object NorthStar {
       .orderBy("shard_id")
   }
 
+  /** Incremental distinct counting with MERGEABLE sketches: per-source
+    * distinct-token cardinality from two per-ingest HLL sketches (even /
+    * odd doc ids) unioned — never rescanning the first ingest — graded
+    * against a full-corpus sketch and the exact SQL count. DataSketches
+    * HLL is order-insensitive and exact below its coupon limit; the
+    * contract states exact counts plus 2%-error booleans (the qn12
+    * playbook), which hold at any SF for lgK=12. This is the pattern
+    * that makes per-version distinct stats O(delta) in the store: one
+    * tiny sketch per ingest, union at read.
+    */
+  private def qIncrementalDistinct(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"), col("doc_id"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+    def sk(half: Column) = toks.where(half)
+      .groupBy("source").agg(hll_sketch_agg(col("tok")).as("sk"))
+    val inc = sk(pmod(col("doc_id"), lit(2)) === 0)
+      .unionByName(sk(pmod(col("doc_id"), lit(2)) === 1))
+      .groupBy("source").agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_inc"))
+    val full = toks.groupBy("source")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("tok"))).as("est_full"))
+    val exact = toks.groupBy("source")
+      .agg(countDistinct(col("tok")).as("n_exact"))
+    exact.join(inc, "source").join(full, "source")
+      .select(col("source"), col("n_exact"),
+        (abs(col("est_inc") - col("n_exact")) * 50 <= col("n_exact")).as("inc_ok"),
+        (abs(col("est_full") - col("n_exact")) * 50 <= col("n_exact")).as("full_ok"))
+      .orderBy("source")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -1073,6 +1102,14 @@ object NorthStar {
         FROM c, tot)
       SELECT shard_id, count(*) AS n_docs,
              CAST(sum(toks) AS BIGINT) AS shard_tokens
-      FROM a GROUP BY shard_id ORDER BY shard_id"""))
+      FROM a GROUP BY shard_id ORDER BY shard_id""")),
+    QueryDef("qn33_incremental_distinct", qIncrementalDistinct _, Some("""
+      WITH t AS (
+        SELECT DISTINCT source, tok
+        FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents WHERE trim(text) <> ''))
+      SELECT source, count(*) AS n_exact,
+             true AS inc_ok, true AS full_ok
+      FROM t GROUP BY source ORDER BY source"""))
   )
 }
