@@ -388,6 +388,11 @@ final class Store(
     * existing key's row unless the key itself is the partition column —
     * resolution is global per key either way; pruned reads
     * ([[getPartitioned]]) do not resolve merges.
+    *
+    * Retention: do NOT [[vacuum]] away the BASE of a live merge chain —
+    * keys never touched by a delta live only there. Fold the chain with
+    * [[materializeMerged]] first; [[compact]] of individual versions is
+    * safe (delta markers survive the rewrite).
     */
   def merge(
       df: DataFrame,
@@ -770,6 +775,14 @@ final class Store(
                 s"$StatsFilePrefix${java.util.UUID.randomUUID().toString.take(12)}.tsv"),
                 FileStats.encode(stats.filter(_._2.nonEmpty)))
           }
+          // A merge-delta version's `_merge.json` marker is the version's
+          // SEMANTICS (these rows replace/delete their keys), not a file
+          // map — compacting the delta must not turn it back into a
+          // plain append (getMerged would resurrect every overwritten
+          // row). Carry the marker into the rewritten tree pre-swap.
+          val mergeMarker = new Path(vDir, MergeFile)
+          if (fs.exists(mergeMarker))
+            writeSmall(new Path(tmp, MergeFile), readSmall(mergeMarker))
           compactTestHook("pre-swap")
           if (!fs.rename(vDir, old))
             throw new java.io.IOException(s"swap rename failed for version '$label'")

@@ -570,6 +570,22 @@ class StoreSpec extends SparkSpec {
     assertThrows[Store.GetError](store.rollback("t", "nope"))
   }
 
+  test("compacting a merge-delta version keeps it a delta (marker survives)") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((1L, "old"), (2L, "keep")).toDF("k", "s"), "t", externalKey = "v1")
+    // Two appends into the delta version -> compact has files to merge.
+    store.merge(Seq((1L, "new", false)).toDF("k", "s", "del"),
+      "t", Seq("k"), externalKey = "v2", deleteCol = Some("del"))
+    store.load(Seq((3L, "ins", false)).toDF("k", "s", "del"), "t", externalKey = "v2")
+    store.compact("t", externalKey = Some("v2"))
+    // Without the marker surviving the rewrite, k=1 resolves to BOTH
+    // rows (append semantics) or the old one resurrects.
+    val got = store.getMerged("t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
+  }
+
   test("merge validation: missing table, missing key column, conflicting keys") {
     import spark.implicits._
     val store = freshStore()
