@@ -496,7 +496,9 @@ final class Store(
     * Skipping quality is a LAYOUT property: after an append-heavy
     * history, ranges overlap and little skips; [[compact]] with
     * `zorderBy` rewrites the version so each file owns a tight range on
-    * every z-ordered column.
+    * every z-ordered column. Reads raw version contents — like
+    * [[getPartitioned]], merge deltas are NOT resolved (use
+    * [[materializeMerged]] first on a merge-managed table).
     */
   def getStatsPruned(
       name: String,

@@ -160,6 +160,29 @@ object StorePropSpec extends Properties("Store") {
     } yield (id, date, value, tag, del)))
       .map(_.groupBy(_._1).map(_._2.head).toSeq) // key-unique per batch
 
+  // Data skipping must be invisible to results: for ANY load history
+  // (split counts, stats on/off per load, optional z-order compact) and
+  // ANY range predicate, the pruned read equals the full read + filter.
+  property("getStatsPruned == get().where(between) for any history and range") =
+    Prop.forAllNoShrink(
+      genFrame, Gen.chooseNum(1, 3), Gen.oneOf(true, false),
+      Gen.chooseNum(-1000L, 6000L), Gen.chooseNum(0L, 4000L)) {
+      (rows, nLoads, zorder, lo0, span) =>
+        val store = freshStore()
+        val df = toDf(rows)
+        (0 until nLoads).foreach { i =>
+          store.load(df.where(col("id") % nLoads === i), "p/t",
+            externalKey = "v1",
+            statsCols = if (i % 2 == 0) Seq("id", "value") else Nil)
+        }
+        if (zorder) store.compact("p/t", targetFileBytes = 4L * 1024,
+          zorderBy = Seq("id", "value"))
+        val (lo, hi) = (lo0, lo0 + span)
+        val pruned = canon(store.getStatsPruned("p/t", "id", lo, hi))
+        val full = canon(store.get("p/t").where(col("id").between(lo, hi)))
+        pruned.sameElements(full)
+    }
+
   property("merge chain == in-memory replay (+ materialize)") =
     Prop.forAllNoShrink(genFrame, Gen.listOfN(3, genDelta), genKeys, Gen.oneOf(true, false)) {
       (base0, deltas, keys, materialize) =>
