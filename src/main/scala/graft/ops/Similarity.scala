@@ -86,6 +86,46 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Contrastive-pair mining: for each query (anchor), the top-k corpus
+    * vectors whose cosine lies in `[loSim, hiSim)` — hard NEGATIVES when
+    * the band sits below the duplicate threshold (similar enough to be
+    * confusable, distinct enough to be a true negative), hard positives
+    * when above. Same broadcast-queries + bounded-heap shape as
+    * [[topKPerQuery]] with the band filter applied before the heap, so
+    * each partition still ships ≤ k candidates per anchor. Similarities
+    * are rounded to 6 places BEFORE the band test so boundary membership
+    * is ulp-stable across engines.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      loSim: Double,
+      hiSim: Double): DataFrame = {
+
+    require(loSim < hiSim, "need loSim < hiSim")
+    val c = corpus.select(col(idCol).as("vec_id"),
+      normalize(asDouble(col(vecCol))).as("nv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      normalize(asDouble(col(vecCol))).as("qnv"))
+    c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotD(col("qnv"), col("nv")), 6).as("sim"))
+      .where(col("sim") >= loSim && col("sim") < hiSim)
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("sim"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.vec_id").as("vec_id"),
+        col("col.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
     * Exact, via a block-grid self-join: rows are hashed into `numBlocks`
     * blocks and every unordered block pair (i ≤ j) becomes one equality

@@ -621,6 +621,19 @@ object NorthStar {
       .orderBy("source")
   }
 
+  /** Contrastive hard-negative mining: for 8 anchors, the 3 most
+    * similar corpus vectors INSIDE the [0.15, 0.35) band — confusable
+    * but non-duplicate, the negatives an embedding-model trainer pairs
+    * with each anchor. Exact (band-filtered bounded-heap top-k), so the
+    * oracle states the full rows.
+    */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.hardNegatives(e, e.where(col("vec_id") < 8), "vec_id", "embedding",
+      k = 3, loSim = 0.15, hiSim = 0.35)
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -1110,6 +1123,20 @@ object NorthStar {
               FROM documents WHERE trim(text) <> ''))
       SELECT source, count(*) AS n_exact,
              true AS inc_ok, true AS full_ok
-      FROM t GROUP BY source ORDER BY source"""))
+      FROM t GROUP BY source ORDER BY source""")),
+    QueryDef("qn34_hard_negatives", qHardNegatives _, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      scored AS (SELECT q.query_id, e.vec_id,
+                        round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS sim
+                 FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      band AS (SELECT * FROM scored WHERE sim >= 0.15 AND sim < 0.35),
+      ranked AS (SELECT query_id, vec_id, sim,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+                 FROM band)
+      SELECT query_id, vec_id, sim, rank FROM ranked
+      WHERE rank <= 3
+      ORDER BY query_id, rank"""))
   )
 }
