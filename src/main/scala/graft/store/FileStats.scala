@@ -21,6 +21,12 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * selects the surviving file list before the scan is planned, like a
   * Delta transaction log's `stats` field.
   *
+  * Cost model: collection is one driver-side footer read per file OF
+  * THE LOAD BEING WRITTEN — bounded by a single ingest's write
+  * parallelism (tasks × partition dirs), not by table size; history is
+  * never rescanned. A pathological million-file single load would pay
+  * minutes of driver I/O — split such ingests, or compact first.
+  *
   * Format: one line per (file, column):
   * `relPath <TAB> column <TAB> kind <TAB> min <TAB> max`, URL-encoded
   * fields, kind ∈ {l: integral, d: floating, s: string}. Files with no
