@@ -322,6 +322,34 @@ final class Store(
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Version log — DESCRIBE-HISTORY-style operability view: one row per
+    * version in recency order (oldest first), with merge-delta metadata,
+    * data-file counts/bytes, and which version `_last` names. Directory
+    * listing + tiny marker reads only; never touches data content.
+    */
+  def history(name: String): Seq[Store.VersionInfo] = {
+    val tableDir = new Path(rootPath, validateName(name))
+    if (!fs.exists(tableDir))
+      throw new Store.GetError(s"DataFrame '$name' not found under $root", null)
+    val last = lastVersion(name)
+    versionsByRecency(tableDir).map { case (label, mtime) =>
+      val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")
+      var (files, bytes) = (0L, 0L)
+      walkFiles(vDir) { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) { files += 1; bytes += st.getLen }
+      }
+      val marker = new Path(vDir, MergeFile)
+      val mergeKeys =
+        if (!fs.exists(marker)) Nil
+        else Store.parseMeta(readSmall(marker))
+          .getOrElse("keys", "").split(",").filter(_.nonEmpty).toSeq
+      Store.VersionInfo(label, mtime, files, bytes,
+        isMerge = mergeKeys.nonEmpty, mergeKeys = mergeKeys,
+        isLast = last.contains(label))
+    }
+  }
+
   /** Repoint the `_last` pointer at an existing version — instant
     * time-travel undo for use_last readers after a bad load or merge
     * (versions are immutable snapshots; rollback is a one-file publish,
@@ -1209,6 +1237,16 @@ object Store {
     if (cause != null) initCause(cause)
   }
   final class ListError(msg: String, cause: Throwable) extends RuntimeException(msg, cause)
+
+  /** One row of [[Store.history]]. */
+  final case class VersionInfo(
+      label: String,
+      modifiedMs: Long,
+      numFiles: Long,
+      sizeBytes: Long,
+      isMerge: Boolean,
+      mergeKeys: Seq[String],
+      isLast: Boolean)
 
   val KeyDate = "Date"
   val KeyId = "ID"

@@ -556,6 +556,19 @@ class StoreSpec extends SparkSpec {
     assert(got == expect && got == Seq((2L, 20.0), (3L, 30.0)))
   }
 
+  test("history lists versions oldest-first with merge metadata and _last flag") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((1L, 1.0)).toDF("k", "v"), "t", externalKey = "v1")
+    store.merge(Seq((1L, 2.0)).toDF("k", "v"), "t", Seq("k"), externalKey = "v2")
+    val h = store.history("t")
+    assert(h.map(_.label) == Seq("v1", "v2"))
+    assert(!h(0).isMerge && h(1).isMerge && h(1).mergeKeys == Seq("k"))
+    assert(h.map(_.isLast) == Seq(false, true))
+    assert(h.forall(i => i.numFiles > 0 && i.sizeBytes > 0))
+    assertThrows[Store.GetError](store.history("nope"))
+  }
+
   test("rollback repoints use_last; missing version rejected") {
     import spark.implicits._
     val store = freshStore()
