@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, L2NormalizeExpr, MinHashSignatureExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, L2NormalizeExpr, MinHashSignatureExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
 
 /** Facade over the custom Catalyst expressions in
   * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
@@ -64,4 +64,8 @@ object VectorExpressions {
   def pqAdcScore(codes: Column, table: Column, ksub: Int): Column =
     ColumnBridge.column(PqAdcScoreExpr(
       ColumnBridge.expression(codes), ColumnBridge.expression(table), ksub))
+
+  /** Unicode NFC canonical composition of a string column. */
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
 }

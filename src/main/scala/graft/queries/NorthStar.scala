@@ -634,6 +634,27 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** Unicode normalization + casefold: NFC-compose then lowercase — the
+    * cleaning pass that makes crawl duplicates differing only in
+    * normalization form hash-equal. The fixture text is ASCII (where NFC
+    * is the identity), so the query appends a DECOMPOSED suffix (base
+    * letters + combining marks, stated by codepoint on both sides):
+    * an implementation that fails to compose shows in n_norm and in the
+    * hash; casefold shows via the uppercase base letters.
+    */
+  private def qNormalizeText(s: SparkSession, dir: String): DataFrame = {
+    // " nfc:E" + U+0301, "O" + U+0308, "A" + U+030A -> NFC "ÉÖÅ" -> lower "éöå"
+    val suffix = " nfc:ÉÖÅ"
+    val normed = lower(graft.functions.VectorExpressions
+      .nfcNormalize(concat(col("text"), lit(suffix))))
+    docs(s, dir).select(
+      col("doc_id"),
+      length(concat(col("text"), lit(suffix))).as("n_raw"),
+      length(normed).as("n_norm"),
+      md5(normed).as("norm_hash"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -1137,6 +1158,17 @@ object NorthStar {
                  FROM band)
       SELECT query_id, vec_id, sim, rank FROM ranked
       WHERE rank <= 3
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank""")),
+    QueryDef("qn35_normalize_text", qNormalizeText _, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               text || ' nfc:E' || chr(769) || 'O' || chr(776) || 'A' || chr(778) AS raw
+        FROM documents),
+      n AS (SELECT doc_id, raw, lower(nfc_normalize(raw)) AS normed FROM t)
+      SELECT doc_id,
+             CAST(length(raw) AS INTEGER) AS n_raw,
+             CAST(length(normed) AS INTEGER) AS n_norm,
+             md5(normed) AS norm_hash
+      FROM n ORDER BY doc_id"""))
   )
 }

@@ -75,6 +75,9 @@ object GraftFunctionRegistry {
         val rng = new scala.util.Random(seed)
         SrpSketchExpr(e.head, Array.fill(numPlanes * dim)(rng.nextGaussian()), dim)
       }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
+      (e: Seq[Expression]) => NfcNormalizeExpr(e.head)),
     // Column-composed text ops (built-in expression trees, still fully
     // codegen'd) exposed to SQL through the Column bridge.
     (FunctionIdentifier("redact_pii"),

@@ -160,6 +160,33 @@ case class SrpSketchExpr(child: Expression, planes: Array[Double], dim: Int)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (canonical composition) — the corpus
+  * cleaning step that makes `e` + COMBINING ACUTE byte-identical to the
+  * precomposed `é` before any dedup/fingerprint/tokenize pass (the same
+  * text crawled from two sources often differs only in normalization
+  * form, and every downstream hash would miss the duplicate). One
+  * `java.text.Normalizer` call per row; already-normalized strings are
+  * detected via the quick-check and returned as-is, allocation-free.
+  */
+case class NfcNormalizeExpr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word n-gram shingles from a token array, in one call:
   * `["a","b","c","d"], n=3` → `["a b c", "b c d"]` (first-occurrence
   * order, duplicates dropped). Replaces the interpreted

@@ -158,6 +158,13 @@ class StoreSpec extends SparkSpec {
     assert(r.getSeq[String](2) == Seq("a b", "b c"))
     assert(r.getInt(3) == 16)
 
+    // NFC normalization: decomposed e + U+0301 composes to precomposed é.
+    // (Raw combining char in the literal: Spark's chr() is ASCII mod 256,
+    // not codepoints, so chr(769) would build "e".)
+    val nfc = spark.sql(s"SELECT nfc_normalize('é') AS s")
+      .collect().head.getString(0)
+    assert(nfc == "é" && nfc.length == 1)
+
     // aggregate + sketch registrations
     val agg = spark.sql(
       """SELECT topk_by_score(s, i, 2) AS top
