@@ -557,6 +557,23 @@ class OpsSpec extends SparkSpec {
       "word soup fails repetition + stopword")
   }
 
+  test("pqTopK degrades gracefully when the corpus is smaller than ksub") {
+    import spark.implicits._
+    // 5 vectors, ksub=16: strided init duplicates centroids; empty
+    // clusters keep them. Search must still return exact-re-ranked
+    // neighbors (shortlist covers the whole corpus here).
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 5L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding",
+      dim = 8, k = 3, m = 4, ksub = 16, shortlist = 4)
+      .orderBy("rank").collect()
+    val exact = Similarity.topKPerQuery(vecs, vecs.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3).orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == exact.map(_.getLong(1)).toSeq)
+    assert(out.map(_.getDouble(2)).toSeq == exact.map(_.getDouble(2)).toSeq)
+  }
+
   test("chunkSequences: stride windows, truncation, overlap, empty docs") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens

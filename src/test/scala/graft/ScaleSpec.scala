@@ -208,6 +208,28 @@ class ScaleSpec extends SparkSpec {
       s"expected backward+forward window passes:\n$plan")
   }
 
+  test("getMerged resolves a 6-delta chain in ONE aggregate exchange") {
+    import spark.implicits._
+    val store = new graft.store.Store(spark,
+      java.nio.file.Files.createTempDirectory("graft_scale_mrg_").toString)
+    store.load((0L until 200L).map(i => (i, 0L)).toDF("k", "v"), "t", externalKey = "va")
+    (1 to 6).foreach { i =>
+      store.merge((0L until 50L).map(j => (j * i % 200L, i.toLong)).distinct.toDF("k", "v"),
+        "t", Seq("k"), externalKey = s"v$i")
+    }
+    val out = store.getMerged("t")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // Anti-join-chain resolution would cost one shuffle PER delta; the
+    // max_by formulation is one partial->final aggregate regardless of
+    // chain length, with no joins at all.
+    assert(exchanges == 1, s"merge resolution must shuffle once, saw $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"merge resolution must not join:\n$plan")
+    assert(plan.contains("max_by") || plan.contains("maxby") || plan.contains("SortAggregate"),
+      s"expected the max_by aggregate:\n$plan")
+  }
+
   test("as-of bucketWidth spreads a mega-hot key over many window partitions") {
     import graft.operators.AsOfJoin
     import spark.implicits._
