@@ -191,8 +191,12 @@ object NorthStar {
     val queries = e.where(col("vec_id") < 8)
     // Corpus size from parquet footers (driver-side metadata read) — the
     // fit-sample fraction must not cost a count() job over the corpus.
+    // nProbe 7 (of 8): the near-uniform fixture is IVF's worst case and
+    // recall tracks the probed fraction as density grows (RecallAudit at
+    // sf0.1: 6/8 → 0.875, 7/8 → 0.925); real clustered corpora run far
+    // smaller fractions.
     val ivf = Similarity.ivfTopK(e, queries, "vec_id", "embedding",
-      k = 5, nlist = 8, nProbe = 6,
+      k = 5, nlist = 8, nProbe = 7,
       corpusRows = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
     val exact = Similarity.topKPerQuery(e, queries, "vec_id", "embedding", k = 5)
     val perQuery = exact
@@ -226,9 +230,16 @@ object NorthStar {
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val queries = e.where(col("vec_id") < 8)
+    val nRows = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+    // Corpus-adaptive shortlist: a FIXED shortlist decays as the corpus
+    // grows (RecallAudit: 50 of 2000 at sf0.1 → recall 0.70); a constant
+    // 10% fraction holds 0.95 on the uniform worst-case fixture at every
+    // SF. On clustered real corpora the fraction shrinks with nlist-style
+    // partitioning — here it is the honest uniform-data configuration.
     val pq = Similarity.pqTopK(e, queries, "vec_id", "embedding",
-      dim = 64, k = 5, m = 16, ksub = 16, shortlist = 50,
-      corpusRows = Some(Tables.parquetRowCount(s, s"$dir/embeddings.parquet")))
+      dim = 64, k = 5, m = 16, ksub = 16,
+      shortlist = math.max(50L, nRows / 10).toInt,
+      corpusRows = Some(nRows))
     val exact = Similarity.topKPerQuery(e, queries, "vec_id", "embedding", k = 5)
     val perQuery = exact
       .join(pq.select(col("query_id"), col("vec_id"), lit(1L).as("hit")),
