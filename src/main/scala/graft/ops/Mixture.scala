@@ -39,10 +39,16 @@ object Mixture {
 
   /** Deterministic pseudo-shuffle priority in [0, 2^32): Knuth
     * multiplicative hash of the id — `(id * 2654435761) mod 2^32`,
-    * stateable verbatim in ANSI SQL (and thus in the DuckDB oracle).
+    * stateable verbatim in ANSI SQL (DuckDB states it over HUGEINT).
+    * The multiply runs in DECIMAL(38,0): a plain long multiply overflows
+    * (and THROWS under Spark 4's default ANSI mode) for ids ≥ ~3.47e9 —
+    * snowflake-style 64-bit ids at exactly the corpus scale this module
+    * targets.
     */
   def priority(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+    pmod(
+      id.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(2654435761L),
+      lit(4294967296L)).cast("long")
 
   private val PrioritySpace = 4294967296L
 
@@ -164,7 +170,7 @@ object Mixture {
     // Bucket totals: metadata-scale, exact longs — the prefix sums and
     // the global total are computed driver-side from one aggregate.
     val perBucket = t.groupBy("__mx_bkt")
-      .agg(sum(col(tokCol).cast("long")).as("__mx_btoks"))
+      .agg(coalesce(sum(col(tokCol).cast("long")), lit(0L)).as("__mx_btoks"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val total = perBucket.map(_._2).sum
     val target = math.max(1L, (total + numShards - 1) / numShards)

@@ -1084,7 +1084,7 @@ object NorthStar {
         SELECT doc_id, source,
                CASE WHEN trim(text) = '' THEN 0
                     ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
-               (doc_id * 2654435761) % 4294967296 AS pr,
+               CAST((doc_id::HUGEINT * 2654435761) % 4294967296 AS BIGINT) AS pr,
                200 + 50 * CAST(substr(source, 4) AS INT) AS budget
         FROM documents),
       c AS (
@@ -1133,7 +1133,7 @@ object NorthStar {
         SELECT doc_id,
                CAST(CASE WHEN trim(text) = '' THEN 0
                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks,
-               (doc_id * 2654435761) % 4294967296 AS pr
+               CAST((doc_id::HUGEINT * 2654435761) % 4294967296 AS BIGINT) AS pr
         FROM documents),
       c AS (
         SELECT doc_id, toks,

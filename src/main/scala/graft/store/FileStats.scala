@@ -50,9 +50,24 @@ object FileStats {
           case (Some(l), Some(h)) => min.toDouble <= h && max.toDouble >= l
           case _ => true
         }
-      case "s" => min <= String.valueOf(hi) && max >= String.valueOf(lo)
+      case "s" =>
+        (lo, hi) match {
+          case (l: String, h: String) =>
+            // Parquet footer min/max (and Spark string comparison) order
+            // by unsigned UTF-8 bytes; Java String.compareTo orders by
+            // UTF-16 code units, which DISAGREES for supplementary-plane
+            // chars vs BMP chars >= U+E000 (a surrogate 0xD83D sorts
+            // below 0xE000 in UTF-16 but its UTF-8 bytes 0xF0... sort
+            // above 0xEE...). Compare in the stats' own order.
+            utf8Leq(min, h) && utf8Leq(l, max)
+          case _ => true // mistyped bounds: never skip
+        }
       case _ => true
     }
+
+    private def utf8Leq(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0
 
     private def asLong(v: Any): Option[Long] = v match {
       case i: Int => Some(i.toLong)

@@ -344,6 +344,7 @@ final class Store(
         if (!fs.exists(marker)) Nil
         else Store.parseMeta(readSmall(marker))
           .getOrElse("keys", "").split(",").filter(_.nonEmpty).toSeq
+          .map(URLDecoder.decode(_, UTF_8))
       Store.VersionInfo(label, mtime, files, bytes,
         isMerge = mergeKeys.nonEmpty, mergeKeys = mergeKeys,
         isLast = last.contains(label))
@@ -460,9 +461,14 @@ final class Store(
     val info = load(df, name, columnsKeys, externalKey, keepLast = false)
     val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(info("version"))}")
     // 0-row deltas publish no version dir (see load) — nothing to mark.
+    // Column names are URL-encoded into the marker: a legal Spark column
+    // name may contain a comma (corrupting the key list) or a quote
+    // (truncating the regex-parsed JSON).
     if (fs.exists(vDir)) {
-      val del = deleteCol.map(d => s""","delete_col":"$d"""").getOrElse("")
-      writeSmall(new Path(vDir, MergeFile), s"""{"keys":"${sortedKeys.mkString(",")}"$del}""")
+      val enc = (s: String) => URLEncoder.encode(s, UTF_8)
+      val del = deleteCol.map(d => s""","delete_col":"${enc(d)}"""").getOrElse("")
+      writeSmall(new Path(vDir, MergeFile),
+        s"""{"keys":"${sortedKeys.map(enc).mkString(",")}"$del}""")
     }
     info + ("merge_keys" -> sortedKeys.mkString(","))
   }
@@ -624,7 +630,11 @@ final class Store(
     * rows that are close in EVERY dimension. Nulls sort first (bucket 0).
     */
   private def zorderValue(df: DataFrame, cols: Seq[String]): Column = {
-    val bits = 16
+    require(cols.nonEmpty && cols.size <= 8, s"zorderBy supports 1-8 columns, got ${cols.size}")
+    // The Morton code must fit one long: Spark's shiftleft masks the
+    // shift amount mod 64, so an unchecked 16 bits × 5 columns would
+    // silently wrap bit 79 onto bit 15 and garble the ordering.
+    val bits = math.min(16, 64 / cols.size)
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
@@ -658,8 +668,9 @@ final class Store(
       else {
         val m = Store.parseMeta(readSmall(marker))
         Some((label,
-          m.getOrElse("keys", "").split(",").filter(_.nonEmpty).toSeq,
-          m.get("delete_col")))
+          m.getOrElse("keys", "").split(",").filter(_.nonEmpty).toSeq
+            .map(URLDecoder.decode(_, UTF_8)),
+          m.get("delete_col").map(URLDecoder.decode(_, UTF_8))))
       }
     }
 
@@ -739,14 +750,21 @@ final class Store(
         val snapshot = scala.collection.mutable.ArrayBuffer.empty[Path]
         // Stats sidecars present at snapshot time describe snapshot files
         // and die with them; one landing AFTER (a racing load's) describes
-        // salvaged files and must be salvaged too — remember which is which.
+        // salvaged files and must be salvaged too — remember which is
+        // which, and which COLUMNS they tracked (stats are recomputed for
+        // those from the rewritten footers).
         val preStats = scala.collection.mutable.Set.empty[String]
+        val preStatsCols = scala.collection.mutable.LinkedHashSet.empty[String]
         var beforeBytes = 0L
         walkFiles(vDir) { st =>
           val n = st.getPath.getName
           if (!n.startsWith("_") && !n.startsWith(".")) {
             snapshot += st.getPath; beforeBytes += st.getLen
-          } else if (n.startsWith(StatsFilePrefix)) preStats += n
+          } else if (n.startsWith(StatsFilePrefix)) {
+            preStats += n
+            try FileStats.parse(readSmall(st.getPath)).values.foreach(preStatsCols ++= _.keys)
+            catch { case scala.util.control.NonFatal(_) => }
+          }
         }
         val beforeFiles = snapshot.size.toLong
         val vBase = fs.makeQualified(vDir).toString
@@ -793,13 +811,17 @@ final class Store(
           if (maxRecordsPerFile > 0)
             writer = writer.option("maxRecordsPerFile", maxRecordsPerFile)
           writer.parquet(tmp.toString)
-          // Z-ordered rewrites get a fresh file-stats sidecar computed
-          // from the compacted footers, INSIDE tmp so the swap publishes
-          // data + stats atomically. Pre-compact sidecars die with the
-          // old subtree (their file names no longer exist).
-          if (zorderBy.nonEmpty) {
+          // Fresh file-stats sidecar from the compacted footers, INSIDE
+          // tmp so the swap publishes data + stats atomically.
+          // Pre-compact sidecars die with the old subtree (their file
+          // names no longer exist) — so recompute for every column THEY
+          // tracked, not just zorderBy: otherwise a routine small-file
+          // compact of a statsCols table silently disables data skipping
+          // forever.
+          val trackedCols = (preStatsCols.toSeq ++ zorderBy).distinct
+          if (trackedCols.nonEmpty) {
             val stats = FileStats.collect(
-              fs, spark.sparkContext.hadoopConfiguration, tmp, zorderBy)
+              fs, spark.sparkContext.hadoopConfiguration, tmp, trackedCols)
             if (stats.exists(_._2.nonEmpty))
               writeSmall(new Path(tmp,
                 s"$StatsFilePrefix${java.util.UUID.randomUUID().toString.take(12)}.tsv"),

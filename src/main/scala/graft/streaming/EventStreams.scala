@@ -203,9 +203,15 @@ object EventStreams {
             .agg(max_by(struct(cols.map(col): _*), col(seqCol)).as("__r"))
             .select(col("__r.*"))
           store.dropVersion(name, label)
-          if (store.lastVersion(name).isEmpty)
-            store.load(latest, name, columnsKeys, externalKey = label)
-          else
+          if (store.lastVersion(name).isEmpty) {
+            // Base load writes no merge marker, so a tombstone in the
+            // FIRST batch of a fresh table would land as a live row (and
+            // stay live if no later batch ever merges). A delete of a
+            // never-seen key is a no-op: drop those rows up front.
+            val base = deleteCol.map(d =>
+              latest.where(!coalesce(col(d).cast("boolean"), lit(false)))).getOrElse(latest)
+            store.load(base, name, columnsKeys, externalKey = label)
+          } else
             store.merge(latest, name, keyCols, externalKey = label, deleteCol = deleteCol)
         }
         (): Unit

@@ -243,6 +243,19 @@ case class PqEncodeExpr(child: Expression, codebook: Array[Double], dim: Int, m:
   require(ksub <= 256, "ksub must fit one byte")
   private val dsub = dim / m
 
+  // Assignment metric must MATCH training (Euclidean k-means):
+  // argmin ||x−c||² = argmax (x·c − ||c||²/2). Plain argmax-dot is a
+  // different quantizer — biased toward large-norm centroids (a
+  // near-zero subvector would pick a far, large centroid over a
+  // coincident near-zero one) — inflating ADC scores and polluting the
+  // shortlist. Half-norms precomputed once per (subspace, code).
+  private val halfNorms: Array[Double] = Array.tabulate(m * ksub) { jc =>
+    var s = 0d
+    var t = 0
+    while (t < dsub) { val x = codebook(jc * dsub + t); s += x * x; t += 1 }
+    s / 2
+  }
+
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
@@ -254,7 +267,7 @@ case class PqEncodeExpr(child: Expression, codebook: Array[Double], dim: Int, m:
     var j = 0
     while (j < m) {
       var best = 0
-      var bestDot = Double.NegativeInfinity
+      var bestScore = Double.NegativeInfinity
       var c = 0
       while (c < ksub) {
         val base = (j * ksub + c) * dsub
@@ -265,7 +278,8 @@ case class PqEncodeExpr(child: Expression, codebook: Array[Double], dim: Int, m:
           if (i < n) s += v.getDouble(i) * codebook(base + t)
           t += 1
         }
-        if (s > bestDot) { bestDot = s; best = c }
+        val score = s - halfNorms(j * ksub + c)
+        if (score > bestScore) { bestScore = score; best = c }
         c += 1
       }
       codes(j) = best.toByte

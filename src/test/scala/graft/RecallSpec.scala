@@ -102,9 +102,11 @@ class RecallSpec extends SparkSpec {
     // 16-byte codes over 64 dims (4 dims × 4 bits per subspace), then an
     // exact re-rank of the 50-deep ADC shortlist: recall is set by
     // whether the true top-5 survive into the shortlist. Measured on the
-    // near-uniform worst-case fixture: m=8 → 0.80, m=16 → 0.95 (finer
-    // subspaces beat more codes per subspace here). Deterministic
-    // training → a fixed number, gated at the qn29 contract's 0.9.
+    // near-uniform worst-case fixture with the distance-matched encoder:
+    // m=8 → 0.80, m=16 → 0.925 at sf0.01 (finer subspaces beat more
+    // codes per subspace; RecallAudit at sf0.1 with the adaptive 10%
+    // shortlist: 0.975). Deterministic training → a fixed number, gated
+    // at the qn29 contract's 0.9.
     val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
       dim = 64, k = 5, m = 16, ksub = 16, shortlist = 50)
     val cand = topkSet(pq)

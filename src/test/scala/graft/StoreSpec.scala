@@ -606,6 +606,21 @@ class StoreSpec extends SparkSpec {
     assert(got == Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
   }
 
+  test("merge key/delete column names with commas and quotes round-trip the marker") {
+    import spark.implicits._
+    val store = freshStore()
+    val wk = "a,b"     // legal Spark column name containing the list separator
+    val wd = "de\"l"   // and one containing the JSON quote
+    val df0 = Seq((1L, 1.0)).toDF(wk, "v")
+    store.load(df0, "t", externalKey = "v1")
+    store.merge(Seq((1L, 2.0, false), (2L, 9.0, true)).toDF(wk, "v", wd),
+      "t", Seq(wk), externalKey = "v2", deleteCol = Some(wd))
+    val got = store.getMerged("t").orderBy(col(s"`$wk`"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 2.0)))
+    assert(store.history("t").last.mergeKeys == Seq(wk))
+  }
+
   test("merge validation: missing table, missing key column, conflicting keys") {
     import spark.implicits._
     val store = freshStore()

@@ -121,10 +121,13 @@ class StoreStatsSpec extends SparkSpec {
       .map(_.getPath.getName).filter(_.startsWith(Store.StatsFilePrefix)).toSet
     val stale = statsFiles()
     assert(stale.size == 1)
-    // Compact swaps in a rewrite (no zorder -> no new sidecar); the
-    // pre-compact sidecar references dead file names and must be gone.
+    // Compact swaps in a rewrite; the pre-compact sidecar references
+    // dead file names and must be gone, REPLACED by one recomputed from
+    // the rewritten footers (same tracked columns).
     store.compact("t")
-    assert(statsFiles().isEmpty, "stale stats sidecar survived the swap")
+    val fresh = statsFiles()
+    assert(fresh.size == 1 && (fresh & stale).isEmpty,
+      s"expected one fresh sidecar, got $fresh (stale was $stale)")
     // With zorder, a fresh sidecar lands atomically with the swap and
     // pruning works off the compacted layout.
     store.load((100L to 199L).map(j => (j, "b")).toDF("id", "s"),
@@ -164,6 +167,40 @@ class StoreStatsSpec extends SparkSpec {
     // And on the second z-dimension too.
     val (keptP, _) = store.prunedDataFiles(dir, "o_totalprice", 0d, 50000d)
     assert(keptP.size < total)
+  }
+
+  test("plain compact (no zorder) recomputes stats for previously tracked columns") {
+    import spark.implicits._
+    val (store, root) = freshStore()
+    (0 until 3).foreach { i =>
+      store.load((0 until 50).map(j => (i * 1000L + j, i.toDouble)).toDF("id", "v"),
+        "t", externalKey = "v1", statsCols = Seq("id"))
+    }
+    store.compact("t") // routine small-file cleanup, no zorderBy
+    val dir = Seq(vDir(root, "t", "v1"))
+    val fsys = dir.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.listStatus(dir.head)
+      .exists(_.getPath.getName.startsWith(Store.StatsFilePrefix)),
+      "compaction must re-derive the sidecar it invalidated")
+    // Skipping still works off the fresh sidecar (single compacted file
+    // set -> at minimum the out-of-range predicate skips everything).
+    val (keptNone, totalC) = store.prunedDataFiles(dir, "id", 90000L, 99000L)
+    assert(totalC >= 1 && keptNone.isEmpty)
+    assert(store.getStatsPruned("t", "id", 0L, 5000L).count() == 150L)
+  }
+
+  test("string skipping orders by UTF-8 bytes (supplementary plane vs U+E000)") {
+    import spark.implicits._
+    val (store, root) = freshStore()
+    // One file holding {U+E000, U+1F600}: parquet min=U+E000, max=emoji
+    // in UTF-8 order. UTF-16 comparison would call max < U+E000 and
+    // wrongly skip the file for an exact U+E000 probe.
+    store.load(Seq(("", 1L), ("😀", 2L)).toDF("s", "id").coalesce(1),
+      "t", externalKey = "v1", statsCols = Seq("s"))
+    val (kept, total) = store.prunedDataFiles(
+      Seq(vDir(root, "t", "v1")), "s", "", "")
+    assert(total == 1 && kept.size == 1, "file with a matching row was skipped")
+    assert(store.getStatsPruned("t", "s", "", "").count() == 1L)
   }
 
   test("FileStats round-trip: encode/parse and range intersection") {
