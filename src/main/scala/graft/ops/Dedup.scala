@@ -318,8 +318,20 @@ object Dedup {
   def dedupByJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDocFreq: Long = DefaultMaxShingleDocFreq): DataFrame = {
-    val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold, maxShingleDocFreq)
-    val comps = connectedComponents(pairs, "doc_a", "doc_b")
+    applyComponents(df,
+      ngramJaccardPairs(df, idCol, textCol, n, threshold, maxShingleDocFreq),
+      "doc_a", "doc_b", idCol)
+  }
+
+  /** Apply a detected duplicate-pair set to the corpus: cluster the
+    * pairs via [[connectedComponents]], keep the smallest id per
+    * cluster, pass non-clustered rows through untouched — the shared
+    * tail of every dedup-apply variant.
+    */
+  def applyComponents(
+      df: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String, idCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
     val losers = comps.where(col("node") =!= col("component"))
       .select(col("node").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -334,11 +346,9 @@ object Dedup {
   def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, simThreshold: Double = 0.7,
       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val pairs = minhashCandidatePairs(df, idCol, textCol, n, simThreshold, bands, rowsPerBand)
-    val comps = connectedComponents(pairs, "doc_a", "doc_b")
-    val losers = comps.where(col("node") =!= col("component"))
-      .select(col("node").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    applyComponents(df,
+      minhashCandidatePairs(df, idCol, textCol, n, simThreshold, bands, rowsPerBand),
+      "doc_a", "doc_b", idCol)
   }
 
   /** The per-document shingle signature table — the state a production
@@ -429,10 +439,7 @@ object Dedup {
         .agg(count(lit(1)).as("common")),
       newCounts, newCounts)
 
-    val comps = connectedComponents(cross.union(newNew), "doc_a", "doc_b")
-    val losers = comps.where(col("node") =!= col("component"))
-      .select(col("node").as(idCol))
-    newDocs.join(losers, Seq(idCol), "left_anti")
+    applyComponents(newDocs, cross.union(newNew), "doc_a", "doc_b", idCol)
   }
 
   /** 64-bit SimHash of the token stream: per token, xxhash64 bits vote

@@ -294,8 +294,12 @@ object Multimodal {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
         s"expected 16-bit little-endian PCM, got $fmt")
-      val frames = ais.getFrameLength
       val buf = ais.readAllBytes()
+      // n_samples counts what the checksum walks: TOTAL samples across
+      // channels from the decoded bytes (for mono, = frame count).
+      // getFrameLength would report frames (half the checksummed values
+      // on stereo — an internally inconsistent pair) and can be
+      // NOT_SPECIFIED (-1) for streamed formats.
       val samples = buf.length / 2
       var sum = 0L
       var i = 0
@@ -304,7 +308,7 @@ object Multimodal {
         sum += v * (i + 1)
         i += 1
       }
-      (fmt.getSampleRate.toInt, fmt.getChannels, frames, sum)
+      (fmt.getSampleRate.toInt, fmt.getChannels, samples.toLong, sum)
     } finally ais.close()
   }
 

@@ -183,13 +183,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      numBlocks: Int = 16): DataFrame = {
-    val pairs = nearDupPairs(corpus, idCol, vecCol, threshold, numBlocks)
-    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
-    val losers = comps.where(col("node") =!= col("component"))
-      .select(col("node").as(idCol))
-    corpus.join(losers, Seq(idCol), "left_anti")
-  }
+      numBlocks: Int = 16): DataFrame =
+    Dedup.applyComponents(corpus,
+      nearDupPairs(corpus, idCol, vecCol, threshold, numBlocks),
+      "id_a", "id_b", idCol)
 
   /** Approximate neighbors via random-projection LSH over normalized
     * vectors; euclidean distance on the unit sphere = sqrt(2-2·cos), so
@@ -262,11 +259,16 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // Threshold on the RAW similarity, round only for display — the
+    // same boundary rule as [[nearDupPairs]], whose output is qn11's
+    // truth set: thresholding post-rounding would keep a raw-0.3499996
+    // pair the truth drops, failing the contract's precision check.
     cand
       .join(e.select(col("id").as("id_a"), col("nv").as("nva")), "id_a")
       .join(e.select(col("id").as("id_b"), col("nv").as("nvb")), "id_b")
-      .select(col("id_a"), col("id_b"), round(dotD(col("nva"), col("nvb")), 6).as("sim"))
+      .select(col("id_a"), col("id_b"), dotD(col("nva"), col("nvb")).as("sim"))
       .where(col("sim") >= cosThreshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
   /** Product-quantization ANN: the memory-bound billion-vector path.

@@ -178,6 +178,34 @@ final class Store(
       val stagedStats =
         if (statsCols.isEmpty) Nil
         else FileStats.collect(fs, spark.sparkContext.hadoopConfiguration, staging, statsCols)
+      // Sidecars are written INTO THE STAGED TREE so they publish in the
+      // same mergeMove as the data files (underscore files move first —
+      // see mergeMove). Publishing data first and sidecars after left a
+      // crash window where a version with pre-existing sidecars gained
+      // data files carrying columns no sidecar records — sidecarSchema
+      // only falls back to mergeSchema when a version has ZERO sidecars,
+      // so the new columns would silently vanish from every read.
+      val stagedVDir = new Path(staging, s"$VersionCol=${encodeVersion(label)}")
+      if (fs.exists(stagedVDir)) {
+        // Per-load schema sidecar: accumulate reads union these tiny
+        // driver-side files instead of mergeSchema-sweeping every data
+        // file's footer (at 100 TB × many versions the footer sweep IS
+        // the relation-build cost). One uniquely-named file per load —
+        // concurrent loads into one version never contend — recording
+        // the DATA schema (partition columns live in dir names).
+        writeSmall(new Path(stagedVDir,
+          s"$SchemaFilePrefix${java.util.UUID.randomUUID().toString.take(12)}.json"),
+          df.schema.json)
+        val versionPrefix = s"$VersionCol=${encodeVersion(label)}/"
+        val inVersion = stagedStats.collect {
+          case (rel, m) if rel.startsWith(versionPrefix) && m.nonEmpty =>
+            rel.stripPrefix(versionPrefix) -> m
+        }
+        if (inVersion.nonEmpty)
+          writeSmall(new Path(stagedVDir,
+            s"$StatsFilePrefix${java.util.UUID.randomUUID().toString.take(12)}.tsv"),
+            FileStats.encode(inVersion))
+      }
       if (keepLast)
         versionsOf(tableDir).foreach { v =>
           fs.delete(new Path(tableDir, s"$VersionCol=${encodeVersion(v)}"), true)
@@ -190,24 +218,6 @@ final class Store(
       // listable.
       val publishedVDir = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")
       if (fs.exists(publishedVDir)) {
-        // Per-load schema sidecar: accumulate reads union these tiny
-        // driver-side files instead of mergeSchema-sweeping every data
-        // file's footer (at 100 TB × many versions the footer sweep IS
-        // the relation-build cost). One uniquely-named file per load —
-        // concurrent loads into one version never contend — recording
-        // the DATA schema (partition columns live in dir names).
-        writeSmall(new Path(publishedVDir,
-          s"$SchemaFilePrefix${java.util.UUID.randomUUID().toString.take(12)}.json"),
-          df.schema.json)
-        val versionPrefix = s"$VersionCol=${encodeVersion(label)}/"
-        val inVersion = stagedStats.collect {
-          case (rel, m) if rel.startsWith(versionPrefix) && m.nonEmpty =>
-            rel.stripPrefix(versionPrefix) -> m
-        }
-        if (inVersion.nonEmpty)
-          writeSmall(new Path(publishedVDir,
-            s"$StatsFilePrefix${java.util.UUID.randomUUID().toString.take(12)}.tsv"),
-            FileStats.encode(inVersion))
         writeSmall(new Path(tableDir, LastFile), label)
       } else if (keepLast)
         // keep_last with 0 rows wiped every version: a surviving pointer
@@ -739,7 +749,7 @@ final class Store(
       val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")
       if (!fs.exists(vDir))
         throw new Store.GetError(s"Version '$label' of '$name' not found", null)
-      val lease = acquireCompactLease(tableDir, label, name)
+      val (lease, leaseToken) = acquireCompactLease(tableDir, label, name)
       try {
         // Snapshot the input file set FIRST, then read exactly those
         // files: the compacted output then holds precisely the
@@ -836,6 +846,11 @@ final class Store(
           if (fs.exists(mergeMarker))
             writeSmall(new Path(tmp, MergeFile), readSmall(mergeMarker))
           compactTestHook("pre-swap")
+          // Last ownership check before the point of no return: if the
+          // lease was stolen (this compactor stalled past the TTL), abort
+          // with the live tree untouched rather than double-swapping
+          // against the stealer.
+          verifyLeaseOwned(lease, leaseToken)
           if (!fs.rename(vDir, old))
             throw new java.io.IOException(s"swap rename failed for version '$label'")
           compactTestHook("mid-swap")
@@ -911,7 +926,14 @@ final class Store(
         }
         afterTotal += dataFileStats(vDir)._1
         beforeTotal += beforeFiles
-      } finally fs.delete(lease, false)
+      } finally {
+        // Release only a lease this compactor still owns — after a steal
+        // the file at this path is the STEALER's lease, and deleting it
+        // would strip the active compactor's exclusion.
+        val stillOwned =
+          try readSmall(lease) == leaseToken catch { case _: Exception => false }
+        if (stillOwned) fs.delete(lease, false)
+      }
     }
     (beforeTotal, afterTotal)
   }
@@ -929,7 +951,14 @@ final class Store(
     var stranded = 0
     walkFiles(old) { st =>
       val n = st.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) {
+      // Sidecars (schema/stats/merge marker) restore WITH their rows:
+      // leaving them behind and deleting the old dir would strip the
+      // restored rows' schema record — and with the racing load's own
+      // sidecar present, sidecarSchema would never fall back to
+      // mergeSchema, silently dropping the restored columns from reads.
+      val isSidecar = n.startsWith(SchemaFilePrefix) ||
+        n.startsWith(StatsFilePrefix) || n == MergeFile
+      if (isSidecar || (!n.startsWith("_") && !n.startsWith("."))) {
         val rel = fs.makeQualified(st.getPath).toString
           .stripPrefix(oldBase).stripPrefix("/")
         val dest = new Path(vDir, rel)
@@ -952,11 +981,17 @@ final class Store(
     * (create-exclusive). A lease older than [[Store.CompactLeaseTtlMs]]
     * belongs to a crashed compactor and is stolen once.
     */
-  private def acquireCompactLease(tableDir: Path, label: String, name: String): Path = {
+  private def acquireCompactLease(tableDir: Path, label: String, name: String): (Path, String) = {
     val lease = new Path(tableDir, s".compact_lease_${encodeVersion(label)}")
+    val token = java.util.UUID.randomUUID().toString
     def tryCreate(): Boolean =
-      try { fs.create(lease, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = fs.create(lease, false)
+        try out.write(token.getBytes(UTF_8)) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def fail() = throw new Store.LoadError(
+      s"Version '$label' of '$name' is already being compacted (lease ${lease.getName})", null)
     if (!tryCreate()) {
       val age = try System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
       catch { case _: java.io.IOException => 0L } // vanished → racer active
@@ -968,18 +1003,39 @@ final class Store(
       // prevent.) The winner still has to win tryCreate below; losing
       // that to an even faster third party is a safe, conservative
       // failure.
-      val stole = age > CompactLeaseTtlMs && {
-        val claim = new Path(tableDir,
-          s".compact_lease_claim_${java.util.UUID.randomUUID().toString.take(8)}")
-        val ok = try fs.rename(lease, claim) catch { case _: java.io.IOException => false }
-        if (ok) fs.delete(claim, false)
-        ok
+      if (age <= CompactLeaseTtlMs) fail()
+      val claim = new Path(tableDir,
+        s".compact_lease_claim_${java.util.UUID.randomUUID().toString.take(8)}")
+      val ok = try fs.rename(lease, claim) catch { case _: java.io.IOException => false }
+      if (!ok) fail()
+      // The rename may have captured not the stale lease but a FRESH one
+      // an earlier stealer just re-created (its staleness was observed
+      // before that steal completed). Verify what was captured; a fresh
+      // lease goes back where it was and this compactor yields — without
+      // this check two stealers both proceed and double-swap.
+      val claimedAge =
+        try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+        catch { case _: java.io.IOException => Long.MaxValue }
+      if (claimedAge <= CompactLeaseTtlMs) {
+        val restored = try fs.rename(claim, lease) catch { case _: java.io.IOException => false }
+        if (!restored) fs.delete(claim, false)
+        fail()
       }
-      if (!stole || !tryCreate())
-        throw new Store.LoadError(
-          s"Version '$label' of '$name' is already being compacted (lease ${lease.getName})", null)
+      fs.delete(claim, false)
+      if (!tryCreate()) fail()
     }
-    lease
+    (lease, token)
+  }
+
+  /** Re-read the lease and confirm this compactor still owns it (its
+    * token is inside). Called immediately before the version-dir swap —
+    * the one operation two concurrent compactors must never both reach.
+    */
+  private def verifyLeaseOwned(lease: Path, token: String): Unit = {
+    val owned = try readSmall(lease) == token catch { case _: Exception => false }
+    if (!owned)
+      throw new java.io.IOException(
+        s"compact lease ${lease.getName} lost (stolen by another compactor) — aborting before swap")
   }
 
   /** Newest version label from the `_last` pointer file (README.md:217),
@@ -1177,33 +1233,42 @@ final class Store(
     // names are load-unique, so the rollback deletes only this load's
     // files even when appending into an existing version.
     val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
-    def walk(dir: Path): Unit =
+    def moveOne(st: org.apache.hadoop.fs.FileStatus): Unit = {
+      val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
+      val dest = new Path(destDir, rel)
+      fs.mkdirs(dest.getParent)
+      // Retry through a concurrent compact's sub-second swap window:
+      // the version dir (dest's parent) can vanish between mkdirs
+      // and rename while the compactor's two renames are in flight.
+      // Re-mkdirs + retry lands the file in the NEW subtree; without
+      // the retry, a publish racing a compact swap would fail.
+      var ok = fs.rename(st.getPath, dest)
+      var tries = 0
+      while (!ok && tries < 50) {
+        Thread.sleep(20)
+        fs.mkdirs(dest.getParent)
+        ok = fs.rename(st.getPath, dest)
+        tries += 1
+      }
+      if (!ok)
+        throw new java.io.IOException(s"failed to move staged file '$rel'")
+      moved += dest
+    }
+    def isStagedSidecar(name: String): Boolean =
+      name.startsWith(SchemaFilePrefix) || name.startsWith(StatsFilePrefix)
+    // Two passes, sidecars FIRST: a crash mid-merge then leaves schema/
+    // stats records without their data files (harmless superset) instead
+    // of data files whose columns no sidecar records (sidecarSchema only
+    // falls back to mergeSchema when a version has ZERO sidecars, so
+    // unrecorded columns would silently vanish from reads).
+    def walk(dir: Path, sidecars: Boolean): Unit =
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
-        if (st.isDirectory) walk(st.getPath)
-        else if (!name.startsWith("_") && !name.startsWith(".")) {
-          val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
-          val dest = new Path(destDir, rel)
-          fs.mkdirs(dest.getParent)
-          // Retry through a concurrent compact's sub-second swap window:
-          // the version dir (dest's parent) can vanish between mkdirs
-          // and rename while the compactor's two renames are in flight.
-          // Re-mkdirs + retry lands the file in the NEW subtree; without
-          // the retry, a publish racing a compact swap would fail.
-          var ok = fs.rename(st.getPath, dest)
-          var tries = 0
-          while (!ok && tries < 50) {
-            Thread.sleep(20)
-            fs.mkdirs(dest.getParent)
-            ok = fs.rename(st.getPath, dest)
-            tries += 1
-          }
-          if (!ok)
-            throw new java.io.IOException(s"failed to move staged file '$rel'")
-          moved += dest
-        }
+        if (st.isDirectory) walk(st.getPath, sidecars)
+        else if (sidecars && isStagedSidecar(name)) moveOne(st)
+        else if (!sidecars && !name.startsWith("_") && !name.startsWith(".")) moveOne(st)
       }
-    try walk(stagingDir)
+    try { walk(stagingDir, sidecars = true); walk(stagingDir, sidecars = false) }
     catch {
       case e: Exception =>
         moved.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
