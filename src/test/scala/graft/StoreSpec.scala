@@ -563,6 +563,29 @@ class StoreSpec extends SparkSpec {
     assert(got == expect && got == Seq((2L, 20.0), (3L, 30.0)))
   }
 
+  test("stale compact lease is stolen; a fresh one excludes and survives the loser") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lease_").toString
+    val store = new Store(spark, root)
+    store.load(Seq((1L, 1.0)).toDF("k", "v"), "t", externalKey = "v1")
+    val lease = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "t"),
+      s".compact_lease_${Store.encodeVersion("v1")}")
+    val fsys = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A FRESH foreign lease: compact must refuse and must NOT delete it
+    // (the release path only removes a lease holding this compactor's
+    // own token).
+    val out = fsys.create(lease, false); out.write("foreign".getBytes); out.close()
+    assertThrows[Store.LoadError](store.compact("t"))
+    assert(fsys.exists(lease), "loser must not release a lease it does not own")
+    // Backdate it past the TTL: the steal path must capture it, verify
+    // staleness, and compact; the winner's own lease releases after.
+    fsys.setTimes(lease, System.currentTimeMillis() - Store.CompactLeaseTtlMs - 60000, -1)
+    store.compact("t")
+    assert(!fsys.exists(lease), "winner releases its own lease")
+    assert(store.get("t").count() == 1L)
+  }
+
   test("history lists versions oldest-first with merge metadata and _last flag") {
     import spark.implicits._
     val store = freshStore()
