@@ -67,7 +67,12 @@ object AsOfJoin {
 
     require(payload.nonEmpty, "payload must name at least one right column")
     val leftCols = left.columns.toSeq
-    val taggedRight = right.select(
+    // A null-ts right row has no position on the timeline and can match
+    // nothing (pandas merge_asof raises on null keys; dropping is the
+    // lenient analog). Without the filter, nulls-first ASC ordering made
+    // such rows the "earliest" — the backward match of every early left
+    // row.
+    val taggedRight = right.where(col(rightTs).isNotNull).select(
       (on.map(col) :+ col(rightTs).as(TsCol) :+ lit(0).as(SideCol)) :+
         struct(payload.map(c => col(c).as(c)) :+ col(rightTs).as(MatchTs): _*).as(PayloadCol): _*)
     val taggedLeft = left.select(
@@ -89,17 +94,32 @@ object AsOfJoin {
     val wBack = Window.partitionBy(part: _*)
       .orderBy(ord ++ Seq(col(TsCol), col(SideCol)) ++ tie: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Forward: left sorts before right at equal ts, so the simultaneous
-    // right row falls inside the following frame.
+    // Forward: the ENTIRE ordering reversed, as a RUNNING frame. The
+    // natural formulation — first(...) over (currentRow,
+    // unboundedFollowing) in ascending order — is re-aggregated from
+    // scratch per row by Spark's UnboundedFollowing frame: O(n²) per
+    // window partition, quadratic on exactly the hot keys this operator
+    // documents surviving. last(...) over (unboundedPreceding,
+    // currentRow) in the reversed order is the same value via the O(n)
+    // running frame. At equal ts the right row (side 0) sorts before the
+    // left in the reversed order, so the simultaneous right row stays
+    // visible.
     val wFwd = Window.partitionBy(part: _*)
-      .orderBy(ord ++ Seq(col(TsCol), col(SideCol).desc) ++ tie: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(ord.map(_.desc) ++ Seq(col(TsCol).desc, col(SideCol)) ++ tie.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     var df = unioned
     if (needBackward)
       df = df.withColumn(BwdCol, last(col(PayloadCol), ignoreNulls = true).over(wBack))
     if (needForward)
-      df = df.withColumn(FwdCol, first(col(PayloadCol), ignoreNulls = true).over(wFwd))
+      df = df.withColumn(FwdCol, last(col(PayloadCol), ignoreNulls = true).over(wFwd))
+    // A null-ts LEFT row has no timeline position either: it sorts at an
+    // arbitrary end of each window order (nulls first ASC / last DESC)
+    // where a running frame would hand it a spurious "match". No match is
+    // the only honest answer.
+    Seq(BwdCol, FwdCol).filter(df.columns.contains).foreach { c =>
+      df = df.withColumn(c, when(col(TsCol).isNull, lit(null)).otherwise(col(c)))
+    }
     (df.where(col(SideCol) === 1), leftCols)
   }
 

@@ -89,8 +89,7 @@ object Dedup {
       threshold: Double = 0.8,
       maxShingleDocFreq: Long = DefaultMaxShingleDocFreq): DataFrame = {
 
-    val sh0 = df.select(col(idCol).as("id"),
-        explode(TextOps.shingles(col(textCol), n)).as("s"))
+    val sh0 = shingleSignatures(df, idCol, textCol, n)
     val shPlan =
       if (maxShingleDocFreq <= 0) sh0
       else {
@@ -110,14 +109,24 @@ object Dedup {
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
 
-    common
-      .join(counts.select(col("id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(counts.select(col("id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+    jaccardThreshold(common, counts, counts, threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Attach per-side shingle counts and keep pairs whose Jaccard meets
+    * the threshold (raw value in `jaccard` — callers round for display).
+    * The ONE place the formula lives: the one-shot and incremental paths
+    * must agree exactly or replay ≡ one-shot breaks.
+    */
+  private def jaccardThreshold(
+      pairs: DataFrame, aCounts: DataFrame, bCounts: DataFrame,
+      threshold: Double): DataFrame =
+    pairs
+      .join(aCounts.select(col("id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(bCounts.select(col("id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** MinHash signature: `numHashes` minimums over the shingle set, hash
     * family g_i = h1 + i·h2 (Kirsch-Mitzenmacher double hashing from two
@@ -176,13 +185,17 @@ object Dedup {
       .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
 
+    // Threshold on the RAW estimate, round only for display — the same
+    // boundary rule as [[ngramJaccardPairs]]: estimates are multiples of
+    // 1/numHashes, and rounding first admits pairs whose true estimate
+    // sits just below the threshold (21/32 = 0.65625 rounds to 0.6563).
     candidates
-      .withColumn("est_jaccard", round(
+      .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4))
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
       .where(col("est_jaccard") >= simThreshold)
-      .select("doc_a", "doc_b", "est_jaccard")
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
   /** Connected components over an undirected pair list (doc_a, doc_b) via
@@ -420,12 +433,7 @@ object Dedup {
     val newCounts = newSig.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
     def jaccardPairs(pairs: DataFrame, aCounts: DataFrame, bCounts: DataFrame) =
-      pairs
-        .join(aCounts.select(col("id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-        .join(bCounts.select(col("id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-        .where(col("common").cast("double") /
-          (col("n_a") + col("n_b") - col("common")) >= threshold)
-        .select("doc_a", "doc_b")
+      jaccardThreshold(pairs, aCounts, bCounts, threshold).select("doc_a", "doc_b")
 
     val cross = jaccardPairs(
       prevSig.as("p").join(newSig.as("q"), col("p.s") === col("q.s"))

@@ -34,6 +34,10 @@ object EventStreams {
     * at fixture scale), converting nano `ts` to a proper timestamp.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // SESSION-GLOBAL side effect, unavoidable: nanosAsLong is a session
+    // conf, not a per-reader option, and it must stay set while the
+    // stream executes. Every later parquet read in this session will
+    // also load nanos-typed columns as LongType.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
@@ -71,11 +75,17 @@ object EventStreams {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"))
 
-  /** Streaming exact dedup on event_id with watermark-bounded state. */
+  /** Streaming exact dedup on event_id with watermark-bounded state.
+    * `dropDuplicatesWithinWatermark` is what makes the bound REAL:
+    * plain `dropDuplicates("event_id")` never evicts (Spark only builds
+    * the state-cleanup predicate when the watermarked event-time column
+    * is among the dedup keys), so every id ever seen would sit in the
+    * state store forever on a long-running stream.
+    */
   def dedupedEvents(events: DataFrame, watermark: String): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream interval join: each purchase matched to the clicks of
     * the same user within the preceding `window`. Watermarks on both
@@ -100,6 +110,12 @@ object EventStreams {
   /** Custom stateful operator: running per-user totals via
     * mapGroupsWithState (the escape hatch when built-in windows can't
     * express the state machine).
+    *
+    * State note: lifetime totals NEED one state entry per user forever —
+    * state is bounded by |users|, not by time (unlike the windowed aggs
+    * above, whose state the watermark evicts). For unbounded-cardinality
+    * keys, add a GroupStateTimeout and an eviction policy; a running
+    * total over all history fundamentally cannot evict.
     */
   def userRunningTotals(events: DataFrame): Dataset[UserStat] = {
     implicit val longEnc = Encoders.scalaLong
@@ -155,13 +171,18 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        // Empty triggers write nothing (a 0-row load would also not
-        // advance the pointer — see Store.load — but skipping avoids the
-        // metadata churn entirely).
-        if (!batch.isEmpty) {
-          store.dropVersion(name, s"b$id")
-          store.load(batch.toDF(), name, columnsKeys, externalKey = s"b$id")
-        }
+        // Persist across the two actions (isEmpty probe + store write):
+        // without it each action re-reads the micro-batch's source.
+        val b = batch.persist()
+        try {
+          // Empty triggers write nothing (a 0-row load would also not
+          // advance the pointer — see Store.load — but skipping avoids
+          // the metadata churn entirely).
+          if (!b.isEmpty) {
+            store.dropVersion(name, s"b$id")
+            store.load(b.toDF(), name, columnsKeys, externalKey = s"b$id")
+          }
+        } finally b.unpersist()
         (): Unit
       }
       .start()
@@ -195,25 +216,37 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) {
-          val label = f"b$id%09d"
-          val cols = batch.columns
-          val latest = batch.toDF()
-            .groupBy(keyCols.map(col): _*)
-            .agg(max_by(struct(cols.map(col): _*), col(seqCol)).as("__r"))
-            .select(col("__r.*"))
-          store.dropVersion(name, label)
-          if (store.lastVersion(name).isEmpty) {
-            // Base load writes no merge marker, so a tombstone in the
-            // FIRST batch of a fresh table would land as a live row (and
-            // stay live if no later batch ever merges). A delete of a
-            // never-seen key is a no-op: drop those rows up front.
-            val base = deleteCol.map(d =>
-              latest.where(!coalesce(col(d).cast("boolean"), lit(false)))).getOrElse(latest)
-            store.load(base, name, columnsKeys, externalKey = label)
-          } else
-            store.merge(latest, name, keyCols, externalKey = label, deleteCol = deleteCol)
-        }
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            val label = f"b$id%09d"
+            val cols = b.columns
+            val latest = b.toDF()
+              .groupBy(keyCols.map(col): _*)
+              .agg(max_by(struct(cols.map(col): _*), col(seqCol)).as("__r"))
+              .select(col("__r.*"))
+            store.dropVersion(name, label)
+            // Fresh-table test by VERSION DIRS, not the `_last` pointer:
+            // a replayed batch 0 (crash between sink write and checkpoint
+            // commit) has just dropped its own version, but the pointer
+            // file it published survives dropVersion — keying off
+            // lastVersion would send the replay down the merge path and
+            // rebuild the table as a base-less delta chain.
+            val isFresh =
+              try store.history(name).isEmpty
+              catch { case _: java.util.NoSuchElementException => true }
+            if (isFresh) {
+              // Base load writes no merge marker, so a tombstone in the
+              // FIRST batch of a fresh table would land as a live row
+              // (and stay live if no later batch ever merges). A delete
+              // of a never-seen key is a no-op: drop those rows up front.
+              val base = deleteCol.map(d =>
+                latest.where(!coalesce(col(d).cast("boolean"), lit(false)))).getOrElse(latest)
+              store.load(base, name, columnsKeys, externalKey = label)
+            } else
+              store.merge(latest, name, keyCols, externalKey = label, deleteCol = deleteCol)
+          }
+        } finally b.unpersist()
         (): Unit
       }
       .start()

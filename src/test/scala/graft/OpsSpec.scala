@@ -21,6 +21,25 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "b"), (2L, "c"), (3L, null)))
   }
 
+  test("as-of join: null timestamps match nothing on either side") {
+    import spark.implicits._
+    val left = Seq((1L, "u", Some(100L)), (2L, "u", None)).toDF("lid", "k", "ts")
+    val right = Seq(("u", Some(50L), "real"), ("u", None, "ghost")).toDF("k", "ts", "payload")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = (dir match {
+        case "backward" => AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("payload"))
+        case "forward" => AsOfJoin.forward(left, right, Seq("k"), "ts", "ts", Seq("payload"))
+        case _ => AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts", Seq("payload"))
+      }).orderBy("lid").collect().map(r => (r.getLong(0), r.getString(3)))
+      // The null-ts right row is never a match (it has no timeline
+      // position); the null-ts left row matches nothing.
+      assert(!out.exists(_._2 == "ghost"), s"$dir matched a null-ts right row")
+      assert(out.find(_._1 == 2L).get._2 == null, s"$dir matched a null-ts left row")
+      if (dir != "forward")
+        assert(out.find(_._1 == 1L).get._2 == "real", s"$dir lost the legitimate match")
+    }
+  }
+
   test("as-of join tie-break is deterministic") {
     import spark.implicits._
     val left = Seq((1L, "u", 100L)).toDF("lid", "k", "ts")
