@@ -36,8 +36,15 @@ object Tables {
     // listStatus recursion, not listFiles(recursive): the latter loads
     // permissions eagerly — a forked `ls` per entry on the local FS.
     def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
-      if (st.isDirectory) fs.listStatus(st.getPath).foreach(walk)
-      else {
+      // Hidden/temporary DIRECTORIES are skipped too (Spark's scan
+      // ignores any path with a _/. component): a `_temporary` leftover
+      // from an interrupted write would otherwise inflate the count or
+      // crash on a partial file.
+      if (st.isDirectory) {
+        val dn = st.getPath.getName
+        if (!dn.startsWith("_") && !dn.startsWith(".") || dn == root.getName)
+          fs.listStatus(st.getPath).foreach(walk)
+      } else {
         val n = st.getPath.getName
         if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -50,6 +57,10 @@ object Tables {
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // SESSION-GLOBAL side effect, unavoidable: nanosAsLong is a session
+    // conf (no per-reader option exists) and must stay set while this
+    // frame executes — later parquet reads in the session also map
+    // nanos-typed columns to LongType.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // `ts div 1000`, not `ts / 1000`: `/` promotes to double and epoch
     // nanos exceed double's 2^53 exact-integer range (off-by-1-µs bugs).

@@ -27,6 +27,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
   */
 object Multimodal {
 
+  // ImageIO's default caching wraps every input stream in a
+  // FileCacheImageInputStream — a temp file written+deleted on disk PER
+  // ROW even though our payloads are already in-memory byte arrays.
+  // Static JVM-wide switch; the object initializer runs once per
+  // executor JVM on first use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: id + raw bytes + mime tag. */
   final case class MediaRecord(doc_id: Long, content: Array[Byte], mime: String)
 
@@ -292,8 +299,11 @@ object Multimodal {
       }
     try {
       val fmt = ais.getFormat
-      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-        s"expected 16-bit little-endian PCM, got $fmt")
+      require(fmt.getSampleSizeInBits == 16,
+        s"expected 16-bit PCM, got $fmt")
+      // Both endiannesses decode (WAV is LE; AIFF/AU are BE — the doc
+      // promises all three and the old LE-only require contradicted it).
+      val be = fmt.isBigEndian
       val buf = ais.readAllBytes()
       // n_samples counts what the checksum walks: TOTAL samples across
       // channels from the decoded bytes (for mono, = frame count).
@@ -304,7 +314,9 @@ object Multimodal {
       var sum = 0L
       var i = 0
       while (i < samples) {
-        val v = (((buf(2 * i + 1) & 0xFF) << 8) | (buf(2 * i) & 0xFF)).toShort.toLong
+        val v =
+          if (be) (((buf(2 * i) & 0xFF) << 8) | (buf(2 * i + 1) & 0xFF)).toShort.toLong
+          else (((buf(2 * i + 1) & 0xFF) << 8) | (buf(2 * i) & 0xFF)).toShort.toLong
         sum += v * (i + 1)
         i += 1
       }

@@ -106,7 +106,11 @@ object TextOps {
   def langId(c: Column): Column = {
     val counts = langPatterns.map { case (l, p) => l -> regexp_count(c, lit(p)) }
     val Seq(en, es, fr, de) = counts.map(_._2)
-    when(regexp_count(c, lit(cjkPattern)) > 0, "zh")
+    // Null text → null: without the guard every when() condition
+    // evaluates NULL (treated false) and falls through to the
+    // otherwise("de") — phantom German docs on corpora with null text.
+    when(c.isNull, lit(null).cast("string"))
+      .when(regexp_count(c, lit(cjkPattern)) > 0, "zh")
       .when(en + es + fr + de === 0, "und")
       .when(en >= es && en >= fr && en >= de, "en")
       .when(es >= fr && es >= de, "es")
@@ -162,9 +166,19 @@ object TextOps {
     * "natural language vs word-soup" discriminator in C4/Gopher-style
     * corpus filters. 0 for empty docs.
     */
-  def stopwordFraction(c: Column): Column =
-    when(size(tokens(c)) === 0, 0d)
-      .otherwise(regexp_count(c, lit(langPatterns.head._2)).cast("double") / size(tokens(c)))
+  /** English stopword list — the `langPatterns` "en" regex words. */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to")
+
+  def stopwordFraction(c: Column): Column = {
+    val toks = tokens(c)
+    // TOKEN membership, not regex hits over raw text: hits inside one
+    // hyphenated/punctuated token ("the-the-the" = 1 token, 3 hits)
+    // overcounted, pushing the "fraction" past 1.0 and letting
+    // stopword-studded word-soup through the quality gate.
+    when(size(toks) === 0, 0d)
+      .otherwise(
+        size(filter(toks, t => t.isin(enStopwords: _*))).cast("double") / size(toks))
+  }
 
   /** C4/Gopher-style quality rule flags, one boolean per rule so a
     * pipeline can report per-rule drop counts (a silent composite filter
@@ -197,7 +211,10 @@ object TextOps {
     */
   val piiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", "\\+?1-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    // Optional exchange group: matches full 10-digit NANP numbers
+    // (1-XXX-XXX-XXXX) — without it only the short form was caught and
+    // real-world phone PII passed through unredacted.
+    ("phone", "\\+?1-[0-9]{3}-(?:[0-9]{3}-)?[0-9]{4}", "<PHONE>"),
     ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
 
   /** Redact all [[piiPatterns]] with their sentinel tokens. Chained

@@ -921,7 +921,8 @@ object NorthStar {
                     ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
                       * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS ttr,
                CASE WHEN trim(text) = '' THEN 0.0
-                    ELSE len(regexp_extract_all(text, '\b(the|a|of|and|is|to)\b'))
+                    ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t IN ('the', 'a', 'of', 'and', 'is', 'to')))
                       * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS stopfrac
         FROM documents),
       r AS (
@@ -956,7 +957,7 @@ object NorthStar {
                  regexp_replace(
                    regexp_replace(t,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                   '\+?1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                   '\+?1-[0-9]{3}-(?:[0-9]{3}-)?[0-9]{4}', '<PHONE>', 'g'),
                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS rt
         FROM inj)
       SELECT doc_id,
@@ -964,7 +965,7 @@ object NorthStar {
              CAST(len(rt) AS INTEGER) AS redacted_len,
              CAST(len(regexp_extract_all(t,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
-             CAST(len(regexp_extract_all(t, '\+?1-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phone,
+             CAST(len(regexp_extract_all(t, '\+?1-[0-9]{3}-(?:[0-9]{3}-)?[0-9]{4}')) AS INTEGER) AS n_phone,
              CAST(len(regexp_extract_all(t,
                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ipv4
       FROM red

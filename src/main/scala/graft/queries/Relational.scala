@@ -251,11 +251,17 @@ object Relational {
   private def q20Percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
+      // One array-percentile aggregate: separate percentile() calls each
+      // buffer the full per-group value list independently.
       .agg(
-        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.9D))").as("__pq"),
         round(expr("median(l_extendedprice)"), 4).as("median_price"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("__pq"), 1), 4).as("p25_qty"),
+        round(element_at(col("__pq"), 2), 4).as("median_qty"),
+        round(element_at(col("__pq"), 3), 4).as("p90_qty"),
+        col("median_price"))
       .orderBy("l_returnflag")
 
   /** Sketch percentiles — the percentile you'd actually run at 100 TB:
@@ -273,18 +279,28 @@ object Relational {
     */
   private def q49ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
     val eps = 2.0 / 10000 // 2× the GK rank-error guarantee at accuracy=10000
-    def bounded(p: Double, name: String) =
-      (percentile_approx(col("l_extendedprice"), lit(p), lit(10000))
-        .between(
-          expr(s"percentile(l_extendedprice, ${p - eps})"),
-          expr(s"percentile(l_extendedprice, ${p + eps})"))).as(name)
+    val ps = Seq(0.25, 0.5, 0.95)
+    // ONE exact-percentile aggregate evaluating every needed point and
+    // ONE sketch evaluating the three estimates: each separate
+    // `percentile(...)` call is its own ImperativeAggregate buffering the
+    // full per-group value list — seven independent copies of
+    // l_extendedprice per group before this was array-ized.
+    val exactPoints = 0.5 +: ps.flatMap(p => Seq(p - eps, p + eps))
+    val exactSql = exactPoints.map(p => s"${p}D").mkString(
+      "percentile(l_extendedprice, array(", ", ", "))")
+    val approxSql = ps.map(p => s"${p}D").mkString(
+      "percentile_approx(l_extendedprice, array(", ", ", "), 10000)")
+    def ok(i: Int) = element_at(col("__apx"), i + 1)
+      .between(element_at(col("__ex"), 2 + 2 * i), element_at(col("__ex"), 3 + 2 * i))
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
-        bounded(0.25, "p25_ok"),
-        bounded(0.5, "p50_ok"),
-        bounded(0.95, "p95_ok"))
+      .agg(expr(exactSql).as("__ex"), expr(approxSql).as("__apx"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("__ex"), 1), 4).as("p50_exact"),
+        ok(0).as("p25_ok"),
+        ok(1).as("p50_ok"),
+        ok(2).as("p95_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -360,7 +376,10 @@ object Relational {
           org.apache.spark.sql.types.StringType)))
       .select(
         col("event_id"),
-        element_at(col("m"), "k").cast("long").as("k_val"),
+        // try_element_at: ANSI mode (Spark 4 default) makes plain
+        // element_at THROW on a missing key, where the oracle's
+        // json_extract_string yields NULL.
+        try_element_at(col("m"), lit("k")).cast("long").as("k_val"),
         size(map_keys(col("m"))).as("n_keys"))
       .orderBy("event_id")
 
@@ -508,9 +527,11 @@ object Relational {
         size(col("embedding")).as("dim"),
         round(array_max(v), 6).as("v_max"),
         round(array_min(v), 6).as("v_min"),
-        round(element_at(v, 1), 6).as("v_first"),
+        round(try_element_at(v, lit(1)), 6).as("v_first"),
         round(aggregate(v, lit(0d), (a, x) => a + x), 6).as("v_sum"),
-        round(element_at(array_sort(v), 32), 6).as("v_med_lo"))
+        // try_element_at: ANSI element_at throws on short vectors where
+        // the oracle's list index yields NULL.
+        round(try_element_at(array_sort(v), lit(32)), 6).as("v_med_lo"))
       .orderBy("vec_id")
   }
 
