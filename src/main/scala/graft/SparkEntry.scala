@@ -23,7 +23,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val store = new Store(spark, Files.createTempDirectory("graft_entry_").toString)
+    val store = new Store(spark, TempDirs.create("graft_entry_"))
     // Date-key on ship MONTH: per-day keys would mean ~1800 partition
     // dirs for 6000 rows (a 7-year date range at sf0.001) — a tiny-file
     // smoke test measuring filesystem overhead, not the engine. Per-day

@@ -141,6 +141,26 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Shared by q48 (unbucketed) and q50 (hot-key bucketed): the two
+    * paths must grade against the IDENTICAL contract - a single constant
+    * cannot silently desynchronize the way two pasted copies can.
+    */
+  private val nearestOracle: String = """
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts, max(event_id) AS click_id
+                 FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+           m AS (SELECT p.event_id, c.click_id, epoch_us(c.ts) AS click_ts_us,
+                        row_number() OVER (PARTITION BY p.event_id
+                          ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                                   CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                                   c.click_id) AS rn
+                 FROM p JOIN c ON p.user_id = c.user_id
+                      AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000)
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
+             m.click_id, m.click_ts_us
+      FROM p LEFT JOIN m ON p.event_id = m.event_id AND m.rn = 1
+      ORDER BY p.event_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_asof_join", qAsof _, Some("""
       WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
@@ -166,36 +186,8 @@ object EventQueries {
              m.click_id, m.click_ts_us
       FROM p LEFT JOIN m ON p.event_id = m.event_id AND m.rn = 1
       ORDER BY p.event_id""")),
-    QueryDef("q48_asof_nearest", qAsofNearest _, Some("""
-      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-           c AS (SELECT user_id, ts, max(event_id) AS click_id
-                 FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
-           m AS (SELECT p.event_id, c.click_id, epoch_us(c.ts) AS click_ts_us,
-                        row_number() OVER (PARTITION BY p.event_id
-                          ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
-                                   CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
-                                   c.click_id) AS rn
-                 FROM p JOIN c ON p.user_id = c.user_id
-                      AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000)
-      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
-             m.click_id, m.click_ts_us
-      FROM p LEFT JOIN m ON p.event_id = m.event_id AND m.rn = 1
-      ORDER BY p.event_id""")),
-    QueryDef("q50_asof_bucketed", qAsofBucketed _, Some("""
-      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-           c AS (SELECT user_id, ts, max(event_id) AS click_id
-                 FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
-           m AS (SELECT p.event_id, c.click_id, epoch_us(c.ts) AS click_ts_us,
-                        row_number() OVER (PARTITION BY p.event_id
-                          ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
-                                   CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
-                                   c.click_id) AS rn
-                 FROM p JOIN c ON p.user_id = c.user_id
-                      AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000)
-      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
-             m.click_id, m.click_ts_us
-      FROM p LEFT JOIN m ON p.event_id = m.event_id AND m.rn = 1
-      ORDER BY p.event_id""")),
+    QueryDef("q48_asof_nearest", qAsofNearest _, Some(nearestOracle)),
+    QueryDef("q50_asof_bucketed", qAsofBucketed _, Some(nearestOracle)),
     QueryDef("q26_range_join", qRangeJoin _, Some("""
       WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
            c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')

@@ -307,8 +307,7 @@ object NorthStar {
     val noCap = Long.MaxValue
     val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3, threshold = 0.8,
       maxShingleDocFreq = noCap)
-    val store = new graft.store.Store(s,
-      java.nio.file.Files.createTempDirectory("graft_dedup_").toString)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_dedup_"))
     store.load(Dedup.shingleSignatures(old, "doc_id", "text", n = 3),
       "dedup/signatures", externalKey = "day0")
     val keptNew = Dedup.dedupIncremental(fresh,

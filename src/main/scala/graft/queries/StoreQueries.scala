@@ -20,7 +20,14 @@ import graft.store.Store
 object StoreQueries {
 
   private def freshStore(s: SparkSession): Store =
-    new Store(s, Files.createTempDirectory("graft_store_").toString)
+    new Store(s, graft.TempDirs.create("graft_store_"))
+
+  /** The shared money contract: exact DECIMAL sum cast to double (ties
+    * in double summation order differ between engines) + row count.
+    */
+  private def totalN: Seq[org.apache.spark.sql.Column] = Seq(
+    sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"),
+    count(lit(1)).as("n"))
 
   /** Write with an ID-range partition key, read back `use_last`, aggregate
     * per range bucket. Round-trip fidelity + ID bucketing (README.md:200-207).
@@ -31,7 +38,7 @@ object StoreQueries {
     store.load(orders, "tpch/orders", Map("o_custkey" -> Store.KeyId), externalKey = "v1")
     store.get("tpch/orders", useLast = true)
       .groupBy((floor(col("o_custkey") / 1000) * 1000).cast("long").as("cust_bucket"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
+      .agg(totalN.head, totalN.tail: _*)
       .orderBy("cust_bucket")
   }
 
@@ -42,12 +49,15 @@ object StoreQueries {
   private def versionAccumulate(s: SparkSession, dir: String): DataFrame = {
     val store = freshStore(s)
     val orders = Tables.read(s, dir, "orders")
+    // coalesce: a null o_orderdate fails BOTH `cut` and `!cut` (NULL is
+    // not true), silently vanishing from the split while the oracle
+    // keeps it — partition exhaustively instead.
     val cut = year(col("o_orderdate")) < 1998
-    store.load(orders.where(cut), "tpch/orders", externalKey = "old")
-    store.load(orders.where(!cut), "tpch/orders", externalKey = "new")
+    store.load(orders.where(coalesce(cut, lit(true))), "tpch/orders", externalKey = "old")
+    store.load(orders.where(coalesce(!cut, lit(false))), "tpch/orders", externalKey = "new")
     store.get("tpch/orders")
       .groupBy(year(col("o_orderdate")).as("order_year"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
+      .agg(totalN.head, totalN.tail: _*)
       .orderBy("order_year")
   }
 
@@ -62,7 +72,7 @@ object StoreQueries {
       externalKey = "v2", keepLast = true)
     store.get("tpch/orders")
       .groupBy("o_orderpriority")
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
+      .agg(totalN.head, totalN.tail: _*)
       .orderBy("o_orderpriority")
   }
 
@@ -78,7 +88,7 @@ object StoreQueries {
     store.getPartitioned("tpch/orders_97", useLast = true)
       .where(col(Store.partColName("o_orderdate")).cast("string") >= "1997-06-01")
       .groupBy(month(col("o_orderdate")).as("o_month"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
+      .agg(totalN.head, totalN.tail: _*)
       .orderBy("o_month")
   }
 
@@ -97,7 +107,7 @@ object StoreQueries {
     store.compact("tpch/orders_c")
     store.get("tpch/orders_c", externalKey = Some("v1"))
       .groupBy((floor(col("o_custkey") / 1000) * 1000).cast("long").as("cust_bucket"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
+      .agg(totalN.head, totalN.tail: _*)
       .orderBy("cust_bucket")
   }
 
@@ -112,7 +122,7 @@ object StoreQueries {
     * files than the version holds; the oracle grades the values.
     */
   private def naturalDatePrune(s: SparkSession, dir: String): DataFrame = {
-    val g = graft.Graft(s, Files.createTempDirectory("graft_store_").toString)
+    val g = graft.Graft(s, graft.TempDirs.create("graft_store_"))
       .installPruningRule()
     val orders = Tables.read(s, dir, "orders")
       .where(year(col("o_orderdate")) === 1997)
@@ -122,7 +132,7 @@ object StoreQueries {
     g.store.getPartitioned("tpch/orders_97n", useLast = true)
       .where(col("o_date") >= lit("1997-06-01").cast("date"))
       .groupBy(month(col("o_date")).as("o_month"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
+      .agg(totalN.head, totalN.tail: _*)
       .orderBy("o_month")
   }
 
@@ -182,7 +192,7 @@ object StoreQueries {
     store.getStatsPruned("tpch/orders_z", "o_custkey", 100L, 500L,
       externalKey = Some("v1"))
       .groupBy((floor(col("o_custkey") / 100) * 100).cast("long").as("cust_bucket"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"), count(lit(1)).as("n"))
+      .agg(totalN.head, totalN.tail: _*)
       .orderBy("cust_bucket")
   }
 

@@ -15,8 +15,24 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Wire {
 
-  /** One JSON object per row, Spark-distributed (`df.toJSON`). */
-  def toJsonRecords(df: DataFrame): Dataset[String] = df.toJSON
+  /** One JSON object per row, Spark-distributed (`df.toJSON`).
+    * Timestamp columns are pre-converted to EPOCH MILLIS to match the
+    * reference wire (`to_json(orient='records')` emits numeric epochs;
+    * Spark's own toJSON would emit ISO-8601 strings, which a
+    * reference-era consumer parsing numbers mis-types).
+    */
+  def toJsonRecords(df: DataFrame): Dataset[String] = {
+    import org.apache.spark.sql.functions.{col, unix_millis}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val wireCols = df.schema.fields.map { f =>
+      f.dataType match {
+        case TimestampType => unix_millis(col(f.name)).as(f.name)
+        case TimestampNTZType => unix_millis(col(f.name).cast(TimestampType)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(wireCols.toSeq: _*).toJSON
+  }
 
   /** Rebuild a DataFrame from row-JSON with schema inference. */
   def fromJsonRecords(spark: SparkSession, json: Dataset[String]): DataFrame =
