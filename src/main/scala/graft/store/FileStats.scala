@@ -118,15 +118,21 @@ object FileStats {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
     try {
-      val blocks = reader.getFooter.getBlocks.asScala
+      // 0-ROW groups are dropped up front: they cannot contain matches,
+      // so they are neutral for every column. For POPULATED groups an
+      // 'empty' Statistics object is ambiguous — it also means
+      // stats-not-recorded (parquet.column.statistics.enabled=false, a
+      // foreign writer) — so it must make the file's range UNKNOWN
+      // (always scanned), never a zero-width range that would silently
+      // skip live rows.
+      val blocks = reader.getFooter.getBlocks.asScala.filter(_.getRowCount > 0)
       cols.flatMap { c =>
         val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == c))
         val stats = chunks.map(_.getStatistics)
-        // Every row group must carry usable stats, else the file's range
-        // is unknown for this column. Empty row groups (0 values) have
-        // no min/max but cannot contain matches — treat as neutral.
+        // Every populated row group must carry usable stats, else the
+        // file's range is unknown for this column.
         val nonEmpty = stats.filter(s => s != null && s.getNumNulls >= 0 && !s.isEmpty)
-        if (chunks.size != blocks.size || stats.exists(_ == null) ||
+        if (chunks.size != blocks.size || nonEmpty.size != blocks.size ||
           nonEmpty.exists(!_.hasNonNullValue)) None
         else {
           val ranges = nonEmpty.filter(_.hasNonNullValue).flatMap(s =>

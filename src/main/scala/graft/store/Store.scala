@@ -96,7 +96,25 @@ final class Store(
       columnsKeys: Map[String, String] = Map.empty,
       externalKey: String = "NOW",
       keepLast: Boolean = false,
-      statsCols: Seq[String] = Nil): Map[String, String] = {
+      statsCols: Seq[String] = Nil): Map[String, String] =
+    doLoad(df, name, columnsKeys, externalKey, keepLast, statsCols, _ => ())
+
+  /** [[load]] plus a staged-tree hook: `stagedExtras` runs on the staged
+    * version dir (only when the write produced one) BEFORE the publish
+    * rename, so extra marker files land in the same sidecars-first
+    * mergeMove pass as the data. [[merge]] uses this for its `_merge.json`
+    * marker — publishing data first and marking after left a crash window
+    * where the delta read as a plain append (updated keys duplicated,
+    * tombstones resurfacing as live rows).
+    */
+  private def doLoad(
+      df: DataFrame,
+      name: String,
+      columnsKeys: Map[String, String],
+      externalKey: String,
+      keepLast: Boolean,
+      statsCols: Seq[String],
+      stagedExtras: Path => Unit): Map[String, String] = {
     val relPath = validateName(name)
     require(df.schema.nonEmpty, "DataFrame must have at least one column")
     val reserved = df.columns.filter(_.startsWith(InternalPrefix))
@@ -205,6 +223,7 @@ final class Store(
           writeSmall(new Path(stagedVDir,
             s"$StatsFilePrefix${java.util.UUID.randomUUID().toString.take(12)}.tsv"),
             FileStats.encode(inVersion))
+        stagedExtras(stagedVDir)
       }
       if (keepLast)
         versionsOf(tableDir).foreach { v =>
@@ -468,18 +487,19 @@ final class Store(
             s"merged on ${keys.mkString(",")}")
     }
 
-    val info = load(df, name, columnsKeys, externalKey, keepLast = false)
-    val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(info("version"))}")
-    // 0-row deltas publish no version dir (see load) — nothing to mark.
     // Column names are URL-encoded into the marker: a legal Spark column
     // name may contain a comma (corrupting the key list) or a quote
-    // (truncating the regex-parsed JSON).
-    if (fs.exists(vDir)) {
-      val enc = (s: String) => URLEncoder.encode(s, UTF_8)
-      val del = deleteCol.map(d => s""","delete_col":"${enc(d)}"""").getOrElse("")
-      writeSmall(new Path(vDir, MergeFile),
-        s"""{"keys":"${sortedKeys.map(enc).mkString(",")}"$del}""")
-    }
+    // (truncating the regex-parsed JSON). The marker is written INTO THE
+    // STAGED TREE and publishes in mergeMove's sidecars-first pass: a
+    // marker-less published delta would read as a plain append (updated
+    // keys duplicated, tombstones live), so the marker must never trail
+    // the data files across a crash window. 0-row deltas publish no
+    // version dir and the hook never runs — nothing to mark.
+    val enc = (s: String) => URLEncoder.encode(s, UTF_8)
+    val del = deleteCol.map(d => s""","delete_col":"${enc(d)}"""").getOrElse("")
+    val markerJson = s"""{"keys":"${sortedKeys.map(enc).mkString(",")}"$del}"""
+    val info = doLoad(df, name, columnsKeys, externalKey, keepLast = false, statsCols = Nil,
+      stagedExtras = vDir => writeSmall(new Path(vDir, MergeFile), markerJson))
     info + ("merge_keys" -> sortedKeys.mkString(","))
   }
 
@@ -1038,6 +1058,16 @@ final class Store(
         s"compact lease ${lease.getName} lost (stolen by another compactor) — aborting before swap")
   }
 
+  /** Cheap existence probe: does `name` have at least one PUBLISHED
+    * version directory? One directory listing, no per-file walk — the
+    * probe a per-micro-batch streaming sink can afford every trigger
+    * (unlike [[history]], which walks every file of every version).
+    * Deliberately ignores the `_last` pointer: a replayed batch that
+    * dropped its own version may leave a dangling pointer behind.
+    */
+  def hasVersions(name: String): Boolean =
+    versionsOf(new Path(rootPath, validateName(name))).nonEmpty
+
   /** Newest version label from the `_last` pointer file (README.md:217),
     * falling back to the most recently written version directory.
     */
@@ -1255,7 +1285,8 @@ final class Store(
       moved += dest
     }
     def isStagedSidecar(name: String): Boolean =
-      name.startsWith(SchemaFilePrefix) || name.startsWith(StatsFilePrefix)
+      name.startsWith(SchemaFilePrefix) || name.startsWith(StatsFilePrefix) ||
+        name == MergeFile
     // Two passes, sidecars FIRST: a crash mid-merge then leaves schema/
     // stats records without their data files (harmless superset) instead
     // of data files whose columns no sidecar records (sidecarSchema only

@@ -22,12 +22,20 @@ object Wire {
     * reference-era consumer parsing numbers mis-types).
     */
   def toJsonRecords(df: DataFrame): Dataset[String] = {
-    import org.apache.spark.sql.functions.{col, unix_millis}
+    import org.apache.spark.sql.functions.{col, lit, timestamp_diff, unix_millis}
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val wireCols = df.schema.fields.map { f =>
       f.dataType match {
         case TimestampType => unix_millis(col(f.name)).as(f.name)
-        case TimestampNTZType => unix_millis(col(f.name).cast(TimestampType)).as(f.name)
+        case TimestampNTZType =>
+          // Naive timestamps epoch-encode AS IF UTC (pandas to_json treats
+          // naive datetimes as UTC); a cast(TimestampType) would interpret
+          // them in spark.sql.session.timeZone and shift the wire value on
+          // any non-UTC session. timestamp_diff against an NTZ epoch
+          // literal stays entirely in the naive domain — no zone math.
+          timestamp_diff("MILLISECOND",
+            lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)),
+            col(f.name)).as(f.name)
         case _ => col(f.name)
       }
     }

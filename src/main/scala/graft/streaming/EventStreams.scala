@@ -231,10 +231,10 @@ object EventStreams {
             // commit) has just dropped its own version, but the pointer
             // file it published survives dropVersion — keying off
             // lastVersion would send the replay down the merge path and
-            // rebuild the table as a base-less delta chain.
-            val isFresh =
-              try store.history(name).isEmpty
-              catch { case _: java.util.NoSuchElementException => true }
+            // rebuild the table as a base-less delta chain. hasVersions
+            // is one directory listing per trigger (history would walk
+            // every file of every version, O(table files) per batch).
+            val isFresh = !store.hasVersions(name)
             if (isFresh) {
               // Base load writes no merge marker, so a tombstone in the
               // FIRST batch of a fresh table would land as a live row

@@ -134,6 +134,22 @@ class StoreSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq == Seq("id", "name", "v"))
   }
 
+  test("wire shim epoch-encodes naive timestamps as UTC regardless of session tz") {
+    import spark.implicits._
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val naive = java.time.LocalDateTime.of(2024, 3, 1, 12, 0, 0)
+      val df = Seq(Tuple1(naive)).toDF("ts")
+      assert(df.schema.head.dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      val json = Wire.toJsonRecords(df).collect().head
+      // pandas to_json treats naive datetimes as UTC: 2024-03-01T12:00Z.
+      val expected = naive.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      assert(json == s"""{"ts":$expected}""")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("csv.gz export/import compat path (README.md:20-21 at-rest shape)") {
     val store = freshStore()
     store.load(sampleDf(), "t", externalKey = "v1")

@@ -65,6 +65,27 @@ class StoreStatsSpec extends SparkSpec {
     assert(store.getStatsPruned("t", "id", 5000L, 6000L).count() == 0L)
   }
 
+  test("stats-disabled parquet (foreign writer) records no range — never skipped") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_nostats_").toString
+    // parquet-mr honors this write option: populated row groups get an
+    // EMPTY Statistics object — indistinguishable from a 0-value group by
+    // isEmpty alone. Such files must read as range-unknown (always
+    // scanned), not as zero-value groups (silently skipped).
+    (0L to 99L).map(j => (j, s"r$j")).toDF("id", "payload")
+      .coalesce(1).write
+      .option("parquet.column.statistics.enabled", "false")
+      .parquet(s"$dir/t")
+    val p = new Path(s"$dir/t")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val collected = FileStats.collect(
+      fs, spark.sparkContext.hadoopConfiguration, p, Seq("id", "payload"))
+    assert(collected.nonEmpty)
+    collected.foreach { case (rel, ranges) =>
+      assert(ranges.isEmpty, s"expected no ranges for stats-less file $rel, got $ranges")
+    }
+  }
+
   test("compact(zorderBy) yields per-file tight ranges on BOTH columns") {
     import spark.implicits._
     val (store, root) = freshStore()
