@@ -17,8 +17,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   *     banded signatures (native AND-of-OR amplification, shuffle on
   *     band hash only);
   *   - SimHash packs a document into 64 bits; candidate pairs come from
-  *     equality joins on 16-bit bands (pigeonhole: hamming ≤ 3 ⇒ some
-  *     band equal), then exact hamming ranks survivors. Everything is
+  *     equality joins on Manku-style multi-block band keys (pigeonhole:
+  *     hamming ≤ 3 ⇒ some 4-block combination untouched ⇒ its ~36-bit
+  *     key equal — near-linear candidate counts even at billions of
+  *     docs), then exact hamming ranks survivors. Everything is
   *     built-in expressions — no UDFs.
   */
 object Dedup {
@@ -93,8 +95,12 @@ object Dedup {
     val shPlan =
       if (maxShingleDocFreq <= 0) sh0
       else {
+        // No broadcast() hint on the hot set: it is usually tiny (the
+        // distribution head above the cap), but on a 100 TB Zipf corpus
+        // it is unbounded — let AQE pick broadcast vs shuffle from the
+        // runtime size instead of forcing an OOM path.
         val hot = sh0.groupBy("s").count().where(col("count") > maxShingleDocFreq).select("s")
-        sh0.join(broadcast(hot), Seq("s"), "left_anti")
+        sh0.join(hot, Seq("s"), "left_anti")
       }
     // The filtered shingle set feeds BOTH self-join sides and the
     // per-doc counts — materialize the skinny (id, shingle) rows once
@@ -377,6 +383,16 @@ object Dedup {
     df.select(col(idCol).as("id"),
       explode(TextOps.shingles(col(textCol), n)).as("s"))
 
+  /** Per-shingle document frequencies `(s, df)` of a signature table —
+    * the O(distinct shingles) companion state a pipeline persists NEXT
+    * TO the signatures (one version per ingest, summed at read) so each
+    * incremental ingest computes the CORPUS-WIDE hot-shingle set from
+    * tiny persisted counts instead of re-aggregating the full history's
+    * signature rows (see [[dedupIncremental]]'s `prevShingleFreqs`).
+    */
+  def shingleDocFreqs(signatures: DataFrame): DataFrame =
+    signatures.groupBy("s").agg(count(lit(1)).as("df"))
+
   /** Incremental near-dup dedup of a NEW batch against an already-deduped
     * corpus — the op a real pipeline runs daily. The quadratic full-corpus
     * re-pair is replaced by exactly two joins:
@@ -402,6 +418,18 @@ object Dedup {
     *
     * @param prevSignatures (id, s) rows from [[shingleSignatures]],
     *        typically read back from the store
+    * @param prevShingleFreqs persisted `(s, df)` rows from
+    *        [[shingleDocFreqs]] covering exactly `prevSignatures`. When
+    *        supplied, the corpus-wide hot-shingle set costs
+    *        O(distinct shingles) + O(batch) — the history's signature
+    *        rows are never re-aggregated for the cap, which is what
+    *        keeps the per-ingest cap cost O(delta) at 100 TB. When
+    *        absent, the cap re-aggregates `prevSignatures` (one linear
+    *        pass over the corpus side). Either way the hot set equals
+    *        the one a one-shot dedup of (prev ∪ new) would drop, so
+    *        incremental survivors of the new batch match the one-shot
+    *        outcome exactly (new-doc survival depends only on edges
+    *        touching new docs — see above).
     */
   def dedupIncremental(
       newDocs: DataFrame,
@@ -410,7 +438,8 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleDocFreq: Long = DefaultMaxShingleDocFreq): DataFrame = {
+      maxShingleDocFreq: Long = DefaultMaxShingleDocFreq,
+      prevShingleFreqs: Option[DataFrame] = None): DataFrame = {
 
     val prevSig0 = prevSignatures.select(col("id"), col("s"))
     val newSig0 = shingleSignatures(newDocs, idCol, textCol, n)
@@ -419,10 +448,18 @@ object Dedup {
     val (prevSig, newSigPlan) =
       if (maxShingleDocFreq <= 0) (prevSig0, newSig0)
       else {
-        val hot = prevSig0.union(newSig0).groupBy("s").count()
-          .where(col("count") > maxShingleDocFreq).select("s")
-        (prevSig0.join(broadcast(hot), Seq("s"), "left_anti"),
-          newSig0.join(broadcast(hot), Seq("s"), "left_anti"))
+        val prevFreq = prevShingleFreqs
+          .map(_.select(col("s"), col("df").cast("long").as("df")))
+          .getOrElse(prevSig0.groupBy("s").agg(count(lit(1)).as("df")))
+        val newFreq = newSig0.groupBy("s").agg(count(lit(1)).as("df"))
+        val hot = prevFreq.union(newFreq).groupBy("s")
+          .agg(sum("df").as("df"))
+          .where(col("df") > maxShingleDocFreq).select("s")
+        // No broadcast() hint on the hot set: usually tiny, but on a
+        // Zipf corpus it is the unbounded distribution head — AQE picks
+        // broadcast vs shuffle from the runtime size.
+        (prevSig0.join(hot, Seq("s"), "left_anti"),
+          newSig0.join(hot, Seq("s"), "left_anti"))
       }
     // The new batch's signatures feed the cross join, the self-join (both
     // sides) and the counts — materialize once. The corpus side streams
@@ -458,30 +495,62 @@ object Dedup {
   def simhash64(textCol: Column): Column =
     graft.functions.VectorExpressions.simhash64(TextOps.tokens(textCol))
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, using
-    * 16-bit band equality for candidate generation (exact for
-    * maxHamming ≤ 3 by pigeonhole over 4 bands).
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, exact by
+    * pigeonhole over Manku-style multi-block band keys (see
+    * [[simhashCandidatePairs]]).
     */
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashCandidatePairs(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp")),
+      maxHamming)
+      .where(col("hamming") <= maxHamming)
 
-    val fp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+  /** Candidate (doc_a, doc_b, hamming) pairs from a (id, fp) fingerprint
+    * table via Manku-style multi-block band keys (Manku, Jain & Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07 — the public
+    * algorithm; no reference-engine code exists for this op): the 64
+    * fingerprint bits split into `maxHamming + 4` blocks, and every
+    * combination of 4 blocks becomes one equality-join key. A pair within
+    * hamming ≤ maxHamming differs in ≤ maxHamming blocks, so some 4
+    * untouched blocks exist and that combination's keys are EQUAL —
+    * candidate generation misses nothing (the pigeonhole argument), and
+    * the exact `hamming` column re-ranks survivors.
+    *
+    * Scale: the old 4×16-bit banding bucketed on 16-bit keys — expected
+    * candidate fanout O(n²/2¹⁶), ~10¹³ pairs at 10⁹ docs. Here each key
+    * covers 4 blocks ≈ 36+ bits (for maxHamming=3: C(7,4)=35 keys of
+    * 36-37 bits), so expected bucket collisions are O(n²/2³⁶) —
+    * negligible below ~10¹⁰ docs — at the cost of 35 skinny
+    * (id, fp, key) rows per doc instead of 4. Keys are xxhash64(combo,
+    * blocks...): equal blocks always hash equal (no false negatives);
+    * rare hash collisions only add spurious candidates that the exact
+    * hamming filter removes.
+    */
+  def simhashCandidatePairs(fp: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming must be in [0, 16], got $maxHamming")
+    val numBlocks = maxHamming + 4
+    val widths = Array.tabulate(numBlocks)(i =>
+      64 / numBlocks + (if (i < 64 % numBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(i: Int): Column =
+      shiftrightunsigned(col("fp"), offsets(i))
+        .bitwiseAND(lit(if (widths(i) == 64) -1L else (1L << widths(i)) - 1))
+    val keys = (0 until numBlocks).combinations(4).toSeq.zipWithIndex.map {
+      case (combo, i) => xxhash64((lit(i) +: combo.map(blockVal)): _*)
+    }
     val banded = fp.select(col("id"), col("fp"),
-      posexplode(array((0 until 4).map(
-        i => shiftrightunsigned(col("fp"), i * 16).bitwiseAND(0xFFFFL)): _*)))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_val")
+      explode(array(keys: _*)).as("band_key"))
 
     banded.as("a").join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
+        col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
-      .where(col("hamming") <= maxHamming)
   }
 }

@@ -44,6 +44,40 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Upper-bound row count of a DataFrame from metadata only — parquet
+    * footer record counts of its file-relation leaves (the footers are
+    * already driver-cached by planning) or local-relation sizes; None
+    * when any leaf is an unknown source. Filters above a scan make this
+    * an UPPER bound, which is the safe direction for sizing a fit-sample
+    * fraction (the sample just comes out smaller than maxFitRows). This
+    * is what lets [[ivfTopK]]/[[pqTopK]] skip the default-path `count()`
+    * job — an extra full-corpus stage at 100 TB — when the caller passes
+    * no explicit `corpusRows` hint.
+    */
+  private[graft] def planRowUpperBound(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val counts = df.queryExecution.optimizedPlan.collectLeaves().map {
+      case l: LocalRelation => Some(l.data.length.toLong)
+      case lr: LogicalRelation => lr.relation match {
+        case fsr: HadoopFsRelation if fsr.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          val conf = df.sparkSession.sparkContext.hadoopConfiguration
+          try Some(fsr.location.inputFiles.iterator.map { p =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(p), conf))
+            try r.getRecordCount finally r.close()
+          }.sum)
+          catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }
+      case _ => None
+    }
+    if (counts.nonEmpty && counts.forall(_.isDefined)) Some(counts.flatten.sum)
+    else None
+  }
+
   /** L2-normalize once per row (single native call — see
     * [[org.apache.spark.sql.graft.L2NormalizeExpr]]) so pair scoring is a
     * single codegen'd dot product (`cos(a,b) = dot(â,b̂)`) instead of dot
@@ -307,7 +341,9 @@ object Similarity {
     require(shortlist >= k, "shortlist must be >= k")
     val e = corpus.select(col(idCol).as("vec_id"),
       normalize(asDouble(col(vecCol))).as("nv"))
-    val nRows = corpusRows.getOrElse(e.count())
+    // Sizing order: caller hint, then parquet-footer metadata, then (only
+    // when the plan hides its sources) a column-pruned count() job.
+    val nRows = corpusRows.orElse(planRowUpperBound(e)).getOrElse(e.count())
     val fitInput =
       if (nRows <= maxFitRows) e
       else e.sample(withReplacement = false, maxFitRows.toDouble / nRows, seed = 42L)
@@ -406,10 +442,11 @@ object Similarity {
     *
     * @param corpusRows caller-supplied corpus size hint (e.g. from table
     *        metadata — [[graft.Tables.parquetRowCount]] reads it from
-    *        parquet footers driver-side). With a hint the fit-sample
-    *        fraction needs no count() job; without one, a count runs
-    *        (column-pruned to an empty-projection scan, but still a whole
-    *        extra stage over a 100 TB corpus).
+    *        parquet footers driver-side). Without a hint,
+    *        [[planRowUpperBound]] derives one from the plan's own parquet
+    *        footers; only plans with non-file sources fall back to a
+    *        count() job (column-pruned, but still an extra stage over a
+    *        100 TB corpus).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -433,7 +470,7 @@ object Similarity {
     // fit input at maxFitRows (a billion-vector corpus must not stream
     // through 5 driver-coordinated Lloyd iterations). Assignment below
     // still covers the full corpus.
-    val nRows = corpusRows.getOrElse(e.count())
+    val nRows = corpusRows.orElse(planRowUpperBound(e)).getOrElse(e.count())
     val fitInput =
       if (nRows <= maxFitRows) e
       else e.sample(withReplacement = false, maxFitRows.toDouble / nRows, seed = 42L)

@@ -298,21 +298,26 @@ object NorthStar {
     val cut = Tables.parquetRowCount(s, s"$dir/documents.parquet") / 2
     val old = d.where(col("doc_id") < cut)
     val fresh = d.where(col("doc_id") >= cut)
-    // Hot-shingle capping is DISABLED on both legs (and absent from the
-    // oracle): the one-shot half would cap over its own doc frequencies
-    // while the oracle's transitive closure caps corpus-wide, so a
-    // shingle crossing the threshold only corpus-wide would break the
-    // replay ≡ one-shot equivalence at larger SFs. Capping is graded by
-    // qn02/qn15; this query's subject is incrementality.
-    val noCap = Long.MaxValue
-    val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3, threshold = 0.8,
-      maxShingleDocFreq = noCap)
+    // Hot-shingle capping ENABLED on both legs (r7; mirrored by the
+    // oracle's corpus-wide cap CTE). The incremental leg's cap is
+    // corpus-wide via the PERSISTED per-shingle doc frequencies
+    // ([[Dedup.shingleDocFreqs]], stored next to the signatures and read
+    // back) — prev∪new frequency from O(distinct shingles) state, never
+    // an O(corpus) re-aggregation — so the new batch's survivors equal
+    // the one-shot corpus outcome at any SF (new-doc survival depends
+    // only on edges touching new docs). The day-0 leg caps over the
+    // corpus seen so far (= first half), which equals the corpus-wide
+    // cap whenever no shingle crosses the threshold only corpus-wide
+    // (true at every fixture SF: max doc-freq 25 « 1000).
+    val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3, threshold = 0.8)
     val store = new graft.store.Store(s, graft.TempDirs.create("graft_dedup_"))
-    store.load(Dedup.shingleSignatures(old, "doc_id", "text", n = 3),
-      "dedup/signatures", externalKey = "day0")
+    val sig0 = Dedup.shingleSignatures(old, "doc_id", "text", n = 3)
+    store.load(sig0, "dedup/signatures", externalKey = "day0")
+    store.load(Dedup.shingleDocFreqs(sig0), "dedup/freqs", externalKey = "day0")
     val keptNew = Dedup.dedupIncremental(fresh,
       store.get("dedup/signatures", useLast = true),
-      "doc_id", "text", n = 3, threshold = 0.8, maxShingleDocFreq = noCap)
+      "doc_id", "text", n = 3, threshold = 0.8,
+      prevShingleFreqs = Some(store.get("dedup/freqs", useLast = true)))
     keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
   }
 
@@ -1022,7 +1027,8 @@ object NorthStar {
                FROM documents WHERE trim(text) <> ''),
       sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
               FROM toks, unnest(range(1, len(w) - 1)) r(i)),
-      sh AS (SELECT * FROM sh0),
+      sh AS (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
       counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

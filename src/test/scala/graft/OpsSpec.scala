@@ -426,6 +426,48 @@ class OpsSpec extends SparkSpec {
     assert(replay == oneShot)
   }
 
+  test("dedupIncremental with persisted freqs: corpus-wide cap matches one-shot") {
+    import spark.implicits._
+    // A "hot" shingle that crosses the doc-freq cap only CORPUS-WIDE:
+    // cap=6, the "spam spam spam" trigram appears in 4 old + 4 new docs
+    // (8 > 6 corpus-wide, 4 <= 6 per half). Docs 10/11 share a 7-word
+    // tail and differ in their last word: WITH the hot trigram their
+    // Jaccard is exactly 8/10 = 0.8 (>= threshold, dup) and WITHOUT it
+    // 7/9 ≈ 0.78 (< threshold, distinct) — so a per-half frequency
+    // count (cap not fired) drops doc 11 while the corpus-wide cap
+    // keeps it. Persisted shingleDocFreqs must reproduce the
+    // corpus-wide hot set without re-aggregating prev signatures.
+    val spam = "spam spam spam spam spam"
+    def doc(tag: String) = s"$spam $tag"
+    val old = Seq(
+      (0L, doc("a1 a2 a3 a4")), (1L, doc("b1 b2 b3 b4")),
+      (2L, doc("c1 c2 c3 c4")), (3L, doc("d1 d2 d3 d4"))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, doc("w1 w2 w3 w4 w5 w6 w7 x9")),
+      (11L, doc("w1 w2 w3 w4 w5 w6 w7 y9")),
+      (12L, doc("e1 e2 e3 e4")), (13L, doc("f1 f2 f3 f4"))).toDF("doc_id", "text")
+    val all = old.union(fresh)
+    val cap = 6L
+    val sig0 = Dedup.shingleSignatures(old, "doc_id", "text")
+    val keptNew = Dedup.dedupIncremental(fresh, sig0, "doc_id", "text",
+      maxShingleDocFreq = cap,
+      prevShingleFreqs = Some(Dedup.shingleDocFreqs(sig0)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShotNew = Dedup.dedupByJaccard(all, "doc_id", "text",
+      maxShingleDocFreq = cap)
+      .where(col("doc_id") >= 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptNew == oneShotNew && keptNew == Set(10L, 11L, 12L, 13L),
+      s"incremental $keptNew != one-shot-new $oneShotNew (expect 11 kept)")
+    // And the cap genuinely decides the outcome: uncapped, the hot
+    // trigram pushes (10,11) to Jaccard 0.8 and doc 11 drops.
+    val unCapped = Dedup.dedupIncremental(fresh, sig0, "doc_id", "text",
+      maxShingleDocFreq = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(unCapped == Set(10L, 12L, 13L),
+      s"fixture did not exercise the cap: uncapped kept $unCapped")
+  }
+
   test("dedupByMinhash agrees with dedupByJaccard on near-identical docs") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     // MinHash at a LOWER threshold over the same corpus must drop a
@@ -591,6 +633,21 @@ class OpsSpec extends SparkSpec {
       "vec_id", "embedding", k = 3).orderBy("rank").collect()
     assert(out.map(_.getLong(1)).toSeq == exact.map(_.getLong(1)).toSeq)
     assert(out.map(_.getDouble(2)).toSeq == exact.map(_.getDouble(2)).toSeq)
+  }
+
+  test("planRowUpperBound sizes from parquet footers / local relations, no job") {
+    import spark.implicits._
+    // Parquet-backed frame with projection + filter: footer metadata
+    // gives the (upper-bound) count — no count() stage needed.
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val projected = emb.select(col("vec_id"), col("embedding"))
+    assert(Similarity.planRowUpperBound(projected).contains(500L))
+    val filtered = emb.where(col("vec_id") < 10)
+    val ub = Similarity.planRowUpperBound(filtered)
+    assert(ub.contains(500L), s"filter keeps the footer upper bound, got $ub")
+    // Local relations know their exact size.
+    val local = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Similarity.planRowUpperBound(local).contains(2L))
   }
 
   test("chunkSequences: stride windows, truncation, overlap, empty docs") {

@@ -273,4 +273,32 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"block-grid self-join must be an equality join:\n$plan")
   }
+
+  test("simhash candidate count is near-linear and exact for hamming <= 3") {
+    import graft.ops.Dedup
+    // 20k random 64-bit fingerprints: the old 4x16-bit banding would
+    // produce ~4*n^2/2^17 = ~12k SPURIOUS candidate pairs here; the
+    // Manku multi-block keys (C(7,4)=35 keys of 36-37 bits) expect
+    // ~35*n^2/2^37 < 1. Gate: candidates = planted pairs + single-digit
+    // noise, i.e. growth is ~linear in n, not n^2/2^16.
+    val n = 20000L
+    val base = spark.range(n).select(col("id"), xxhash64(col("id")).as("fp"))
+    // Plant 50 near-dups of docs 0..49: same fp with `id mod 4` distinct
+    // bits flipped (hamming 0..3), ids offset by 1M so pairs are (i, i+1M).
+    val plantedRows = base.where(col("id") < 50).collect().map { r =>
+      val (i, f) = (r.getLong(0), r.getLong(1))
+      val g = (0 until (i % 4).toInt).foldLeft(f)((acc, b) =>
+        acc ^ (1L << (((i + 17 * b) % 60) + 1)))
+      (i + 1000000L, g)
+    }
+    val planted = spark.createDataFrame(plantedRows.toSeq).toDF("id", "fp")
+    val cand = Dedup.simhashCandidatePairs(base.union(planted), maxHamming = 3)
+      .collect()
+    val within = cand.filter(_.getInt(2) <= 3)
+    val plantedFound = within.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(plantedFound.length == 50,
+      s"pigeonhole exactness broken: found ${plantedFound.length}/50 planted pairs")
+    assert(cand.length <= 60,
+      s"candidate fanout super-linear: ${cand.length} candidates for 50 planted pairs")
+  }
 }
