@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/** Scale audit for the dedup/ANN family: runs each operator on the
+  * [[ScaleData]] synthetic corpus at two (or more) sizes and reports
+  * wall time, output size, and the shingle-join fanout that dominates
+  * the exact-Jaccard paths — the measured counterpart of the
+  * "would this survive 100×?" plan audits. Growth RATIOS between
+  * consecutive scales are printed last; ~scale× (linear) is the target
+  * for the capped/banded candidate generators.
+  *
+  * Usage: `sbt 'runMain graft.tools.ScaleBench [nDocs1 nDocs2 ...]'`
+  * (default 5000 50000 — sf0.1-fixture-sized and 10× that, "sf1").
+  */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val scales = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(5000L, 50000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .config("spark.hadoop.fs.file.impl", classOf[graft.hadoop.FastLocalFileSystem].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val out = f
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+
+    val results = scales.map { n =>
+      val docs = ScaleData.documents(spark, n).cache()
+      val emb = ScaleData.embeddings(spark, n * 2 / 5).cache()
+      docs.count(); emb.count() // materialize outside the timings
+
+      // The quadratic driver of the exact-Jaccard path, computed from
+      // the doc-frequency table alone: sum over shingles of C(df, 2)
+      // pair increments crossing the shingle self-join shuffle.
+      val freqs = Dedup.shingleDocFreqs(
+        Dedup.shingleSignatures(docs, "doc_id", "text")).cache()
+      def fanout(cap: Long): Long = {
+        val d = if (cap > 0) least(col("df"), lit(cap)) else col("df")
+        freqs.agg(sum((d * (d - 1) / 2).cast("decimal(38,0)")))
+          .head().getDecimal(0).longValueExact()
+      }
+      val cappedFanout = fanout(Dedup.DefaultMaxShingleDocFreq)
+      val rawFanout = fanout(0)
+
+      val ops = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
+      ops("qn02_jaccard_pairs") = timed(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
+      ops("qn03_minhash_cand") = timed(
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text").count())
+      ops("qn04_simhash_pairs") = timed(
+        Dedup.simhashNearDupPairs(docs, "doc_id", "text").count())
+      ops("qn24_incremental") = timed {
+        val cut = n / 2
+        val old = docs.where(col("doc_id") < cut)
+        val fresh = docs.where(col("doc_id") >= cut)
+        val sig0 = Dedup.shingleSignatures(old, "doc_id", "text")
+        Dedup.dedupIncremental(fresh, sig0, "doc_id", "text",
+          prevShingleFreqs = Some(Dedup.shingleDocFreqs(sig0))).count()
+      }
+      ops("qn26_srp_dedup") = timed {
+        // corpus-scale embedding dedup: SRP banded candidates -> CC
+        val pairs = Similarity.srpNeighbors(emb, "vec_id", "embedding",
+          dim = 64, cosThreshold = 0.9, numPlanes = 32, bands = 4)
+        Dedup.applyComponents(emb, pairs, "id_a", "id_b", "vec_id").count()
+      }
+      ops("qs07_cdc_merge") = timed {
+        val root = graft.TempDirs.create("graft_scale_cdc_")
+        val store = new graft.store.Store(spark, root)
+        val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+        store.load(base, "t", externalKey = "b0")
+        (1 to 3).foreach { i =>
+          store.merge(base.where(pmod(col("doc_id"), lit(10)) === i)
+              .withColumn("n_chars", col("n_chars") + i),
+            "t", Seq("doc_id"), externalKey = s"b$i")
+        }
+        store.getMerged("t").count()
+      }
+
+      val opsJson = ops.map { case (k, (s, rows)) =>
+        s""""$k":{"sec":${f"$s%.3f"},"rows":$rows}"""
+      }.mkString(",")
+      println(s"""{"n_docs":$n,"n_vecs":${n * 2 / 5},""" +
+        s""""capped_fanout":$cappedFanout,"raw_fanout":$rawFanout,$opsJson}""")
+      docs.unpersist(); emb.unpersist(); freqs.unpersist()
+      (n, cappedFanout, rawFanout, ops.toMap)
+    }
+
+    results.sliding(2).foreach {
+      case Seq((n1, c1, r1, ops1), (n2, c2, r2, ops2)) =>
+        val scale = n2.toDouble / n1
+        val ratios = ops1.keys.map { k =>
+          s""""$k":${f"${ops2(k)._1 / math.max(ops1(k)._1, 1e-9)}%.2f"}"""
+        }.mkString(",")
+        println(s"""{"ratio_of":"$n2/$n1","scale":$scale,""" +
+          s""""capped_fanout_ratio":${f"${c2.toDouble / math.max(c1, 1)}%.2f"},""" +
+          s""""raw_fanout_ratio":${f"${r2.toDouble / math.max(r1, 1)}%.2f"},""" +
+          s""""wall_ratios":{$ratios}}""")
+      case _ => ()
+    }
+    spark.stop()
+  }
+}

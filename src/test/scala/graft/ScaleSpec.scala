@@ -301,4 +301,53 @@ class ScaleSpec extends SparkSpec {
     assert(cand.length <= 60,
       s"candidate fanout super-linear: ${cand.length} candidates for 50 planted pairs")
   }
+
+  test("hot-shingle cap bounds the Jaccard join fanout to ~linear (qn02/qn24 gate)") {
+    import graft.ops.Dedup
+    import graft.tools.ScaleData
+    // Deterministic Zipf-headed corpus (skew 5: top word ~13% of draws)
+    // where hot shingles cross a doc-freq cap of 30 at BOTH scales. The
+    // fanout metric is the exact number of pair increments the shingle
+    // self-join shuffles: sum over shingles of C(min(df, cap), 2),
+    // computed from the doc-frequency table (no join needs to run).
+    val (n1, n2) = (3000L, 12000L)
+    def freqs(n: Long) = Dedup.shingleDocFreqs(
+      Dedup.shingleSignatures(
+        ScaleData.documents(spark, n, skew = 5.0), "doc_id", "text")).cache()
+    def fan(fr: org.apache.spark.sql.DataFrame, cap: Long): Long = {
+      val d = if (cap > 0) least(col("df"), lit(cap)) else col("df")
+      fr.agg(sum((d * (d - 1) / 2).cast("decimal(38,0)")))
+        .head().getDecimal(0).longValueExact()
+    }
+    val (f1, f2) = (freqs(n1), freqs(n2))
+    try {
+      val rawRatio = fan(f2, 0).toDouble / fan(f1, 0)
+      val capRatio = fan(f2, 30).toDouble / fan(f1, 30)
+      // 4x docs: the corpus is genuinely quadratic without the cap...
+      assert(rawRatio > 12.0, f"corpus not quadratic enough: raw ratio $rawRatio%.1f")
+      // ...and ~linear-with-log-slack with it (measured 5.9).
+      assert(capRatio <= 8.0, f"capped fanout super-linear: $capRatio%.1f for 4x docs")
+    } finally { f1.unpersist(); f2.unpersist() }
+    // The detected pair set itself stays linear in the planted dups.
+    def pairs(n: Long): Long = Dedup.ngramJaccardPairs(
+      ScaleData.documents(spark, n, skew = 5.0), "doc_id", "text",
+      maxShingleDocFreq = 30).count()
+    val (p1, p2) = (pairs(n1), pairs(n2))
+    assert(p2 <= 6 * p1 && p2 >= 3 * p1,
+      s"pair output not ~linear: $p1 pairs at $n1 docs, $p2 at $n2")
+  }
+
+  test("minhash banded candidates grow ~linearly with the corpus (qn03 gate)") {
+    import graft.ops.Dedup
+    import graft.tools.ScaleData
+    // AND-amplified banding (r=4 rows/band): P(band collision) = j^4, so
+    // low-similarity pairs practically never collide and the candidate
+    // count tracks the planted near-dup mass (linear in n), not n^2.
+    def cands(n: Long): Long = Dedup.minhashCandidatePairs(
+      ScaleData.documents(spark, n), "doc_id", "text").count()
+    val (c1, c2) = (cands(3000L), cands(12000L))
+    assert(c1 > 0, "no candidates at the small scale — fixture broken")
+    assert(c2 <= 8 * c1,
+      s"banded candidates super-linear: $c1 at 3k docs, $c2 at 12k")
+  }
 }
