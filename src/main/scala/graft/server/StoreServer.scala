@@ -1,0 +1,164 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.store.{Store, Wire}
+
+/** Minimal HTTP façade mapping the reference `DataFrameClient` 1:1 onto
+  * [[graft.store.Store]] — the reference's actual product boundary is
+  * HTTP (client.py:124 POST `/dataframes/upload`, client.py:170 GET
+  * `/dataframes/{name}`, client.py:202 GET `/dataframes`), with error
+  * bodies the client unwraps from `{"error": ...}` (client.py:132-137).
+  * A caller porting reference code keeps its `api_url` call sites; the
+  * engine behind them becomes this Spark store.
+  *
+  * Scope notes:
+  *   - The wire format is the reference's row-JSON (client.py:114
+  *     `to_json(orient='records')` up, client.py:176 `pd.DataFrame(
+  *     response.json())` down) via [[Wire]] — a full-materialization
+  *     transport by the REFERENCE'S design, so responses are
+  *     driver-collected. This façade is SDK-parity for client-sized
+  *     frames; cluster-scale access uses the Store/DataFrame API
+  *     directly (the wire itself is the bottleneck, not the engine).
+  *   - `Authorization` headers are accepted and ignored, mirroring the
+  *     ctor's no-op auth slots (SURVEY §2.1 #10: authn out of scope).
+  *   - JSON in/out uses Spark's own shipped Jackson — no new deps.
+  *
+  * Status mapping: validation errors → 400, `Store.GetError` → 404,
+  * everything else → 500; all error bodies are `{"error": "<msg>"}`.
+  */
+final class StoreServer(spark: SparkSession, store: Store, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+
+  /** Start listening (loopback). Returns the bound port (ephemeral when
+    * constructed with port 0).
+    */
+  def start(): Int = synchronized {
+    require(server == null, "server already started")
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/dataframes", (ex: HttpExchange) => handle(ex))
+    // Small fixed pool: Store/Spark calls are thread-safe; one thread
+    // per in-flight request keeps a slow upload from blocking a list.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod
+    try {
+      (method, path) match {
+        case ("POST", "/dataframes/upload") => upload(ex)
+        case ("GET", "/dataframes") => list(ex)
+        case ("GET", p) if p.startsWith("/dataframes/") =>
+          get(ex, URLDecoder.decode(p.stripPrefix("/dataframes/"), UTF_8))
+        case _ => respond(ex, 404, errorJson(s"No route for $method $path"))
+      }
+    } catch {
+      case e: Store.GetError => respond(ex, 404, errorJson(e.getMessage))
+      case e: IllegalArgumentException => respond(ex, 400, errorJson(e.getMessage))
+      case e: Store.LoadError => respond(ex, 400, errorJson(e.getMessage))
+      case scala.util.control.NonFatal(e) =>
+        respond(ex, 500, errorJson(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    } finally ex.close()
+  }
+
+  /** POST /dataframes/upload — body mirrors client.py:113-119:
+    * `{dataframe: "<records json>", dataframe_name, columns_keys,
+    * external_key, keep_last}`.
+    */
+  private def upload(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val records = Option(body.get("dataframe")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("'dataframe' is required"))
+    val name = Option(body.get("dataframe_name")).map(_.asText()).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException("dataframe_name is required"))
+    val columnsKeys: Map[String, String] =
+      Option(body.get("columns_keys")).filterNot(_.isNull).map { n =>
+        val b = Map.newBuilder[String, String]
+        n.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asText())
+        b.result()
+      }.getOrElse(Map.empty)
+    val externalKey = Option(body.get("external_key")).filterNot(_.isNull)
+      .map(_.asText()).getOrElse(Store.NowKey)
+    val keepLast = Option(body.get("keep_last")).filterNot(_.isNull)
+      .exists(_.asBoolean(false))
+    // Root-level JSON arrays parse one row per element (Spark's reader
+    // semantics), exactly matching to_json(orient='records') payloads.
+    import spark.implicits._
+    val df = Wire.fromJsonRecords(spark, spark.createDataset(Seq(records)))
+    val info = store.load(df, name, columnsKeys, externalKey, keepLast)
+    respond(ex, 200, mapper.writeValueAsString(
+      new java.util.LinkedHashMap[String, String] {
+        info.foreach { case (k, v) => put(k, v) }
+      }))
+  }
+
+  /** GET /dataframes/{name}?external_key=...&use_last=true — returns the
+    * rows as a records-orient JSON array (client.py:176 rebuilds a
+    * DataFrame straight from it).
+    */
+  private def get(ex: HttpExchange, name: String): Unit = {
+    val params = queryParams(ex)
+    val df = store.get(name,
+      externalKey = params.get("external_key"),
+      useLast = params.get("use_last").exists(_.equalsIgnoreCase("true")))
+    val rows = Wire.toJsonRecords(df).collect()
+    respond(ex, 200, rows.mkString("[", ",", "]"))
+  }
+
+  /** GET /dataframes?prefix=... — catalog listing (client.py:185-215;
+    * the reference leaves the body shape to the backend).
+    */
+  private def list(ex: HttpExchange): Unit = {
+    val infos = store.list(prefix = queryParams(ex).get("prefix"))
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("dataframes")
+    infos.foreach { t =>
+      val o = arr.addObject()
+      o.put("name", t.name)
+      val vs = o.putArray("versions")
+      t.versions.foreach(vs.add)
+      t.lastVersion.foreach(o.put("last_version", _))
+      val ck = o.putObject("columns_keys")
+      t.columnsKeys.toSeq.sortBy(_._1).foreach { case (c, k) => ck.put(c, k) }
+    }
+    respond(ex, 200, mapper.writeValueAsString(root))
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split("&"))
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8))
+          case Array(k) if k.nonEmpty => Some(URLDecoder.decode(k, UTF_8) -> "")
+          case _ => None
+        }
+      }.toMap
+
+  private def errorJson(msg: String): String =
+    mapper.writeValueAsString(mapper.createObjectNode().put("error", msg))
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

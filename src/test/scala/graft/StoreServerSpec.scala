@@ -1,0 +1,109 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.server.StoreServer
+import graft.store.Store
+
+/** Integration test for the REST façade: drives the reference
+  * `DataFrameClient`'s three endpoints (upload / get / list) over
+  * localhost with reference-shaped payloads and `{"error": ...}`
+  * bodies (client.py:66-215).
+  */
+class StoreServerSpec extends SparkSpec {
+
+  private lazy val store =
+    new Store(spark, Files.createTempDirectory("graft_http_").toString)
+  private lazy val serverAndPort: (StoreServer, Int) = {
+    val s = new StoreServer(spark, store)
+    val p = s.start()
+    (s, p)
+  }
+  private def base = s"http://127.0.0.1:${serverAndPort._2}"
+  private val http = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = {
+    serverAndPort._1.stop()
+    super.afterAll()
+  }
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .header("Content-Type", "application/json")
+      .header("Authorization", "Bearer test-token") // accepted, ignored
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(path: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /dataframes/upload stores a records payload with key partitioning") {
+    // The exact payload shape client.py:113-119 sends.
+    val records = """[{\"date\":\"2024-01-01\",\"id\":7,\"value\":1.5},""" +
+      """{\"date\":\"2024-01-02\",\"id\":1503,\"value\":2.5}]"""
+    val r = post("/dataframes/upload",
+      s"""{"dataframe": "$records",
+         | "dataframe_name": "my-test/test1",
+         | "columns_keys": {"date": "Date", "id": "ID"},
+         | "external_key": "v1",
+         | "keep_last": false}""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"version\":\"v1\""), r.body())
+    // And the store really partitioned it.
+    val parts = store.getPartitioned("my-test/test1")
+      .select(col("__p_date").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(parts == Set("2024-01-01", "2024-01-02"))
+  }
+
+  test("GET /dataframes/{name} returns records JSON; selectors work") {
+    post("/dataframes/upload",
+      """{"dataframe": "[{\"id\":1,\"v\":\"a\"}]",
+        | "dataframe_name": "my-test/test2", "external_key": "v1"}""".stripMargin)
+    post("/dataframes/upload",
+      """{"dataframe": "[{\"id\":2,\"v\":\"b\"}]",
+        | "dataframe_name": "my-test/test2", "external_key": "v2"}""".stripMargin)
+    val all = get("/dataframes/my-test/test2")
+    assert(all.statusCode() == 200)
+    // accumulate read: both versions' rows in the array
+    assert(all.body().contains("\"id\":1") && all.body().contains("\"id\":2"))
+    val v1 = get("/dataframes/my-test/test2?external_key=v1")
+    assert(v1.body().contains("\"id\":1") && !v1.body().contains("\"id\":2"))
+    val last = get("/dataframes/my-test/test2?use_last=true")
+    assert(last.body().contains("\"id\":2") && !last.body().contains("\"id\":1"))
+  }
+
+  test("GET /dataframes lists with segment-prefix filtering") {
+    val r = get("/dataframes?prefix=my-test")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"my-test/test1\"") && r.body().contains("\"dataframes\""))
+    assert(r.body().contains("\"columns_keys\":{\"date\":\"Date\",\"id\":\"ID\"}"))
+  }
+
+  test("errors come back as status + {'error': ...} bodies (client.py:132-137)") {
+    // bad key type -> 400 with the reference-shaped message
+    val bad = post("/dataframes/upload",
+      """{"dataframe": "[{\"a\":1}]", "dataframe_name": "t-err",
+        | "columns_keys": {"a": "Hash"}}""".stripMargin)
+    assert(bad.statusCode() == 400, bad.body())
+    assert(bad.body().startsWith("""{"error":""") &&
+      bad.body().contains("Invalid key type"), bad.body())
+    // missing table -> 404
+    val missing = get("/dataframes/nope/nothing")
+    assert(missing.statusCode() == 404 &&
+      missing.body().startsWith("""{"error":"""), missing.body())
+    // missing required field -> 400
+    val noName = post("/dataframes/upload", """{"dataframe": "[{\"a\":1}]"}""")
+    assert(noName.statusCode() == 400 &&
+      noName.body().contains("dataframe_name is required"), noName.body())
+    // unroutable -> 404 error body
+    val noRoute = post("/dataframes/upload/extra", "{}")
+    assert(noRoute.statusCode() == 404 &&
+      noRoute.body().startsWith("""{"error":"""), noRoute.body())
+  }
+}
