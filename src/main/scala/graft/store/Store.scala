@@ -1273,6 +1273,15 @@ final class Store(
       // Re-mkdirs + retry lands the file in the NEW subtree; without
       // the retry, a publish racing a compact swap would fail.
       var ok = fs.rename(st.getPath, dest)
+      // A second merge delta into the SAME version label re-publishes
+      // `_merge.json`: HDFS-style rename refuses an existing target, so
+      // replace it explicitly. Safe: merge() rejects key-set conflicts
+      // before loading, so any existing marker carries identical content.
+      // Data files never collide (task-UUID-unique names).
+      if (!ok && dest.getName == MergeFile && fs.exists(dest)) {
+        fs.delete(dest, false)
+        ok = fs.rename(st.getPath, dest)
+      }
       var tries = 0
       while (!ok && tries < 50) {
         Thread.sleep(20)

@@ -548,6 +548,21 @@ class StoreSpec extends SparkSpec {
     assert(got == Seq((1L, "back"), (2L, "new")))
   }
 
+  test("two merge deltas into ONE version label coexist (marker re-publish)") {
+    import spark.implicits._
+    // The staged `_merge.json` republishes over the first delta's marker
+    // (rename-refused filesystems take the delete+rename path); both
+    // deltas' data files land (task-UUID-unique names never collide).
+    val store = freshStore()
+    store.load(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), "t", externalKey = "v1")
+    store.merge(Seq((1L, "a2")).toDF("k", "s"), "t", Seq("k"), externalKey = "v2")
+    store.merge(Seq((2L, "b2")).toDF("k", "s"), "t", Seq("k"), externalKey = "v2")
+    val got = store.getMerged("t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a2"), (2L, "b2")))
+    assert(store.history("t").count(_.isMerge) == 1)
+  }
+
   test("merge deltas inherit the table's partition layout") {
     import spark.implicits._
     val store = freshStore()
