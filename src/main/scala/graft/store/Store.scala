@@ -1272,13 +1272,16 @@ final class Store(
       // and rename while the compactor's two renames are in flight.
       // Re-mkdirs + retry lands the file in the NEW subtree; without
       // the retry, a publish racing a compact swap would fail.
-      var ok = fs.rename(st.getPath, dest)
       // A second merge delta into the SAME version label re-publishes
-      // `_merge.json`: HDFS-style rename refuses an existing target, so
-      // replace it explicitly. Safe: merge() rejects key-set conflicts
-      // before loading, so any existing marker carries identical content.
-      // Data files never collide (task-UUID-unique names).
-      if (!ok && dest.getName == MergeFile && fs.exists(dest)) {
+      // `_merge.json` over the first delta's marker. Checked BEFORE the
+      // rename (local-FS rename overwrites silently; HDFS-style refuses
+      // and needs the delete+rename below). Safe to replace: merge()
+      // rejects key-set conflicts before loading, so any existing marker
+      // carries identical keys. Data files never collide
+      // (task-UUID-unique names).
+      val sharedMarker = dest.getName == MergeFile && fs.exists(dest)
+      var ok = fs.rename(st.getPath, dest)
+      if (!ok && sharedMarker) {
         fs.delete(dest, false)
         ok = fs.rename(st.getPath, dest)
       }
@@ -1291,7 +1294,10 @@ final class Store(
       }
       if (!ok)
         throw new java.io.IOException(s"failed to move staged file '$rel'")
-      moved += dest
+      // A marker that replaced a published one is SHARED state: rolling
+      // it back on a later move failure would strip the prior delta's
+      // merge semantics (it would read as a plain append). Leave it.
+      if (!sharedMarker) moved += dest
     }
     def isStagedSidecar(name: String): Boolean =
       name.startsWith(SchemaFilePrefix) || name.startsWith(StatsFilePrefix) ||
