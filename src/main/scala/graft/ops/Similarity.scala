@@ -45,25 +45,41 @@ object Similarity {
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Upper-bound row count of a DataFrame from metadata only — parquet
-    * footer record counts of its file-relation leaves (the footers are
-    * already driver-cached by planning) or local-relation sizes; None
-    * when any leaf is an unknown source. Filters above a scan make this
-    * an UPPER bound, which is the safe direction for sizing a fit-sample
-    * fraction (the sample just comes out smaller than maxFitRows). This
-    * is what lets [[ivfTopK]]/[[pqTopK]] skip the default-path `count()`
-    * job — an extra full-corpus stage at 100 TB — when the caller passes
-    * no explicit `corpusRows` hint.
+    * footer record counts of its file-relation leaves, or local-relation
+    * sizes; None when any leaf is an unknown source OR the plan contains
+    * a row-MULTIPLYING node (Join/Generate/Expand), where a leaf sum is
+    * no bound at all. Filters/aggregates/projections above a scan only
+    * shrink row counts, so the sum stays an UPPER bound — the safe
+    * direction for sizing a fit-sample fraction (the sample just comes
+    * out smaller than maxFitRows). This is what lets
+    * [[ivfTopK]]/[[pqTopK]] skip the default-path `count()` job — an
+    * extra full-corpus stage at 100 TB — when the caller passes no
+    * explicit `corpusRows` hint.
+    *
+    * Cost: one driver-side footer read per file, every call (planning
+    * caches file LISTINGS, not footer contents). Bounded at
+    * [[MaxFooterReads]] files — a many-thousand-file corpus falls back
+    * to the distributed count() rather than a serial driver walk.
     */
   private[graft] def planRowUpperBound(df: DataFrame): Option[Long] = {
-    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Expand, Generate, Join, LocalRelation}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-    val counts = df.queryExecution.optimizedPlan.collectLeaves().map {
+    val plan = df.queryExecution.optimizedPlan
+    val multiplies = plan.collectFirst {
+      case j: Join => j
+      case g: Generate => g
+      case e: Expand => e
+    }.isDefined
+    if (multiplies) return None
+    val counts = plan.collectLeaves().map {
       case l: LocalRelation => Some(l.data.length.toLong)
       case lr: LogicalRelation => lr.relation match {
         case fsr: HadoopFsRelation if fsr.fileFormat.isInstanceOf[ParquetFileFormat] =>
           val conf = df.sparkSession.sparkContext.hadoopConfiguration
-          try Some(fsr.location.inputFiles.iterator.map { p =>
+          val files = fsr.location.inputFiles
+          if (files.length > MaxFooterReads) None
+          else try Some(files.iterator.map { p =>
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(
               org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
                 new org.apache.hadoop.fs.Path(p), conf))
@@ -77,6 +93,12 @@ object Similarity {
     if (counts.nonEmpty && counts.forall(_.isDefined)) Some(counts.flatten.sum)
     else None
   }
+
+  /** Footer-walk budget for [[planRowUpperBound]]: past this many files a
+    * serial driver walk costs more than the column-pruned count() stage
+    * it would save.
+    */
+  private val MaxFooterReads = 2048
 
   /** L2-normalize once per row (single native call — see
     * [[org.apache.spark.sql.graft.L2NormalizeExpr]]) so pair scoring is a

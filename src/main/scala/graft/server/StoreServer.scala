@@ -83,9 +83,10 @@ final class StoreServer(spark: SparkSession, store: Store, port: Int = 0) {
     */
   private def upload(ex: HttpExchange): Unit = {
     val body = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val records = Option(body.get("dataframe")).map(_.asText()).getOrElse(
-      throw new IllegalArgumentException("'dataframe' is required"))
-    val name = Option(body.get("dataframe_name")).map(_.asText()).filter(_.nonEmpty)
+    val records = Option(body.get("dataframe")).filterNot(_.isNull).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException("'dataframe' is required"))
+    val name = Option(body.get("dataframe_name")).filterNot(_.isNull)
+      .map(_.asText()).filter(_.nonEmpty)
       .getOrElse(throw new IllegalArgumentException("dataframe_name is required"))
     val columnsKeys: Map[String, String] =
       Option(body.get("columns_keys")).filterNot(_.isNull).map { n =>
@@ -101,6 +102,13 @@ final class StoreServer(spark: SparkSession, store: Store, port: Int = 0) {
     // semantics), exactly matching to_json(orient='records') payloads.
     import spark.implicits._
     val df = Wire.fromJsonRecords(spark, spark.createDataset(Seq(records)))
+    // Malformed records surface as Spark's corrupt-record column; the
+    // reference's backend answers 400 {"error": ...}, not a silently
+    // stored garbage table.
+    val corruptCol = spark.conf.get("spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+    if (df.columns.contains(corruptCol))
+      throw new IllegalArgumentException(
+        "'dataframe' is not records-orient JSON (expected an array of objects)")
     val info = store.load(df, name, columnsKeys, externalKey, keepLast)
     respond(ex, 200, mapper.writeValueAsString(
       new java.util.LinkedHashMap[String, String] {

@@ -480,11 +480,20 @@ final class Store(
           s"Merge batch must carry the table's partition key column '$c'")
     }
     val sortedKeys = keyCols.sorted
-    mergeMarkers(tableDir).foreach { case (label, keys, _) =>
+    mergeMarkers(tableDir).foreach { case (label, keys, del) =>
       if (keys != sortedKeys)
         throw new IllegalArgumentException(
           s"Merge keys ${sortedKeys.mkString(",")} conflict with version '$label' " +
             s"merged on ${keys.mkString(",")}")
+      // Re-merging into an EXISTING version label shares that version's
+      // single marker — the delete column must match too, or the second
+      // delta's marker would silently rewrite the first delta's
+      // tombstone semantics. (Distinct labels may differ: getMerged
+      // unions delete columns across versions.)
+      if (externalKey != NowKey && label == externalKey && del != deleteCol)
+        throw new IllegalArgumentException(
+          s"Merge delete column ${deleteCol.getOrElse("<none>")} conflicts with " +
+            s"version '$label' merged with delete column ${del.getOrElse("<none>")}")
     }
 
     // Column names are URL-encoded into the marker: a legal Spark column
@@ -1272,32 +1281,30 @@ final class Store(
       // and rename while the compactor's two renames are in flight.
       // Re-mkdirs + retry lands the file in the NEW subtree; without
       // the retry, a publish racing a compact swap would fail.
-      // A second merge delta into the SAME version label re-publishes
-      // `_merge.json` over the first delta's marker. Checked BEFORE the
-      // rename (local-FS rename overwrites silently; HDFS-style refuses
-      // and needs the delete+rename below). Safe to replace: merge()
-      // rejects key-set conflicts before loading, so any existing marker
-      // carries identical keys. Data files never collide
-      // (task-UUID-unique names).
-      val sharedMarker = dest.getName == MergeFile && fs.exists(dest)
-      var ok = fs.rename(st.getPath, dest)
-      if (!ok && sharedMarker) {
-        fs.delete(dest, false)
-        ok = fs.rename(st.getPath, dest)
+      // A second merge delta into the SAME version label stages a marker
+      // the version already publishes. merge() has verified keys AND
+      // delete column match the published marker, so the staged copy is
+      // redundant — drop it and KEEP the published one. Never
+      // delete-then-replace the live marker: a crash between the two
+      // would leave delta-1's data reading as a plain append (the exact
+      // window the staged-marker design closes), and the published
+      // marker must also never join the rollback list (it predates this
+      // load). Data files never collide (task-UUID-unique names).
+      if (dest.getName == MergeFile && fs.exists(dest)) {
+        fs.delete(st.getPath, false)
+      } else {
+        var ok = fs.rename(st.getPath, dest)
+        var tries = 0
+        while (!ok && tries < 50) {
+          Thread.sleep(20)
+          fs.mkdirs(dest.getParent)
+          ok = fs.rename(st.getPath, dest)
+          tries += 1
+        }
+        if (!ok)
+          throw new java.io.IOException(s"failed to move staged file '$rel'")
+        moved += dest
       }
-      var tries = 0
-      while (!ok && tries < 50) {
-        Thread.sleep(20)
-        fs.mkdirs(dest.getParent)
-        ok = fs.rename(st.getPath, dest)
-        tries += 1
-      }
-      if (!ok)
-        throw new java.io.IOException(s"failed to move staged file '$rel'")
-      // A marker that replaced a published one is SHARED state: rolling
-      // it back on a later move failure would strip the prior delta's
-      // merge semantics (it would read as a plain append). Leave it.
-      if (!sharedMarker) moved += dest
     }
     def isStagedSidecar(name: String): Boolean =
       name.startsWith(SchemaFilePrefix) || name.startsWith(StatsFilePrefix) ||

@@ -648,6 +648,13 @@ class OpsSpec extends SparkSpec {
     // Local relations know their exact size.
     val local = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     assert(Similarity.planRowUpperBound(local).contains(2L))
+    // Row-MULTIPLYING plans must refuse: a leaf sum is no upper bound
+    // under joins or explodes, and an undersized bound would let the
+    // codebook fit-sample collect far more than maxFitRows.
+    val joined = emb.as("a").crossJoin(emb.as("b"))
+    assert(Similarity.planRowUpperBound(joined).isEmpty, "join must refuse")
+    val exploded = emb.select(col("vec_id"), explode(col("embedding")))
+    assert(Similarity.planRowUpperBound(exploded).isEmpty, "explode must refuse")
   }
 
   test("chunkSequences: stride windows, truncation, overlap, empty docs") {

@@ -105,5 +105,18 @@ class StoreServerSpec extends SparkSpec {
     val noRoute = post("/dataframes/upload/extra", "{}")
     assert(noRoute.statusCode() == 404 &&
       noRoute.body().startsWith("""{"error":"""), noRoute.body())
+    // malformed records payload -> 400, never a silently stored garbage table
+    val garbage = post("/dataframes/upload",
+      """{"dataframe": "not records json", "dataframe_name": "t-garbage"}""")
+    assert(garbage.statusCode() == 400 &&
+      garbage.body().contains("records-orient"), garbage.body())
+    assert(get("/dataframes/t-garbage").statusCode() == 404)
+    // JSON null name/dataframe -> 400, not a table named "null"
+    val nullName = post("/dataframes/upload",
+      """{"dataframe": "[{\"a\":1}]", "dataframe_name": null}""")
+    assert(nullName.statusCode() == 400, nullName.body())
+    val nullDf = post("/dataframes/upload",
+      """{"dataframe": null, "dataframe_name": "t-null"}""")
+    assert(nullDf.statusCode() == 400, nullDf.body())
   }
 }

@@ -561,6 +561,18 @@ class StoreSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((1L, "a2"), (2L, "b2")))
     assert(store.history("t").count(_.isMerge) == 1)
+    // A second delta into the SAME label with a DIFFERENT delete column
+    // would silently rewrite the first delta's tombstone semantics when
+    // the shared marker is kept — reject it up front.
+    val e = intercept[IllegalArgumentException] {
+      store.merge(Seq((3L, "c", false)).toDF("k", "s", "del"),
+        "t", Seq("k"), externalKey = "v2", deleteCol = Some("del"))
+    }
+    assert(e.getMessage.contains("delete column"), e.getMessage)
+    // A different LABEL with a different delete column stays legal.
+    store.merge(Seq((3L, "c", false)).toDF("k", "s", "del"),
+      "t", Seq("k"), externalKey = "v3", deleteCol = Some("del"))
+    assert(store.getMerged("t").count() == 3)
   }
 
   test("merge deltas inherit the table's partition layout") {
