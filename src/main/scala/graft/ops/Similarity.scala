@@ -408,6 +408,101 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** IVF+PQ composed ANN — the billion-vector layout proper: coarse
+    * k-means cells bound WHICH corpus vectors are scored (≈ nProbe/nlist
+    * of the corpus, [[ivfTopK]]'s pruning) and product-quantized codes
+    * bound WHAT each scored vector costs (m bytes + m table lookups,
+    * [[pqTopK]]'s compression). Composing them is what makes a 10⁹-vector
+    * corpus searchable without either a full scan (IVF alone still
+    * ADC-scans dim-wide vectors per probed cell) or a 10% shortlist of
+    * the WHOLE corpus (PQ alone has no cell pruning).
+    *
+    * Codes encode the normalized vectors directly (no per-cell residual
+    * rotation — residual encoding would need an ADC table per
+    * (query, cell) pair instead of per query; the m=16 configuration
+    * already holds the 0.9 recall gate on the uniform worst-case
+    * fixture, see RecallSpec/RecallAudit).
+    *
+    * The corpus crosses: one KMeans-assignment + encode pass, one
+    * equality join on `cell` (the tiny probe side broadcasts), one
+    * (vec_id, code) bounded-heap shortlist aggregate, and an id-equality
+    * fetch of `shortlist` vectors per query for the exact re-rank.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nlist: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      shortlist: Int = 50,
+      maxFitRows: Long = 100000L,
+      corpusRows: Option[Long] = None): DataFrame = {
+
+    import org.apache.spark.ml.clustering.KMeans
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    require(shortlist >= k, "shortlist must be >= k")
+    val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", normalize(col("v")))
+      .withColumn("features", array_to_vector(col("nv")))
+    val nRows = corpusRows.orElse(planRowUpperBound(e)).getOrElse(e.count())
+    val fitInput =
+      if (nRows <= maxFitRows) e
+      else e.sample(withReplacement = false, maxFitRows.toDouble / nRows, seed = 42L)
+    // One bounded sample feeds BOTH trainers (coarse cells + PQ codebook).
+    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(fitInput)
+    val sample = fitInput.select("nv").collect()
+      .map(_.getSeq[Double](0).toArray).filter(_.length == dim)
+    require(sample.nonEmpty, s"no fit vectors of dim $dim")
+    val codebook = trainPqCodebook(sample, dim, m, ksub)
+
+    val fn = graft.functions.VectorExpressions
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("cell"), fn.pqEncode(col("nv"), codebook, dim, m, ksub).as("code"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val centroidDf = corpus.sparkSession.createDataFrame(centroids.toSeq)
+      .toDF("cell", "centroid")
+
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnv", normalize(col("qv")))
+      .withColumn("qtable", fn.pqAdcTable(col("qnv"), codebook, dim, m, ksub))
+    val probes = q.crossJoin(broadcast(centroidDf))
+      .withColumn("cdist", -cosine(col("qnv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qtable"), col("cell"))
+
+    // Candidate pass over PROBED cells only, m-byte codes only.
+    val shortlisted = probes.join(assigned, "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        fn.pqAdcScore(col("code"), col("qtable"), ksub).as("adc"))
+      .groupBy("query_id")
+      .agg(fn.topKByScore(col("adc"), col("vec_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+
+    shortlisted
+      .join(e.select("vec_id", "nv"), "vec_id")
+      .join(broadcast(q.select("query_id", "qnv")), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dotD(col("qnv"), col("nv")), 6).as("sim"))
+      .groupBy("query_id")
+      .agg(fn.topKByScore(col("sim"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.vec_id").as("vec_id"),
+        col("col.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Per-subspace Lloyd k-means on a driver-side sample, fully
     * deterministic: centroids init from evenly strided sample points, 10
     * fixed iterations, empty clusters keep their previous centroid. Flat

@@ -260,6 +260,46 @@ object NorthStar {
       .orderBy("query_id")
   }
 
+  /** IVF+PQ composed ANN graded as a deterministic contract (the qn12/
+    * qn29 playbook): cell pruning bounds WHICH vectors are scored,
+    * 16-byte codes bound WHAT each costs — the composition the
+    * billion-vector path actually deploys, here in its honest
+    * uniform-fixture configuration: nProbe 7/8 cells + adaptive n/8
+    * shortlist — the COMPOSED loss stacks IVF's missed-cell misses on
+    * PQ's shortlist misses, so each half needs more headroom than it
+    * does alone (measured: nProbe 6 + n/10 = 0.85; 7 + n/8 = 0.95 /
+    * 0.925 / 1.0 at sf0.01 / sf0.1 / 20k vectors). Truth = exact
+    * brute-force top-5; recall >= 0.9 gated (RecallSpec pins the
+    * measured value), returned_ok exact-stateable.
+    */
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.where(col("vec_id") < 8)
+    val nRows = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+    val ann = Similarity.ivfPqTopK(e, queries, "vec_id", "embedding",
+      dim = 64, k = 5, nlist = 8, nProbe = 7, m = 16, ksub = 16,
+      shortlist = math.max(50L, nRows / 8).toInt,
+      corpusRows = Some(nRows))
+    val exact = Similarity.topKPerQuery(e, queries, "vec_id", "embedding", k = 5)
+    val perQuery = exact
+      .join(ann.select(col("query_id"), col("vec_id"), lit(1L).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val returned = ann.groupBy("query_id")
+      .agg((count(lit(1)) === 5).as("returned_ok"))
+    val global = perQuery
+      .agg((sum("n_hit") * 10L >= sum("k_exact") * 9L).as("recall_ok"))
+    perQuery
+      .join(returned, Seq("query_id"), "left")
+      .crossJoin(broadcast(global))
+      .select(col("query_id"), col("k_exact"),
+        coalesce(col("returned_ok"), lit(false)).as("returned_ok"),
+        col("recall_ok"))
+      .orderBy("query_id")
+  }
+
   /** Near-dup dedup applied end-to-end: detect pairs (capped-shingle
     * Jaccard), cluster via connected components (large-star/small-star,
     * O(log n) rounds), keep the smallest doc per cluster. Oracle =
@@ -1193,6 +1233,11 @@ object NorthStar {
              CAST(length(raw) AS INTEGER) AS n_raw,
              CAST(length(normed) AS INTEGER) AS n_norm,
              md5(normed) AS norm_hash
-      FROM n ORDER BY doc_id"""))
+      FROM n ORDER BY doc_id""")),
+    QueryDef("qn36_ann_ivfpq", qAnnIvfPq _, Some("""
+      SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_exact,
+             true AS returned_ok, true AS recall_ok
+      FROM embeddings WHERE vec_id < 8
+      ORDER BY query_id"""))
   )
 }

@@ -57,6 +57,10 @@ object RecallAudit {
     report(s"pq-sl$sl", exactTopk,
       topkSet(Similarity.pqTopK(emb, queries, "vec_id", "embedding", 64, 5,
         m = 16, ksub = 16, shortlist = sl)))
+    report("ivfpq", exactTopk,
+      topkSet(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 64, 5,
+        nlist = 8, nProbe = 7, m = 16, ksub = 16,
+        shortlist = math.max(50L, n / 8).toInt, corpusRows = Some(n))))
     spark.stop()
   }
 }

@@ -125,4 +125,30 @@ class RecallSpec extends SparkSpec {
       }
     assert(mismatched.isEmpty, s"re-rank sims diverge from exact: ${mismatched.take(3).toSeq}")
   }
+
+  test("qn36 IVF+PQ composed top-k recall >= 0.9 vs exact brute-force top-k") {
+    val queries = emb.where(col("vec_id") < 8)
+    def topkSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = topkSet(
+      Similarity.topKPerQuery(emb, queries, "vec_id", "embedding", k = 5))
+    // The COMPOSED loss stacks IVF's missed cells on PQ's shortlist
+    // misses, so each half runs with more headroom than standalone:
+    // nProbe 7/8 + n/8 shortlist (vs 6 + n/10 = 0.85, under the gate).
+    // Deterministic training (seeded KMeans + strided Lloyd) → a fixed
+    // number: 0.95 at sf0.01, 0.925 at sf0.1, 1.0 at 20k vectors.
+    val n = emb.count()
+    val ann = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 5, nlist = 8, nProbe = 7, m = 16, ksub = 16,
+      shortlist = math.max(50L, n / 8).toInt, corpusRows = Some(n))
+    val cand = topkSet(ann)
+    val recall = (truth & cand).size.toDouble / truth.size
+    info(f"ivfpq recall = $recall%.4f over ${truth.size} true neighbors")
+    assert(truth.size == 40 && recall >= 0.9)
+    // Both bounded-heap aggregates (ADC shortlist + exact re-rank) run
+    // through TopKByScoreAgg — no window sort anywhere in the plan.
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(plan.contains("topk_by_score"), "IVF+PQ not using TopKByScoreAgg")
+  }
 }
