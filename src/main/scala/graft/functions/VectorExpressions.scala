@@ -44,6 +44,20 @@ object VectorExpressions {
   def l2Normalize(vec: Column): Column =
     ColumnBridge.column(L2NormalizeExpr(ColumnBridge.expression(vec)))
 
+  /** Bloom-filter membership probe against a driver-built sketch
+    * (`org.apache.spark.util.sketch.BloomFilter` serialized bytes) via
+    * Spark's own codegen'd runtime-filter expression
+    * (`BloomFilterMightContain` — deserialized once per task, probed
+    * inside whole-stage codegen). `value` must be hashed the same way
+    * the sketch was fed: insert and probe xxhash64 LONGS (the
+    * expression probes `mightContainLong`).
+    */
+  def bloomMightContain(sketchBytes: Array[Byte], value: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(sketchBytes),
+        ColumnBridge.expression(value)))
+
   /** Exact top-k (score, id) aggregate with map-side partial combine;
     * returns array<struct<sim,vec_id>> best-first.
     */

@@ -162,6 +162,52 @@ object TextOps {
       .agg(count(lit(1)).as("n_overlap")) // corpus shingles are per-doc distinct
   }
 
+  /** Bloom-sketch decontamination — [[contaminationOverlap]]'s sibling
+    * for benchmark suites too large to broadcast as a distinct-shingle
+    * table: the benchmark's shingles fold into ONE fixed-size Bloom
+    * filter (`df.stat.bloomFilter`, a distributed treeAggregate whose
+    * bit-OR insertions are order-independent → the sketch is
+    * deterministic), and the corpus probes it per shingle INSIDE
+    * whole-stage codegen (Spark's own runtime-filter expression) — no
+    * join and no shuffle for the match; only per-doc hit counts
+    * aggregate. At 100 TB the sketch is a fixed few MB regardless of
+    * benchmark size, vs a broadcast distinct-shingle table that grows
+    * with it.
+    *
+    * Contract: NO false negatives — every doc sharing an n-gram with
+    * the benchmark is flagged; false positives over-flag at ≈ fpp per
+    * distinct probe. A flag-then-verify pipeline re-checks flagged docs
+    * with the exact join ([[contaminationOverlap]]) over the now-tiny
+    * flagged subset.
+    *
+    * Returns (id, n_flagged) for corpus docs with ≥ 1 probe hit —
+    * n_flagged counts flagged shingles (= true overlap + per-doc FPs).
+    */
+  def contaminationBloom(
+      corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      expectedItems: Long = 1L << 22,
+      fpp: Double = 1e-6): org.apache.spark.sql.DataFrame = {
+    val bf = benchmark
+      .select(explode(shingles(col(textCol), n)).as("__s"))
+      .distinct()
+      .select(xxhash64(col("__s")).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    corpus.select(col(idCol), explode(shingles(col(textCol), n)).as("__s"))
+      .where(graft.functions.VectorExpressions
+        .bloomMightContain(bytes, xxhash64(col("__s"))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_flagged"))
+  }
+
   /** Fraction of tokens that are (English) stopwords — the classic
     * "natural language vs word-soup" discriminator in C4/Gopher-style
     * corpus filters. 0 for empty docs.

@@ -581,6 +581,39 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Bloom-sketch decontamination graded as a deterministic contract:
+    * the same benchmark split as qn22, but the corpus probes a
+    * fixed-size Bloom sketch of the benchmark shingles instead of
+    * joining a broadcast shingle table — the shape that survives when
+    * the benchmark suite is GBs (the sketch stays a few MB). Two
+    * stateable guarantees: NO false negatives (every qn22-contaminated
+    * doc is flagged — Bloom filters cannot miss an inserted key), and a
+    * bounded false-positive overhang (fpp 1e-6 × ~250k corpus probes
+    * ⇒ expected extras ≈ 0; the sketch is deterministic, so the literal
+    * bound 5 is stable at any fixture SF).
+    */
+  private def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isBench = pmod(col("doc_id"), lit(50)) === 3
+    val corpus = d.where(!isBench)
+    val bench = d.where(isBench)
+    val flagged = TextOps.contaminationBloom(corpus, bench, "doc_id", "text",
+      n = 3, expectedItems = 1L << 16, fpp = 1e-6).select(col("doc_id"))
+    val truth = TextOps.contaminationOverlap(corpus, bench, "doc_id", "text")
+      .select(col("doc_id"))
+    val gates = truth.join(flagged, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+      .crossJoin(flagged.join(truth, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_extra")))
+      .select((col("n_missed") === 0).as("no_false_negatives"),
+        (col("n_extra") <= 5).as("fp_bound_ok"))
+    truth
+      .join(flagged.select(col("doc_id"), lit(true).as("flagged")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("flagged"), lit(false)).as("flagged"))
+      .crossJoin(broadcast(gates))
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary stats: top-30 tokens by document frequency
     * (distinct doc per token). One explode + one hash agg + global
     * top-k — the vocab-building pass of a tokenizer pipeline.
@@ -1238,6 +1271,17 @@ object NorthStar {
       SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_exact,
              true AS returned_ok, true AS recall_ok
       FROM embeddings WHERE vec_id < 8
-      ORDER BY query_id"""))
+      ORDER BY query_id""")),
+    QueryDef("qn37_decontaminate_bloom", qDecontaminateBloom _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE trim(text) <> ''),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+             FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 3)
+      SELECT DISTINCT c.doc_id, true AS flagged,
+             true AS no_false_negatives, true AS fp_bound_ok
+      FROM sh c JOIN bench b ON c.s = b.s
+      WHERE c.doc_id % 50 <> 3
+      ORDER BY doc_id"""))
   )
 }

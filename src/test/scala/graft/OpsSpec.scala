@@ -657,6 +657,28 @@ class OpsSpec extends SparkSpec {
     assert(Similarity.planRowUpperBound(exploded).isEmpty, "explode must refuse")
   }
 
+  test("contaminationBloom flags a superset of the exact overlap, no false negatives") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "something with the quick brown fox inside it"), // contaminated
+      (2L, "entirely different words nothing shared here at all"),
+      (3L, "quick brown fox jumps again")                   // contaminated
+    ).toDF("doc_id", "text")
+    val exact = TextOps.contaminationOverlap(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TextOps.contaminationBloom(corpus, bench, "doc_id", "text",
+      expectedItems = 1024, fpp = 1e-6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == Set(1L, 3L))
+    // no false negatives, and per-doc flagged counts >= true overlap
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id) && bloom(id) >= n, s"doc $id under-flagged")
+    }
+    // at fpp 1e-6 over a handful of probes, no spurious docs either
+    assert(bloom.keySet == Set(1L, 3L), s"unexpected flags: ${bloom.keySet}")
+  }
+
   test("chunkSequences: stride windows, truncation, overlap, empty docs") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
