@@ -204,6 +204,38 @@ object Mixture {
       .select((keep :+ col("shard_id")): _*)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * "Weighted random sampling with a reservoir", IPL 2006): every row
+    * gets an exponential race key `-ln(u) / w` — `u` a deterministic
+    * uniform in (0,1) from [[priority]], `w` its weight — and the k
+    * SMALLEST keys are the sample. Distributionally this equals k
+    * sequential weighted draws without replacement, and the fixed hash
+    * makes it a reproducible corpus subsample (the standard way to cut
+    * a quality-weighted training subset).
+    *
+    * Scale shape: key assignment is per-row inside codegen; selection is
+    * `orderBy(key).limit(k)` — Spark's TakeOrderedAndProject, a
+    * per-partition bounded top-k merged on the driver, so at most
+    * k rows per partition move and nothing global sorts. Rows with
+    * weight <= 0 (or null) are excluded, matching the A-ES domain.
+    *
+    * @return the k sampled rows of `docs` plus their `es_key` double.
+    */
+  def weightedSample(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // u in (0,1]: (priority + 1) / (2^32 + 1); the +1s keep ln finite.
+    val u = (priority(col(idCol)).cast("double") + 1d) / (PrioritySpace.toDouble + 1d)
+    docs
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("es_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Reference formulation — ONE cumulative window partitioned by source
     * over every row. Row-identical to [[sampleByTokenBudget]] (MixtureSpec
     * asserts it); kept as the equivalence oracle and for small inputs. Do

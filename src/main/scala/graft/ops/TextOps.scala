@@ -208,6 +208,76 @@ object TextOps {
       .agg(count(lit(1)).as("n_flagged"))
   }
 
+  /** Corpus-level boilerplate removal (CCNet-style paragraph dedup,
+    * reference data model: the `documents` table; the fixture corpus has
+    * no newlines, so the "paragraph" unit is a fixed window of `segLen`
+    * consecutive tokens): segment every document, count each segment's
+    * corpus document-frequency, drop segments appearing in >= `minDocs`
+    * DISTINCT documents (nav bars, license headers, duplicated spans),
+    * and reassemble each document from its surviving segments in order.
+    *
+    * Scale shape at 100 TB: the segmentation explode is per-row (no
+    * shuffle); the doc-frequency pass is ONE hash aggregate over a
+    * skinny (segment_hash, id) projection with map-side partial
+    * aggregation; the over-threshold segment set is the distribution
+    * head — usually tiny but unbounded, so it is NOT force-broadcast
+    * (AQE picks broadcast vs shuffle from its runtime size, the same
+    * policy as the hot-shingle caps in [[Dedup]]); reassembly is one
+    * aggregate on the document key. Segments travel the frequency pass
+    * as 64-bit hashes (the CCNet trick — shuffle rows stay skinny;
+    * collision odds ~n²/2⁻⁶⁴ mean a one-in-billions false boilerplate
+    * mark, acceptable for corpus curation), while the rebuild keeps the
+    * real text, which never crosses the frequency shuffle.
+    *
+    * Output: one row per input id — (id, n_segments, n_removed,
+    * n_kept_words, cleaned_text). Documents whose segments are all
+    * boilerplate (and empty documents) come back with cleaned_text "".
+    */
+  def removeBoilerplate(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      segLen: Int = 8,
+      minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(segLen >= 1, "segLen must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val segs = df
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .where(size(col("__w")) > 0)
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(0), size(col("__w")) - 1, lit(segLen))))
+      .select(col(idCol), col("pos").cast("int").as("__seg_idx"),
+        concat_ws(" ", slice(col("__w"), col("col") + 1, lit(segLen))).as("__seg"))
+      .withColumn("__h", xxhash64(col("__seg")))
+    val boiler = segs
+      .groupBy("__h")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("__h"), lit(true).as("__boiler"))
+    val rebuilt = segs
+      .join(boiler, Seq("__h"), "left")
+      .withColumn("__drop", coalesce(col("__boiler"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!col("__drop"), size(split(col("__seg"), " ")).cast("long"))
+          .otherwise(0L)).as("n_kept_words"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("__drop"),
+            struct(col("__seg_idx"), col("__seg"))))),
+          x => x.getField("__seg"))).as("cleaned_text"))
+    // Empty documents never reach the segment explode; restore them so
+    // the operator is total over its input ids.
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_kept_words"), lit(0L)).as("n_kept_words"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Fraction of tokens that are (English) stopwords — the classic
     * "natural language vs word-soup" discriminator in C4/Gopher-style
     * corpus filters. 0 for empty docs.

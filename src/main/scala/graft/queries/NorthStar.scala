@@ -614,6 +614,19 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level boilerplate removal (CCNet-style paragraph dedup;
+    * paragraph = 8-token window on this newline-free fixture): drop
+    * segments shared by >= 2 distinct docs, rebuild each doc from the
+    * survivors, and grade per-doc segment counts + the md5 of the
+    * rebuilt text. One frequency aggregate + one equality join + one
+    * rebuild aggregate — never all-pairs.
+    */
+  private def qRemoveBoilerplate(s: SparkSession, dir: String): DataFrame =
+    TextOps.removeBoilerplate(docs(s, dir), "doc_id", "text", segLen = 8, minDocs = 2)
+      .select(col("doc_id"), col("n_segments"), col("n_removed"), col("n_kept_words"),
+        md5(col("cleaned_text").cast("binary")).as("cleaned_hash"))
+      .orderBy("doc_id")
+
   /** Corpus vocabulary stats: top-30 tokens by document frequency
     * (distinct doc per token). One explode + one hash agg + global
     * top-k — the vocab-building pass of a tokenizer pipeline.
@@ -641,6 +654,18 @@ object NorthStar {
         lit(200L) + lit(50L) * substring(col("source"), 4, 8).cast("long"))
     Mixture.sampleByTokenBudget(d, "doc_id", "toks", "source", budgets)
       .select(col("doc_id"), col("source"), col("toks").cast("int").as("toks"))
+      .orderBy("doc_id")
+  }
+
+  /** Weighted sampling without replacement: a 50-doc subsample drawn
+    * proportional to token count via Efraimidis–Spirakis exponential
+    * keys over the deterministic [[Mixture.priority]] uniform — fully
+    * stateable in SQL, so the oracle recomputes the exact same draw.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("toks", TextOps.tokenCount(col("text")))
+    Mixture.weightedSample(d, "doc_id", "toks", k = 50)
+      .select(col("doc_id"), col("toks"), round(col("es_key"), 6).as("es_key"))
       .orderBy("doc_id")
   }
 
@@ -1282,6 +1307,45 @@ object NorthStar {
              true AS no_false_negatives, true AS fp_bound_ok
       FROM sh c JOIN bench b ON c.s = b.s
       WHERE c.doc_id % 50 <> 3
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+    QueryDef("qn38_remove_boilerplate", qRemoveBoilerplate _, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''),
+      segs AS (
+        SELECT doc_id, CAST(st / 8 AS INT) AS seg_idx,
+               array_to_string(list_slice(w, st + 1, st + 8), ' ') AS seg
+        FROM toks, unnest(range(0, len(w), 8)) t(st)),
+      boiler AS (
+        SELECT seg FROM segs GROUP BY seg
+        HAVING count(DISTINCT doc_id) >= 2),
+      marked AS (
+        SELECT s.doc_id, s.seg_idx, s.seg, b.seg IS NOT NULL AS is_b
+        FROM segs s LEFT JOIN boiler b ON s.seg = b.seg)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(sum(CASE WHEN NOT is_b
+                           THEN len(string_split(seg, ' ')) ELSE 0 END) AS BIGINT)
+               AS n_kept_words,
+             md5(coalesce(string_agg(CASE WHEN NOT is_b THEN seg END, ' '
+                                     ORDER BY seg_idx), '')) AS cleaned_hash
+      FROM marked
+      GROUP BY doc_id
+      ORDER BY doc_id""")),
+    QueryDef("qn39_weighted_sample", qWeightedSample _, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS toks
+        FROM documents),
+      keyed AS (
+        SELECT doc_id, toks,
+               -ln((CAST((doc_id::HUGEINT * 2654435761) % 4294967296 AS DOUBLE) + 1)
+                   / 4294967297.0) / CAST(toks AS DOUBLE) AS es_key
+        FROM t WHERE toks > 0),
+      sel AS (SELECT * FROM keyed ORDER BY es_key, doc_id LIMIT 50)
+      SELECT doc_id, toks, round(es_key, 6) AS es_key
+      FROM sel ORDER BY doc_id"""))
   )
 }

@@ -116,4 +116,32 @@ class MixtureSpec extends SparkSpec {
       if (sid < 7) assert(t >= target - 50 && t < target + 50, s"shard $sid off: $t vs $target")
     }
   }
+
+  test("weightedSample: matches the A-ES formula exactly and excludes nonpositive weights") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, if (i % 13 == 0) 0L else 1L + i % 37))
+      .toDF("doc_id", "w")
+    val got = Mixture.weightedSample(docs, "doc_id", "w", k = 20)
+      .select("doc_id").as[Long].collect().toSeq
+    // Reference recomputation of the same deterministic draw.
+    val expect = (0L until 200L)
+      .map(i => (i, if (i % 13 == 0) 0L else 1L + i % 37))
+      .filter(_._2 > 0)
+      .map { case (id, w) =>
+        val u = ((id * 2654435761L) % 4294967296L + 1).toDouble / 4294967297d
+        (id, -math.log(u) / w)
+      }
+      .sortBy { case (id, key) => (key, id) }
+      .take(20).map(_._1)
+    assert(got.sorted == expect.sorted, s"got $got")
+    assert(!got.exists(_ % 13 == 0), "zero-weight rows must never be drawn")
+    // k above the eligible count returns everything eligible.
+    assert(Mixture.weightedSample(docs, "doc_id", "w", k = 1000).count() ==
+      (0L until 200L).count(_ % 13 != 0))
+    // Scale shape: selection must plan as a bounded top-k
+    // (TakeOrderedAndProject), never a global sort.
+    val plan = Mixture.weightedSample(docs, "doc_id", "w", k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
 }

@@ -698,4 +698,34 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b")))
     assert(!out.exists(_._1 == 3L))
   }
+
+  test("removeBoilerplate: shared segments drop, unique survive in order, empty docs total") {
+    import spark.implicits._
+    val header = (1 to 8).map(i => s"h$i").mkString(" ")  // shared 8-token segment
+    val df = Seq(
+      (1L, s"$header a1 a2 a3 a4 a5 a6 a7 a8 tail1"),
+      (2L, s"$header b1 b2 b3 b4 b5 b6 b7 b8"),
+      (3L, s"$header c1 c2"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+      (5L, "   ")
+    ).toDF("id", "text")
+    val out = TextOps.removeBoilerplate(df, "id", "text", segLen = 8, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // The header segment appears in docs 1-3 (aligned at position 0) and
+    // is removed everywhere; doc-unique segments survive in order,
+    // including truncated tails.
+    assert(out(1L) == ((3L, 1L, 9L, "a1 a2 a3 a4 a5 a6 a7 a8 tail1")))
+    assert(out(2L) == ((2L, 1L, 8L, "b1 b2 b3 b4 b5 b6 b7 b8")))
+    assert(out(3L) == ((2L, 1L, 2L, "c1 c2")))
+    assert(out(4L) == ((2L, 0L, 9L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+    // Whitespace-only doc: present, zero segments, empty rebuild.
+    assert(out(5L) == ((0L, 0L, 0L, "")))
+    // minDocs honors DISTINCT docs: an intra-doc repeat alone is kept.
+    val rep = Seq((1L, ((1 to 8).map(i => s"r$i").mkString(" ") + " ") * 2)).toDF("id", "text")
+    val repOut = TextOps.removeBoilerplate(rep, "id", "text", segLen = 8, minDocs = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(repOut == ((2L, 0L)), "intra-doc repetition is not corpus boilerplate")
+  }
 }
