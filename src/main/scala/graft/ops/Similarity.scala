@@ -565,6 +565,115 @@ object Similarity {
     *        count() job (column-pruned, but still an extra stage over a
     *        100 TB corpus).
     */
+  /** Shared coarse quantizer: spherical k-means over the L2-normalized
+    * vectors (cosine on raw-magnitude cells mis-bins vectors by length),
+    * fit on a sample capped at `maxFitRows` (a billion-vector corpus
+    * must not stream through 5 driver-coordinated Lloyd iterations),
+    * assignment over the FULL corpus. Returns the per-vector cell
+    * assignment (vec_id, nv, cell) and the driver-small centroid table.
+    */
+  private def fitCells(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      maxFitRows: Long,
+      corpusRows: Option[Long]): (DataFrame, Seq[(Int, Array[Double])]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", normalize(col("v")))
+      .withColumn("features", array_to_vector(col("nv")))
+    val nRows = corpusRows.orElse(planRowUpperBound(e)).getOrElse(e.count())
+    val fitInput =
+      if (nRows <= maxFitRows) e
+      else e.sample(withReplacement = false, maxFitRows.toDouble / nRows, seed = 42L)
+    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(fitInput)
+    val assigned = model.transform(e).select(col("vec_id"), col("nv"), col("cell"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+    (assigned, centroids)
+  }
+
+  /** SemDeDup (semantic dedup, the LAION/DataComp-scale pipeline op):
+    * cluster the corpus with the coarse quantizer and detect cosine
+    * near-dup pairs ONLY within clusters — one equality self-join on the
+    * cell id, so candidate volume is O(Σ cellᵢ²) ≈ O(n²/nlist) with
+    * `nlist` growing with the corpus, instead of the exact block-grid's
+    * all-block-pairs O(n²). Cross-cluster duplicates are the method's
+    * accepted recall loss (near-identical embeddings land in the same
+    * spherical cell with high probability; RecallSpec pins the fixture
+    * config at recall 1.0 vs the exact pair set).
+    *
+    * Returns (id_a, id_b, sim) pairs with exact cosine, id_a < id_b —
+    * the same shape as [[nearDupPairs]], so [[Dedup.applyComponents]]
+    * applies unchanged (see [[semDedup]]).
+    */
+  def semDedupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      assignProbes: Int = 1,
+      maxFitRows: Long = 100000L,
+      corpusRows: Option[Long] = None): DataFrame = {
+    require(assignProbes >= 1 && assignProbes <= nlist,
+      s"assignProbes must be in [1, nlist], got $assignProbes")
+    val (assigned, centroids) =
+      fitCells(corpus, idCol, vecCol, nlist, maxFitRows, corpusRows)
+    // Soft assignment to the `assignProbes` nearest cells — the recall
+    // lever for pairs straddling a cell boundary (the multi-probe of
+    // clustering). Centroids are driver-tiny, so they inline as a
+    // LITERAL struct array and the top-p cells compute per-row inside
+    // codegen (transform + array_sort + slice): the full corpus crosses
+    // NO shuffle for assignment, hard or soft.
+    val soft =
+      if (assignProbes == 1) assigned
+      else {
+        val centArr = array(centroids.map { case (i, c) =>
+          struct(lit(i).as("cell"), array(c.map(lit): _*).as("centroid"))
+        }: _*)
+        val scored = transform(centArr, c => struct(
+          (-dotD(col("nv"), c.getField("centroid"))).as("negsim"),
+          c.getField("cell").as("cell")))
+        assigned.select(col("vec_id"), col("nv"),
+          explode(transform(slice(array_sort(scored), 1, assignProbes),
+            x => x.getField("cell"))).as("cell"))
+      }
+    val a = soft.select(col("cell"), col("vec_id").as("id_a"), col("nv").as("nva"))
+    val b = soft.select(col("cell"), col("vec_id").as("id_b"), col("nv").as("nvb"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dotD(col("nva"), col("nvb")).as("sim"))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+    // Pairs sharing several probed cells surface once: one distinct on
+    // the (already threshold-filtered, so tiny) pair set.
+    if (assignProbes == 1) pairs else pairs.distinct()
+  }
+
+  /** SemDeDup applied end-to-end: within-cluster pair detection →
+    * connected components → keep the smallest id per component.
+    * The cosine analog of [[Dedup.dedupByJaccard]] at cluster-pruned
+    * cost; survivors of [[dedupByCosine]] minus any cross-cluster-only
+    * duplicate groups.
+    */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      assignProbes: Int = 1,
+      maxFitRows: Long = 100000L,
+      corpusRows: Option[Long] = None): DataFrame =
+    Dedup.applyComponents(corpus,
+      semDedupPairs(corpus, idCol, vecCol, threshold, nlist, assignProbes,
+        maxFitRows, corpusRows),
+      "id_a", "id_b", idCol)
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -576,28 +685,9 @@ object Similarity {
       maxFitRows: Long = 100000L,
       corpusRows: Option[Long] = None): DataFrame = {
 
-    import org.apache.spark.ml.clustering.KMeans
-    // Cluster the L2-NORMALIZED vectors (spherical k-means): cosine search
-    // on raw-magnitude cells mis-bins vectors by length and craters
-    // probe recall.
-    val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nv", normalize(col("v")))
-      .withColumn("features", array_to_vector(col("nv")))
-    // Coarse quantizer quality needs only a corpus sample: cap the KMeans
-    // fit input at maxFitRows (a billion-vector corpus must not stream
-    // through 5 driver-coordinated Lloyd iterations). Assignment below
-    // still covers the full corpus.
-    val nRows = corpusRows.orElse(planRowUpperBound(e)).getOrElse(e.count())
-    val fitInput =
-      if (nRows <= maxFitRows) e
-      else e.sample(withReplacement = false, maxFitRows.toDouble / nRows, seed = 42L)
-    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(fitInput)
-    val assigned = model.transform(e).select(col("vec_id"), col("nv"), col("cell"))
-
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val centroidDf = corpus.sparkSession.createDataFrame(centroids.toSeq)
+    val (assigned, centroids) =
+      fitCells(corpus, idCol, vecCol, nlist, maxFitRows, corpusRows)
+    val centroidDf = corpus.sparkSession.createDataFrame(centroids)
       .toDF("cell", "centroid")
 
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))

@@ -177,6 +177,39 @@ object NorthStar {
           .agg((count(lit(1)) === 0).as("precision_ok")))
   }
 
+  /** SemDeDup graded as a DETERMINISTIC CONTRACT (qn11's playbook): the
+    * exact cosine pair set at the same threshold is the truth (qn10's
+    * operator — the oracle restates it with `list_cosine_similarity`),
+    * and the cluster-scoped pairs are graded as literal-stateable
+    * booleans: recall >= 0.9 (RecallSpec pins this config; k-means seed
+    * fixed → deterministic), sims identical to exact (the within-cluster
+    * score IS the exact dot product), precision 1.0 (pairs are
+    * exact-filtered at the threshold). The fixture is the deliberately
+    * worst-case near-uniform corpus (qn12's nemesis): its 0.4-cosine
+    * pairs are boundary-straddlers by construction, so the graded
+    * config leans on soft assignment (3 of 8 cells) for recall
+    * 0.98/0.96 at sf0.01/sf0.1 — the multi-probe lever, same stance as
+    * qn12's corpus-adaptive nProbe.
+    */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cand = Similarity.semDedupPairs(e, "vec_id", "embedding",
+      threshold = 0.4, nlist = 8, assignProbes = 3)
+    val truth = Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+    truth
+      .join(cand.select(col("id_a"), col("id_b"), col("sim").as("cand_sim")),
+        Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        (coalesce(sum(when(col("cand_sim").isNotNull, 1L).otherwise(0L)), lit(0L)) * 10L >=
+          count(lit(1)) * 9L).as("recall_ok"),
+        coalesce(max(abs(col("cand_sim") - col("sim"))) === 0.0,
+          lit(false)).as("sim_exact_ok"))
+      .crossJoin(
+        cand.join(truth.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+          .agg((count(lit(1)) === 0).as("precision_ok")))
+  }
+
   /** IVF ANN graded as a DETERMINISTIC CONTRACT: exact brute-force top-5
     * per query (qn09's operator; SQL-expressible) is the truth set, and
     * the IVF probe results are graded per query as literal-stateable
@@ -1346,6 +1379,13 @@ object NorthStar {
         FROM t WHERE toks > 0),
       sel AS (SELECT * FROM keyed ORDER BY es_key, doc_id LIMIT 50)
       SELECT doc_id, toks, round(es_key, 6) AS es_key
-      FROM sel ORDER BY doc_id"""))
+      FROM sel ORDER BY doc_id""")),
+    QueryDef("qn40_semdedup", qSemDedup _, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+             true AS recall_ok, true AS sim_exact_ok, true AS precision_ok
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.4"""))
   )
 }

@@ -61,6 +61,14 @@ object RecallAudit {
       topkSet(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 64, 5,
         nlist = 8, nProbe = 7, m = 16, ksub = 16,
         shortlist = math.max(50L, n / 8).toInt, corpusRows = Some(n))))
+    val semTruth = pairSet(Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4),
+      "id_a", "id_b")
+    report("semdedup-p1", semTruth,
+      pairSet(Similarity.semDedupPairs(emb, "vec_id", "embedding", 0.4,
+        nlist = 8, assignProbes = 1), "id_a", "id_b"))
+    report("semdedup-p3", semTruth,
+      pairSet(Similarity.semDedupPairs(emb, "vec_id", "embedding", 0.4,
+        nlist = 8, assignProbes = 3), "id_a", "id_b"))
     spark.stop()
   }
 }

@@ -66,6 +66,29 @@ class RecallSpec extends SparkSpec {
     assert(truth.nonEmpty && recall >= 0.9)
   }
 
+  test("qn40 SemDeDup within-cluster pair recall >= 0.9, precision 1.0") {
+    val truth = pairSet(
+      Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.4),
+      "id_a", "id_b")
+    val sem = Similarity.semDedupPairs(emb, "vec_id", "embedding",
+      threshold = 0.4, nlist = 8, assignProbes = 3)
+    val cand = pairSet(sem, "id_a", "id_b")
+    val recall = recallOf(cand, truth)
+    info(f"semdedup recall = $recall%.4f over ${truth.size} true pairs, ${cand.size} candidates")
+    // Measured 0.9831 at sf0.01 / 0.9630 at sf0.1 (near-uniform
+    // worst-case fixture; hard assignment alone gives 0.49/0.36 —
+    // the 3-of-8 soft assignment is the load-bearing recall lever).
+    assert(truth.nonEmpty && recall >= 0.9)
+    // Precision is structural: within-cluster scores are exact cosine.
+    assert((cand -- truth).isEmpty, "semdedup must never emit a non-true pair")
+    // Candidate generation must be a cell-equality hash join — never a
+    // cartesian/BNLJ — and assignment must stay shuffle-free (literal
+    // centroids, per-row transform).
+    val plan = sem.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+  }
+
   test("qn12 IVF top-k recall >= 0.9 vs exact brute-force top-k") {
     val queries = emb.where(col("vec_id") < 8)
     def topkSet(df: DataFrame): Set[(Long, Long)] =
