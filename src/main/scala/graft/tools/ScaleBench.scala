@@ -74,6 +74,13 @@ object ScaleBench {
           dim = 64, cosThreshold = 0.9, numPlanes = 32, bands = 4)
         Dedup.applyComponents(emb, pairs, "id_a", "id_b", "vec_id").count()
       }
+      ops("qn38_boilerplate") = timed(
+        graft.ops.TextOps.removeBoilerplate(docs, "doc_id", "text").count())
+      ops("qn40_semdedup") = timed {
+        val pairs = Similarity.semDedupPairs(emb, "vec_id", "embedding",
+          threshold = 0.9, nlist = 8, assignProbes = 3)
+        Dedup.applyComponents(emb, pairs, "id_a", "id_b", "vec_id").count()
+      }
       ops("qs07_cdc_merge") = timed {
         val root = graft.TempDirs.create("graft_scale_cdc_")
         val store = new graft.store.Store(spark, root)

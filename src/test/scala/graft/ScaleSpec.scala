@@ -350,4 +350,29 @@ class ScaleSpec extends SparkSpec {
     assert(c2 <= 8 * c1,
       s"banded candidates super-linear: $c1 at 3k docs, $c2 at 12k")
   }
+
+  test("semdedup survivors equal SRP-banded dedup survivors on planted twins (qn40 gate)") {
+    import graft.ops.{Dedup, Similarity}
+    import graft.tools.ScaleData
+    // Two independent detectors over the same planted-twin corpus at the
+    // twin threshold: cluster-scoped exact pairs (SemDeDup) and banded
+    // SRP candidates. Components and keep-min survivors must agree —
+    // each method cross-validates the other's recall end-to-end.
+    val emb = ScaleData.embeddings(spark, 2000L).cache()
+    try {
+      val sem = Dedup.applyComponents(emb,
+        Similarity.semDedupPairs(emb, "vec_id", "embedding",
+          threshold = 0.9, nlist = 8, assignProbes = 3),
+        "id_a", "id_b", "vec_id")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val srp = Dedup.applyComponents(emb,
+        Similarity.srpNeighbors(emb, "vec_id", "embedding",
+          dim = 64, cosThreshold = 0.9, numPlanes = 32, bands = 4),
+        "id_a", "id_b", "vec_id")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(sem.size < 2000, "no twins detected — fixture broken")
+      assert(sem == srp,
+        s"survivor sets diverge: sem-only=${(sem -- srp).size} srp-only=${(srp -- sem).size}")
+    } finally emb.unpersist()
+  }
 }
