@@ -87,7 +87,8 @@ class DataFrameClient:
             params['external_key'] = external_key
         if use_last:
             params['use_last'] = 'true'
-        rows = self._request('GET', f'/dataframes/{dataframe_name}',
+        path = urllib.parse.quote(dataframe_name, safe='/')
+        rows = self._request('GET', f'/dataframes/{path}',
                              params=params, action='retrieving DataFrame')
         return _pd.DataFrame(rows) if _pd is not None else rows
 

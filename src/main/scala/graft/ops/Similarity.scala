@@ -443,30 +443,21 @@ object Similarity {
       maxFitRows: Long = 100000L,
       corpusRows: Option[Long] = None): DataFrame = {
 
-    import org.apache.spark.ml.clustering.KMeans
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     require(shortlist >= k, "shortlist must be >= k")
-    val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nv", normalize(col("v")))
-      .withColumn("features", array_to_vector(col("nv")))
-    val nRows = corpusRows.orElse(planRowUpperBound(e)).getOrElse(e.count())
-    val fitInput =
-      if (nRows <= maxFitRows) e
-      else e.sample(withReplacement = false, maxFitRows.toDouble / nRows, seed = 42L)
     // One bounded sample feeds BOTH trainers (coarse cells + PQ codebook).
-    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(fitInput)
-    val sample = fitInput.select("nv").collect()
+    val (cellAssigned, centroids, fitVectors) =
+      fitCells(corpus, idCol, vecCol, nlist, maxFitRows, corpusRows)
+    val sample = fitVectors.collect()
       .map(_.getSeq[Double](0).toArray).filter(_.length == dim)
     require(sample.nonEmpty, s"no fit vectors of dim $dim")
     val codebook = trainPqCodebook(sample, dim, m, ksub)
 
     val fn = graft.functions.VectorExpressions
-    val assigned = model.transform(e)
+    val e = cellAssigned.select(col("vec_id"), col("nv"))
+    val assigned = cellAssigned
       .select(col("vec_id"), col("cell"), fn.pqEncode(col("nv"), codebook, dim, m, ksub).as("code"))
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val centroidDf = corpus.sparkSession.createDataFrame(centroids.toSeq)
+    val centroidDf = corpus.sparkSession.createDataFrame(centroids)
       .toDF("cell", "centroid")
 
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
@@ -554,23 +545,20 @@ object Similarity {
     codebook
   }
 
-  /** IVF-style ANN: coarse-quantize the corpus into `nlist` k-means cells,
-    * probe the `nProbe` nearest cells per query, exact re-rank inside.
-    *
-    * @param corpusRows caller-supplied corpus size hint (e.g. from table
-    *        metadata — [[graft.Tables.parquetRowCount]] reads it from
-    *        parquet footers driver-side). Without a hint,
-    *        [[planRowUpperBound]] derives one from the plan's own parquet
-    *        footers; only plans with non-file sources fall back to a
-    *        count() job (column-pruned, but still an extra stage over a
-    *        100 TB corpus).
-    */
   /** Shared coarse quantizer: spherical k-means over the L2-normalized
     * vectors (cosine on raw-magnitude cells mis-bins vectors by length),
     * fit on a sample capped at `maxFitRows` (a billion-vector corpus
     * must not stream through 5 driver-coordinated Lloyd iterations),
     * assignment over the FULL corpus. Returns the per-vector cell
-    * assignment (vec_id, nv, cell) and the driver-small centroid table.
+    * assignment (vec_id, nv, cell), the driver-small centroid list, and
+    * the (nv-only) fit sample for downstream trainers (PQ codebooks).
+    *
+    * `corpusRows` is the caller-supplied corpus size hint (e.g. from
+    * table metadata — [[graft.Tables.parquetRowCount]] reads it from
+    * parquet footers driver-side). Without a hint, [[planRowUpperBound]]
+    * derives one from the plan's own parquet footers; only plans with
+    * non-file sources fall back to a count() job (column-pruned, but
+    * still an extra stage over a 100 TB corpus).
     */
   private def fitCells(
       corpus: DataFrame,
@@ -578,7 +566,7 @@ object Similarity {
       vecCol: String,
       nlist: Int,
       maxFitRows: Long,
-      corpusRows: Option[Long]): (DataFrame, Seq[(Int, Array[Double])]) = {
+      corpusRows: Option[Long]): (DataFrame, Seq[(Int, Array[Double])], DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nv", normalize(col("v")))
@@ -593,7 +581,7 @@ object Similarity {
     val assigned = model.transform(e).select(col("vec_id"), col("nv"), col("cell"))
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
-    (assigned, centroids)
+    (assigned, centroids, fitInput.select("nv"))
   }
 
   /** SemDeDup (semantic dedup, the LAION/DataComp-scale pipeline op):
@@ -621,22 +609,29 @@ object Similarity {
       corpusRows: Option[Long] = None): DataFrame = {
     require(assignProbes >= 1 && assignProbes <= nlist,
       s"assignProbes must be in [1, nlist], got $assignProbes")
-    val (assigned, centroids) =
+    val (assigned, centroids, _) =
       fitCells(corpus, idCol, vecCol, nlist, maxFitRows, corpusRows)
     // Soft assignment to the `assignProbes` nearest cells — the recall
     // lever for pairs straddling a cell boundary (the multi-probe of
     // clustering). Centroids are driver-tiny, so they inline as a
     // LITERAL struct array and the top-p cells compute per-row inside
     // codegen (transform + array_sort + slice): the full corpus crosses
-    // NO shuffle for assignment, hard or soft.
+    // NO shuffle for assignment, hard or soft. Cells rank by
+    // ||c||²/2 − x·c, which for unit x is monotone in ||x−c||² — the
+    // SAME metric as the hard KMeans assignment (centroid norms differ,
+    // so ranking by raw dot would disagree with it and probes > 1 would
+    // not be a superset of probes = 1).
     val soft =
       if (assignProbes == 1) assigned
       else {
         val centArr = array(centroids.map { case (i, c) =>
-          struct(lit(i).as("cell"), array(c.map(lit): _*).as("centroid"))
+          struct(lit(i).as("cell"),
+            lit(c.map(x => x * x).sum / 2).as("halfnorm2"),
+            array(c.map(lit): _*).as("centroid"))
         }: _*)
         val scored = transform(centArr, c => struct(
-          (-dotD(col("nv"), c.getField("centroid"))).as("negsim"),
+          (c.getField("halfnorm2") - dotD(col("nv"), c.getField("centroid")))
+            .as("dist"),
           c.getField("cell").as("cell")))
         assigned.select(col("vec_id"), col("nv"),
           explode(transform(slice(array_sort(scored), 1, assignProbes),
@@ -674,6 +669,10 @@ object Similarity {
         maxFitRows, corpusRows),
       "id_a", "id_b", idCol)
 
+  /** IVF-style ANN: coarse-quantize the corpus into `nlist` k-means cells
+    * ([[fitCells]]), probe the `nProbe` nearest cells per query, exact
+    * re-rank inside. See [[fitCells]] for the `corpusRows` sizing hint.
+    */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -685,7 +684,7 @@ object Similarity {
       maxFitRows: Long = 100000L,
       corpusRows: Option[Long] = None): DataFrame = {
 
-    val (assigned, centroids) =
+    val (assigned, centroids, _) =
       fitCells(corpus, idCol, vecCol, nlist, maxFitRows, corpusRows)
     val centroidDf = corpus.sparkSession.createDataFrame(centroids)
       .toDF("cell", "centroid")

@@ -188,7 +188,7 @@ object NorthStar {
     * worst-case near-uniform corpus (qn12's nemesis): its 0.4-cosine
     * pairs are boundary-straddlers by construction, so the graded
     * config leans on soft assignment (3 of 8 cells) for recall
-    * 0.98/0.96 at sf0.01/sf0.1 — the multi-probe lever, same stance as
+    * 1.0/0.97 at sf0.01/sf0.1 — the multi-probe lever, same stance as
     * qn12's corpus-adaptive nProbe.
     */
   private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
@@ -1354,18 +1354,25 @@ object NorthStar {
         HAVING count(DISTINCT doc_id) >= 2),
       marked AS (
         SELECT s.doc_id, s.seg_idx, s.seg, b.seg IS NOT NULL AS is_b
-        FROM segs s LEFT JOIN boiler b ON s.seg = b.seg)
-      SELECT doc_id,
-             CAST(count(*) AS BIGINT) AS n_segments,
-             CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-             CAST(sum(CASE WHEN NOT is_b
-                           THEN len(string_split(seg, ' ')) ELSE 0 END) AS BIGINT)
-               AS n_kept_words,
-             md5(coalesce(string_agg(CASE WHEN NOT is_b THEN seg END, ' '
-                                     ORDER BY seg_idx), '')) AS cleaned_hash
-      FROM marked
-      GROUP BY doc_id
-      ORDER BY doc_id""")),
+        FROM segs s LEFT JOIN boiler b ON s.seg = b.seg),
+      agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN NOT is_b
+                             THEN len(string_split(seg, ' ')) ELSE 0 END) AS BIGINT)
+                 AS n_kept_words,
+               md5(coalesce(string_agg(CASE WHEN NOT is_b THEN seg END, ' '
+                                       ORDER BY seg_idx), '')) AS cleaned_hash
+        FROM marked
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(a.n_segments, 0) AS n_segments,
+             coalesce(a.n_removed, 0) AS n_removed,
+             coalesce(a.n_kept_words, 0) AS n_kept_words,
+             coalesce(a.cleaned_hash, md5('')) AS cleaned_hash
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id""")),
     QueryDef("qn39_weighted_sample", qWeightedSample _, Some("""
       WITH t AS (
         SELECT doc_id,

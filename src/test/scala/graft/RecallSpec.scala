@@ -75,9 +75,10 @@ class RecallSpec extends SparkSpec {
     val cand = pairSet(sem, "id_a", "id_b")
     val recall = recallOf(cand, truth)
     info(f"semdedup recall = $recall%.4f over ${truth.size} true pairs, ${cand.size} candidates")
-    // Measured 0.9831 at sf0.01 / 0.9630 at sf0.1 (near-uniform
+    // Measured 1.0000 at sf0.01 / 0.9652 at sf0.1 (near-uniform
     // worst-case fixture; hard assignment alone gives 0.49/0.36 —
-    // the 3-of-8 soft assignment is the load-bearing recall lever).
+    // the 3-of-8 soft assignment, ranked by the SAME metric as the
+    // hard assignment, is the load-bearing recall lever).
     assert(truth.nonEmpty && recall >= 0.9)
     // Precision is structural: within-cluster scores are exact cosine.
     assert((cand -- truth).isEmpty, "semdedup must never emit a non-true pair")
