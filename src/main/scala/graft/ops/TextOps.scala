@@ -208,6 +208,49 @@ object TextOps {
       .agg(count(lit(1)).as("n_flagged"))
   }
 
+  /** Exact-substring overlap detection (the "ExactSubstr" dedup family
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022): flag every document sharing ANY exact run of
+    * `k` consecutive tokens with another document. Implemented as the
+    * MapReduce-standard stride-1 k-gram formulation — every k-token
+    * window (not [[removeBoilerplate]]'s aligned segments) hashes to 64
+    * bits, a window is "shared" when its text occurs in >= 2 DISTINCT
+    * docs, and each doc reports how many of its windows are shared.
+    * (The paper's suffix array finds maximal shared spans in O(total
+    * tokens); the stride-1 window scan is its distributed-join
+    * equivalent at k-resolution — O(tokens) skinny hash rows through
+    * one aggregate, the standard Spark trade.)
+    *
+    * Scale shape: windows never materialize text past the hash except
+    * on the (tiny) shared set join; one frequency aggregate with
+    * map-side combine + two per-doc aggregates; the shared-window set
+    * is AQE-sized, never force-broadcast.
+    *
+    * Output: (id, n_windows, n_shared_windows) for every doc with >= 1
+    * full k-token window; docs shorter than k tokens have no window and
+    * are absent (they cannot share a k-run by definition).
+    */
+  def exactSubstringOverlap(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val w = chunkSequences(df, idCol, textCol, window = k, stride = 1)
+      .where(col("chunk_len") === k)
+      .select(col(idCol), xxhash64(col("chunk_text")).as("__h"))
+    val shared = w.groupBy("__h")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .where(col("__df") >= 2)
+      .select(col("__h"))
+    val total = w.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
+    val hit = w.join(shared, Seq("__h"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared_windows"))
+    total.join(hit, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_shared_windows"), lit(0L)).as("n_shared_windows"))
+  }
+
   /** Corpus-level boilerplate removal (CCNet-style paragraph dedup,
     * reference data model: the `documents` table; the fixture corpus has
     * no newlines, so the "paragraph" unit is a fixed window of `segLen`

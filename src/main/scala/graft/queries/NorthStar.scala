@@ -660,6 +660,15 @@ object NorthStar {
         md5(col("cleaned_text").cast("binary")).as("cleaned_hash"))
       .orderBy("doc_id")
 
+  /** ExactSubstr overlap (Lee et al. dedup family): per doc, how many
+    * of its stride-1 20-token windows occur verbatim in another doc.
+    * Fully SQL-restateable → exact-match oracle over all docs.
+    */
+  private def qExactSubstring(s: SparkSession, dir: String): DataFrame =
+    TextOps.exactSubstringOverlap(docs(s, dir), "doc_id", "text", k = 20)
+      .withColumn("flagged", col("n_shared_windows") > 0)
+      .orderBy("doc_id")
+
   /** Corpus vocabulary stats: top-30 tokens by document frequency
     * (distinct doc per token). One explode + one hash agg + global
     * top-k — the vocab-building pass of a tokenizer pipeline.
@@ -1393,6 +1402,25 @@ object NorthStar {
       FROM embeddings a, embeddings b
       WHERE a.vec_id < b.vec_id
         AND list_cosine_similarity(a.embedding::DOUBLE[],
-                                   b.embedding::DOUBLE[]) >= 0.4"""))
+                                   b.embedding::DOUBLE[]) >= 0.4""")),
+    QueryDef("qn41_exact_substring", qExactSubstring _, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''),
+      sp AS (
+        SELECT doc_id, array_to_string(w[i:i+19], ' ') AS s
+        FROM toks, unnest(range(1, len(w) - 18)) t(i)),
+      shared AS (
+        SELECT s FROM sp GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+      hit AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_windows
+        FROM sp JOIN shared USING (s) GROUP BY doc_id)
+      SELECT t.doc_id,
+             CAST(len(t.w) - 19 AS BIGINT) AS n_windows,
+             coalesce(h.n_shared_windows, 0) AS n_shared_windows,
+             coalesce(h.n_shared_windows, 0) > 0 AS flagged
+      FROM toks t LEFT JOIN hit h ON t.doc_id = h.doc_id
+      WHERE len(t.w) >= 20
+      ORDER BY t.doc_id"""))
   )
 }

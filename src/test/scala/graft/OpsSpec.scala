@@ -699,6 +699,26 @@ class OpsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("exactSubstringOverlap: shared k-runs flag both docs, short docs absent") {
+    import spark.implicits._
+    val run = (1 to 20).map(i => s"s$i").mkString(" ") // the shared 20-token run
+    val df = Seq(
+      (1L, s"a1 a2 a3 $run a4 a5"),        // shares the run with doc 2
+      (2L, s"$run b1 b2 b3 b4 b5 b6 b7"),  // shares the run with doc 1
+      (3L, (1 to 30).map(i => s"u$i").mkString(" ")), // no overlap
+      (4L, "too short entirely")            // < 20 tokens: no window at all
+    ).toDF("id", "text")
+    val out = TextOps.exactSubstringOverlap(df, "id", "text", k = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 25 tokens -> 6 windows, ONE of them is exactly the run
+    // (windows offset into the run differ in their flanking tokens).
+    assert(out(1L) == ((6L, 1L)), s"doc1 was ${out.get(1L)}")
+    // doc 2: 27 tokens -> 8 windows, one shared.
+    assert(out(2L) == ((8L, 1L)), s"doc2 was ${out.get(2L)}")
+    assert(out(3L) == ((11L, 0L)))
+    assert(!out.contains(4L), "sub-k docs cannot share a k-run")
+  }
+
   test("removeBoilerplate: shared segments drop, unique survive in order, empty docs total") {
     import spark.implicits._
     val header = (1 to 8).map(i => s"h$i").mkString(" ")  // shared 8-token segment
