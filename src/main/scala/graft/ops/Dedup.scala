@@ -287,12 +287,21 @@ object Dedup {
         case _ => ()
       }
 
-    val allNodes = pairs.select(col(aCol).as("node"))
-      .union(pairs.select(col(bCol).as("node")))
+    // Materialize the input pair projection ONCE: the pair set usually
+    // hangs off an expensive detector subtree (shingle joins, cell
+    // joins, k-means assignment), and both the node universe and the
+    // working edge set need it — without this, allNodes' two union
+    // branches re-ran the whole detector (measured 3× the operator
+    // cost on the 60k-vector scale corpus). The block is pair-sized,
+    // same magnitude as the terminal edge set that already outlives
+    // the loop.
+    val rawEdges = materialize(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+    val allNodes = rawEdges.select(col("u").as("node"))
+      .union(rawEdges.select(col("v").as("node")))
       .distinct()
     var edges = checkpointed(
-      pairs
-        .select(col(aCol).as("u"), col(bCol).as("v"))
+      rawEdges
         .where(col("u") =!= col("v"))
         .distinct())
     var sig = signature(edges)

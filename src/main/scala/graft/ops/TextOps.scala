@@ -321,6 +321,46 @@ object TextOps {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  /** DSIR-style importance scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by its log-likelihood ratio under two unigram
+    * models — one estimated from the TARGET slice (`isTarget` rows),
+    * one from the full raw corpus — with add-1 smoothing over the
+    * shared vocabulary. High scores = "looks like the target
+    * distribution"; feed the exp-clipped score to [[Mixture
+    * .weightedSample]] to complete the resampling step.
+    *
+    * Scale shape: one token-frequency aggregate (map-side combined,
+    * vocab-sized result), a 3-number driver total, and one equality
+    * join of the token stream against the per-token log-ratio table
+    * (vocab-sized — AQE broadcasts real-language vocabularies) feeding
+    * a per-doc sum. The corpus crosses one explode and one aggregate;
+    * nothing all-pairs, nothing sorted globally.
+    *
+    * Output: (id, n_tokens, score) per doc with >= 1 token.
+    */
+  def dsirScores(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), isTarget.as("__is_tgt"),
+      explode(tokens(col(textCol))).as("__t"))
+    val counts = toks.groupBy("__t").agg(
+      count(lit(1)).as("__c_all"),
+      sum(when(col("__is_tgt"), 1L).otherwise(0L)).as("__c_tgt"))
+    val tot = counts.agg(
+      sum(col("__c_all")), sum(col("__c_tgt")), count(lit(1))).head()
+    val (nAll, nTgt, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val logRatio =
+      log((col("__c_tgt") + lit(1d)) / lit((nTgt + v).toDouble)) -
+        log((col("__c_all") + lit(1d)) / lit((nAll + v).toDouble))
+    toks
+      .join(counts.select(col("__t"), logRatio.as("__lr")), Seq("__t"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("score"))
+  }
+
   /** Fraction of tokens that are (English) stopwords — the classic
     * "natural language vs word-soup" discriminator in C4/Gopher-style
     * corpus filters. 0 for empty docs.

@@ -660,6 +660,18 @@ object NorthStar {
         md5(col("cleaned_text").cast("binary")).as("cleaned_hash"))
       .orderBy("doc_id")
 
+  /** DSIR importance scoring: per-doc log-likelihood ratio of an
+    * add-1-smoothed unigram LM fit on the `lang = 'en'` target slice
+    * vs one fit on the whole corpus — the data-selection score that
+    * precedes importance resampling. Deterministic closed-form sums →
+    * exact-match oracle (rounded to 4 dp; the ~60-term double sum
+    * agrees across engines to ~1e-13).
+    */
+  private def qDsirScore(s: SparkSession, dir: String): DataFrame =
+    TextOps.dsirScores(docs(s, dir), "doc_id", "text", col("lang") === "en")
+      .select(col("doc_id"), col("n_tokens"), round(col("score"), 4).as("score"))
+      .orderBy("doc_id")
+
   /** ExactSubstr overlap (Lee et al. dedup family): per doc, how many
     * of its stride-1 20-token windows occur verbatim in another doc.
     * Fully SQL-restateable → exact-match oracle over all docs.
@@ -1421,6 +1433,29 @@ object NorthStar {
              coalesce(h.n_shared_windows, 0) > 0 AS flagged
       FROM toks t LEFT JOIN hit h ON t.doc_id = h.doc_id
       WHERE len(t.w) >= 20
-      ORDER BY t.doc_id"""))
+      ORDER BY t.doc_id""")),
+    QueryDef("qn42_dsir_score", qDsirScore _, Some("""
+      WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_tgt,
+               unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM documents WHERE trim(text) <> ''),
+      counts AS (
+        SELECT t, count(*) AS c_all,
+               sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+        FROM toks GROUP BY t),
+      tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+                     CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+                     count(*) AS v
+              FROM counts),
+      lr AS (
+        SELECT t, ln((c_tgt + 1.0) / (n_tgt + v))
+                  - ln((c_all + 1.0) / (n_all + v)) AS lrv
+        FROM counts, tot)
+      SELECT toks.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(sum(lr.lrv), 4) AS score
+      FROM toks JOIN lr ON toks.t = lr.t
+      GROUP BY toks.doc_id
+      ORDER BY toks.doc_id"""))
   )
 }

@@ -699,6 +699,30 @@ class OpsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("dsirScores: matches the closed-form add-1 log-ratio, target tokens score high") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "alpha alpha beta"),
+      (2L, "en", "alpha gamma"),
+      (3L, "de", "delta delta gamma"),
+      (4L, "de", "beta delta")
+    ).toDF("id", "lang", "text")
+    val got = TextOps.dsirScores(df, "id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // Reference recomputation: c_all/c_tgt per token, add-1 over V=5... V=4 distinct
+    val cAll = Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 2L, "delta" -> 3L)
+    val cTgt = Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L, "delta" -> 0L)
+    val (nAll, nTgt, v) = (10L, 5L, 4L)
+    def lr(t: String): Double =
+      math.log((cTgt(t) + 1d) / (nTgt + v)) - math.log((cAll(t) + 1d) / (nAll + v))
+    def score(toks: String*): Double = toks.map(lr).sum
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - score("alpha", "alpha", "beta")) < 1e-9)
+    assert(math.abs(got(3L)._2 - score("delta", "delta", "gamma")) < 1e-9)
+    // English docs outscore German ones under the English target LM.
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(4L)._2)
+  }
+
   test("exactSubstringOverlap: shared k-runs flag both docs, short docs absent") {
     import spark.implicits._
     val run = (1 to 20).map(i => s"s$i").mkString(" ") // the shared 20-token run
