@@ -50,7 +50,7 @@ object Dedup {
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to have
     * Spark GC them with the RDD references).
     */
-  private def materialize(df: DataFrame): DataFrame =
+  private[ops] def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
     else df.localCheckpoint(eager = false)
 

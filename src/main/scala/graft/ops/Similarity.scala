@@ -598,16 +598,6 @@ object Similarity {
     * the same shape as [[nearDupPairs]], so [[Dedup.applyComponents]]
     * applies unchanged (see [[semDedup]]).
     */
-  /** The SemDeDup scale lever: `nlist` must GROW with the corpus so the
-    * per-cell row count stays ~`targetCellRows` and candidate volume
-    * stays linear. Measured at 60k vectors (ScaleData, threshold 0.9,
-    * 3 probes): identical 619 detected pairs at nlist 8 / 24 / 48, wall
-    * 129 s / 24 s / 9.4 s — quadratic at fixed nlist, linear when
-    * cells hold a constant row count.
-    */
-  def semDedupNlistFor(corpusRows: Long, targetCellRows: Long = 2500L): Int =
-    math.max(8L, corpusRows / math.max(1L, targetCellRows)).toInt
-
   def semDedupPairs(
       corpus: DataFrame,
       idCol: String,
@@ -658,6 +648,18 @@ object Similarity {
     // the (already threshold-filtered, so tiny) pair set.
     if (assignProbes == 1) pairs else pairs.distinct()
   }
+
+  /** The SemDeDup scale lever: `nlist` must GROW with the corpus so the
+    * per-cell row count stays ~`targetCellRows` and candidate volume
+    * stays linear. Measured at 60k vectors (ScaleData, threshold 0.9,
+    * 3 probes): identical 619 detected pairs at nlist 8 / 24 / 48, wall
+    * 129 s / 24 s / 9.4 s — quadratic at fixed nlist, linear when
+    * cells hold a constant row count. Clamped to [8, 2²⁰] (a million
+    * Lloyd centroids is past any sane coarse quantizer; unclamped, a
+    * multi-trillion-row corpus would overflow Int).
+    */
+  def semDedupNlistFor(corpusRows: Long, targetCellRows: Long = 2500L): Int =
+    math.min(1L << 20, math.max(8L, corpusRows / math.max(1L, targetCellRows))).toInt
 
   /** SemDeDup applied end-to-end: within-cluster pair detection →
     * connected components → keep the smallest id per component.

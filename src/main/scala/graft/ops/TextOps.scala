@@ -221,9 +221,14 @@ object TextOps {
     * equivalent at k-resolution — O(tokens) skinny hash rows through
     * one aggregate, the standard Spark trade.)
     *
-    * Scale shape: windows never materialize text past the hash except
-    * on the (tiny) shared set join; one frequency aggregate with
-    * map-side combine + two per-doc aggregates; the shared-window set
+    * Scale shape: the stride-1 window stream reduces to skinny
+    * (id, 64-bit hash) rows and is materialized ONCE (it feeds the
+    * frequency aggregate, the per-doc totals, and the shared-set join —
+    * un-materialized it would re-run the explode three times, the same
+    * trap [[graft.ops.Dedup.connectedComponents]] fixed); matching is
+    * hash-only, so a cross-doc 64-bit collision (odds ~n²/2⁻⁶⁴) flags a
+    * window the exact-text oracle would not — the standard fingerprint
+    * trade, same stance as [[removeBoilerplate]]. The shared-window set
     * is AQE-sized, never force-broadcast.
     *
     * Output: (id, n_windows, n_shared_windows) for every doc with >= 1
@@ -236,9 +241,10 @@ object TextOps {
       textCol: String,
       k: Int = 20): org.apache.spark.sql.DataFrame = {
     require(k >= 2, "k must be >= 2")
-    val w = chunkSequences(df, idCol, textCol, window = k, stride = 1)
-      .where(col("chunk_len") === k)
-      .select(col(idCol), xxhash64(col("chunk_text")).as("__h"))
+    val w = Dedup.materialize(
+      chunkSequences(df, idCol, textCol, window = k, stride = 1)
+        .where(col("chunk_len") === k)
+        .select(col(idCol), xxhash64(col("chunk_text")).as("__h")))
     val shared = w.groupBy("__h")
       .agg(count_distinct(col(idCol)).as("__df"))
       .where(col("__df") >= 2)
@@ -284,14 +290,18 @@ object TextOps {
       minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
     require(segLen >= 1, "segLen must be >= 1")
     require(minDocs >= 2, "minDocs must be >= 2")
-    val segs = df
+    // Materialized once: segments are NON-overlapping, so this is ~one
+    // corpus copy, and it feeds both the frequency aggregate and the
+    // rebuild join — un-materialized, the segmentation explode would
+    // run twice.
+    val segs = graft.ops.Dedup.materialize(df
       .select(col(idCol), tokens(col(textCol)).as("__w"))
       .where(size(col("__w")) > 0)
       .select(col(idCol), col("__w"),
         posexplode(sequence(lit(0), size(col("__w")) - 1, lit(segLen))))
       .select(col(idCol), col("pos").cast("int").as("__seg_idx"),
         concat_ws(" ", slice(col("__w"), col("col") + 1, lit(segLen))).as("__seg"))
-      .withColumn("__h", xxhash64(col("__seg")))
+      .withColumn("__h", xxhash64(col("__seg"))))
     val boiler = segs
       .groupBy("__h")
       .agg(count_distinct(col(idCol)).as("__df"))
@@ -331,10 +341,12 @@ object TextOps {
     * .weightedSample]] to complete the resampling step.
     *
     * Scale shape: one token-frequency aggregate (map-side combined,
-    * vocab-sized result), a 3-number driver total, and one equality
-    * join of the token stream against the per-token log-ratio table
-    * (vocab-sized — AQE broadcasts real-language vocabularies) feeding
-    * a per-doc sum. The corpus crosses one explode and one aggregate;
+    * vocab-sized result, materialized once), totals folded in via a
+    * lazy broadcast 1-row cross join, and one equality join of the
+    * token stream against the per-token log-ratio table (vocab-sized —
+    * AQE broadcasts real-language vocabularies) feeding a per-doc sum.
+    * The corpus streams through two scans (frequency pass, scoring
+    * pass), both map-side combined; nothing corpus-sized is pinned,
     * nothing all-pairs, nothing sorted globally.
     *
     * Output: (id, n_tokens, score) per doc with >= 1 token.
@@ -344,19 +356,32 @@ object TextOps {
       idCol: String,
       textCol: String,
       isTarget: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val toks = df.select(col(idCol), isTarget.as("__is_tgt"),
       explode(tokens(col(textCol))).as("__t"))
-    val counts = toks.groupBy("__t").agg(
+    // Vocab-sized, consumed by both the totals row and the log-ratio
+    // join — materialized so the corpus token aggregate runs ONCE (the
+    // token stream itself streams through two scans: one feeding this
+    // aggregate, one feeding the per-doc sum — both map-side combined,
+    // nothing corpus-sized is pinned).
+    val counts = Dedup.materialize(toks.groupBy("__t").agg(
       count(lit(1)).as("__c_all"),
-      sum(when(col("__is_tgt"), 1L).otherwise(0L)).as("__c_tgt"))
+      sum(when(col("__is_tgt"), 1L).otherwise(0L)).as("__c_tgt")))
+    // Totals fold in lazily via a broadcast 1-row cross join (an eager
+    // head() here would run a corpus job at plan-construction time, and
+    // NPE on an empty corpus — with the cross join an empty corpus just
+    // yields an empty result).
     val tot = counts.agg(
-      sum(col("__c_all")), sum(col("__c_tgt")), count(lit(1))).head()
-    val (nAll, nTgt, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+      sum(col("__c_all")).as("__n_all"),
+      sum(col("__c_tgt")).as("__n_tgt"),
+      count(lit(1)).as("__v"))
     val logRatio =
-      log((col("__c_tgt") + lit(1d)) / lit((nTgt + v).toDouble)) -
-        log((col("__c_all") + lit(1d)) / lit((nAll + v).toDouble))
+      log((col("__c_tgt") + lit(1d)) / (col("__n_tgt") + col("__v"))) -
+        log((col("__c_all") + lit(1d)) / (col("__n_all") + col("__v")))
+    val lr = counts.crossJoin(broadcast(tot))
+      .select(col("__t"), logRatio.as("__lr"))
     toks
-      .join(counts.select(col("__t"), logRatio.as("__lr")), Seq("__t"))
+      .join(lr, Seq("__t"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("score"))
   }

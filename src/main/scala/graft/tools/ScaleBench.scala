@@ -36,8 +36,9 @@ object ScaleBench {
     }
 
     val results = scales.map { n =>
+      val nVecs = n * 2 / 5
       val docs = ScaleData.documents(spark, n).cache()
-      val emb = ScaleData.embeddings(spark, n * 2 / 5).cache()
+      val emb = ScaleData.embeddings(spark, nVecs).cache()
       docs.count(); emb.count() // materialize outside the timings
 
       // The quadratic driver of the exact-Jaccard path, computed from
@@ -81,7 +82,7 @@ object ScaleBench {
         // ~2500 rows at any corpus size; fixed nlist is quadratic:
         // 129 s vs 9.4 s at 60k vecs for the SAME 619 detected pairs).
         val pairs = Similarity.semDedupPairs(emb, "vec_id", "embedding",
-          threshold = 0.9, nlist = Similarity.semDedupNlistFor(n * 2 / 5),
+          threshold = 0.9, nlist = Similarity.semDedupNlistFor(nVecs),
           assignProbes = 3)
         Dedup.applyComponents(emb, pairs, "id_a", "id_b", "vec_id").count()
       }
@@ -101,7 +102,7 @@ object ScaleBench {
       val opsJson = ops.map { case (k, (s, rows)) =>
         s""""$k":{"sec":${f"$s%.3f"},"rows":$rows}"""
       }.mkString(",")
-      println(s"""{"n_docs":$n,"n_vecs":${n * 2 / 5},""" +
+      println(s"""{"n_docs":$n,"n_vecs":$nVecs,""" +
         s""""capped_fanout":$cappedFanout,"raw_fanout":$rawFanout,$opsJson}""")
       docs.unpersist(); emb.unpersist(); freqs.unpersist()
       (n, cappedFanout, rawFanout, ops.toMap)

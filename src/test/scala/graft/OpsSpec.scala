@@ -721,6 +721,12 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got(3L)._2 - score("delta", "delta", "gamma")) < 1e-9)
     // English docs outscore German ones under the English target LM.
     assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(4L)._2)
+    // Degenerate corpora return empty results, not a construction-time
+    // NPE (the totals fold in lazily).
+    val blank = Seq((1L, "en", "   ")).toDF("id", "lang", "text")
+    assert(TextOps.dsirScores(blank, "id", "text", col("lang") === "en").count() == 0L)
+    assert(TextOps.dsirScores(blank.limit(0), "id", "text",
+      col("lang") === "en").count() == 0L)
   }
 
   test("exactSubstringOverlap: shared k-runs flag both docs, short docs absent") {
