@@ -331,6 +331,62 @@ object TextOps {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  /** Span-level decontamination — the REMOVAL step after
+    * [[contaminationOverlap]]/[[contaminationBloom]] flag: drop every
+    * token covered by any benchmark-overlapping n-gram window and
+    * rebuild the document from the survivors, so a doc leaking three
+    * eval sentences loses those spans, not its whole text. (The
+    * flag-and-drop alternative discards the doc; span removal is what
+    * production pipelines run when the contaminated mass is small.)
+    *
+    * Scale shape: the benchmark's distinct shingles broadcast (same
+    * stance as [[contaminationOverlap]] — benchmarks are MBs); the
+    * corpus token/window streams are per-row explodes; covered
+    * positions come from one broadcast-hash join + explode + distinct;
+    * the rebuild is one aggregate on the doc key. Matching is on the
+    * shingle STRING (exact — the broadcast side is small, so there is
+    * no skinny-hash shuffle to win).
+    *
+    * Output: one row per corpus doc — (id, n_tokens, n_removed_tokens,
+    * cleaned_text); uncontaminated and empty docs come back whole.
+    */
+  def removeContaminatedSpans(
+      corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(n >= 1, "n must be >= 1")
+    val benchSh = benchmark.select(explode(shingles(col(textCol), n)).as("__s")).distinct()
+    val toks = corpus.select(col(idCol),
+      posexplode(tokens(col(textCol)))).toDF(idCol, "__p", "__tok")
+    val wins = chunkSequences(corpus, idCol, textCol, window = n, stride = 1)
+      .where(col("chunk_len") === n)
+      .select(col(idCol), col("chunk_idx").as("__st"), col("chunk_text").as("__s"))
+    val covered = wins.join(broadcast(benchSh), Seq("__s"))
+      .select(col(idCol),
+        explode(sequence(col("__st"), col("__st") + lit(n - 1))).as("__p"))
+      .distinct()
+      .withColumn("__hit", lit(true))
+    val rebuilt = toks.join(covered, Seq(idCol, "__p"), "left")
+      .withColumn("__drop", coalesce(col("__hit"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_removed_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("__drop"),
+            struct(col("__p"), col("__tok"))))),
+          x => x.getField("__tok"))).as("cleaned_text"))
+    corpus.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed_tokens"), lit(0L)).as("n_removed_tokens"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** DSIR-style importance scoring (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every document by its log-likelihood ratio under two unigram

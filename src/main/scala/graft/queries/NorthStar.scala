@@ -660,6 +660,21 @@ object NorthStar {
         md5(col("cleaned_text").cast("binary")).as("cleaned_hash"))
       .orderBy("doc_id")
 
+  /** Span-level decontamination applied: benchmark = every 50th doc
+    * (qn37's split), corpus = the rest; tokens covered by any
+    * benchmark-overlapping 3-gram are dropped and the doc is rebuilt.
+    * Exact-match oracle (string-keyed matching on both sides).
+    */
+  private def qDecontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isBench = pmod(col("doc_id"), lit(50)) === 3
+    TextOps.removeContaminatedSpans(d.where(!isBench), d.where(isBench),
+        "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed_tokens"),
+        md5(col("cleaned_text").cast("binary")).as("cleaned_hash"))
+      .orderBy("doc_id")
+  }
+
   /** DSIR importance scoring: per-doc log-likelihood ratio of an
     * add-1-smoothed unigram LM fit on the `lang = 'en'` target slice
     * vs one fit on the whole corpus — the data-selection score that
@@ -1456,6 +1471,40 @@ object NorthStar {
              round(sum(lr.lrv), 4) AS score
       FROM toks JOIN lr ON toks.t = lr.t
       GROUP BY toks.doc_id
-      ORDER BY toks.doc_id"""))
+      ORDER BY toks.doc_id""")),
+    QueryDef("qn43_decontaminate_spans", qDecontaminateSpans _, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''),
+      bench AS (
+        SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS s
+        FROM toks, unnest(range(1, len(w) - 1)) t(i)
+        WHERE doc_id % 50 = 3),
+      corp AS (SELECT doc_id, w FROM toks WHERE doc_id % 50 <> 3),
+      wins AS (
+        SELECT doc_id, i, array_to_string(w[i:i+2], ' ') AS s
+        FROM corp, unnest(range(1, len(w) - 1)) t(i)),
+      cov AS (
+        SELECT DISTINCT wins.doc_id, j AS p
+        FROM wins JOIN bench USING (s), unnest(range(wins.i, wins.i + 3)) u(j)),
+      tokpos AS (
+        SELECT doc_id, p, w[CAST(p AS INT)] AS tok
+        FROM corp, unnest(range(1, len(w) + 1)) t(p)),
+      agg AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed_tokens,
+               md5(coalesce(string_agg(CASE WHEN c.p IS NULL THEN t.tok END, ' '
+                                       ORDER BY t.p), '')) AS cleaned_hash
+        FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        GROUP BY t.doc_id)
+      SELECT d.doc_id,
+             coalesce(a.n_tokens, 0) AS n_tokens,
+             coalesce(a.n_removed_tokens, 0) AS n_removed_tokens,
+             coalesce(a.cleaned_hash, md5('')) AS cleaned_hash
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      WHERE d.doc_id % 50 <> 3
+      ORDER BY d.doc_id"""))
   )
 }

@@ -699,6 +699,25 @@ class OpsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("removeContaminatedSpans: covered tokens drop, rest survives in order") {
+    import spark.implicits._
+    val bench = Seq((100L, "x1 x2 x3 x4")).toDF("id", "text") // 3-grams: x1x2x3, x2x3x4
+    val corpus = Seq(
+      (1L, "a b x1 x2 x3 c d"),   // one overlapping 3-gram covers positions 2-4
+      (2L, "x1 x2 x3 x4 e"),      // two overlapping 3-grams cover positions 0-3
+      (3L, "clean words only here"),
+      (4L, "x1 x2")               // shorter than n: no window, kept whole
+    ).toDF("id", "text")
+    val out = TextOps.removeContaminatedSpans(corpus, bench, "id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((7L, 3L, "a b c d")))
+    assert(out(2L) == ((5L, 4L, "e")))
+    assert(out(3L) == ((4L, 0L, "clean words only here")))
+    assert(out(4L) == ((2L, 0L, "x1 x2")))
+  }
+
   test("dsirScores: matches the closed-form add-1 log-ratio, target tokens score high") {
     import spark.implicits._
     val df = Seq(
