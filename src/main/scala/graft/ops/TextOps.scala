@@ -340,12 +340,16 @@ object TextOps {
     * production pipelines run when the contaminated mass is small.)
     *
     * Scale shape: the benchmark's distinct shingles broadcast (same
-    * stance as [[contaminationOverlap]] — benchmarks are MBs); the
-    * corpus token/window streams are per-row explodes; covered
-    * positions come from one broadcast-hash join + explode + distinct;
-    * the rebuild is one aggregate on the doc key. Matching is on the
-    * shingle STRING (exact — the broadcast side is small, so there is
-    * no skinny-hash shuffle to win).
+    * stance as [[contaminationOverlap]] — benchmarks are MBs); covered
+    * positions come from one broadcast-hash join over the window
+    * stream, then aggregate to ONE small (id, position-set) row per
+    * CONTAMINATED doc — the only thing that shuffles is the
+    * contamination mass, never the corpus token stream. The rebuild is
+    * per-row (higher-order filter over the doc's own tokens against its
+    * covered-position set), so clean docs — the overwhelming majority —
+    * cross no shuffle at all. Matching is on the shingle STRING (exact
+    * — the broadcast side is small, so there is no skinny-hash shuffle
+    * to win).
     *
     * Output: one row per corpus doc — (id, n_tokens, n_removed_tokens,
     * cleaned_text); uncontaminated and empty docs come back whole.
@@ -359,32 +363,26 @@ object TextOps {
     import org.apache.spark.sql.functions.broadcast
     require(n >= 1, "n must be >= 1")
     val benchSh = benchmark.select(explode(shingles(col(textCol), n)).as("__s")).distinct()
-    val toks = corpus.select(col(idCol),
-      posexplode(tokens(col(textCol)))).toDF(idCol, "__p", "__tok")
     val wins = chunkSequences(corpus, idCol, textCol, window = n, stride = 1)
       .where(col("chunk_len") === n)
       .select(col(idCol), col("chunk_idx").as("__st"), col("chunk_text").as("__s"))
-    val covered = wins.join(broadcast(benchSh), Seq("__s"))
+    // One (id, covered-position-set) row per contaminated doc — sized by
+    // the contamination mass (docs sharing eval n-grams), AQE-joinable.
+    val covSets = wins.join(broadcast(benchSh), Seq("__s"))
       .select(col(idCol),
         explode(sequence(col("__st"), col("__st") + lit(n - 1))).as("__p"))
-      .distinct()
-      .withColumn("__hit", lit(true))
-    val rebuilt = toks.join(covered, Seq(idCol, "__p"), "left")
-      .withColumn("__drop", coalesce(col("__hit"), lit(false)))
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_removed_tokens"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(!col("__drop"),
-            struct(col("__p"), col("__tok"))))),
-          x => x.getField("__tok"))).as("cleaned_text"))
-    corpus.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
+      .agg(collect_set(col("__p")).as("__cov"))
+    val toksC = tokens(col(textCol))
+    val cov = coalesce(col("__cov"), array().cast("array<int>"))
+    val kept = filter(
+      transform(toksC, (t, i) => struct(i.as("__i"), t.as("__t"))),
+      s => !array_contains(cov, s.getField("__i")))
+    corpus.join(covSets, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_removed_tokens"), lit(0L)).as("n_removed_tokens"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+        size(toksC).cast("long").as("n_tokens"),
+        size(cov).cast("long").as("n_removed_tokens"),
+        concat_ws(" ", transform(kept, s => s.getField("__t"))).as("cleaned_text"))
   }
 
   /** DSIR-style importance scoring (Xie et al., "Data Selection for

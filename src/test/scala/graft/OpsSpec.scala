@@ -706,7 +706,9 @@ class OpsSpec extends SparkSpec {
       (1L, "a b x1 x2 x3 c d"),   // one overlapping 3-gram covers positions 2-4
       (2L, "x1 x2 x3 x4 e"),      // two overlapping 3-grams cover positions 0-3
       (3L, "clean words only here"),
-      (4L, "x1 x2")               // shorter than n: no window, kept whole
+      (4L, "x1 x2"),              // shorter than n: no window, kept whole
+      (5L, "x2 x3 x4"),           // every token covered -> rebuilds to ""
+      (6L, "   ")                 // whitespace-only: survives as an empty row
     ).toDF("id", "text")
     val out = TextOps.removeContaminatedSpans(corpus, bench, "id", "text", n = 3)
       .collect()
@@ -716,6 +718,8 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == ((5L, 4L, "e")))
     assert(out(3L) == ((4L, 0L, "clean words only here")))
     assert(out(4L) == ((2L, 0L, "x1 x2")))
+    assert(out(5L) == ((3L, 3L, "")), s"all-covered doc was ${out.get(5L)}")
+    assert(out(6L) == ((0L, 0L, "")), s"blank doc was ${out.get(6L)}")
   }
 
   test("dsirScores: matches the closed-form add-1 log-ratio, target tokens score high") {
