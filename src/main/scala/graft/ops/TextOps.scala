@@ -266,17 +266,19 @@ object TextOps {
     * and reassemble each document from its surviving segments in order.
     *
     * Scale shape at 100 TB: the segmentation explode is per-row (no
-    * shuffle); the doc-frequency pass is ONE hash aggregate over a
-    * skinny (segment_hash, id) projection with map-side partial
-    * aggregation; the over-threshold segment set is the distribution
-    * head — usually tiny but unbounded, so it is NOT force-broadcast
-    * (AQE picks broadcast vs shuffle from its runtime size, the same
-    * policy as the hot-shingle caps in [[Dedup]]); reassembly is one
-    * aggregate on the document key. Segments travel the frequency pass
-    * as 64-bit hashes (the CCNet trick — shuffle rows stay skinny;
-    * collision odds ~n²/2⁻⁶⁴ mean a one-in-billions false boilerplate
-    * mark, acceptable for corpus curation), while the rebuild keeps the
-    * real text, which never crosses the frequency shuffle.
+    * shuffle) and reduces straight to a SKINNY (id, seg_idx, 64-bit
+    * hash) stream, materialized once (the CCNet trick — segment text
+    * never crosses any shuffle; collision odds ~n²/2⁻⁶⁴ mean a
+    * one-in-billions false boilerplate mark, acceptable for corpus
+    * curation); the doc-frequency pass is ONE hash aggregate over it
+    * with map-side partial aggregation; the over-threshold segment set
+    * is the distribution head — usually tiny but unbounded, so it is
+    * NOT force-broadcast (AQE picks broadcast vs shuffle from runtime
+    * size, the same policy as the hot-shingle caps in [[Dedup]]). Only
+    * the BOILERPLATE-MARKED segment rows shuffle again (into one small
+    * (id, seg-idx-set) row per affected doc); every document then
+    * rebuilds per-row from its own tokens against that set — documents
+    * with no boilerplate cross no rebuild shuffle at all.
     *
     * Output: one row per input id — (id, n_segments, n_removed,
     * n_kept_words, cleaned_text). Documents whose segments are all
@@ -290,45 +292,37 @@ object TextOps {
       minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
     require(segLen >= 1, "segLen must be >= 1")
     require(minDocs >= 2, "minDocs must be >= 2")
-    // Materialized once: segments are NON-overlapping, so this is ~one
-    // corpus copy, and it feeds both the frequency aggregate and the
-    // rebuild join — un-materialized, the segmentation explode would
-    // run twice.
+    // Materialized once (skinny): feeds the frequency aggregate and the
+    // boilerplate-marked join below.
     val segs = graft.ops.Dedup.materialize(df
       .select(col(idCol), tokens(col(textCol)).as("__w"))
       .where(size(col("__w")) > 0)
       .select(col(idCol), col("__w"),
         posexplode(sequence(lit(0), size(col("__w")) - 1, lit(segLen))))
       .select(col(idCol), col("pos").cast("int").as("__seg_idx"),
-        concat_ws(" ", slice(col("__w"), col("col") + 1, lit(segLen))).as("__seg"))
-      .withColumn("__h", xxhash64(col("__seg"))))
+        xxhash64(concat_ws(" ", slice(col("__w"), col("col") + 1, lit(segLen))))
+          .as("__h")))
     val boiler = segs
       .groupBy("__h")
       .agg(count_distinct(col(idCol)).as("__df"))
       .where(col("__df") >= minDocs)
-      .select(col("__h"), lit(true).as("__boiler"))
-    val rebuilt = segs
-      .join(boiler, Seq("__h"), "left")
-      .withColumn("__drop", coalesce(col("__boiler"), lit(false)))
+      .select(col("__h"))
+    // One (id, boilerplate-segment-idx-set) row per AFFECTED doc.
+    val badIdx = segs.join(boiler, Seq("__h"))
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_segments"),
-        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_removed"),
-        sum(when(!col("__drop"), size(split(col("__seg"), " ")).cast("long"))
-          .otherwise(0L)).as("n_kept_words"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(!col("__drop"),
-            struct(col("__seg_idx"), col("__seg"))))),
-          x => x.getField("__seg"))).as("cleaned_text"))
-    // Empty documents never reach the segment explode; restore them so
-    // the operator is total over its input ids.
-    df.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
+      .agg(collect_set(col("__seg_idx")).as("__bad"))
+    val w = tokens(col(textCol))
+    val bad = coalesce(col("__bad"), array().cast("array<int>"))
+    val kept = filter(
+      transform(w, (t, i) => struct(
+        floor(i / lit(segLen)).cast("int").as("__si"), t.as("__t"))),
+      s => !array_contains(bad, s.getField("__si")))
+    df.join(badIdx, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("n_kept_words"), lit(0L)).as("n_kept_words"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+        ceil(size(w).cast("double") / segLen).cast("long").as("n_segments"),
+        size(bad).cast("long").as("n_removed"),
+        size(kept).cast("long").as("n_kept_words"),
+        concat_ws(" ", transform(kept, s => s.getField("__t"))).as("cleaned_text"))
   }
 
   /** Span-level decontamination — the REMOVAL step after
