@@ -204,6 +204,45 @@ object Mixture {
       .select((keep :+ col("shard_id")): _*)
   }
 
+  /** Temperature-scaled source sampling — the multilingual/multi-source
+    * data-mixing rule (mT5-style): sample sources with probability
+    * p_s ∝ c_s^α (α < 1 up-weights the tail, α = 1 is natural
+    * frequency), sized to an expected document budget. Selection is a
+    * deterministic hash-thresholded Bernoulli: doc selected iff
+    * `priority(id) < rate_s · 2³²`, so the draw is reproducible and
+    * restateable in ANSI SQL. Rates clamp at 1 (a tail source whose
+    * expected draw exceeds its size contributes everything).
+    *
+    * Scale shape: one source-count aggregate (map-side combined,
+    * source-cardinality-sized), the α-power normalizer folded in via a
+    * lazy broadcast 1-row cross join ([[graft.ops.TextOps.dsirScores]]'s
+    * pattern), one equality join of the corpus against the per-source
+    * rate table (AQE-sized — web-scale domain counts may exceed
+    * broadcast), and a per-row threshold. No windows, no sorts.
+    *
+    * @return the selected rows of `docs` plus their `mix_rate` double.
+    */
+  def temperatureSample(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      alpha: Double,
+      budgetDocs: Long): DataFrame = {
+    require(alpha > 0, "alpha must be > 0")
+    require(budgetDocs >= 0, "budgetDocs must be >= 0")
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__mx_c"))
+    val tot = counts.agg(
+      coalesce(sum(pow(col("__mx_c").cast("double"), alpha)), lit(0d)).as("__mx_z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        least(lit(1d),
+          lit(budgetDocs.toDouble) * pow(col("__mx_c").cast("double"), alpha) /
+            col("__mx_z") / col("__mx_c").cast("double")).as("mix_rate"))
+    docs.join(rates, Seq(sourceCol))
+      .where(priority(col(idCol)).cast("double") < col("mix_rate") * PrioritySpace.toDouble)
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
     * "Weighted random sampling with a reservoir", IPL 2006): every row
     * gets an exponential race key `-ln(u) / w` — `u` a deterministic

@@ -660,6 +660,18 @@ object NorthStar {
         md5(col("cleaned_text").cast("binary")).as("cleaned_hash"))
       .orderBy("doc_id")
 
+  /** Temperature-scaled mixing over the (skewed) `lang` grouping:
+    * p ∝ c^0.7 sized to a 200-doc budget, hash-thresholded selection.
+    * Per-group totals + rates are closed-form → exact-match oracle.
+    */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Mixture.temperatureSample(docs(s, dir), "doc_id", "lang",
+        alpha = 0.7, budgetDocs = 200L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(first(col("mix_rate")), 6).as("rate"))
+      .orderBy("lang")
+
   /** Span-level decontamination applied: benchmark = every 50th doc
     * (qn37's split), corpus = the rest; tokens covered by any
     * benchmark-overlapping 3-gram are dropped and the doc is rebuilt.
@@ -1505,6 +1517,19 @@ object NorthStar {
              coalesce(a.cleaned_hash, md5('')) AS cleaned_hash
       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       WHERE d.doc_id % 50 <> 3
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+    QueryDef("qn44_temperature_mix", qTemperatureMix _, Some("""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      z AS (SELECT sum(pow(n, 0.7)) AS z FROM c),
+      r AS (SELECT lang, least(1.0, 200 * pow(n, 0.7) / z / n) AS rate
+            FROM c, z),
+      sel AS (
+        SELECT d.lang, r.rate
+        FROM documents d JOIN r USING (lang)
+        WHERE CAST((d.doc_id::HUGEINT * 2654435761) % 4294967296 AS DOUBLE)
+              < r.rate * 4294967296.0)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+             round(rate, 6) AS rate
+      FROM sel GROUP BY lang, rate ORDER BY lang"""))
   )
 }

@@ -117,6 +117,27 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample: rates follow c^alpha, selection matches the hash threshold") {
+    import spark.implicits._
+    // Skewed sources: 60 / 30 / 10 docs.
+    val docs = ((0L until 60L).map((_, "big")) ++ (60L until 90L).map((_, "mid")) ++
+      (90L until 100L).map((_, "small"))).toDF("doc_id", "source")
+    val got = Mixture.temperatureSample(docs, "doc_id", "source",
+        alpha = 0.5, budgetDocs = 40L)
+      .select("doc_id").as[Long].collect().toSet
+    val c = Map("big" -> 60L, "mid" -> 30L, "small" -> 10L)
+    val z = c.values.map(n => math.pow(n.toDouble, 0.5)).sum
+    def rate(s: String): Double =
+      math.min(1d, 40d * math.pow(c(s).toDouble, 0.5) / z / c(s))
+    // alpha < 1 up-weights the tail: small source rate > big source rate.
+    assert(rate("small") > rate("big"))
+    val expect = (0L until 100L).filter { id =>
+      val s = if (id < 60) "big" else if (id < 90) "mid" else "small"
+      ((id * 2654435761L) % 4294967296L).toDouble < rate(s) * 4294967296d
+    }.toSet
+    assert(got == expect, s"diff: ${(got -- expect) ++ (expect -- got)}")
+  }
+
   test("weightedSample: matches the A-ES formula exactly and excludes nonpositive weights") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, if (i % 13 == 0) 0L else 1L + i % 37))
