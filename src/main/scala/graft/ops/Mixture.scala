@@ -234,11 +234,17 @@ object Mixture {
       .agg(count(lit(1)).as("__mx_c"))
     val tot = counts.agg(
       coalesce(sum(pow(col("__mx_c").cast("double"), alpha)), lit(0d)).as("__mx_z"))
+    // The threshold compares against the rate ROUNDED to 6 dp: raw
+    // double rates sit one pow/sum ulp apart across engines (JVM
+    // Math.pow vs libm, partial-agg addition order), and an integer
+    // priority exactly at that boundary would flip selection between
+    // engines. Rounding first makes "deterministic and restateable in
+    // ANSI SQL" actually hold (the oracle rounds identically).
     val rates = counts.crossJoin(broadcast(tot))
       .select(col(sourceCol),
-        least(lit(1d),
+        round(least(lit(1d),
           lit(budgetDocs.toDouble) * pow(col("__mx_c").cast("double"), alpha) /
-            col("__mx_z") / col("__mx_c").cast("double")).as("mix_rate"))
+            col("__mx_z") / col("__mx_c").cast("double")), 6).as("mix_rate"))
     docs.join(rates, Seq(sourceCol))
       .where(priority(col(idCol)).cast("double") < col("mix_rate") * PrioritySpace.toDouble)
   }

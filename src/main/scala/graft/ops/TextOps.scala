@@ -311,18 +311,24 @@ object TextOps {
     val badIdx = segs.join(boiler, Seq("__h"))
       .groupBy(col(idCol))
       .agg(collect_set(col("__seg_idx")).as("__bad"))
-    val w = tokens(col(textCol))
-    val bad = coalesce(col("__bad"), array().cast("array<int>"))
-    val kept = filter(
-      transform(w, (t, i) => struct(
-        floor(i / lit(segLen)).cast("int").as("__si"), t.as("__t"))),
-      s => !array_contains(bad, s.getField("__si")))
+    // Tokenize and filter ONCE per row (projected into columns — lambda
+    // subtrees are excluded from codegen subexpression elimination, so
+    // inlining them into several output columns re-splits the document
+    // per column); coalesce keeps null-text rows total (0/0/0/"").
     df.join(badIdx, Seq(idCol), "left")
       .select(col(idCol),
-        ceil(size(w).cast("double") / segLen).cast("long").as("n_segments"),
-        size(bad).cast("long").as("n_removed"),
-        size(kept).cast("long").as("n_kept_words"),
-        concat_ws(" ", transform(kept, s => s.getField("__t"))).as("cleaned_text"))
+        coalesce(tokens(col(textCol)), array().cast("array<string>")).as("__w"),
+        coalesce(col("__bad"), array().cast("array<int>")).as("__b"))
+      .withColumn("__kept", filter(
+        transform(col("__w"), (t, i) => struct(
+          floor(i / lit(segLen)).cast("int").as("__si"), t.as("__t"))),
+        s => !array_contains(col("__b"), s.getField("__si"))))
+      .select(col(idCol),
+        ceil(size(col("__w")).cast("double") / segLen).cast("long").as("n_segments"),
+        size(col("__b")).cast("long").as("n_removed"),
+        size(col("__kept")).cast("long").as("n_kept_words"),
+        concat_ws(" ", transform(col("__kept"), s => s.getField("__t")))
+          .as("cleaned_text"))
   }
 
   /** Span-level decontamination — the REMOVAL step after
@@ -367,16 +373,20 @@ object TextOps {
         explode(sequence(col("__st"), col("__st") + lit(n - 1))).as("__p"))
       .groupBy(col(idCol))
       .agg(collect_set(col("__p")).as("__cov"))
-    val toksC = tokens(col(textCol))
-    val cov = coalesce(col("__cov"), array().cast("array<int>"))
-    val kept = filter(
-      transform(toksC, (t, i) => struct(i.as("__i"), t.as("__t"))),
-      s => !array_contains(cov, s.getField("__i")))
+    // Single-evaluation projection, null-text-total — see
+    // [[removeBoilerplate]]'s rebuild for the rationale.
     corpus.join(covSets, Seq(idCol), "left")
       .select(col(idCol),
-        size(toksC).cast("long").as("n_tokens"),
-        size(cov).cast("long").as("n_removed_tokens"),
-        concat_ws(" ", transform(kept, s => s.getField("__t"))).as("cleaned_text"))
+        coalesce(tokens(col(textCol)), array().cast("array<string>")).as("__w"),
+        coalesce(col("__cov"), array().cast("array<int>")).as("__c"))
+      .withColumn("__kept", filter(
+        transform(col("__w"), (t, i) => struct(i.as("__i"), t.as("__t"))),
+        s => !array_contains(col("__c"), s.getField("__i"))))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        size(col("__c")).cast("long").as("n_removed_tokens"),
+        concat_ws(" ", transform(col("__kept"), s => s.getField("__t")))
+          .as("cleaned_text"))
   }
 
   /** DSIR-style importance scoring (Xie et al., "Data Selection for

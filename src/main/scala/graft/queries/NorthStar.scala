@@ -1521,7 +1521,7 @@ object NorthStar {
     QueryDef("qn44_temperature_mix", qTemperatureMix _, Some("""
       WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
       z AS (SELECT sum(pow(n, 0.7)) AS z FROM c),
-      r AS (SELECT lang, least(1.0, 200 * pow(n, 0.7) / z / n) AS rate
+      r AS (SELECT lang, round(least(1.0, 200 * pow(n, 0.7) / z / n), 6) AS rate
             FROM c, z),
       sel AS (
         SELECT d.lang, r.rate

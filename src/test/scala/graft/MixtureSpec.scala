@@ -128,7 +128,8 @@ class MixtureSpec extends SparkSpec {
     val c = Map("big" -> 60L, "mid" -> 30L, "small" -> 10L)
     val z = c.values.map(n => math.pow(n.toDouble, 0.5)).sum
     def rate(s: String): Double =
-      math.min(1d, 40d * math.pow(c(s).toDouble, 0.5) / z / c(s))
+      BigDecimal(math.min(1d, 40d * math.pow(c(s).toDouble, 0.5) / z / c(s)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // alpha < 1 up-weights the tail: small source rate > big source rate.
     assert(rate("small") > rate("big"))
     val expect = (0L until 100L).filter { id =>

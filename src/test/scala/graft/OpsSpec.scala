@@ -720,6 +720,13 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == ((2L, 0L, "x1 x2")))
     assert(out(5L) == ((3L, 3L, "")), s"all-covered doc was ${out.get(5L)}")
     assert(out(6L) == ((0L, 0L, "")), s"blank doc was ${out.get(6L)}")
+    // NULL text: total with zeros, not null counts.
+    val withNull = corpus.unionByName(
+      Seq((7L, Option.empty[String])).toDF("id", "text"))
+    val nullRow = TextOps.removeContaminatedSpans(withNull, bench, "id", "text", n = 3)
+      .where(col("id") === 7L).collect().head
+    assert((nullRow.getLong(1), nullRow.getLong(2), nullRow.getString(3))
+      == ((0L, 0L, "")), s"null-text doc was $nullRow")
   }
 
   test("dsirScores: matches the closed-form add-1 log-ratio, target tokens score high") {
@@ -795,6 +802,13 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == ((2L, 0L, 9L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
     // Whitespace-only doc: present, zero segments, empty rebuild.
     assert(out(5L) == ((0L, 0L, 0L, "")))
+    // NULL text: total with zeros, not null counts.
+    val withNull = df.unionByName(
+      Seq((6L, Option.empty[String])).toDF("id", "text"))
+    val nullRow = TextOps.removeBoilerplate(withNull, "id", "text", segLen = 8, minDocs = 2)
+      .where(col("id") === 6L).collect().head
+    assert((nullRow.getLong(1), nullRow.getLong(2), nullRow.getLong(3), nullRow.getString(4))
+      == ((0L, 0L, 0L, "")), s"null-text doc was $nullRow")
     // minDocs honors DISTINCT docs: an intra-doc repeat alone is kept.
     val rep = Seq((1L, ((1 to 8).map(i => s"r$i").mkString(" ") + " ") * 2)).toDF("id", "text")
     val repOut = TextOps.removeBoilerplate(rep, "id", "text", segLen = 8, minDocs = 2)
