@@ -389,6 +389,66 @@ object TextOps {
           .as("cleaned_text"))
   }
 
+  /** Bigram LM fluency scoring with stupid backoff (Brants et al. 2007)
+    * — the CCNet-style perplexity filter: score every document by the
+    * mean log-probability of its token bigrams under a corpus-trained
+    * bigram model, backing off to `0.4 · unigram` for unseen bigrams.
+    * Low (very negative) scores = disfluent/word-soup text; filter or
+    * bucket on them exactly as CCNet buckets Wikipedia-LM perplexity.
+    * Self-trained on the scored corpus by default — pass a reference
+    * corpus as `lm` to score against cleaner text.
+    *
+    * Scale shape: two count aggregates (bigram- and unigram-keyed,
+    * map-side combined), totals folded in lazily (one-row broadcast
+    * cross join, [[dsirScores]]'s pattern), and the scoring pass is two
+    * equality joins of the document bigram stream against those count
+    * tables (AQE-sized) feeding a per-doc average. Nothing all-pairs,
+    * nothing sorted.
+    *
+    * Output: (id, n_bigrams, score) per doc with >= 2 tokens; `score`
+    * is the mean log10 backoff probability (CCNet convention).
+    */
+  def lmFluencyScores(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      lm: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val lmDf = lm.getOrElse(df)
+    def bigramStream(src: org.apache.spark.sql.DataFrame) =
+      chunkSequences(src, idCol, textCol, window = 2, stride = 1)
+        .where(col("chunk_len") === 2)
+        .select(col(idCol), col("chunk_idx"),
+          split(col("chunk_text"), " ").getItem(0).as("__w1"),
+          split(col("chunk_text"), " ").getItem(1).as("__w2"))
+    val uni = Dedup.materialize(
+      lmDf.select(explode(tokens(col(textCol))).as("__w2"))
+        .groupBy("__w2").agg(count(lit(1)).as("__cu")))
+    val bi = Dedup.materialize(
+      bigramStream(lmDf)
+        .groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb")))
+    val uniTot = uni.agg(coalesce(sum(col("__cu")), lit(0L)).as("__n"))
+    // c(w1) re-derived from the bigram table (count of w1 as a bigram
+    // LEFT word) so conditional probabilities normalize exactly.
+    val left = bi.groupBy(col("__w1")).agg(sum(col("__cb")).as("__cl"))
+    val scored = bigramStream(df)
+      .join(bi, Seq("__w1", "__w2"), "left")
+      .join(left, Seq("__w1"), "left")
+      .join(uni, Seq("__w2"), "left")
+      .crossJoin(broadcast(uniTot))
+      .withColumn("__p",
+        when(col("__cb").isNotNull, col("__cb").cast("double") / col("__cl"))
+          .otherwise(lit(0.4) * coalesce(col("__cu").cast("double"), lit(0d))
+            / col("__n")))
+      // Unseen UNIGRAM under a foreign LM: floor at 0.4/(n+1) so log is
+      // finite (one count's worth of mass, the usual OOV patch).
+      .withColumn("__p",
+        when(col("__p") > 0d, col("__p")).otherwise(lit(0.4) / (col("__n") + 1d)))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(log(10d, col("__p"))) / count(lit(1))).as("score"))
+  }
+
   /** DSIR-style importance scoring (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every document by its log-likelihood ratio under two unigram

@@ -660,6 +660,23 @@ object NorthStar {
         md5(col("cleaned_text").cast("binary")).as("cleaned_hash"))
       .orderBy("doc_id")
 
+  /** CCNet-style LM fluency scoring: the odd-id half of the corpus is
+    * scored under a bigram stupid-backoff LM trained on the even-id
+    * half — unseen bigrams exercise the 0.4·unigram backoff and unseen
+    * unigrams the OOV floor, so every code path grades. Closed-form
+    * sums → exact-match oracle (4-dp rounding absorbs cross-engine
+    * double-sum drift, the qn42 stance).
+    */
+  private def qLmFluency(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextOps.lmFluencyScores(d.where(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text",
+        lm = Some(d.where(pmod(col("doc_id"), lit(2)) === 0)))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("score"), 4).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-scaled mixing over the (skewed) `lang` grouping:
     * p ∝ c^0.7 sized to a 200-doc budget, hash-thresholded selection.
     * Per-group totals + rates are closed-form → exact-match oracle.
@@ -1530,6 +1547,43 @@ object NorthStar {
               < r.rate * 4294967296.0)
       SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
              round(rate, 6) AS rate
-      FROM sel GROUP BY lang, rate ORDER BY lang"""))
+      FROM sel GROUP BY lang, rate ORDER BY lang""")),
+    QueryDef("qn45_lm_fluency", qLmFluency _, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''),
+      lmt AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+      uni AS (
+        SELECT tok AS w2, count(*) AS cu
+        FROM (SELECT unnest(w) AS tok FROM lmt) GROUP BY tok),
+      n AS (SELECT sum(cu) AS n FROM uni),
+      bi AS (
+        SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS cb
+        FROM lmt, unnest(range(1, len(w))) t(i)
+        GROUP BY 1, 2),
+      lft AS (SELECT w1, sum(cb) AS cl FROM bi GROUP BY w1),
+      big AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM toks, unnest(range(1, len(w))) t(i)
+        WHERE doc_id % 2 = 1),
+      p AS (
+        SELECT g.doc_id,
+               CASE
+                 WHEN b.cb IS NOT NULL THEN b.cb * 1.0 / l.cl
+                 WHEN 0.4 * coalesce(u.cu, 0) / n.n > 0
+                   THEN 0.4 * coalesce(u.cu, 0) / n.n
+                 ELSE 0.4 / (n.n + 1)
+               END AS pr
+        FROM big g
+        LEFT JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+        LEFT JOIN lft l ON g.w1 = l.w1
+        LEFT JOIN uni u ON g.w2 = u.w2
+        CROSS JOIN n)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(sum(log10(pr)) / count(*), 4) AS score
+      FROM p
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
   )
 }

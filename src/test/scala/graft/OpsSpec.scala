@@ -729,6 +729,27 @@ class OpsSpec extends SparkSpec {
       == ((0L, 0L, "")), s"null-text doc was $nullRow")
   }
 
+  test("lmFluencyScores: bigram probs, 0.4-unigram backoff, OOV floor all match closed form") {
+    import spark.implicits._
+    val lm = Seq((0L, "a b a b c")).toDF("id", "text")
+    // bigrams: (a,b)x2 (b,a)x1 (b,c)x1; left counts: a->2, b->2
+    // unigrams: a:2 b:2 c:1, n=5
+    val scored = Seq(
+      (1L, "a b c"),   // (a,b): 2/2; (b,c): 1/2
+      (2L, "c a"),     // (c,a) unseen bigram -> 0.4*cu(a)/5 = 0.16
+      (3L, "a z")      // (a,z) unseen bigram AND unseen unigram z -> 0.4/(5+1)
+    ).toDF("id", "text")
+    val got = TextOps.lmFluencyScores(scored, "id", "text", lm = Some(lm))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def lg(x: Double) = math.log10(x)
+    assert(got(1L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - (lg(1.0) + lg(0.5)) / 2) < 1e-9)
+    assert(math.abs(got(2L)._2 - lg(0.4 * 2 / 5.0)) < 1e-9)
+    assert(math.abs(got(3L)._2 - lg(0.4 / 6.0)) < 1e-9)
+    // Fluent text under the LM outscores unseen-vocabulary text.
+    assert(got(1L)._2 > got(3L)._2)
+  }
+
   test("dsirScores: matches the closed-form add-1 log-ratio, target tokens score high") {
     import spark.implicits._
     val df = Seq(
