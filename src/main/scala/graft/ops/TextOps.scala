@@ -416,11 +416,13 @@ object TextOps {
     import org.apache.spark.sql.functions.broadcast
     val lmDf = lm.getOrElse(df)
     def bigramStream(src: org.apache.spark.sql.DataFrame) =
-      chunkSequences(src, idCol, textCol, window = 2, stride = 1)
-        .where(col("chunk_len") === 2)
-        .select(col(idCol), col("chunk_idx"),
-          split(col("chunk_text"), " ").getItem(0).as("__w1"),
-          split(col("chunk_text"), " ").getItem(1).as("__w2"))
+      src.select(col(idCol), tokens(col(textCol)).as("__w"))
+        .where(size(col("__w")) >= 2)
+        .select(col(idCol), col("__w"),
+          posexplode(sequence(lit(0), size(col("__w")) - 2)))
+        .select(col(idCol),
+          element_at(col("__w"), col("col") + 1).as("__w1"),
+          element_at(col("__w"), col("col") + 2).as("__w2"))
     val uni = Dedup.materialize(
       lmDf.select(explode(tokens(col(textCol))).as("__w2"))
         .groupBy("__w2").agg(count(lit(1)).as("__cu")))
@@ -436,17 +438,24 @@ object TextOps {
       .join(left, Seq("__w1"), "left")
       .join(uni, Seq("__w2"), "left")
       .crossJoin(broadcast(uniTot))
+      // The __n > 0 guard keeps an empty/whitespace-only LM corpus on
+      // the floor branch instead of an ANSI DIVIDE_BY_ZERO (on by
+      // default in Spark 4 — same hazard typeTokenRatio guards).
       .withColumn("__p",
         when(col("__cb").isNotNull, col("__cb").cast("double") / col("__cl"))
-          .otherwise(lit(0.4) * coalesce(col("__cu").cast("double"), lit(0d))
-            / col("__n")))
+          .when(col("__n") > 0L,
+            lit(0.4) * coalesce(col("__cu").cast("double"), lit(0d)) / col("__n"))
+          .otherwise(lit(0d)))
       // Unseen UNIGRAM under a foreign LM: floor at 0.4/(n+1) so log is
       // finite (one count's worth of mass, the usual OOV patch).
       .withColumn("__p",
         when(col("__p") > 0d, col("__p")).otherwise(lit(0.4) / (col("__n") + 1d)))
+    // log10 (StrictMath), not log(10, x) = ln/ln10 — the former is the
+    // same primitive DuckDB's log10 uses, so 4-dp round-half boundaries
+    // cannot split between engines.
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        (sum(log(10d, col("__p"))) / count(lit(1))).as("score"))
+        avg(log10(col("__p"))).as("score"))
   }
 
   /** DSIR-style importance scoring (Xie et al., "Data Selection for

@@ -748,6 +748,14 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got(3L)._2 - lg(0.4 / 6.0)) < 1e-9)
     // Fluent text under the LM outscores unseen-vocabulary text.
     assert(got(1L)._2 > got(3L)._2)
+    // Degenerate LM corpus (no tokens): every bigram lands on the OOV
+    // floor 0.4/(0+1) instead of an ANSI divide-by-zero.
+    val emptyLm = Seq((0L, "   ")).toDF("id", "text")
+    val floorRow = TextOps.lmFluencyScores(
+        Seq((1L, "a b c")).toDF("id", "text"), "id", "text", lm = Some(emptyLm))
+      .collect().head
+    assert(floorRow.getLong(1) == 2L &&
+      math.abs(floorRow.getDouble(2) - lg(0.4)) < 1e-9, s"was $floorRow")
   }
 
   test("dsirScores: matches the closed-form add-1 log-ratio, target tokens score high") {
