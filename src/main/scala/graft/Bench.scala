@@ -73,11 +73,20 @@ object Bench {
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts, true) => median(ts) }.sum
-    println(
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${timeMap(median)},""" +
         s""""queries_min":${timeMap(_.min)},"queries_max":${timeMap(_.max)},""" +
         s""""reps":$reps,"failures":$failures,"cpus":$cpus,"shuffle_partitions":$cpus,""" +
-        s""""warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+        s""""warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+    println(fullJson)
+    // The driver's BENCH_r* artifact keeps only the TAIL of stdout, which
+    // truncates the full per-query map (BENCH_r07 lost the first ~45
+    // queries). Persist the COMPLETE statistics to a file so cross-round
+    // per-query comparisons never depend on what survived the tail.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     // The driver's artifact keeps only the TAIL of stdout. The long line
     // above gets truncated from the front, so the total and medians were
     // unrecoverable in BENCH_r04/r05 (only queries_max survived). Repeat

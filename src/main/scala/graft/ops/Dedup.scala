@@ -82,6 +82,13 @@ object Dedup {
     * @param maxShingleDocFreq drop shingles appearing in more than this
     *        many documents (0 = keep all; exact but skew-prone at scale —
     *        never disable the cap on an open-domain corpus)
+    * @param shingleFreqs optional externally-computed `(s, df)` doc
+    *        frequencies ([[shingleDocFreqs]] shape) to derive the hot set
+    *        from INSTEAD of this input's own counts — the lever that
+    *        makes a partial-corpus run (an incremental replay leg, a
+    *        per-shard pass) cap against CORPUS-WIDE frequencies, so its
+    *        survivor set composes with the one-shot whole-corpus outcome
+    *        structurally rather than by fixture luck
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -89,7 +96,8 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleDocFreq: Long = DefaultMaxShingleDocFreq): DataFrame = {
+      maxShingleDocFreq: Long = DefaultMaxShingleDocFreq,
+      shingleFreqs: Option[DataFrame] = None): DataFrame = {
 
     val sh0 = shingleSignatures(df, idCol, textCol, n)
     val shPlan =
@@ -99,7 +107,10 @@ object Dedup {
         // distribution head above the cap), but on a 100 TB Zipf corpus
         // it is unbounded — let AQE pick broadcast vs shuffle from the
         // runtime size instead of forcing an OOM path.
-        val hot = sh0.groupBy("s").count().where(col("count") > maxShingleDocFreq).select("s")
+        val hot = shingleFreqs
+          .map(_.where(col("df") > maxShingleDocFreq).select("s"))
+          .getOrElse(
+            sh0.groupBy("s").count().where(col("count") > maxShingleDocFreq).select("s"))
         sh0.join(hot, Seq("s"), "left_anti")
       }
     // The filtered shingle set feeds BOTH self-join sides and the
@@ -342,12 +353,15 @@ object Dedup {
 
   /** Full near-dup dedup: detect pairs (exact n-gram Jaccard), cluster
     * them, keep the smallest id per cluster. Non-clustered docs survive.
+    * `shingleFreqs` caps against external (corpus-wide) frequencies —
+    * see [[ngramJaccardPairs]].
     */
   def dedupByJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      maxShingleDocFreq: Long = DefaultMaxShingleDocFreq): DataFrame = {
+      maxShingleDocFreq: Long = DefaultMaxShingleDocFreq,
+      shingleFreqs: Option[DataFrame] = None): DataFrame = {
     applyComponents(df,
-      ngramJaccardPairs(df, idCol, textCol, n, threshold, maxShingleDocFreq),
+      ngramJaccardPairs(df, idCol, textCol, n, threshold, maxShingleDocFreq, shingleFreqs),
       "doc_a", "doc_b", idCol)
   }
 
@@ -540,8 +554,15 @@ object Dedup {
     * hamming filter removes.
     */
   def simhashCandidatePairs(fp: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 16,
-      s"maxHamming must be in [0, 16], got $maxHamming")
+    // Bounded at 8, not 16: block width is 64/(maxHamming+4), so past 8
+    // the 4-block keys collapse below ~20 bits while the per-doc key
+    // count C(maxHamming+4, 4) explodes (maxHamming=16 → 4845 keys of
+    // 12-16 bits — worse than the old flat banding on BOTH axes). At 8
+    // the keys stay >= 20 bits (collisions O(n²/2²⁰)) and 495 keys/doc
+    // is the documented fanout ceiling; the near-linear claim in the
+    // header holds across the whole admissible range.
+    require(maxHamming >= 0 && maxHamming <= 8,
+      s"maxHamming must be in [0, 8], got $maxHamming")
     val numBlocks = maxHamming + 4
     val widths = Array.tabulate(numBlocks)(i =>
       64 / numBlocks + (if (i < 64 % numBlocks) 1 else 0))

@@ -44,17 +44,22 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Upper-bound row count of a DataFrame from metadata only — parquet
-    * footer record counts of its file-relation leaves, or local-relation
-    * sizes; None when any leaf is an unknown source OR the plan contains
-    * a row-MULTIPLYING node (Join/Generate/Expand), where a leaf sum is
-    * no bound at all. Filters/aggregates/projections above a scan only
-    * shrink row counts, so the sum stays an UPPER bound — the safe
-    * direction for sizing a fit-sample fraction (the sample just comes
-    * out smaller than maxFitRows). This is what lets
-    * [[ivfTopK]]/[[pqTopK]] skip the default-path `count()` job — an
-    * extra full-corpus stage at 100 TB — when the caller passes no
-    * explicit `corpusRows` hint.
+  /** EXACT row count of a DataFrame from metadata only — parquet footer
+    * record counts of its file-relation leaves, or local-relation sizes;
+    * None when any leaf is an unknown source OR the plan contains any
+    * node that changes row counts: multiplying (Join/Generate/Expand) or
+    * SHRINKING (Filter/Aggregate/Deduplicate/Sample/Limit/set-ops). The
+    * shrinking check matters for fit-sample sizing: a footer sum over a
+    * `corpus.where(...)` plan is only an upper bound, and a fraction
+    * `maxFitRows/upperBound` applied to the far-fewer filtered rows
+    * yields a sample of `selectivity·maxFitRows` — possibly EMPTY on a
+    * selective filter, crashing (or silently degrading) the KMeans/PQ
+    * fit where a count() would have been exact. Shrunk plans therefore
+    * fall back to the count() job rather than mis-size the sample.
+    * Projections/sorts/windows/unions preserve counts, so the returned
+    * value is exact — which is what lets [[ivfTopK]]/[[pqTopK]] skip the
+    * default-path `count()` — an extra full-corpus stage at 100 TB —
+    * when the caller passes no explicit `corpusRows` hint.
     *
     * Cost: one driver-side footer read per file, every call (planning
     * caches file LISTINGS, not footer contents). Bounded at
@@ -62,16 +67,25 @@ object Similarity {
     * to the distributed count() rather than a serial driver walk.
     */
   private[graft] def planRowUpperBound(df: DataFrame): Option[Long] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Expand, Generate, Join, LocalRelation}
+    import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val plan = df.queryExecution.optimizedPlan
-    val multiplies = plan.collectFirst {
+    val changesRowCount = plan.collectFirst {
       case j: Join => j
       case g: Generate => g
       case e: Expand => e
+      case f: Filter => f
+      case a: Aggregate => a
+      case d: Deduplicate => d
+      case s: Sample => s
+      case l: GlobalLimit => l
+      case l: LocalLimit => l
+      case o: Offset => o
+      case i: Intersect => i
+      case x: Except => x
     }.isDefined
-    if (multiplies) return None
+    if (changesRowCount) return None
     val counts = plan.collectLeaves().map {
       case l: LocalRelation => Some(l.data.length.toLong)
       case lr: LogicalRelation => lr.relation match {
@@ -227,22 +241,52 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Row ceiling for the exact all-pairs cosine detector inside
+    * [[dedupByCosine]]: the block-grid self-join is exact but
+    * structurally quadratic in FLOPs (SCALEBENCH_r7 measured the cliff —
+    * 41× wall at 3× data by 60k vectors), so past this corpus size the
+    * router must not reach it by default. At 20k vectors the exact pass
+    * is ~4×10⁸ dot products — seconds on one executor's cores.
+    */
+  val DefaultExactCosineRows: Long = 20000L
+
+  /** The [[dedupByCosine]] routing decision, factored out so tests can
+    * pin it without running either detector.
+    */
+  private[graft] def cosineDetectorFor(rows: Long, maxExactRows: Long): String =
+    if (rows <= maxExactRows) "exact" else "semdedup"
+
   /** Embedding near-dup dedup applied end-to-end — the cosine analog of
-    * [[Dedup.dedupByJaccard]]: detect pairs with the exact block-grid
-    * self-join, cluster them via connected components
-    * (large-star/small-star), keep the smallest id per cluster.
-    * Non-clustered rows survive. At corpus scale swap the detector for
-    * [[srpNeighbors]] (identical downstream shape).
+    * [[Dedup.dedupByJaccard]]: detect duplicate pairs, cluster them via
+    * connected components (large-star/small-star), keep the smallest id
+    * per cluster. Non-clustered rows survive.
+    *
+    * The detector ROUTES on corpus size (footer metadata, else one
+    * count() job): up to `maxExactRows` it is the exact block-grid
+    * self-join ([[nearDupPairs]] — every pair scored, quadratic FLOPs);
+    * above, it is the cell-pruned [[semDedupPairs]] path (corpus-adaptive
+    * nlist, 3-probe soft assignment — O(n·cellRows) candidate volume,
+    * the SemDeDup semantics a corpus-scale dedup actually deploys, at
+    * the method's accepted cross-cluster recall loss). The quadratic
+    * cliff SCALEBENCH_r7 measured must not be reachable by default; pass
+    * a larger `maxExactRows` to explicitly buy exactness at quadratic
+    * cost.
     */
   def dedupByCosine(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      numBlocks: Int = 16): DataFrame =
-    Dedup.applyComponents(corpus,
-      nearDupPairs(corpus, idCol, vecCol, threshold, numBlocks),
-      "id_a", "id_b", idCol)
+      numBlocks: Int = 16,
+      maxExactRows: Long = DefaultExactCosineRows): DataFrame = {
+    val rows = planRowUpperBound(corpus).getOrElse(corpus.count())
+    val pairs = cosineDetectorFor(rows, maxExactRows) match {
+      case "exact" => nearDupPairs(corpus, idCol, vecCol, threshold, numBlocks)
+      case _ => semDedupPairs(corpus, idCol, vecCol, threshold,
+        assignProbes = 3, corpusRows = Some(rows))
+    }
+    Dedup.applyComponents(corpus, pairs, "id_a", "id_b", idCol)
+  }
 
   /** Approximate neighbors via random-projection LSH over normalized
     * vectors; euclidean distance on the unit sphere = sqrt(2-2·cos), so
@@ -363,14 +407,22 @@ object Similarity {
     require(shortlist >= k, "shortlist must be >= k")
     val e = corpus.select(col(idCol).as("vec_id"),
       normalize(asDouble(col(vecCol))).as("nv"))
-    // Sizing order: caller hint, then parquet-footer metadata, then (only
-    // when the plan hides its sources) a column-pruned count() job.
+    // Sizing order: caller hint, then parquet-footer metadata (exact —
+    // shrunk plans fall back), then (only when the plan hides its
+    // sources) a column-pruned count() job.
     val nRows = corpusRows.orElse(planRowUpperBound(e)).getOrElse(e.count())
     val fitInput =
       if (nRows <= maxFitRows) e
       else e.sample(withReplacement = false, maxFitRows.toDouble / nRows, seed = 42L)
-    val sample = fitInput.select("nv").collect()
+    val sample0 = fitInput.select("nv").collect()
       .map(_.getSeq[Double](0).toArray).filter(_.length == dim)
+    // A stale OVERestimated caller hint undersamples — possibly to
+    // empty. Rather than crash a non-empty corpus, refit from a bounded
+    // prefix (still maxFitRows-capped).
+    val sample =
+      if (sample0.nonEmpty || nRows <= maxFitRows) sample0
+      else e.select("nv").limit(math.min(maxFitRows, Int.MaxValue.toLong).toInt)
+        .collect().map(_.getSeq[Double](0).toArray).filter(_.length == dim)
     require(sample.nonEmpty, s"no fit vectors of dim $dim")
     val codebook = trainPqCodebook(sample, dim, m, ksub)
 
@@ -435,7 +487,7 @@ object Similarity {
       vecCol: String,
       dim: Int,
       k: Int,
-      nlist: Int = 16,
+      nlist: Int = 0,
       nProbe: Int = 4,
       m: Int = 8,
       ksub: Int = 16,
@@ -445,9 +497,17 @@ object Similarity {
 
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     require(shortlist >= k, "shortlist must be >= k")
+    // nlist <= 0 (default): √n cells via [[ivfNlistFor]], same sizing
+    // ladder as [[ivfTopK]].
+    val (nl, sizedRows) =
+      if (nlist > 0) (nlist, corpusRows)
+      else {
+        val rows = corpusRows.orElse(planRowUpperBound(corpus)).getOrElse(corpus.count())
+        (ivfNlistFor(rows), Some(rows))
+      }
     // One bounded sample feeds BOTH trainers (coarse cells + PQ codebook).
     val (cellAssigned, centroids, fitVectors) =
-      fitCells(corpus, idCol, vecCol, nlist, maxFitRows, corpusRows)
+      fitCells(corpus, idCol, vecCol, nl, maxFitRows, sizedRows)
     val sample = fitVectors.collect()
       .map(_.getSeq[Double](0).toArray).filter(_.length == dim)
     require(sample.nonEmpty, s"no fit vectors of dim $dim")
@@ -572,9 +632,18 @@ object Similarity {
       .withColumn("nv", normalize(col("v")))
       .withColumn("features", array_to_vector(col("nv")))
     val nRows = corpusRows.orElse(planRowUpperBound(e)).getOrElse(e.count())
-    val fitInput =
+    val fitInput0 =
       if (nRows <= maxFitRows) e
       else e.sample(withReplacement = false, maxFitRows.toDouble / nRows, seed = 42L)
+    // A stale OVERestimated caller hint undersamples — possibly to
+    // empty, which throws deep inside the KMeans fit. Probe with a
+    // limit(1) job only when sampling actually happened and refit from
+    // a bounded prefix instead of crashing a non-empty corpus. (The
+    // footer path can no longer overestimate: shrunk plans fall back to
+    // count() — see [[planRowUpperBound]].)
+    val fitInput =
+      if (nRows <= maxFitRows || fitInput0.limit(1).count() > 0) fitInput0
+      else e.limit(math.min(maxFitRows, Int.MaxValue.toLong).toInt)
     val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(fitInput)
@@ -597,20 +666,33 @@ object Similarity {
     * Returns (id_a, id_b, sim) pairs with exact cosine, id_a < id_b —
     * the same shape as [[nearDupPairs]], so [[Dedup.applyComponents]]
     * applies unchanged (see [[semDedup]]).
+    *
+    * `nlist <= 0` (the DEFAULT) sizes the cell count from the corpus via
+    * [[semDedupNlistFor]] — the measured scale lever (129 s → 9.4 s at
+    * 60k vectors for identical pairs, SCALEBENCH_r7) should not require
+    * the caller to know it exists. The row count comes from the caller
+    * hint, then parquet footers, then a count() job — the same sizing
+    * ladder as the fit sample, resolved ONCE and shared with it.
     */
   def semDedupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nlist: Int = 16,
+      nlist: Int = 0,
       assignProbes: Int = 1,
       maxFitRows: Long = 100000L,
       corpusRows: Option[Long] = None): DataFrame = {
-    require(assignProbes >= 1 && assignProbes <= nlist,
+    val (nl, sizedRows) =
+      if (nlist > 0) (nlist, corpusRows)
+      else {
+        val rows = corpusRows.orElse(planRowUpperBound(corpus)).getOrElse(corpus.count())
+        (semDedupNlistFor(rows), Some(rows))
+      }
+    require(assignProbes >= 1 && assignProbes <= nl,
       s"assignProbes must be in [1, nlist], got $assignProbes")
     val (assigned, centroids, _) =
-      fitCells(corpus, idCol, vecCol, nlist, maxFitRows, corpusRows)
+      fitCells(corpus, idCol, vecCol, nl, maxFitRows, sizedRows)
     // Soft assignment to the `assignProbes` nearest cells — the recall
     // lever for pairs straddling a cell boundary (the multi-probe of
     // clustering). Centroids are driver-tiny, so they inline as a
@@ -661,18 +743,32 @@ object Similarity {
   def semDedupNlistFor(corpusRows: Long, targetCellRows: Long = 2500L): Int =
     math.min(1L << 20, math.max(8L, corpusRows / math.max(1L, targetCellRows))).toInt
 
+  /** IVF cell-count sizing for the ANN paths: nlist ≈ √n (the classic
+    * FAISS guideline) balances the per-query probe cost — nProbe·(n/nlist)
+    * vectors scored — against the nlist centroid distances every query
+    * pays. Unlike [[semDedupNlistFor]] (which bounds CELL-PAIR volume for
+    * the self-join and so targets a constant cell size), search only
+    * scans probed cells once, so √n growth is the right shape. Clamped to
+    * [8, 2¹⁸] — 256k Lloyd centroids is already past any sane coarse
+    * quantizer for a driver-fit model.
+    */
+  def ivfNlistFor(corpusRows: Long): Int =
+    math.min(1L << 18,
+      math.max(8L, math.round(math.sqrt(math.max(0L, corpusRows).toDouble)))).toInt
+
   /** SemDeDup applied end-to-end: within-cluster pair detection →
     * connected components → keep the smallest id per component.
     * The cosine analog of [[Dedup.dedupByJaccard]] at cluster-pruned
     * cost; survivors of [[dedupByCosine]] minus any cross-cluster-only
-    * duplicate groups.
+    * duplicate groups. `nlist <= 0` (default) sizes cells from the
+    * corpus — see [[semDedupPairs]].
     */
   def semDedup(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nlist: Int = 16,
+      nlist: Int = 0,
       assignProbes: Int = 1,
       maxFitRows: Long = 100000L,
       corpusRows: Option[Long] = None): DataFrame =
@@ -684,6 +780,7 @@ object Similarity {
   /** IVF-style ANN: coarse-quantize the corpus into `nlist` k-means cells
     * ([[fitCells]]), probe the `nProbe` nearest cells per query, exact
     * re-rank inside. See [[fitCells]] for the `corpusRows` sizing hint.
+    * `nlist <= 0` (default) sizes cells as √n via [[ivfNlistFor]].
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -691,13 +788,19 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nlist: Int = 16,
+      nlist: Int = 0,
       nProbe: Int = 4,
       maxFitRows: Long = 100000L,
       corpusRows: Option[Long] = None): DataFrame = {
 
+    val (nl, sizedRows) =
+      if (nlist > 0) (nlist, corpusRows)
+      else {
+        val rows = corpusRows.orElse(planRowUpperBound(corpus)).getOrElse(corpus.count())
+        (ivfNlistFor(rows), Some(rows))
+      }
     val (assigned, centroids, _) =
-      fitCells(corpus, idCol, vecCol, nlist, maxFitRows, corpusRows)
+      fitCells(corpus, idCol, vecCol, nl, maxFitRows, sizedRows)
     val centroidDf = corpus.sparkSession.createDataFrame(centroids)
       .toDF("cell", "centroid")
 

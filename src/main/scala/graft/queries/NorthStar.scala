@@ -170,8 +170,12 @@ object NorthStar {
         count(lit(1)).as("n_true_pairs"),
         (sum(when(col("cand_sim").isNotNull, 1L).otherwise(0L)) * 10L >=
           count(lit(1)) * 9L).as("recall_ok"),
-        coalesce(max(abs(col("cand_sim") - col("sim"))) === 0.0,
-          lit(false)).as("rerank_exact_ok"))
+        // Vacuously true when no true pair matched a candidate (zero
+        // sims to compare; recall_ok catches the misses) — the oracle
+        // states literal true, so an empty-truth fixture must not fail
+        // the exactness gate spuriously.
+        (count(col("cand_sim")) === 0 ||
+          max(abs(col("cand_sim") - col("sim"))) === 0.0).as("rerank_exact_ok"))
       .crossJoin(
         cand.join(truth.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
           .agg((count(lit(1)) === 0).as("precision_ok")))
@@ -187,14 +191,21 @@ object NorthStar {
     * exact-filtered at the threshold). The fixture is the deliberately
     * worst-case near-uniform corpus (qn12's nemesis): its 0.4-cosine
     * pairs are boundary-straddlers by construction, so the graded
-    * config leans on soft assignment (3 of 8 cells) for recall
+    * config leans on soft assignment (3 probed cells) for recall
     * 1.0/0.97 at sf0.01/sf0.1 — the multi-probe lever, same stance as
-    * qn12's corpus-adaptive nProbe.
+    * qn12's corpus-adaptive nProbe. `nlist` is NOT pinned: the graded
+    * config exercises the corpus-adaptive default
+    * ([[Similarity.semDedupNlistFor]] over footer counts — 8 cells at
+    * both fixture SFs, growing with the corpus), so the measured scale
+    * lever is the code path the grade actually covers.
+    * `sim_exact_ok` passes vacuously when NO true pair matched a
+    * candidate (zero matched rows ⇒ zero sims to compare — recall_ok is
+    * the gate that catches misses); the oracle states literal true.
     */
   private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val cand = Similarity.semDedupPairs(e, "vec_id", "embedding",
-      threshold = 0.4, nlist = 8, assignProbes = 3)
+      threshold = 0.4, assignProbes = 3)
     val truth = Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
     truth
       .join(cand.select(col("id_a"), col("id_b"), col("sim").as("cand_sim")),
@@ -203,8 +214,8 @@ object NorthStar {
         count(lit(1)).as("n_true_pairs"),
         (coalesce(sum(when(col("cand_sim").isNotNull, 1L).otherwise(0L)), lit(0L)) * 10L >=
           count(lit(1)) * 9L).as("recall_ok"),
-        coalesce(max(abs(col("cand_sim") - col("sim"))) === 0.0,
-          lit(false)).as("sim_exact_ok"))
+        (count(col("cand_sim")) === 0 ||
+          max(abs(col("cand_sim") - col("sim"))) === 0.0).as("sim_exact_ok"))
       .crossJoin(
         cand.join(truth.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
           .agg((count(lit(1)) === 0).as("precision_ok")))
@@ -378,15 +389,22 @@ object NorthStar {
     // back) — prev∪new frequency from O(distinct shingles) state, never
     // an O(corpus) re-aggregation — so the new batch's survivors equal
     // the one-shot corpus outcome at any SF (new-doc survival depends
-    // only on edges touching new docs). The day-0 leg caps over the
-    // corpus seen so far (= first half), which equals the corpus-wide
-    // cap whenever no shingle crosses the threshold only corpus-wide
-    // (true at every fixture SF: max doc-freq 25 « 1000).
-    val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3, threshold = 0.8)
+    // only on edges touching new docs). The day-0 leg ALSO caps
+    // corpus-wide — day-0 + day-1 frequencies summed, the same hot set
+    // the oracle's corpus-wide cap CTE states — so replay ≡ one-shot is
+    // STRUCTURAL, not a fixture property (a shingle crossing the cap
+    // only corpus-wide no longer splits the two cap sets). The replay
+    // has both halves in hand by construction; a true day-0 run would
+    // cap over day-0 alone and reconcile on the next ingest.
     val store = new graft.store.Store(s, graft.TempDirs.create("graft_dedup_"))
     val sig0 = Dedup.shingleSignatures(old, "doc_id", "text", n = 3)
     store.load(sig0, "dedup/signatures", externalKey = "day0")
     store.load(Dedup.shingleDocFreqs(sig0), "dedup/freqs", externalKey = "day0")
+    val corpusFreqs = store.get("dedup/freqs", useLast = true)
+      .union(Dedup.shingleDocFreqs(Dedup.shingleSignatures(fresh, "doc_id", "text", n = 3)))
+      .groupBy("s").agg(sum("df").as("df"))
+    val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3, threshold = 0.8,
+      shingleFreqs = Some(corpusFreqs))
     val keptNew = Dedup.dedupIncremental(fresh,
       store.get("dedup/signatures", useLast = true),
       "doc_id", "text", n = 3, threshold = 0.8,

@@ -32,9 +32,19 @@ import graft.store.{Store, Wire}
   *   - JSON in/out uses Spark's own shipped Jackson — no new deps.
   *
   * Status mapping: validation errors → 400, `Store.GetError` → 404,
-  * everything else → 500; all error bodies are `{"error": "<msg>"}`.
+  * over-`maxGetRows` reads → 413, everything else → 500; all error
+  * bodies are `{"error": "<msg>"}`.
+  *
+  * @param maxGetRows GET row ceiling. The wire format is a single JSON
+  *        array the client materializes whole (client.py:176), so an
+  *        unbounded table read dies SOMEWHERE — without the cap it was
+  *        a driver OOM here; the reference's remote backend fails just
+  *        as fatally, only less legibly. The cap makes the failure mode
+  *        honest: a reference-shaped 413 `{"error": ...}` naming the
+  *        scale-appropriate alternative. <= 0 disables the cap.
   */
-final class StoreServer(spark: SparkSession, store: Store, port: Int = 0) {
+final class StoreServer(spark: SparkSession, store: Store, port: Int = 0,
+    maxGetRows: Long = 1000000L) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -118,15 +128,46 @@ final class StoreServer(spark: SparkSession, store: Store, port: Int = 0) {
 
   /** GET /dataframes/{name}?external_key=...&use_last=true — returns the
     * rows as a records-orient JSON array (client.py:176 rebuilds a
-    * DataFrame straight from it).
+    * DataFrame straight from it). Over-cap tables answer 413 BEFORE any
+    * body byte (one cheap limit-probe job); in-cap responses stream as
+    * chunked partitions via `toLocalIterator` — the driver holds one
+    * partition of JSON strings at a time, never the whole frame.
     */
   private def get(ex: HttpExchange, name: String): Unit = {
     val params = queryParams(ex)
     val df = store.get(name,
       externalKey = params.get("external_key"),
       useLast = params.get("use_last").exists(_.equalsIgnoreCase("true")))
-    val rows = Wire.toJsonRecords(df).collect()
-    respond(ex, 200, rows.mkString("[", ",", "]"))
+    val rows = Wire.toJsonRecords(df)
+    if (maxGetRows > 0 &&
+        rows.limit(math.min(maxGetRows + 1, Int.MaxValue.toLong).toInt).count() > maxGetRows) {
+      respond(ex, 413, errorJson(
+        s"Result for '$name' exceeds $maxGetRows rows — too large for the " +
+          "records-JSON wire format; read it through the Store DataFrame API " +
+          "or narrow the request with external_key"))
+      return
+    }
+    // Streaming starts here: headers are committed, so any mid-stream
+    // failure can only truncate the body (the client's JSON parse fails
+    // loudly) — it must NOT fall through to handle()'s error responder,
+    // which would try to send headers twice.
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0)
+    val os = ex.getResponseBody
+    try {
+      os.write('[')
+      val it = rows.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) os.write(',')
+        os.write(it.next().getBytes(UTF_8))
+        first = false
+      }
+      os.write(']')
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[store-server] GET $name stream aborted: ${e.getMessage}")
+    } finally os.close()
   }
 
   /** GET /dataframes?prefix=... — catalog listing (client.py:185-215;

@@ -1264,7 +1264,7 @@ final class Store(
     * the write side). `listStatus` defers permission loading and this
     * walk never asks for it.
     */
-  private def mergeMove(stagingDir: Path, destDir: Path): Unit = {
+  private[store] def mergeMove(stagingDir: Path, destDir: Path): Unit = {
     val base = fs.makeQualified(stagingDir).toString
     // Track moved files so a mid-merge failure (disk full, permissions)
     // rolls the already-published files back out — a half-merged version
@@ -1282,15 +1282,28 @@ final class Store(
       // Re-mkdirs + retry lands the file in the NEW subtree; without
       // the retry, a publish racing a compact swap would fail.
       // A second merge delta into the SAME version label stages a marker
-      // the version already publishes. merge() has verified keys AND
-      // delete column match the published marker, so the staged copy is
-      // redundant — drop it and KEEP the published one. Never
-      // delete-then-replace the live marker: a crash between the two
-      // would leave delta-1's data reading as a plain append (the exact
-      // window the staged-marker design closes), and the published
+      // the version already publishes. When the contents AGREE the
+      // staged copy is redundant — drop it and KEEP the published one.
+      // Never delete-then-replace the live marker: a crash between the
+      // two would leave delta-1's data reading as a plain append (the
+      // exact window the staged-marker design closes), and the published
       // marker must also never join the rollback list (it predates this
       // load). Data files never collide (task-UUID-unique names).
+      // Contents CAN disagree despite merge()'s precheck: the check is
+      // check-then-act (two concurrent merges to one explicit label can
+      // both pass before either publishes) and NowKey labels skip it
+      // entirely (two merges colliding at millisecond resolution).
+      // Silently discarding a DIFFERING staged marker would rewrite this
+      // delta's tombstone semantics to the winner's — fail instead; the
+      // catch below rolls this load's already-moved files back out.
       if (dest.getName == MergeFile && fs.exists(dest)) {
+        val staged = readSmall(st.getPath)
+        val published = readSmall(dest)
+        if (staged != published)
+          throw new java.io.IOException(
+            s"merge marker conflict in version '${dest.getParent.getName}': " +
+              s"a concurrent merge published $published but this load staged $staged " +
+              "(same version label, different merge keys or delete column)")
         fs.delete(st.getPath, false)
       } else {
         var ok = fs.rename(st.getPath, dest)

@@ -69,21 +69,23 @@ object ScaleBench {
         Dedup.dedupIncremental(fresh, sig0, "doc_id", "text",
           prevShingleFreqs = Some(Dedup.shingleDocFreqs(sig0))).count()
       }
-      ops("qn26_srp_dedup") = timed {
-        // corpus-scale embedding dedup: SRP banded candidates -> CC
-        val pairs = Similarity.srpNeighbors(emb, "vec_id", "embedding",
-          dim = 64, cosThreshold = 0.9, numPlanes = 32, bands = 4)
-        Dedup.applyComponents(emb, pairs, "id_a", "id_b", "vec_id").count()
-      }
+      ops("qn26_dedup_routed") = timed(
+        // The ROUTED entry point (what a caller actually gets): exact
+        // block-grid below DefaultExactCosineRows, cell-pruned adaptive
+        // SemDeDup above — the r7 artifact's fixed-SRP 41×-at-3× cliff
+        // row is retired because the router no longer reaches that path.
+        Similarity.dedupByCosine(emb, "vec_id", "embedding", threshold = 0.9)
+          .count())
       ops("qn38_boilerplate") = timed(
         graft.ops.TextOps.removeBoilerplate(docs, "doc_id", "text").count())
       ops("qn40_semdedup") = timed {
-        // Corpus-adaptive nlist — THE SemDeDup scale lever (cells hold
-        // ~2500 rows at any corpus size; fixed nlist is quadratic:
-        // 129 s vs 9.4 s at 60k vecs for the SAME 619 detected pairs).
+        // DEFAULT (corpus-adaptive) nlist — THE SemDeDup scale lever
+        // (cells hold ~2500 rows at any corpus size; fixed nlist is
+        // quadratic: 129 s vs 9.4 s at 60k vecs for the SAME 619
+        // detected pairs). Since r8 this is the no-hint default; the
+        // bench exercises exactly what a caller gets.
         val pairs = Similarity.semDedupPairs(emb, "vec_id", "embedding",
-          threshold = 0.9, nlist = Similarity.semDedupNlistFor(nVecs),
-          assignProbes = 3)
+          threshold = 0.9, assignProbes = 3)
         Dedup.applyComponents(emb, pairs, "id_a", "id_b", "vec_id").count()
       }
       ops("qs07_cdc_merge") = timed {

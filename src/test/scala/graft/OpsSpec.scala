@@ -642,9 +642,16 @@ class OpsSpec extends SparkSpec {
     val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
     val projected = emb.select(col("vec_id"), col("embedding"))
     assert(Similarity.planRowUpperBound(projected).contains(500L))
-    val filtered = emb.where(col("vec_id") < 10)
-    val ub = Similarity.planRowUpperBound(filtered)
-    assert(ub.contains(500L), s"filter keeps the footer upper bound, got $ub")
+    // Row-SHRINKING plans must refuse too (r8, ADVICE r7): a footer sum
+    // over a filtered scan is only an upper bound, and a fit-sample
+    // fraction sized from it collapses to ~selectivity·maxFitRows rows —
+    // empty on a selective filter. count() is the honest path there.
+    assert(Similarity.planRowUpperBound(emb.where(col("vec_id") < 10)).isEmpty,
+      "filter must refuse — the footer count is no longer exact")
+    assert(Similarity.planRowUpperBound(emb.limit(5)).isEmpty, "limit must refuse")
+    assert(Similarity.planRowUpperBound(emb.groupBy("vec_id").count()).isEmpty,
+      "aggregate must refuse")
+    assert(Similarity.planRowUpperBound(emb.sample(0.1)).isEmpty, "sample must refuse")
     // Local relations know their exact size.
     val local = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     assert(Similarity.planRowUpperBound(local).contains(2L))
@@ -843,5 +850,71 @@ class OpsSpec extends SparkSpec {
     val repOut = TextOps.removeBoilerplate(rep, "id", "text", segLen = 8, minDocs = 2)
       .collect().map(r => (r.getLong(1), r.getLong(2))).head
     assert(repOut == ((2L, 0L)), "intra-doc repetition is not corpus boilerplate")
+  }
+
+  test("semDedupPairs no-hint default sizes nlist from the corpus (r8 adaptive)") {
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 500 vectors → semDedupNlistFor picks the floor (8): the adaptive
+    // default must land on exactly the config the graded query used to
+    // pin by hand, so qn40's semantics are unchanged by the default.
+    val auto = pairSet(Similarity.semDedupPairs(emb, "vec_id", "embedding",
+      threshold = 0.4, assignProbes = 3))
+    val pinned = pairSet(Similarity.semDedupPairs(emb, "vec_id", "embedding",
+      threshold = 0.4, nlist = 8, assignProbes = 3))
+    assert(auto == pinned, s"auto=${auto.size} pinned=${pinned.size}")
+    // Sizing curves: constant cell rows for the self-join lever, √n for
+    // the search lever, both clamped below.
+    assert(Similarity.semDedupNlistFor(2000) == 8)
+    assert(Similarity.semDedupNlistFor(1000000) == 400)
+    assert(Similarity.ivfNlistFor(2000) == 45)
+    assert(Similarity.ivfNlistFor(1000000) == 1000)
+    assert(Similarity.ivfNlistFor(0) == 8)
+  }
+
+  test("ANN fit over a filtered or mis-hinted corpus never undersamples to a crash") {
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    // Heavily filtered corpus, tiny maxFitRows: before r8 the footer
+    // count (500) sized the sample fraction while the filter left ~5
+    // rows — an (almost surely) empty fit sample crashing the PQ
+    // codebook train. The Filter-refusing planRowUpperBound + count()
+    // fallback must make this exact.
+    val filtered = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+    val q = filtered.limit(1)
+    val out = Similarity.pqTopK(filtered, q, "vec_id", "embedding",
+      dim = 64, k = 2, m = 8, ksub = 4, shortlist = 4, maxFitRows = 3L)
+    assert(out.count() == 2L)
+    // A stale caller hint that wildly OVERestimates the corpus must fall
+    // back to the bounded-prefix refit, not crash on an empty sample.
+    val hinted = Similarity.pqTopK(filtered, q, "vec_id", "embedding",
+      dim = 64, k = 2, m = 8, ksub = 4, shortlist = 4, maxFitRows = 3L,
+      corpusRows = Some(100000000L))
+    assert(hinted.count() == 2L)
+    val ivfHinted = Similarity.ivfTopK(filtered, q, "vec_id", "embedding",
+      k = 2, nlist = 2, nProbe = 2, maxFitRows = 3L,
+      corpusRows = Some(100000000L))
+    assert(ivfHinted.count() == 2L)
+  }
+
+  test("dedupByCosine routes: exact below the ceiling, cell-pruned above") {
+    assert(Similarity.cosineDetectorFor(2000L, Similarity.DefaultExactCosineRows) == "exact")
+    assert(Similarity.cosineDetectorFor(20000L, Similarity.DefaultExactCosineRows) == "exact")
+    assert(Similarity.cosineDetectorFor(20001L, Similarity.DefaultExactCosineRows) == "semdedup")
+    // Survivor agreement across the two paths on the fixture corpus:
+    // force the routed (semdedup) path with a lowered ceiling and
+    // compare against the exact default. The planted duplicate structure
+    // must come out identical (3-probe soft assignment holds recall 1.0
+    // at this size — RecallSpec pins the config).
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    def survivors(maxExact: Long) =
+      Similarity.dedupByCosine(emb, "vec_id", "embedding", threshold = 0.4,
+        maxExactRows = maxExact)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = survivors(Long.MaxValue)
+    val routed = survivors(1L)
+    assert(exact.nonEmpty && exact.size < 500, "fixture has planted dups")
+    assert(routed == exact,
+      s"exact-only=${(exact -- routed).size} routed-only=${(routed -- exact).size}")
   }
 }

@@ -119,4 +119,33 @@ class StoreServerSpec extends SparkSpec {
       """{"dataframe": null, "dataframe_name": "t-null"}""")
     assert(nullDf.statusCode() == 400, nullDf.body())
   }
+
+  test("GET answers 413 for over-cap tables; in-cap responses stream whole (r8)") {
+    import spark.implicits._
+    // A second server over the same store with a tiny row cap — the wire
+    // format materializes client-side whole, so the cap is the honest
+    // failure mode for tables that were never client-sized.
+    val capped = new StoreServer(spark, store, maxGetRows = 3L)
+    val port = capped.start()
+    def getCapped(path: String): HttpResponse[String] =
+      http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    try {
+      store.load((1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"),
+        "my-test/big", externalKey = "v1")
+      val over = getCapped("/dataframes/my-test/big")
+      assert(over.statusCode() == 413, s"${over.statusCode()} ${over.body()}")
+      assert(over.body().startsWith("""{"error":""") &&
+        over.body().contains("exceeds 3 rows"), over.body())
+      // In-cap table: the chunked stream must still be one well-formed
+      // records array carrying every row.
+      store.load((1L to 3L).map(i => (i, s"r$i")).toDF("id", "v"),
+        "my-test/small", externalKey = "v1")
+      val ok = getCapped("/dataframes/my-test/small")
+      assert(ok.statusCode() == 200, ok.body())
+      assert(ok.body().startsWith("[") && ok.body().endsWith("]"), ok.body())
+      assert((1L to 3L).forall(i => ok.body().contains(s""""id":$i""")), ok.body())
+      assert(ok.body().count(_ == ',') >= 2, "3 records need 2+ separators")
+    } finally capped.stop()
+  }
 }
