@@ -46,6 +46,19 @@ object Bench {
       region.repartition(2, col("r_regionkey")).write
         .mode("overwrite").parquet(warmDir.resolve("w").toString)
       spark.read.parquet(warmDir.resolve("w").toString).count()
+      // spark.ml init (BLAS instance probing + ml codegen) costs ~4-5s
+      // and otherwise lands entirely on whichever ANN query the registry
+      // order happens to run first — profiled as a 6.2s first sample vs
+      // a 1.5s steady state on qn12. A 16-point KMeans fit pays it here.
+      locally {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val pts = spark.range(16).select(
+          array_to_vector(org.apache.spark.sql.functions.array(
+            (col("id") % 4).cast("double"), (col("id") / 4).cast("double")))
+            .as("features"))
+        new KMeans().setK(2).setSeed(1L).setMaxIter(2).fit(pts).transform(pts).count()
+      }
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(warmDir.toString), true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }

@@ -401,7 +401,9 @@ object NorthStar {
     store.load(sig0, "dedup/signatures", externalKey = "day0")
     store.load(Dedup.shingleDocFreqs(sig0), "dedup/freqs", externalKey = "day0")
     val corpusFreqs = store.get("dedup/freqs", useLast = true)
-      .union(Dedup.shingleDocFreqs(Dedup.shingleSignatures(fresh, "doc_id", "text", n = 3)))
+      .select(col("s"), col("df"))
+      .unionByName(
+        Dedup.shingleDocFreqs(Dedup.shingleSignatures(fresh, "doc_id", "text", n = 3)))
       .groupBy("s").agg(sum("df").as("df"))
     val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3, threshold = 0.8,
       shingleFreqs = Some(corpusFreqs))

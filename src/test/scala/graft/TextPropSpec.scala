@@ -1,0 +1,127 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.ops.TextOps
+
+/** Property tests for the round-7 text operators, each checked against
+  * an independent in-memory reference model on random tiny-vocabulary
+  * corpora (small vocab on purpose: shared windows, seen/backoff/OOV
+  * branches, and span-boundary collisions happen on every run instead
+  * of almost never). The fixture oracle grades one corpus shape; these
+  * pin the operator semantics on adversarial ones — repeated windows
+  * inside one doc, docs shorter than the window, whitespace-only and
+  * null texts, benchmark spans at document edges.
+  */
+object TextPropSpec extends Properties("TextOps.reference") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+
+  /** The operator's own tokenization (TextOps.tokens): trim, split \s+. */
+  private def toks(s: String): Seq[String] = {
+    val t = if (s == null) "" else s.trim
+    if (t.isEmpty) Seq.empty else scala.collection.immutable.ArraySeq.unsafeWrapArray(t.split("\\s+"))
+  }
+
+  // Docs draw 0-12 tokens from a 6-word vocab; ~1 in 12 is whitespace
+  // only and ~1 in 12 is a SQL NULL.
+  private val genDoc: Gen[Option[String]] = Gen.frequency(
+    10 -> Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f")).map(ws => Some(ws.mkString(" ")))),
+    1 -> Gen.const(Some("   ")),
+    1 -> Gen.const(None))
+
+  private val genCorpus: Gen[Seq[(Long, Option[String])]] =
+    Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, genDoc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  private def toDf(corpus: Seq[(Long, Option[String])]) = {
+    import spark.implicits._
+    corpus.toDF("id", "text")
+  }
+
+  property("exactSubstringOverlap == brute-force shared-window counts") =
+    Prop.forAllNoShrink(genCorpus, Gen.chooseNum(2, 4)) { (corpus, k) =>
+      val windows = corpus.map { case (id, t) =>
+        id -> toks(t.orNull).sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+      }
+      val docFreq = windows.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val expected = windows.collect { case (id, ws) if ws.nonEmpty =>
+        id -> ((ws.size.toLong, ws.count(w => docFreq(w) >= 2).toLong))
+      }.toMap
+      val got = TextOps.exactSubstringOverlap(toDf(corpus), "id", "text", k = k)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      Prop(got == expected) :| s"got=$got expected=$expected k=$k"
+    }
+
+  /** In-memory stupid-backoff bigram model mirroring lmFluencyScores'
+    * documented semantics: p = c(w1w2)/c(w1·) when seen, else
+    * 0.4·c(w2)/N, floored at 0.4/(N+1) when that is 0 (OOV under a
+    * foreign LM).
+    */
+  private def lmRef(
+      docs: Seq[(Long, Option[String])],
+      lmDocs: Seq[(Long, Option[String])]): Map[Long, (Long, Double)] = {
+    val uni = lmDocs.flatMap(d => toks(d._2.orNull))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = uni.values.sum
+    val bi = lmDocs.flatMap(d => toks(d._2.orNull).sliding(2).filter(_.size == 2)
+        .map(w => (w.head, w(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val left = bi.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    docs.flatMap { case (id, t) =>
+      val w = toks(t.orNull)
+      if (w.size < 2) None
+      else {
+        val ps = w.sliding(2).filter(_.size == 2).map { bg =>
+          val p0 = bi.get((bg.head, bg(1))) match {
+            case Some(cb) => cb.toDouble / left(bg.head)
+            case None if n > 0 => 0.4 * uni.getOrElse(bg(1), 0L).toDouble / n
+            case None => 0d
+          }
+          StrictMath.log10(if (p0 > 0d) p0 else 0.4 / (n + 1d))
+        }.toSeq
+        Some(id -> ((ps.size.toLong, ps.sum / ps.size)))
+      }
+    }.toMap
+  }
+
+  property("lmFluencyScores == in-memory stupid backoff (self and foreign LM)") =
+    Prop.forAllNoShrink(genCorpus, genCorpus) { (docs, lmDocs) =>
+      def check(lm: Option[Seq[(Long, Option[String])]]): Prop = {
+        val expected = lmRef(docs, lm.getOrElse(docs))
+        val got = TextOps.lmFluencyScores(toDf(docs), "id", "text", lm.map(toDf))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        val same = got.keySet == expected.keySet && expected.forall { case (id, (nb, s)) =>
+          got(id)._1 == nb && math.abs(got(id)._2 - s) < 1e-9
+        }
+        Prop(same) :| s"lm=${lm.isDefined} got=$got expected=$expected"
+      }
+      check(None) && check(Some(lmDocs))
+    }
+
+  property("removeContaminatedSpans: total, order-preserving, == brute coverage") =
+    Prop.forAllNoShrink(genCorpus, genCorpus, Gen.chooseNum(1, 3)) { (corpus, benchDocs, n) =>
+      val benchSh = benchDocs.flatMap(d =>
+        toks(d._2.orNull).sliding(n).filter(_.length == n).map(_.mkString(" "))).toSet
+      val expected = corpus.map { case (id, t) =>
+        val w = toks(t.orNull)
+        val covered = (0 to w.size - n)
+          .filter(st => benchSh.contains(w.slice(st, st + n).mkString(" ")))
+          .flatMap(st => st until st + n).toSet
+        val kept = w.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+        id -> ((w.size.toLong, covered.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = TextOps.removeContaminatedSpans(toDf(corpus), toDf(benchDocs),
+        "id", "text", n = n)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      // Totality is part of the contract: EVERY corpus id comes back,
+      // including null/whitespace docs (as 0/0/"").
+      Prop(got == expected) :| s"n=$n got=$got expected=$expected"
+    }
+}
