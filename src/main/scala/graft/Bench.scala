@@ -22,23 +22,21 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_CPUS).
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.hadoop.fs.file.impl", classOf[graft.hadoop.FastLocalFileSystem].getName)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JIT/codegen/parquet reader+writer init otherwise
-    // lands entirely on whichever query happens to run first (it was
-    // inflating qs01 by ~5s). Exercises scan, shuffle, and the write
-    // path once; its wall time is recorded separately as "warmup_sec".
+
+  /** Untimed warmup shared by [[Bench]] and [[graft.tools.QueryProfile]]:
+    * JIT/codegen/parquet reader+writer init otherwise lands entirely on
+    * whichever query happens to run first (it was inflating qs01 by
+    * ~5s). Exercises scan, shuffle, and the write path once; spark.ml
+    * init (BLAS instance probing + ml codegen) costs another ~4-5s and
+    * otherwise lands on whichever ANN query the registry order happens
+    * to run first — profiled as a 6.2s first sample vs a 1.5s steady
+    * state on qn12. A 16-point KMeans fit pays it here. Warmup failure
+    * must not kill the run — the per-query loop still reports every
+    * query (first-query timing just absorbs the init). Returns wall
+    * seconds (recorded as "warmup_sec").
+    */
+  def warmup(spark: SparkSession, sfDir: String): Double = {
     val w0 = System.nanoTime()
-    // Warmup failure must not kill the bench — the per-query loop still
-    // reports every query (first-query timing just absorbs the init).
     try {
       import org.apache.spark.sql.functions.col
       val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_warm_")
@@ -46,10 +44,6 @@ object Bench {
       region.repartition(2, col("r_regionkey")).write
         .mode("overwrite").parquet(warmDir.resolve("w").toString)
       spark.read.parquet(warmDir.resolve("w").toString).count()
-      // spark.ml init (BLAS instance probing + ml codegen) costs ~4-5s
-      // and otherwise lands entirely on whichever ANN query the registry
-      // order happens to run first — profiled as a 6.2s first sample vs
-      // a 1.5s steady state on qn12. A 16-point KMeans fit pays it here.
       locally {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
@@ -62,7 +56,20 @@ object Bench {
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(warmDir.toString), true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    val warmupSec = (System.nanoTime() - w0) / 1e9
+    (System.nanoTime() - w0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", classOf[graft.hadoop.FastLocalFileSystem].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val warmupSec = warmup(spark, sfDir)
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

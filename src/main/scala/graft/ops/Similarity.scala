@@ -71,21 +71,23 @@ object Similarity {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val plan = df.queryExecution.optimizedPlan
-    val changesRowCount = plan.collectFirst {
-      case j: Join => j
-      case g: Generate => g
-      case e: Expand => e
-      case f: Filter => f
-      case a: Aggregate => a
-      case d: Deduplicate => d
-      case s: Sample => s
-      case l: GlobalLimit => l
-      case l: LocalLimit => l
-      case o: Offset => o
-      case i: Intersect => i
-      case x: Except => x
-    }.isDefined
-    if (changesRowCount) return None
+    // ALLOWLIST of count-preserving nodes, not a blocklist of
+    // count-changing ones: typed-API operators survive optimization as
+    // object nodes a blocklist never enumerated (TypedFilter,
+    // MapPartitions, FlatMapGroups*, CoGroup — all row-changing), and
+    // future node types default the same way. Unknown ⇒ refuse; the
+    // fallback is a correct count() job, so the only cost of refusing
+    // too much is the one extra stage this path exists to skip.
+    val countPreserving: LogicalPlan => Boolean = {
+      case _: Project | _: Sort | _: Union => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+      case _: RepartitionOperation => true // Repartition/RepartitionByExpression
+      case _: SubqueryAlias => true
+      case _: LocalRelation => true
+      case _: LogicalRelation => true
+      case _ => false
+    }
+    if (!plan.collect { case n => n }.forall(countPreserving)) return None
     val counts = plan.collectLeaves().map {
       case l: LocalRelation => Some(l.data.length.toLong)
       case lr: LogicalRelation => lr.relation match {

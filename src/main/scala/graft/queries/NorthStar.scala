@@ -168,7 +168,10 @@ object NorthStar {
         Seq("id_a", "id_b"), "left")
       .agg(
         count(lit(1)).as("n_true_pairs"),
-        (sum(when(col("cand_sim").isNotNull, 1L).otherwise(0L)) * 10L >=
+        // coalesce: sum over ZERO rows is SQL NULL, and NULL >= 0 is
+        // NULL — an empty truth set must grade recall as the literal
+        // true the oracle states, not null.
+        (coalesce(sum(when(col("cand_sim").isNotNull, 1L).otherwise(0L)), lit(0L)) * 10L >=
           count(lit(1)) * 9L).as("recall_ok"),
         // Vacuously true when no true pair matched a candidate (zero
         // sims to compare; recall_ok catches the misses) — the oracle
@@ -358,9 +361,17 @@ object NorthStar {
     * 0.4 (qn10's detector) → connected components → keep the smallest
     * vec_id per cluster. Oracle = recursive-CTE transitive closure over
     * DuckDB-computed exact cosine pairs (the embedding analog of qn15).
+    *
+    * `maxExactRows` is PINNED to the exact detector here: the oracle
+    * states exact-cosine semantics, so the corpus-size routing default
+    * (→ cell-pruned SemDeDup above 20k rows, with its accepted recall
+    * loss) must not silently flip this query's semantics at a larger SF
+    * and fail the grade. The routed default is what production callers
+    * get; ScaleBench's qn26_dedup_routed row measures IT at 200k vecs.
     */
   private def qDedupCosine(s: SparkSession, dir: String): DataFrame =
-    Similarity.dedupByCosine(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
+    Similarity.dedupByCosine(emb(s, dir), "vec_id", "embedding", threshold = 0.4,
+      maxExactRows = Long.MaxValue)
       .select("vec_id")
       .orderBy("vec_id")
 
@@ -400,6 +411,13 @@ object NorthStar {
     val sig0 = Dedup.shingleSignatures(old, "doc_id", "text", n = 3)
     store.load(sig0, "dedup/signatures", externalKey = "day0")
     store.load(Dedup.shingleDocFreqs(sig0), "dedup/freqs", externalKey = "day0")
+    // The fresh half's shingle frequencies are aggregated here AND
+    // inside dedupIncremental (which derives its hot set from
+    // prevShingleFreqs + the batch) — an accepted extra O(batch) pass:
+    // both subtrees stay O(delta) at corpus scale, and sharing them
+    // would mean a second overlapping freq parameter on
+    // dedupIncremental whose misuse (corpus-wide vs batch-only counts)
+    // would silently double-count the batch in the cap.
     val corpusFreqs = store.get("dedup/freqs", useLast = true)
       .select(col("s"), col("df"))
       .unionByName(

@@ -167,7 +167,14 @@ final class StoreServer(spark: SparkSession, store: Store, port: Int = 0,
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[store-server] GET $name stream aborted: ${e.getMessage}")
-    } finally os.close()
+    } finally {
+      // close() flushes the chunked trailer and throws again on an
+      // aborted connection — swallowed here for the same reason as the
+      // write failure above: headers are committed, so escaping to
+      // handle()'s responder would attempt a second header-send.
+      try os.close()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** GET /dataframes?prefix=... — catalog listing (client.py:185-215;

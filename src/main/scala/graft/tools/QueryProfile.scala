@@ -26,9 +26,12 @@ object QueryProfile {
     val names =
       if (args.isEmpty || args.sameElements(Array("all"))) graft.SparkEntry.queries.keys.toSeq
       else args.toSeq
-    // Same warmup as Bench: JIT/codegen/reader init must not land on the
-    // first sample.
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Bench's OWN warmup (scan + shuffle + write + spark.ml init): the
+    // whole point of this tool is isolating a query's steady-state cost,
+    // so one-time init — especially the ~4-5s spark.ml BLAS/codegen
+    // probe an ANN query would otherwise absorb into its first sample —
+    // must be paid before sampling starts.
+    graft.Bench.warmup(spark, sfDir)
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))

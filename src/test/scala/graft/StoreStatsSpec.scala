@@ -67,8 +67,11 @@ class StoreStatsSpec extends SparkSpec {
     }
     val (kept, total) = store.prunedDataFiles(
       Seq(vDir(root, "t", "v1")), "id", 1000L, 1099L)
-    assert(total == 6 && kept.size == 2,
-      s"kept ${kept.size} of $total\n${footerDiag(vDir(root, "t", "v1"))}")
+    // fail() keeps the footer walk off the passing path (assert's clue
+    // argument is evaluated EAGERLY) — the diagnostic must only run,
+    // and only be able to throw, when the assertion already failed.
+    if (!(total == 6 && kept.size == 2))
+      fail(s"kept ${kept.size} of $total\n${footerDiag(vDir(root, "t", "v1"))}")
     // String column skipping works off binary stats.
     val (keptS, _) = store.prunedDataFiles(
       Seq(vDir(root, "t", "v1")), "payload", "p2", "p2")
@@ -173,14 +176,14 @@ class StoreStatsSpec extends SparkSpec {
     def statsFiles() = fsys.listStatus(dir)
       .map(_.getPath.getName).filter(_.startsWith(Store.StatsFilePrefix)).toSet
     val stale = statsFiles()
-    assert(stale.size == 1, s"no sidecar after load\n${footerDiag(dir)}")
+    if (stale.size != 1) fail(s"no sidecar after load\n${footerDiag(dir)}")
     // Compact swaps in a rewrite; the pre-compact sidecar references
     // dead file names and must be gone, REPLACED by one recomputed from
     // the rewritten footers (same tracked columns).
     store.compact("t")
     val fresh = statsFiles()
-    assert(fresh.size == 1 && (fresh & stale).isEmpty,
-      s"expected one fresh sidecar, got $fresh (stale was $stale)\n${footerDiag(dir)}")
+    if (!(fresh.size == 1 && (fresh & stale).isEmpty))
+      fail(s"expected one fresh sidecar, got $fresh (stale was $stale)\n${footerDiag(dir)}")
     // With zorder, a fresh sidecar lands atomically with the swap and
     // pruning works off the compacted layout.
     store.load((100L to 199L).map(j => (j, "b")).toDF("id", "s"),
