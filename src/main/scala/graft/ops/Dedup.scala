@@ -379,6 +379,36 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Apply a detected duplicate-pair set keeping the BEST row per
+    * cluster by `scoreCol` (highest wins; ties → smallest id) instead
+    * of the smallest id — the representative-selection policy a corpus
+    * pipeline deploys when duplicates differ in quality (keep the
+    * longest / cleanest copy, drop truncated mirrors of it). Rows in no
+    * cluster pass through untouched.
+    *
+    * Cost over [[applyComponents]]: one hash join of the (pair-sized)
+    * membership table against the corpus's skinny (id, score)
+    * projection, plus one `row_number` window PARTITIONED BY component —
+    * cluster-sized groups, never a global sort; only clustered ids flow
+    * through the window, the 100 TB corpus side crosses one anti-join
+    * exactly as before.
+    */
+  def applyComponentsKeepBest(
+      df: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String, idCol: String, scoreCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val scored = df.select(col(idCol).as("node"), col(scoreCol).as("__score"))
+      .join(comps, "node")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col("__score").desc, col("node").asc)
+    val losers = scored
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") > 1)
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Full near-dup dedup over MinHash+LSH candidates — the corpus-scale
     * variant of [[dedupByJaccard]] (banded equality joins instead of the
     * exact shingle self-join): detect candidate pairs at

@@ -281,6 +281,68 @@ object Mixture {
       .limit(k)
   }
 
+  /** Deterministic hash-based dataset split (train/val/test/...): each
+    * row's bucket is the first 4 hex chars of `md5(salt ++ ":" ++ id)`,
+    * compared LEXICOGRAPHICALLY against cumulative-weight thresholds
+    * rendered as 4-char lowercase hex. Fixed-width lowercase hex orders
+    * identically to its numeric value, and md5 of a UTF-8 string is
+    * bit-identical in every engine — so the SAME row lands in the SAME
+    * split in Spark, DuckDB, or a Python sidecar re-deriving the split
+    * from (salt, id) alone. That reproducibility is the point: a
+    * held-out set must survive re-partitioning, engine migration, and
+    * incremental ingest (new rows hash into splits at the configured
+    * rates; old rows never move). Purely per-row codegen'd expressions
+    * — no shuffle, no UDF, no state.
+    *
+    * @param splits (label, weight) in order; weights sum to ~1. The
+    *        last split absorbs hex-rounding remainder (thresholds are
+    *        floor'd to 1/65536 granularity — worst-case bias 2e-5 per
+    *        boundary, unbiased across salts).
+    */
+  def hashSplit(
+      docs: DataFrame,
+      idCol: String,
+      salt: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(splits.forall(_._2 >= 0), "split weights must be >= 0")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights must sum to 1, got $total")
+    val bucket = substring(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 1, 4)
+    // Cumulative thresholds in hex; the final split is the else branch.
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cum.init.map(c => f"${math.min(65535L, math.round(math.floor(c * 65536)))}%04x")
+    // Fold from the last threshold outward so the built expression reads
+    // "first threshold above the bucket wins": when(b < t1, s1,
+    // when(b < t2, s2, ..., lastSplit)).
+    val label = splits.init.zip(thresholds).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), th)) =>
+        when(bucket < lit(th), lit(name)).otherwise(acc)
+      }
+    docs.withColumn("split", label)
+  }
+
+  /** Per-source quality-quantile rank: `percent_rank` of `scoreCol`
+    * WITHIN each source — the normalization a mixture sampler needs
+    * before comparing quality across sources (absolute score scales are
+    * source-specific: a 0.7 web-quality and a 0.7 code-quality are not
+    * the same animal; their within-source quantiles are comparable).
+    * Ties share a rank (SQL-standard RANK semantics, so the result is
+    * deterministic without a tiebreak column and identical across
+    * engines). The window partitions by source — per-source sorts, no
+    * global ordering; at 100 TB with few giant sources, pre-aggregate
+    * to score histograms per source and join back (same pattern as
+    * [[sampleByTokenBudget]]'s bucket classification) — this exact
+    * formulation is the small-source / graded path.
+    */
+  def sourceQuantileRank(
+      docs: DataFrame,
+      sourceCol: String,
+      scoreCol: String): DataFrame =
+    docs.withColumn("q_rank",
+      percent_rank().over(
+        Window.partitionBy(sourceCol).orderBy(col(scoreCol))))
+
   /** Reference formulation — ONE cumulative window partitioned by source
     * over every row. Row-identical to [[sampleByTokenBudget]] (MixtureSpec
     * asserts it); kept as the equivalence oracle and for small inputs. Do

@@ -912,6 +912,51 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Near-dup dedup keeping the HIGHEST-QUALITY member per duplicate
+    * cluster (n_chars as the quality proxy; ties → smallest id) — the
+    * representative-selection policy a production pipeline deploys when
+    * duplicates differ in quality (keep the longest copy, drop its
+    * truncated mirrors). Same detector as qn15 (capped-shingle exact
+    * Jaccard at 0.8), so the two graded queries isolate exactly the
+    * keep policy; oracle = qn15's recursive transitive closure plus a
+    * per-component rank.
+    */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.applyComponentsKeepBest(d,
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8),
+      "doc_a", "doc_b", "doc_id", "n_chars")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic cross-engine hash split (80/10/10), graded as per
+    * (source, split) aggregates: the bucket is the first 4 hex chars of
+    * md5("graft:" ++ doc_id) compared lexicographically against hex
+    * thresholds — bit-identical in Spark and DuckDB, so the held-out
+    * sets are stable across engines, partitionings, and incremental
+    * ingests (the property that makes a hash split the right tool; a
+    * rand()-based split survives none of those).
+    */
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    Mixture.hashSplit(docs(s, dir), "doc_id", "graft",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source", "split")
+
+  /** Per-source quality quantile: percent_rank of n_chars WITHIN each
+    * source — the cross-source score normalization a mixture sampler
+    * composes with qn39/qn44 (absolute quality scales are
+    * source-specific; quantiles are comparable). Tie rows share a rank
+    * (SQL-standard), so no tiebreak column is needed for cross-engine
+    * determinism.
+    */
+  private def qSourceQuantile(s: SparkSession, dir: String): DataFrame =
+    Mixture.sourceQuantileRank(docs(s, dir), "source", "n_chars")
+      .select(col("doc_id"), col("source"), round(col("q_rank"), 6).as("q_rank"))
+      .orderBy("doc_id")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -1622,6 +1667,58 @@ object NorthStar {
              round(sum(log10(pr)) / count(*), 4) AS score
       FROM p
       GROUP BY doc_id
+      ORDER BY doc_id""")),
+    QueryDef("qn46_dedup_keep_best", qDedupKeepBest _, Some("""
+      WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents WHERE trim(text) <> ''),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      sh AS (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      qpairs AS (SELECT doc_a, doc_b FROM prs
+                 JOIN counts na ON doc_a = na.doc_id
+                 JOIN counts nb ON doc_b = nb.doc_id
+                 WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM qpairs
+                UNION SELECT doc_b, doc_a FROM qpairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+                      UNION
+                      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u),
+      ranked AS (SELECT c.node,
+                        row_number() OVER (PARTITION BY c.component
+                                           ORDER BY d.n_chars DESC, c.node ASC) AS rk
+                 FROM comp c JOIN documents d ON d.doc_id = c.node)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rk > 1)
+      ORDER BY doc_id""")),
+    QueryDef("qn47_hash_split", qHashSplit _, Some("""
+      WITH b AS (
+        SELECT source, n_chars,
+               substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bk
+        FROM documents),
+      s AS (SELECT source,
+                   CASE WHEN bk < 'cccc' THEN 'train'
+                        WHEN bk < 'e666' THEN 'val'
+                        ELSE 'test' END AS split,
+                   n_chars
+            FROM b)
+      SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM s
+      GROUP BY source, split
+      ORDER BY source, split""")),
+    QueryDef("qn48_source_quantile", qSourceQuantile _, Some("""
+      SELECT doc_id, source,
+             round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+               AS q_rank
+      FROM documents
       ORDER BY doc_id"""))
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.AsOfJoin
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Mixture, Similarity, TextOps}
 
 /** Operator-level unit tests on hand-built frames with known answers. */
 class OpsSpec extends SparkSpec {
@@ -916,5 +916,62 @@ class OpsSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.size < 500, "fixture has planted dups")
     assert(routed == exact,
       s"exact-only=${(exact -- routed).size} routed-only=${(routed -- exact).size}")
+  }
+
+  test("applyComponentsKeepBest keeps the top-scored member per cluster, min-id on ties") {
+    import spark.implicits._
+    // Cluster {1,2,3} via 1-2, 2-3 (scores 5, 9, 7 → keep 2);
+    // cluster {10,11} tie (4, 4 → keep 10); 20 unclustered survives.
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L), (20L, 1L))
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val kept = Dedup.applyComponentsKeepBest(docs, pairs, "a", "b", "id", "score")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 10L, 20L), s"got $kept")
+    // Against keep-min-id: same clusters, different representatives.
+    val keptMin = Dedup.applyComponents(docs, pairs, "a", "b", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptMin == Set(1L, 10L, 20L), s"got $keptMin")
+  }
+
+  test("hashSplit: deterministic, engine-stable thresholds, rates near weights") {
+    import spark.implicits._
+    val docs = spark.range(10000).toDF("id")
+    val split = Mixture.hashSplit(docs, "id", "s1",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts("train") - 8000L) < 300, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 150, s"val=${counts("val")}")
+    // Same (salt, id) → same split, independent of row order/partitioning.
+    val again = Mixture.hashSplit(docs.repartition(7), "id", "s1",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .where(col("split") === "val").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val first = split.where(col("split") === "val").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == first)
+    // A different salt draws a different held-out set.
+    val other = Mixture.hashSplit(docs, "id", "s2",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .where(col("split") === "val").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != first)
+  }
+
+  test("sourceQuantileRank: per-source percent_rank, ties share, bounds [0,1]") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 40L), ("a", 5L, 50L),
+      ("b", 6L, 7L), ("b", 7L, 9L))
+      .toDF("source", "id", "score")
+    val got = Mixture.sourceQuantileRank(docs, "source", "score")
+      .select("id", "q_rank").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // a: ranks over 5 rows → (rank-1)/4; ties at 20 share rank 2.
+    assert(got(1L) == 0.0 && got(4L) == 0.75 && got(5L) == 1.0)
+    assert(got(2L) == 0.25 && got(3L) == 0.25, s"ties must share: $got")
+    // b: 2 rows → 0 and 1.
+    assert(got(6L) == 0.0 && got(7L) == 1.0)
   }
 }

@@ -136,8 +136,17 @@ class StoreStatsSpec extends SparkSpec {
 
     // Small target size: the point is MANY tight-range files (the
     // default 128 MB target would legitimately coalesce this toy grid
-    // into one file and there would be nothing to skip).
-    store.compact("g", targetFileBytes = 8L * 1024, zorderBy = Seq("x", "y"))
+    // into one file and there would be nothing to skip). 2 KB (not the
+    // 8 KB this test ran with through r7): the ~96 KB input then cuts
+    // into ~48 z-range slices instead of ~12. At 12, the ½-ratio gates
+    // below sat EXACTLY at their pass/fail edge (kept 6 vs 7 of 12) and
+    // repartitionByRange's sample-based slice boundaries — seeded by the
+    // per-run RDD id — decided the outcome: the suite's one
+    // long-unreproducible flake (r7, and once in the r8 full suite:
+    // "14 was not less than or equal to 12"). With ~48 files each
+    // 8-wide band fragment spans 1–2 files and kept lands ≈ 16–24 —
+    // the same property, graded off the knife edge.
+    store.compact("g", targetFileBytes = 2L * 1024, zorderBy = Seq("x", "y"))
     val (keptX, totalZ) = store.prunedDataFiles(dir, "x", 0L, 7L)
     val (keptY, _) = store.prunedDataFiles(dir, "y", 0L, 7L)
     assert(totalZ > 8, s"need multiple output files, got $totalZ")
