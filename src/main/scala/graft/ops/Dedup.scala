@@ -130,6 +130,69 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-corpus near-dup detection: every (target, reference) doc
+    * pair whose n-gram Jaccard meets the threshold — decontamination by
+    * NEAR-duplicate, where the exact-overlap family (qn22/qn37/qn41)
+    * misses a benchmark document that was lightly paraphrased or
+    * truncated into the training corpus. The join is target-shingles ⋈
+    * reference-shingles on the shingle (equality — never a cross
+    * product), so cost is O(shared-shingle pairs), capped by the same
+    * hot-shingle mechanism as [[ngramJaccardPairs]]; the cap counts doc
+    * frequency over BOTH corpora combined (a shingle hot in target ∪
+    * reference is stopword mass for this join regardless of which side
+    * contributed it). Each side's shingle set materializes once; at
+    * 100 TB the reference side is typically benchmark-sized — AQE
+    * broadcasts it from runtime stats.
+    *
+    * Returns (target_id, ref_id, jaccard rounded to 4) — callers drop
+    * flagged target ids or route them to review.
+    */
+  def crossCorpusNearDupPairs(
+      target: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleDocFreq: Long = DefaultMaxShingleDocFreq): DataFrame = {
+    val tSh0 = shingleSignatures(target, idCol, textCol, n)
+    val rSh0 = shingleSignatures(reference, idCol, textCol, n)
+    val (tPlan, rPlan) =
+      if (maxShingleDocFreq <= 0) (tSh0, rSh0)
+      else {
+        val hot = tSh0.union(rSh0).groupBy("s").count()
+          .where(col("count") > maxShingleDocFreq).select("s")
+        (tSh0.join(hot, Seq("s"), "left_anti"),
+          rSh0.join(hot, Seq("s"), "left_anti"))
+      }
+    val tSh = materialize(tPlan)
+    val rSh = materialize(rPlan)
+    val tCounts = tSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val rCounts = rSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = tSh.as("a").join(rSh.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    jaccardThreshold(common, tCounts, rCounts, threshold)
+      .select(col("doc_a").as("target_id"), col("doc_b").as("ref_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Duplicate-cluster size distribution — the first numbers a corpus
+    * quality report states ("12% of docs sit in duplicate clusters;
+    * the largest cluster holds 40k copies"): cluster the pair list via
+    * [[connectedComponents]] and histogram the component sizes. Output
+    * is (cluster_size, n_clusters, n_docs), ordered by size — tiny
+    * (distinct sizes), safe to collect or join anywhere.
+    */
+  def dupClusterSizeHistogram(
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      .orderBy("cluster_size")
+
   /** Attach per-side shingle counts and keep pairs whose Jaccard meets
     * the threshold (raw value in `jaccard` — callers round for display).
     * The ONE place the formula lives: the one-shot and incremental paths

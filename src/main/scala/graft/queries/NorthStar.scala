@@ -957,6 +957,32 @@ object NorthStar {
       .select(col("doc_id"), col("source"), round(col("q_rank"), 6).as("q_rank"))
       .orderBy("doc_id")
 
+  /** Cross-corpus NEAR-dup decontamination: docs in the corpus's second
+    * half that are ≥0.8-Jaccard near-dups of any first-half doc — the
+    * paraphrase/truncation leak the exact-overlap family (qn22/qn37/
+    * qn41) cannot see. Shingle equality join across the corpora (never
+    * a cross product), hot-capped over both sides combined; 13 of the
+    * fixture's 25 near-dup pairs cross the half boundary.
+    */
+  private def qCrossCorpusNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = Tables.parquetRowCount(s, s"$dir/documents.parquet") / 2
+    Dedup.crossCorpusNearDupPairs(
+      d.where(col("doc_id") >= cut), d.where(col("doc_id") < cut),
+      "doc_id", "text", n = 3, threshold = 0.8)
+      .orderBy("target_id", "ref_id")
+  }
+
+  /** Duplicate-cluster size distribution over the qn15 pair set — the
+    * corpus-quality headline ("how much is duplicated, how big do the
+    * clusters get"). Tiny output (distinct sizes); oracle = recursive
+    * closure + two aggregations.
+    */
+  private def qDupClusterStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusterSizeHistogram(
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8),
+      "doc_a", "doc_b")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -1719,6 +1745,58 @@ object NorthStar {
              round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
                AS q_rank
       FROM documents
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+    QueryDef("qn49_cross_corpus_neardup", qCrossCorpusNearDup _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents WHERE trim(text) <> ''),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      sh AS (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
+      cut AS (SELECT count(*) // 2 AS c FROM documents),
+      t AS (SELECT * FROM sh WHERE doc_id >= (SELECT c FROM cut)),
+      r AS (SELECT * FROM sh WHERE doc_id < (SELECT c FROM cut)),
+      tc AS (SELECT doc_id, count(*) AS n_sh FROM t GROUP BY doc_id),
+      rc AS (SELECT doc_id, count(*) AS n_sh FROM r GROUP BY doc_id),
+      prs AS (SELECT a.doc_id AS target_id, b.doc_id AS ref_id,
+                     count(*) AS common
+              FROM t a JOIN r b ON a.s = b.s GROUP BY 1, 2)
+      SELECT target_id, ref_id,
+             round(common * 1.0 / (tc.n_sh + rc.n_sh - common), 4) AS jaccard
+      FROM prs
+      JOIN tc ON target_id = tc.doc_id
+      JOIN rc ON ref_id = rc.doc_id
+      WHERE common * 1.0 / (tc.n_sh + rc.n_sh - common) >= 0.8
+      ORDER BY target_id, ref_id""")),
+    QueryDef("qn50_dup_cluster_stats", qDupClusterStats _, Some("""
+      WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents WHERE trim(text) <> ''),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      sh AS (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      qpairs AS (SELECT doc_a, doc_b FROM prs
+                 JOIN counts na ON doc_a = na.doc_id
+                 JOIN counts nb ON doc_b = nb.doc_id
+                 WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM qpairs
+                UNION SELECT doc_b, doc_a FROM qpairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+                      UNION
+                      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u),
+      sizes AS (SELECT component, count(*) AS cluster_size
+                FROM comp GROUP BY component)
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+      FROM sizes
+      GROUP BY cluster_size
+      ORDER BY cluster_size"""))
   )
 }

@@ -960,6 +960,41 @@ class OpsSpec extends SparkSpec {
     assert(other != first)
   }
 
+  test("crossCorpusNearDupPairs: cross pairs only, jaccard exact, threshold filters") {
+    import spark.implicits._
+    // Targets 100 and 102 are IDENTICAL 10-token docs; ref 1 is the
+    // same window shifted by one (tokens 2..11). Each side has 8
+    // trigrams, 7 shared (starts 2..8) → J = 7/(8+8-7) = 7/9 ≈ 0.7778:
+    // present at threshold 0.7, filtered at 0.8. The within-target dup
+    // (100, 102) must NOT pair — the join is cross-corpus only. 101 and
+    // ref 2 share nothing.
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val base = (1 to 12).map(i => s"w$i")
+    val target = Seq(
+      doc(100L, base.take(10)),
+      doc(101L, Seq("x1", "x2", "x3", "x4", "x5")),
+      doc(102L, base.take(10))).toDF("doc_id", "text")
+    val ref = Seq(
+      doc(1L, base.slice(1, 11)),
+      doc(2L, Seq("y1", "y2", "y3"))).toDF("doc_id", "text")
+    def run(th: Double) = graft.ops.Dedup.crossCorpusNearDupPairs(
+      target, ref, "doc_id", "text", n = 3, threshold = th)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(0.8).isEmpty)
+    assert(run(0.7) == Set((100L, 1L, 0.7778), (102L, 1L, 0.7778)),
+      s"got ${run(0.7)}")
+  }
+
+  test("dupClusterSizeHistogram: sizes, cluster counts, doc totals") {
+    import spark.implicits._
+    // Clusters: {1,2,3} (size 3) and {10,11} (size 2) → rows
+    // (2, 1, 2) and (3, 1, 3).
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = graft.ops.Dedup.dupClusterSizeHistogram(pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 1L, 2L), (3L, 1L, 3L)), s"got $got")
+  }
+
   test("sourceQuantileRank: per-source percent_rank, ties share, bounds [0,1]") {
     import spark.implicits._
     val docs = Seq(
