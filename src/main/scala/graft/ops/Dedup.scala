@@ -137,10 +137,14 @@ object Dedup {
     * truncated into the training corpus. The join is target-shingles ⋈
     * reference-shingles on the shingle (equality — never a cross
     * product), so cost is O(shared-shingle pairs), capped by the same
-    * hot-shingle mechanism as [[ngramJaccardPairs]]; the cap counts doc
-    * frequency over BOTH corpora combined (a shingle hot in target ∪
-    * reference is stopword mass for this join regardless of which side
-    * contributed it). Each side's shingle set materializes once; at
+    * hot-shingle mechanism as [[ngramJaccardPairs]]; the cap counts
+    * shingle OCCURRENCES across both sides summed (a document present
+    * in both corpora contributes twice — deliberately: the join's
+    * per-shingle fanout is df_target × df_ref, so the occurrence sum,
+    * not a deduplicated doc frequency, is the quantity that bounds the
+    * blow-up; a shingle hot in target ∪ reference is stopword mass for
+    * this join regardless of which side contributed it). Each side's
+    * shingle set materializes once; at
     * 100 TB the reference side is typically benchmark-sized — AQE
     * broadcasts it from runtime stats.
     *

@@ -310,8 +310,16 @@ object Mixture {
     require(math.abs(total - 1.0) < 1e-9, s"split weights must sum to 1, got $total")
     val bucket = substring(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 1, 4)
     // Cumulative thresholds in hex; the final split is the else branch.
+    // A threshold that already covers the whole space (cum ≈ 1.0, e.g.
+    // a zero-weight tail split) renders as "g" — lexicographically
+    // above every 4-hex bucket — so it captures ALL remaining rows;
+    // clamping to "ffff" instead would leak the ~1/65536 of rows whose
+    // bucket is exactly "ffff" into a zero-weight split.
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-    val thresholds = cum.init.map(c => f"${math.min(65535L, math.round(math.floor(c * 65536)))}%04x")
+    val thresholds = cum.init.map { c =>
+      val v = math.floor(c * 65536).toLong
+      if (v >= 65536L) "g" else f"$v%04x"
+    }
     // Fold from the last threshold outward so the built expression reads
     // "first threshold above the bucket wins": when(b < t1, s1,
     // when(b < t2, s2, ..., lastSplit)).

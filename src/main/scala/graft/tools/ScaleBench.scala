@@ -78,6 +78,19 @@ object ScaleBench {
           .count())
       ops("qn38_boilerplate") = timed(
         graft.ops.TextOps.removeBoilerplate(docs, "doc_id", "text").count())
+      ops("qn46_keep_best") = timed(
+        // Same detector as qn02's row; the delta measures the keep-best
+        // tail (pair-sized join + component-partitioned window) vs the
+        // plain detector count.
+        Dedup.applyComponentsKeepBest(docs,
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text"),
+          "doc_a", "doc_b", "doc_id", "n_chars").count())
+      ops("qn49_cross_neardup") = timed {
+        val cut = n / 2
+        Dedup.crossCorpusNearDupPairs(
+          docs.where(col("doc_id") >= cut), docs.where(col("doc_id") < cut),
+          "doc_id", "text").count()
+      }
       ops("qn40_semdedup") = timed {
         // DEFAULT (corpus-adaptive) nlist — THE SemDeDup scale lever
         // (cells hold ~2500 rows at any corpus size; fixed nlist is

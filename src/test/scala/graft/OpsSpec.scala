@@ -958,6 +958,14 @@ class OpsSpec extends SparkSpec {
       .where(col("split") === "val").select("id")
       .collect().map(_.getLong(0)).toSet
     assert(other != first)
+    // Zero-weight tail split gets ZERO rows — including the bucket
+    // "ffff" edge (a saturated threshold must cover the whole space,
+    // not clamp to "ffff" and leak 1/65536 of rows past it). 100k ids
+    // with ~1.5 expected "ffff" buckets makes the leak observable.
+    val leak = Mixture.hashSplit(spark.range(100000).toDF("id"), "id", "s3",
+      Seq("train" -> 1.0, "holdout" -> 0.0))
+      .where(col("split") === "holdout").count()
+    assert(leak == 0L, s"$leak rows leaked into the zero-weight split")
   }
 
   test("crossCorpusNearDupPairs: cross pairs only, jaccard exact, threshold filters") {
