@@ -257,6 +257,65 @@ object TextOps {
         coalesce(col("n_shared_windows"), lit(0L)).as("n_shared_windows"))
   }
 
+  /** Span-level corpus SELF-dedup, first occurrence wins (the
+    * ExactSubstr dedup of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): a token position is removed iff it
+    * lies inside a k-token window whose k-gram already occurs in a doc
+    * with a SMALLER id (ids order by ingest, so the earliest copy keeps
+    * its text intact and every later copy loses exactly the duplicated
+    * spans — not the whole document, the difference between this and
+    * doc-level dedup on corpora where long quotes/licenses are embedded
+    * in otherwise-unique text). Within-doc repeats are kept (intra-doc
+    * repetition is qn31's dimension, and removing them would break the
+    * first-copy-intact guarantee).
+    *
+    * Scale shape at 100 TB: the stride-1 window explode reduces
+    * per-row to a SKINNY (id, start, 64-bit hash) stream, materialized
+    * once (window text never crosses a shuffle; ~n²·2⁻⁶⁴ collision odds
+    * mean a one-in-billions false removal — the corpus-curation trade
+    * [[removeBoilerplate]] already documents); the first-occurrence
+    * table is ONE map-side-combined min aggregate over it; only
+    * DUPLICATED windows shuffle again (into one (id, covered-set) row
+    * per affected doc); every doc rebuilds per-row from its own tokens,
+    * so first-occurrence docs cross no rebuild shuffle at all.
+    *
+    * Output: one row per input id — (id, n_tokens, n_removed_tokens,
+    * cleaned_text); unduplicated and empty docs come back whole.
+    */
+  def removeDuplicatedSpans(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val wins = Dedup.materialize(
+      chunkSequences(df, idCol, textCol, window = k, stride = 1)
+        .where(col("chunk_len") === k)
+        .select(col(idCol), col("chunk_idx").as("__st"),
+          xxhash64(col("chunk_text")).as("__h")))
+    val firstDoc = wins.groupBy("__h").agg(min(col(idCol)).as("__first"))
+    val covSets = wins.join(firstDoc, Seq("__h"))
+      .where(col(idCol) > col("__first"))
+      .select(col(idCol),
+        explode(sequence(col("__st"), col("__st") + lit(k - 1))).as("__p"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__p")).as("__cov"))
+    // Rebuild identical to [[removeContaminatedSpans]] (single-eval,
+    // null-text-total).
+    df.join(covSets, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(tokens(col(textCol)), array().cast("array<string>")).as("__w"),
+        coalesce(col("__cov"), array().cast("array<int>")).as("__c"))
+      .withColumn("__kept", filter(
+        transform(col("__w"), (t, i) => struct(i.as("__i"), t.as("__t"))),
+        s => !array_contains(col("__c"), s.getField("__i"))))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        size(col("__c")).cast("long").as("n_removed_tokens"),
+        concat_ws(" ", transform(col("__kept"), s => s.getField("__t")))
+          .as("cleaned_text"))
+  }
+
   /** Corpus-level boilerplate removal (CCNet-style paragraph dedup,
     * reference data model: the `documents` table; the fixture corpus has
     * no newlines, so the "paragraph" unit is a fixed window of `segLen`

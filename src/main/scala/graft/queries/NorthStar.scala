@@ -983,6 +983,20 @@ object NorthStar {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.8),
       "doc_a", "doc_b")
 
+  /** Span-level corpus self-dedup (ExactSubstr, Lee et al. 2022):
+    * tokens inside any 20-token window whose 20-gram already occurs in
+    * a SMALLER-id doc are removed and the doc rebuilt — the earliest
+    * copy keeps its text intact, later copies lose exactly the
+    * duplicated spans. qn41 FLAGS the overlap; this applies the
+    * removal. Exact-match oracle (qn43's rebuild pattern + a min-doc
+    * gram table).
+    */
+  private def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    TextOps.removeDuplicatedSpans(docs(s, dir), "doc_id", "text", k = 20)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed_tokens"),
+        md5(col("cleaned_text").cast("binary")).as("cleaned_hash"))
+      .orderBy("doc_id")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -1797,6 +1811,36 @@ object NorthStar {
              CAST(count(*) * cluster_size AS BIGINT) AS n_docs
       FROM sizes
       GROUP BY cluster_size
-      ORDER BY cluster_size"""))
+      ORDER BY cluster_size""")),
+    QueryDef("qn51_dedup_spans", qDedupSpans _, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''),
+      wins AS (
+        SELECT doc_id, i, array_to_string(w[i:i+19], ' ') AS g
+        FROM toks, unnest(range(1, len(w) - 18)) t(i)),
+      firstdoc AS (SELECT g, min(doc_id) AS first_doc FROM wins GROUP BY g),
+      cov AS (
+        SELECT DISTINCT wins.doc_id, j AS p
+        FROM wins JOIN firstdoc USING (g), unnest(range(wins.i, wins.i + 20)) u(j)
+        WHERE wins.doc_id > firstdoc.first_doc),
+      tokpos AS (
+        SELECT doc_id, p, w[CAST(p AS INT)] AS tok
+        FROM toks, unnest(range(1, len(w) + 1)) t(p)),
+      agg AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed_tokens,
+               md5(coalesce(string_agg(CASE WHEN c.p IS NULL THEN t.tok END, ' '
+                                       ORDER BY t.p), '')) AS cleaned_hash
+        FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        GROUP BY t.doc_id)
+      SELECT d.doc_id,
+             coalesce(a.n_tokens, 0) AS n_tokens,
+             coalesce(a.n_removed_tokens, 0) AS n_removed_tokens,
+             coalesce(a.cleaned_hash, md5('')) AS cleaned_hash
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""))
   )
 }

@@ -104,6 +104,27 @@ object TextPropSpec extends Properties("TextOps.reference") {
       check(None) && check(Some(lmDocs))
     }
 
+  property("removeDuplicatedSpans: first copy intact, later copies lose == brute") =
+    Prop.forAllNoShrink(genCorpus, Gen.chooseNum(2, 4)) { (corpus, k) =>
+      val windows = corpus.map { case (id, t) =>
+        id -> toks(t.orNull).sliding(k).filter(_.length == k).map(_.mkString(" ")).toVector
+      }
+      val firstDoc = windows.flatMap { case (id, ws) => ws.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val expected = corpus.map { case (id, t) =>
+        val w = toks(t.orNull)
+        val covered = (0 to w.size - k)
+          .filter(st => firstDoc(w.slice(st, st + k).mkString(" ")) < id)
+          .flatMap(st => st until st + k).toSet
+        val kept = w.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+        id -> ((w.size.toLong, covered.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = TextOps.removeDuplicatedSpans(toDf(corpus), "id", "text", k = k)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      Prop(got == expected) :| s"k=$k got=$got expected=$expected"
+    }
+
   property("removeContaminatedSpans: total, order-preserving, == brute coverage") =
     Prop.forAllNoShrink(genCorpus, genCorpus, Gen.chooseNum(1, 3)) { (corpus, benchDocs, n) =>
       val benchSh = benchDocs.flatMap(d =>
