@@ -197,6 +197,38 @@ object Dedup {
         (count(lit(1)) * col("cluster_size")).as("n_docs"))
       .orderBy("cluster_size")
 
+  /** Inter-source duplication matrix: how many detected duplicate pairs
+    * connect each (unordered) pair of sources — the provenance forensics
+    * a multi-source corpus runs before choosing dedup ORDER (which
+    * source is upstream of which mirror, which pair of crawls overlap
+    * enough to dedup jointly, which are disjoint enough to process
+    * independently). `sameSourcePairs` = the diagonal (within-source
+    * duplication).
+    *
+    * Input is any detected pair set ((aCol, bCol) ids) — Jaccard,
+    * MinHash, SimHash, or cosine detectors all produce the shape — plus
+    * the id→source map. Scale: two joins of the (tiny, post-threshold)
+    * pair set against the corpus's (id, source) projection, then an
+    * aggregate on the sources-squared-bounded key space. The corpus
+    * never self-joins here; cost lives in the upstream detector.
+    */
+  def sourceOverlapMatrix(
+      pairs: DataFrame,
+      docs: DataFrame,
+      aCol: String,
+      bCol: String,
+      idCol: String,
+      sourceCol: String): DataFrame = {
+    val src = docs.select(col(idCol).as("__id"), col(sourceCol).as("__src"))
+    pairs
+      .join(src.select(col("__id").as(aCol), col("__src").as("__sa")), aCol)
+      .join(src.select(col("__id").as(bCol), col("__src").as("__sb")), bCol)
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Attach per-side shingle counts and keep pairs whose Jaccard meets
     * the threshold (raw value in `jaccard` — callers round for display).
     * The ONE place the formula lives: the one-shot and incremental paths

@@ -351,6 +351,48 @@ object Mixture {
       percent_rank().over(
         Window.partitionBy(sourceCol).orderBy(col(scoreCol))))
 
+  /** Per-source quota cap: keep at most `maxPerSource` rows per source,
+    * the BEST by (`scoreCol` desc, `idCol` asc) — the domain-cap step of
+    * C4/RefinedWeb-style curation (no single domain may dominate the
+    * mix, and the rows sacrificed should be its worst).
+    *
+    * Scale shape: selection runs through the bounded-heap aggregate
+    * ([[org.apache.spark.sql.graft.TopKByScoreAgg]]), NOT a row_number
+    * window — a window must shuffle-and-SORT every row of the giant
+    * source on one reducer, while the heap ships ≤ maxPerSource
+    * candidates per partition map-side, so the one shuffle moves
+    * O(partitions·cap) rows no matter how skewed the source. The kept
+    * (source, id) set — ≤ sources·cap, mixture-table tiny — joins back
+    * to the corpus to recover full rows (AQE broadcasts it).
+    *
+    * Deterministic: ties break by smallest id inside the heap's
+    * ordering, so the kept SET is reproducible across engines and
+    * partitionings (the same property [[hashSplit]] pins). A null
+    * source is ITS OWN capped group (the join below is null-safe —
+    * an equi-join would cap it in the aggregate and then drop every
+    * row of it on the way back); null-scored rows are never kept
+    * (they have no rank to win by).
+    */
+  def capPerSource(
+      docs: DataFrame,
+      sourceCol: String,
+      scoreCol: String,
+      idCol: String,
+      maxPerSource: Int): DataFrame = {
+    require(maxPerSource >= 1, "maxPerSource must be >= 1")
+    val kept = docs
+      .groupBy(col(sourceCol))
+      .agg(graft.functions.VectorExpressions.topKByScore(
+        col(scoreCol).cast("double"), col(idCol).cast("long"),
+        maxPerSource).as("__top"))
+      .select(col(sourceCol).as("__ks"),
+        explode(col("__top")).as("__k"))
+      .select(col("__ks"), col("__k.vec_id").as("__ki"))
+    docs.join(kept,
+      docs(sourceCol) <=> col("__ks") && docs(idCol) === col("__ki"),
+      "left_semi")
+  }
+
   /** Reference formulation — ONE cumulative window partitioned by source
     * over every row. Row-identical to [[sampleByTokenBudget]] (MixtureSpec
     * asserts it); kept as the equivalence oracle and for small inputs. Do

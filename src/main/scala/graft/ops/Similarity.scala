@@ -697,30 +697,8 @@ object Similarity {
       fitCells(corpus, idCol, vecCol, nl, maxFitRows, sizedRows)
     // Soft assignment to the `assignProbes` nearest cells — the recall
     // lever for pairs straddling a cell boundary (the multi-probe of
-    // clustering). Centroids are driver-tiny, so they inline as a
-    // LITERAL struct array and the top-p cells compute per-row inside
-    // codegen (transform + array_sort + slice): the full corpus crosses
-    // NO shuffle for assignment, hard or soft. Cells rank by
-    // ||c||²/2 − x·c, which for unit x is monotone in ||x−c||² — the
-    // SAME metric as the hard KMeans assignment (centroid norms differ,
-    // so ranking by raw dot would disagree with it and probes > 1 would
-    // not be a superset of probes = 1).
-    val soft =
-      if (assignProbes == 1) assigned
-      else {
-        val centArr = array(centroids.map { case (i, c) =>
-          struct(lit(i).as("cell"),
-            lit(c.map(x => x * x).sum / 2).as("halfnorm2"),
-            array(c.map(lit): _*).as("centroid"))
-        }: _*)
-        val scored = transform(centArr, c => struct(
-          (c.getField("halfnorm2") - dotD(col("nv"), c.getField("centroid")))
-            .as("dist"),
-          c.getField("cell").as("cell")))
-        assigned.select(col("vec_id"), col("nv"),
-          explode(transform(slice(array_sort(scored), 1, assignProbes),
-            x => x.getField("cell"))).as("cell"))
-      }
+    // clustering) — see [[softAssign]].
+    val soft = softAssign(assigned, centroids, assignProbes)
     val a = soft.select(col("cell"), col("vec_id").as("id_a"), col("nv").as("nva"))
     val b = soft.select(col("cell"), col("vec_id").as("id_b"), col("nv").as("nvb"))
     val pairs = a.join(b, Seq("cell"))
@@ -731,6 +709,201 @@ object Similarity {
     // Pairs sharing several probed cells surface once: one distinct on
     // the (already threshold-filtered, so tiny) pair set.
     if (assignProbes == 1) pairs else pairs.distinct()
+  }
+
+  /** Soft cell assignment to the `assignProbes` nearest cells — the
+    * recall lever for pairs straddling a cell boundary (the multi-probe
+    * of clustering). Centroids are driver-tiny, so they inline as a
+    * LITERAL struct array and the top-p cells compute per-row inside
+    * codegen (transform + array_sort + slice): the full corpus crosses
+    * NO shuffle for assignment, hard or soft. Cells rank by
+    * ||c||²/2 − x·c, which for unit x is monotone in ||x−c||² — the
+    * SAME metric as the hard KMeans assignment (centroid norms differ,
+    * so ranking by raw dot would disagree with it and probes > 1 would
+    * not be a superset of probes = 1). Input/output shape: (vec_id, nv,
+    * cell) as produced by [[fitCells]]; probes > 1 explodes to one row
+    * per probed cell.
+    */
+  private def softAssign(
+      assigned: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      assignProbes: Int): DataFrame =
+    if (assignProbes == 1) assigned
+    else {
+      val centArr = array(centroids.map { case (i, c) =>
+        struct(lit(i).as("cell"),
+          lit(c.map(x => x * x).sum / 2).as("halfnorm2"),
+          array(c.map(lit): _*).as("centroid"))
+      }: _*)
+      val scored = transform(centArr, c => struct(
+        (c.getField("halfnorm2") - dotD(col("nv"), c.getField("centroid")))
+          .as("dist"),
+        c.getField("cell").as("cell")))
+      assigned.select(col("vec_id"), col("nv"),
+        explode(transform(slice(array_sort(scored), 1, assignProbes),
+          x => x.getField("cell"))).as("cell"))
+    }
+
+  /** Exact cross-corpus cosine pairs — the embedding analog of
+    * [[graft.ops.Dedup.crossCorpusNearDupPairs]]: every (target,
+    * reference) pair with cosine ≥ `threshold`. The SEMANTIC
+    * decontamination detector: a benchmark answer paraphrased into the
+    * training corpus shares no 20-gram (qn41/qn43's detector) and may
+    * even miss shingle Jaccard (qn49), but its embedding sits next to
+    * the reference's.
+    *
+    * Same block-grid shape as [[nearDupPairs]] without the triangular
+    * constraint: each side replicates `numBlocks` ways onto a (bt, br)
+    * grid key, so the bipartite product partitions into numBlocks²
+    * equality-joined cells — a shuffled hash join, never a broadcast
+    * nested loop. Exact and therefore quadratic in FLOPs
+    * (|target|·|reference| dot products): the right tool when the
+    * REFERENCE side is benchmark-sized (thousands), any corpus size on
+    * the target side. For large×large, [[semanticDecontaminate]] routes
+    * to the cell-pruned path.
+    */
+  def crossCorpusCosinePairs(
+      target: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numBlocks: Int = 16): DataFrame = {
+    require(numBlocks >= 1, "numBlocks must be >= 1")
+    val blocks = array((0 until numBlocks).map(lit): _*)
+    val t = target.select(col(idCol).as("target_id"),
+        normalize(asDouble(col(vecCol))).as("nvt"))
+      .withColumn("bt", pmod(xxhash64(col("target_id")), lit(numBlocks)).cast("int"))
+      .withColumn("bj", explode(blocks))
+    val r = reference.select(col(idCol).as("ref_id"),
+        normalize(asDouble(col(vecCol))).as("nvr"))
+      .withColumn("br", pmod(xxhash64(col("ref_id")), lit(numBlocks)).cast("int"))
+      .withColumn("bi", explode(blocks))
+    // (t, r) meets exactly once: at the cell (bt(t), br(r)).
+    t.join(r, col("bt") === col("bi") && col("bj") === col("br"))
+      .select(col("target_id"), col("ref_id"),
+        dotD(col("nvt"), col("nvr")).as("sim"))
+      .where(col("sim") >= threshold)
+      .select(col("target_id"), col("ref_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Cell-pruned cross-corpus cosine pairs — [[semDedupPairs]]'s
+    * candidate pruning applied BIPARTITE: fit the coarse quantizer on
+    * target ∪ reference (cells must cover both distributions; fitting
+    * on one side leaves the other's modes in mis-sized cells),
+    * soft-assign both sides, and score only pairs sharing a probed
+    * cell. Candidate volume O(Σᵢ |targetᵢ|·|referenceᵢ|) ≈
+    * O(|t|·|r|/nlist) with `nlist` growing with the combined corpus
+    * ([[semDedupNlistFor]] when `nlist <= 0`, the default), vs the
+    * exact grid's full |t|·|r|. Cross-cell pairs are the method's
+    * accepted recall loss, mitigated by `assignProbes` (default 3,
+    * the [[semDedupPairs]] stance).
+    */
+  def crossCorpusSemanticPairs(
+      target: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 0,
+      assignProbes: Int = 3,
+      maxFitRows: Long = 100000L,
+      combinedRows: Option[Long] = None): DataFrame = {
+    // Tag sides INSIDE the id (fitCells keeps only (id, nv)); ids may
+    // collide across corpora, so the tag must survive to the join.
+    val u = target.select(
+        struct(lit(0).as("side"), col(idCol).as("id")).as("uid"),
+        asDouble(col(vecCol)).as("v"))
+      .unionByName(reference.select(
+        struct(lit(1).as("side"), col(idCol).as("id")).as("uid"),
+        asDouble(col(vecCol)).as("v")))
+    val rows = combinedRows.orElse(planRowUpperBound(u)).getOrElse(u.count())
+    val nl = if (nlist > 0) nlist else semDedupNlistFor(rows)
+    val probes = math.min(assignProbes, nl)
+    val (assigned, centroids, _) = fitCells(u, "uid", "v", nl, maxFitRows, Some(rows))
+    val soft = softAssign(assigned, centroids, probes)
+    val t = soft.where(col("vec_id.side") === 0)
+      .select(col("cell"), col("vec_id.id").as("target_id"), col("nv").as("nvt"))
+    val r = soft.where(col("vec_id.side") === 1)
+      .select(col("cell"), col("vec_id.id").as("ref_id"), col("nv").as("nvr"))
+    val pairs = t.join(r, Seq("cell"))
+      .select(col("target_id"), col("ref_id"),
+        dotD(col("nvt"), col("nvr")).as("sim"))
+      .where(col("sim") >= threshold)
+      .select(col("target_id"), col("ref_id"), round(col("sim"), 6).as("sim"))
+    if (probes == 1) pairs else pairs.distinct()
+  }
+
+  /** Semantic decontamination applied end-to-end: drop every target row
+    * whose embedding has cosine ≥ `threshold` against ANY reference row
+    * — the embedding-space analog of the exact-overlap decontamination
+    * family (qn22/qn37/qn43 remove verbatim leaks; this removes
+    * paraphrased ones).
+    *
+    * The detector ROUTES on the COMBINED corpus size (parquet footers,
+    * else one count() per side), mirroring [[dedupByCosine]]: up to
+    * `maxExactRows` rows it is the exact bipartite grid
+    * ([[crossCorpusCosinePairs]] — every pair scored); above, the
+    * cell-pruned [[crossCorpusSemanticPairs]] (adaptive nlist, 3-probe
+    * soft assignment) — the quadratic cliff must not be reachable by
+    * default at scale. Returns the target frame minus flagged rows.
+    */
+  def semanticDecontaminate(
+      target: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxExactRows: Long = DefaultExactCosineRows): DataFrame = {
+    val rows =
+      (planRowUpperBound(target), planRowUpperBound(reference)) match {
+        case (Some(t), Some(r)) => t + r
+        case _ => target.count() + reference.count()
+      }
+    val flagged = cosineDetectorFor(rows, maxExactRows) match {
+      case "exact" =>
+        crossCorpusCosinePairs(target, reference, idCol, vecCol, threshold)
+      case _ =>
+        crossCorpusSemanticPairs(target, reference, idCol, vecCol, threshold,
+          combinedRows = Some(rows))
+    }
+    target.join(flagged.select(col("target_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Per-label embedding-space diagnostics: centroid cohesion. For each
+    * label, the mean vector (element-wise, raw vectors — the standard
+    * centroid) and the distribution of per-row cosines to it: a LOW
+    * avg_cos flags a noisy/heterogeneous label; a row far below its
+    * label's band is a candidate mislabel — the embedding-space audit a
+    * labeled corpus runs before training a classifier head on it.
+    *
+    * Shape at scale: one narrow (label, pos, x) explode → per-(label,
+    * pos) average (map-side combinable) → labels×dim rebuild (tiny) →
+    * broadcast back for the per-row cosine — the corpus itself crosses
+    * ONE aggregate shuffle and no join shuffle. Output is label-sized.
+    */
+  def labelCohesion(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val e = embs.select(col(labelCol).as("label"), asDouble(col(vecCol)).as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
+      .groupBy("label")
+      // array_sort on structs orders by the leading field (pos), so the
+      // rebuilt centroid is position-faithful regardless of agg order.
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("centroid"))
+    e.join(broadcast(cent), Seq("label"))
+      .select(col("label"), cosine(col("v"), col("centroid")).as("cos"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("cos")), 4).as("avg_cos"),
+        round(min(col("cos")), 4).as("min_cos"),
+        round(max(col("cos")), 4).as("max_cos"))
   }
 
   /** The SemDeDup scale lever: `nlist` must GROW with the corpus so the

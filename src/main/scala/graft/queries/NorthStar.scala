@@ -997,6 +997,54 @@ object NorthStar {
         md5(col("cleaned_text").cast("binary")).as("cleaned_hash"))
       .orderBy("doc_id")
 
+  /** SEMANTIC decontamination detector: second-half vectors whose
+    * embedding has cosine ≥ 0.4 against any first-half vector — the
+    * paraphrase leak neither the exact-overlap family (qn22/qn37/qn41/
+    * qn43, verbatim n-grams) nor shingle Jaccard (qn49) can see. Exact
+    * bipartite block-grid ([[Similarity.crossCorpusCosinePairs]]); at
+    * scale [[Similarity.semanticDecontaminate]] routes to the
+    * cell-pruned path (OpsSpec pins the router + recall).
+    */
+  private def qSemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cut = Tables.parquetRowCount(s, s"$dir/embeddings.parquet") / 2
+    Similarity.crossCorpusCosinePairs(
+      e.where(col("vec_id") >= cut), e.where(col("vec_id") < cut),
+      "vec_id", "embedding", threshold = 0.4)
+      .orderBy("target_id", "ref_id")
+  }
+
+  /** Per-source quota cap (the C4/RefinedWeb domain cap): keep the best
+    * 8 docs per source by (n_chars desc, doc_id asc). Selection runs
+    * through the bounded-heap aggregate, not a sort-the-source window —
+    * see [[Mixture.capPerSource]]. The fixture has (source, n_chars)
+    * ties, so the id tiebreak is genuinely exercised.
+    */
+  private def qSourceCap(s: SparkSession, dir: String): DataFrame =
+    Mixture.capPerSource(docs(s, dir), "source", "n_chars", "doc_id",
+        maxPerSource = 8)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Inter-source duplication matrix over the qn15 detector's pair set:
+    * which sources mirror each other (and how much each self-dups) —
+    * the provenance audit that decides dedup ORDER at 100 TB.
+    */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.sourceOverlapMatrix(
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8),
+      d, "doc_a", "doc_b", "doc_id", "source")
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Per-label embedding cohesion: centroid + cosine band per label —
+    * the embedding-space label-noise audit ([[Similarity.labelCohesion]]).
+    */
+  private def qLabelCohesion(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCohesion(emb(s, dir), "vec_id", "embedding", "label")
+      .orderBy("label")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -1841,6 +1889,61 @@ object NorthStar {
              coalesce(a.n_removed_tokens, 0) AS n_removed_tokens,
              coalesce(a.cleaned_hash, md5('')) AS cleaned_hash
       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+    QueryDef("qn52_semantic_decontam", qSemanticDecontam _, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT count(*) // 2 AS cut FROM e)
+      SELECT a.vec_id AS target_id, b.vec_id AS ref_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS sim
+      FROM e a, e b
+      WHERE a.vec_id >= (SELECT cut FROM c)
+        AND b.vec_id < (SELECT cut FROM c)
+        AND list_cosine_similarity(a.v, b.v) >= 0.4
+      ORDER BY target_id, ref_id""")),
+    QueryDef("qn53_source_cap", qSourceCap _, Some("""
+      SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                 PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 8
+      ORDER BY doc_id""")),
+    QueryDef("qn54_source_overlap", qSourceOverlap _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      sh AS (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      p AS (SELECT doc_a, doc_b FROM prs
+            JOIN counts na ON doc_a = na.doc_id
+            JOIN counts nb ON doc_b = nb.doc_id
+            WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8)
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id
+      GROUP BY 1, 2
+      ORDER BY 1, 2""")),
+    QueryDef("qn55_label_cohesion", qLabelCohesion _, Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      pos AS (SELECT label, i, v[CAST(i AS INT)] AS x
+              FROM e, unnest(range(1, len(v) + 1)) t(i)),
+      cent AS (SELECT label, list(cx ORDER BY i) AS c
+               FROM (SELECT label, i, avg(x) AS cx FROM pos GROUP BY label, i)
+               GROUP BY label),
+      cos AS (SELECT e.label, list_cosine_similarity(e.v, cent.c) AS cos
+              FROM e JOIN cent USING (label))
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             round(avg(cos), 4) AS avg_cos,
+             round(min(cos), 4) AS min_cos,
+             round(max(cos), 4) AS max_cos
+      FROM cos GROUP BY label ORDER BY label"""))
   )
 }

@@ -101,6 +101,31 @@ object ScaleBench {
           threshold = 0.9, assignProbes = 3)
         Dedup.applyComponents(emb, pairs, "id_a", "id_b", "vec_id").count()
       }
+      ops("qn51_dedup_spans") = timed(
+        // The stride-1 window stream is the heaviest text-op shape
+        // (one skinny (id, start, hash) row per token position); the
+        // gate is the min-aggregate + later-copies-only coverage
+        // staying ~linear in corpus tokens.
+        graft.ops.TextOps.removeDuplicatedSpans(docs, "doc_id", "text", k = 20)
+          .count())
+      ops("qn52_decontam_routed") = timed {
+        // ROUTED entry point (what a caller gets): exact bipartite grid
+        // below DefaultExactCosineRows combined rows, union-fit
+        // cell-pruned pairs above — the bipartite analog of
+        // qn26_dedup_routed, crossing the same 20k crossover between
+        // the first and second scale points.
+        val cut = nVecs / 2
+        Similarity.semanticDecontaminate(
+          emb.where(col("vec_id") >= cut), emb.where(col("vec_id") < cut),
+          "vec_id", "embedding", threshold = 0.9).count()
+      }
+      ops("qn53_source_cap") = timed(
+        // Bounded-heap domain cap: the Exchange carries <= cap rows per
+        // (partition, source); wall should track the SCAN, not the cap.
+        graft.ops.Mixture.capPerSource(docs, "source", "n_chars", "doc_id",
+          maxPerSource = 100).count())
+      ops("qn55_label_cohesion") = timed(
+        Similarity.labelCohesion(emb, "vec_id", "embedding", "label").count())
       ops("qs07_cdc_merge") = timed {
         val root = graft.TempDirs.create("graft_scale_cdc_")
         val store = new graft.store.Store(spark, root)

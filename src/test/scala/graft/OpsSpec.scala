@@ -1017,4 +1017,126 @@ class OpsSpec extends SparkSpec {
     // b: 2 rows → 0 and 1.
     assert(got(6L) == 0.0 && got(7L) == 1.0)
   }
+
+  test("crossCorpusCosinePairs: bipartite only, exact sims, threshold filters") {
+    import spark.implicits._
+    val target = Seq(
+      (100L, Seq(1f, 0f, 0f)),
+      (101L, Seq(0.6f, 0.8f, 0f)),
+      (102L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val ref = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    def run(th: Double) = Similarity.crossCorpusCosinePairs(
+      target, ref, "vec_id", "embedding", threshold = th)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Identical targets 100/102 must NOT pair with each other (cross
+    // only); both pair with ref 1 at sim 1; 101 hits ref 1 at 0.6 and
+    // ref 2 at 0.8.
+    assert(run(0.9) == Set((100L, 1L, 1.0), (102L, 1L, 1.0)), s"got ${run(0.9)}")
+    assert(run(0.7) == Set((100L, 1L, 1.0), (102L, 1L, 1.0), (101L, 2L, 0.8)))
+    assert(run(0.5) == Set((100L, 1L, 1.0), (102L, 1L, 1.0), (101L, 2L, 0.8),
+      (101L, 1L, 0.6)))
+  }
+
+  test("crossCorpusSemanticPairs handles id collisions across corpora") {
+    import spark.implicits._
+    // Target id 1 and reference id 1 are DIFFERENT vectors — the side
+    // tag must keep them apart through the shared fit/assign/join.
+    val target = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val ref = Seq((1L, Seq(0f, 1f)), (2L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.crossCorpusSemanticPairs(
+      target, ref, "vec_id", "embedding", threshold = 0.9,
+      nlist = 2, assignProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0), (2L, 1L, 1.0)), s"got $got")
+  }
+
+  test("semanticDecontaminate: routed path agrees with exact on the fixture halves") {
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val cut = 250L
+    val target = emb.where(col("vec_id") >= cut)
+    val ref = emb.where(col("vec_id") < cut)
+    val exactPairs = Similarity.crossCorpusCosinePairs(
+      target, ref, "vec_id", "embedding", threshold = 0.4)
+      .select("target_id", "ref_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "fixture has cross-half 0.4-cosine pairs")
+    // Cell-pruned detector at the corpus-adaptive default (floor 8
+    // cells at this size, 3 probes) must recover the exact pair set —
+    // same recall stance RecallSpec pins for semDedupPairs.
+    val routedPairs = Similarity.crossCorpusSemanticPairs(
+      target, ref, "vec_id", "embedding", threshold = 0.4)
+      .select("target_id", "ref_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routedPairs == exactPairs,
+      s"exact-only=${(exactPairs -- routedPairs).size} " +
+        s"routed-only=${(routedPairs -- exactPairs).size}")
+    // End-to-end: survivors = target minus flagged, identical through
+    // the exact route and the forced cell-pruned route.
+    def survivors(maxExact: Long) = Similarity.semanticDecontaminate(
+      target, ref, "vec_id", "embedding", threshold = 0.4,
+      maxExactRows = maxExact)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val flaggedTargets = exactPairs.map(_._1)
+    val exactSurv = survivors(Long.MaxValue)
+    assert(exactSurv == target.select("vec_id").collect()
+      .map(_.getLong(0)).toSet -- flaggedTargets)
+    assert(survivors(1L) == exactSurv)
+  }
+
+  test("capPerSource: bounded-heap cap keeps best by (score desc, id asc)") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", 1L, 50L, "p1"), ("a", 2L, 90L, "p2"), ("a", 3L, 90L, "p3"),
+      ("a", 4L, 70L, "p4"), ("b", 10L, 5L, "p5"))
+      .toDF("source", "id", "score", "payload")
+    val kept = Mixture.capPerSource(docs, "source", "score", "id", maxPerSource = 2)
+    // a: scores 90 (id 2), 90 (id 3) win — tie keeps BOTH here (cap 2);
+    // b: under cap, survives whole. Full rows come back, not just keys.
+    val got = kept.collect().map(r => (r.getLong(1), r.getString(3))).toSet
+    assert(got == Set((2L, "p2"), (3L, "p3"), (10L, "p5")), s"got $got")
+    // Tie PAST the cap breaks by smallest id: cap 1 on source a must
+    // keep id 2, not 3 — and survive repartitioning.
+    val one = Mixture.capPerSource(docs.repartition(5), "source", "score", "id", 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(one == Set(2L, 10L), s"got $one")
+    // A null source is its own capped group (null-safe join back) and
+    // must not vanish.
+    val withNull = Seq(
+      (Some("a"), 1L, 9L), (Some("a"), 2L, 8L),
+      (None, 20L, 100L), (None, 21L, 50L))
+      .toDF("source", "id", "score")
+    val nullKept = Mixture.capPerSource(withNull, "source", "score", "id", 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(nullKept == Set(1L, 20L), s"got $nullKept")
+  }
+
+  test("sourceOverlapMatrix: unordered source pairs, diagonal self-dups") {
+    import spark.implicits._
+    val docs = Seq((1L, "s1"), (2L, "s2"), (3L, "s1"), (4L, "s1"), (5L, "s3"))
+      .toDF("doc_id", "source")
+    // (1,2): s1-s2; (2,3): s2-s1 → same unordered cell; (3,4): s1-s1
+    // diagonal; 5 appears in no pair.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.sourceOverlapMatrix(pairs, docs, "doc_a", "doc_b",
+        "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("s1", "s2", 2L), ("s1", "s1", 1L)), s"got $got")
+  }
+
+  test("labelCohesion: per-label centroid cosine band") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Seq(1f, 0f), "x"), (2L, Seq(0f, 1f), "x"),
+      (3L, Seq(3f, 4f), "y"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCohesion(embs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // x: centroid (0.5, 0.5); cos((1,0),(0.5,0.5)) = 1/√2 ≈ 0.7071 for
+    // both members. y: single vector → cos 1.
+    assert(got("x") == ((2L, 0.7071, 0.7071, 0.7071)), s"got ${got("x")}")
+    assert(got("y") == ((1L, 1.0, 1.0, 1.0)), s"got ${got("y")}")
+  }
 }
