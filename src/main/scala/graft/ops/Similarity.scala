@@ -1007,4 +1007,43 @@ object Similarity {
         col("col.sim").as("sim"),
         (col("pos") + 1).cast("int").as("rank"))
   }
+
+  /** Pairwise cosine between per-group embedding centroids — the
+    * embedding-space DRIFT matrix across sources/shards/snapshots (which
+    * crawls cover the same semantic territory; which snapshot moved).
+    * Complements [[labelCohesion]]: cohesion audits WITHIN a group,
+    * this audits BETWEEN groups.
+    *
+    * Shape at scale: same one-shuffle centroid build as [[labelCohesion]]
+    * (narrow (group, pos, x) explode → map-side-combinable per-(group,
+    * pos) average → position-faithful rebuild), then the pairwise matrix
+    * is a self-join of the GROUPS-sized centroid table (groups² rows
+    * total — sources/shards number in the thousands, not billions, so
+    * the quadratic piece never touches the corpus). Output: one row per
+    * unordered group pair (a < b) with member counts and centroid cosine.
+    */
+  def centroidDriftMatrix(
+      embs: DataFrame,
+      vecCol: String,
+      groupCol: String): DataFrame = {
+    val e = embs.select(col(groupCol).as("grp"), asDouble(col(vecCol)).as("v"))
+    val cent = e.select(col("grp"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("grp", "pos").agg(avg(col("x")).as("cx"), count(lit(1)).as("cn"))
+      .groupBy("grp")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          s => s.getField("cx")).as("centroid"),
+        // Every position sees every member vector, so any position's
+        // count is the group's member count (vectors are fixed-dim).
+        max(col("cn")).as("n"))
+    val a = cent.select(col("grp").as("group_a"), col("centroid").as("ca"),
+      col("n").as("n_a"))
+    val b = cent.select(col("grp").as("group_b"), col("centroid").as("cb"),
+      col("n").as("n_b"))
+    // Theta join over the groups-sized table: broadcast NLJ is the RIGHT
+    // plan here (both sides are tiny); the explicit hint documents that.
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        round(cosine(col("ca"), col("cb")), 4).as("centroid_cos"))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, quality scoring, language ID, fingerprinting, shingling.
@@ -639,4 +640,102 @@ object TextOps {
   /** Per-pattern PII match counts (audit metric for the redaction pass). */
   def piiCounts(c: Column): Seq[(String, Column)] =
     piiPatterns.map { case (name, re, _) => name -> regexp_count(c, lit(re)) }
+
+  /** Canonical form for robust exact matching: lowercase, strip every
+    * non-alphanumeric character, collapse whitespace runs, trim. The
+    * matching layer between raw exact dedup/decontamination
+    * (case/punctuation-fragile) and the fuzzy family (Jaccard/MinHash/
+    * embedding): a benchmark item that leaked with different casing,
+    * punctuation, or whitespace still hashes identically after this.
+    * ASCII-targeted on purpose — pair with a Unicode NFC pass
+    * (qn35 / `lower(nfc)`) upstream for non-ASCII corpora.
+    */
+  def normalizeForMatch(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Normalized-exact decontamination: corpus rows whose
+    * [[normalizeForMatch]] hash appears among the benchmark texts'
+    * normalized hashes. Shape at scale: the benchmark side reduces to a
+    * DISTINCT hash set (benchmark-sized, AQE broadcasts it); the corpus
+    * crosses the semi-join as 128-bit hashes, never as text. The
+    * normalization itself is per-row codegen — this is the cheapest
+    * detector in the decontamination family (qn22 shingle overlap,
+    * qn37 Bloom, qn41/43 span-level, qn49 near-dup, qn52 semantic) and
+    * the first one a pipeline should run.
+    */
+  def decontaminateNormalized(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String): DataFrame = {
+    val h = md5(normalizeForMatch(col(textCol)).cast("binary"))
+    val benchHashes = bench
+      .select(md5(normalizeForMatch(col(benchTextCol)).cast("binary")).as("norm_hash"))
+      .distinct()
+    corpus.select(col(idCol), h.as("norm_hash"))
+      .join(benchHashes, Seq("norm_hash"), "leftsemi")
+  }
+
+  /** Token-distribution (unigram) entropy per document, in nats:
+    * H = ln n − (Σ_w c_w·ln c_w)/n over whitespace tokens. Low entropy →
+    * repetitive/templated text (keyword stuffing, boilerplate, SEO spam);
+    * H normalized by its ln(n_distinct) ceiling is a standard quality
+    * signal next to [[typeTokenRatio]] (which ignores the SHAPE of the
+    * repetition — 100 tokens of one word and 100 tokens over 50 words at
+    * 2 each both score TTR 0.5 differently than entropy does).
+    *
+    * Pure per-row higher-order functions — no explode, no shuffle:
+    * O(len·distinct) work per row, the right trade below ~10k tokens/doc
+    * (web corpus scale). For book-length docs, explode+aggregate instead.
+    * Empty/whitespace docs → NULL.
+    */
+  def tokenEntropy(c: Column): Column = {
+    val t = tokens(c)
+    val n = size(t).cast("double")
+    val sumClnC = aggregate(
+      array_distinct(t), lit(0.0d),
+      (acc, w) => {
+        val cw = size(filter(t, x => x === w)).cast("double")
+        acc + cw * log(cw)
+      })
+    when(size(t) === 0, lit(null).cast("double"))
+      .otherwise(log(n) - sumClnC / n)
+  }
+
+  /** Top-`k` characteristic terms per document by TF-IDF
+    * (score = tf · ln(N/df); ties broken by term, ascending). The
+    * keyword-extraction pass behind corpus topic audits and
+    * cluster labeling.
+    *
+    * Shape at scale: one explode → per-(doc, term) count (map-side
+    * combinable) → document-frequency table (vocab-sized; AQE broadcasts
+    * it) → per-document top-k window (partitioned by doc — no global
+    * sort). N comes from a lazy 1-row aggregate cross-joined in, so
+    * there's no plan-time driver count. Output: (id, rank, term, score),
+    * k rows per non-empty doc.
+    */
+  def tfidfKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = df
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (id, term), so df = count per term over tf.
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = toks.agg(countDistinct(col("id")).as("n_docs"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank").cast("int").as("rank"),
+        col("term"), round(col("score"), 4).as("score"))
+  }
 }

@@ -1045,6 +1045,53 @@ object NorthStar {
     Similarity.labelCohesion(emb(s, dir), "vec_id", "embedding", "label")
       .orderBy("label")
 
+  /** Embedding-space drift matrix between SOURCES: documents supply the
+    * provenance, embeddings the vectors (joined doc_id = vec_id). The
+    * between-group complement of qn55's within-group cohesion.
+    */
+  private def qSourceDrift(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidDriftMatrix(
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .join(emb(s, dir), col("doc_id") === col("vec_id")),
+      "embedding", "source")
+      .withColumnRenamed("group_a", "source_a")
+      .withColumnRenamed("group_b", "source_b")
+      .orderBy("source_a", "source_b")
+
+  /** Normalized-exact decontamination: the benchmark side is a
+    * deterministically PERTURBED copy (padding + uppercase + added
+    * punctuation) of every 50th doc — raw-hash matching finds nothing,
+    * so the normalization layer is load-bearing in the grade. Expected
+    * flagged set = exactly the perturbed docs' originals (the fixture
+    * has no normalized cross-doc collisions).
+    */
+  private def qDecontaminateNormalized(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.where(col("doc_id") % 50 === 3)
+      .select(concat(lit("  "), upper(col("text")), lit(" !!! ")).as("btext"))
+    TextOps.decontaminateNormalized(d, "doc_id", "text", bench, "btext")
+      .select(col("doc_id"), col("norm_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc unigram entropy (nats) — repetition-shape quality signal. */
+  private def qTokenEntropy(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .where(length(trim(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(array_distinct(TextOps.tokens(col("text")))).cast("long")
+          .as("n_distinct"),
+        round(TextOps.tokenEntropy(col("text")), 4).as("entropy"))
+      .orderBy("doc_id")
+
+  /** Top-3 TF-IDF terms per doc — keyword extraction / cluster labels. */
+  private def qTfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfKeywords(docs(s, dir), "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "rank")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -1944,6 +1991,62 @@ object NorthStar {
              round(avg(cos), 4) AS avg_cos,
              round(min(cos), 4) AS min_cos,
              round(max(cos), 4) AS max_cos
-      FROM cos GROUP BY label ORDER BY label"""))
+      FROM cos GROUP BY label ORDER BY label""")),
+    QueryDef("qn56_source_drift", qSourceDrift _, Some("""
+      WITH e AS (SELECT d.source AS grp, em.embedding::DOUBLE[] AS v
+                 FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id),
+      cnt AS (SELECT grp, count(*) AS n FROM e GROUP BY grp),
+      pos AS (SELECT grp, i, v[CAST(i AS INT)] AS x
+              FROM e, unnest(range(1, len(v) + 1)) t(i)),
+      cent AS (SELECT grp, list(cx ORDER BY i) AS c
+               FROM (SELECT grp, i, avg(x) AS cx FROM pos GROUP BY grp, i)
+               GROUP BY grp)
+      SELECT a.grp AS source_a, b.grp AS source_b,
+             CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+             round(list_cosine_similarity(a.c, b.c), 4) AS centroid_cos
+      FROM cent a JOIN cent b ON a.grp < b.grp
+      JOIN cnt na ON na.grp = a.grp JOIN cnt nb ON nb.grp = b.grp
+      ORDER BY source_a, source_b""")),
+    QueryDef("qn57_decontaminate_normalized", qDecontaminateNormalized _, Some("""
+      WITH bench AS (
+        SELECT '  ' || upper(text) || ' !!! ' AS btext
+        FROM documents WHERE doc_id % 50 = 3),
+      bh AS (SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(
+               lower(btext), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS h
+             FROM bench),
+      n AS (SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(
+                lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS h
+            FROM documents)
+      SELECT doc_id, h AS norm_hash FROM n
+      WHERE h IN (SELECT h FROM bh)
+      ORDER BY doc_id""")),
+    QueryDef("qn58_token_entropy", qTokenEntropy _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE trim(text) <> ''),
+      t AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+      c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      agg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+                     sum(c * ln(CAST(c AS DOUBLE))) AS sumclnc
+              FROM c GROUP BY doc_id)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             CAST(nd AS BIGINT) AS n_distinct,
+             round(ln(CAST(n AS DOUBLE)) - sumclnc / n, 4) AS entropy
+      FROM agg ORDER BY doc_id""")),
+    QueryDef("qn59_tfidf_keywords", qTfidfKeywords _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE trim(text) <> ''),
+      t AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+      dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      n AS (SELECT count(*) AS n_docs FROM toks),
+      s AS (SELECT doc_id, tok,
+                   tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df) AS score
+            FROM tf JOIN dfq USING (tok), n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, tok) AS rnk FROM s)
+      SELECT doc_id, CAST(rnk AS INT) AS rank, tok AS term,
+             round(score, 4) AS score
+      FROM r WHERE rnk <= 3 ORDER BY doc_id, rank"""))
   )
 }

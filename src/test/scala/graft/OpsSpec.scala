@@ -1139,4 +1139,85 @@ class OpsSpec extends SparkSpec {
     assert(got("x") == ((2L, 0.7071, 0.7071, 0.7071)), s"got ${got("x")}")
     assert(got("y") == ((1L, 1.0, 1.0, 1.0)), s"got ${got("y")}")
   }
+
+  test("centroidDriftMatrix: unordered group pairs, centroid cosine, counts") {
+    import spark.implicits._
+    val embs = Seq(
+      ("a", Seq(1f, 0f)), ("a", Seq(0f, 1f)), // centroid (0.5, 0.5)
+      ("b", Seq(2f, 0f)),                     // centroid (2, 0)
+      ("c", Seq(0f, 0f)), ("c", Seq(0f, 6f)), ("c", Seq(0f, 0f))) // (0, 2)
+      .toDF("grp", "embedding")
+    val got = Similarity.centroidDriftMatrix(embs, "embedding", "grp")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // One row per unordered pair, lexicographic a < b.
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")), s"got $got")
+    assert(got(("a", "b")) == ((2L, 1L, 0.7071)), s"got ${got(("a", "b"))}")
+    assert(got(("a", "c")) == ((2L, 3L, 0.7071)), s"got ${got(("a", "c"))}")
+    assert(got(("b", "c")) == ((1L, 3L, 0.0)), s"got ${got(("b", "c"))}")
+  }
+
+  test("decontaminateNormalized: case/punct/whitespace-insensitive, no FPs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "unrelated document text"),
+      (3L, "hello world")).toDF("doc_id", "text")
+    val bench = Seq(
+      "  The QUICK,  brown... FOX!! ", // normalizes to doc 1
+      "totally absent item").toDF("btext")
+    val got = TextOps.decontaminateNormalized(corpus, "doc_id", "text",
+        bench, "btext")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), s"got $got")
+    // Raw-hash matching would find nothing: the normalization layer is
+    // what recovers the match.
+    val raw = corpus.select(md5(col("text").cast("binary")).as("h"))
+      .join(bench.select(md5(col("btext").cast("binary")).as("h")), Seq("h"))
+    assert(raw.count() == 0L)
+  }
+
+  test("tokenEntropy: hand-computed distributions, empty -> null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b"),        // ln 3 - (2 ln 2)/3
+      (2L, "w w w w"),      // single type -> 0
+      (3L, "p q r s"),      // uniform -> ln 4
+      (4L, "   ")).toDF("id", "text")
+    val got = df.select(col("id"), TextOps.tokenEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(math.abs(got(1L).get - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12)
+    assert(got(2L).get == 0.0, s"got ${got(2L)}")
+    assert(math.abs(got(3L).get - math.log(4)) < 1e-12)
+    assert(got(4L).isEmpty, s"whitespace doc must be null, got ${got(4L)}")
+  }
+
+  test("tfidfKeywords: scores, rank order, term tie-break") {
+    import spark.implicits._
+    // 3 docs; "rare" appears only in doc 1 (df=1), "both" in docs 1+2
+    // (df=2), "all" everywhere (df=3, score 0).
+    val df = Seq(
+      (1L, "rare rare both all"),
+      (2L, "both all"),
+      (3L, "all zz")).toDF("id", "text")
+    val got = TextOps.tfidfKeywords(df, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getDouble(3)))).toMap
+    val ln3 = math.log(3.0)
+    val ln15 = math.log(1.5)
+    assert(got((1L, 1)) == (("rare",
+      BigDecimal(2 * ln3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got((1L, 2)) == (("both",
+      BigDecimal(ln15).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got((2L, 1))._1 == "both")
+    // Doc 2 rank 2 is "all" at score 0; doc 3 rank 1 is "zz" (df=1).
+    assert(got((2L, 2)) == (("all", 0.0)))
+    assert(got((3L, 1))._1 == "zz")
+    // Tie-break: in doc 3, "all" (0.0) ranks after "zz"; equal scores
+    // order by term ascending — covered by doc 2 where "all" (0.0)
+    // follows "both" (ln 1.5 > 0).
+    assert(got((3L, 2)) == (("all", 0.0)))
+  }
 }
