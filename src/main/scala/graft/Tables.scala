@@ -17,11 +17,6 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * Spark reader rejects by default (PARQUET_TYPE_ILLEGAL). Read it as
-    * nanos-since-epoch via the legacy conf and convert to a microsecond
-    * TimestampType column (the fixture's nanos are all whole microseconds).
-    */
   /** Driver-side exact row count from parquet footers — no Spark job.
     * Sums per-file record counts out of the same metadata planning
     * already touches, so callers can pass corpus-size hints (e.g.
@@ -56,16 +51,41 @@ object Tables {
     total
   }
 
+  /** `events.parquet`'s `ts` encoding has varied across fixture
+    * generations — parquet TIMESTAMP(NANOS) (which Spark only reads via
+    * the legacy nanos-as-long conf) and naive TIMESTAMP(MICROS) (which
+    * Spark reads as TIMESTAMP_NTZ) have both been observed — so the
+    * reader branches on the LOADED type and normalizes every encoding to
+    * one contract: `ts` is a TimestampType instant whose epoch
+    * microseconds equal the file's naive value treated as UTC (exactly
+    * what DuckDB's `epoch_us` sees, so oracles agree in any session
+    * timezone).
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, timestamp_diff, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // SESSION-GLOBAL side effect, unavoidable: nanosAsLong is a session
     // conf (no per-reader option exists) and must stay set while this
     // frame executes — later parquet reads in the session also map
-    // nanos-typed columns to LongType.
+    // nanos-typed columns to LongType. Harmless for non-nanos files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `ts div 1000`, not `ts / 1000`: `/` promotes to double and epoch
-    // nanos exceed double's 2^53 exact-integer range (off-by-1-µs bugs).
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // Nanos-as-long. `ts div 1000`, not `ts / 1000`: `/` promotes to
+        // double and epoch nanos exceed double's 2^53 exact-integer range
+        // (off-by-1-µs bugs).
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // Naive micros. timestamp_diff against an NTZ epoch literal stays
+        // in the naive domain — a cast(TimestampType) would re-interpret
+        // the wall time in spark.sql.session.timeZone and shift every
+        // instant on a non-UTC session (same rationale as Wire.scala).
+        raw.withColumn("ts", timestamp_micros(timestamp_diff("MICROSECOND",
+          lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)), col("ts"))))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other")
+    }
   }
 }

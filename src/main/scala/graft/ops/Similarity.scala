@@ -906,6 +906,46 @@ object Similarity {
         round(max(col("cos")), 4).as("max_cos"))
   }
 
+  /** Per-label outlier shortlist: for each label, the `k` members whose
+    * cosine to the label centroid is LOWEST (ties → id ascending) — the
+    * concrete mislabel candidates behind [[labelCohesion]]'s band (that
+    * op says "label 3 is noisy"; this one says "look at these rows").
+    *
+    * Shape at scale: centroids build exactly as in [[labelCohesion]]
+    * (one narrow aggregate shuffle, label-sized broadcast back); the
+    * bottom-k selection is the bounded-heap aggregate on NEGATED cosine
+    * (TopKByScoreAgg — map-side partial heaps ship ≤ k candidates per
+    * partition per label), not a row_number window, so a giant label
+    * never sorts through one reducer. Output is labels×k-sized.
+    */
+  def labelOutliers(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 2): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = embs.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("label"), asDouble(col(vecCol)).as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("centroid"))
+    e.join(broadcast(cent), Seq("label"))
+      .select(col("label"), col("id"),
+        cosine(col("v"), col("centroid")).as("cos"))
+      .groupBy("label")
+      // Heap keeps the k HIGHEST scores; negate so lowest-cosine wins
+      // (tie on equal cosine → min id, matching the heap's id-asc rule).
+      .agg(graft.functions.VectorExpressions.topKByScore(
+        negate(col("cos")), col("id"), k).as("__bottom"))
+      .select(col("label"), posexplode(col("__bottom")).as(Seq("__i", "__m")))
+      .select(col("label"), (col("__i") + 1).cast("int").as("rank"),
+        col("__m.vec_id").as("id"),
+        round(negate(col("__m.sim")), 4).as("cos"))
+  }
+
   /** The SemDeDup scale lever: `nlist` must GROW with the corpus so the
     * per-cell row count stays ~`targetCellRows` and candidate volume
     * stays linear. Measured at 60k vectors (ScaleData, threshold 0.9,

@@ -704,6 +704,74 @@ object TextOps {
       .otherwise(log(n) - sumClnC / n)
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus: of each
+    * target doc's distinct word `n`-gram shingles, the fraction unseen
+    * anywhere in `reference` — the memorization/novelty audit run when
+    * deciding whether a new crawl adds anything beyond an existing
+    * corpus (novelty ≈ 0 → the doc is re-crawled/boilerplate content).
+    * Complements the pairwise detectors: qn49 asks "is this doc a
+    * near-dup of some SINGLE reference doc"; this asks "how much of it
+    * exists ANYWHERE in the reference", which a mosaic of copied
+    * fragments passes qn49 on but scores near-zero here.
+    *
+    * Shape at scale: both sides reduce to distinct shingles; the join is
+    * an EQUALITY join on the shingle with fanout ≤ 1 per target shingle
+    * (the reference side is distinct), so no hot-cap is needed — corpus
+    * and reference each cross one shuffle. Docs with fewer than `n`
+    * tokens have no shingles and are absent (both sides of the grade).
+    */
+  def ngramNovelty(
+      target: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val t = target
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+      .distinct()
+    val r = reference
+      .select(explode(shingles(col(textCol), n)).as("s"))
+      .distinct()
+      .withColumn("__seen", lit(true))
+    t.join(r, Seq("s"), "left_outer")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 4).as("novelty"))
+  }
+
+  /** Corpus vocabulary coverage: the `k` most frequent tokens (ties →
+    * token ascending) with each one's share of total token mass and the
+    * cumulative share — the Zipf-head audit behind tokenizer-vocab
+    * sizing ("how much of the corpus do the top 20 tokens cover").
+    *
+    * Shape at scale: one explode → map-side-combinable token counts →
+    * top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    * heaps, no global sort); the cumulative window runs over the k-row
+    * result only (single tiny partition by construction), and the total
+    * comes from a second aggregate over the vocab-sized count table —
+    * never a second pass over the corpus.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val ord = Seq(col("n").desc, col("term").asc)
+    val w = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.orderBy(ord: _*).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .select(
+        col("rank").cast("int").as("rank"), col("term"), col("n"),
+        round(col("n").cast("double") / col("total"), 4).as("share"),
+        round(col("cum_n").cast("double") / col("total"), 4).as("cum_share"))
+  }
+
   /** Top-`k` characteristic terms per document by TF-IDF
     * (score = tf · ln(N/df); ties broken by term, ascending). The
     * keyword-extraction pass behind corpus topic audits and

@@ -141,6 +141,48 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Ordered conversion funnel with min-ts chaining: a user reaches
+    * step i only via an event AT OR AFTER their step-i−1 time (the
+    * standard ordered-funnel semantics — a click BEFORE the signup
+    * doesn't count). One per-user min aggregate per step chained by
+    * equality joins on the user key, each input pre-filtered to one
+    * event type (pruned scan); at 1000 executors each stage shuffles
+    * only the per-type slice keyed by user, and the final frame is
+    * steps-sized. Output: (step, step_name, n_users, conversion from
+    * previous step; null for step 1 or a zero previous step).
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // reached(i) = (user_id, t_i): users whose earliest step-i event at
+    // or after their t_{i-1}.
+    val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val typed = events.where(col(typeCol) === step)
+        val eligible = prev match {
+          case None => typed
+          case Some(p) => typed.join(p, userCol).where(col(tsCol) >= col("__t"))
+        }
+        Some(eligible.groupBy(userCol).agg(min(col(tsCol)).as("__t")))
+    }.flatten
+    def counted(df: DataFrame, n: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("step"), lit(name).as("step_name"), col("n_users"))
+    import org.apache.spark.sql.expressions.Window
+    reached.zip(steps).zipWithIndex
+      .map { case ((df, name), i) => counted(df, i + 1, name) }
+      .reduce(_.unionAll(_))
+      // steps-row frame: the global window is fine by construction.
+      .withColumn("conversion", round(
+        col("n_users").cast("double") /
+          nullif(lag(col("n_users"), 1).over(Window.orderBy("step")), lit(0)),
+        4))
+  }
+
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    funnel(ev(s, dir), Seq("signup", "click", "purchase")).orderBy("step")
+
   /** Shared by q48 (unbucketed) and q50 (hot-key bucketed): the two
     * paths must grade against the IDENTICAL contract - a single constant
     * cannot silently desynchronize the way two pasted copies can.
@@ -242,6 +284,20 @@ object EventQueries {
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS trailing_1h_sum
       FROM events
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+    QueryDef("q53_event_funnel", qFunnel _, Some("""
+      WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND ts >= t1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND ts >= t2 GROUP BY e.user_id),
+      n AS (SELECT 1 AS step, 'signup' AS step_name, count(*) AS n_users FROM s1
+            UNION ALL SELECT 2, 'click', count(*) FROM s2
+            UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+      SELECT step, step_name, CAST(n_users AS BIGINT) AS n_users,
+             round(n_users * 1.0 / nullif(lag(n_users) OVER (ORDER BY step), 0), 4)
+               AS conversion
+      FROM n ORDER BY step"""))
   )
 }

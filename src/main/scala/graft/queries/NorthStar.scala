@@ -1092,6 +1092,36 @@ object NorthStar {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "rank")
 
+  /** N-gram novelty of the second half against the first (the qn49
+    * halves): how much of each new doc exists ANYWHERE in the reference
+    * corpus — the crawl-worth-adding audit. The fixture's planted
+    * near-dups score near zero; genuinely fresh docs score near one.
+    */
+  private def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = Tables.parquetRowCount(s, s"$dir/documents.parquet") / 2
+    TextOps.ngramNovelty(
+      d.where(col("doc_id") >= cut), d.where(col("doc_id") < cut),
+      "doc_id", "text", n = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Bottom-2 cosine-to-centroid members per label — the mislabel
+    * shortlist behind qn55's cohesion band.
+    */
+  private def qLabelOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelOutliers(emb(s, dir), "vec_id", "embedding", "label", k = 2)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("label", "rank")
+
+  /** Top-20 corpus tokens with cumulative token-mass coverage (Zipf-head
+    * audit / tokenizer-vocab sizing).
+    */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabCoverage(docs(s, dir), "text", k = 20)
+      .orderBy("rank")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2047,6 +2077,48 @@ object NorthStar {
                         ORDER BY score DESC, tok) AS rnk FROM s)
       SELECT doc_id, CAST(rnk AS INT) AS rank, tok AS term,
              round(score, 4) AS score
-      FROM r WHERE rnk <= 3 ORDER BY doc_id, rank"""))
+      FROM r WHERE rnk <= 3 ORDER BY doc_id, rank""")),
+    QueryDef("qn60_ngram_novelty", qNgramNovelty _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE trim(text) <> ''),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      cut AS (SELECT count(*) // 2 AS c FROM documents),
+      t AS (SELECT * FROM sh0 WHERE doc_id >= (SELECT c FROM cut)),
+      r AS (SELECT DISTINCT s FROM sh0 WHERE doc_id < (SELECT c FROM cut)),
+      j AS (SELECT t.doc_id, CASE WHEN r.s IS NULL THEN 1 ELSE 0 END AS novel
+            FROM t LEFT JOIN r ON t.s = r.s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(novel) AS BIGINT) AS n_novel,
+             round(sum(novel) * 1.0 / count(*), 4) AS novelty
+      FROM j GROUP BY doc_id ORDER BY doc_id""")),
+    QueryDef("qn61_label_outliers", qLabelOutliers _, Some("""
+      WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      pos AS (SELECT label, vec_id, i, v[CAST(i AS INT)] AS x
+              FROM e, unnest(range(1, len(v) + 1)) t(i)),
+      cent AS (SELECT label, list(cx ORDER BY i) AS c
+               FROM (SELECT label, i, avg(x) AS cx FROM pos GROUP BY label, i)
+               GROUP BY label),
+      cos AS (SELECT e.label, e.vec_id, list_cosine_similarity(e.v, cent.c) AS cos
+              FROM e JOIN cent USING (label)),
+      r AS (SELECT label, vec_id, cos,
+                   row_number() OVER (PARTITION BY label ORDER BY cos, vec_id) AS rank
+            FROM cos)
+      SELECT label, CAST(rank AS INT) AS rank, vec_id, round(cos, 4) AS cos
+      FROM r WHERE rank <= 2 ORDER BY label, rank""")),
+    QueryDef("qn62_vocab_coverage", qVocabCoverage _, Some("""
+      WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE trim(text) <> ''),
+      t AS (SELECT unnest(w) AS term FROM toks),
+      c AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+      tot AS (SELECT sum(n) AS total FROM c),
+      r AS (SELECT term, n,
+                   row_number() OVER (ORDER BY n DESC, term) AS rank,
+                   sum(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING) AS cum_n
+            FROM c)
+      SELECT CAST(rank AS INT) AS rank, term, CAST(n AS BIGINT) AS n,
+             round(n * 1.0 / total, 4) AS share,
+             round(cum_n * 1.0 / total, 4) AS cum_share
+      FROM r, tot WHERE rank <= 20 ORDER BY rank"""))
   )
 }

@@ -19,30 +19,49 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
   */
 object EventStreams {
 
-  /** The events schema as the nanos-tolerant file source sees it
-    * (ts read as LongType nanos; see Tables.events).
+  /** The events schema with `ts` still in its on-disk form — `tsType`
+    * is whatever the parquet files encode (LongType for legacy
+    * TIMESTAMP(NANOS) under nanos-as-long; TimestampNTZType for naive
+    * micros; see Tables.events for the encoding history).
     */
-  val rawSchema: StructType = StructType(Seq(
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** Open the events parquet directory as a stream (one file = one batch
-    * at fixture scale), converting nano `ts` to a proper timestamp.
+    * at fixture scale), normalizing `ts` to the same TimestampType
+    * epoch-as-UTC contract as Tables.events. File sources need the schema
+    * up front, so a one-off batch read (metadata only — no job runs)
+    * probes the on-disk encoding first.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // SESSION-GLOBAL side effect, unavoidable: nanosAsLong is a session
     // conf, not a per-reader option, and it must stay set while the
     // stream executes. Every later parquet read in this session will
-    // also load nanos-typed columns as LongType.
+    // also load nanos-typed columns as LongType. Harmless for non-nanos
+    // files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        // Nanos-as-long; `div`, not `/` (2^53 exactness, see Tables).
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // Naive-domain epoch math — no session-timezone dependence
+        // (Wire.scala rationale).
+        raw.withColumn("ts", timestamp_micros(timestamp_diff("MICROSECOND",
+          lit(java.time.LocalDateTime.of(1970, 1, 1, 0, 0)), col("ts"))))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other")
+    }
   }
 
   /** Tumbling-window counts with a watermark bounding state. */

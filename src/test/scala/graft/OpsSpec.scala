@@ -1220,4 +1220,87 @@ class OpsSpec extends SparkSpec {
     // follows "both" (ln 1.5 > 0).
     assert(got((3L, 2)) == (("all", 0.0)))
   }
+
+  test("ngramNovelty: unseen-shingle fraction vs reference, short docs absent") {
+    import spark.implicits._
+    val reference = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "a b c d"),      // shingles {a b c, b c d} — both seen → 0.0
+      (11L, "a b c x"),      // {a b c, b c x} — one novel → 0.5
+      (12L, "x y z w"),      // {x y z, y z w} — all novel → 1.0
+      (13L, "x y"),          // < 3 tokens: no shingles → absent
+      (14L, "q q q q q"))    // {q q q} dedups to ONE distinct shingle
+      .toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(target, reference, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(10L) == ((2L, 0L, 0.0)), s"got ${got(10L)}")
+    assert(got(11L) == ((2L, 1L, 0.5)), s"got ${got(11L)}")
+    assert(got(12L) == ((2L, 2L, 1.0)), s"got ${got(12L)}")
+    assert(!got.contains(13L), "doc with < n tokens must be absent")
+    assert(got(14L) == ((1L, 1L, 1.0)), s"distinct shingles, got ${got(14L)}")
+  }
+
+  test("labelOutliers: bottom-k cosine to label centroid, id tie-break") {
+    import spark.implicits._
+    // Label x: three on-axis vectors; centroid (1/3)(1+0+1, 0+1+0) etc.
+    // Vectors 1,3 are identical → equal cosine; tie breaks to min id at
+    // rank 1... but vector 2 is the true outlier. Label y: one member.
+    val embs = Seq(
+      (1L, Seq(1f, 0f), "x"), (2L, Seq(0f, 1f), "x"), (3L, Seq(1f, 0f), "x"),
+      (4L, Seq(5f, 5f), "y"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelOutliers(embs, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // Centroid x = (2/3, 1/3): cos for (0,1) = (1/3)/(1·√5/3) ≈ 0.4472;
+    // for (1,0) = (2/3)/(√5/3) ≈ 0.8944. Rank 1 = the outlier id 2,
+    // rank 2 = tie between ids 1 and 3 → min id 1.
+    assert(got(("x", 1)) == ((2L, 0.4472)), s"got ${got(("x", 1))}")
+    assert(got(("x", 2)) == ((1L, 0.8944)), s"got ${got(("x", 2))}")
+    assert(got(("y", 1)) == ((4L, 1.0)), s"got ${got(("y", 1))}")
+    assert(!got.contains(("y", 2)), "k exceeds label size → no padding row")
+  }
+
+  test("vocabCoverage: rank, shares, cumulative mass, term tie-break") {
+    import spark.implicits._
+    val df = Seq("b b b a", "a c", "   ").toDF("text")
+    val got = TextOps.vocabCoverage(df, "text", k = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // Counts: b=3, a=2, c=1; total 6. Top-2 = b then a.
+    assert(got(1) == (("b", 3L, 0.5, 0.5)), s"got ${got(1)}")
+    assert(got(2) == (("a", 2L, 0.3333, 0.8333)), s"got ${got(2)}")
+    assert(got.size == 2)
+  }
+
+  test("vocabCoverage: equal counts order by term ascending") {
+    import spark.implicits._
+    val df = Seq("z q z q m").toDF("text")
+    val got = TextOps.vocabCoverage(df, "text", k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, "q"), (2, "z"), (3, "m")), s"got $got")
+  }
+
+  test("funnel: ordered min-ts chaining, out-of-order steps don't count") {
+    import spark.implicits._
+    // u1 completes in order; u2's click PRECEDES signup (doesn't count);
+    // u3 signs up only; u4 has a pre-signup click AND a valid later one.
+    val events = Seq(
+      (1L, "signup", 100L), (1L, "click", 150L), (1L, "purchase", 200L),
+      (2L, "click", 50L), (2L, "signup", 100L), (2L, "purchase", 200L),
+      (3L, "signup", 10L),
+      (4L, "click", 5L), (4L, "signup", 10L), (4L, "click", 20L))
+      .toDF("user_id", "event_type", "ts")
+    val got = queries.EventQueries.funnel(events, Seq("signup", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq(
+      (1, "signup", 4L, None),          // u1..u4
+      (2, "click", 2L, Some(0.5)),      // u1, u4 (u2's click is too early)
+      (3, "purchase", 1L, Some(0.5))),  // u1 only (u2 never validly clicked)
+      s"got ${got.toSeq}")
+  }
 }
