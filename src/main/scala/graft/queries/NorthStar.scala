@@ -1122,6 +1122,23 @@ object NorthStar {
     TextOps.vocabCoverage(docs(s, dir), "text", k = 20)
       .orderBy("rank")
 
+  /** Nearest same-label neighbor per vector (contrastive positives; the
+    * complement of qn34's hard negatives).
+    */
+  private def qPositivePairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.positivePairs(emb(s, dir), "vec_id", "embedding", "label")
+      .orderBy("label", "anchor_id")
+
+  /** BM25 top-10 for a fixed 3-term query — keyword retrieval over the
+    * corpus. Ranking on the ROUNDED score (see bm25Search) keeps the
+    * top-k cut engine-deterministic.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    TextOps.bm25Search(docs(s, dir), "doc_id", "text",
+      query = Seq("vector", "customer", "merge"), k = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("score").desc, col("doc_id"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2119,6 +2136,32 @@ object NorthStar {
       SELECT CAST(rank AS INT) AS rank, term, CAST(n AS BIGINT) AS n,
              round(n * 1.0 / total, 4) AS share,
              round(cum_n * 1.0 / total, 4) AS cum_share
-      FROM r, tot WHERE rank <= 20 ORDER BY rank"""))
+      FROM r, tot WHERE rank <= 20 ORDER BY rank""")),
+    QueryDef("qn63_positive_pairs", qPositivePairs _, Some("""
+      WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT a.label, a.vec_id AS anchor_id, b.vec_id AS pos_id,
+                   list_cosine_similarity(a.v, b.v) AS cos,
+                   row_number() OVER (PARTITION BY a.label, a.vec_id
+                     ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rn
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+      SELECT label, anchor_id, pos_id, round(cos, 4) AS cos
+      FROM p WHERE rn = 1 ORDER BY label, anchor_id""")),
+    QueryDef("qn64_bm25_search", qBm25 _, Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                 FROM documents WHERE trim(text) <> ''),
+      dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      t AS (SELECT doc_id, unnest(w) AS term FROM d),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+             WHERE term IN ('vector', 'customer', 'merge') GROUP BY 1, 2),
+      dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      s AS (SELECT tf.doc_id,
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                     tf * (1.2 + 1.0) /
+                     (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS part
+            FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats),
+      sc AS (SELECT doc_id, round(sum(part), 4) AS score FROM s GROUP BY doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id LIMIT 10"""))
   )
 }

@@ -196,6 +196,28 @@ object StoreQueries {
       .orderBy("cust_bucket")
   }
 
+  /** Version-diff audit: v1 = ¾ of orders, v2 = an overlapping ¾ with a
+    * price bump on every 5th key; [[Store.versionDiff]] keyed by
+    * o_orderkey must recover added / removed / changed exactly (the
+    * oracle states the closed form). The unchanged rows keep their
+    * o_totalprice BIT-identical (when/otherwise, no `+ 0.0`), so any
+    * false 'changed' row is a real diff bug, not FP noise.
+    */
+  private def versionDiffAudit(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    val orders = Tables.read(s, dir, "orders")
+    store.load(orders.where(col("o_orderkey") % 4 =!= 0),
+      "tpch/orders", externalKey = "v1")
+    store.load(
+      orders.where(col("o_orderkey") % 4 =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice"))),
+      "tpch/orders", externalKey = "v2")
+    store.versionDiff("tpch/orders", "v1", "v2", Seq("o_orderkey"))
+      .orderBy("o_orderkey", "change")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qs01_store_roundtrip_idkey", roundtripIdKey _, Some("""
       SELECT CAST(floor(o_custkey / 1000) * 1000 AS BIGINT) AS cust_bucket,
@@ -272,6 +294,15 @@ object StoreQueries {
       FROM orders
       WHERE o_custkey BETWEEN 100 AND 500
       GROUP BY 1
-      ORDER BY cust_bucket"""))
+      ORDER BY cust_bucket""")),
+    QueryDef("qs09_store_version_diff", versionDiffAudit _, Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'added'
+                  WHEN o_orderkey % 4 = 3 THEN 'removed'
+                  ELSE 'changed' END AS change
+      FROM orders
+      WHERE o_orderkey % 4 = 0 OR o_orderkey % 4 = 3
+         OR (o_orderkey % 4 IN (1, 2) AND o_orderkey % 5 = 0)
+      ORDER BY o_orderkey, change"""))
   )
 }

@@ -554,6 +554,62 @@ final class Store(
       .drop(delCols: _*)
   }
 
+  /** Row-level DIFF between two stored versions, keyed by `keyCols`:
+    * one row per key whose membership or content changed —
+    * `added` (key only in `toKey`), `removed` (key only in `fromKey`),
+    * `changed` (key in both, any shared non-key column differs under
+    * null-safe equality). Output: the key columns + `change`. The
+    * version-audit primitive behind "what did yesterday's ingest
+    * actually do" — the batch complement of the CDC merge path
+    * ([[merge]] applies deltas; this RECOVERS the delta between two
+    * published snapshots).
+    *
+    * Shape at scale: each side is one version subtree scan (zero footer
+    * reads with sidecars, see [[getPartitioned]]); the only shuffle is
+    * the full-outer equality join on the key columns. Non-key columns
+    * compare with `<=>` (exact, null-safe) — a 100 TB caller diffing
+    * very wide rows should pre-project the columns they care about when
+    * calling, or accept the wide shuffle; a hash fingerprint is NOT
+    * used because Spark's null-skipping struct hash collides e.g.
+    * (null, x) with (x, null).
+    */
+  def versionDiff(
+      name: String,
+      fromKey: String,
+      toKey: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "versionDiff needs at least one key column")
+    val from = get(name, externalKey = Some(fromKey))
+    val to = get(name, externalKey = Some(toKey))
+    keyCols.foreach { c =>
+      if (!from.columns.contains(c) || !to.columns.contains(c))
+        throw new Store.GetError(
+          s"versionDiff key column '$c' missing from '$name' versions", null)
+    }
+    // Only columns PRESENT IN BOTH versions can differ; a column that
+    // exists on one side only is a schema change, reported as 'changed'
+    // for every shared key (its values differ from absent-as-null).
+    val shared = from.columns.toSet.intersect(to.columns.toSet)
+    val nonKey = (from.columns ++ to.columns).distinct
+      .filterNot(keyCols.contains)
+    val sharedNonKey = nonKey.filter(shared)
+    // Keys-only table: no payload to differ on — compare a constant.
+    def payload = if (sharedNonKey.isEmpty) lit(0)
+      else struct(sharedNonKey.map(col).toSeq: _*)
+    val f = from.select(keyCols.map(col) :+ payload.as("__f"): _*)
+      .withColumn("__inF", lit(true))
+    val t = to.select(keyCols.map(col) :+ payload.as("__t"): _*)
+      .withColumn("__inT", lit(true))
+    val schemaChanged = from.columns.toSet != to.columns.toSet
+    f.join(t, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__inF").isNull, lit("added"))
+          .when(col("__inT").isNull, lit("removed"))
+          .when(lit(schemaChanged) || !(col("__f") <=> col("__t")), lit("changed")))
+      .where(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   // --------------------------------------------------------- data skipping
 
   /** Read `name` restricted to `lower <= colName <= upper`, scanning ONLY

@@ -1283,6 +1283,46 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "q"), (2, "z"), (3, "m")), s"got $got")
   }
 
+  test("positivePairs: nearest same-label neighbor, self excluded, singletons absent") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Seq(1f, 0f), "x"), (2L, Seq(3f, 1f), "x"), (3L, Seq(0f, 1f), "x"),
+      (4L, Seq(2f, 2f), "y"), (5L, Seq(2f, 2f), "y"), // identical pair
+      (6L, Seq(1f, 1f), "z")) // singleton: no candidate
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.positivePairs(embs, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // cos(1,2)=3/√10≈0.9487 beats cos(1,3)=0; cos(2,1)=0.9487 beats
+    // cos(2,3)=1/√10; cos(3,2)=0.3162 beats cos(3,1)=0.
+    assert(got(("x", 1L)) == ((2L, 0.9487)), s"got ${got(("x", 1L))}")
+    assert(got(("x", 2L)) == ((1L, 0.9487)), s"got ${got(("x", 2L))}")
+    assert(got(("x", 3L)) == ((2L, 0.3162)), s"got ${got(("x", 3L))}")
+    assert(got(("y", 4L)) == ((5L, 1.0)) && got(("y", 5L)) == ((4L, 1.0)))
+    assert(!got.keySet.exists(_._1 == "z"), "singleton label must be absent")
+  }
+
+  test("bm25Search: matches the closed-form Okapi formula, rounded-rank cut") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "cat dog cat"),
+      (2L, "dog dog dog fish"),
+      (3L, "bird")).toDF("doc_id", "text")
+    val got = TextOps.bm25Search(df, "doc_id", "text",
+        query = Seq("cat", "dog"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // Reference model: N=3, avgdl=(3+4+1)/3; df(cat)=1, df(dog)=2.
+    val n = 3.0; val avgdl = 8.0 / 3.0; val k1 = 1.2; val b = 0.75
+    def idf(dfq: Double) = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+    def part(tf: Double, dfq: Double, dl: Double) =
+      idf(dfq) * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == r4(part(2, 1, 3) + part(1, 2, 3)), s"got ${got(1L)}")
+    assert(got(2L) == r4(part(3, 2, 4)), s"got ${got(2L)}")
+    assert(!got.contains(3L), "doc with no query term must be absent")
+  }
+
   test("funnel: ordered min-ts chaining, out-of-order steps don't count") {
     import spark.implicits._
     // u1 completes in order; u2's click PRECEDES signup (doesn't count);

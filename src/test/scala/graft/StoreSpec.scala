@@ -697,4 +697,38 @@ class StoreSpec extends SparkSpec {
     store.merge(df, "t", Seq("k"), externalKey = "v2")
     assertThrows[IllegalArgumentException](store.merge(df, "t", Seq("v"), externalKey = "v3"))
   }
+
+  test("versionDiff: added/removed/changed, null-safe, no swapped-null collision") {
+    import spark.implicits._
+    val store = freshStore()
+    val v1 = Seq(
+      (1L, Option("a"), Option("b")),   // unchanged
+      (2L, None: Option[String], Option("x")), // null -> value = changed
+      (3L, Option("gone"), Option("g")),       // removed
+      (5L, None: Option[String], Option("x"))) // swapped-null case
+      .toDF("k", "ca", "cb")
+    val v2 = Seq(
+      (1L, Option("a"), Option("b")),
+      (2L, Option("now"), Option("x")),
+      (4L, Option("new"), Option("n")),        // added
+      (5L, Option("x"), None: Option[String])) // (null,x) -> (x,null)
+      .toDF("k", "ca", "cb")
+    store.load(v1, "t", externalKey = "v1")
+    store.load(v2, "t", externalKey = "v2")
+    val got = store.versionDiff("t", "v1", "v2", Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added",
+      5L -> "changed"), s"got $got")
+  }
+
+  test("versionDiff: schema drift flags shared keys; missing key column rejected") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((1L, "a")).toDF("k", "v"), "t", externalKey = "v1")
+    store.load(Seq((1L, "a", 7L)).toDF("k", "v", "extra"), "t", externalKey = "v2")
+    val got = store.versionDiff("t", "v1", "v2", Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed"), s"schema drift must flag, got $got")
+    assertThrows[Store.GetError](store.versionDiff("t", "v1", "v2", Seq("nope")))
+  }
 }
