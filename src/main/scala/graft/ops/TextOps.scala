@@ -819,6 +819,56 @@ object TextOps {
       .select(col("id"), col("score"))
   }
 
+  /** Corpus collocation mining: top-`k` ADJACENT token bigrams by
+    * pointwise mutual information, PMI = ln(p(ab) / (p(a)·p(b))) with
+    * p(ab) = c_ab/B over bigram occurrences and p(x) = c_x/T over token
+    * occurrences — the multi-word-expression detector behind tokenizer
+    * merge rules and phrase-aware dedup. Rare-pair noise is cut by
+    * `minCount` (PMI is maximized by hapax pairs otherwise); ranking is
+    * on the ROUNDED score with a bigram tiebreak, so the cut is
+    * engine-deterministic (the qn64 lesson).
+    *
+    * Shape at scale: two explode → map-side-combinable count aggregates
+    * (bigram and unigram tables, vocab-sized); the unigram table joins
+    * the bigram table twice by term (AQE broadcasts — vocab ≪ corpus);
+    * totals are lazy 1-row aggregates of the count tables, never a
+    * second corpus pass. Top-k via orderBy+limit.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      k: Int = 15,
+      minCount: Long = 5L): DataFrame = {
+    // NOT shingles(): wordShingles DEDUPS per doc (the Jaccard-family
+    // contract); PMI needs raw occurrence counts, so build the
+    // adjacent-bigram stream with an order-preserving HOF.
+    val t = tokens(col(textCol))
+    val bigrams = when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    val bi = df.select(explode(bigrams).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("n_ab"))
+      .withColumn("term_a", split(col("s"), " ").getItem(0))
+      .withColumn("term_b", split(col("s"), " ").getItem(1))
+    val uni = df.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_t"))
+    val totals = broadcast(bi.agg(sum(col("n_ab")).cast("double").as("big_total"))
+      .crossJoin(uni.agg(sum(col("n_t")).cast("double").as("tok_total"))))
+    bi.where(col("n_ab") >= minCount)
+      .join(uni.withColumnRenamed("t", "term_a").withColumnRenamed("n_t", "n_a"), "term_a")
+      .join(uni.withColumnRenamed("t", "term_b").withColumnRenamed("n_t", "n_b"), "term_b")
+      .crossJoin(totals)
+      // Exactly this association order in the oracle too: 1-ulp
+      // regrouping differences would survive the 4-digit rounding.
+      .withColumn("pmi", round(log(
+        (col("n_ab").cast("double") / col("big_total")) /
+          ((col("n_a").cast("double") / col("tok_total")) *
+            (col("n_b").cast("double") / col("tok_total")))), 4))
+      .orderBy(col("pmi").desc, col("s").asc)
+      .limit(k)
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("pmi"))
+  }
+
   /** Top-`k` characteristic terms per document by TF-IDF
     * (score = tf · ln(N/df); ties broken by term, ascending). The
     * keyword-extraction pass behind corpus topic audits and

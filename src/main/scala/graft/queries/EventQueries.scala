@@ -183,6 +183,28 @@ object EventQueries {
   private def qFunnel(s: SparkSession, dir: String): DataFrame =
     funnel(ev(s, dir), Seq("signup", "click", "purchase")).orderBy("step")
 
+  /** Retention triangle: users grouped by FIRST-activity day; for each
+    * (cohort day, day offset ≤ 7) the distinct users active that day.
+    * The event stream collapses to DISTINCT (user, day) FIRST — the
+    * corpus-scale reduction; everything after runs on user-days. Two
+    * user-keyed aggregates + one join; sessions' grade runs under a UTC
+    * session (Verify/Bench), matching the oracle's naive-date cast.
+    */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val d = ev(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohort = d.groupBy("user_id").agg(min(col("d")).as("c"))
+    d.join(cohort, "user_id")
+      .select(col("c"), datediff(col("d"), col("c")).as("day_offset"),
+        col("user_id"))
+      .where(col("day_offset") <= 7)
+      .groupBy("c", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("c"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("int").as("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Shared by q48 (unbucketed) and q50 (hot-key bucketed): the two
     * paths must grade against the IDENTICAL contract - a single constant
     * cannot silently desynchronize the way two pasted copies can.
@@ -298,6 +320,16 @@ object EventQueries {
       SELECT step, step_name, CAST(n_users AS BIGINT) AS n_users,
              round(n_users * 1.0 / nullif(lag(n_users) OVER (ORDER BY step), 0), 4)
                AS conversion
-      FROM n ORDER BY step"""))
+      FROM n ORDER BY step""")),
+    QueryDef("q54_retention_cohorts", qRetention _, Some("""
+      WITH d AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+      c AS (SELECT user_id, min(d) AS c FROM d GROUP BY user_id),
+      j AS (SELECT d.user_id, c.c, date_diff('day', c.c, d.d) AS day_offset
+            FROM d JOIN c USING (user_id))
+      SELECT strftime(c, '%Y-%m-%d') AS cohort_day,
+             CAST(day_offset AS INT) AS day_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM j WHERE day_offset <= 7
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -1139,6 +1139,13 @@ object NorthStar {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("score").desc, col("doc_id"))
 
+  /** Top-15 adjacent-bigram collocations by PMI (min count 5) —
+    * multi-word-expression mining over the corpus.
+    */
+  private def qPmi(s: SparkSession, dir: String): DataFrame =
+    TextOps.pmiCollocations(docs(s, dir), "text", k = 15, minCount = 5L)
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2162,6 +2169,26 @@ object NorthStar {
             FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats),
       sc AS (SELECT doc_id, round(sum(part), 4) AS score FROM s GROUP BY doc_id)
       SELECT doc_id, score FROM sc
-      ORDER BY score DESC, doc_id LIMIT 10"""))
+      ORDER BY score DESC, doc_id LIMIT 10""")),
+    QueryDef("qn65_pmi_collocations", qPmi _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE trim(text) <> ''),
+      big AS (SELECT array_to_string(w[i:i+1], ' ') AS s
+              FROM toks, unnest(range(1, len(w))) r(i)),
+      bc AS (SELECT s, count(*) AS n_ab FROM big GROUP BY s),
+      t AS (SELECT unnest(w) AS t FROM toks),
+      uc AS (SELECT t, count(*) AS n_t FROM t GROUP BY t),
+      tot AS (SELECT (SELECT CAST(sum(n_ab) AS DOUBLE) FROM bc) AS big_total,
+                     (SELECT CAST(sum(n_t) AS DOUBLE) FROM uc) AS tok_total),
+      p AS (SELECT s, string_split(s, ' ')[1] AS term_a,
+                   string_split(s, ' ')[2] AS term_b, n_ab FROM bc
+            WHERE n_ab >= 5),
+      sc AS (SELECT p.s, p.term_a, p.term_b, p.n_ab,
+                    round(ln((p.n_ab * 1.0 / big_total) /
+                      ((a.n_t * 1.0 / tok_total) * (b.n_t * 1.0 / tok_total))), 4)
+                      AS pmi
+             FROM p JOIN uc a ON p.term_a = a.t JOIN uc b ON p.term_b = b.t, tot)
+      SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab, pmi
+      FROM sc ORDER BY pmi DESC, s LIMIT 15"""))
   )
 }

@@ -1323,6 +1323,26 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains(3L), "doc with no query term must be absent")
   }
 
+  test("pmiCollocations: occurrence counts (not per-doc distinct), closed-form PMI") {
+    import spark.implicits._
+    // "a b" occurs TWICE INSIDE one doc — a per-doc-distinct (shingle)
+    // count would see 1 and break the closed form below.
+    val df = Seq("a b c a b", "c c a b").toDF("text")
+    // Bigrams: doc1: (a b),(b c),(c a),(a b); doc2: (c c),(c a),(a b).
+    // Counts: "a b"=3, "c a"=2, "b c"=1, "c c"=1; B=7.
+    // Tokens: a=3, b=3, c=3; T=9.
+    val got = TextOps.pmiCollocations(df, "text", k = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pmi(ab: Double, a: Double, b: Double) =
+      r4(math.log((ab / 7.0) / ((a / 9.0) * (b / 9.0))))
+    assert(got == Map(
+      ("a", "b") -> ((3L, pmi(3, 3, 3))),
+      ("c", "a") -> ((2L, pmi(2, 3, 3)))), s"got $got")
+  }
+
   test("funnel: ordered min-ts chaining, out-of-order steps don't count") {
     import spark.implicits._
     // u1 completes in order; u2's click PRECEDES signup (doesn't count);
