@@ -205,6 +205,38 @@ object EventQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** RFM segmentation: per purchasing user, Recency (days since last
+    * purchase, vs the corpus max), Frequency (purchase count), Monetary
+    * (exact-DECIMAL purchase sum) — each cut into terciles by `ntile(3)`
+    * with a user-id tiebreak (total order → engine-deterministic
+    * buckets) — then user counts per (r, f, m) cell, the classic
+    * marketing segmentation cube. The windows run over the ALREADY
+    * per-user-aggregated table (users ≪ events); a corpus with billions
+    * of users would swap ntile for approx-quantile thresholds the way
+    * qn48's scaladoc routes giant sources.
+    */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = ev(s, dir).where(col("event_type") === "purchase")
+    val byUser = p.groupBy("user_id").agg(
+      max(col("ts")).as("last_ts"),
+      count(lit(1)).as("freq"),
+      decSum("value").as("monetary"))
+    val mx = p.agg(max(col("ts")).as("mx"))
+    byUser.crossJoin(broadcast(mx))
+      .withColumn("recency_days",
+        datediff(to_date(col("mx")), to_date(col("last_ts"))))
+      .withColumn("r_bucket",
+        ntile(3).over(Window.orderBy(col("recency_days"), col("user_id"))))
+      .withColumn("f_bucket",
+        ntile(3).over(Window.orderBy(col("freq").desc, col("user_id"))))
+      .withColumn("m_bucket",
+        ntile(3).over(Window.orderBy(col("monetary").desc, col("user_id"))))
+      .groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r_bucket", "f_bucket", "m_bucket")
+  }
+
   /** Shared by q48 (unbucketed) and q50 (hot-key bucketed): the two
     * paths must grade against the IDENTICAL contract - a single constant
     * cannot silently desynchronize the way two pasted copies can.
@@ -330,6 +362,24 @@ object EventQueries {
              CAST(day_offset AS INT) AS day_offset,
              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       FROM j WHERE day_offset <= 7
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+    QueryDef("q55_rfm_segments", qRfm _, Some("""
+      WITH p AS (SELECT user_id, ts, value FROM events
+                 WHERE event_type = 'purchase'),
+      u AS (SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+            FROM p GROUP BY user_id),
+      mx AS (SELECT max(ts) AS mx FROM p),
+      b AS (SELECT user_id,
+                   date_diff('day', last_ts::DATE, mx::DATE) AS recency_days,
+                   freq, monetary FROM u, mx),
+      t AS (SELECT user_id,
+                   ntile(3) OVER (ORDER BY recency_days, user_id) AS r_bucket,
+                   ntile(3) OVER (ORDER BY freq DESC, user_id) AS f_bucket,
+                   ntile(3) OVER (ORDER BY monetary DESC, user_id) AS m_bucket
+            FROM b)
+      SELECT CAST(r_bucket AS INT) AS r_bucket, CAST(f_bucket AS INT) AS f_bucket,
+             CAST(m_bucket AS INT) AS m_bucket, CAST(count(*) AS BIGINT) AS n_users
+      FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 }

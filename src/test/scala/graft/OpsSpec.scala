@@ -1323,6 +1323,24 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains(3L), "doc with no query term must be absent")
   }
 
+  test("labelOutliers/positivePairs select via bounded heaps, not windows") {
+    import spark.implicits._
+    val embs = (1 to 40).map(i =>
+      (i.toLong, Seq(i.toFloat, (41 - i).toFloat), s"l${i % 4}"))
+      .toDF("vec_id", "embedding", "label")
+    for (out <- Seq(
+        Similarity.labelOutliers(embs, "vec_id", "embedding", "label", k = 2),
+        Similarity.positivePairs(embs, "vec_id", "embedding", "label"))) {
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Window"),
+        s"bounded-heap selection must not plan a window:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"expected the typed heap aggregate:\n$plan")
+    }
+  }
+
   test("pmiCollocations: occurrence counts (not per-doc distinct), closed-form PMI") {
     import spark.implicits._
     // "a b" occurs TWICE INSIDE one doc — a per-doc-distinct (shingle)
