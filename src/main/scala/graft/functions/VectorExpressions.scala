@@ -40,6 +40,13 @@ object VectorExpressions {
   def wordShingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(tokens), n))
 
+  /** ALL word n-gram occurrences, position order kept (counting
+    * contract — PMI/collocations; [[wordShingles]] dedups per row).
+    */
+  def wordShinglesAll(tokens: Column, n: Int): Column =
+    ColumnBridge.column(
+      WordShinglesExpr(ColumnBridge.expression(tokens), n, dedup = false))
+
   /** L2-normalize an `array<double>` (zero-norm input → zero vector). */
   def l2Normalize(vec: Column): Column =
     ColumnBridge.column(L2NormalizeExpr(ColumnBridge.expression(vec)))

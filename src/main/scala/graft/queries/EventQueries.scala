@@ -226,8 +226,12 @@ object EventQueries {
     byUser.crossJoin(broadcast(mx))
       .withColumn("recency_days",
         datediff(to_date(col("mx")), to_date(col("last_ts"))))
+      // asc_nulls_last: Spark's ASC default is nulls FIRST, DuckDB's is
+      // nulls LAST — unreachable on this fixture (no null ts) but the
+      // contract shouldn't depend on that.
       .withColumn("r_bucket",
-        ntile(3).over(Window.orderBy(col("recency_days"), col("user_id"))))
+        ntile(3).over(Window.orderBy(
+          col("recency_days").asc_nulls_last, col("user_id"))))
       .withColumn("f_bucket",
         ntile(3).over(Window.orderBy(col("freq").desc, col("user_id"))))
       .withColumn("m_bucket",

@@ -126,6 +126,25 @@ object ScaleBench {
           maxPerSource = 100).count())
       ops("qn55_label_cohesion") = timed(
         Similarity.labelCohesion(emb, "vec_id", "embedding", "label").count())
+      ops("qn60_novelty") = timed {
+        // Distinct-shingle equality join with fanout <= 1 per target
+        // shingle (reference side distinct) — the gate is wall tracking
+        // the shingle volume, NOT the qn02-style pair fanout.
+        val cut = n / 2
+        graft.ops.TextOps.ngramNovelty(
+          docs.where(col("doc_id") >= cut), docs.where(col("doc_id") < cut),
+          "doc_id", "text").count()
+      }
+      ops("qn61_label_outliers") = timed(
+        // Bounded-heap bottom-k per label: one narrow centroid shuffle +
+        // heap partials; wall should track the scan.
+        Similarity.labelOutliers(emb, "vec_id", "embedding", "label", k = 5)
+          .count())
+      ops("qn64_bm25") = timed(
+        // Query-term filter lands before any shuffle; dl is a per-row
+        // projection — wall should track the tokenize scan.
+        graft.ops.TextOps.bm25Search(docs, "doc_id", "text",
+          query = Seq("table", "vector", "merge"), k = 10).count())
       ops("qs07_cdc_merge") = timed {
         val root = graft.TempDirs.create("graft_scale_cdc_")
         val store = new graft.store.Store(spark, root)

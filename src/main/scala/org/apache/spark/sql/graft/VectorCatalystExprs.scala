@@ -187,13 +187,15 @@ case class NfcNormalizeExpr(child: Expression)
     copy(child = newChild)
 }
 
-/** Distinct word n-gram shingles from a token array, in one call:
-  * `["a","b","c","d"], n=3` → `["a b c", "b c d"]` (first-occurrence
-  * order, duplicates dropped). Replaces the interpreted
-  * transform+slice+concat_ws+array_distinct pipeline that dominated the
-  * dedup benchmarks.
+/** Word n-gram shingles from a token array, in one call:
+  * `["a","b","c","d"], n=3` → `["a b c", "b c d"]`. With `dedup=true`
+  * (the Jaccard-family contract) duplicates are dropped in
+  * first-occurrence order; with `dedup=false` every occurrence is kept
+  * in position order (the counting contract — PMI/collocation ops).
+  * Replaces the interpreted transform+slice+concat_ws+array_distinct
+  * pipeline that dominated the dedup benchmarks.
   */
-case class WordShinglesExpr(child: Expression, n: Int)
+case class WordShinglesExpr(child: Expression, n: Int, dedup: Boolean = true)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
@@ -204,7 +206,9 @@ case class WordShinglesExpr(child: Expression, n: Int)
     val toks = input.asInstanceOf[ArrayData]
     val m = toks.numElements()
     if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val out: java.util.Collection[org.apache.spark.unsafe.types.UTF8String] =
+      if (dedup) new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      else new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](m - n + 1)
     val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
     val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
     var i = 0
@@ -216,11 +220,11 @@ case class WordShinglesExpr(child: Expression, n: Int)
         } else toks.getUTF8String(i + j)
         j += 1
       }
-      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, window: _*))
+      out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, window: _*))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      seen.toArray.asInstanceOf[Array[Any]])
+      out.toArray.asInstanceOf[Array[Any]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
