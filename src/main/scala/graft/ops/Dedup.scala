@@ -244,6 +244,58 @@ object Dedup {
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .where(col("jaccard") >= threshold)
 
+  /** Blocking-key near-dup detection — the record-linkage classic
+    * (sorted-neighborhood's shuffle-friendly sibling): docs sharing a
+    * BLOCKING KEY (their first `blockTokens` tokens) become candidate
+    * pairs, then exact n-gram Jaccard filters. Complementary recall to
+    * the shingle families: truncation/templated duplicates share a
+    * prefix even when a hot-shingle cap or banding would miss them, and
+    * the candidate volume is Σ block_size² — independent of document
+    * LENGTH, where shingle joins scale with token count.
+    *
+    * Shape at scale: one equality self-join on the block key (never a
+    * cross product); `maxBlockSize` drops pathological blocks
+    * (template-headed corpora) exactly as the shingle hot-cap drops
+    * stopword shingles. The Jaccard filter joins each candidate pair to
+    * its two per-doc DISTINCT shingle arrays (no shingle-level shuffle
+    * at all — the per-pair intersection is a per-row array op, bounded
+    * by doc length), so the only corpus-scale exchanges are the block
+    * join and the two array lookups.
+    */
+  def blockingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 3,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxBlockSize: Long = 1000L): DataFrame = {
+    require(blockTokens >= 1, "blockTokens must be >= 1")
+    val keyed = df.select(col(idCol).cast("long").as("id"),
+      concat_ws(" ", slice(TextOps.tokens(col(textCol)), 1, blockTokens)).as("bk"))
+      .where(col("bk") =!= "")
+    val hot = keyed.groupBy("bk").count()
+      .where(col("count") > maxBlockSize).select("bk")
+    val kept = keyed.join(hot, Seq("bk"), "left_anti")
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    val shArr = df.select(col(idCol).cast("long").as("id"),
+      TextOps.shingles(col(textCol), n).as("sh"))
+    cand
+      .join(shArr.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shArr.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      // nullif: a blocked pair of sub-n-token docs has two EMPTY shingle
+      // sets — union 0 — and ANSI mode makes the bare division an error,
+      // not a null. Null jaccard then fails the threshold filter, which
+      // is the semantics we want (no shingles → no evidence).
+      .withColumn("jaccard", col("common").cast("double") /
+        nullif(size(col("sh_a")) + size(col("sh_b")) - col("common"), lit(0)))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** MinHash signature: `numHashes` minimums over the shingle set, hash
     * family g_i = h1 + i·h2 (Kirsch-Mitzenmacher double hashing from two
     * seeded xxhash64 base hashes), computed in a single native-expression

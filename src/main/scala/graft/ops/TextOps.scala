@@ -772,6 +772,42 @@ object TextOps {
         round(col("cum_n").cast("double") / col("total"), 4).as("cum_share"))
   }
 
+  /** Heavy hitters with a Count-Min Sketch audit: the exact top-`k`
+    * tokens (count desc, term asc) each checked against the CMS
+    * estimate's guarantee — `exact ≤ estimate ≤ exact + ⌈eps·N⌉` (the
+    * one-sided CMS error bound; N = total stream length). The sketch is
+    * the 100 TB half of the story: it builds in one distributed
+    * mergeable pass at fixed memory (width ⌈e/eps⌉ × depth
+    * ⌈ln(1/(1−confidence))⌉ counters), the shape that answers frequency
+    * queries over a stream where the exact aggregate is a luxury; the
+    * exact side here is the audit that the sketch keeps its contract.
+    * The per-term estimate probe collects only the k audited rows
+    * (metadata-scale, documented).
+    */
+  def heavyHittersCms(
+      df: DataFrame,
+      textCol: String,
+      k: Int = 10,
+      eps: Double = 1e-3,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("term"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(k)
+    val sketch = toks.stat.countMinSketch("term", eps, confidence, seed)
+    val slack = math.ceil(eps * sketch.totalCount()).toLong
+    val session = df.sparkSession
+    import session.implicits._
+    exact.collect().toSeq
+      .map { r =>
+        val term = r.getString(0)
+        val n = r.getLong(1)
+        val est = sketch.estimateCount(term)
+        (term, n, est >= n && est <= n + slack)
+      }
+      .toDF("term", "n", "within_bounds")
+  }
+
   /** Okapi BM25 retrieval scoring for a fixed bag-of-words query:
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
     * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — the standard keyword

@@ -1146,6 +1146,23 @@ object NorthStar {
     TextOps.pmiCollocations(docs(s, dir), "text", k = 15, minCount = 5L)
       .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
 
+  /** Blocking-key near-dup pairs (first-3-token key + exact Jaccard) —
+    * the record-linkage blocking family next to the shingle/LSH
+    * detectors; 25 of the fixture's near-dup pairs share their prefix.
+    */
+  private def qBlockingDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockingNearDupPairs(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  /** Exact top-10 tokens audited against the Count-Min Sketch bound —
+    * the graded half is the exact list; `within_bounds` grades the
+    * sketch's `exact ≤ est ≤ exact + ⌈eps·N⌉` contract as literal true
+    * (the qn11/qn31 contract-oracle pattern for hash-dependent ops).
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    TextOps.heavyHittersCms(docs(s, dir), "text", k = 10)
+      .orderBy(col("n").desc, col("term"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2189,6 +2206,33 @@ object NorthStar {
                       AS pmi
              FROM p JOIN uc a ON p.term_a = a.t JOIN uc b ON p.term_b = b.t, tot)
       SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab, pmi
-      FROM sc ORDER BY pmi DESC, s LIMIT 15"""))
+      FROM sc ORDER BY pmi DESC, s LIMIT 15""")),
+    QueryDef("qn66_dedup_blocking", qBlockingDedup _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE trim(text) <> ''),
+      k AS (SELECT doc_id, array_to_string(w[1:3], ' ') AS bk FROM toks),
+      kept AS (SELECT * FROM k WHERE bk <> '' AND bk NOT IN
+               (SELECT bk FROM k GROUP BY bk HAVING count(*) > 1000)),
+      cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM kept a JOIN kept b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id),
+      com AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+              FROM cand c JOIN sh0 a ON a.doc_id = c.doc_a
+              JOIN sh0 b ON b.doc_id = c.doc_b AND a.s = b.s
+              GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             round(common * 1.0 / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
+      FROM com JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= 0.8
+      ORDER BY doc_a, doc_b""")),
+    QueryDef("qn67_heavy_hitters", qHeavyHitters _, Some("""
+      WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE trim(text) <> ''),
+      t AS (SELECT unnest(w) AS term FROM toks),
+      c AS (SELECT term, count(*) AS n FROM t GROUP BY term)
+      SELECT term, CAST(n AS BIGINT) AS n, true AS within_bounds
+      FROM c ORDER BY n DESC, term LIMIT 10"""))
   )
 }

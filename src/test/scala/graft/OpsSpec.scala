@@ -1361,6 +1361,41 @@ class OpsSpec extends SparkSpec {
       ("c", "a") -> ((2L, pmi(2, 3, 3)))), s"got $got")
   }
 
+  test("blockingNearDupPairs: prefix blocks pair, cap drops hot blocks, no cross-block recall") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),   // same block, jac 3/5... high
+      (3L, "alpha beta gamma totally different tail words here"), // same block, low jac
+      (4L, "omega psi chi delta epsilon zeta"),     // different block, near-dup of none
+      (5L, "x y"), (6L, "x y"))                     // same 2-token key, no shingles
+      .toDF("doc_id", "text")
+    val got = Dedup.blockingNearDupPairs(docs, "doc_id", "text",
+        blockTokens = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // Docs 1,2: shingles {abc,bcd,cde,dez} vs {abc,bcd,cde,deh}: 4 each,
+    // 3 common → 3/5 = 0.6. Doc 3 shares only "alpha beta gamma" → low.
+    // Docs 5,6 have no 3-gram shingles → jaccard null → absent.
+    assert(got.keySet == Set((1L, 2L)), s"got $got")
+    assert(got((1L, 2L)) == 0.6, s"got ${got((1L, 2L))}")
+    // Cap: with maxBlockSize = 1 the alpha-block is hot and drops.
+    val capped = Dedup.blockingNearDupPairs(docs, "doc_id", "text",
+      blockTokens = 3, threshold = 0.5, maxBlockSize = 1L)
+    assert(capped.count() == 0L)
+  }
+
+  test("heavyHittersCms: exact top-k, sketch bound holds, tie order") {
+    import spark.implicits._
+    val df = Seq("b b b a a c", "a d", "   ").toDF("text")
+    val got = TextOps.heavyHittersCms(df, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(t => (-t._2, t._1))
+    // Counts: a=3, b=3, c=1, d=1 → top-3 = a, b (tie → term asc), then c.
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq(("a", 3L), ("b", 3L), ("c", 1L)),
+      s"got ${got.toSeq}")
+    assert(got.forall(_._3), s"CMS bound must hold: ${got.toSeq}")
+  }
+
   test("funnel: ordered min-ts chaining, out-of-order steps don't count") {
     import spark.implicits._
     // u1 completes in order; u2's click PRECEDES signup (doesn't count);
