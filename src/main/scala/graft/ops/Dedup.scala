@@ -99,6 +99,34 @@ object Dedup {
       maxShingleDocFreq: Long = DefaultMaxShingleDocFreq,
       shingleFreqs: Option[DataFrame] = None): DataFrame = {
 
+    val sh = cappedSignatures(df, idCol, textCol, n, maxShingleDocFreq, shingleFreqs)
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+
+    jaccardThreshold(common, counts, counts, threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Hot-capped, materialized `(id, s)` shingle signature stream — the
+    * shared candidate machinery of the exact pair detectors
+    * ([[ngramJaccardPairs]], [[containmentNearDupPairs]]).
+    * The filtered shingle set feeds BOTH self-join sides and the
+    * per-doc counts — materialize the skinny rows once (plan-truncating;
+    * reliable checkpoint when a checkpoint dir is configured, see
+    * [[materialize]]) instead of re-running the explode + hot-filter
+    * groupBy/anti-join shuffles 3×.
+    */
+  private def cappedSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleDocFreq: Long,
+      shingleFreqs: Option[DataFrame]): DataFrame = {
     val sh0 = shingleSignatures(df, idCol, textCol, n)
     val shPlan =
       if (maxShingleDocFreq <= 0) sh0
@@ -113,21 +141,42 @@ object Dedup {
             sh0.groupBy("s").count().where(col("count") > maxShingleDocFreq).select("s"))
         sh0.join(hot, Seq("s"), "left_anti")
       }
-    // The filtered shingle set feeds BOTH self-join sides and the
-    // per-doc counts — materialize the skinny (id, shingle) rows once
-    // (plan-truncating; reliable checkpoint when a checkpoint dir is
-    // configured, see [[materialize]]) instead of re-running the explode
-    // + hot-filter groupBy/anti-join shuffles 3×.
-    val sh = materialize(shPlan)
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    materialize(shPlan)
+  }
 
-    val common = sh.as("a").join(sh.as("b"),
+  /** Containment near-dup pairs — Broder's containment
+    * `|A∩B| / min(|A|,|B|)` (how much of the SMALLER shingle set the
+    * pair shares): the asymmetric detector for TRUNCATION/SUBSET
+    * duplicates, which symmetric Jaccard structurally under-scores — a
+    * perfect half-length prefix copy has containment 1.0 but Jaccard
+    * ≈ 0.5, below any sane near-dup threshold. Run it NEXT TO
+    * [[ngramJaccardPairs]]: Jaccard for mutual near-dups, containment
+    * for subset leaks (the decontamination question "is this benchmark
+    * doc INSIDE a training doc" is containment, not Jaccard).
+    *
+    * Same shingle-equality-join machinery, hot-cap, and one-shuffle
+    * shape as [[ngramJaccardPairs]] — only the normalization differs.
+    */
+  def containmentNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.9,
+      maxShingleDocFreq: Long = DefaultMaxShingleDocFreq,
+      shingleFreqs: Option[DataFrame] = None): DataFrame = {
+    val sh = cappedSignatures(df, idCol, textCol, n, maxShingleDocFreq, shingleFreqs)
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-
-    jaccardThreshold(common, counts, counts, threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .join(counts.select(col("id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col("id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("containment",
+        col("common").cast("double") / least(col("n_a"), col("n_b")))
+      .where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 4).as("containment"))
   }
 
   /** Cross-corpus near-dup detection: every (target, reference) doc

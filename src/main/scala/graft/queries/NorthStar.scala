@@ -1154,6 +1154,13 @@ object NorthStar {
     Dedup.blockingNearDupPairs(docs(s, dir), "doc_id", "text")
       .orderBy("doc_a", "doc_b")
 
+  /** Containment (|A∩B|/min) near-dup pairs at 0.9 — the asymmetric
+    * truncation/subset detector next to qn02's symmetric Jaccard.
+    */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentNearDupPairs(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
   /** Exact top-10 tokens audited against the Count-Min Sketch bound —
     * the graded half is the exact list; `within_bounds` grades the
     * sketch's `exact ≤ est ≤ exact + ⌈eps·N⌉` contract as literal true
@@ -2233,6 +2240,22 @@ object NorthStar {
       t AS (SELECT unnest(w) AS term FROM toks),
       c AS (SELECT term, count(*) AS n FROM t GROUP BY term)
       SELECT term, CAST(n AS BIGINT) AS n, true AS within_bounds
-      FROM c ORDER BY n DESC, term LIMIT 10"""))
+      FROM c ORDER BY n DESC, term LIMIT 10""")),
+    QueryDef("qn68_dedup_containment", qContainment _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE trim(text) <> ''),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      sh AS (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             round(common * 1.0 / least(ca.n_sh, cb.n_sh), 4) AS containment
+      FROM prs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE common * 1.0 / least(ca.n_sh, cb.n_sh) >= 0.9
+      ORDER BY doc_a, doc_b"""))
   )
 }

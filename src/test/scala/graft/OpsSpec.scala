@@ -1384,6 +1384,22 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("containmentNearDupPairs: truncation scores 1.0 where Jaccard misses") {
+    import spark.implicits._
+    // Doc 2 is doc 1's first half: containment 1.0, Jaccard well below
+    // 0.8 — the asymmetric detector's reason to exist.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f"),
+      (3L, "z y x w v u t")).toDF("doc_id", "text")
+    val contain = Dedup.containmentNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(contain == Map((1L, 2L) -> 1.0), s"got $contain")
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+    assert(jac.count() == 0L, "Jaccard at 0.8 must miss the subset pair")
+  }
+
   test("heavyHittersCms: exact top-k, sketch bound holds, tie order") {
     import spark.implicits._
     val df = Seq("b b b a a c", "a d", "   ").toDF("text")
