@@ -978,6 +978,45 @@ object Similarity {
         round(col("__top").getItem(0).getField("sim"), 4).as("cos"))
   }
 
+  /** Leave-one-out 1-NN label agreement: for each ANCHOR vector, the
+    * label of its nearest OTHER corpus vector (cosine; ties → min id)
+    * compared to its own — per-label (n, n_agree, agreement). The
+    * embedding-space label-consistency eval: a low rate means the
+    * labels aren't separable in this space and no classifier head
+    * trained on it will be either. Anchors are typically an eval
+    * SAMPLE of the corpus (the graded query uses every 5th vector).
+    *
+    * Exact all-pairs by contract: the non-equi join broadcasts the
+    * smaller side and the top-1 is the bounded-heap aggregate (qn08's
+    * brute-force-baseline shape). At corpus scale run the same
+    * selection through the ANN paths ([[ivfTopK]]) per
+    * [[positivePairs]]'s routing note.
+    */
+  def knnLabelAgreement(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val a = anchors.select(col(idCol).cast("long").as("aid"),
+      col(labelCol).as("alabel"), asDouble(col(vecCol)).as("va"))
+    val c = corpus.select(col(idCol).cast("long").as("cid"),
+      col(labelCol).as("clabel"), asDouble(col(vecCol)).as("vc"))
+    val top = a.join(c, col("aid") =!= col("cid"))
+      .groupBy("aid", "alabel")
+      .agg(graft.functions.VectorExpressions.topKByScore(
+        cosine(col("va"), col("vc")), col("cid"), 1).as("__t"))
+      .select(col("aid"), col("alabel"),
+        col("__t").getItem(0).getField("vec_id").as("nn_id"))
+    top.join(c.select(col("cid").as("nn_id"), col("clabel").as("nn_label")), "nn_id")
+      .groupBy(col("alabel").as("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("nn_label") === col("alabel"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("label"), col("n"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n"), 4).as("agreement"))
+  }
+
   /** The SemDeDup scale lever: `nlist` must GROW with the corpus so the
     * per-cell row count stays ~`targetCellRows` and candidate volume
     * stays linear. Measured at 60k vectors (ScaleData, threshold 0.9,

@@ -241,6 +241,32 @@ object EventQueries {
       .orderBy("r_bucket", "f_bucket", "m_bucket")
   }
 
+  /** Robust per-type anomaly detection: flag events with
+    * |value − median| > 6·MAD (median absolute deviation — the robust
+    * z-score; outliers can't poison the scale estimate the way they
+    * inflate a stddev-based z). Exact interpolated percentiles (the
+    * q20 contract; at 100 TB swap in approx_percentile, the q49 path).
+    * The flag MULTIPLIES (dev > 6·mad) instead of dividing, so an
+    * all-constant type (MAD 0) flags every deviating row rather than
+    * erroring under ANSI; its score is null via nullif. Two tiny
+    * per-type aggregates broadcast back; the event stream crosses no
+    * join shuffle.
+    */
+  private def qAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val med = e.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .where(col("dev") > lit(6.0) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("dev") / nullif(col("mad"), lit(0.0)), 4).as("mad_score"))
+      .orderBy("event_id")
+  }
+
   /** Shared by q48 (unbucketed) and q50 (hot-key bucketed): the two
     * paths must grade against the IDENTICAL contract - a single constant
     * cannot silently desynchronize the way two pasted copies can.
@@ -384,6 +410,19 @@ object EventQueries {
             FROM b)
       SELECT CAST(r_bucket AS INT) AS r_bucket, CAST(f_bucket AS INT) AS f_bucket,
              CAST(m_bucket AS INT) AS m_bucket, CAST(count(*) AS BIGINT) AS n_users
-      FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+      FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+    QueryDef("q56_anomaly_mad", qAnomalyMad _, Some("""
+      WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY 1),
+      d AS (SELECT e.event_id, e.event_type, e.value,
+                   abs(e.value - m.med) AS dev
+            FROM events e JOIN m USING (event_type)),
+      md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+             FROM d GROUP BY 1)
+      SELECT event_id, d.event_type, value,
+             round(dev / nullif(mad, 0), 4) AS mad_score
+      FROM d JOIN md USING (event_type)
+      WHERE dev > 6 * mad
+      ORDER BY event_id"""))
   )
 }

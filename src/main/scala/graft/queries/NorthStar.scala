@@ -1170,6 +1170,16 @@ object NorthStar {
     TextOps.heavyHittersCms(docs(s, dir), "text", k = 10)
       .orderBy(col("n").desc, col("term"))
 
+  /** 1-NN label agreement on an every-5th-vector eval sample — the
+    * embedding-space label-consistency audit behind qn55/qn61.
+    */
+  private def qKnnAgreement(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.knnLabelAgreement(e.where(col("vec_id") % 5 === 0), e,
+      "vec_id", "embedding", "label")
+      .orderBy("label")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2256,6 +2266,19 @@ object NorthStar {
              round(common * 1.0 / least(ca.n_sh, cb.n_sh), 4) AS containment
       FROM prs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
       WHERE common * 1.0 / least(ca.n_sh, cb.n_sh) >= 0.9
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b""")),
+    QueryDef("qn69_knn_label_audit", qKnnAgreement _, Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      a AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+      p AS (SELECT a.vec_id AS aid, a.label AS alabel, b.label AS clabel,
+                   row_number() OVER (PARTITION BY a.vec_id
+                     ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rn
+            FROM a JOIN e b ON a.vec_id <> b.vec_id)
+      SELECT alabel AS label, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN alabel = clabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+             round(sum(CASE WHEN alabel = clabel THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS agreement
+      FROM p WHERE rn = 1 GROUP BY alabel ORDER BY label"""))
   )
 }

@@ -1384,6 +1384,25 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("knnLabelAgreement: per-label 1-NN agreement with a planted traitor") {
+    import spark.implicits._
+    // v5 sits on label x's axis but carries label y: its NN is x (a
+    // disagreement) AND it steals the NN slot of both x anchors.
+    val embs = Seq(
+      (1L, Seq(1f, 0f), "x"), (2L, Seq(3f, 1f), "x"),
+      (3L, Seq(0f, 1f), "y"), (4L, Seq(0.1f, 2f), "y"),
+      (5L, Seq(1f, 0.05f), "y"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelAgreement(embs, embs,
+        "vec_id", "embedding", "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // x anchors 1,2 both pick v5 (label y) → 0/2; y anchors: 3→4, 4→3
+    // agree, 5→1 disagrees → 2/3.
+    assert(got("x") == ((2L, 0L, 0.0)), s"got ${got("x")}")
+    assert(got("y") == ((3L, 2L, 0.6667)), s"got ${got("y")}")
+  }
+
   test("containmentNearDupPairs: truncation scores 1.0 where Jaccard misses") {
     import spark.implicits._
     // Doc 2 is doc 1's first half: containment 1.0, Jaccard well below
