@@ -57,6 +57,48 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == batchEvents.select("event_id").distinct().count())
   }
 
+  private lazy val docsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    dir.toString
+  }
+
+  test("streaming content dedup keeps one copy per distinct text") {
+    import graft.streaming.DocStreams
+    val stream = DocStreams.readDocs(spark, docsDir)
+    val survivors = EventStreams.runToMemory(spark,
+      DocStreams.dedupedDocs(stream)
+        .select(md5(col("text").cast("binary")).as("h")),
+      "t_docdedup", OutputMode.Append())
+    val batchDocs = Tables.read(spark, sf(), "documents")
+    // WHICH copy survives differs (arrival order vs min id) — the
+    // surviving CONTENT set is the contract.
+    assert(survivors.select("h").distinct().count() ==
+      batchDocs.select("text").distinct().count())
+    assert(survivors.count() == survivors.select("h").distinct().count(),
+      "a text hash must survive exactly once")
+  }
+
+  test("streaming per-source ingest totals == batch aggregate; quality gate == batch filter") {
+    import graft.streaming.DocStreams
+    val stream = DocStreams.readDocs(spark, docsDir)
+    val streamed = EventStreams.runToMemory(spark,
+      DocStreams.sourceIngestTotals(stream), "t_doctotals",
+      OutputMode.Complete())
+    val batchDocs = Tables.read(spark, sf(), "documents")
+    val batch = DocStreams.sourceIngestTotals(batchDocs)
+    assert(streamed.orderBy("source").collect().toSeq ==
+      batch.orderBy("source").collect().toSeq)
+    val gated = EventStreams.runToMemory(spark,
+      DocStreams.qualityFiltered(stream).select("doc_id"), "t_docgate",
+      OutputMode.Append())
+    assert(gated.collect().map(_.getLong(0)).toSet ==
+      DocStreams.qualityFiltered(batchDocs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("stream-stream interval join matches batch range join") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     val streamed = EventStreams.runToMemory(spark,
