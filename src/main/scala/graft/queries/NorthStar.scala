@@ -1180,6 +1180,49 @@ object NorthStar {
       .orderBy("label")
   }
 
+  /** Cross-modality referential integrity: every doc should have an
+    * embedding row and vice versa — the join-coverage audit a
+    * multimodal pipeline runs after every ingest (an orphaned side
+    * means a failed embedding job or a dropped shard). Four 1-row
+    * aggregates (two counts + two anti-join counts) cross-joined; at
+    * scale each anti-join is one key-only shuffle.
+    */
+  private def qModalityCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val e = emb(s, dir).select(col("vec_id"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val nVecs = e.agg(count(lit(1)).as("n_vecs"))
+    val docsNoVec = d.join(e, col("doc_id") === col("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("docs_without_vec"))
+    val vecsOrphan = e.join(d, col("vec_id") === col("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("vecs_orphaned"))
+    nDocs.crossJoin(nVecs).crossJoin(docsNoVec).crossJoin(vecsOrphan)
+  }
+
+  /** Source-distribution shift between the corpus halves: per source,
+    * each half's share and the total-variation contribution
+    * |p − q| / 2 — the "did the crawl mix change" audit next to qn56's
+    * embedding-space drift. Counts aggregate map-side; the output is
+    * sources-sized.
+    */
+  private def qSourceShift(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = Tables.parquetRowCount(s, s"$dir/documents.parquet") / 2
+    val counts = d.groupBy("source").agg(
+      sum(when(col("doc_id") < cut, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("doc_id") >= cut, 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(
+      sum(col("n_a")).cast("double").as("tot_a"),
+      sum(col("n_b")).cast("double").as("tot_b"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_a"), col("n_b"),
+        round(col("n_a") / col("tot_a"), 4).as("p"),
+        round(col("n_b") / col("tot_b"), 4).as("q"),
+        round(abs(col("n_a") / col("tot_a") - col("n_b") / col("tot_b")) / 2.0, 4)
+          .as("tvd_contrib"))
+      .orderBy("source")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2279,6 +2322,27 @@ object NorthStar {
                AS n_agree,
              round(sum(CASE WHEN alabel = clabel THEN 1 ELSE 0 END) * 1.0
                / count(*), 4) AS agreement
-      FROM p WHERE rn = 1 GROUP BY alabel ORDER BY label"""))
+      FROM p WHERE rn = 1 GROUP BY alabel ORDER BY label""")),
+    QueryDef("qn70_modality_coverage", qModalityCoverage _, Some("""
+      SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+             CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vecs,
+             CAST((SELECT count(*) FROM documents d WHERE NOT EXISTS
+               (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+               AS BIGINT) AS docs_without_vec,
+             CAST((SELECT count(*) FROM embeddings e WHERE NOT EXISTS
+               (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+               AS BIGINT) AS vecs_orphaned""")),
+    QueryDef("qn71_source_shift", qSourceShift _, Some("""
+      WITH cut AS (SELECT count(*) // 2 AS c FROM documents),
+      counts AS (SELECT source,
+                   sum(CASE WHEN doc_id < (SELECT c FROM cut) THEN 1 ELSE 0 END) AS n_a,
+                   sum(CASE WHEN doc_id >= (SELECT c FROM cut) THEN 1 ELSE 0 END) AS n_b
+                 FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_a) AS DOUBLE) AS tot_a,
+                     CAST(sum(n_b) AS DOUBLE) AS tot_b FROM counts)
+      SELECT source, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             round(n_a / tot_a, 4) AS p, round(n_b / tot_b, 4) AS q,
+             round(abs(n_a / tot_a - n_b / tot_b) / 2.0, 4) AS tvd_contrib
+      FROM counts, tot ORDER BY source"""))
   )
 }
