@@ -101,15 +101,18 @@ object Dedup {
 
     val sh = cappedSignatures(df, idCol, textCol, n, maxShingleDocFreq, shingleFreqs)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    jaccardThreshold(commonPairCounts(sh), counts, counts, threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
 
-    val common = sh.as("a").join(sh.as("b"),
+  /** Shared-shingle counts per candidate pair — the equality self-join
+    * both exact detectors rank by (`doc_a < doc_b` dedups the pair).
+    */
+  private def commonPairCounts(sh: DataFrame): DataFrame =
+    sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-
-    jaccardThreshold(common, counts, counts, threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** Hot-capped, materialized `(id, s)` shingle signature stream — the
     * shared candidate machinery of the exact pair detectors
@@ -167,10 +170,7 @@ object Dedup {
       shingleFreqs: Option[DataFrame] = None): DataFrame = {
     val sh = cappedSignatures(df, idCol, textCol, n, maxShingleDocFreq, shingleFreqs)
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
+    commonPairCounts(sh)
       .join(counts.select(col("id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(counts.select(col("id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("containment",

@@ -964,15 +964,19 @@ object Similarity {
       idCol: String,
       vecCol: String,
       labelCol: String): DataFrame = {
+    // Pre-normalized codegen dot products in the pair loop (the qn69
+    // lesson — the interpreted dot+two-norms HOF is ~15× slower on
+    // exactly this all-pairs shape).
     val e = embs.select(col(labelCol).as("label"),
-      col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      col(idCol).cast("long").as("id"),
+      normalize(asDouble(col(vecCol))).as("v"))
     val a = e.select(col("label"), col("id").as("anchor_id"), col("v").as("va"))
     val b = e.select(col("label"), col("id").as("pos_id"), col("v").as("vb"))
     a.join(b, Seq("label"))
       .where(col("anchor_id") =!= col("pos_id"))
       .groupBy("label", "anchor_id")
       .agg(graft.functions.VectorExpressions.topKByScore(
-        cosine(col("va"), col("vb")), col("pos_id"), 1).as("__top"))
+        dotD(col("va"), col("vb")), col("pos_id"), 1).as("__top"))
       .select(col("label"), col("anchor_id"),
         col("__top").getItem(0).getField("vec_id").as("pos_id"),
         round(col("__top").getItem(0).getField("sim"), 4).as("cos"))

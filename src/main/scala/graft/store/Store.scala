@@ -597,17 +597,26 @@ final class Store(
     def payload = if (sharedNonKey.isEmpty) lit(0)
       else struct(sharedNonKey.map(col).toSeq: _*)
     val f = from.select(keyCols.map(col) :+ payload.as("__f"): _*)
-      .withColumn("__inF", lit(true))
+      .withColumn("__inF", lit(true)).as("__df")
     val t = to.select(keyCols.map(col) :+ payload.as("__t"): _*)
-      .withColumn("__inT", lit(true))
+      .withColumn("__inT", lit(true)).as("__dt")
     val schemaChanged = from.columns.toSet != to.columns.toSet
-    f.join(t, keyCols, "full_outer")
+    // Null-safe key join: a using-column full outer never matches null
+    // keys, which would report an unchanged null-keyed row as BOTH
+    // 'added' and 'removed' — the same null-safety the payload compare
+    // already has.
+    val keyCond = keyCols
+      .map(c => col(s"__df.$c") <=> col(s"__dt.$c"))
+      .reduce(_ && _)
+    val keyOut = keyCols.map(c =>
+      coalesce(col(s"__df.$c"), col(s"__dt.$c")).as(c))
+    f.join(t, keyCond, "full_outer")
       .withColumn("change",
         when(col("__inF").isNull, lit("added"))
           .when(col("__inT").isNull, lit("removed"))
           .when(lit(schemaChanged) || !(col("__f") <=> col("__t")), lit("changed")))
       .where(col("change").isNotNull)
-      .select(keyCols.map(col) :+ col("change"): _*)
+      .select(keyOut :+ col("change"): _*)
   }
 
   // --------------------------------------------------------- data skipping

@@ -45,7 +45,13 @@ object EventStreams {
     // also load nanos-typed columns as LongType. Harmless for non-nanos
     // files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    // Empty landing dir (stream started before the first crawl batch
+    // lands — the documented ingest pattern): nothing to probe, assume
+    // the current fixture generation's naive-micros encoding. The probe
+    // only exists to keep OLD nanos fixtures readable.
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
     val raw = spark.readStream
       .schema(rawSchema(tsType))
       .parquet(dir)

@@ -721,6 +721,29 @@ class StoreSpec extends SparkSpec {
       5L -> "changed"), s"got $got")
   }
 
+  test("versionDiff: null keys match null-safely (no phantom add/remove pair)") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((Option(1L), "a"), (None: Option[Long], "same"))
+      .toDF("k", "v"), "t", externalKey = "v1")
+    store.load(Seq((Option(1L), "a"), (None: Option[Long], "same"),
+      (Option(2L), "new")).toDF("k", "v"), "t", externalKey = "v2")
+    val got = store.versionDiff("t", "v1", "v2", Seq("k"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+      .toMap
+    // The unchanged null-keyed row must NOT surface as added+removed.
+    assert(got == Map(Some(2L) -> "added"), s"got $got")
+    // A null-keyed VALUE change still reports, keyed by the null.
+    store.load(Seq((Option(1L), "a"), (None: Option[Long], "CHANGED"))
+      .toDF("k", "v"), "t", externalKey = "v3")
+    val got2 = store.versionDiff("t", "v1", "v3", Seq("k"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+      .toMap
+    assert(got2 == Map(None -> "changed"), s"got $got2")
+  }
+
   test("versionDiff: schema drift flags shared keys; missing key column rejected") {
     import spark.implicits._
     val store = freshStore()
