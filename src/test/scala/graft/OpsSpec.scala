@@ -1403,6 +1403,44 @@ class OpsSpec extends SparkSpec {
     assert(got("y") == ((3L, 2L, 0.6667)), s"got ${got("y")}")
   }
 
+  test("positivePairs routes: full-probe cell-pruned path matches exact on the fixture") {
+    // Forces the routed leg (maxExactRows = 1) with probes clamped to
+    // nlist — every (cell, label) pair is probed, so the selection is
+    // structurally exact and the assertion pins the routed PLUMBING
+    // (uid packing, (cell, label) join key, heap tie-break, rounding)
+    // independent of per-round fixture regeneration. Default-probe
+    // recall is gated separately in RecallSpec on the deterministic
+    // ScaleData corpus.
+    val embs = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    def run(maxExact: Long, probes: Int) =
+      Similarity.positivePairs(embs, "vec_id", "embedding", "label",
+        maxExactRows = maxExact, assignProbes = probes)
+        .collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val exact = run(Long.MaxValue, 3)
+    val routedFull = run(1L, Int.MaxValue)
+    assert(exact.nonEmpty)
+    assert(routedFull == exact,
+      s"exact-only=${(exact -- routedFull).size} routed-only=${(routedFull -- exact).size}")
+  }
+
+  test("knnLabelAgreement routes: full-probe IVF path matches exact on the fixture") {
+    val e = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val anchors = e.where(pmod(col("vec_id"), lit(5)) === 0)
+    def run(maxExact: Long, probes: Int) =
+      Similarity.knnLabelAgreement(anchors, e, "vec_id", "embedding", "label",
+        maxExactRows = maxExact, nProbe = probes)
+        .collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val exact = run(Long.MaxValue, 8)
+    val routedFull = run(1L, Int.MaxValue)
+    assert(exact.nonEmpty)
+    assert(routedFull == exact,
+      s"exact-only=${(exact -- routedFull).size} routed-only=${(routedFull -- exact).size}")
+  }
+
   test("containmentNearDupPairs: truncation scores 1.0 where Jaccard misses") {
     import spark.implicits._
     // Doc 2 is doc 1's first half: containment 1.0, Jaccard well below

@@ -17,7 +17,9 @@ class StreamingSpec extends SparkSpec {
     * fixture file into one.
     */
   private lazy val eventsDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    // TempDirs registers a JVM-exit cleanup hook — without it every
+    // suite run leaks a staged fixture copy into /tmp.
+    val dir = java.nio.file.Paths.get(TempDirs.create("graft_stream_"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${sf()}/events.parquet"),
       dir.resolve("events.parquet"))
@@ -58,7 +60,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   private lazy val docsDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs_")
+    val dir = java.nio.file.Paths.get(TempDirs.create("graft_stream_docs_"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${sf()}/documents.parquet"),
       dir.resolve("documents.parquet"))
