@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
-import graft.ops.TextOps
+import graft.ops.{Dedup, TextOps}
 
 /** Property tests for the round-7 text operators, each checked against
   * an independent in-memory reference model on random tiny-vocabulary
@@ -144,5 +144,103 @@ object TextPropSpec extends Properties("TextOps.reference") {
       // Totality is part of the contract: EVERY corpus id comes back,
       // including null/whitespace docs (as 0/0/"").
       Prop(got == expected) :| s"n=$n got=$got expected=$expected"
+    }
+
+  // ---- round-8 late ops: blocking, containment, normalization ----
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Distinct n-shingles, the ops' contract (TextOps.shingles dedups). */
+  private def shingleSet(t: Option[String], n: Int): Set[String] =
+    toks(t.orNull).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+
+  property("blockingNearDupPairs == brute per-block Jaccard with the block cap") =
+    Prop.forAllNoShrink(genCorpus, Gen.chooseNum(1, 3), Gen.chooseNum(2L, 4L),
+      Gen.oneOf(0.2, 0.5, 0.8)) { (corpus, blockTokens, maxBlock, threshold) =>
+      // Small vocab + tiny maxBlockSize: hot blocks (the cap branch) and
+      // shared prefixes both occur on nearly every run.
+      val keyed = corpus.flatMap { case (id, t) =>
+        val bk = toks(t.orNull).take(blockTokens).mkString(" ")
+        if (bk.isEmpty) None else Some(id -> bk)
+      }
+      val blockSizes = keyed.groupBy(_._2).view.mapValues(_.size).toMap
+      val kept = keyed.filter { case (_, bk) => blockSizes(bk) <= maxBlock }
+      val expected = (for {
+        (a, bkA) <- kept; (b, bkB) <- kept
+        if bkA == bkB && a < b
+        shA = shingleSet(corpus.find(_._1 == a).get._2, 2)
+        shB = shingleSet(corpus.find(_._1 == b).get._2, 2)
+        union = (shA ++ shB).size if union > 0
+        j = (shA & shB).size.toDouble / union if j >= threshold
+      } yield (a, b) -> r4(j)).toMap
+      val got = Dedup.blockingNearDupPairs(toDf(corpus), "id", "text",
+        blockTokens = blockTokens, n = 2, threshold = threshold,
+        maxBlockSize = maxBlock)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      Prop(got == expected) :|
+        s"bt=$blockTokens cap=$maxBlock thr=$threshold got=$got expected=$expected"
+    }
+
+  property("containmentNearDupPairs == brute |A∩B|/min with the shingle hot-cap") =
+    Prop.forAllNoShrink(genCorpus, Gen.chooseNum(2L, 4L),
+      Gen.oneOf(0.3, 0.6, 0.9)) { (corpus, cap, threshold) =>
+      val sh0 = corpus.map { case (id, t) => id -> shingleSet(t, 2) }
+      val docFreq = sh0.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      val sh = sh0.map { case (id, s) =>
+        id -> s.filter(docFreq(_) <= cap) }.filter(_._2.nonEmpty).toMap
+      val expected = (for {
+        (a, shA) <- sh; (b, shB) <- sh
+        if a < b
+        common = (shA & shB).size if common > 0
+        c = common.toDouble / math.min(shA.size, shB.size) if c >= threshold
+      } yield (a, b) -> r4(c)).toMap
+      val got = Dedup.containmentNearDupPairs(toDf(corpus), "id", "text",
+        n = 2, threshold = threshold, maxShingleDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      Prop(got == expected) :| s"cap=$cap thr=$threshold got=$got expected=$expected"
+    }
+
+  /** Case flips, punctuation injections, and whitespace-run expansion —
+    * exactly the degradations [[TextOps.normalizeForMatch]] promises to
+    * erase (punctuation strips BEFORE whitespace collapse, so an
+    * injected punct char can never create a new token boundary).
+    */
+  private val genPerturbed: Gen[(String, String)] = for {
+    n <- Gen.chooseNum(1, 8)
+    words <- Gen.listOfN(n, Gen.chooseNum(1, 5).flatMap(l =>
+      Gen.listOfN(l, Gen.alphaNumChar).map(_.mkString)))
+    base = words.mkString(" ")
+    perturbed <- {
+      val punct = Gen.oneOf("!", "@", ",", ".", ";", ":", "'", "\"", "-", "(", ")")
+      val ws = Gen.oneOf(" ", "  ", " \t ", "\t", "\n ")
+      val charGens: Seq[Gen[String]] = base.map { ch =>
+        if (ch == ' ') ws
+        else for {
+          flip <- Gen.oneOf(true, false)
+          ins <- Gen.frequency(4 -> Gen.const(""), 1 -> punct)
+        } yield (if (flip) ch.toUpper else ch.toLower).toString + ins
+      }
+      val lead = Gen.frequency(3 -> Gen.const(""), 1 -> punct)
+      charGens.foldLeft(lead)((acc, g) =>
+        acc.flatMap(s => g.map(s + _)))
+    }
+  } yield (base, perturbed)
+
+  property("normalizeForMatch: idempotent and invariant under case/punct/ws noise") =
+    Prop.forAllNoShrink(Gen.listOfN(6, genPerturbed)) { pairs =>
+      import spark.implicits._
+      val rows = pairs.toDF("base", "perturbed")
+        .select(
+          TextOps.normalizeForMatch(org.apache.spark.sql.functions.col("base")).as("nb"),
+          TextOps.normalizeForMatch(org.apache.spark.sql.functions.col("perturbed")).as("np"),
+          TextOps.normalizeForMatch(
+            TextOps.normalizeForMatch(
+              org.apache.spark.sql.functions.col("perturbed"))).as("npp"))
+        .collect()
+      val invariant = rows.forall(r => r.getString(1) == r.getString(0))
+      val idempotent = rows.forall(r => r.getString(2) == r.getString(1))
+      Prop(invariant && idempotent) :|
+        rows.map(r => s"(${r.getString(0)}|${r.getString(1)}|${r.getString(2)})").mkString(",")
     }
 }
