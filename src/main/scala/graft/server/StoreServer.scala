@@ -87,12 +87,34 @@ final class StoreServer(spark: SparkSession, store: Store, port: Int = 0,
     } finally ex.close()
   }
 
+  /** Request body stream honoring `Content-Encoding` — the reference's
+    * at-rest story is gzip (README.md:20), so reference-era clients may
+    * ship compressed row-JSON; only gzip/identity are accepted, anything
+    * else answers a reference-shaped 400 rather than parsing garbage.
+    */
+  private def requestBody(ex: HttpExchange): java.io.InputStream =
+    Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+      .map(_.trim.toLowerCase) match {
+      case Some("gzip") => new java.util.zip.GZIPInputStream(ex.getRequestBody)
+      case None | Some("") | Some("identity") => ex.getRequestBody
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported Content-Encoding '$other' (gzip or identity)")
+    }
+
+  /** Did the client offer gzip? (`requests` sends `Accept-Encoding:
+    * gzip, deflate` by default and transparently decompresses, so the
+    * python client gets wire compression with zero changes.)
+    */
+  private def acceptsGzip(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Accept-Encoding")).exists(
+      _.toLowerCase.split(",").exists(_.trim.takeWhile(_ != ';').trim == "gzip"))
+
   /** POST /dataframes/upload — body mirrors client.py:113-119:
     * `{dataframe: "<records json>", dataframe_name, columns_keys,
     * external_key, keep_last}`.
     */
   private def upload(ex: HttpExchange): Unit = {
-    val body = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val body = mapper.readTree(new String(requestBody(ex).readAllBytes(), UTF_8))
     val records = Option(body.get("dataframe")).filterNot(_.isNull).map(_.asText())
       .getOrElse(throw new IllegalArgumentException("'dataframe' is required"))
     val name = Option(body.get("dataframe_name")).filterNot(_.isNull)
@@ -150,10 +172,17 @@ final class StoreServer(spark: SparkSession, store: Store, port: Int = 0,
     // Streaming starts here: headers are committed, so any mid-stream
     // failure can only truncate the body (the client's JSON parse fails
     // loudly) — it must NOT fall through to handle()'s error responder,
-    // which would try to send headers twice.
+    // which would try to send headers twice. When the client offered
+    // gzip, the chunked body is gzip-compressed on the fly (row-JSON
+    // compresses ~10×; the wire, not the engine, is this path's
+    // bottleneck — see the class scaladoc).
+    val gzip = acceptsGzip(ex)
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    if (gzip) ex.getResponseHeaders.set("Content-Encoding", "gzip")
     ex.sendResponseHeaders(200, 0)
-    val os = ex.getResponseBody
+    val os =
+      if (gzip) new java.util.zip.GZIPOutputStream(ex.getResponseBody, 8192)
+      else ex.getResponseBody
     try {
       os.write('[')
       val it = rows.toLocalIterator()

@@ -148,4 +148,49 @@ class StoreServerSpec extends SparkSpec {
       assert(ok.body().count(_ == ',') >= 2, "3 records need 2+ separators")
     } finally capped.stop()
   }
+
+  test("wire gzip: compressed upload round-trips; gzip offered -> gzip body (r9)") {
+    // Upload with Content-Encoding: gzip — a reference-era client whose
+    // at-rest story is gzip (README.md:20) shipping compressed row-JSON.
+    val payload =
+      """{"dataframe": "[{\"id\":41,\"v\":\"gz\"},{\"id\":42,\"v\":\"gz2\"}]",
+        | "dataframe_name": "my-test/gz", "external_key": "v1"}""".stripMargin
+    val baos = new java.io.ByteArrayOutputStream()
+    val gzOut = new java.util.zip.GZIPOutputStream(baos)
+    gzOut.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    gzOut.close()
+    val up = http.send(HttpRequest.newBuilder(URI.create(s"$base/dataframes/upload"))
+      .header("Content-Type", "application/json")
+      .header("Content-Encoding", "gzip")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(baos.toByteArray)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(up.statusCode() == 200, up.body())
+
+    // Download offering gzip: body must come back Content-Encoding: gzip
+    // and gunzip to the same records array a plain GET returns.
+    val gz = http.send(HttpRequest.newBuilder(
+        URI.create(s"$base/dataframes/my-test/gz"))
+      .header("Accept-Encoding", "gzip")
+      .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(gz.statusCode() == 200)
+    assert(gz.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+    val body = new String(
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gz.body())).readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(body == get("/dataframes/my-test/gz").body(), body)
+    assert(body.contains("\"id\":41") && body.contains("\"id\":42"), body)
+
+    // No Accept-Encoding -> identity body, no Content-Encoding header
+    // (java.net.http sends none by default — the pre-r9 tests above
+    // already pin that path); unsupported request encoding -> 400.
+    val plain = get("/dataframes/my-test/gz")
+    assert(plain.statusCode() == 200 && plain.body().startsWith("["))
+    val bad = http.send(HttpRequest.newBuilder(URI.create(s"$base/dataframes/upload"))
+      .header("Content-Encoding", "br")
+      .POST(HttpRequest.BodyPublishers.ofString(payload)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(bad.statusCode() == 400 &&
+      bad.body().contains("unsupported Content-Encoding"), bad.body())
+  }
 }
