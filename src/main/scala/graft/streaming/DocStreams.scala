@@ -1,10 +1,12 @@
 package graft.streaming
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 
-import graft.ops.TextOps
+import graft.ops.{Dedup, TextOps}
+import graft.store.Store
 
 /** Structured Streaming forms of the DOCUMENT-pipeline operators — the
   * corpus-ingest half of the streaming story (EventStreams covers the
@@ -63,4 +65,165 @@ object DocStreams {
     */
   def qualityFiltered(docs: DataFrame): DataFrame =
     docs.where(TextOps.qualityRules(col("text")).keep)
+
+  /** One band-bucket row of the near-dup alert stream: a doc's MinHash
+    * signature keyed by one of its LSH band hashes.
+    */
+  final case class BandRow(docId: Long, sig: Seq[Long], bandIdx: Int, bandHash: Long)
+
+  /** Per-bucket state: the (docId, signature) pairs enlisted so far. */
+  final case class BucketState(entries: Seq[(Long, Seq[Long])])
+
+  /** One piece of near-dup evidence: `doc_id` collided with the earlier
+    * `prior_id` in some band and their signature agreement estimates
+    * Jaccard ≥ the threshold. A doc colliding in several bands emits up
+    * to one alert per band (per-EVIDENCE semantics — consumers distinct
+    * by `doc_id`); `est_jaccard` is identical across them by
+    * construction (same two signatures).
+    */
+  final case class DupAlert(doc_id: Long, prior_id: Long, est_jaccard: Double)
+
+  /** Streaming NEAR-dup detection — [[dedupedDocs]]'s fuzzy sibling,
+    * the ingest form of the batch MinHash detector (qn03): each doc's
+    * banded MinHash signature (identical machinery to
+    * [[Dedup.minhashCandidatePairs]] — same shingles, same signature
+    * expression, same band hashing, so estimates agree bit-for-bit
+    * with the batch op) is checked against per-band-bucket state via
+    * `flatMapGroupsWithState`, and a collision whose signature
+    * agreement clears `simThreshold` emits a [[DupAlert]].
+    *
+    * State design for 100 TB ingest: keyed by (band_idx, band_hash) —
+    * the SAME partitioning the batch candidate join shuffles on — each
+    * bucket holding its enlisted (id, 32-long sig) pairs: ~264 bytes
+    * per doc per band, NOT the text or shingle set (a 10⁹-doc corpus is
+    * ~2 TB of state across 8 bands — executor-store scale; the exact
+    * alternative of shingle-set state is 25-50× that). `maxBucket`
+    * caps a pathological bucket (boilerplate-headed corpora) exactly
+    * as the batch hot-shingle cap does: docs beyond the cap still probe
+    * (alerts keep firing) but do not enlist. Within a micro-batch a
+    * bucket's rows process in doc-id order, so intra-batch collisions
+    * resolve deterministically (smaller id enlists first). No timeout
+    * by design — near-dup state, like [[dedupedDocs]]'s, has no time
+    * bound; bound it with a TTL timeout or run the store-backed
+    * [[dedupBatchAgainstStore]] path when history must be complete.
+    */
+  def nearDupAlerts(
+      docs: DataFrame,
+      n: Int = 3,
+      simThreshold: Double = 0.7,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 1000): Dataset[DupAlert] = {
+    val numHashes = bands * rowsPerBand
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .select(col("doc_id"), TextOps.shingles(col("text"), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), Dedup.minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("doc_id").as("docId"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .select(col("docId"), col("sig"), col("pos").as("bandIdx"),
+        col("col").cast("long").as("bandHash"))
+      .as[BandRow]
+    banded
+      .groupByKey(r => (r.bandIdx, r.bandHash))
+      .flatMapGroupsWithState[BucketState, DupAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val enlisted =
+            scala.collection.mutable.ArrayBuffer.from(
+              state.getOption.map(_.entries).getOrElse(Seq.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupAlert]
+          rows.toSeq.sortBy(_.docId).foreach { r =>
+            val matches = enlisted.iterator.map { case (pid, psig) =>
+              var agree = 0
+              var i = 0
+              while (i < numHashes) {
+                if (r.sig(i) == psig(i)) agree += 1
+                i += 1
+              }
+              (pid, agree.toDouble / numHashes)
+            }.filter(_._2 >= simThreshold).toSeq
+            if (matches.nonEmpty) {
+              // One alert per band: the strongest prior (est desc, then
+              // min id) — evidence, not an exhaustive pair list.
+              val (pid, est) = matches.maxBy { case (pid, est) => (est, -pid) }
+              out += DupAlert(r.docId, pid, est)
+            }
+            if (enlisted.size < maxBucket) enlisted += ((r.docId, r.sig))
+          }
+          state.update(BucketState(enlisted.toSeq))
+          out.iterator
+      }
+  }
+
+  /** One micro-batch of store-backed streaming near-dup DEDUP: dedup
+    * `batch` against the signature corpus persisted in `store` exactly
+    * as the batch incremental op (qn24's [[Dedup.dedupIncremental]] —
+    * exact n-gram Jaccard, connected components, corpus-wide hot-cap),
+    * then append this batch's signatures and shingle frequencies (ALL
+    * seen docs, kept and dropped — the op's stated contract) as a new
+    * store version. Returns the batch's survivors.
+    *
+    * This is the history-complete half of the streaming dedup story,
+    * deliberately `foreachBatch` + store rather than executor state:
+    * exact Jaccard needs the full shingle sets, and a corpus of shingle
+    * sets belongs in fault-tolerant columnar storage read back as an
+    * O(batch × overlap) equality join — not in per-executor state maps
+    * (50-100× the MinHash state, lost with an executor, rebuilt only by
+    * replaying every micro-batch). [[nearDupAlerts]] is the
+    * low-latency/bounded-state half; this path is what the nightly
+    * compaction and the replayed-ingest equivalence (StreamingSpec)
+    * grade. The signature table accumulates one version per batch
+    * (`b<batchId>`), so a restarted stream resumes against exactly the
+    * state its last committed batch left.
+    */
+  def dedupBatchAgainstStore(
+      batch: DataFrame,
+      batchId: Long,
+      store: Store,
+      sigTable: String = "streaming/neardup-sigs",
+      freqTable: String = "streaming/neardup-freqs",
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val sig = Dedup.materialize(
+      Dedup.shingleSignatures(batch, "doc_id", "text", n))
+    val freqs = Dedup.materialize(Dedup.shingleDocFreqs(sig))
+    val hasPrev = store.list(Some(sigTable)).exists(_.name == sigTable)
+    val prevSig =
+      if (hasPrev) store.get(sigTable)
+      else Seq.empty[(Long, String)].toDF("id", "s")
+    val prevFreqs =
+      if (hasPrev) store.get(freqTable).groupBy("s").agg(sum("df").as("df"))
+      else Seq.empty[(String, Long)].toDF("s", "df")
+    val kept = Dedup.dedupIncremental(batch, prevSig, "doc_id", "text", n,
+      threshold,
+      prevShingleFreqs = Some(prevFreqs),
+      batchShingleFreqs = Some(freqs))
+    store.load(sig, sigTable, externalKey = s"b$batchId")
+    store.load(freqs, freqTable, externalKey = s"b$batchId")
+    kept
+  }
+
+  /** The [[dedupBatchAgainstStore]] loop as a ready-to-start stream:
+    * survivors of each micro-batch append as parquet under `outDir`.
+    * Caller sets `checkpointLocation` and starts — exactly-once
+    * composition comes from the checkpoint replaying uncommitted
+    * batches and `b<batchId>` store versions being idempotent per
+    * batch id ([[Store.load]] replaces a re-written version subtree).
+    */
+  def nearDupDedupedTo(
+      docs: DataFrame,
+      store: Store,
+      outDir: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      dedupBatchAgainstStore(batch, batchId, store, n = n, threshold = threshold)
+        .write.mode("append").parquet(outDir)
+    }
 }

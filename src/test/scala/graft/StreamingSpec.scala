@@ -236,4 +236,103 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
     assert(s.toSeq == b.toSeq)
   }
+
+  /** Stage the documents fixture as TWO parquet files (halves by doc_id,
+    * batch-0 file older) so `maxFilesPerTrigger=1` replays them as an
+    * ordered two-micro-batch ingest.
+    */
+  private def stageDocHalves(): (String, Long) = {
+    import graft.ops.Dedup
+    val d = Tables.read(spark, sf(), "documents")
+    val cut = Tables.parquetRowCount(spark, s"${sf()}/documents.parquet") / 2
+    val dir = java.nio.file.Paths.get(TempDirs.create("graft_stream_halves_"))
+    Seq(("0", col("doc_id") < cut), ("1", col("doc_id") >= cut)).foreach {
+      case (tag, pred) =>
+        val tmp = java.nio.file.Paths.get(TempDirs.create(s"graft_half${tag}_"))
+        d.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = dir.resolve(s"batch$tag.parquet")
+        java.nio.file.Files.move(part, dest)
+        // File-source ordering is by modification time — pin it.
+        dest.toFile.setLastModified(1700000000000L + tag.toLong * 60000L)
+    }
+    (dir.toString, cut)
+  }
+
+  test("streaming store-backed near-dup dedup == replayed batch dedupIncremental") {
+    import graft.ops.Dedup
+    import graft.streaming.DocStreams
+    val (srcDir, cut) = stageDocHalves()
+    val store = new graft.store.Store(spark, TempDirs.create("graft_stream_nd_"))
+    val outDir = TempDirs.create("graft_stream_nd_out_") + "/kept"
+    val ckpt = TempDirs.create("graft_stream_nd_ckpt_")
+    val stream = spark.readStream.schema(DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = DocStreams.nearDupDedupedTo(stream, store, outDir)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // The replayed batch sequence the stream must reproduce: batch 0
+    // deduped against empty history, batch 1 against batch 0's FULL
+    // signature table (kept and dropped docs) — dedupIncremental's
+    // stated contract, fed the same per-batch frequency tables.
+    val d = Tables.read(spark, sf(), "documents")
+    val old = d.where(col("doc_id") < cut)
+    val fresh = d.where(col("doc_id") >= cut)
+    val sig0 = Dedup.shingleSignatures(old, "doc_id", "text", n = 3)
+    import spark.implicits._
+    val kept0 = Dedup.dedupIncremental(old,
+      Seq.empty[(Long, String)].toDF("id", "s"), "doc_id", "text",
+      prevShingleFreqs = Some(Seq.empty[(String, Long)].toDF("s", "df")))
+    val kept1 = Dedup.dedupIncremental(fresh, sig0, "doc_id", "text",
+      prevShingleFreqs = Some(Dedup.shingleDocFreqs(sig0)))
+    val expected = (kept0.select("doc_id").collect() ++
+      kept1.select("doc_id").collect()).map(_.getLong(0)).toSet
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).size} batch-only=${(expected -- streamed).size}")
+    // Batch 0 against empty history must equal the plain one-shot dedup
+    // of batch 0 (the incremental op's degenerate-history contract).
+    val oneShot0 = Dedup.dedupByJaccard(old, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept0.select("doc_id").collect().map(_.getLong(0)).toSet == oneShot0)
+    // The signature store accumulated one version per micro-batch.
+    val info = store.list(Some("streaming/neardup-sigs"))
+      .find(_.name == "streaming/neardup-sigs").get
+    assert(info.versions.toSet == Set("b0", "b1"), info.versions)
+  }
+
+  test("streaming near-dup alerts == batch MinHash candidates on a replayed ingest") {
+    import graft.ops.Dedup
+    import graft.streaming.DocStreams
+    val (srcDir, _) = stageDocHalves()
+    val stream = spark.readStream.schema(DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val alerts = EventStreams.runToMemory(spark,
+      DocStreams.nearDupAlerts(stream, simThreshold = 0.7).toDF(),
+      "t_ndalerts", OutputMode.Append())
+    // Replay order equals doc-id order (halves split by id, in-bucket
+    // processing sorts by id), so the batch reference is exactly "has a
+    // banded candidate partner with a smaller id": qn03's detector.
+    val d = Tables.read(spark, sf(), "documents")
+    val expected = Dedup.minhashCandidatePairs(d, "doc_id", "text",
+        simThreshold = 0.7)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val got = alerts.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"alert-only=${(got -- expected).size} batch-only=${(expected -- got).size}")
+    // Alert estimates must agree bit-for-bit with the batch op's
+    // signature estimate for the same (prior, doc) pair.
+    val batchEst = Dedup.minhashCandidatePairs(d, "doc_id", "text",
+        simThreshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mismatched = alerts.collect().filter { r =>
+      val key = (r.getLong(1), r.getLong(0))
+      batchEst.get(key).exists(e =>
+        math.abs(e - (math.round(r.getDouble(2) * 10000) / 10000.0)) > 1e-9)
+    }
+    assert(mismatched.isEmpty, mismatched.take(3).toSeq.toString)
+  }
 }
