@@ -38,9 +38,17 @@ object ScaleData {
   private def unit(h: Column): Column =
     (pmod(h, lit(1000000L)) + lit(0.5)) / lit(1000000.0)
 
-  /** Synthetic documents(doc_id, text, lang, source, n_chars). */
+  /** Synthetic documents(doc_id, text, lang, source, n_chars).
+    *
+    * `giantFactor > 1` multiplies DOC 0's token length by that factor —
+    * the single-giant-document skew probe (one id × many shingles). The
+    * giant's near-dup copier (doc 1) and exact copier (doc 2) inherit
+    * the length through the anchor chain, so the planted-dup structure
+    * survives: the skew audit asserts the detector still finds exactly
+    * the same pairs while no reducer hot-spots.
+    */
   def documents(spark: SparkSession, n: Long, seed: Long = 42L,
-      skew: Double = 3.0): DataFrame = {
+      skew: Double = 3.0, giantFactor: Long = 1L): DataFrame = {
     // Near-dups copy doc_id-1's body; exact dups copy doc_id-2's. The
     // anchor chain is 1 deep by construction (97 and 193 are coprime to
     // each other's offsets; the rare anchor-of-an-anchor collision just
@@ -52,7 +60,11 @@ object ScaleData {
         when(col("exact"), col("doc_id") - 2)
           .when(col("near"), col("doc_id") - 1)
           .otherwise(col("doc_id")))
-    val len = (pmod(xxhash64(col("anchor"), lit(seed)), lit(41L)) + 40L).as("len")
+    val len0 = pmod(xxhash64(col("anchor"), lit(seed)), lit(41L)) + 40L
+    val len =
+      (if (giantFactor > 1L)
+        when(col("anchor") === 0L, len0 * giantFactor).otherwise(len0)
+      else len0).as("len")
     val words = transform(sequence(lit(1L), col("len")), i =>
       concat(lit("w"), floor(lit(VocabSize.toDouble) *
         pow(unit(xxhash64(col("anchor"), i, lit(seed + 1))), lit(skew))).cast("long")))

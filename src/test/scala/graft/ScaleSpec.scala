@@ -337,6 +337,66 @@ class ScaleSpec extends SparkSpec {
       s"pair output not ~linear: $p1 pairs at $n1 docs, $p2 at $n2")
   }
 
+  test("a 100x giant document cannot hot-spot the shingle join (qn02 skew audit)") {
+    import graft.ops.Dedup
+    import graft.tools.ScaleData
+    val n = 3000L
+    val base = ScaleData.documents(spark, n)
+    val giant = ScaleData.documents(spark, n, giantFactor = 100L)
+    // (a) DATA spread: per-reducer row volume of the shingle-keyed
+    // exchange (what the self-join shuffles on). A giant doc is many
+    // DISTINCT shingles × one occurrence — hash(s) spreads them
+    // uniformly, unlike a hot shingle (one key × many docs), which the
+    // doc-freq cap handles. Counted on the RDD (the SQL-layer
+    // spark_partition_id is unreliable under AQE).
+    def spread(docs: org.apache.spark.sql.DataFrame): Double = {
+      val counts = Dedup.shingleSignatures(docs, "doc_id", "text")
+        .repartition(32, col("s"))
+        .rdd.mapPartitions(it => Iterator(it.size.toLong)).collect()
+      counts.max.toDouble / (counts.sum.toDouble / counts.length)
+    }
+    val (sBase, sGiant) = (spread(base), spread(giant))
+    info(f"max/mean reducer rows: base $sBase%.2f giant $sGiant%.2f")
+    assert(sGiant <= 2.0, f"giant doc hot-spots a reducer: $sGiant%.2f")
+    // (b) TASK-TIME spread on the end-to-end detector: no straggler may
+    // dominate the job (the wall-clock symptom of a hot reducer).
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        durations.add(t.taskInfo.duration)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (giantPairs, wallMs) =
+      try {
+        val t0 = System.nanoTime()
+        val p = Dedup.ngramJaccardPairs(giant, "doc_id", "text")
+          .select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (p, (System.nanoTime() - t0) / 1e6)
+      } finally {
+        // Listener events post asynchronously; give the bus a beat
+        // before reading (no public flush on SparkContext).
+        Thread.sleep(1000)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    val taskMs = durations.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+    val maxTask = taskMs.last.toDouble
+    val median = taskMs(taskMs.length / 2).toDouble
+    info(f"tasks=${taskMs.length} median=${median}%.0fms max=${maxTask}%.0fms wall=${wallMs}%.0fms")
+    assert(maxTask <= math.max(1000.0, 0.6 * wallMs),
+      f"straggler task: max ${maxTask}%.0fms of ${wallMs}%.0fms wall")
+    // (c) Correctness under skew: the giant near-dup pair (0,1) is
+    // found and the pair set equals the no-giant corpus's (same planted
+    // structure, only lengths differ).
+    assert(giantPairs.contains((0L, 1L)), "giant near-dup pair missed")
+    val basePairs = Dedup.ngramJaccardPairs(base, "doc_id", "text")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(giantPairs == basePairs,
+      s"giant-only=${(giantPairs -- basePairs).size} base-only=${(basePairs -- giantPairs).size}")
+  }
+
   test("minhash banded candidates grow ~linearly with the corpus (qn03 gate)") {
     import graft.ops.Dedup
     import graft.tools.ScaleData
