@@ -25,11 +25,26 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "8g")
+      // The bounded-heap aggregates (TopKByScoreAgg) run through
+      // ObjectHashAggregateExec, whose sort-based fallback kicks in at
+      // 128 distinct keys per partition — at the upper scale points
+      // that needlessly external-sorts 10⁸-row candidate streams whose
+      // hash maps (≤ ~100k tiny heap states) fit memory trivially, and
+      // the per-op spills stack up to a single-node disk blowout (the
+      // r9 500k-point failure; on a real cluster the same spill spreads
+      // over hundreds of executor disks). Keep hash aggregation until
+      // maps are genuinely large.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.hadoop.fs.file.impl", classOf[graft.hadoop.FastLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def timed(f: => Long): (Double, Long) = {
+      // Prior ops' shuffle files are deleted by the ContextCleaner only
+      // after their dependencies are GC'd — on a long multi-point run
+      // they otherwise accumulate to fill the single local disk. Nudge
+      // collection OUTSIDE the timed window.
+      System.gc()
       val t0 = System.nanoTime()
       val out = f
       ((System.nanoTime() - t0) / 1e9, out)
