@@ -75,6 +75,14 @@ object Dedup {
     */
   val DefaultMaxShingleDocFreq: Long = 1000L
 
+  /** Default edge-count ceiling for [[connectedComponents]]' driver
+    * union-find route: 2M (u, v) longs ≈ 32 MB collected — fit-sample
+    * scale, far under any driver's memory, while covering the pair
+    * graphs real dedup detectors emit (pairs ≪ docs). Above it the
+    * alternating-star rounds run distributed.
+    */
+  val DefaultSmallGraphMaxEdges: Long = 2000000L
+
   /** All-pairs n-gram Jaccard similarity ≥ threshold. Exact (no hashing)
     * up to the hot-shingle cap: explode distinct shingles, self-join per
     * shingle, count common.
@@ -434,9 +442,22 @@ object Dedup {
     * an order-independent hash signature of the (checkpointed) edge set —
     * no extra join against the previous round. Returns (node, component)
     * where component = min id reachable.
+    *
+    * Routing: near-dup pair graphs are usually TINY relative to their
+    * corpus (pairs ≪ docs — the detector already did the reduction), and
+    * each star round costs 2 shuffles + a convergence action regardless
+    * of size. When the materialized edge list is at most
+    * `smallGraphMaxEdges` rows (long-keyed graphs only), the edges are
+    * collected — a bounded, fit-sample-sized driver state (≤ ~32 MB at
+    * the default cap) — and labeled with union-find-by-min in one pass;
+    * identical output by construction (union-by-min makes each set's
+    * root its minimum, exactly the distributed fixpoint's label). Above
+    * the cap the alternating-star loop runs as before — the 100 TB path
+    * never ships the graph to the driver. Pass 0 to force distributed.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      smallGraphMaxEdges: Long = DefaultSmallGraphMaxEdges): DataFrame = {
 
     def largeStar(e: DataFrame): DataFrame = {
       val und = e.select(col("u"), col("v"))
@@ -508,6 +529,13 @@ object Dedup {
     // the loop.
     val rawEdges = materialize(
       pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+    // Small-graph route: the count forces the materialization (needed by
+    // every path), so routing adds no extra pass over the detector.
+    val longKeyed = rawEdges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longKeyed && smallGraphMaxEdges > 0 &&
+        rawEdges.count() <= smallGraphMaxEdges)
+      return localComponents(rawEdges)
     val allNodes = rawEdges.select(col("u").as("node"))
       .union(rawEdges.select(col("v").as("node")))
       .distinct()
@@ -549,6 +577,43 @@ object Dedup {
     labeled.union(
       allNodes.join(labeled.select("node"), Seq("node"), "left_anti")
         .select(col("node"), col("node").as("component")))
+  }
+
+  /** [[connectedComponents]]' small-graph route: union-find-by-min over
+    * the collected edge list. Linking the larger root under the smaller
+    * at every union keeps each set's root equal to its minimum member,
+    * so `find(node)` IS the component label the distributed fixpoint
+    * assigns — no second labeling pass. Self-pairs register their node
+    * (singleton components), duplicate edges are no-ops.
+    */
+  private def localComponents(rawEdges: DataFrame): DataFrame = {
+    val spark = rawEdges.sparkSession
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    rawEdges.collect().foreach { row =>
+      val (u, v) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru < rv) parent(rv) = ru
+      else if (rv < ru) parent(ru) = rv
+    }
+    val labeled = parent.keysIterator
+      .map(nd => org.apache.spark.sql.Row(nd, find(nd))).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(labeled,
+        math.max(1, labeled.size / 500000)), schema)
   }
 
   /** Full near-dup dedup: detect pairs (exact n-gram Jaccard), cluster

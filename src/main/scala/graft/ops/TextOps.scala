@@ -868,6 +868,41 @@ object TextOps {
       .select(col("id"), col("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09): fuse N
+    * independently-ranked candidate lists into one by
+    * `score(d) = Σ_lists 1/(c + rank_list(d))` — the standard hybrid
+    * sparse+dense retrieval combiner (BM25 ∪ embedding top-k). Each
+    * input needs (`idCol`, `rankCol`) with rank 1-based; docs absent
+    * from a list simply contribute nothing (no imputed rank). Ranking
+    * is on the ROUNDED fused score with an id tiebreak, so the top-k
+    * cut is engine-deterministic (the qn64 lesson); the reciprocal sum
+    * is order-insensitive per doc (finite doubles, ≤ N terms, and the
+    * grouped sum of 2–3 reciprocals is exactly commutative here).
+    *
+    * Shape at scale: inputs are already top-k-sized (k·N rows total —
+    * retrieval shortlists, not corpora), so the union + one hash
+    * aggregate + TakeOrderedAndProject is driver-negligible no matter
+    * the corpus the lists came from.
+    */
+  def rrfFuse(
+      ranked: Seq[DataFrame],
+      idCol: String = "id",
+      rankCol: String = "rank",
+      k: Int = 10,
+      c: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
+    ranked
+      .map(_.select(col(idCol).as("id"), col(rankCol).cast("int").as("__r")))
+      .reduce(_.unionAll(_))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lists"),
+        sum(lit(1.0) / (lit(c.toDouble) + col("__r"))).as("__rrf"))
+      .withColumn("rrf", round(col("__rrf"), 6))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("n_lists"), col("rrf"))
+  }
+
   /** Corpus collocation mining: top-`k` ADJACENT token bigrams by
     * pointwise mutual information, PMI = ln(p(ab) / (p(a)·p(b))) with
     * p(ab) = c_ab/B over bigram occurrences and p(x) = c_x/T over token

@@ -267,6 +267,45 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Pandas `resample('1h').sum()` + `ffill()` parity: per-user hourly
+    * time spine from each user's first to last event hour (dense — empty
+    * hours materialize), hourly event count + exact-DECIMAL value sum,
+    * and the last observed hourly sum carried forward across the gaps.
+    *
+    * Shape at scale: the spine is `explode(sequence(h0, h1, 1h))` off a
+    * per-user min/max aggregate — |users| × active-hours rows, linear in
+    * the timeline, never events × hours; the fill is one per-user window
+    * over HOURS (not events). A multi-year × billion-user resample would
+    * range-partition the spine by (user, month) and run the same window
+    * per chunk with boundary carry rows — the AsOfJoin.bucketWidth
+    * pattern; the per-user-bounded spine here is the 1000-executor shape
+    * already (user is the shuffle key, hours stay sorted within).
+    */
+  private def qResampleGapfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir).where(col("user_id") < 40)
+      .select(col("user_id"), col("ts"), col("value"))
+    val hourly = e
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"), round(decSum("value"), 4).as("sum_value"))
+    val spine = e.groupBy("user_id")
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .select(
+        col("user_id"),
+        unix_micros(col("h")).as("hour_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sum_value"),
+        last(col("sum_value"), ignoreNulls = true)
+          .over(Window.partitionBy("user_id").orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled_value"))
+      .orderBy("user_id", "hour_us")
+  }
+
   /** Shared by q48 (unbucketed) and q50 (hot-key bucketed): the two
     * paths must grade against the IDENTICAL contract - a single constant
     * cannot silently desynchronize the way two pasted copies can.
@@ -411,6 +450,26 @@ object EventQueries {
       SELECT CAST(r_bucket AS INT) AS r_bucket, CAST(f_bucket AS INT) AS f_bucket,
              CAST(m_bucket AS INT) AS m_bucket, CAST(count(*) AS BIGINT) AS n_users
       FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+    QueryDef("q57_resample_gapfill", qResampleGapfill _, Some("""
+      WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 40),
+      h AS (SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+                     AS sum_value
+            FROM e GROUP BY 1, 2),
+      b AS (SELECT user_id, time_bucket(INTERVAL 1 HOUR, min(ts)) AS h0,
+                   time_bucket(INTERVAL 1 HOUR, max(ts)) AS h1
+            FROM e GROUP BY 1),
+      sp AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             FROM b)
+      SELECT sp.user_id, epoch_us(sp.h) AS hour_us,
+             CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+             h.sum_value,
+             last_value(h.sum_value IGNORE NULLS) OVER (
+               PARTITION BY sp.user_id ORDER BY sp.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      FROM sp LEFT JOIN h ON sp.user_id = h.user_id AND sp.h = h.h
+      ORDER BY sp.user_id, hour_us""")),
     QueryDef("q56_anomaly_mad", qAnomalyMad _, Some("""
       WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
                  FROM events GROUP BY 1),

@@ -1152,6 +1152,31 @@ object NorthStar {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("score").desc, col("doc_id"))
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
+    * shortlist (qn64's query, widened to top-20) and the dense cosine
+    * shortlist for query vector 0 (qn08's, widened to top-20) — the
+    * standard sparse+dense RAG-retrieval combiner. doc_id and vec_id
+    * are aligned in the fixture, so the two lists rank the same corpus.
+    * Both branch ranks come from rounded scores with id tiebreaks, so
+    * the fused cut is engine-deterministic end to end.
+    */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = TextOps.bm25Search(docs(s, dir), "doc_id", "text",
+      query = Seq("vector", "customer", "merge"), k = 20)
+      // 20-row shortlist: the unpartitioned window is shortlist-sized.
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("id").asc)))
+      .select("id", "rank")
+    val e = emb(s, dir)
+    val dense = Similarity.topKPerQuery(e, e.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 20)
+      .select(col("vec_id").as("id"), col("rank"))
+    TextOps.rrfFuse(Seq(sparse, dense), k = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   /** Top-15 adjacent-bigram collocations by PMI (min count 5) —
     * multi-word-expression mining over the corpus.
     */
@@ -2367,6 +2392,37 @@ object NorthStar {
       SELECT source, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
              round(n_a / tot_a, 4) AS p, round(n_b / tot_b, 4) AS q,
              round(abs(n_a / tot_a - n_b / tot_b) / 2.0, 4) AS tvd_contrib
-      FROM counts, tot ORDER BY source"""))
+      FROM counts, tot ORDER BY source""")),
+    QueryDef("qn72_hybrid_rrf", qHybridRrf _, Some("""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                 FROM documents WHERE trim(text) <> ''),
+      dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      t AS (SELECT doc_id, unnest(w) AS term FROM d),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+             WHERE term IN ('vector', 'customer', 'merge') GROUP BY 1, 2),
+      dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      sp AS (SELECT tf.doc_id,
+                    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                      tf * (1.2 + 1.0) /
+                      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS part
+             FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats),
+      sc AS (SELECT doc_id, round(sum(part), 4) AS score FROM sp GROUP BY doc_id),
+      sr AS (SELECT doc_id AS id,
+                    row_number() OVER (ORDER BY score DESC, doc_id) AS r
+             FROM sc QUALIFY r <= 20),
+      q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      den AS (SELECT e.vec_id AS id,
+                     round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+                       AS sim
+              FROM embeddings e, q WHERE e.vec_id <> 0),
+      dr AS (SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS r
+             FROM den QUALIFY r <= 20),
+      u AS (SELECT id, r FROM sr UNION ALL SELECT id, r FROM dr),
+      f AS (SELECT id, CAST(count(*) AS BIGINT) AS n_lists,
+                   round(sum(CAST(1.0 AS DOUBLE) / (60 + r)), 6) AS rrf
+            FROM u GROUP BY id)
+      SELECT id AS doc_id, n_lists, rrf FROM f
+      ORDER BY rrf DESC, doc_id LIMIT 10"""))
   )
 }

@@ -218,6 +218,32 @@ object StoreQueries {
       .orderBy("o_orderkey", "change")
   }
 
+  /** Schema evolution across accumulate versions: v1 ships 3 columns,
+    * v2 the same 3 plus `o_orderpriority`. An un-keyed `get` must read
+    * both through the sidecar-unioned schema — v1 rows surface the new
+    * column as NULL (bucketed to a sentinel here so the group-by is
+    * total), v2 rows keep their real priority, and no row is dropped or
+    * mistyped. The oracle reconstructs the same split from `o_orderkey`
+    * parity, so it only matches if BOTH halves round-trip and the
+    * late-added column never bleeds into pre-evolution rows.
+    */
+  private def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    val orders = Tables.read(s, dir, "orders")
+    val pre = col("o_orderkey") % 2 === 0
+    store.load(
+      orders.where(pre).select("o_orderkey", "o_orderstatus", "o_totalprice"),
+      "tpch/orders_ev", externalKey = "v1")
+    store.load(
+      orders.where(!pre)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+      "tpch/orders_ev", externalKey = "v2")
+    store.get("tpch/orders_ev")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>")).as("priority"))
+      .agg(totalN.head, totalN.tail: _*)
+      .orderBy("priority")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qs01_store_roundtrip_idkey", roundtripIdKey _, Some("""
       SELECT CAST(floor(o_custkey / 1000) * 1000 AS BIGINT) AS cust_bucket,
@@ -303,6 +329,14 @@ object StoreQueries {
       FROM orders
       WHERE o_orderkey % 4 = 0 OR o_orderkey % 4 = 3
          OR (o_orderkey % 4 IN (1, 2) AND o_orderkey % 5 = 0)
-      ORDER BY o_orderkey, change"""))
+      ORDER BY o_orderkey, change""")),
+    QueryDef("qs10_store_schema_evolution", schemaEvolution _, Some("""
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+                  ELSE o_orderpriority END AS priority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM orders
+      GROUP BY 1
+      ORDER BY priority"""))
   )
 }

@@ -248,9 +248,17 @@ class OpsSpec extends SparkSpec {
         val root = find(x)
         x -> nodes.filter(find(_) == root).min
       }.toMap
-      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      // Both routes against the reference: the default cap takes the
+      // driver union-find, maxEdges=0 forces the alternating-star loop.
+      val routed = Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"trial $trial")
+      val distributed = Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+          smallGraphMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(routed == expected, s"trial $trial (routed)")
+      assert(distributed == expected, s"trial $trial (distributed)")
     }
   }
 
@@ -259,9 +267,21 @@ class OpsSpec extends SparkSpec {
     // 200-node chain: diameter 199 — min-label propagation would need
     // ~200 rounds, large-star/small-star must finish within maxIter=30.
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    // maxEdges=0: this test exists to prove STAR-ROUND convergence, so
+    // it must not route to the driver union-find.
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        smallGraphMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.size == 200 && comps.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents distributed path labels self-pair-only nodes too") {
+    import spark.implicits._
+    val pairs = Seq((1L, 1L), (2L, 3L), (7L, 7L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        smallGraphMaxEdges = 0L)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 2L), (7L, 7L)))
   }
 
   test("dedup pipeline is identical under a reliable checkpoint dir (qn15 pipeline)") {
@@ -1488,5 +1508,20 @@ class OpsSpec extends SparkSpec {
       (2, "click", 2L, Some(0.5)),      // u1, u4 (u2's click is too early)
       (3, "purchase", 1L, Some(0.5))),  // u1 only (u2 never validly clicked)
       s"got ${got.toSeq}")
+  }
+
+  test("rrfFuse: reciprocal-rank sums, single-list docs, rounded-score tie order") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val got = TextOps.rrfFuse(Seq(a, b), k = 4, c = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def rrf(rs: Int*) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 10 and 20 each appear at ranks {1,2} -> identical fused score;
+    // the tie breaks ascending by id. Single-list docs keep one term.
+    assert(got.toSeq == Seq(
+      (10L, 2L, rrf(1, 2)), (20L, 2L, rrf(1, 2)),
+      (30L, 1L, rrf(3)), (40L, 1L, rrf(3))), s"got ${got.toSeq}")
   }
 }

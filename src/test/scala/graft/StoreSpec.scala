@@ -43,6 +43,25 @@ class StoreSpec extends SparkSpec {
     assert(store.get("t", externalKey = Some("v1")).count() == 3)
   }
 
+  test("schema evolution: accumulate read unions late-added columns as nulls") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((1L, "a")).toDF("id", "tag"), "t", externalKey = "v1")
+    store.load(Seq((2L, "b", 9.5)).toDF("id", "tag", "score"), "t", externalKey = "v2")
+    val back = store.get("t")
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("id", "score", "tag"))
+    val rows = back.orderBy("id")
+      .select("id", "tag", "score")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // v1 rows surface the v2-only column as NULL; v2 keeps its value.
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", Some(9.5))))
+    // Per-version reads keep their own (sidecar-recorded) schema.
+    assert(store.get("t", externalKey = Some("v1")).columns.sorted.toSeq ==
+      Seq("id", "tag"))
+  }
+
   test("keep_last retains only the newest version") {
     val store = freshStore()
     store.load(sampleDf(), "t", externalKey = "v1")
