@@ -661,6 +661,62 @@ object Relational {
 
   // -------------------------------------------------------------- oracles
 
+  /** Pandas `df.describe()` parity: count / mean / std / min / quartiles
+    * / max for three lineitem measures, one row per column. ONE aggregate
+    * pass over the table (the 100 TB contract — describe must not scan
+    * once per column), then a `stack` unpivot of the 1-row result into
+    * the pandas row-per-column shape. Quartiles are exact interpolated
+    * percentiles (the q20 contract; approx_percentile is the q49 route
+    * at larger SFs); std is the SAMPLE deviation, matching both pandas
+    * and DuckDB defaults.
+    */
+  private def q58Describe(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        round(avg(col(c)), 4).as(s"${c}__mean"),
+        round(stddev(col(c)), 4).as(s"${c}__std"),
+        round(min(col(c)), 4).as(s"${c}__min"),
+        round(expr(s"percentile($c, 0.25D)"), 4).as(s"${c}__p25"),
+        round(expr(s"percentile($c, 0.5D)"), 4).as(s"${c}__p50"),
+        round(expr(s"percentile($c, 0.75D)"), 4).as(s"${c}__p75"),
+        round(max(col(c)), 4).as(s"${c}__max"))
+    }
+    val fields = Seq("n", "mean", "std", "min", "p25", "p50", "p75", "max")
+    t(s, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', " + fields.map(f => s"${c}__$f").mkString(", "))
+            .mkString(", ") +
+          s") AS (col_name, ${fields.mkString(", ")})"))
+      .orderBy("col_name")
+  }
+
+  /** Pandas `merge(..., indicator=True)` parity: full outer join of a
+    * customer subset against the distinct order custkeys, then counts
+    * per `_merge` disposition (left_only / right_only / both). The
+    * customer side drops every 3rd key so right_only is non-empty
+    * (TPC-H's FK would otherwise make the case vacuous).
+    */
+  private def q59MergeIndicator(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .where(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("custkey"), lit(1).as("__l"))
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").as("custkey")).distinct()
+      .withColumn("__r", lit(1))
+    c.join(o, Seq("custkey"), "full_outer")
+      .select(
+        when(col("__l").isNull, "right_only")
+          .when(col("__r").isNull, "left_only")
+          .otherwise("both").as("_merge"))
+      .groupBy("_merge")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("_merge")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_tpch_q1_agg", q01TpchQ1 _, Some("""
       SELECT l_returnflag, l_linestatus,
@@ -1036,6 +1092,47 @@ object Relational {
                         ELSE prev_v + (next_v - prev_v) * (pos - prev_p) / (next_p - prev_p)
                    END, 6) AS interp_price
       FROM n
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+    QueryDef("q58_describe", q58Describe _, Some("""
+      WITH s AS (SELECT
+        count(l_quantity) AS q_n, round(avg(l_quantity), 4) AS q_mean,
+        round(stddev(l_quantity), 4) AS q_std, round(min(l_quantity), 4) AS q_min,
+        round(quantile_cont(l_quantity, 0.25), 4) AS q_p25,
+        round(quantile_cont(l_quantity, 0.5), 4) AS q_p50,
+        round(quantile_cont(l_quantity, 0.75), 4) AS q_p75,
+        round(max(l_quantity), 4) AS q_max,
+        count(l_extendedprice) AS e_n, round(avg(l_extendedprice), 4) AS e_mean,
+        round(stddev(l_extendedprice), 4) AS e_std, round(min(l_extendedprice), 4) AS e_min,
+        round(quantile_cont(l_extendedprice, 0.25), 4) AS e_p25,
+        round(quantile_cont(l_extendedprice, 0.5), 4) AS e_p50,
+        round(quantile_cont(l_extendedprice, 0.75), 4) AS e_p75,
+        round(max(l_extendedprice), 4) AS e_max,
+        count(l_discount) AS d_n, round(avg(l_discount), 4) AS d_mean,
+        round(stddev(l_discount), 4) AS d_std, round(min(l_discount), 4) AS d_min,
+        round(quantile_cont(l_discount, 0.25), 4) AS d_p25,
+        round(quantile_cont(l_discount, 0.5), 4) AS d_p50,
+        round(quantile_cont(l_discount, 0.75), 4) AS d_p75,
+        round(max(l_discount), 4) AS d_max
+        FROM lineitem)
+      SELECT 'l_quantity' AS col_name, q_n AS n, q_mean AS mean, q_std AS std,
+             q_min AS min, q_p25 AS p25, q_p50 AS p50, q_p75 AS p75, q_max AS max
+      FROM s
+      UNION ALL
+      SELECT 'l_extendedprice', e_n, e_mean, e_std, e_min, e_p25, e_p50, e_p75, e_max
+      FROM s
+      UNION ALL
+      SELECT 'l_discount', d_n, d_mean, d_std, d_min, d_p25, d_p50, d_p75, d_max
+      FROM s
+      ORDER BY col_name""")),
+    QueryDef("q59_merge_indicator", q59MergeIndicator _, Some("""
+      WITH c AS (SELECT c_custkey AS custkey FROM customer WHERE c_custkey % 3 <> 0),
+      o AS (SELECT DISTINCT o_custkey AS custkey FROM orders)
+      SELECT CASE WHEN c.custkey IS NULL THEN 'right_only'
+                  WHEN o.custkey IS NULL THEN 'left_only'
+                  ELSE 'both' END AS _merge,
+             count(*) AS n
+      FROM c FULL OUTER JOIN o USING (custkey)
+      GROUP BY 1
+      ORDER BY _merge"""))
   )
 }
