@@ -330,6 +330,35 @@ object Mixture {
     docs.withColumn("split", label)
   }
 
+  /** Leakage-safe train/val/test split: [[hashSplit]] keyed on each
+    * row's duplicate-GROUP anchor (min `idCol` per `groupCol` value)
+    * instead of its own id, so every member of a dup group lands in the
+    * SAME split — the eval-integrity property a plain per-doc split
+    * violates (a train copy of a test doc is leakage, and near-dup
+    * corpora have many such pairs). `groupCol` is whatever dup key the
+    * pipeline trusts: a normalized-text hash (qn57), a MinHash
+    * component, a SemDeDup cell representative.
+    *
+    * Shape at scale: one min-aggregate on the group key + one join back
+    * on it — both linear, shuffled on the (skinny, usually 128-bit-hash)
+    * group key; the split label itself stays a per-row codegen
+    * expression. Incremental ingest caveat, documented as the contract:
+    * the anchor is the min id WITHIN THIS FRAME — a later batch
+    * introducing a smaller id for an existing group would re-anchor it,
+    * so incremental pipelines must persist (group, anchor) and reuse it
+    * (the [[graft.ops.Dedup.dedupIncremental]] state pattern).
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      salt: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val anchors = docs.groupBy(groupCol).agg(min(col(idCol)).as("__anchor"))
+    hashSplit(docs.join(anchors, groupCol), "__anchor", salt, splits)
+      .drop("__anchor")
+  }
+
   /** Per-source quality-quantile rank: `percent_rank` of `scoreCol`
     * WITHIN each source — the normalization a mixture sampler needs
     * before comparing quality across sources (absolute score scales are

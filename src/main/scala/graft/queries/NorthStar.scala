@@ -950,6 +950,24 @@ object NorthStar {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       .orderBy("source", "split")
 
+  /** Leakage-safe split: qn47's 80/10/10 hash split re-keyed on the
+    * normalized-text dup-group anchor (min doc_id per md5-of-normalized
+    * text), so exact/near-identical docs can never straddle train and
+    * test. n_groups counts distinct dup groups per cell; the leakage
+    * invariant itself (each group in exactly ONE split) is
+    * property-tested in MixtureSpec — here the oracle grades the full
+    * assignment arithmetic.
+    */
+  private def qLeakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    Mixture.leakageSafeSplit(
+        docs(s, dir).withColumn("__g",
+          md5(TextOps.normalizeForMatch(col("text")).cast("binary"))),
+        "doc_id", "__g", "graft",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("__g")).as("n_groups"))
+      .orderBy("source", "split")
+
   /** Per-source quality quantile: percent_rank of n_chars WITHIN each
     * source — the cross-source score normalization a mixture sampler
     * composes with qn39/qn44 (absolute quality scales are
@@ -2423,6 +2441,24 @@ object NorthStar {
                    round(sum(CAST(1.0 AS DOUBLE) / (60 + r)), 6) AS rrf
             FROM u GROUP BY id)
       SELECT id AS doc_id, n_lists, rrf FROM f
-      ORDER BY rrf DESC, doc_id LIMIT 10"""))
+      ORDER BY rrf DESC, doc_id LIMIT 10""")),
+    QueryDef("qn73_leakage_safe_split", qLeakageSafeSplit _, Some("""
+      WITH n AS (SELECT doc_id, source,
+                   md5(trim(regexp_replace(regexp_replace(
+                     lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS g
+                 FROM documents),
+      a AS (SELECT g, min(doc_id) AS anchor FROM n GROUP BY g),
+      s AS (SELECT n.doc_id, n.source, n.g,
+                   substr(md5('graft:' || CAST(a.anchor AS VARCHAR)), 1, 4) AS bk
+            FROM n JOIN a USING (g)),
+      l AS (SELECT source, g,
+                   CASE WHEN bk < 'cccc' THEN 'train'
+                        WHEN bk < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM s)
+      SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT g) AS BIGINT) AS n_groups
+      FROM l GROUP BY 1, 2
+      ORDER BY source, split"""))
   )
 }

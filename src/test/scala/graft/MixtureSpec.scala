@@ -166,4 +166,25 @@ class MixtureSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
+
+  test("leakageSafeSplit: groups never straddle splits; label = anchor's hashSplit") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // 60 groups of 1-4 members each; member ids interleave across groups
+    // so group min is NOT a contiguous range.
+    val docs = (0L until 150L).map(i => (i, s"g${i % 60}")).toDF("doc_id", "grp")
+    val got = Mixture.leakageSafeSplit(docs, "doc_id", "grp", "graft", splits)
+    assert(got.count() == 150)
+    // (a) each group lands in exactly one split
+    val perGroup = got.groupBy("grp")
+      .agg(countDistinct("split").as("n")).where(col("n") > 1).count()
+    assert(perGroup == 0L)
+    // (b) the shared label is precisely hashSplit of the group's min id
+    val anchors = docs.groupBy("grp").agg(min("doc_id").as("doc_id"))
+    val expected = Mixture.hashSplit(anchors, "doc_id", "graft", splits)
+      .select(col("grp"), col("split").as("exp_split"))
+    val mismatches = got.join(expected, "grp")
+      .where(col("split") =!= col("exp_split")).count()
+    assert(mismatches == 0L)
+  }
 }
