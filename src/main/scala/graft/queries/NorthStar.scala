@@ -1290,6 +1290,83 @@ object NorthStar {
       .orderBy("source")
   }
 
+  /** Topic-cluster balance audit: assign every embedding to its nearest
+    * of 8 DETERMINISTIC centroids (the vectors with vec_id 0–7 — pinned
+    * so the DuckDB oracle can replay the assignment; the production
+    * clustering path is [[Similarity]]'s seeded KMeans, whose centroids
+    * no SQL oracle can re-derive) and report per-cluster size, mean
+    * cosine-to-centroid, and majority-label purity. Plan shape: the 8
+    * normalized centroids broadcast onto one corpus scan (codegen dot
+    * per pair), per-vector argmax folds map-side in the `max(struct)`
+    * partial aggregate (all 8 candidate rows of a vector are produced in
+    * the same input partition, so the shuffle carries one row per
+    * vector), then two label/cluster-sized aggregates. Sims are rounded
+    * to 6dp before BOTH the argmax and the DECIMAL mean so every
+    * comparison is engine-deterministic. Scale: one pass over the
+    * corpus, shuffles bounded by |corpus| then |clusters×labels|.
+    */
+  private def qClusterBalance(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.dotD
+    val e = emb(s, dir)
+    val nv = Similarity.normalize(col("embedding").cast("array<double>"))
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster_id"), nv.as("cv"))
+    val assigned = e
+      .select(col("vec_id"), col("label"), nv.as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("cluster_id"),
+        round(dotD(col("v"), col("cv")), 6).as("sim"))
+      .groupBy("vec_id", "label")
+      .agg(max(struct(col("sim"), (-col("cluster_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("label"),
+        (-col("best.nc")).as("cluster_id"), col("best.sim").as("sim"))
+    val perLabel = assigned
+      .groupBy("cluster_id", "label")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("sim").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("ssim"))
+    perLabel
+      .groupBy("cluster_id")
+      .agg(
+        sum(col("cnt")).as("n"),
+        round(sum(col("ssim")).cast("double") / sum(col("cnt")), 4).as("avg_sim"),
+        max(struct(col("cnt"), (-col("label")).as("nl"))).as("top"))
+      .select(col("cluster_id"), col("n"), col("avg_sim"),
+        (-col("top.nl")).as("top_label"),
+        round(col("top.cnt") / col("n"), 6).as("top_label_share"))
+      .orderBy("cluster_id")
+  }
+
+  /** Embedding-health audit (the QA gate a pipeline runs BEFORE building
+    * any ANN index): per label — count, zero-norm vectors, NaN-bearing
+    * vectors, dimensionality drift (min/max length), and L2-norm
+    * spread. Pure per-row expressions (codegen fold for the norm) into
+    * one label-sized aggregate; norms round to 6dp and accumulate in
+    * DECIMAL so the mean is engine-exact. Scale: one scan, one tiny
+    * shuffle.
+    */
+  private def qEmbeddingHealth(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    emb(s, dir)
+      .select(col("label"), size(v).as("dim"),
+        round(norm, 6).as("norm"),
+        exists(v, x => isnan(x)).as("has_nan"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+        min("dim").cast("int").as("min_dim"),
+        max("dim").cast("int").as("max_dim"),
+        round(sum(col("norm").cast(d6)).cast("double") / count(lit(1)), 4)
+          .as("avg_norm"),
+        round(min("norm"), 4).as("min_norm"),
+        round(max("norm"), 4).as("max_norm"))
+      .orderBy("label")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2459,6 +2536,54 @@ object NorthStar {
       SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(count(DISTINCT g) AS BIGINT) AS n_groups
       FROM l GROUP BY 1, 2
-      ORDER BY source, split"""))
+      ORDER BY source, split""")),
+    QueryDef("qn74_cluster_balance", qClusterBalance _, Some("""
+      WITH c AS (
+        SELECT CAST(vec_id AS INT) AS cluster_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id, e.label, c.cluster_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS sim
+        FROM embeddings e, c),
+      best AS (
+        SELECT vec_id, label, cluster_id, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cluster_id) AS rk
+        FROM scored),
+      a AS (SELECT * FROM best WHERE rk = 1),
+      pl AS (
+        SELECT cluster_id, label, count(*) AS cnt,
+               sum(CAST(sim AS DECIMAL(18,6))) AS ssim
+        FROM a GROUP BY cluster_id, label),
+      cl AS (
+        SELECT cluster_id, CAST(sum(cnt) AS BIGINT) AS n,
+               round(CAST(sum(ssim) AS DOUBLE) / sum(cnt), 4) AS avg_sim
+        FROM pl GROUP BY cluster_id),
+      top AS (
+        SELECT cluster_id, label, cnt,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY cnt DESC, label) AS rk
+        FROM pl)
+      SELECT cl.cluster_id, cl.n, cl.avg_sim,
+             CAST(t.label AS INT) AS top_label,
+             round(t.cnt / cl.n, 6) AS top_label_share
+      FROM cl JOIN top t ON cl.cluster_id = t.cluster_id AND t.rk = 1
+      ORDER BY cl.cluster_id""")),
+    QueryDef("qn75_embedding_health", qEmbeddingHealth _, Some("""
+      WITH f AS (
+        SELECT label, len(embedding) AS dim,
+               round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS norm,
+               len(list_filter(embedding::DOUBLE[], x -> isnan(x))) > 0 AS has_nan
+        FROM embeddings)
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+             CAST(min(dim) AS INT) AS min_dim,
+             CAST(max(dim) AS INT) AS max_dim,
+             round(CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_norm,
+             round(min(norm), 4) AS min_norm,
+             round(max(norm), 4) AS max_norm
+      FROM f GROUP BY label
+      ORDER BY label"""))
   )
 }

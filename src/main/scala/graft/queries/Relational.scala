@@ -759,6 +759,156 @@ object Relational {
       .orderBy("_merge")
   }
 
+  /** Trailing-window weights `w^0 … w^(K-1)` for [[q60Ewma]], shared with
+    * its oracle so both engines evaluate the SAME double literals in the
+    * SAME left-to-right order (bit-identical before the final round).
+    */
+  private val EwmaW = 0.7
+  private val EwmaK = 8
+  private val ewmaWeights: Seq[Double] =
+    (0 until EwmaK).map(k => math.pow(EwmaW, k))
+
+  /** Pandas `ewm(alpha=0.3, adjusted=True).mean()` parity over each
+    * user's event-value series, truncated to the trailing K=8 rows:
+    * `y_i = Σ_{k<K} w^k·x_{i−k} / Σ_{k<K, i−k≥0} w^k` — the exact pandas
+    * adjusted formula restricted to an 8-term window (tail error ≤
+    * w^8 ≈ 5.8%·oldest-term, documented truncation). The unbounded
+    * recursion is not expressible as a deterministic cross-engine SQL
+    * program (running-product accumulators disagree in summation order);
+    * the explicit lag-sum IS — each term is a `lag(value, k)` over the
+    * per-user window, so the whole thing is one window pass, no
+    * self-join, and partitions by user_id exactly like every per-entity
+    * series op here (scale = one shuffle on user_id).
+    */
+  private def q60Ewma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val rn = row_number().over(w)
+    val num = ewmaWeights.zipWithIndex.map { case (wt, k) =>
+      val x = if (k == 0) col("value") else lag(col("value"), k).over(w)
+      when(rn > k, x * lit(wt)).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    val den = ewmaWeights.zipWithIndex.map { case (wt, k) =>
+      when(rn > k, lit(wt)).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    t(s, dir, "events")
+      .where(col("user_id") % 5 === 0)
+      .select(col("event_id"), col("user_id"),
+        round(num / den, 6).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Pandas `cut` (10 equal-width bins over the data range) × `qcut`
+    * (4 quantile bins) on order totals, reported as a joint histogram.
+    * Equal-width edges come from one min/max aggregate broadcast back
+    * onto the scan (no collect); `ntile` is the qcut — a global-order
+    * window, which is the one inherently total-order piece (at 100 TB
+    * the q49 `approx_percentile` edges + a stateless bucket expression
+    * replace it; this is the exact contract).
+    */
+  private def q61Binning(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val b = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+    val binW = (col("mx") - col("mn")) / lit(10.0)
+    val cutBin = least(floor((col("o_totalprice") - col("mn")) / binW), lit(9.0))
+      .cast("int")
+    val qcutBin = (ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")) - 1)
+    o.crossJoin(broadcast(b))
+      .select(col("o_totalprice"), cutBin.as("cut_bin"), qcutBin.as("qcut_bin"))
+      .groupBy("cut_bin", "qcut_bin")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("cut_bin", "qcut_bin")
+  }
+
+  /** Pandas `get_dummies` parity: one-hot indicator columns for the five
+    * market segments. Static category list → pure per-row projection
+    * (no shuffle, no pivot scan for distinct values); a dynamic-category
+    * caller uses q32's pivot with an explicit `values` list for the same
+    * single-pass plan.
+    */
+  private def q62OneHot(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val inds = segs.map(g =>
+      when(col("c_mktsegment") === g, 1).otherwise(0)
+        .as("seg_" + g.toLowerCase))
+    t(s, dir, "customer")
+      .where(col("c_custkey") <= 500)
+      .select(col("c_custkey") +: inds: _*)
+      .orderBy("c_custkey")
+  }
+
+  /** Pandas `value_counts(normalize=True)` parity on event types: count
+    * + global share, descending. The total is a 1-row aggregate
+    * broadcast onto the 5-row grouped result.
+    */
+  private def q63ValueCounts(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val total = e.agg(count(lit(1)).as("total"))
+    e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("n"),
+        round(col("n") / col("total"), 6).as("share"))
+      .orderBy(col("n").desc, col("event_type"))
+  }
+
+  /** Pandas `rank(method=…)` parity — all four methods in one window
+    * pass over a tie-heavy column (integer quantities): `average` (the
+    * pandas default; min-rank + (ties−1)/2), `min` (SQL `rank`),
+    * `dense`, `first` (row_number with the appearance-order tiebreak).
+    * The partkey filter keeps the graded output small; the global-order
+    * window is the rank contract itself.
+    */
+  private def q64RankMethods(s: SparkSession, dir: String): DataFrame = {
+    val byQty = Window.orderBy("l_quantity")
+    val stable = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    val ties = Window.partitionBy("l_quantity")
+    t(s, dir, "lineitem")
+      .where(col("l_partkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        (rank().over(byQty) + (count(lit(1)).over(ties) - 1) / lit(2.0))
+          .as("r_avg"),
+        rank().over(byQty).as("r_min"),
+        dense_rank().over(byQty).as("r_dense"),
+        row_number().over(stable).as("r_first"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Pandas `diff()` + `pct_change()` parity over per-type daily value
+    * sums. Daily sums run in DECIMAL(18,4) (exact — double summation
+    * order differs across engines) and only the differenced results
+    * round back to double. One aggregate + one per-type window.
+    */
+  private def q65PctChange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val prev = lag(col("v"), 1).over(w)
+    t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("v"))
+      .select(col("event_type"), col("day"),
+        col("v").cast("double").as("day_value"),
+        round((col("v") - prev).cast("double"), 4).as("diff"),
+        round((col("v") - prev).cast("double") / prev.cast("double"), 6)
+          .as("pct_change"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Pandas `groupby.sample(n=5, random_state=…)` parity, made
+    * engine-reproducible: the "random" order is md5(doc_id) — a
+    * deterministic pseudo-random permutation both engines compute
+    * identically — and each source keeps its first 5. One window pass
+    * partitioned by source; no sort of anything but the per-group
+    * candidate sets.
+    */
+  private def q66GroupSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), row_number().over(w).as("rn"))
+      .where(col("rn") <= 5)
+      .orderBy("source", "rn")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_tpch_q1_agg", q01TpchQ1 _, Some("""
       SELECT l_returnflag, l_linestatus,
@@ -1175,6 +1325,84 @@ object Relational {
              count(*) AS n
       FROM c FULL OUTER JOIN o USING (custkey)
       GROUP BY 1
-      ORDER BY _merge"""))
+      ORDER BY _merge""")),
+    QueryDef("q60_ewma", q60Ewma _, Some(s"""
+      WITH b AS (
+        SELECT event_id, user_id, value, row_number() OVER w AS rn,
+               ${(1 until EwmaK).map(k => s"lag(value, $k) OVER w AS x$k").mkString(", ")}
+        FROM events WHERE user_id % 5 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_id, user_id,
+             round((${
+      ewmaWeights.zipWithIndex.map { case (wt, k) =>
+        val x = if (k == 0) "value" else s"x$k"
+        s"CASE WHEN rn > $k THEN $x * $wt ELSE 0.0 END"
+      }.mkString(" + ")})
+             / (${
+      ewmaWeights.zipWithIndex.map { case (wt, k) =>
+        s"CASE WHEN rn > $k THEN CAST($wt AS DOUBLE) ELSE 0.0 END"
+      }.mkString(" + ")}), 6) AS ewma
+      FROM b ORDER BY user_id, event_id""")),
+    QueryDef("q61_binning", q61Binning _, Some("""
+      WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+      t AS (
+        SELECT o_totalprice,
+               CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10.0)), 9.0) AS INT) AS cut_bin,
+               CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS INT) AS qcut_bin
+        FROM orders, b)
+      SELECT cut_bin, qcut_bin, count(*) AS n,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi
+      FROM t GROUP BY cut_bin, qcut_bin
+      ORDER BY cut_bin, qcut_bin""")),
+    QueryDef("q62_one_hot", q62OneHot _, Some("""
+      SELECT c_custkey,
+             CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS INT) AS seg_automobile,
+             CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS INT) AS seg_building,
+             CAST(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS INT) AS seg_furniture,
+             CAST(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS INT) AS seg_household,
+             CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS INT) AS seg_machinery
+      FROM customer WHERE c_custkey <= 500
+      ORDER BY c_custkey""")),
+    QueryDef("q63_value_counts", q63ValueCounts _, Some("""
+      WITH tot AS (SELECT count(*) AS total FROM events)
+      SELECT event_type, count(*) AS n,
+             round(count(*) / total, 6) AS share
+      FROM events, tot
+      GROUP BY event_type, total
+      ORDER BY n DESC, event_type""")),
+    QueryDef("q64_rank_methods", q64RankMethods _, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             rank() OVER q + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS r_avg,
+             CAST(rank() OVER q AS INT) AS r_min,
+             CAST(dense_rank() OVER q AS INT) AS r_dense,
+             CAST(row_number() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS INT) AS r_first
+      FROM lineitem WHERE l_partkey % 100 = 0
+      WINDOW q AS (ORDER BY l_quantity)
+      ORDER BY l_orderkey, l_linenumber""")),
+    QueryDef("q65_pct_change", q65PctChange _, Some("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               sum(CAST(value AS DECIMAL(18,4))) AS v
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      l AS (
+        SELECT event_type, day, v,
+               lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        FROM d)
+      SELECT event_type, day,
+             CAST(v AS DOUBLE) AS day_value,
+             round(CAST(v - prev AS DOUBLE), 4) AS diff,
+             round(CAST(v - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6) AS pct_change
+      FROM l
+      ORDER BY event_type, day""")),
+    QueryDef("q66_group_sample", q66GroupSample _, Some("""
+      WITH r AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+        FROM documents)
+      SELECT doc_id, source, rn FROM r
+      WHERE rn <= 5
+      ORDER BY source, rn"""))
   )
 }
