@@ -909,6 +909,44 @@ object Relational {
       .orderBy("source", "rn")
   }
 
+  /** Pandas `rolling(30).corr()` parity: 30-day rolling Pearson
+    * correlation between the daily click and purchase value totals
+    * (absent days count 0, full windows only — `min_periods=30`).
+    * Cross-engine float discipline: every windowed Σ (x, y, xy, x², y²)
+    * accumulates in exact DECIMAL — double sums would disagree with the
+    * oracle in summation order — and only the five completed sums cast
+    * to double for the closed-form corr, whose identical expression
+    * tree is then bit-deterministic in both engines. One aggregate +
+    * one single-series window; at scale the series is
+    * days×types-sized, i.e. metadata relative to the event log.
+    */
+  private def q67RollingCorr(s: SparkSession, dir: String): DataFrame = {
+    val d124 = DecimalType(12, 4)
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "click",
+          col("value").cast(d124))), lit(0).cast(d124)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          col("value").cast(d124))), lit(0).cast(d124)).as("y"))
+    val w = Window.orderBy("day").rowsBetween(-29, 0)
+    def s2d(c: Column) = sum(c).over(w).cast("double")
+    val (sx, sy) = (s2d(col("x")), s2d(col("y")))
+    val (sxy, sxx, syy) =
+      (s2d(col("x") * col("y")), s2d(col("x") * col("x")), s2d(col("y") * col("y")))
+    val n = count(lit(1)).over(w).cast("double")
+    val corr = (n * sxy - sx * sy) /
+      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    daily
+      .select(col("day"), col("x").cast("double").as("click_total"),
+        col("y").cast("double").as("purchase_total"),
+        row_number().over(Window.orderBy("day")).as("rn"),
+        round(corr, 6).as("corr_30d"))
+      .where(col("rn") >= 30)
+      .drop("rn")
+      .orderBy("day")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_tpch_q1_agg", q01TpchQ1 _, Some("""
       SELECT l_returnflag, l_linestatus,
@@ -1403,6 +1441,34 @@ object Relational {
         FROM documents)
       SELECT doc_id, source, rn FROM r
       WHERE rn <= 5
-      ORDER BY source, rn"""))
+      ORDER BY source, rn""")),
+    QueryDef("q67_rolling_corr", q67RollingCorr _, Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               coalesce(sum(CASE WHEN event_type = 'click'
+                                 THEN CAST(value AS DECIMAL(12,4)) END),
+                        CAST(0 AS DECIMAL(12,4))) AS x,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(value AS DECIMAL(12,4)) END),
+                        CAST(0 AS DECIMAL(12,4))) AS y
+        FROM events GROUP BY CAST(ts AS DATE)),
+      r AS (
+        SELECT day, x, y,
+               CAST(sum(x) OVER w AS DOUBLE) AS sx,
+               CAST(sum(y) OVER w AS DOUBLE) AS sy,
+               CAST(sum(x * y) OVER w AS DOUBLE) AS sxy,
+               CAST(sum(x * x) OVER w AS DOUBLE) AS sxx,
+               CAST(sum(y * y) OVER w AS DOUBLE) AS syy,
+               CAST(count(*) OVER w AS DOUBLE) AS n,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+      SELECT day,
+             CAST(x AS DOUBLE) AS click_total,
+             CAST(y AS DOUBLE) AS purchase_total,
+             round((n * sxy - sx * sy)
+                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_30d
+      FROM r WHERE rn >= 30
+      ORDER BY day"""))
   )
 }

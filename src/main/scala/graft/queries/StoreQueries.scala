@@ -244,6 +244,28 @@ object StoreQueries {
       .orderBy("priority")
   }
 
+  /** ORC interchange round-trip: load orders into a versioned table,
+    * export the `use_last` selection as chunked ORC, re-import from ORC
+    * file metadata alone (no schema inference), and aggregate the
+    * REIMPORT — the oracle (plain SQL over the original parquet)
+    * matches only if store versioning, the ORC writer, and the
+    * metadata-driven reader are jointly lossless. Complements the
+    * gzip-CSV compat path (qs05 exercises the store tree; StoreSpec
+    * exercises CSV): CSV is the reference's wire format, ORC is the
+    * type-preserving warehouse interchange.
+    */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    store.load(Tables.read(s, dir, "orders"), "tpch/orders_orc",
+      Map("o_custkey" -> Store.KeyId))
+    val out = graft.TempDirs.create("graft_orc_")
+    store.exportOrc("tpch/orders_orc", out, useLast = true)
+    store.importOrc(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(totalN.head, totalN.tail: _*)
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qs01_store_roundtrip_idkey", roundtripIdKey _, Some("""
       SELECT CAST(floor(o_custkey / 1000) * 1000 AS BIGINT) AS cust_bucket,
@@ -337,6 +359,13 @@ object StoreQueries {
              count(*) AS n
       FROM orders
       GROUP BY 1
-      ORDER BY priority"""))
+      ORDER BY priority""")),
+    QueryDef("qs11_store_orc_roundtrip", orcRoundtrip _, Some("""
+      SELECT o_orderpriority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
   )
 }

@@ -1283,6 +1283,27 @@ final class Store(
   def importCsvGz(dir: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
 
+  /** Columnar ORC export with the same version-selection semantics as
+    * [[get]] and the same 100K-row chunking contract as the gzip-CSV
+    * path. Where CSV is the reference's lossy wire-compat format, ORC
+    * is the TYPE-PRESERVING interchange path for ORC-native warehouses
+    * (Hive/Trino): schema travels in file metadata, so [[importOrc]]
+    * reads back bit-identical columns with no inference step.
+    */
+  def exportOrc(
+      name: String,
+      outDir: String,
+      externalKey: Option[String] = None,
+      useLast: Boolean = false,
+      maxRecords: Long = 100000L): Unit =
+    get(name, externalKey, useLast).write
+      .option("maxRecordsPerFile", maxRecords)
+      .mode(SaveMode.Overwrite)
+      .orc(outDir)
+
+  /** Re-import an ORC export (schema from ORC metadata — lossless). */
+  def importOrc(dir: String): DataFrame = spark.read.orc(dir)
+
   // ------------------------------------------------------------- helpers
 
   /** A table may not live inside another table's directory (reading the

@@ -133,6 +133,37 @@ class ParitySpec extends SparkSpec {
       "sample not deterministic across reruns")
   }
 
+  test("q67 rolling corr matches a driver-side recomputation") {
+    val got = q("q67_rolling_corr").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Double]("corr_30d"))
+      .toMap
+    assert(got.nonEmpty)
+    // Brute recomputation of the same contract from the raw events.
+    val daily = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", col("value"))).as("x"),
+        sum(when(col("event_type") === "purchase", col("value"))).as("y"))
+      .orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        Option(r.get(1)).fold(0.0)(_.toString.toDouble),
+        Option(r.get(2)).fold(0.0)(_.toString.toDouble)))
+    daily.indices.drop(29).foreach { i =>
+      val win = daily.slice(i - 29, i + 1)
+      val n = win.length.toDouble
+      val (sx, sy) = (win.map(_._2).sum, win.map(_._3).sum)
+      val sxy = win.map(t => t._2 * t._3).sum
+      val sxx = win.map(t => t._2 * t._2).sum
+      val syy = win.map(t => t._3 * t._3).sum
+      val c = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val day = daily(i)._1
+      val g = got(day)
+      if (!c.isNaN)
+        assert(math.abs(g - c) < 1e-4, s"$day: got $g, brute $c")
+    }
+  }
+
   test("qn74 cluster balance: assignment conserves the corpus; centroids self-assign") {
     val rows = q("qn74_cluster_balance").collect()
     val corpus = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet").count()

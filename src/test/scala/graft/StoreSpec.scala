@@ -181,6 +181,31 @@ class StoreSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq == Seq("date", "id", "tag", "value"))
   }
 
+  test("orc export/import is lossless: exact schema, values, nulls, chunking") {
+    import spark.implicits._
+    val store = freshStore()
+    val df = Seq(
+      (1L, Some(1.5), "a", Some(java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))),
+      (2L, None, null, None),
+      (3L, Some(-0.25), "c", Some(java.sql.Timestamp.valueOf("1999-12-31 23:59:59"))))
+      .toDF("id", "v", "tag", "ts")
+    store.load(df, "t_orc", externalKey = "v1")
+    val out = Files.createTempDirectory("graft_orc_t_").toString
+    store.exportOrc("t_orc", out, useLast = true, maxRecords = 1)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".orc"))
+    assert(files.length >= 3, "maxRecords=1 should chunk into one file per row")
+    val back = store.importOrc(out)
+    // Unlike the CSV compat path, ORC must preserve the exact schema
+    // (no inference) and every value, including nulls and timestamps.
+    val expectCols = store.get("t_orc", useLast = true).schema
+      .fields.map(f => f.name -> f.dataType).toMap
+    assert(back.schema.fields.map(f => f.name -> f.dataType).toMap == expectCols)
+    val got = back.orderBy("id").collect().map(_.toSeq).toSeq
+    val want = store.get("t_orc", useLast = true).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   test("custom expressions registered as SQL functions") {
     org.apache.spark.sql.graft.GraftFunctionRegistry.register(spark)
     val r = spark.sql(
