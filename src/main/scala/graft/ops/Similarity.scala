@@ -125,6 +125,46 @@ object Similarity {
   def normalize(v: Column): Column =
     graft.functions.VectorExpressions.l2Normalize(v)
 
+  /** Nearest-centroid assignment: every corpus vector → the centroid
+    * with the highest cosine (ties → lowest centroid id). The building
+    * block of centroid-style clustering audits (qn74) and any
+    * "label by prototype" pipeline step: `centroids` is assumed
+    * metadata-scale (it broadcasts whole), so the plan is one corpus
+    * scan × broadcast with a codegen dot per pair, and the per-vector
+    * argmax folds MAP-SIDE in the `max(struct)` partial aggregate —
+    * all |centroids| candidate rows of a vector are emitted by the same
+    * input partition, so the shuffle carries one row per vector
+    * regardless of K. Sims are rounded to 6dp before the argmax so the
+    * choice is engine-deterministic under reordering.
+    *
+    * @param carry corpus columns to carry through unchanged (they join
+    *              the aggregate key; keep them functionally dependent
+    *              on `idCol` — e.g. a label — or rows will split).
+    */
+  def assignToCentroids(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidIdCol: String,
+      centroidVecCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    import graft.functions.VectorExpressions.dotD
+    val c = centroids.select(col(centroidIdCol).cast("int").as("__cid"),
+      normalize(asDouble(col(centroidVecCol))).as("__cv"))
+    val keys = col(idCol) +: carry.map(col)
+    corpus
+      .select((col(idCol) +: carry.map(col) :+
+        normalize(asDouble(col(vecCol))).as("__v")): _*)
+      .crossJoin(broadcast(c))
+      .select((keys :+ col("__cid") :+
+        round(dotD(col("__v"), col("__cv")), 6).as("__sim")): _*)
+      .groupBy(keys: _*)
+      .agg(max(struct(col("__sim"), (-col("__cid")).as("nc"))).as("best"))
+      .select((keys :+ (-col("best.nc")).as("cluster_id") :+
+        col("best.__sim").as("sim")): _*)
+  }
+
   /** Exact top-k neighbors for each query vector (brute force, broadcast
     * queries). Excludes self-matches on id equality.
     */

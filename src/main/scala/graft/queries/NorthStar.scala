@@ -1306,20 +1306,13 @@ object NorthStar {
     * corpus, shuffles bounded by |corpus| then |clusters×labels|.
     */
   private def qClusterBalance(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorExpressions.dotD
     val e = emb(s, dir)
-    val nv = Similarity.normalize(col("embedding").cast("array<double>"))
-    val cents = e.where(col("vec_id") < 8)
-      .select(col("vec_id").cast("int").as("cluster_id"), nv.as("cv"))
-    val assigned = e
-      .select(col("vec_id"), col("label"), nv.as("v"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("label"), col("cluster_id"),
-        round(dotD(col("v"), col("cv")), 6).as("sim"))
-      .groupBy("vec_id", "label")
-      .agg(max(struct(col("sim"), (-col("cluster_id")).as("nc"))).as("best"))
-      .select(col("vec_id"), col("label"),
-        (-col("best.nc")).as("cluster_id"), col("best.sim").as("sim"))
+    val assigned = Similarity.assignToCentroids(
+      e,
+      e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cluster_id"), col("embedding")),
+      "vec_id", "embedding", "cluster_id", "embedding",
+      carry = Seq("label"))
     val perLabel = assigned
       .groupBy("cluster_id", "label")
       .agg(count(lit(1)).as("cnt"),

@@ -163,6 +163,15 @@ object ScaleBench {
         Similarity.knnLabelAgreement(
           emb.where(pmod(col("vec_id"), lit(5)) === 0), emb,
           "vec_id", "embedding", "label").count())
+      ops("qn74_centroid_assign") = timed(
+        // Broadcast-K nearest-centroid assignment: one corpus scan, the
+        // argmax folds map-side, shuffle carries one row per vector —
+        // wall should track the scan at any K that broadcasts.
+        Similarity.assignToCentroids(emb,
+          emb.where(col("vec_id") < 8)
+            .select(col("vec_id").as("cluster_id"), col("embedding")),
+          "vec_id", "embedding", "cluster_id", "embedding",
+          carry = Seq("label")).count())
       ops("qn61_label_outliers") = timed(
         // Bounded-heap bottom-k per label: one narrow centroid shuffle +
         // heap partials; wall should track the scan.

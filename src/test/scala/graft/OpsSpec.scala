@@ -555,6 +555,30 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("assignToCentroids: nearest wins, ties break to lowest id, carry survives") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0f), "a"),     // exactly centroid 0's direction
+      (11L, Array(0f, 1.0f), "b"),     // exactly centroid 1's direction
+      (12L, Array(1.0f, 1.0f), "c"),   // equidistant -> tie -> centroid 0
+      (13L, Array(-0.9f, -0.1f), "d")) // closest to neither, argmax still total
+      .toDF("vec_id", "embedding", "tag")
+    val cents = Seq((0, Array(1.0f, 0f)), (1, Array(0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val out = Similarity.assignToCentroids(corpus, cents,
+      "vec_id", "embedding", "cid", "cvec", carry = Seq("tag"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("tag"),
+        r.getAs[Int]("cluster_id"), r.getAs[Double]("sim")))
+    assert(out(0) == ((10L, "a", 0, 1.0)))
+    assert(out(1) == ((11L, "b", 1, 1.0)))
+    assert(out(2)._3 == 0 && math.abs(out(2)._4 - math.sqrt(0.5)) < 1e-4,
+      s"tie must break to centroid 0: ${out(2)}")
+    assert(out(3)._1 == 13L && out(3)._3 == 1,
+      s"-0.9,-0.1 is least-negative against centroid 1: ${out(3)}")
+    assert(out.length == 4, "every corpus row assigned exactly once")
+  }
+
   test("langId spots stopword-marked languages and CJK") {
     import spark.implicits._
     val df = Seq(
