@@ -165,6 +165,38 @@ object Similarity {
         col("best.__sim").as("sim")): _*)
   }
 
+  /** Embedding-health audit — the QA gate a pipeline runs BEFORE
+    * building any ANN index: per `byCol` group, the counts of zero-norm
+    * and NaN-bearing vectors, dimensionality drift (min/max length),
+    * and the L2-norm spread. Pure per-row expressions (codegen fold for
+    * the norm) into one group-sized aggregate; norms round to 6dp and
+    * accumulate in DECIMAL so the mean is order-insensitive-exact.
+    * Every aggregate here is streaming-compatible, so the SAME
+    * expressions serve the batch query (qn74's sibling qn75) and
+    * [[graft.streaming.DocStreams.embeddingHealthTotals]] — batch ≡
+    * stream is asserted in StreamingSpec. Output is unordered (callers
+    * sort; streaming can't).
+    */
+  def embeddingHealth(df: DataFrame, vecCol: String, byCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    df.select(col(byCol), size(v).as("dim"),
+      round(norm, 6).as("norm"),
+      exists(v, x => isnan(x)).as("has_nan"))
+      .groupBy(byCol)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+        min("dim").cast("int").as("min_dim"),
+        max("dim").cast("int").as("max_dim"),
+        round(sum(col("norm").cast(d6)).cast("double") / count(lit(1)), 4)
+          .as("avg_norm"),
+        round(min("norm"), 4).as("min_norm"),
+        round(max("norm"), 4).as("max_norm"))
+  }
+
   /** Exact top-k neighbors for each query vector (brute force, broadcast
     * queries). Excludes self-matches on id equality.
     */

@@ -1338,27 +1338,9 @@ object NorthStar {
     * DECIMAL so the mean is engine-exact. Scale: one scan, one tiny
     * shuffle.
     */
-  private def qEmbeddingHealth(s: SparkSession, dir: String): DataFrame = {
-    val v = col("embedding").cast("array<double>")
-    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
-    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    emb(s, dir)
-      .select(col("label"), size(v).as("dim"),
-        round(norm, 6).as("norm"),
-        exists(v, x => isnan(x)).as("has_nan"))
-      .groupBy("label")
-      .agg(
-        count(lit(1)).as("n"),
-        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
-        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
-        min("dim").cast("int").as("min_dim"),
-        max("dim").cast("int").as("max_dim"),
-        round(sum(col("norm").cast(d6)).cast("double") / count(lit(1)), 4)
-          .as("avg_norm"),
-        round(min("norm"), 4).as("min_norm"),
-        round(max("norm"), 4).as("max_norm"))
+  private def qEmbeddingHealth(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingHealth(emb(s, dir), "embedding", "label")
       .orderBy("label")
-  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""

@@ -66,6 +66,28 @@ object DocStreams {
   def qualityFiltered(docs: DataFrame): DataFrame =
     docs.where(TextOps.qualityRules(col("text")).keep)
 
+  /** Embedding batches as they land from an encoder job. */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+    StructField("label", org.apache.spark.sql.types.IntegerType)))
+
+  /** Open an embeddings parquet directory as a stream. */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embSchema).parquet(dir)
+
+  /** Running per-label embedding-health totals — the streaming form of
+    * the batch audit (qn75): an encoder regression (NaNs, zero vectors,
+    * a dimension change after a model swap) surfaces while the batch
+    * that caused it is still landing, not at the next index build.
+    * Same expressions as [[graft.ops.Similarity.embeddingHealth]]
+    * (batch ≡ stream asserted in StreamingSpec); state is labels-sized;
+    * complete-mode output.
+    */
+  def embeddingHealthTotals(embs: DataFrame): DataFrame =
+    graft.ops.Similarity.embeddingHealth(embs, "embedding", "label")
+
   /** One band-bucket row of the near-dup alert stream: a doc's MinHash
     * signature keyed by one of its LSH band hashes.
     */

@@ -101,6 +101,41 @@ class StreamingSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("streaming embedding health totals == batch audit, including a poisoned batch") {
+    import graft.streaming.DocStreams
+    // Land two encoder batches: the clean fixture and a poisoned file
+    // (one NaN vector, one zero vector, one short vector).
+    val dir = java.nio.file.Paths.get(TempDirs.create("graft_stream_emb_"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/embeddings.parquet"),
+      dir.resolve("b0.parquet"))
+    import spark.implicits._
+    val dim = 8
+    Seq(
+      (900001L, Array.fill(dim)(Float.NaN), 99),
+      (900002L, Array.fill(dim)(0.0f), 99),
+      (900003L, Array.fill(dim - 3)(1.0f), 99))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(dir.resolve("b1_staged").toString)
+    java.nio.file.Files.list(dir.resolve("b1_staged")).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p, dir.resolve("b1.parquet"))
+    }
+    val streamed = EventStreams.runToMemory(spark,
+      DocStreams.embeddingHealthTotals(DocStreams.readEmbeddings(spark, dir.toString)),
+      "t_embhealth", OutputMode.Complete())
+    val batch = graft.ops.Similarity.embeddingHealth(
+      Tables.read(spark, sf(), "embeddings").unionByName(
+        spark.read.parquet(dir.resolve("b1.parquet").toString)),
+      "embedding", "label")
+    assert(streamed.orderBy("label").collect().toSeq ==
+      batch.orderBy("label").collect().toSeq)
+    val bad = streamed.where(col("label") === 99).head()
+    assert(bad.getAs[Long]("n_nan") == 1 && bad.getAs[Long]("n_zero") == 1
+      && bad.getAs[Int]("min_dim") == dim - 3,
+      s"poisoned batch not surfaced: $bad")
+  }
+
   test("stream-stream interval join matches batch range join") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     val streamed = EventStreams.runToMemory(spark,
