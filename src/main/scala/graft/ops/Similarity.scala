@@ -694,7 +694,7 @@ object Similarity {
     * non-file sources fall back to a count() job (column-pruned, but
     * still an extra stage over a 100 TB corpus).
     */
-  private def fitCells(
+  private[ops] def fitCells(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.Tables
-import graft.ops.{Dedup, Mixture, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Mixture, Multimodal, Similarity, TextOps, VectorIndex}
 
 /** North-star LLM-pipeline operators (BASELINE.json): dedup at every
   * fuzziness level, embedding similarity search, text analysis, and
@@ -1342,6 +1342,28 @@ object NorthStar {
     Similarity.embeddingHealth(emb(s, dir), "embedding", "label")
       .orderBy("label")
 
+  /** ANN index lifecycle graded as an EXACT contract: build an IVF
+    * index over the corpus, persist it into a versioned store
+    * ([[VectorIndex.buildIvf]] — centroids + cell-partitioned
+    * assignments), then serve top-5 for 8 queries from the PERSISTED
+    * artifact with every cell probed. At full probes IVF is exactly
+    * brute force, so the oracle is the qn09 exact SQL — it matches
+    * only if fit→persist→reload→probe→re-rank is jointly lossless.
+    * The default-nProbe recall/pruning story is qn12's; what this row
+    * grades is the index's storage lifecycle.
+    */
+  private def qIndexPersist(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // idBucketWidth = 1: one partition directory per IVF cell, so a
+    // probe's IN filter prunes to exactly the probed cells' files.
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_vecidx_"),
+      idBucketWidth = 1L)
+    val (nl, _) = VectorIndex.buildIvf(store, e, "vec_id", "embedding", "idx/emb")
+    VectorIndex.searchIvf(store, "idx/emb", e.where(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5, nProbe = nl)
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2544,6 +2566,19 @@ object NorthStar {
              round(t.cnt / cl.n, 6) AS top_label_share
       FROM cl JOIN top t ON cl.cluster_id = t.cluster_id AND t.rk = 1
       ORDER BY cl.cluster_id""")),
+    QueryDef("qn76_index_persist", qIndexPersist _, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      scored AS (SELECT q.query_id, e.vec_id,
+                        round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS sim
+                 FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, vec_id, sim,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+                 FROM scored)
+      SELECT query_id, vec_id, sim, rank FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank""")),
     QueryDef("qn75_embedding_health", qEmbeddingHealth _, Some("""
       WITH f AS (
         SELECT label, len(embedding) AS dim,

@@ -579,6 +579,36 @@ class OpsSpec extends SparkSpec {
     assert(out.length == 4, "every corpus row assigned exactly once")
   }
 
+  test("VectorIndex: persisted IVF at full probes == brute force; versions select") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val store = new graft.store.Store(spark,
+      TempDirs.create("graft_vecidx_t_"), idBucketWidth = 1L)
+    val (nl, n) = graft.ops.VectorIndex.buildIvf(
+      store, emb, "vec_id", "embedding", "idx", externalKey = "v1")
+    assert(n == emb.count() && nl > 1)
+    val queries = emb.where(col("vec_id") < 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("sim"), r.getAs[Int]("rank"))).toSeq
+    val want = canon(Similarity.topKPerQuery(emb, queries, "vec_id", "embedding", k = 4))
+    // Full probes: the persisted index must reproduce brute force exactly.
+    assert(canon(graft.ops.VectorIndex.searchIvf(store, "idx", queries,
+      "vec_id", "embedding", k = 4, nProbe = nl)) == want)
+    // Rebuild over a shrunk corpus as v2: use_last serves the new index,
+    // an explicit externalKey still serves the old one (index rollback).
+    graft.ops.VectorIndex.buildIvf(store, emb.where(col("vec_id") < 100),
+      "vec_id", "embedding", "idx", externalKey = "v2")
+    val v2 = graft.ops.VectorIndex.searchIvf(store, "idx", queries,
+      "vec_id", "embedding", k = 4, nProbe = 1 << 20)
+    assert(v2.select("vec_id").collect().forall(_.getLong(0) < 100),
+      "use_last search must hit the v2 (shrunk) index")
+    assert(canon(graft.ops.VectorIndex.searchIvf(store, "idx", queries,
+      "vec_id", "embedding", k = 4, nProbe = 1 << 20,
+      externalKey = Some("v1"), useLast = false)) == want,
+      "externalKey must roll back to the v1 index")
+  }
+
   test("langId spots stopword-marked languages and CJK") {
     import spark.implicits._
     val df = Seq(
