@@ -1364,6 +1364,37 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** Dataset card: the one-row-per-source summary a pipeline PUBLISHES
+    * with a training corpus — size (docs/tokens/median length), language
+    * mix, exact-duplicate rate (share of docs that are a non-anchor copy
+    * of their normalized-text group, qn57's canonicalization), and the
+    * qn18 quality-rule pass rate. Pure per-row expressions + one
+    * group-anchor aggregate + one source-sized aggregate; the exact
+    * per-source median uses Spark's `percentile` (group-sized value
+    * maps — at 100 TB swap in the q49 `approx_percentile` route).
+    */
+  private def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(
+      col("doc_id"), col("source"), col("lang"),
+      TextOps.tokenCount(col("text")).cast("long").as("toks"),
+      md5(TextOps.normalizeForMatch(col("text")).cast("binary")).as("g"),
+      TextOps.qualityRules(col("text")).keep.as("q"))
+    val anchors = base.groupBy("g").agg(min("doc_id").as("anchor"))
+    base.join(anchors, "g")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        round(expr("percentile(toks, 0.5)"), 1).as("p50_tokens"),
+        round(sum(when(col("lang") === "en", 1L).otherwise(0L)) / count(lit(1)), 4)
+          .as("pct_en"),
+        round(sum(when(col("doc_id") =!= col("anchor"), 1L).otherwise(0L))
+          / count(lit(1)), 4).as("dup_rate"),
+        round(sum(when(col("q"), 1L).otherwise(0L)) / count(lit(1)), 4)
+          .as("quality_pass_rate"))
+      .orderBy("source")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2566,6 +2597,40 @@ object NorthStar {
              round(t.cnt / cl.n, 6) AS top_label_share
       FROM cl JOIN top t ON cl.cluster_id = t.cluster_id AND t.rk = 1
       ORDER BY cl.cluster_id""")),
+    QueryDef("qn77_dataset_card", qDatasetCard _, Some("""
+      WITH f AS (
+        SELECT doc_id, source, lang,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks,
+               md5(trim(regexp_replace(regexp_replace(
+                 lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS g,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(regexp_replace(text, '\s+', '', 'g'))
+                      * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS awl,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+                      * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS ttr,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t IN ('the', 'a', 'of', 'and', 'is', 'to')))
+                      * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS stopfrac
+        FROM documents),
+      r AS (
+        SELECT doc_id, source, lang, toks, g,
+               ((toks BETWEEN 25 AND 100000) AND (awl BETWEEN 3.0 AND 10.0)
+                AND ttr >= 0.45 AND stopfrac >= 0.05) AS q
+        FROM f),
+      a AS (SELECT g, min(doc_id) AS anchor FROM r GROUP BY g)
+      SELECT source,
+             count(*) AS n_docs,
+             sum(toks) AS n_tokens,
+             round(quantile_cont(toks, 0.5), 1) AS p50_tokens,
+             round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / count(*), 4) AS pct_en,
+             round(sum(CASE WHEN r.doc_id <> a.anchor THEN 1 ELSE 0 END) / count(*), 4) AS dup_rate,
+             round(sum(CASE WHEN q THEN 1 ELSE 0 END) / count(*), 4) AS quality_pass_rate
+      FROM r JOIN a USING (g)
+      GROUP BY source
+      ORDER BY source""")),
     QueryDef("qn76_index_persist", qIndexPersist _, Some("""
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                  FROM embeddings WHERE vec_id < 8),

@@ -178,6 +178,28 @@ class ParitySpec extends SparkSpec {
     assert(rows.length == 8, s"expected 8 clusters, got ${rows.length}")
   }
 
+  test("qn77 dataset card: conserves the corpus and is consistent with the dedup layer") {
+    val rows = q("qn77_dataset_card").collect()
+    val d = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == d.count())
+    rows.foreach { r =>
+      Seq("pct_en", "dup_rate", "quality_pass_rate").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+      assert(r.getAs[Double]("p50_tokens") > 0.0)
+    }
+    // Σ source dup counts == corpus docs − normalized groups (each group
+    // contributes exactly one anchor, wherever it lives).
+    val dupDocs = rows.map(r =>
+      math.round(r.getAs[Long]("n_docs") * r.getAs[Double]("dup_rate"))).sum
+    val groups = d.select(
+      md5(graft.ops.TextOps.normalizeForMatch(col("text")).cast("binary")))
+      .distinct().count()
+    assert(math.abs(dupDocs - (d.count() - groups)) <= rows.length,
+      s"dup mass $dupDocs vs ${d.count() - groups} (rounding slack ${rows.length})")
+  }
+
   test("qn75 embedding health: clean fixture and a poisoned frame both audited") {
     val rows = q("qn75_embedding_health").collect()
     val corpus = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet").count()
