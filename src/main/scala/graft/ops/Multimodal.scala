@@ -106,7 +106,7 @@ object Multimodal {
     * image-decode queries need no binary fixtures, and the oracle can
     * mirror the dimension formulas as literals.
     */
-  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+  private def syntheticRaster(width: Int, height: Int, seed: Long): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -118,9 +118,142 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(syntheticRaster(width, height, seed), "png", bos)
     bos.toByteArray
+  }
+
+  /** splitmix64 finalizer — the per-pixel scrambler for
+    * [[syntheticTexturePng]]/[[syntheticTextureBmp]].
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** HIGH-ENTROPY deterministic raster (every pixel an independent-ish
+    * 24-bit scramble of (seed, x, y)) — [[syntheticRaster]]'s near-linear
+    * gradient collapses 8×8 cell averages toward the global mean, which
+    * makes [[aHash64]] bits near-ties and COLLIDES distinct images; a
+    * texture raster gives each cell an independent random sum, so
+    * distinct seeds get distinct hashes with ~2⁻⁶⁴ collision odds.
+    * The perceptual-dedup fixtures use these; the decode-dimension
+    * fixtures keep the original gradient (their grade never reads
+    * pixels).
+    */
+  private def syntheticTexture(width: Int, height: Int, seed: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y,
+          (mix64(seed * 1000003L + y.toLong * width + x) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  def syntheticTexturePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(syntheticTexture(width, height, seed), "png", bos)
+    bos.toByteArray
+  }
+
+  /** The SAME deterministic raster as [[syntheticPng]] in a different
+    * lossless container (24-bit BMP): byte-level digests differ, decoded
+    * pixels are identical — the test article for CONTENT-level image
+    * dedup ([[aHash64]]), which byte-hash dedup provably cannot catch.
+    */
+  def syntheticTextureBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(syntheticTexture(width, height, seed), "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average-hash (aHash — the classic perceptual image hash:
+    * downscale, grayscale, threshold at the mean, pack bits) computed
+    * with INTEGER-EXACT arithmetic so the value is bit-reproducible
+    * across JVMs and executors: grayscale = 299r+587g+114b (scaled,
+    * never divided), average-pooled onto an 8×8 grid with floor-boundary
+    * blocks, and each bit set by the cross-multiplied exact comparison
+    * `cellSum·totalPixels > totalSum·cellPixels` (i.e. cell mean >
+    * GLOBAL pixel mean — no float division anywhere). Any lossless
+    * re-encode of the same pixels (PNG↔BMP) hashes identically;
+    * near-duplicate pixels differ in few bits, so Hamming banding (the
+    * qn04 SimHash machinery) extends this to near-dup search.
+    */
+  def aHash64(content: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, "aHash64: undecodable image payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var totalSum = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
+        val cell = by * 8 + x * 8 / w
+        sums(cell) += gray
+        counts(cell) += 1
+        totalSum += gray
+        x += 1
+      }
+      y += 1
+    }
+    val totalPixels = w.toLong * h
+    // The cross-multiplied comparison stays inside Long up to ~40M
+    // pixels (255000·P·(P/64) < 2^63); past that, exact BigInt — still
+    // no float division on any path.
+    val big = totalPixels > 40000000L
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      // Empty cells (w or h < 8) stay 0 — deterministic either way.
+      val set = counts(i) > 0 && {
+        if (big) BigInt(sums(i)) * totalPixels > BigInt(totalSum) * counts(i)
+        else sums(i) * totalPixels > totalSum * counts(i)
+      }
+      if (set) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** One perceptual-identity row per media payload. */
+  final case class MediaHash(doc_id: Long, phash: Long, digest: String)
+
+  /** Perceptual hash + byte digest per row — the inputs to content-level
+    * image dedup (group/band on `phash`, count encodings via `digest`).
+    * Same iterator-based partition shape as [[extractFeatures]].
+    */
+  def perceptualHashes(media: DataFrame): Dataset[MediaHash] = {
+    implicit val enc = Encoders.product[MediaHash]
+    media.select("doc_id", "content").as[(Long, Array[Byte])](
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { case (id, content) =>
+          md.reset()
+          val digest = md.digest(content).map("%02x".format(_)).mkString
+          MediaHash(id, aHash64(content), digest)
+        }
+      }
   }
 
   /** Deterministic synthetic ANIMATED GIF: `nFrames` frames of

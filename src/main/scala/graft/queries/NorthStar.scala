@@ -1395,6 +1395,44 @@ object NorthStar {
       .orderBy("source")
   }
 
+  /** CONTENT-level image dedup via perceptual hashing: every id%7==3
+    * payload is its predecessor's EXACT raster re-encoded in a different
+    * lossless container (PNG anchor, BMP copy —
+    * [[Multimodal.syntheticTextureBmp]]; the high-entropy texture raster,
+    * because a gradient raster's near-tie cell means collide distinct
+    * images — measured 62 groups for 82 anchors before the switch),
+    * so byte digests differ on every pair while [[Multimodal.aHash64]]
+    * matches by construction. Grouping on the aHash finds exactly the
+    * planted pairs (n_encodings = 2 proves each recovered pair really
+    * spans two byte-distinct encodings — a byte-hash dedup would return
+    * all singletons). The oracle states the planted-pair arithmetic;
+    * determinism is structural (payloads are pure functions of doc_id),
+    * so the grade is fixture-regeneration-proof. Scale: hash per row +
+    * one group-by; near-dup banding extends via the qn04 SimHash
+    * machinery over the same 64-bit hashes.
+    */
+  private def qImagePhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).where(col("doc_id") < 96)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val isCopy = id % 7 == 3
+        val src = if (isCopy) id - 1 else id
+        val w = (8 + src % 16).toInt
+        val h = (8 + (src * 3) % 16).toInt
+        if (isCopy)
+          Multimodal.MediaRecord(id, Multimodal.syntheticTextureBmp(w, h, src), "image/bmp")
+        else
+          Multimodal.MediaRecord(id, Multimodal.syntheticTexturePng(w, h, src), "image/png")
+      }
+    Multimodal.perceptualHashes(media.toDF())
+      .groupBy("phash")
+      .agg(min("doc_id").as("anchor_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("digest")).as("n_encodings"))
+      .select("anchor_id", "n_copies", "n_encodings")
+      .orderBy("anchor_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2597,6 +2635,13 @@ object NorthStar {
              round(t.cnt / cl.n, 6) AS top_label_share
       FROM cl JOIN top t ON cl.cluster_id = t.cluster_id AND t.rk = 1
       ORDER BY cl.cluster_id""")),
+    QueryDef("qn78_image_phash_dedup", qImagePhashDedup _, Some("""
+      SELECT doc_id AS anchor_id,
+             CAST(CASE WHEN doc_id % 7 = 2 THEN 2 ELSE 1 END AS BIGINT) AS n_copies,
+             CAST(CASE WHEN doc_id % 7 = 2 THEN 2 ELSE 1 END AS BIGINT) AS n_encodings
+      FROM documents
+      WHERE doc_id < 96 AND doc_id % 7 <> 3
+      ORDER BY anchor_id""")),
     QueryDef("qn77_dataset_card", qDatasetCard _, Some("""
       WITH f AS (
         SELECT doc_id, source, lang,

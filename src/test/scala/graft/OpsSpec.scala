@@ -609,6 +609,28 @@ class OpsSpec extends SparkSpec {
       "externalKey must roll back to the v1 index")
   }
 
+  test("aHash64: container-invariant, content-sensitive, near-dup tolerant") {
+    import graft.ops.Multimodal
+    // Lossless re-encode (PNG vs BMP of the same raster) must hash equal.
+    val png = Multimodal.syntheticTexturePng(20, 14, seed = 7L)
+    val bmp = Multimodal.syntheticTextureBmp(20, 14, seed = 7L)
+    assert(!java.util.Arrays.equals(png, bmp), "containers must differ at byte level")
+    assert(Multimodal.aHash64(png) == Multimodal.aHash64(bmp))
+    // Distinct content must hash differently (high-entropy raster).
+    val hashes = (0L until 50L)
+      .map(s => Multimodal.aHash64(Multimodal.syntheticTexturePng(20, 14, s)))
+    assert(hashes.distinct.size == 50, "collisions across distinct textures")
+    // A small perturbation moves FEW bits (the near-dup property that
+    // makes Hamming banding meaningful).
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    img.setRGB(0, 0, 0xFFFFFF); img.setRGB(1, 0, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = java.lang.Long.bitCount(
+      Multimodal.aHash64(png) ^ Multimodal.aHash64(bos.toByteArray))
+    assert(d <= 8, s"2-pixel edit moved $d of 64 bits")
+  }
+
   test("langId spots stopword-marked languages and CJK") {
     import spark.implicits._
     val df = Seq(
