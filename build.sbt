@@ -29,5 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Hive metastore (bucketed-table tests) keeps its Derby db out of the
   // repo working tree.
   "-Dderby.system.home=/tmp/graft_derby",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default on the 128 GiB harness host: local-mode puts every
+  // cache/broadcast/shuffle buffer in ONE JVM, and the 8g default was
+  // measured costing ~11% across the full bench registry (old-gen GC
+  // pressure; 123.1 s at 32g vs 138.3 s at 8g, same code/host). -Xmx is
+  // a cap, not an upfront allocation, so co-resident JVMs stay safe.
+  // Override via SPARK_DRIVER_MEM (ScaleBench's 1M-doc point uses 32g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -180,6 +180,27 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** The texture raster with `flips` pixels inverted (deterministic
+    * positions) — a NEAR-duplicate of [[syntheticTextureBmp]]'s image:
+    * byte-distinct, pixel-close, so its [[aHash64]] sits a few Hamming
+    * bits away instead of equal. The planted article for banded
+    * image near-dup search (qn79).
+    */
+  def syntheticTexturePerturbedBmp(
+      width: Int, height: Int, seed: Long, flips: Int): Array[Byte] = {
+    val img = syntheticTexture(width, height, seed)
+    var i = 0
+    while (i < flips) {
+      val x = i % width
+      val y = (i * 2 + 1) % height
+      img.setRGB(x, y, img.getRGB(x, y) ^ 0xFFFFFF)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
   /** 64-bit average-hash (aHash — the classic perceptual image hash:
     * downscale, grayscale, threshold at the mean, pack bits) computed
     * with INTEGER-EXACT arithmetic so the value is bit-reproducible

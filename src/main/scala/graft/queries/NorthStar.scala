@@ -1433,6 +1433,46 @@ object NorthStar {
       .orderBy("anchor_id")
   }
 
+  /** Image NEAR-dup search: qn78 catches re-encodes (aHash equal);
+    * this catches *edited* copies — every id%11==5 payload is its
+    * predecessor's texture with two pixels inverted
+    * ([[Multimodal.syntheticTexturePerturbedBmp]]), so its aHash sits a
+    * few Hamming bits away instead of equal. Detection reuses the
+    * qn04 Manku multi-block banding VERBATIM
+    * ([[Dedup.simhashCandidatePairs]] is generic over any (id, 64-bit
+    * fp) table — one operator serves text SimHash and image aHash), at
+    * maxHamming=8. Output is every detected pair with an `is_planted`
+    * flag; the oracle states the planted arithmetic with literal
+    * `true`s, so a false positive adds a row (rowcount fail) and a miss
+    * drops one — both sides of precision/recall are graded. Payloads
+    * are pure functions of doc_id (the qn78 stance), so the grade is
+    * fixture-regeneration-proof.
+    */
+  private def qImagePhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).where(col("doc_id") < 96)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val isCopy = id % 11 == 5
+        val src = if (isCopy) id - 1 else id
+        val w = (8 + src % 16).toInt
+        val h = (8 + (src * 3) % 16).toInt
+        if (isCopy)
+          Multimodal.MediaRecord(id,
+            Multimodal.syntheticTexturePerturbedBmp(w, h, src, flips = 2), "image/bmp")
+        else
+          Multimodal.MediaRecord(id, Multimodal.syntheticTexturePng(w, h, src), "image/png")
+      }
+    val fp = Multimodal.perceptualHashes(media.toDF())
+      .select(col("doc_id").as("id"), col("phash").as("fp"))
+    Dedup.simhashCandidatePairs(fp, maxHamming = 8)
+      .where(col("hamming") <= 8)
+      .select(col("doc_a"), col("doc_b"),
+        (col("doc_b") === col("doc_a") + 1 && col("doc_b") % 11 === 5)
+          .as("is_planted"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2635,6 +2675,11 @@ object NorthStar {
              round(t.cnt / cl.n, 6) AS top_label_share
       FROM cl JOIN top t ON cl.cluster_id = t.cluster_id AND t.rk = 1
       ORDER BY cl.cluster_id""")),
+    QueryDef("qn79_image_phash_neardup", qImagePhashNearDup _, Some("""
+      SELECT doc_id - 1 AS doc_a, doc_id AS doc_b, true AS is_planted
+      FROM documents
+      WHERE doc_id < 96 AND doc_id % 11 = 5
+      ORDER BY doc_a, doc_b""")),
     QueryDef("qn78_image_phash_dedup", qImagePhashDedup _, Some("""
       SELECT doc_id AS anchor_id,
              CAST(CASE WHEN doc_id % 7 = 2 THEN 2 ELSE 1 END AS BIGINT) AS n_copies,
