@@ -520,6 +520,113 @@ object Multimodal {
     bos.toByteArray
   }
 
+  private def writeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xFF).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  private def noiseSamples(nSamples: Int, seed: Long, gain: Int): Array[Short] =
+    Array.tabulate(nSamples)(i =>
+      ((mix64(seed * 1000003L + i) % 2001L).toInt * gain).toShort)
+
+  /** HIGH-ENTROPY deterministic 16-bit mono WAV (splitmix-scrambled
+    * samples in ±2000·gain) — the audio analog of the texture raster:
+    * [[syntheticWav]]'s near-linear sawtooth makes window energies
+    * near-ties (the [[aHash64]] gradient lesson), noise makes every
+    * [[audioEnergyHash64]] window sum independent. `gain` scales every
+    * sample exactly, so gain≠1 produces a byte-distinct payload with an
+    * IDENTICAL energy hash (all comparisons scale by gain²) — the
+    * planted article for volume-invariant audio dedup (qn80).
+    */
+  def syntheticNoiseWav(nSamples: Int, sampleRate: Int, seed: Long, gain: Int = 1): Array[Byte] =
+    writeWav(noiseSamples(nSamples, seed, gain), sampleRate)
+
+  /** 64-bit volume-invariant audio fingerprint: decode 16-bit PCM (both
+    * endiannesses, like [[decodeAudio]]), split the sample stream into
+    * 64 floor-boundary windows, and set bit i iff window i's ENERGY
+    * (Σ v², integer-exact) exceeds the global mean energy via the
+    * cross-multiplied comparison `winSum·totalSamples >
+    * totalSum·winSamples` — no float division, bit-reproducible across
+    * executors, and invariant under exact amplitude scaling (both sides
+    * scale by gain²). Same Hamming-banding extension as [[aHash64]]
+    * (the qn04 Manku machinery) for NEAR-matches.
+    */
+  def audioEnergyHash64(content: Array[Byte]): Long = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException("payload is not a decodable audio container", e)
+      }
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
+      val be = fmt.isBigEndian
+      val buf = ais.readAllBytes()
+      val samples = buf.length / 2
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var totalSum = 0L
+      var i = 0
+      while (i < samples) {
+        val v =
+          if (be) (((buf(2 * i) & 0xFF) << 8) | (buf(2 * i + 1) & 0xFF)).toShort.toLong
+          else (((buf(2 * i + 1) & 0xFF) << 8) | (buf(2 * i) & 0xFF)).toShort.toLong
+        val w = (i.toLong * 64 / samples).toInt
+        val e = v * v
+        sums(w) += e
+        counts(w) += 1
+        totalSum += e
+        i += 1
+      }
+      // Long-safe up to ~500k samples (max energy 2^30 per sample);
+      // past that, exact BigInt (no float division on any path).
+      val big = samples > 500000
+      var bits = 0L
+      var j = 0
+      while (j < 64) {
+        val set = counts(j) > 0 && {
+          if (big) BigInt(sums(j)) * samples > BigInt(totalSum) * counts(j)
+          else sums(j) * samples > totalSum * counts(j)
+        }
+        if (set) bits |= (1L << j)
+        j += 1
+      }
+      bits
+    } finally ais.close()
+  }
+
+  /** [[MediaHash]] rows for audio payloads ([[audioEnergyHash64]] +
+    * byte digest) — the audio leg of content-level dedup.
+    */
+  def audioHashes(media: DataFrame): Dataset[MediaHash] = {
+    implicit val enc = Encoders.product[MediaHash]
+    media.select("doc_id", "content").as[(Long, Array[Byte])](
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { case (id, content) =>
+          md.reset()
+          val digest = md.digest(content).map("%02x".format(_)).mkString
+          MediaHash(id, audioEnergyHash64(content), digest)
+        }
+      }
+  }
+
   /** Attach a binary payload column (here: UTF-8 bytes of `textCol`, as a
     * stand-in for real media bytes read from a blob store).
     */

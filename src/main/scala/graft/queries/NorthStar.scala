@@ -1473,6 +1473,38 @@ object NorthStar {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Volume-invariant audio dedup: every id%9==4 payload is its
+    * predecessor's noise-WAV samples exactly ×3 — byte-distinct at
+    * every sample, but [[Multimodal.audioEnergyHash64]]'s cross-
+    * multiplied energy comparisons are gain²-invariant, so the hashes
+    * match BY CONSTRUCTION. Grouping on the hash recovers exactly the
+    * planted pairs (n_encodings = 2 proves each spans two byte-distinct
+    * payloads); payloads are pure functions of doc_id, so the grade is
+    * fixture-regeneration-proof. The image analog is qn78; together
+    * with qn79's Hamming banding this closes the multimodal dedup
+    * family (text shingles / embeddings / image pixels / audio energy).
+    */
+  private def qAudioFingerprintDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).where(col("doc_id") < 96)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val isCopy = id % 9 == 4
+        val src = if (isCopy) id - 1 else id
+        val n = 1000 + (src % 7).toInt * 300
+        val rate = 8000 + (src % 4).toInt * 4000
+        Multimodal.MediaRecord(id,
+          Multimodal.syntheticNoiseWav(n, rate, src, gain = if (isCopy) 3 else 1),
+          "audio/wav")
+      }
+    Multimodal.audioHashes(media.toDF())
+      .groupBy("phash")
+      .agg(min("doc_id").as("anchor_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("digest")).as("n_encodings"))
+      .select("anchor_id", "n_copies", "n_encodings")
+      .orderBy("anchor_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2675,6 +2707,13 @@ object NorthStar {
              round(t.cnt / cl.n, 6) AS top_label_share
       FROM cl JOIN top t ON cl.cluster_id = t.cluster_id AND t.rk = 1
       ORDER BY cl.cluster_id""")),
+    QueryDef("qn80_audio_fingerprint_dedup", qAudioFingerprintDedup _, Some("""
+      SELECT doc_id AS anchor_id,
+             CAST(CASE WHEN doc_id % 9 = 3 THEN 2 ELSE 1 END AS BIGINT) AS n_copies,
+             CAST(CASE WHEN doc_id % 9 = 3 THEN 2 ELSE 1 END AS BIGINT) AS n_encodings
+      FROM documents
+      WHERE doc_id < 96 AND doc_id % 9 <> 4
+      ORDER BY anchor_id""")),
     QueryDef("qn79_image_phash_neardup", qImagePhashNearDup _, Some("""
       SELECT doc_id - 1 AS doc_a, doc_id AS doc_b, true AS is_planted
       FROM documents

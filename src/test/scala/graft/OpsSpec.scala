@@ -631,6 +631,21 @@ class OpsSpec extends SparkSpec {
     assert(d <= 8, s"2-pixel edit moved $d of 64 bits")
   }
 
+  test("audioEnergyHash64: gain-invariant, content-sensitive") {
+    import graft.ops.Multimodal
+    val a = Multimodal.syntheticNoiseWav(1500, 8000, seed = 11L)
+    val a3 = Multimodal.syntheticNoiseWav(1500, 8000, seed = 11L, gain = 3)
+    assert(!java.util.Arrays.equals(a, a3), "gain must change bytes")
+    assert(Multimodal.audioEnergyHash64(a) == Multimodal.audioEnergyHash64(a3),
+      "exact amplitude scaling must not change the energy hash")
+    val hashes = (0L until 50L)
+      .map(s => Multimodal.audioEnergyHash64(Multimodal.syntheticNoiseWav(1500, 8000, s)))
+    assert(hashes.distinct.size == 50, "collisions across distinct noise clips")
+    // A different clip LENGTH of the same seed is different content.
+    assert(Multimodal.audioEnergyHash64(Multimodal.syntheticNoiseWav(900, 8000, 11L))
+      != Multimodal.audioEnergyHash64(a))
+  }
+
   test("langId spots stopword-marked languages and CJK") {
     import spark.implicits._
     val df = Seq(
