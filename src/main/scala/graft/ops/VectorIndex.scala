@@ -60,6 +60,39 @@ object VectorIndex {
     (nl, rows)
   }
 
+  /** Append a batch to a persisted index VERSION-INCREMENTALLY: assign
+    * the new vectors to the EXISTING centroids (no refit — one
+    * broadcast-K pass via [[Similarity.assignToCentroids]]) and load
+    * them as a new version of the assignments table; an accumulate-mode
+    * [[searchIvf]] (`useLast = false`, no `externalKey`) then reads
+    * every appended version. This is the 100 TB ingest path — O(batch)
+    * per append, never a corpus-wide rebuild; the store's per-version
+    * isolation doubles as batch-level rollback. Assignment ranks by
+    * centroid COSINE — the same rule the probe phase uses (KMeans'
+    * Euclidean rule differs on non-unit mean-centroids; probing
+    * consistency is what partial-probe recall depends on, and
+    * full-probe exactness holds under either rule). Cell balance decays
+    * as the corpus drifts from the fitted centroids — watch
+    * [[Similarity.embeddingHealth]]/drift and rebuild when it does.
+    */
+  def appendIvf(
+      store: Store,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      externalKey: String): Unit = {
+    val cents = store.get(s"$name/centroids", useLast = true)
+      .select(col("cell"), col("centroid"))
+    val withNv = batch.select(col(idCol).as("vec_id"),
+      Similarity.normalize(col(vecCol).cast("array<double>")).as("nv"))
+    val assigned = Similarity.assignToCentroids(withNv, cents,
+      "vec_id", "nv", "cell", "centroid", carry = Seq("nv"))
+      .select(col("vec_id"), col("cluster_id").as("cell"), col("nv"))
+    store.load(assigned, s"$name/assignments", Map("cell" -> Store.KeyId),
+      externalKey = externalKey)
+  }
+
   /** Serve exact-re-ranked top-k from a PERSISTED index version (no
     * re-fit, no corpus scan outside the probed cells). With `nProbe >=
     * nlist` the result is exactly brute-force [[Similarity.topKPerQuery]]

@@ -1505,6 +1505,29 @@ object NorthStar {
       .orderBy("anchor_id")
   }
 
+  /** Incremental index maintenance graded as an EXACT contract: fit the
+    * IVF on the FIRST HALF of the corpus only, append the second half
+    * to the persisted index with NO refit ([[VectorIndex.appendIvf]] —
+    * O(batch) assignment against the stored centroids, one new store
+    * version), then serve full-probe top-5 from the ACCUMULATED
+    * versions. The oracle is the same exact brute-force SQL over the
+    * WHOLE corpus as qn76 — it matches only if the append path loses
+    * nothing and accumulate-mode search reads every version.
+    */
+  private def qIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_vecidx2_"),
+      idBucketWidth = 1L)
+    val cut = e.agg(max("vec_id")).head().getLong(0) / 2
+    val (nl, _) = VectorIndex.buildIvf(store,
+      e.where(col("vec_id") <= cut), "vec_id", "embedding", "idx/emb", externalKey = "b0")
+    VectorIndex.appendIvf(store,
+      e.where(col("vec_id") > cut), "vec_id", "embedding", "idx/emb", externalKey = "b1")
+    VectorIndex.searchIvf(store, "idx/emb", e.where(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5, nProbe = nl, useLast = false)
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2707,6 +2730,19 @@ object NorthStar {
              round(t.cnt / cl.n, 6) AS top_label_share
       FROM cl JOIN top t ON cl.cluster_id = t.cluster_id AND t.rk = 1
       ORDER BY cl.cluster_id""")),
+    QueryDef("qn81_index_append", qIndexAppend _, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      scored AS (SELECT q.query_id, e.vec_id,
+                        round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS sim
+                 FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, vec_id, sim,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+                 FROM scored)
+      SELECT query_id, vec_id, sim, rank FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank""")),
     QueryDef("qn80_audio_fingerprint_dedup", qAudioFingerprintDedup _, Some("""
       SELECT doc_id AS anchor_id,
              CAST(CASE WHEN doc_id % 9 = 3 THEN 2 ELSE 1 END AS BIGINT) AS n_copies,

@@ -646,6 +646,31 @@ class OpsSpec extends SparkSpec {
       != Multimodal.audioEnergyHash64(a))
   }
 
+  test("VectorIndex.appendIvf: accumulate == brute over the union; versions stay separable") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val store = new graft.store.Store(spark,
+      TempDirs.create("graft_vecidx_a_"), idBucketWidth = 1L)
+    val (nl, _) = graft.ops.VectorIndex.buildIvf(store,
+      emb.where(col("vec_id") < 250), "vec_id", "embedding", "idx", externalKey = "b0")
+    graft.ops.VectorIndex.appendIvf(store,
+      emb.where(col("vec_id") >= 250), "vec_id", "embedding", "idx", externalKey = "b1")
+    val queries = emb.where(col("vec_id") < 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("sim"), r.getAs[Int]("rank"))).toSeq
+    // Accumulate-mode search over build+append == brute over everything.
+    assert(canon(graft.ops.VectorIndex.searchIvf(store, "idx", queries,
+      "vec_id", "embedding", k = 4, nProbe = nl, useLast = false)) ==
+      canon(Similarity.topKPerQuery(emb, queries, "vec_id", "embedding", k = 4)))
+    // The original batch stays addressable on its own (batch rollback).
+    assert(canon(graft.ops.VectorIndex.searchIvf(store, "idx", queries,
+      "vec_id", "embedding", k = 4, nProbe = nl,
+      externalKey = Some("b0"), useLast = false)) ==
+      canon(Similarity.topKPerQuery(emb.where(col("vec_id") < 250), queries,
+        "vec_id", "embedding", k = 4)))
+  }
+
   test("langId spots stopword-marked languages and CJK") {
     import spark.implicits._
     val df = Seq(
