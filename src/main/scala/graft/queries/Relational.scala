@@ -947,6 +947,40 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Pandas `Series.autocorr(lag)` parity at lags 1 and 7 over the
+    * daily total-value series: Pearson correlation of the series with
+    * its lag-shifted self across the overlap. Same cross-engine float
+    * discipline as q67 — exact DECIMAL sums over the overlap, closed
+    * form in double only at the end. One aggregate + one window + two
+    * tiny lag aggregates.
+    */
+  private def q68Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val d124 = DecimalType(12, 4)
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(d124)).as("v"))
+    val w = Window.orderBy("day")
+    val lagged = daily.select(col("v"),
+      lag(col("v"), 1).over(w).as("p1"),
+      lag(col("v"), 7).over(w).as("p7"))
+    def row(lagN: Int, p: Column): DataFrame = {
+      val pairs = lagged.where(p.isNotNull)
+      def d(c: Column) = sum(c).cast("double")
+      pairs.agg(
+        lit(lagN).as("lag"),
+        count(lit(1)).as("n_pairs"),
+        d(col("v")).as("sx"), d(p).as("sy"), d(col("v") * p).as("sxy"),
+        d(col("v") * col("v")).as("sxx"), d(p * p).as("syy"),
+        count(lit(1)).cast("double").as("n"))
+        .select(col("lag"), col("n_pairs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("autocorr"))
+    }
+    row(1, col("p1")).unionAll(row(7, col("p7"))).orderBy("lag")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_tpch_q1_agg", q01TpchQ1 _, Some("""
       SELECT l_returnflag, l_linestatus,
@@ -1469,6 +1503,36 @@ object Relational {
              round((n * sxy - sx * sy)
                    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_30d
       FROM r WHERE rn >= 30
-      ORDER BY day"""))
+      ORDER BY day""")),
+    QueryDef("q68_autocorr", q68Autocorr _, Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, sum(CAST(value AS DECIMAL(12,4))) AS v
+        FROM events GROUP BY CAST(ts AS DATE)),
+      lagged AS (
+        SELECT v,
+               lag(v, 1) OVER (ORDER BY day) AS p1,
+               lag(v, 7) OVER (ORDER BY day) AS p7
+        FROM daily),
+      l1 AS (
+        SELECT CAST(1 AS INT) AS lag, count(*) AS n_pairs,
+               CAST(sum(v) AS DOUBLE) AS sx, CAST(sum(p1) AS DOUBLE) AS sy,
+               CAST(sum(v * p1) AS DOUBLE) AS sxy,
+               CAST(sum(v * v) AS DOUBLE) AS sxx,
+               CAST(sum(p1 * p1) AS DOUBLE) AS syy,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM lagged WHERE p1 IS NOT NULL),
+      l7 AS (
+        SELECT CAST(7 AS INT) AS lag, count(*) AS n_pairs,
+               CAST(sum(v) AS DOUBLE) AS sx, CAST(sum(p7) AS DOUBLE) AS sy,
+               CAST(sum(v * p7) AS DOUBLE) AS sxy,
+               CAST(sum(v * v) AS DOUBLE) AS sxx,
+               CAST(sum(p7 * p7) AS DOUBLE) AS syy,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM lagged WHERE p7 IS NOT NULL),
+      u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l7)
+      SELECT lag, n_pairs,
+             round((n * sxy - sx * sy)
+                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr
+      FROM u ORDER BY lag"""))
   )
 }

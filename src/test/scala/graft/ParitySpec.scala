@@ -164,6 +164,28 @@ class ParitySpec extends SparkSpec {
     }
   }
 
+  test("q68 autocorr: in [-1,1]; lag-0 sanity via brute recomputation") {
+    val rows = q("q68_autocorr").collect()
+    assert(rows.map(_.getAs[Int]("lag")).toSeq == Seq(1, 7))
+    rows.foreach { r =>
+      val a = r.getAs[Double]("autocorr")
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"autocorr $a out of range")
+    }
+    // Brute lag-1 recomputation from the raw events.
+    val daily = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum("value").as("v")).orderBy("day")
+      .collect().map(_.getAs[Double]("v"))
+    val (xs, ys) = (daily.dropRight(1), daily.drop(1))
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val brute = (n * xs.zip(ys).map(t => t._1 * t._2).sum - sx * sy) /
+      math.sqrt((n * xs.map(x => x * x).sum - sx * sx) *
+        (n * ys.map(y => y * y).sum - sy * sy))
+    assert(math.abs(rows(0).getAs[Double]("autocorr") - brute) < 1e-4,
+      s"lag-1 ${rows(0).getAs[Double]("autocorr")} vs brute $brute")
+  }
+
   test("qn74 cluster balance: assignment conserves the corpus; centroids self-assign") {
     val rows = q("qn74_cluster_balance").collect()
     val corpus = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet").count()
