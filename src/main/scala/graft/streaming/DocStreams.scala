@@ -88,6 +88,38 @@ object DocStreams {
   def embeddingHealthTotals(embs: DataFrame): DataFrame =
     graft.ops.Similarity.embeddingHealth(embs, "embedding", "label")
 
+  /** Streaming embedding ingest → persisted ANN index maintenance: the
+    * FIRST micro-batch fits the index ([[graft.ops.VectorIndex.buildIvf]]),
+    * every later batch appends with no refit ([[graft.ops.VectorIndex.appendIvf]]
+    * — O(batch) assignment against the stored centroids). One store
+    * version per `batchId` (`b<n>`), so a replayed micro-batch replaces
+    * its OWN version — the same replay-idempotency contract as
+    * [[dedupBatchAgainstStore]] — and accumulate-mode
+    * [[graft.ops.VectorIndex.searchIvf]] serves the union the moment a
+    * batch commits. StreamingSpec pins streamed-build+append ≡
+    * whole-corpus brute force.
+    */
+  def indexAppendSink(
+      embs: DataFrame,
+      store: Store,
+      name: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    embs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val centroidsTable = s"$name/centroids"
+        val hasIndex = store.list(Some(centroidsTable))
+          .exists(_.name == centroidsTable)
+        if (!hasIndex)
+          graft.ops.VectorIndex.buildIvf(store, batch, "vec_id", "embedding",
+            name, externalKey = s"b$batchId")
+        else
+          graft.ops.VectorIndex.appendIvf(store, batch, "vec_id", "embedding",
+            name, externalKey = s"b$batchId")
+        ()
+      }
+
   /** One band-bucket row of the near-dup alert stream: a doc's MinHash
     * signature keyed by one of its LSH band hashes.
     */

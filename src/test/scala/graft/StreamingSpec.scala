@@ -136,6 +136,55 @@ class StreamingSpec extends SparkSpec {
       s"poisoned batch not surfaced: $bad")
   }
 
+  test("streaming index maintenance: first batch fits, later appends; search == brute") {
+    import graft.streaming.DocStreams
+    import graft.store.Store
+    val src = java.nio.file.Paths.get(TempDirs.create("graft_idx_src_"))
+    val ckpt = TempDirs.create("graft_idx_ckpt_")
+    val store = new Store(spark, TempDirs.create("graft_idx_store_"),
+      idBucketWidth = 1L)
+    val emb = Tables.read(spark, sf(), "embeddings")
+    def stage(df: org.apache.spark.sql.DataFrame, fname: String): Unit = {
+      val tmp = src.resolve(fname + "_staged")
+      df.coalesce(1).write.parquet(tmp.toString)
+      java.nio.file.Files.list(tmp).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, src.resolve(fname))
+      }
+    }
+    def run(): Unit = {
+      val q = DocStreams.indexAppendSink(
+        DocStreams.readEmbeddings(spark, src.toString), store, "idx", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage(emb.where(col("vec_id") < 250), "b0.parquet")
+    run()
+    assert(store.list(Some("idx/centroids")).exists(_.name == "idx/centroids"),
+      "first micro-batch must FIT the index")
+    stage(emb.where(col("vec_id") >= 250), "b1.parquet")
+    run()
+    assert(store.list(Some("idx/assignments")).head.versions == Seq("b0", "b1"),
+      "second micro-batch must APPEND a version, not refit")
+    val nl = store.get("idx/centroids", useLast = true).count().toInt
+    val queries = emb.where(col("vec_id") < 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("sim"), r.getAs[Int]("rank"))).toSeq
+    assert(canon(graft.ops.VectorIndex.searchIvf(store, "idx", queries,
+      "vec_id", "embedding", k = 4, nProbe = nl, useLast = false)) ==
+      canon(graft.ops.Similarity.topKPerQuery(emb, queries,
+        "vec_id", "embedding", k = 4)),
+      "streamed build+append must serve the whole corpus exactly")
+    // Replay of an already-committed batch (crash between sink write and
+    // checkpoint commit): drop-then-rewrite of its OWN version cannot
+    // double-count.
+    store.dropVersion("idx/assignments", "b1")
+    graft.ops.VectorIndex.appendIvf(store, emb.where(col("vec_id") >= 250),
+      "vec_id", "embedding", "idx", externalKey = "b1")
+    assert(store.get("idx/assignments").count() == emb.count())
+  }
+
   test("stream-stream interval join matches batch range join") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     val streamed = EventStreams.runToMemory(spark,
