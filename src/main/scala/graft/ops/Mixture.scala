@@ -446,4 +446,35 @@ object Mixture {
       .where(col("__mx_prior") < col("__mx_budget"))
       .select(keep: _*)
   }
+
+  /** Cluster-balanced subsample: up to `perCell` rows from every cluster,
+    * picked in [[priority]] order (ties by id) — the diversity-aware
+    * downsampling step after an embedding clustering (assign with
+    * [[Similarity.assignToCentroids]], then cap every cell instead of
+    * letting the head clusters dominate a uniform draw). Deterministic:
+    * both the order and the cut are pure functions of the ids, so any
+    * engine restates the same sample.
+    *
+    * Shape at scale: one hash shuffle on the cluster key; the
+    * `row_number <= perCell` filter plans as `WindowGroupLimit`, so each
+    * map task retains only its per-cluster top-`perCell` rows BEFORE the
+    * exchange — per-reducer work is O(clusters/partitions · perCell),
+    * never a full per-cluster sort. Skew-safe for the usual failure mode
+    * (one giant cluster) for the same reason: the giant cluster's
+    * contribution per upstream partition is already capped at `perCell`.
+    *
+    * Output: the input columns plus `pick_rank` (1-based within the
+    * cluster, in pick order).
+    */
+  def clusterBalancedSample(
+      df: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      perCell: Int): DataFrame = {
+    require(perCell >= 1, "perCell must be >= 1")
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(priority(col(idCol)), col(idCol))
+    df.withColumn("pick_rank", row_number().over(w).cast("int"))
+      .where(col("pick_rank") <= perCell)
+  }
 }

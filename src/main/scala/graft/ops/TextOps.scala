@@ -957,6 +957,76 @@ object TextOps {
       .select(col("term_a"), col("term_b"), col("n_ab"), col("pmi"))
   }
 
+  /** Per-document top word-`n`-gram and the fraction of the document's
+    * non-space characters its occurrences cover — the "top n-gram
+    * character fraction" repetition signal from the Gopher filtering
+    * rules (Rae et al. 2021, table A1: drop when the top-2-gram covers
+    * more than 0.20 of the characters). Complements
+    * [[graft.queries.NorthStar qn31]]'s repeated-3-gram *occurrence*
+    * fraction: that measures how much of the doc participates in any
+    * within-doc repeat; this measures how much a single dominant phrase
+    * owns the doc (template spam, SEO keyword stuffing).
+    *
+    * Coverage is counted as `occurrences × non-space chars of the gram`;
+    * overlapping occurrences ("a a a" has two "a a" bigrams sharing the
+    * middle token) can push that past the doc length, so the reported
+    * fraction caps at 1.0 — the Gopher threshold comparison is made on
+    * the uncapped integers (`covered · 100 > pct · doc_chars`) and is
+    * therefore float-free and engine-exact.
+    *
+    * Shape at scale: one generate (n× the token stream), then two hash
+    * aggregates — (id, gram) counts (map-side combinable: a document's
+    * grams all sit in one input partition, so the partial agg collapses
+    * to per-doc distinct grams before anything shuffles) and a per-id
+    * `min(struct(-count, gram))` argmax. No joins, no windows; gram text
+    * crosses the wire once, already count-collapsed. Ties on count pick
+    * the lexicographically smallest gram, so the result is deterministic
+    * in any engine. Docs with fewer than `n` tokens emit nothing.
+    *
+    * Output: (id, top_gram, gram_count, covered_chars, doc_chars,
+    * topgram_frac, repetitive).
+    */
+  def topNgramStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      maxCharFraction: Double = 0.20): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    // Threshold as an exact rational over 100 so the flag is an integer
+    // comparison (covered·100 > pct·doc_chars) — no float boundary to
+    // disagree about between engines.
+    val thrPct = math.round(maxCharFraction * 100).toInt
+    require(math.abs(thrPct / 100.0 - maxCharFraction) < 1e-9,
+      "maxCharFraction must be a whole percent")
+    val toks = df.select(
+      col(idCol).as("id"),
+      tokens(col(textCol)).as("__w"),
+      length(regexp_replace(col(textCol), "\\s+", "")).as("doc_chars"))
+      .where(size(col("__w")) >= n)
+    val grams = toks.select(col("id"), col("doc_chars"), col("__w"),
+      posexplode(sequence(lit(0), size(col("__w")) - n, lit(1))))
+      .select(col("id"), col("doc_chars"),
+        concat_ws(" ", slice(col("__w"), col("col") + 1, lit(n))).as("gram"))
+    grams
+      .groupBy("id", "doc_chars", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("id", "doc_chars")
+      .agg(min(struct((-col("cnt")).as("negc"), col("gram").as("g"))).as("t"))
+      .select(
+        col("id").as(idCol),
+        col("t.g").as("top_gram"),
+        (-col("t.negc")).as("gram_count"),
+        ((-col("t.negc")) * length(translate(col("t.g"), " ", "")))
+          .as("covered_chars"),
+        col("doc_chars"))
+      .withColumn("topgram_frac",
+        round(least(lit(1d),
+          col("covered_chars").cast("double") / col("doc_chars")), 4))
+      .withColumn("repetitive",
+        col("covered_chars") * 100L > lit(thrPct.toLong) * col("doc_chars"))
+  }
+
   /** Top-`k` characteristic terms per document by TF-IDF
     * (score = tf · ln(N/df); ties broken by term, ascending). The
     * keyword-extraction pass behind corpus topic audits and

@@ -1528,6 +1528,35 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** Gopher-style top-2-gram character fraction ([[TextOps.topNgramStats]]):
+    * how much of each doc a single dominant bigram owns — the phrase-level
+    * repetition signal complementing qn31's repeated-3-gram occurrence
+    * fraction. The `repetitive` flag is the published 0.20 threshold,
+    * compared on uncapped integers so both engines state it exactly.
+    */
+  private def qTopNgramFraction(s: SparkSession, dir: String): DataFrame =
+    TextOps.topNgramStats(docs(s, dir), "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+
+  /** Cluster-balanced diverse subsample: assign every embedding to its
+    * nearest deterministic centroid (vec_id < 8 — the qn74 replayable
+    * clustering), then keep at most 10 vectors per cell in
+    * [[Mixture.priority]] order ([[Mixture.clusterBalancedSample]]).
+    * The diversity-aware downsampling a curation pipeline runs instead
+    * of a uniform draw, so head clusters can't crowd out the tail; the
+    * whole draw is a pure function of ids, hence oracle-stateable.
+    */
+  private def qDiverseSample(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val assigned = Similarity.assignToCentroids(
+      e, e.where(col("vec_id") < 8),
+      "vec_id", "embedding", "vec_id", "embedding", carry = Seq("label"))
+    Mixture.clusterBalancedSample(assigned, "vec_id", "cluster_id", perCell = 10)
+      .select(col("cluster_id"), col("pick_rank"), col("vec_id"),
+        col("label"), col("sim"))
+      .orderBy("cluster_id", "pick_rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
       SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
@@ -2824,6 +2853,55 @@ object NorthStar {
              round(min(norm), 4) AS min_norm,
              round(max(norm), 4) AS max_norm
       FROM f GROUP BY label
-      ORDER BY label"""))
+      ORDER BY label""")),
+    QueryDef("qn82_topgram_fraction", qTopNgramFraction _, Some("""
+      WITH w AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS ws,
+               CAST(len(regexp_replace(text, '\s+', '', 'g')) AS INT) AS doc_chars
+        FROM documents WHERE len(trim(text)) > 0),
+      g AS (
+        SELECT doc_id, doc_chars, array_to_string(ws[i:i+1], ' ') AS gram
+        FROM w, unnest(range(1, len(ws))) r(i)
+        WHERE len(ws) >= 2),
+      c AS (
+        SELECT doc_id, doc_chars, gram, CAST(count(*) AS BIGINT) AS cnt
+        FROM g GROUP BY doc_id, doc_chars, gram),
+      top AS (
+        SELECT doc_id, doc_chars, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram) AS rk
+        FROM c)
+      SELECT doc_id, gram AS top_gram, cnt AS gram_count,
+             CAST(cnt * len(replace(gram, ' ', '')) AS BIGINT) AS covered_chars,
+             doc_chars,
+             round(least(1.0, CAST(cnt * len(replace(gram, ' ', '')) AS DOUBLE)
+                               / doc_chars), 4) AS topgram_frac,
+             cnt * len(replace(gram, ' ', '')) * 100 > 20 * doc_chars AS repetitive
+      FROM top WHERE rk = 1
+      ORDER BY doc_id""")),
+    QueryDef("qn83_diverse_sample", qDiverseSample _, Some("""
+      WITH c AS (
+        SELECT CAST(vec_id AS INT) AS cluster_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id, e.label, c.cluster_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS sim
+        FROM embeddings e, c),
+      best AS (
+        SELECT vec_id, label, cluster_id, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cluster_id) AS rk
+        FROM scored),
+      a AS (SELECT vec_id, label, cluster_id, sim FROM best WHERE rk = 1),
+      r AS (
+        SELECT cluster_id, vec_id, label, sim,
+               CAST(row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY (vec_id::HUGEINT * 2654435761) % 4294967296, vec_id)
+                 AS INT) AS pick_rank
+        FROM a)
+      SELECT cluster_id, pick_rank, vec_id, CAST(label AS INT) AS label, sim
+      FROM r WHERE pick_rank <= 10
+      ORDER BY cluster_id, pick_rank"""))
   )
 }

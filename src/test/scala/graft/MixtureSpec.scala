@@ -70,6 +70,24 @@ object MixturePropSpec extends Properties("Mixture") {
         .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
       fast == slow
     }
+
+  property("clusterBalancedSample == brute per-cluster priority cut") =
+    Prop.forAllNoShrink(genCorpus, Gen.oneOf(1, 2, 5)) { (rows, perCell) =>
+      val s = spark
+      import s.implicits._
+      // Reuse the corpus gen's source column as the cluster key.
+      val docs = rows.toDF("doc_id", "cluster", "toks")
+      def prio(id: Long): Long =
+        ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+      val ref = rows.groupBy(_._2).toSeq.flatMap { case (cl, rs) =>
+        rs.sortBy(r => (prio(r._1), r._1)).take(perCell)
+          .zipWithIndex.map { case (r, i) => (r._1, cl, i + 1) }
+      }.sorted
+      val got = Mixture.clusterBalancedSample(docs, "doc_id", "cluster", perCell)
+        .select("doc_id", "cluster", "pick_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+      Prop(got == ref) :| s"perCell=$perCell got=$got ref=$ref"
+    }
 }
 
 class MixtureSpec extends SparkSpec {

@@ -272,4 +272,32 @@ object TextPropSpec extends Properties("TextOps.reference") {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       Prop(got.toSeq == ref) :| s"got=${got.toSeq} ref=$ref"
     }
+
+  property("topNgramStats == brute top-gram, coverage, and integer threshold") =
+    Prop.forAllNoShrink(genCorpus, Gen.chooseNum(1, 3)) { (corpus, n) =>
+      // In-memory reference: sliding n-grams, max count with lex-min
+      // tie-break, covered = count * non-space gram chars, frac capped
+      // at 1.0 and HALF_UP-rounded like Spark's round(); the repetitive
+      // flag is the exact integer rule (covered*100 > 20*doc_chars).
+      val ref = corpus.flatMap { case (id, t) =>
+        val w = toks(t.orNull)
+        if (w.size < n) None
+        else {
+          val counts = w.sliding(n).map(_.mkString(" ")).toSeq
+            .groupBy(identity).map { case (g, o) => (g, o.size.toLong) }
+          val (gram, cnt) = counts.minBy { case (g, c) => (-c, g) }
+          val docChars = t.get.replaceAll("\\s+", "").length
+          val covered = cnt * gram.replace(" ", "").length
+          val frac = BigDecimal(math.min(1.0, covered.toDouble / docChars))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some((id, gram, cnt, covered, docChars, frac,
+            covered * 100L > 20L * docChars))
+        }
+      }.sortBy(_._1)
+      val got = TextOps.topNgramStats(toDf(corpus), "id", "text", n = n)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getInt(4), r.getDouble(5), r.getBoolean(6)))
+      Prop(got.toSeq == ref) :| s"n=$n got=${got.toSeq} ref=$ref"
+    }
 }
