@@ -981,6 +981,28 @@ object Relational {
     row(1, col("p1")).unionAll(row(7, col("p7"))).orderBy("lag")
   }
 
+  /** pandas `pd.crosstab(nation, segment, margins=True)`: the
+    * contingency table with row totals and a grand-total row. One
+    * `rollup` aggregate — Catalyst expands each row into the (nation)
+    * and () grouping sets, partial-aggregates map-side, and a single
+    * shuffle carries |nations|+1 rows; the margin row costs no second
+    * scan. The grand-total row surfaces as nation = -1 (the NULL
+    * grouping key, coalesced so the output keys stay INT).
+    */
+  private def q69Crosstab(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val aggs = segs.map(sg =>
+      sum(when(col("c_mktsegment") === sg, 1L).otherwise(0L)).as(sg.toLowerCase)) :+
+      count(lit(1)).as("all_count")
+    t(s, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nation"), col("c_mktsegment"))
+      .rollup("nation")
+      .agg(aggs.head, aggs.tail: _*)
+      .select((coalesce(col("nation"), lit(-1)).as("nation") +:
+        (segs.map(sg => col(sg.toLowerCase)) :+ col("all_count"))): _*)
+      .orderBy("nation")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_tpch_q1_agg", q01TpchQ1 _, Some("""
       SELECT l_returnflag, l_linestatus,
@@ -1533,6 +1555,17 @@ object Relational {
       SELECT lag, n_pairs,
              round((n * sxy - sx * sy)
                    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS autocorr
-      FROM u ORDER BY lag"""))
+      FROM u ORDER BY lag""")),
+    QueryDef("q69_crosstab", q69Crosstab _, Some("""
+      SELECT CAST(coalesce(c_nationkey, -1) AS INT) AS nation,
+             CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS automobile,
+             CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS building,
+             CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS furniture,
+             CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS household,
+             CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS machinery,
+             count(*) AS all_count
+      FROM customer
+      GROUP BY ROLLUP(c_nationkey)
+      ORDER BY nation"""))
   )
 }

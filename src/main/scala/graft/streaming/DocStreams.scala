@@ -66,6 +66,25 @@ object DocStreams {
   def qualityFiltered(docs: DataFrame): DataFrame =
     docs.where(TextOps.qualityRules(col("text")).keep)
 
+  /** Running per-source dataset-card slice — the streaming form of the
+    * batch dataset card (qn77) for the columns that are pure running
+    * aggregates: doc/token counts, language mix, and the qn18 quality
+    * pass rate (same [[TextOps.qualityRules]] expressions, so stream ≡
+    * batch bit-for-bit — StreamingSpec). The card's STATEFUL columns
+    * stay batch-side on purpose: the exact-dup rate needs corpus dedup
+    * state (that's [[dedupedDocs]] / [[dedupBatchAgainstStore]]), and
+    * an exact median isn't incrementally mergeable (the streaming form
+    * would be an `approx_percentile` sketch — a different contract).
+    * State is sources-sized; complete-mode output.
+    */
+  def datasetCardTotals(docs: DataFrame): DataFrame =
+    docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(when(TextOps.qualityRules(col("text")).keep, 1L).otherwise(0L))
+        .as("n_quality_pass"))
+
   /** Embedding batches as they land from an encoder job. */
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

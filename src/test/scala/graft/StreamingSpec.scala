@@ -101,6 +101,17 @@ class StreamingSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("streaming dataset-card totals == batch aggregate") {
+    import graft.streaming.DocStreams
+    val stream = DocStreams.readDocs(spark, docsDir)
+    val streamed = EventStreams.runToMemory(spark,
+      DocStreams.datasetCardTotals(stream), "t_doccard",
+      OutputMode.Complete())
+    val batch = DocStreams.datasetCardTotals(Tables.read(spark, sf(), "documents"))
+    assert(streamed.orderBy("source").collect().toSeq ==
+      batch.orderBy("source").collect().toSeq)
+  }
+
   test("streaming embedding health totals == batch audit, including a poisoned batch") {
     import graft.streaming.DocStreams
     // Land two encoder batches: the clean fixture and a poisoned file
