@@ -427,6 +427,146 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic multi-scene GIF (same lossless 256-gray indexed
+    * palette as [[syntheticGifIndexed]]): frame `f` belongs to scene
+    * `f / sceneLen`, and its pixel value is
+    * `(seed·131 + scene·97 + y·width + x·7 + fInScene) mod 251`.
+    * Within a scene, consecutive frames differ by +1 (mod 251) per
+    * pixel — mean |Δ| ≈ 2 (the wrap pixels contribute 250 each at
+    * ~1/251 density); across a scene boundary every pixel shifts by
+    * `97 − sceneLen + 1` (mod 251), so for any sceneLen ≤ 77 the
+    * boundary mean |Δ| is ≥ 20 by construction. The gap makes the
+    * [[sceneCuts]] threshold provably separating, not fixture luck.
+    */
+  def syntheticSceneGif(
+      width: Int, height: Int, sceneLen: Int, nScenes: Int, seed: Long): Array[Byte] = {
+    require(sceneLen >= 1 && nScenes >= 1)
+    val grays = Array.tabulate(256)(i => i.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < sceneLen * nScenes) {
+        val scene = f / sceneLen
+        val fIn = f % sceneLen
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0,
+              ((seed * 131 + scene * 97 + y.toLong * width + x * 7 + fIn) % 251).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** One consecutive-frame luminance delta: `sum_abs_delta` is
+    * Σ |blue(f) − blue(f−1)| over all pixels, `frame_idx` the LATER
+    * frame.
+    */
+  final case class FrameDelta(
+      doc_id: Long, frame_idx: Int, sum_abs_delta: Long, n_pixels: Long)
+
+  /** Decode every frame and reduce each consecutive pair to its total
+    * absolute blue-channel delta — the temporal-derivative signal under
+    * shot-boundary detection. Integer-exact (sums of |byte − byte|), so
+    * the result is bit-identical on any executor.
+    */
+  def decodeFrameDeltas(content: Array[Byte]): Seq[(Int, Long, Long)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "payload is not a decodable media container")
+      val reader = readers.next()
+      reader.setInput(iis, false, true)
+      try {
+        val frames = reader.getNumImages(true)
+        require(frames >= 1, "media container holds no frames")
+        var prev: Array[Int] = null
+        val out = Seq.newBuilder[(Int, Long, Long)]
+        var i = 0
+        while (i < frames) {
+          val img = reader.read(i)
+          val w = img.getWidth
+          val h = img.getHeight
+          val cur = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              cur(y * w + x) = img.getRGB(x, y) & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          if (prev != null) {
+            require(prev.length == cur.length,
+              "frame dimensions changed mid-container")
+            var sum = 0L
+            var j = 0
+            while (j < cur.length) {
+              sum += math.abs(cur(j) - prev(j)).toLong
+              j += 1
+            }
+            out += ((i, sum, cur.length.toLong))
+          }
+          prev = cur
+          i += 1
+        }
+        out.result()
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Per-partition frame-delta extraction (one decoder pipeline per
+    * partition, same shape as [[extractFrameFeatures]]).
+    */
+  def frameDeltas(media: DataFrame): Dataset[FrameDelta] = {
+    implicit val enc = Encoders.product[FrameDelta]
+    implicit val inEnc = Encoders.product[MediaRecord]
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeFrameDeltas(r.content).map { case (i, sum, npix) =>
+          FrameDelta(r.doc_id, i, sum, npix)
+        }
+      }
+    }
+  }
+
+  /** Shot-boundary (scene-cut) detection: a frame is a cut when its
+    * mean absolute delta from the previous frame exceeds `threshold`
+    * gray levels — stated as the integer comparison
+    * `sum_abs_delta > threshold · n_pixels`, so the decision is exact.
+    * The temporal-segmentation pass a video curation pipeline runs
+    * before sampling one representative frame per shot; downstream of
+    * the cut list, shot sampling is a plain `min(frame_idx)` per
+    * (doc, shot) group. Shape at scale: decode runs per-partition with
+    * no shuffle — only (id, frame_idx, two longs) rows leave the
+    * scan; video bytes never cross an exchange.
+    */
+  def sceneCuts(media: DataFrame, threshold: Int = 20): DataFrame =
+    frameDeltas(media).toDF()
+      .where(col("sum_abs_delta") > lit(threshold.toLong) * col("n_pixels"))
+      .select(col("doc_id"), col("frame_idx").as("cut_frame"))
+
   /** Extracted per-audio features (decoded format + PCM payload). */
   final case class AudioFeatures(
       doc_id: Long,

@@ -1528,6 +1528,31 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** Video shot-boundary detection over REAL frame decodes
+    * ([[Multimodal.sceneCuts]]): each doc renders a multi-scene GIF
+    * (2 + id % 3 scenes of 5 frames; [[Multimodal.syntheticSceneGif]]'s
+    * construction guarantees boundary mean |Δ| ≥ 93 gray levels vs ~2
+    * within a scene), and the detector must recover exactly the planted
+    * cut frames (5·k) — which the oracle states from the id formula
+    * alone. A delta-threshold detector that mis-handled frame order,
+    * channel extraction, or the integer comparison would miss or invent
+    * cuts.
+    */
+  private def qVideoSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).where(col("doc_id") < 48)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        Multimodal.MediaRecord(id,
+          Multimodal.syntheticSceneGif(32, 24, sceneLen = 5,
+            nScenes = (2 + id % 3).toInt, seed = id),
+          "video/gif")
+      }
+    Multimodal.sceneCuts(media.toDF(), threshold = 20)
+      .select(col("doc_id"), col("cut_frame").cast("int").as("cut_frame"))
+      .orderBy("doc_id", "cut_frame")
+  }
+
   /** Gopher-style top-2-gram character fraction ([[TextOps.topNgramStats]]):
     * how much of each doc a single dominant bigram owns — the phrase-level
     * repetition signal complementing qn31's repeated-3-gram occurrence
@@ -2902,6 +2927,11 @@ object NorthStar {
         FROM a)
       SELECT cluster_id, pick_rank, vec_id, CAST(label AS INT) AS label, sim
       FROM r WHERE pick_rank <= 10
-      ORDER BY cluster_id, pick_rank"""))
+      ORDER BY cluster_id, pick_rank""")),
+    QueryDef("qn84_video_scene_cuts", qVideoSceneCuts _, Some("""
+      SELECT doc_id, CAST(5 * k AS INT) AS cut_frame
+      FROM documents, unnest(range(1, 2 + doc_id % 3)) t(k)
+      WHERE doc_id < 48
+      ORDER BY doc_id, cut_frame"""))
   )
 }

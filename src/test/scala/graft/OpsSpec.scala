@@ -346,6 +346,33 @@ class OpsSpec extends SparkSpec {
       Multimodal.decodeAudio("not audio".getBytes("UTF-8")))
   }
 
+  test("scene cuts: deltas match the generator formula; 1 scene = no cuts") {
+    import graft.ops.Multimodal
+    // Within a scene the per-pixel delta is +1 mod 251; compute the
+    // expected |delta| sum exactly from the pixel formula and compare
+    // against the decoded deltas — only matches if every decoded gray
+    // value is bit-identical to the render.
+    val (w, h, len, scenes, seed) = (13, 9, 3, 3, 5L)
+    val gif = Multimodal.syntheticSceneGif(w, h, len, scenes, seed)
+    val deltas = Multimodal.decodeFrameDeltas(gif)
+    assert(deltas.map(_._1) == (1 until len * scenes))
+    assert(deltas.forall(_._3 == w.toLong * h))
+    def pix(f: Int, x: Int, y: Int): Int =
+      ((seed * 131 + (f / len) * 97 + y.toLong * w + x * 7 + (f % len)) % 251).toInt
+    for ((fi, sum, _) <- deltas) {
+      var expected = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        expected += math.abs(pix(fi, x, y) - pix(fi - 1, x, y))
+      assert(sum == expected, s"frame $fi delta mismatch")
+    }
+    // Cut frames = scene starts; threshold separates by construction.
+    val cuts = deltas.filter { case (_, sum, npix) => sum > 20L * npix }.map(_._1)
+    assert(cuts == Seq(len, 2 * len))
+    val oneScene = Multimodal.decodeFrameDeltas(
+      Multimodal.syntheticSceneGif(8, 8, 4, 1, 9L))
+    assert(oneScene.forall { case (_, sum, npix) => sum <= 20L * npix })
+  }
+
   test("video decode round-trips real multi-frame GIF dimensions and frame count") {
     import graft.ops.Multimodal
     // Full render → GIF-encode → decode round-trip across frame counts,
