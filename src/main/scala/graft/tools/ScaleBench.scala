@@ -70,13 +70,19 @@ object ScaleBench {
       val rawFanout = fanout(0)
 
       val ops = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
-      ops("qn02_jaccard_pairs") = timed(
+      // Optional op subset (regex over op names) for targeted audits of
+      // newly added operators without re-paying the full suite:
+      //   SPARK_GRAFT_SCALE_OPS='qn8[23]' sbt 'runMain graft.tools.ScaleBench ...'
+      val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.r)
+      def addOp(name: String)(f: => Long): Unit =
+        if (opFilter.forall(_.findFirstIn(name).isDefined)) ops(name) = timed(f)
+      addOp("qn02_jaccard_pairs")(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
-      ops("qn03_minhash_cand") = timed(
+      addOp("qn03_minhash_cand")(
         Dedup.minhashCandidatePairs(docs, "doc_id", "text").count())
-      ops("qn04_simhash_pairs") = timed(
+      addOp("qn04_simhash_pairs")(
         Dedup.simhashNearDupPairs(docs, "doc_id", "text").count())
-      ops("qn24_incremental") = timed {
+      addOp("qn24_incremental") {
         val cut = n / 2
         val old = docs.where(col("doc_id") < cut)
         val fresh = docs.where(col("doc_id") >= cut)
@@ -84,29 +90,29 @@ object ScaleBench {
         Dedup.dedupIncremental(fresh, sig0, "doc_id", "text",
           prevShingleFreqs = Some(Dedup.shingleDocFreqs(sig0))).count()
       }
-      ops("qn26_dedup_routed") = timed(
+      addOp("qn26_dedup_routed")(
         // The ROUTED entry point (what a caller actually gets): exact
         // block-grid below DefaultExactCosineRows, cell-pruned adaptive
         // SemDeDup above — the r7 artifact's fixed-SRP 41×-at-3× cliff
         // row is retired because the router no longer reaches that path.
         Similarity.dedupByCosine(emb, "vec_id", "embedding", threshold = 0.9)
           .count())
-      ops("qn38_boilerplate") = timed(
+      addOp("qn38_boilerplate")(
         graft.ops.TextOps.removeBoilerplate(docs, "doc_id", "text").count())
-      ops("qn46_keep_best") = timed(
+      addOp("qn46_keep_best")(
         // Same detector as qn02's row; the delta measures the keep-best
         // tail (pair-sized join + component-partitioned window) vs the
         // plain detector count.
         Dedup.applyComponentsKeepBest(docs,
           Dedup.ngramJaccardPairs(docs, "doc_id", "text"),
           "doc_a", "doc_b", "doc_id", "n_chars").count())
-      ops("qn49_cross_neardup") = timed {
+      addOp("qn49_cross_neardup") {
         val cut = n / 2
         Dedup.crossCorpusNearDupPairs(
           docs.where(col("doc_id") >= cut), docs.where(col("doc_id") < cut),
           "doc_id", "text").count()
       }
-      ops("qn40_semdedup") = timed {
+      addOp("qn40_semdedup") {
         // DEFAULT (corpus-adaptive) nlist — THE SemDeDup scale lever
         // (cells hold ~2500 rows at any corpus size; fixed nlist is
         // quadratic: 129 s vs 9.4 s at 60k vecs for the SAME 619
@@ -116,14 +122,14 @@ object ScaleBench {
           threshold = 0.9, assignProbes = 3)
         Dedup.applyComponents(emb, pairs, "id_a", "id_b", "vec_id").count()
       }
-      ops("qn51_dedup_spans") = timed(
+      addOp("qn51_dedup_spans")(
         // The stride-1 window stream is the heaviest text-op shape
         // (one skinny (id, start, hash) row per token position); the
         // gate is the min-aggregate + later-copies-only coverage
         // staying ~linear in corpus tokens.
         graft.ops.TextOps.removeDuplicatedSpans(docs, "doc_id", "text", k = 20)
           .count())
-      ops("qn52_decontam_routed") = timed {
+      addOp("qn52_decontam_routed") {
         // ROUTED entry point (what a caller gets): exact bipartite grid
         // below DefaultExactCosineRows combined rows, union-fit
         // cell-pruned pairs above — the bipartite analog of
@@ -134,14 +140,14 @@ object ScaleBench {
           emb.where(col("vec_id") >= cut), emb.where(col("vec_id") < cut),
           "vec_id", "embedding", threshold = 0.9).count()
       }
-      ops("qn53_source_cap") = timed(
+      addOp("qn53_source_cap")(
         // Bounded-heap domain cap: the Exchange carries <= cap rows per
         // (partition, source); wall should track the SCAN, not the cap.
         graft.ops.Mixture.capPerSource(docs, "source", "n_chars", "doc_id",
           maxPerSource = 100).count())
-      ops("qn55_label_cohesion") = timed(
+      addOp("qn55_label_cohesion")(
         Similarity.labelCohesion(emb, "vec_id", "embedding", "label").count())
-      ops("qn60_novelty") = timed {
+      addOp("qn60_novelty") {
         // Distinct-shingle equality join with fanout <= 1 per target
         // shingle (reference side distinct) — the gate is wall tracking
         // the shingle volume, NOT the qn02-style pair fanout.
@@ -150,20 +156,20 @@ object ScaleBench {
           docs.where(col("doc_id") >= cut), docs.where(col("doc_id") < cut),
           "doc_id", "text").count()
       }
-      ops("qn63_routed") = timed(
+      addOp("qn63_routed")(
         // ROUTED entry point (what a caller gets): exact per-label
         // self-join below DefaultExactCosineRows, cell-pruned (cell,
         // label)-keyed probing above — crossing the 20k crossover
         // between the first and second scale points, like qn26/qn52.
         Similarity.positivePairs(emb, "vec_id", "embedding", "label").count())
-      ops("qn69_routed") = timed(
+      addOp("qn69_routed")(
         // ROUTED entry point: exact anchors×corpus BNLJ below the
         // ceiling, IVF probing (√n cells, 8 probes) above — the graded
         // every-5th-vector anchor sampling.
         Similarity.knnLabelAgreement(
           emb.where(pmod(col("vec_id"), lit(5)) === 0), emb,
           "vec_id", "embedding", "label").count())
-      ops("qn74_centroid_assign") = timed(
+      addOp("qn74_centroid_assign")(
         // Broadcast-K nearest-centroid assignment: one corpus scan, the
         // argmax folds map-side, shuffle carries one row per vector —
         // wall should track the scan at any K that broadcasts.
@@ -172,25 +178,52 @@ object ScaleBench {
             .select(col("vec_id").as("cluster_id"), col("embedding")),
           "vec_id", "embedding", "cluster_id", "embedding",
           carry = Seq("label")).count())
-      ops("qn61_label_outliers") = timed(
+      addOp("qn61_label_outliers")(
         // Bounded-heap bottom-k per label: one narrow centroid shuffle +
         // heap partials; wall should track the scan.
         Similarity.labelOutliers(emb, "vec_id", "embedding", "label", k = 5)
           .count())
-      ops("qn64_bm25") = timed(
+      addOp("qn64_bm25")(
         // Query-term filter lands before any shuffle; dl is a per-row
         // projection — wall should track the tokenize scan.
         graft.ops.TextOps.bm25Search(docs, "doc_id", "text",
           query = Seq("table", "vector", "merge"), k = 10).count())
-      ops("qn66_blocking") = timed(
+      addOp("qn66_blocking")(
         // Candidate volume is Σ block_size² (length-independent); the
         // gate is wall tracking the block join, not the corpus square.
         Dedup.blockingNearDupPairs(docs, "doc_id", "text").count())
-      ops("qn68_containment") = timed(
+      addOp("qn68_containment")(
         // Shares qn02's capped signature machinery; the delta vs the
         // qn02 row isolates the normalization (min vs union).
         Dedup.containmentNearDupPairs(docs, "doc_id", "text").count())
-      ops("qs07_cdc_merge") = timed {
+      addOp("qn82_topgram")(
+        // Two map-side-combinable aggregates over the 2x token stream;
+        // wall should track the tokenize scan (the qn31/qn51 family),
+        // never a join or pair fanout.
+        graft.ops.TextOps.topNgramStats(docs, "doc_id", "text").count())
+      addOp("qn83_diverse_sample")(
+        // assignToCentroids scan + WindowGroupLimit cap: the exchange
+        // carries <= perCell rows per (upstream partition, cluster), so
+        // wall should track the assignment scan at any corpus size.
+        graft.ops.Mixture.clusterBalancedSample(
+          Similarity.assignToCentroids(emb,
+            emb.where(col("vec_id") < 8)
+              .select(col("vec_id").as("cluster_id"), col("embedding")),
+            "vec_id", "embedding", "cluster_id", "embedding"),
+          "vec_id", "cluster_id", perCell = 10).count())
+      addOp("qn84_scene_cuts") {
+        // Per-partition decode, no shuffle of media bytes: wall is pure
+        // decode CPU and must scale with the video count (n/10 videos,
+        // ~10-frame two-scene clips).
+        import spark.implicits._
+        val media = spark.range(n / 10).map { id =>
+          graft.ops.Multimodal.MediaRecord(id,
+            graft.ops.Multimodal.syntheticSceneGif(32, 24, sceneLen = 5,
+              nScenes = 2, seed = id), "video/gif")
+        }
+        graft.ops.Multimodal.sceneCuts(media.toDF()).count()
+      }
+      addOp("qs07_cdc_merge") {
         val root = graft.TempDirs.create("graft_scale_cdc_")
         val store = new graft.store.Store(spark, root)
         val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
