@@ -567,6 +567,39 @@ object Multimodal {
       .where(col("sum_abs_delta") > lit(threshold.toLong) * col("n_pixels"))
       .select(col("doc_id"), col("frame_idx").as("cut_frame"))
 
+  /** Shot segmentation + representative-frame selection: frames between
+    * consecutive [[sceneCuts]] boundaries form a shot (`shot_id` counts
+    * boundaries so far, frame 0 opens shot 0), and each shot reports
+    * its first frame as the representative — the standard "one frame
+    * per shot" sampling a VLM training pipeline runs instead of
+    * fixed-stride frame grabs (stride sampling over-represents long
+    * static shots and can miss short ones entirely).
+    *
+    * Shape at scale: one per-partition decode (no media bytes shuffle),
+    * then a per-video running-sum window and a (video, shot) aggregate
+    * — both partitioned by `doc_id`, so there is no global sort and a
+    * video's frames (tens to thousands of rows) are one task's work.
+    * Output: (doc_id, shot_id, rep_frame, n_frames).
+    */
+  def shotFrames(media: DataFrame, threshold: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cuts = frameDeltas(media).toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        (col("sum_abs_delta") > lit(threshold.toLong) * col("n_pixels"))
+          .as("is_cut"))
+    // Frame 0 exists for every decodable payload (decode requires >= 1
+    // frame) and never opens on a cut.
+    val frame0 = media.select(col("doc_id").cast("long").as("doc_id"),
+      lit(0).as("frame_idx"), lit(false).as("is_cut"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame0.unionByName(cuts)
+      .withColumn("shot_id",
+        sum(when(col("is_cut"), 1L).otherwise(0L)).over(w).cast("int"))
+      .groupBy("doc_id", "shot_id")
+      .agg(min("frame_idx").as("rep_frame"), count(lit(1)).as("n_frames"))
+  }
+
   /** Extracted per-audio features (decoded format + PCM payload). */
   final case class AudioFeatures(
       doc_id: Long,

@@ -1027,6 +1027,56 @@ object TextOps {
         col("covered_chars") * 100L > lit(thrPct.toLong) * col("doc_chars"))
   }
 
+  /** Per-source Zipf rank-frequency slope: the least-squares slope of
+    * ln(freq) on ln(rank) over the source's token vocabulary — the
+    * corpus-health statistic that flags template/machine-generated
+    * sources (natural text sits near −1; spam and boilerplate flatten
+    * or steepen the curve). Deterministic across engines: every
+    * regression term is `ln` of an INTEGER rounded to 8 decimals and
+    * summed as exact DECIMAL (order-free), and only the five completed
+    * sums enter the double closed form — the q67/q68 discipline.
+    *
+    * Shape at scale: one explode → (source, token) counts (map-side
+    * combinable) → a rank window PARTITIONED BY SOURCE over the
+    * vocab-sized table → one source-sized aggregate. The rank window
+    * is a per-source vocab sort (~10⁷ rows per source at web scale —
+    * one fat reducer per source); when that bites, cap the fit to the
+    * head of the distribution by pre-filtering with the qn67
+    * heavy-hitters top-k or swap in the q58 range-partitioned
+    * sort-selection for the rank. Output: (source, n_vocab, n_tokens,
+    * zipf_slope).
+    */
+  def zipfSlope(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val counts = df
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("source", "t")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("t").asc)
+    val terms = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("source"), col("cnt"),
+        round(log(col("rank").cast("double")), 8).cast(dec).as("x"),
+        round(log(col("cnt").cast("double")), 8).cast(dec).as("y"))
+    terms.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_vocab"),
+        sum("cnt").as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).cast("double").as("n"))
+      .select(col("source"), col("n_vocab"), col("n_tokens"),
+        round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_slope"))
+  }
+
   /** Top-`k` characteristic terms per document by TF-IDF
     * (score = tf · ln(N/df); ties broken by term, ascending). The
     * keyword-extraction pass behind corpus topic audits and

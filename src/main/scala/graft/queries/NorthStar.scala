@@ -1553,6 +1553,37 @@ object NorthStar {
       .orderBy("doc_id", "cut_frame")
   }
 
+  /** Shot-level representative-frame sampling ([[Multimodal.shotFrames]])
+    * over the qn84 scene corpus: segmentation must place every frame in
+    * its planted 5-frame scene and report each scene's first frame —
+    * all stated by the oracle from the id formula. Together qn84/qn85
+    * are the video half of the curation story: detect boundaries, then
+    * sample one frame per shot.
+    */
+  private def qVideoShotSampling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).where(col("doc_id") < 48)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        Multimodal.MediaRecord(id,
+          Multimodal.syntheticSceneGif(32, 24, sceneLen = 5,
+            nScenes = (2 + id % 3).toInt, seed = id),
+          "video/gif")
+      }
+    Multimodal.shotFrames(media.toDF(), threshold = 20)
+      .select(col("doc_id"), col("shot_id"),
+        col("rep_frame").cast("int").as("rep_frame"), col("n_frames"))
+      .orderBy("doc_id", "shot_id")
+  }
+
+  /** Per-source Zipf rank-frequency slope ([[TextOps.zipfSlope]]): the
+    * corpus-health regression, every ln term rounded and summed in
+    * exact DECIMAL so both engines state the identical closed form.
+    */
+  private def qZipfSlope(s: SparkSession, dir: String): DataFrame =
+    TextOps.zipfSlope(docs(s, dir), "text", "source")
+      .orderBy("source")
+
   /** Gopher-style top-2-gram character fraction ([[TextOps.topNgramStats]]):
     * how much of each doc a single dominant bigram owns — the phrase-level
     * repetition signal complementing qn31's repeated-3-gram occurrence
@@ -2932,6 +2963,40 @@ object NorthStar {
       SELECT doc_id, CAST(5 * k AS INT) AS cut_frame
       FROM documents, unnest(range(1, 2 + doc_id % 3)) t(k)
       WHERE doc_id < 48
-      ORDER BY doc_id, cut_frame"""))
+      ORDER BY doc_id, cut_frame""")),
+    QueryDef("qn85_video_shot_sampling", qVideoShotSampling _, Some("""
+      SELECT doc_id, CAST(k AS INT) AS shot_id, CAST(5 * k AS INT) AS rep_frame,
+             CAST(5 AS BIGINT) AS n_frames
+      FROM documents, unnest(range(0, 2 + doc_id % 3)) t(k)
+      WHERE doc_id < 48
+      ORDER BY doc_id, shot_id""")),
+    QueryDef("qn86_zipf_slope", qZipfSlope _, Some("""
+      WITH tok AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM documents WHERE len(trim(text)) > 0),
+      c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY source, t),
+      r AS (SELECT source, cnt,
+              CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY cnt DESC, t) AS BIGINT) AS rank
+            FROM c),
+      s AS (SELECT source,
+              count(*) AS n_vocab,
+              sum(cnt) AS n_tokens,
+              sum(CAST(round(ln(rank), 8) AS DECIMAL(18,8))) AS sx,
+              sum(CAST(round(ln(cnt), 8) AS DECIMAL(18,8))) AS sy,
+              sum(CAST(round(ln(rank), 8) AS DECIMAL(18,8))
+                  * CAST(round(ln(cnt), 8) AS DECIMAL(18,8))) AS sxy,
+              sum(CAST(round(ln(rank), 8) AS DECIMAL(18,8))
+                  * CAST(round(ln(rank), 8) AS DECIMAL(18,8))) AS sxx,
+              CAST(count(*) AS DOUBLE) AS n
+            FROM r GROUP BY source)
+      SELECT source, CAST(n_vocab AS BIGINT) AS n_vocab,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                   6) AS zipf_slope
+      FROM s
+      ORDER BY source"""))
   )
 }

@@ -373,6 +373,37 @@ class OpsSpec extends SparkSpec {
     assert(oneScene.forall { case (_, sum, npix) => sum <= 20L * npix })
   }
 
+  test("shot frames: scenes become shots with first-frame reps; 1-frame video = 1 shot") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L,
+        Multimodal.syntheticSceneGif(16, 12, sceneLen = 4, nScenes = 3, seed = 1L), "video/gif"),
+      Multimodal.MediaRecord(2L,
+        Multimodal.syntheticSceneGif(16, 12, sceneLen = 1, nScenes = 1, seed = 2L), "video/gif"))
+      .toDF()
+    val got = Multimodal.shotFrames(media)
+      .orderBy("doc_id", "shot_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, 4L), (1L, 1, 4, 4L), (1L, 2, 8, 4L), (2L, 0, 0, 1L)))
+  }
+
+  test("zipfSlope: an exact 1/rank frequency profile regresses to slope -1") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    // freq(rank) = 12/rank for ranks 1..4 -> ln(freq) = ln 12 - ln(rank):
+    // the least-squares slope is exactly -1 (up to the 8-decimal term
+    // rounding), for any engine that ranks and sums correctly.
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val got = TextOps.zipfSlope(Seq((1L, text, "s0")).toDF("id", "text", "source"), "text", "source")
+      .head()
+    assert(got.getAs[Long]("n_vocab") == 4L && got.getAs[Long]("n_tokens") == 25L)
+    assert(math.abs(got.getAs[Double]("zipf_slope") + 1.0) < 1e-6,
+      s"slope ${got.getAs[Double]("zipf_slope")}")
+  }
+
   test("video decode round-trips real multi-frame GIF dimensions and frame count") {
     import graft.ops.Multimodal
     // Full render → GIF-encode → decode round-trip across frame counts,
