@@ -306,6 +306,31 @@ object EventQueries {
       .orderBy("user_id", "hour_us")
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence (ties broken by event_id, so the sequence is total):
+    * counts and conditional probabilities of `prev -> next` event-type
+    * transitions — the behavioral fingerprint behind funnel mining and
+    * bot detection (a scripted client's transition matrix is nearly
+    * deterministic; organic traffic is diffuse). One per-user lag
+    * window (partitioned — no global sort) into a types²-sized
+    * aggregate; the probability normalization windows over that tiny
+    * table, not the event log.
+    */
+  private def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wt = Window.partitionBy("prev_type")
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p_next",
+        round(col("n_trans").cast("double") / sum("n_trans").over(wt), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Shared by q48 (unbucketed) and q50 (hot-key bucketed): the two
     * paths must grade against the IDENTICAL contract - a single constant
     * cannot silently desynchronize the way two pasted copies can.
@@ -482,6 +507,20 @@ object EventQueries {
              round(dev / nullif(mad, 0), 4) AS mad_score
       FROM d JOIN md USING (event_type)
       WHERE dev > 6 * mad
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+    QueryDef("q70_event_transitions", qEventTransitions _, Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      c AS (SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n_trans
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type)
+      SELECT prev_type, next_type, n_trans,
+             round(n_trans / sum(n_trans) OVER (PARTITION BY prev_type), 6) AS p_next
+      FROM c
+      ORDER BY prev_type, next_type"""))
   )
 }

@@ -1576,6 +1576,35 @@ object NorthStar {
       .orderBy("doc_id", "shot_id")
   }
 
+  /** Matryoshka-truncation retrieval audit (Kusupati et al. 2022): how
+    * much of full-dimension top-5 retrieval survives when vectors are
+    * truncated to their first 4 of 8 dimensions — the measurement a
+    * pipeline runs before adopting truncated embeddings as a cheap
+    * prefilter tier. Two [[Similarity.topKPerQuery]] passes (broadcast
+    * queries + bounded-heap top-k; the corpus scans twice and nothing
+    * pair-sized shuffles) compared on queries×k-sized tables. Both
+    * rankings and the overlap are exactly stateable, so the oracle
+    * replays the whole audit.
+    */
+  private def qMatryoshkaAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.where(col("vec_id") < 8)
+    def prefix(df: DataFrame) =
+      df.select(col("vec_id"), slice(col("embedding"), 1, 4).as("embedding"))
+    val full = Similarity.topKPerQuery(e, q, "vec_id", "embedding", k = 5)
+    val pref = Similarity.topKPerQuery(prefix(e), prefix(q), "vec_id", "embedding", k = 5)
+    val overlap = full.join(pref.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    full.where(col("rank") === 1)
+      .select(col("query_id"), col("vec_id").as("top1_full"), col("sim").as("top1_sim"))
+      .join(pref.where(col("rank") === 1)
+        .select(col("query_id"), col("vec_id").as("top1_prefix")), Seq("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        col("top1_full"), col("top1_prefix"), col("top1_sim"))
+      .orderBy("query_id")
+  }
+
   /** Per-source Zipf rank-frequency slope ([[TextOps.zipfSlope]]): the
     * corpus-health regression, every ln term rounded and summed in
     * exact DECIMAL so both engines state the identical closed form.
@@ -2997,6 +3026,37 @@ object NorthStar {
                    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
                    6) AS zipf_slope
       FROM s
-      ORDER BY source"""))
+      ORDER BY source""")),
+    QueryDef("qn87_matryoshka_audit", qMatryoshkaAudit _, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      f AS (SELECT q.query_id, c.vec_id,
+              round(list_cosine_similarity(q.qv, c.v), 6) AS sim
+            FROM c, q WHERE c.vec_id <> q.query_id),
+      fr AS (SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rk
+             FROM f),
+      p AS (SELECT q.query_id, c.vec_id,
+              round(list_cosine_similarity(q.qv[1:4], c.v[1:4]), 6) AS sim
+            FROM c, q WHERE c.vec_id <> q.query_id),
+      pr AS (SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rk
+             FROM p),
+      ov AS (SELECT fr.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM fr JOIN pr ON fr.query_id = pr.query_id
+                            AND fr.vec_id = pr.vec_id
+             WHERE fr.rk <= 5 AND pr.rk <= 5
+             GROUP BY fr.query_id)
+      SELECT fr.query_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+             fr.vec_id AS top1_full, pr.vec_id AS top1_prefix,
+             fr.sim AS top1_sim
+      FROM fr
+      JOIN pr ON fr.query_id = pr.query_id AND pr.rk = 1
+      LEFT JOIN ov ON fr.query_id = ov.query_id
+      WHERE fr.rk = 1
+      ORDER BY fr.query_id"""))
   )
 }

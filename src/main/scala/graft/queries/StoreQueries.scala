@@ -76,6 +76,30 @@ object StoreQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Version retention sweep ([[Store.vacuum]]): three versioned loads,
+    * vacuum to the newest two, accumulate-read — exactly the dropped
+    * version's rows must vanish, and the oracle states the surviving
+    * slice from the load predicates. Labels are chosen to sort in load
+    * order (v1 < v2 < v3) so the recency tiebreak is exercised safely
+    * even when all three loads land within one mtime tick.
+    */
+  private def vacuumRetention(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    val orders = Tables.read(s, dir, "orders")
+    val y = year(col("o_orderdate"))
+    store.load(orders.where(coalesce(y < 1996, lit(true))), "tpch/orders",
+      externalKey = "v1")
+    store.load(orders.where(coalesce(y === 1996, lit(false))), "tpch/orders",
+      externalKey = "v2")
+    store.load(orders.where(coalesce(y >= 1997, lit(false))), "tpch/orders",
+      externalKey = "v3")
+    store.vacuum("tpch/orders", keepVersions = 2)
+    store.get("tpch/orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(totalN.head, totalN.tail: _*)
+      .orderBy("order_year")
+  }
+
   /** Date-key partitioning (README.md:191-198): month-grain derived read
     * through partition-pruned directories; prune filter on `__p_*` column.
     */
@@ -366,6 +390,14 @@ object StoreQueries {
              count(*) AS n
       FROM orders
       GROUP BY o_orderpriority
-      ORDER BY o_orderpriority"""))
+      ORDER BY o_orderpriority""")),
+    QueryDef("qs12_store_vacuum", vacuumRetention _, Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM orders
+      WHERE year(o_orderdate) >= 1996
+      GROUP BY 1
+      ORDER BY order_year"""))
   )
 }
