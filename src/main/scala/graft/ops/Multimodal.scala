@@ -567,6 +567,90 @@ object Multimodal {
       .where(col("sum_abs_delta") > lit(threshold.toLong) * col("n_pixels"))
       .select(col("doc_id"), col("frame_idx").as("cut_frame"))
 
+  /** Deterministic 8-bit gray PNG: pixel =
+    * `(seed·131 + y·width + x·7) mod 251` — the single-frame sibling of
+    * [[syntheticGifIndexed]]'s formula, so graded resize/decode queries
+    * can state every pixel in SQL. The PNG writer may emit this as a
+    * true-grayscale image (it detects the all-gray palette), whose
+    * Java2D `getRGB` path gamma-converts linear gray to sRGB — readers
+    * needing the exact samples must take the raw raster path, as
+    * [[thumbnailChecksum]] does.
+    */
+  def syntheticGrayPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val grays = Array.tabulate(256)(i => i.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, ((seed * 131 + y.toLong * width + x * 7) % 251).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode + nearest-neighbor resize to `outW`×`outH`, reduced to the
+    * position-weighted checksum Σ value·(y·outW+x+1) over the LUMINANCE
+    * (blue) channel. Nearest-neighbor on purpose: source pixel
+    * `(⌊x·w/outW⌋, ⌊y·h/outH⌋)` is pure integer math, so the thumbnail
+    * is bit-identical on every executor and stateable by an oracle —
+    * area/bilinear filters are float-blend-order territory and belong
+    * behind a declared-approximate variant. This is the "resize" leg of
+    * the multimodal plumbing (decode / feature-extract / resize /
+    * frame-sample): a real `javax.imageio` decode feeds a real
+    * resample, and only (id, checksum) rows leave the partition.
+    */
+  def thumbnailChecksum(content: Array[Byte], outW: Int, outH: Int): Long = {
+    require(outW >= 1 && outH >= 1)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val img =
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "payload is not a decodable image")
+        val reader = readers.next()
+        reader.setInput(iis, false, true)
+        try reader.read(0) finally reader.dispose()
+      } finally iis.close()
+    val (w, h) = (img.getWidth, img.getHeight)
+    // Grayscale images (1 color component, e.g. a gray PNG) must read
+    // the RAW raster sample: their getRGB path converts linear gray to
+    // sRGB (gamma), silently changing every value. Palette and RGB
+    // images read the blue channel via getRGB as elsewhere.
+    val gray = img.getColorModel.getNumComponents == 1
+    def px(x: Int, y: Int): Int =
+      if (gray) img.getRaster.getSample(x, y, 0) else img.getRGB(x, y) & 0xFF
+    var sum = 0L
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * w / outW
+        sum += px(sx, sy).toLong * (y.toLong * outW + x + 1)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Per-partition thumbnail pass over a media table. */
+  def imageThumbnails(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    implicit val inEnc = Encoders.product[MediaRecord]
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.map(r => (r.doc_id, thumbnailChecksum(r.content, outW, outH)))
+    }.toDF("doc_id", "thumb_checksum")
+  }
+
   /** Shot segmentation + representative-frame selection: frames between
     * consecutive [[sceneCuts]] boundaries form a shot (`shot_id` counts
     * boundaries so far, frame 0 opens shot 0), and each shot reports

@@ -1576,6 +1576,27 @@ object NorthStar {
       .orderBy("doc_id", "shot_id")
   }
 
+  /** Image resize over real decodes ([[Multimodal.imageThumbnails]]):
+    * render grayscale PNGs with id-derived dimensions, decode and
+    * nearest-neighbor-resample to 8×8, and grade the thumbnail pixel
+    * checksum against the oracle's restatement of the ENTIRE
+    * render→encode→decode→resample chain in integer SQL. A resize that
+    * mixed up axes, rounded instead of flooring the source index, or
+    * read a lossy channel would fail on every row.
+    */
+  private def qImageThumbnails(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).where(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 3) % 9).toInt
+        Multimodal.MediaRecord(id, Multimodal.syntheticGrayPng(w, h, id), "image/png")
+      }
+    Multimodal.imageThumbnails(media.toDF(), outW = 8, outH = 8)
+      .orderBy("doc_id")
+  }
+
   /** Matryoshka-truncation retrieval audit (Kusupati et al. 2022): how
     * much of full-dimension top-5 retrieval survives when vectors are
     * truncated to their first 4 of 8 dimensions — the measurement a
@@ -3057,6 +3078,19 @@ object NorthStar {
       JOIN pr ON fr.query_id = pr.query_id AND pr.rk = 1
       LEFT JOIN ov ON fr.query_id = ov.query_id
       WHERE fr.rk = 1
-      ORDER BY fr.query_id"""))
+      ORDER BY fr.query_id""")),
+    QueryDef("qn88_image_thumbnail", qImageThumbnails _, Some("""
+      WITH g AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+        FROM documents WHERE doc_id < 64),
+      px AS (
+        SELECT g.doc_id, g.w, g.h, xx.x, yy.y
+        FROM g, unnest(range(0, 8)) xx(x), unnest(range(0, 8)) yy(y))
+      SELECT doc_id,
+             sum(((doc_id * 131 + ((y * h) // 8) * w + ((x * w) // 8) * 7) % 251)
+                 * (y * 8 + x + 1)) AS thumb_checksum
+      FROM px
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
   )
 }

@@ -389,6 +389,25 @@ class OpsSpec extends SparkSpec {
       (1L, 0, 0, 4L), (1L, 1, 4, 4L), (1L, 2, 8, 4L), (2L, 0, 0, 1L)))
   }
 
+  test("thumbnailChecksum: nearest-neighbor resample matches the formula exactly") {
+    import graft.ops.Multimodal
+    // Downscale 13x9 -> 4x3 and restate the whole chain (render, PNG
+    // encode/decode, floor-index resample) from the pixel formula; the
+    // decode must take the raw-raster path (the getRGB gray path is
+    // gamma-converted and fails this by construction).
+    val (w, h, seed) = (13, 9, 5L)
+    val png = Multimodal.syntheticGrayPng(w, h, seed)
+    var expected = 0L
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val (sx, sy) = (x * w / 4, y * h / 3)
+      expected += ((seed * 131 + sy.toLong * w + sx * 7) % 251) * (y * 4 + x + 1)
+    }
+    assert(Multimodal.thumbnailChecksum(png, 4, 3) == expected)
+    // Identity resize of an RGB texture goes through the getRGB path.
+    val tex = Multimodal.syntheticTexturePng(6, 6, 3L)
+    assert(Multimodal.thumbnailChecksum(tex, 6, 6) > 0L)
+  }
+
   test("zipfSlope: an exact 1/rank frequency profile regresses to slope -1") {
     import graft.ops.TextOps
     import spark.implicits._
