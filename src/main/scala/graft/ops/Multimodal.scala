@@ -821,6 +821,88 @@ object Multimodal {
     * scale by gain²). Same Hamming-banding extension as [[aHash64]]
     * (the qn04 Manku machinery) for NEAR-matches.
     */
+  /** [[syntheticNoiseWav]] with PLANTED silence: the samples of every
+    * window in `silentRuns` (given as (startWindow, nWindows) in
+    * `windowLen`-sample windows) are zeroed — the ground-truth article
+    * for silence-trimming detection.
+    */
+  def syntheticSpeechWav(
+      windowLen: Int, nWindows: Int, sampleRate: Int, seed: Long,
+      silentRuns: Seq[(Int, Int)]): Array[Byte] = {
+    val s = noiseSamples(windowLen * nWindows, seed, 1)
+    silentRuns.foreach { case (start, n) =>
+      require(start >= 0 && start + n <= nWindows, s"run ($start,$n) out of range")
+      java.util.Arrays.fill(s, start * windowLen, (start + n) * windowLen, 0.toShort)
+    }
+    writeWav(s, sampleRate)
+  }
+
+  /** Maximal runs of silent `windowLen`-sample windows (a window is
+    * silent when max |sample| ≤ `maxAbs`), as (startWindow, nWindows)
+    * pairs — the voice-activity segmentation a speech pipeline runs to
+    * trim silence before paying tokenizer/encoder cost for it. Only
+    * full windows are classified (a trailing partial window is
+    * ignored); the run merge happens inside the decode loop, so per
+    * audio only the run list leaves the partition. Integer-exact.
+    */
+  def decodeSilentRuns(
+      content: Array[Byte], windowLen: Int, maxAbs: Int = 0): Seq[(Int, Int)] = {
+    require(windowLen >= 1)
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException("payload is not a decodable audio container", e)
+      }
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
+      val be = fmt.isBigEndian
+      val buf = ais.readAllBytes()
+      val samples = buf.length / 2
+      def sample(i: Int): Int =
+        if (be) (((buf(2 * i) & 0xFF) << 8) | (buf(2 * i + 1) & 0xFF)).toShort.toInt
+        else (((buf(2 * i + 1) & 0xFF) << 8) | (buf(2 * i) & 0xFF)).toShort.toInt
+      val nWindows = samples / windowLen
+      val out = Seq.newBuilder[(Int, Int)]
+      var runStart = -1
+      var w = 0
+      while (w < nWindows) {
+        var peak = 0
+        var i = w * windowLen
+        val end = i + windowLen
+        while (i < end) {
+          val a = math.abs(sample(i))
+          if (a > peak) peak = a
+          i += 1
+        }
+        if (peak <= maxAbs) { if (runStart < 0) runStart = w }
+        else if (runStart >= 0) { out += ((runStart, w - runStart)); runStart = -1 }
+        w += 1
+      }
+      if (runStart >= 0) out += ((runStart, nWindows - runStart))
+      out.result()
+    } finally ais.close()
+  }
+
+  /** One silent segment of one audio row. */
+  final case class SilenceRun(doc_id: Long, start_window: Int, n_windows: Long)
+
+  /** Per-partition silence segmentation over a media table. */
+  def audioSilenceRuns(
+      media: DataFrame, windowLen: Int, maxAbs: Int = 0): Dataset[SilenceRun] = {
+    implicit val enc = Encoders.product[SilenceRun]
+    implicit val inEnc = Encoders.product[MediaRecord]
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeSilentRuns(r.content, windowLen, maxAbs).map { case (s, n) =>
+          SilenceRun(r.doc_id, s, n.toLong)
+        }
+      }
+    }
+  }
+
   def audioEnergyHash64(content: Array[Byte]): Long = {
     val ais =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(

@@ -1597,6 +1597,28 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Audio silence segmentation ([[Multimodal.audioSilenceRuns]]): each
+    * doc renders a noise WAV with planted silent windows (a run of
+    * 1 + id % 3 windows at 3; even ids add one at 9), and the detector
+    * must recover exactly the planted (start, length) runs — including
+    * the run-length merge — which the oracle states from the id
+    * formula. The audio sibling of qn84's scene cuts: the trim pass a
+    * speech pipeline runs before paying encoder cost for silence.
+    */
+  private def qAudioSilence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).where(col("doc_id") < 96)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val runs = Seq((3, (1 + id % 3).toInt)) ++
+          (if (id % 2 == 0) Seq((9, 1)) else Nil)
+        Multimodal.MediaRecord(id,
+          Multimodal.syntheticSpeechWav(256, 12, 8000, id, runs), "audio/wav")
+      }
+    Multimodal.audioSilenceRuns(media.toDF(), windowLen = 256).toDF()
+      .orderBy("doc_id", "start_window")
+  }
+
   /** Matryoshka-truncation retrieval audit (Kusupati et al. 2022): how
     * much of full-dimension top-5 retrieval survives when vectors are
     * truncated to their first 4 of 8 dimensions — the measurement a
@@ -3091,6 +3113,14 @@ object NorthStar {
                  * (y * 8 + x + 1)) AS thumb_checksum
       FROM px
       GROUP BY doc_id
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+    QueryDef("qn89_audio_silence", qAudioSilence _, Some("""
+      SELECT doc_id, CAST(3 AS INT) AS start_window,
+             CAST(1 + doc_id % 3 AS BIGINT) AS n_windows
+      FROM documents WHERE doc_id < 96
+      UNION ALL
+      SELECT doc_id, CAST(9 AS INT) AS start_window, CAST(1 AS BIGINT) AS n_windows
+      FROM documents WHERE doc_id < 96 AND doc_id % 2 = 0
+      ORDER BY doc_id, start_window"""))
   )
 }

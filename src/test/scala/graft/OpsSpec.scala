@@ -408,6 +408,19 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.thumbnailChecksum(tex, 6, 6) > 0L)
   }
 
+  test("silent runs: leading/trailing/adjacent runs merge; clean audio yields none") {
+    import graft.ops.Multimodal
+    def runs(planted: Seq[(Int, Int)]): Seq[(Int, Int)] =
+      Multimodal.decodeSilentRuns(
+        Multimodal.syntheticSpeechWav(64, 10, 8000, 7L, planted), 64)
+    assert(runs(Nil) == Nil)
+    assert(runs(Seq((0, 2))) == Seq((0, 2)))           // leading
+    assert(runs(Seq((8, 2))) == Seq((8, 2)))           // trailing, closed at EOF
+    assert(runs(Seq((2, 2), (4, 3))) == Seq((2, 5)))   // adjacent plants merge
+    assert(runs(Seq((0, 10))) == Seq((0, 10)))         // fully silent
+    assert(runs(Seq((1, 1), (5, 2))) == Seq((1, 1), (5, 2)))
+  }
+
   test("zipfSlope: an exact 1/rank frequency profile regresses to slope -1") {
     import graft.ops.TextOps
     import spark.implicits._
