@@ -1619,6 +1619,37 @@ object NorthStar {
       .orderBy("doc_id", "start_window")
   }
 
+  /** Cross-modal cluster topic labeling: assign embeddings to the
+    * deterministic centroids (qn74), join each cluster's DOCUMENTS via
+    * the id correspondence, and label every cluster with its top-3
+    * terms by cluster-level TF-IDF (tf = term count in the cluster,
+    * idf = ln(8/df) over clusters; stopwords excluded) — the
+    * human-readable summary a curation UI shows next to each embedding
+    * cluster. The embeddings↔documents join is the op under test: a
+    * pipeline that loses the modality alignment (qn70's failure mode)
+    * labels clusters with the wrong corpora.
+    */
+  private def qClusterTopics(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val assigned = Similarity.assignToCentroids(
+      e, e.where(col("vec_id") < 8), "vec_id", "embedding", "vec_id", "embedding")
+    val terms = assigned
+      .join(docs(s, dir), col("vec_id") === col("doc_id"))
+      .select(col("cluster_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .where(!col("term").isin(TextOps.enStopwords: _*))
+    val tc = terms.groupBy("cluster_id", "term").agg(count(lit(1)).as("n"))
+    val dfreq = tc.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("score").desc, col("term").asc)
+    tc.join(dfreq, "term")
+      .withColumn("score",
+        round(col("n").cast("double") * log(lit(8d) / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 3)
+      .select(col("cluster_id"), col("rank"), col("term"), col("n"), col("score"))
+      .orderBy("cluster_id", "rank")
+  }
+
   /** Matryoshka-truncation retrieval audit (Kusupati et al. 2022): how
     * much of full-dimension top-5 retrieval survives when vectors are
     * truncated to their first 4 of 8 dimensions — the measurement a
@@ -3121,6 +3152,43 @@ object NorthStar {
       UNION ALL
       SELECT doc_id, CAST(9 AS INT) AS start_window, CAST(1 AS BIGINT) AS n_windows
       FROM documents WHERE doc_id < 96 AND doc_id % 2 = 0
-      ORDER BY doc_id, start_window"""))
+      ORDER BY doc_id, start_window""")),
+    QueryDef("qn90_cluster_topics", qClusterTopics _, Some("""
+      WITH c AS (
+        SELECT CAST(vec_id AS INT) AS cluster_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id, c.cluster_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS sim
+        FROM embeddings e, c),
+      best AS (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cluster_id) AS rk
+        FROM scored),
+      a AS (SELECT vec_id, cluster_id FROM best WHERE rk = 1),
+      terms AS (
+        SELECT a.cluster_id,
+               unnest(string_split_regex(trim(d.text), '\s+')) AS term
+        FROM a JOIN documents d ON a.vec_id = d.doc_id
+        WHERE len(trim(d.text)) > 0),
+      tf AS (
+        SELECT cluster_id, term, CAST(count(*) AS BIGINT) AS n
+        FROM terms
+        WHERE term NOT IN ('the', 'a', 'of', 'and', 'is', 'to')
+        GROUP BY cluster_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.cluster_id, tf.term, tf.n,
+               round(tf.n * ln(8.0 / df.df), 4) AS score
+        FROM tf JOIN df USING (term)),
+      r AS (
+        SELECT cluster_id, term, n, score,
+               CAST(row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY score DESC, term) AS INT) AS rank
+        FROM sc)
+      SELECT cluster_id, rank, term, n, score
+      FROM r WHERE rank <= 3
+      ORDER BY cluster_id, rank"""))
   )
 }
