@@ -223,6 +223,14 @@ object ScaleBench {
         }
         graft.ops.Multimodal.sceneCuts(media.toDF()).count()
       }
+      addOp("qn86_zipf_full")(
+        // Exact full-vocab default: the per-source rank sort IS the
+        // cost driver — this row is the baseline the head fit beats.
+        graft.ops.TextOps.zipfSlope(docs, "text", "source").count())
+      addOp("qn86_zipf_head")(
+        // Production head fit (maxRank): WindowGroupLimit keeps the
+        // per-source sort input at maxRank rows per map task.
+        graft.ops.TextOps.zipfSlope(docs, "text", "source", maxRank = 1000).count())
       addOp("qs07_cdc_merge") {
         val root = graft.TempDirs.create("graft_scale_cdc_")
         val store = new graft.store.Store(spark, root)
