@@ -1003,6 +1003,42 @@ object Relational {
       .orderBy("nation")
   }
 
+  /** pandas `groupby.transform`: broadcast a group statistic back onto
+    * every row — demeaned quantity and within-group z-score per part,
+    * over a bounded part slice. The group sums accumulate in exact
+    * DECIMAL and the variance comes from the integer-exact closed form
+    * `(n·Σx² − (Σx)²)/(n(n−1))`, so both engines state identical
+    * doubles (the q67/q68 discipline; engine-native `stddev` is
+    * accumulation-order-sensitive). Single-member groups get NULL
+    * z-scores via nullif on both sides. One partitioned window, no
+    * join — the transform IS the window.
+    */
+  private def q71GroupTransform(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast(DecimalType(18, 2))
+    val w = Window.partitionBy("l_partkey")
+    t(s, dir, "lineitem")
+      .where(col("l_partkey") % 500 === 7)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        q.as("q"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("q")).over(w).cast("double"))
+      .withColumn("sxx", sum(col("q") * col("q")).over(w).cast("double"))
+      .withColumn("sd",
+        // NULL for single-member and zero-variance groups; the products
+        // are exact in double (integer-valued decimal sums), so the > 0
+        // test cannot flap on rounding noise.
+        when(col("n") > 1 &&
+          (col("n") * col("sxx") - col("sx") * col("sx")) > 0d,
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - lit(1))))))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("q").cast("double").as("qty"),
+        round(col("q").cast("double") - col("sx") / col("n"), 6).as("demeaned"),
+        round((col("q").cast("double") - col("sx") / col("n")) / col("sd"), 6)
+          .as("zscore"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_tpch_q1_agg", q01TpchQ1 _, Some("""
       SELECT l_returnflag, l_linestatus,
@@ -1566,6 +1602,29 @@ object Relational {
              count(*) AS all_count
       FROM customer
       GROUP BY ROLLUP(c_nationkey)
-      ORDER BY nation"""))
+      ORDER BY nation""")),
+    QueryDef("q71_group_transform", q71GroupTransform _, Some("""
+      WITH s AS (
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               CAST(l_quantity AS DECIMAL(18,2)) AS q
+        FROM lineitem WHERE l_partkey % 500 = 7),
+      g AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, q,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(q) OVER w AS DOUBLE) AS sx,
+               CAST(sum(q * q) OVER w AS DOUBLE) AS sxx
+        FROM s WINDOW w AS (PARTITION BY l_partkey)),
+      d AS (
+        SELECT *,
+               CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+                    THEN sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+               END AS sd
+        FROM g)
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CAST(q AS DOUBLE) AS qty,
+             round(CAST(q AS DOUBLE) - sx / n, 6) AS demeaned,
+             round((CAST(q AS DOUBLE) - sx / n) / sd, 6) AS zscore
+      FROM d
+      ORDER BY l_orderkey, l_linenumber"""))
   )
 }
