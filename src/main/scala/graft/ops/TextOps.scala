@@ -1089,6 +1089,64 @@ object TextOps {
           .as("zipf_slope"))
   }
 
+  /** Jensen–Shannon divergence matrix (in nats) between the unigram
+    * distributions of every source pair — the TEXT-space drift monitor
+    * complementing the embedding-space centroid drift matrix (qn56): a
+    * new crawl snapshot whose token distribution departs from its
+    * source's history shows up here before any encoder runs. JSD is
+    * symmetric and bounded by ln 2, so one number per unordered pair
+    * reads directly as "how different are these corpora".
+    *
+    * Determinism discipline (qn86): per-term contributions
+    * `½p·ln(2p/(p+q)) + ½q·ln(2q/(p+q))` are doubles from one fixed op
+    * sequence, rounded to 8 decimals, and summed as exact DECIMAL —
+    * order-free, so any engine states the same matrix.
+    *
+    * Shape at scale: one (source, term) count aggregate (map-side
+    * combinable), per-source totals as a sources-sized broadcast, then
+    * the vocab-sized distribution table replicates once per pair a
+    * source participates in (sources are tens, so ≤ 2·|sources| copies)
+    * into a (pair, term) aggregate. No per-pair corpus scans.
+    * Output: (source_a, source_b, n_terms, jsd), a < b.
+    */
+  def unigramJsdMatrix(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+    val counts = df
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("source", "t")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("source").agg(sum("cnt").as("tot"))
+    val dist = counts.join(broadcast(totals), "source")
+      .select(col("source"), col("t"),
+        (col("cnt").cast("double") / col("tot")).as("p"))
+    val sources = totals.select(col("source"))
+    val pairs = sources.as("x").crossJoin(sources.as("y"))
+      .where(col("x.source") < col("y.source"))
+      .select(col("x.source").as("sa"), col("y.source").as("sb"))
+    val sideA = dist.join(broadcast(pairs), col("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("t"), col("p").as("pa"), lit(0d).as("pb"))
+    val sideB = dist.join(broadcast(pairs), col("source") === col("sb"))
+      .select(col("sa"), col("sb"), col("t"), lit(0d).as("pa"), col("p").as("pb"))
+    val merged = sideA.unionByName(sideB)
+      .groupBy("sa", "sb", "t")
+      .agg(sum("pa").as("p"), sum("pb").as("q"))
+    val m = col("p") + col("q")
+    val term =
+      when(col("p") > 0d, col("p") * log(lit(2d) * col("p") / m) * 0.5d).otherwise(0d) +
+        when(col("q") > 0d, col("q") * log(lit(2d) * col("q") / m) * 0.5d).otherwise(0d)
+    merged
+      .select(col("sa"), col("sb"), col("t"), round(term, 8).cast(dec).as("c"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("c")).cast("double"), 6).as("jsd"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_terms"), col("jsd"))
+  }
+
   /** Top-`k` characteristic terms per document by TF-IDF
     * (score = tf · ln(N/df); ties broken by term, ascending). The
     * keyword-extraction pass behind corpus topic audits and

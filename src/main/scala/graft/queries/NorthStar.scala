@@ -1650,6 +1650,16 @@ object NorthStar {
       .orderBy("cluster_id", "rank")
   }
 
+  /** Token-distribution drift matrix ([[TextOps.unigramJsdMatrix]]):
+    * Jensen–Shannon divergence between every source pair's unigram
+    * distributions — the text-space complement of qn56's embedding
+    * centroid drift, stated exactly by the oracle via the shared
+    * rounded-term DECIMAL-sum discipline.
+    */
+  private def qSourceJsd(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramJsdMatrix(docs(s, dir), "text", "source")
+      .orderBy("source_a", "source_b")
+
   /** Matryoshka-truncation retrieval audit (Kusupati et al. 2022): how
     * much of full-dimension top-5 retrieval survives when vectors are
     * truncated to their first 4 of 8 dimensions — the measurement a
@@ -3145,6 +3155,37 @@ object NorthStar {
       FROM px
       GROUP BY doc_id
       ORDER BY doc_id""")),
+    QueryDef("qn91_source_jsd", qSourceJsd _, Some("""
+      WITH tok AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+        FROM documents WHERE len(trim(text)) > 0),
+      c AS (SELECT source, t, count(*) AS cnt FROM tok GROUP BY source, t),
+      tot AS (SELECT source, sum(cnt) AS tot FROM c GROUP BY source),
+      dist AS (SELECT c.source, c.t, c.cnt * 1.0 / tot.tot AS p
+               FROM c JOIN tot USING (source)),
+      pairs AS (SELECT a.source AS sa, b.source AS sb
+                FROM tot a, tot b WHERE a.source < b.source),
+      sides AS (
+        SELECT p2.sa, p2.sb, d.t, d.p AS pa, 0.0 AS pb
+        FROM dist d JOIN pairs p2 ON d.source = p2.sa
+        UNION ALL
+        SELECT p2.sa, p2.sb, d.t, 0.0 AS pa, d.p AS pb
+        FROM dist d JOIN pairs p2 ON d.source = p2.sb),
+      m AS (SELECT sa, sb, t, sum(pa) AS p, sum(pb) AS q
+            FROM sides GROUP BY sa, sb, t),
+      terms AS (
+        SELECT sa, sb,
+               CAST(round(
+                 CASE WHEN p > 0 THEN p * ln(2 * p / (p + q)) * 0.5 ELSE 0 END +
+                 CASE WHEN q > 0 THEN q * ln(2 * q / (p + q)) * 0.5 ELSE 0 END,
+                 8) AS DECIMAL(18,8)) AS c
+        FROM m)
+      SELECT sa AS source_a, sb AS source_b,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             round(CAST(sum(c) AS DOUBLE), 6) AS jsd
+      FROM terms
+      GROUP BY sa, sb
+      ORDER BY source_a, source_b""")),
     QueryDef("qn89_audio_silence", qAudioSilence _, Some("""
       SELECT doc_id, CAST(3 AS INT) AS start_window,
              CAST(1 + doc_id % 3 AS BIGINT) AS n_windows

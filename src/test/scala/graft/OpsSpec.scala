@@ -443,6 +443,23 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(two.getAs[Double]("zipf_slope") - slope) < 1e-4)
   }
 
+  test("unigramJsdMatrix: 0 for identical distributions, ln 2 for disjoint vocabularies") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb bb cc", "s0"),
+      (2L, "aa bb bb cc", "s1"),   // identical distribution to s0
+      (3L, "xx yy yy zz", "s2"))   // disjoint vocabulary
+      .toDF("id", "text", "source")
+    val got = TextOps.unigramJsdMatrix(docs, "text", "source")
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3))).toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq(("s0", "s1"), ("s0", "s2"), ("s1", "s2")))
+    assert(got(0)._3 == 0.0)
+    assert(math.abs(got(1)._3 - math.log(2)) < 1e-6)
+    assert(math.abs(got(2)._3 - math.log(2)) < 1e-6)
+  }
+
   test("zipfSlope: an exact 1/rank frequency profile regresses to slope -1") {
     import graft.ops.TextOps
     import spark.implicits._
