@@ -1103,22 +1103,24 @@ object TextOps {
     * order-free, so any engine states the same matrix.
     *
     * Shape at scale: one (source, term) count aggregate (map-side
-    * combinable), per-source totals as a sources-sized broadcast, then
-    * the vocab-sized distribution table replicates once per pair a
-    * source participates in (sources are tens, so ≤ 2·|sources| copies)
-    * into a (pair, term) aggregate. No per-pair corpus scans.
-    * Output: (source_a, source_b, n_terms, jsd), a < b.
+    * combinable) MATERIALIZED once — four consumers (totals and both
+    * pair sides) would otherwise each re-scan the corpus — then
+    * per-source totals as a sources-sized broadcast, and the vocab-sized
+    * distribution table replicates once per pair a source participates
+    * in (sources are tens, so ≤ 2·|sources| copies) into a (pair, term)
+    * aggregate. The corpus scans exactly once. Output:
+    * (source_a, source_b, n_terms, jsd), a < b.
     */
   def unigramJsdMatrix(
       df: DataFrame,
       textCol: String,
       sourceCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 8)
-    val counts = df
+    val counts = Dedup.materialize(df
       .where(length(trim(col(textCol))) > 0)
       .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("t"))
       .groupBy("source", "t")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val totals = counts.groupBy("source").agg(sum("cnt").as("tot"))
     val dist = counts.join(broadcast(totals), "source")
       .select(col("source"), col("t"),
