@@ -1637,7 +1637,11 @@ object NorthStar {
       .join(docs(s, dir), col("vec_id") === col("doc_id"))
       .select(col("cluster_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .where(!col("term").isin(TextOps.enStopwords: _*))
-    val tc = terms.groupBy("cluster_id", "term").agg(count(lit(1)).as("n"))
+    // tc feeds both the df table and the final join; materialize the
+    // clusters×vocab-sized counts so the assign→join→explode subtree
+    // runs once.
+    val tc = Dedup.materialize(
+      terms.groupBy("cluster_id", "term").agg(count(lit(1)).as("n")))
     val dfreq = tc.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id").orderBy(col("score").desc, col("term").asc)
@@ -1675,8 +1679,13 @@ object NorthStar {
     val q = e.where(col("vec_id") < 8)
     def prefix(df: DataFrame) =
       df.select(col("vec_id"), slice(col("embedding"), 1, 4).as("embedding"))
-    val full = Similarity.topKPerQuery(e, q, "vec_id", "embedding", k = 5)
-    val pref = Similarity.topKPerQuery(prefix(e), prefix(q), "vec_id", "embedding", k = 5)
+    // Each ranking feeds two consumers (overlap + top-1); materialize
+    // the queries×k-sized results so the corpus-scanning bounded-heap
+    // passes run once each, not once per consumer.
+    val full = Dedup.materialize(
+      Similarity.topKPerQuery(e, q, "vec_id", "embedding", k = 5))
+    val pref = Dedup.materialize(
+      Similarity.topKPerQuery(prefix(e), prefix(q), "vec_id", "embedding", k = 5))
     val overlap = full.join(pref.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
     full.where(col("rank") === 1)
