@@ -231,6 +231,11 @@ object ScaleBench {
         // Production head fit (maxRank): WindowGroupLimit keeps the
         // per-source sort input at maxRank rows per map task.
         graft.ops.TextOps.zipfSlope(docs, "text", "source", maxRank = 1000).count())
+      addOp("qn91_source_jsd")(
+        // One corpus scan into a materialized vocab table; the pair
+        // replication is |sources|-bounded, so wall should track the
+        // token scan like qn86, not the pair count.
+        graft.ops.TextOps.unigramJsdMatrix(docs, "text", "source").count())
       addOp("qs07_cdc_merge") {
         val root = graft.TempDirs.create("graft_scale_cdc_")
         val store = new graft.store.Store(spark, root)
