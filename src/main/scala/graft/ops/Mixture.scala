@@ -447,6 +447,19 @@ object Mixture {
       .select(keep: _*)
   }
 
+  /** Per-epoch deterministic shuffle key: [[priority]] of the id salted
+    * by the epoch (`priority(id + epoch·2654435769)`), so every epoch
+    * orders the corpus differently but reproducibly — the "global
+    * shuffle per epoch" a training job needs WITHOUT rewriting data:
+    * epoch N's order is a sort by this key (one range-partitioned
+    * shuffle), or a streamed merge if shards are pre-sorted by it. The
+    * salt addition runs in DECIMAL like the multiply, so snowflake-range
+    * ids cannot overflow under ANSI mode. Stateable verbatim in SQL.
+    */
+  def epochPriority(id: Column, epoch: Int): Column =
+    priority(id.cast(org.apache.spark.sql.types.DecimalType(38, 0)) +
+      lit(epoch).cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(2654435769L))
+
   /** Cluster-balanced subsample: up to `perCell` rows from every cluster,
     * picked in [[priority]] order (ties by id) — the diversity-aware
     * downsampling step after an embedding clustering (assign with

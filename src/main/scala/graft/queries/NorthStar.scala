@@ -1654,6 +1654,25 @@ object NorthStar {
       .orderBy("cluster_id", "rank")
   }
 
+  /** Per-epoch deterministic reshuffle ([[Mixture.epochPriority]]): the
+    * first 10 docs of epochs 0 and 1 in their salted priority orders —
+    * different epochs must produce different, reproducible orders, and
+    * the oracle restates both permutation heads exactly. The rank-limit
+    * plans through `WindowGroupLimit`, so each map task ships 10 rows,
+    * not the corpus.
+    */
+  private def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    Seq(0, 1).map { ep =>
+      d.select(lit(ep).as("epoch"), col("doc_id"))
+        .withColumn("pos", row_number().over(
+          Window.orderBy(Mixture.epochPriority(col("doc_id"), ep), col("doc_id")))
+          .cast("int"))
+        .where(col("pos") <= 10)
+    }.reduce(_ unionByName _).orderBy("epoch", "pos")
+  }
+
   /** Token-distribution drift matrix ([[TextOps.unigramJsdMatrix]]):
     * Jensen–Shannon divergence between every source pair's unigram
     * distributions — the text-space complement of qn56's embedding
@@ -3195,6 +3214,17 @@ object NorthStar {
       FROM terms
       GROUP BY sa, sb
       ORDER BY source_a, source_b""")),
+    QueryDef("qn92_epoch_shuffle", qEpochShuffle _, Some("""
+      WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1 AS epoch),
+      r AS (
+        SELECT e.epoch, d.doc_id,
+               CAST(row_number() OVER (PARTITION BY e.epoch
+                 ORDER BY ((d.doc_id::HUGEINT + e.epoch * 2654435769) * 2654435761)
+                          % 4294967296, d.doc_id) AS INT) AS pos
+        FROM documents d, e)
+      SELECT epoch, pos, doc_id
+      FROM r WHERE pos <= 10
+      ORDER BY epoch, pos""")),
     QueryDef("qn89_audio_silence", qAudioSilence _, Some("""
       SELECT doc_id, CAST(3 AS INT) AS start_window,
              CAST(1 + doc_id % 3 AS BIGINT) AS n_windows
