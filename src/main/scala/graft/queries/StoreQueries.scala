@@ -100,6 +100,26 @@ object StoreQueries {
       .orderBy("order_year")
   }
 
+  /** Table cloning ([[Store.clone]]): snapshot-branch a table, then
+    * write a new version into the ORIGINAL — the clone must still read
+    * exactly the pre-clone data (accumulate semantics frozen at clone
+    * time), which the oracle states from the load predicate.
+    */
+  private def cloneIsolation(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    val orders = Tables.read(s, dir, "orders")
+    val y = year(col("o_orderdate"))
+    store.load(orders.where(coalesce(y < 1997, lit(true))), "tpch/orders",
+      externalKey = "v1")
+    store.clone("tpch/orders", "tpch/orders_branch")
+    store.load(orders.where(coalesce(y >= 1997, lit(false))), "tpch/orders",
+      externalKey = "v2")
+    store.get("tpch/orders_branch")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(totalN.head, totalN.tail: _*)
+      .orderBy("order_year")
+  }
+
   /** Date-key partitioning (README.md:191-198): month-grain derived read
     * through partition-pruned directories; prune filter on `__p_*` column.
     */
@@ -397,6 +417,14 @@ object StoreQueries {
              count(*) AS n
       FROM orders
       WHERE year(o_orderdate) >= 1996
+      GROUP BY 1
+      ORDER BY order_year""")),
+    QueryDef("qs13_store_clone", cloneIsolation _, Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM orders
+      WHERE year(o_orderdate) < 1997 OR o_orderdate IS NULL
       GROUP BY 1
       ORDER BY order_year"""))
   )

@@ -1248,6 +1248,29 @@ final class Store(
   def drop(name: String): Boolean =
     fs.delete(new Path(rootPath, validateName(name)), true)
 
+  /** Clone a table: copy every version subtree, schema sidecar, merge
+    * marker, and the `_last` pointer under a new name — the
+    * "zero-risk branch" a pipeline takes before a risky backfill:
+    * writes to either name never touch the other, and the clone reads
+    * with full version semantics (accumulate / `use_last` / rollback)
+    * frozen at clone time. Plain file copy by design: parquet data
+    * files are immutable once published, so there is no shared mutable
+    * state to reason about; on object stores the copy is server-side.
+    * Fails if the target exists (a clone never silently merges).
+    */
+  def clone(name: String, asName: String): Unit = {
+    val src = new Path(rootPath, validateName(name))
+    val dst = new Path(rootPath, validateName(asName))
+    if (!fs.exists(src))
+      throw new Store.GetError(s"DataFrame '$name' not found under $root", null)
+    if (fs.exists(dst))
+      throw new Store.LoadError(s"DataFrame '$asName' already exists", null)
+    assertNoTableNesting(validateName(asName), dst)
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf))
+      throw new Store.LoadError(s"clone of '$name' to '$asName' failed", null)
+  }
+
   /** Delete one version's subtree, if present. Idempotent — the replay
     * guard for exactly-once streaming ingest (see
     * [[graft.streaming.EventStreams.writeToStore]]): a micro-batch that

@@ -700,6 +700,25 @@ class StoreSpec extends SparkSpec {
     assertThrows[Store.GetError](store.rollback("t", "nope"))
   }
 
+  test("clone: frozen snapshot with full version semantics; guards on source/target") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((1L, "a")).toDF("k", "s"), "t", externalKey = "v1")
+    store.load(Seq((2L, "b")).toDF("k", "s"), "t", externalKey = "v2")
+    store.clone("t", "t2")
+    // Writes to either side never touch the other.
+    store.load(Seq((3L, "c")).toDF("k", "s"), "t", externalKey = "v3")
+    store.load(Seq((9L, "z")).toDF("k", "s"), "t2", externalKey = "v9")
+    assert(store.get("t").count() == 3L)
+    assert(store.get("t2").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (9L, "z")))
+    // The _last pointer travels with the clone and advances independently.
+    assert(store.get("t2", useLast = true).head().getString(1) == "z")
+    assert(store.get("t", useLast = true).head().getString(1) == "c")
+    assertThrows[Store.GetError](store.clone("nope", "t3"))
+    assertThrows[Store.LoadError](store.clone("t", "t2"))
+  }
+
   test("compacting a merge-delta version keeps it a delta (marker survives)") {
     import spark.implicits._
     val store = freshStore()
