@@ -886,6 +886,45 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** Decode + decimate-by-`k` resample, reduced to the position-weighted
+    * checksum Σ sample·(j+1) over the kept samples (indices 0, k, 2k …)
+    * — the audio leg of the resize plumbing (qn88 is the image leg).
+    * Plain decimation by contract: it is integer-exact and
+    * oracle-stateable; a production resampler low-passes before
+    * decimating (float filter territory) and belongs behind a
+    * declared-approximate variant, exactly like bilinear image
+    * filters. Returns (outputSampleRate, nKept, checksum).
+    */
+  def audioDecimateChecksum(content: Array[Byte], k: Int): (Int, Long, Long) = {
+    require(k >= 1, "decimation factor must be >= 1")
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException("payload is not a decodable audio container", e)
+      }
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
+      val be = fmt.isBigEndian
+      val buf = ais.readAllBytes()
+      val samples = buf.length / 2
+      var sum = 0L
+      var j = 0L
+      var i = 0
+      while (i < samples) {
+        val v =
+          if (be) (((buf(2 * i) & 0xFF) << 8) | (buf(2 * i + 1) & 0xFF)).toShort.toLong
+          else (((buf(2 * i + 1) & 0xFF) << 8) | (buf(2 * i) & 0xFF)).toShort.toLong
+        sum += v * (j + 1)
+        j += 1
+        i += k
+      }
+      (fmt.getSampleRate.toInt / k, j, sum)
+    } finally ais.close()
+  }
+
   /** One silent segment of one audio row. */
   final case class SilenceRun(doc_id: Long, start_window: Int, n_windows: Long)
 

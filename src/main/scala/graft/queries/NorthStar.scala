@@ -1654,6 +1654,35 @@ object NorthStar {
       .orderBy("cluster_id", "rank")
   }
 
+  /** Audio decimation resample ([[Multimodal.audioDecimateChecksum]]):
+    * render the STATEABLE sawtooth WAV (sample_i =
+    * (id·131 + i·7) mod 4001 − 2000), decode, keep every k-th sample,
+    * and grade the kept-sample checksum against the oracle's
+    * restatement of the whole render→encode→decode→decimate chain —
+    * the audio leg of the resize plumbing (qn88 is the image leg).
+    */
+  private def qAudioResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).where(col("doc_id") < 96)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val n = (1000 + (id % 7) * 300).toInt
+        Multimodal.MediaRecord(id, Multimodal.syntheticWav(n, 8000, id), "audio/wav")
+      }
+    implicit val enc =
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    implicit val inEnc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
+    media.toDF().as[Multimodal.MediaRecord].mapPartitions { rows =>
+      rows.map { r =>
+        val k = (2 + r.doc_id % 3).toInt
+        val (_, nOut, cs) = Multimodal.audioDecimateChecksum(r.content, k)
+        (r.doc_id, nOut, cs)
+      }
+    }.toDF("doc_id", "n_out", "checksum")
+      .orderBy("doc_id")
+  }
+
   /** Per-epoch deterministic reshuffle ([[Mixture.epochPriority]]): the
     * first 10 docs of epochs 0 and 1 in their salted priority orders —
     * different epochs must produce different, reproducible orders, and
@@ -3214,6 +3243,19 @@ object NorthStar {
       FROM terms
       GROUP BY sa, sb
       ORDER BY source_a, source_b""")),
+    QueryDef("qn93_audio_resample", qAudioResample _, Some("""
+      WITH g AS (
+        SELECT doc_id, 1000 + (doc_id % 7) * 300 AS n, 2 + doc_id % 3 AS k
+        FROM documents WHERE doc_id < 96),
+      j AS (
+        SELECT doc_id, n, k, jj.j
+        FROM g, unnest(range(0, (n - 1) // k + 1)) jj(j))
+      SELECT doc_id,
+             CAST((n - 1) // k + 1 AS BIGINT) AS n_out,
+             CAST(sum(((doc_id * 131 + (j * k) * 7) % 4001 - 2000) * (j + 1))
+               AS BIGINT) AS checksum
+      FROM j GROUP BY doc_id, n, k
+      ORDER BY doc_id""")),
     QueryDef("qn92_epoch_shuffle", qEpochShuffle _, Some("""
       WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1 AS epoch),
       r AS (
