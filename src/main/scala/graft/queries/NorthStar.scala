@@ -1683,6 +1683,26 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** BPE merge-candidate statistics (Sennrich et al. 2016, step 1):
+    * corpus-wide counts of adjacent character pairs within words, top
+    * 20 — the statistic the tokenizer-training loop recomputes after
+    * every merge. The loop's heavy half (corpus-wide pair counting,
+    * one generate + one map-side-combinable aggregate +
+    * TakeOrderedAndProject) lives in the engine; the merge-table update
+    * between iterations is metadata-scale. The (count desc, pair) total
+    * order makes the top-20 cut engine-deterministic.
+    */
+  private def qBpePairCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substr(w, i, 2)").as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+
   /** Per-epoch deterministic reshuffle ([[Mixture.epochPriority]]): the
     * first 10 docs of epochs 0 and 1 in their salted priority orders —
     * different epochs must produce different, reproducible orders, and
@@ -3256,6 +3276,18 @@ object NorthStar {
                AS BIGINT) AS checksum
       FROM j GROUP BY doc_id, n, k
       ORDER BY doc_id""")),
+    QueryDef("qn94_bpe_pair_counts", qBpePairCounts _, Some("""
+      WITH w AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE len(trim(text)) > 0),
+      p AS (
+        SELECT substr(w.w, ii.i, 2) AS pair
+        FROM w, unnest(range(1, len(w.w))) ii(i)
+        WHERE len(w.w) >= 2)
+      SELECT pair, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY pair
+      ORDER BY n DESC, pair
+      LIMIT 20""")),
     QueryDef("qn92_epoch_shuffle", qEpochShuffle _, Some("""
       WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1 AS epoch),
       r AS (
