@@ -1255,8 +1255,13 @@ final class Store(
     * with full version semantics (accumulate / `use_last` / rollback)
     * frozen at clone time. Plain file copy by design: parquet data
     * files are immutable once published, so there is no shared mutable
-    * state to reason about; on object stores the copy is server-side.
-    * Fails if the target exists (a clone never silently merges).
+    * state to reason about. The copy runs as ONE SPARK JOB over the
+    * file list (the distcp shape) — a 100 TB clone moves with cluster
+    * bandwidth, not driver bandwidth, and on object stores each task's
+    * copy is server-side. Nobody can be reading the target mid-clone
+    * (the name doesn't exist until the clone made it), so per-file
+    * tasks need no commit protocol. Fails if the target exists (a
+    * clone never silently merges).
     */
   def clone(name: String, asName: String): Unit = {
     val src = new Path(rootPath, validateName(name))
@@ -1266,9 +1271,28 @@ final class Store(
     if (fs.exists(dst))
       throw new Store.LoadError(s"DataFrame '$asName' already exists", null)
     assertNoTableNesting(validateName(asName), dst)
-    val conf = spark.sparkContext.hadoopConfiguration
-    if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf))
-      throw new Store.LoadError(s"clone of '$name' to '$asName' failed", null)
+    // Qualify both roots: walkFiles returns scheme-qualified paths
+    // (file:/...), and the relative strip must match that exact form.
+    val srcStr = fs.makeQualified(src).toString
+    val rels = scala.collection.mutable.ArrayBuffer.empty[String]
+    walkFiles(src) { st =>
+      val p = st.getPath.toString
+      require(p.startsWith(srcStr + "/"), s"unexpected path $p outside $srcStr")
+      rels += p.stripPrefix(srcStr + "/")
+    }
+    val dstStr = fs.makeQualified(dst).toString
+    val sc = spark.sparkContext
+    val confB = org.apache.spark.graft.ConfBridge.broadcast(
+      sc, sc.hadoopConfiguration)
+    val slices = math.max(1, math.min(rels.size, sc.defaultParallelism * 2))
+    sc.parallelize(rels.toSeq, slices).foreach { rel =>
+      val c = confB.value.value
+      val s = new Path(s"$srcStr/$rel")
+      val d = new Path(s"$dstStr/$rel")
+      if (!org.apache.hadoop.fs.FileUtil.copy(
+          s.getFileSystem(c), s, d.getFileSystem(c), d, false, c))
+        throw new java.io.IOException(s"clone copy failed for $rel")
+    }
   }
 
   /** Delete one version's subtree, if present. Idempotent — the replay
