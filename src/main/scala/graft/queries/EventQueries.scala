@@ -331,6 +331,28 @@ object EventQueries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Cumulative distinct users by day — the growth-curve query. The
+    * scalable formulation is first-seen-day per user (one aggregate)
+    * + a days-sized running sum, NOT a distinct-count over an
+    * expanding window (which re-scans the prefix per day and holds a
+    * per-day distinct set). New-user days absent from the event log
+    * contribute nothing, so the curve is stated per active day.
+    */
+  private def qCumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = ev(s, dir)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("new_users"))
+    firstSeen
+      .withColumn("cum_users",
+        sum("new_users").over(
+          Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
   /** Shared by q48 (unbucketed) and q50 (hot-key bucketed): the two
     * paths must grade against the IDENTICAL contract - a single constant
     * cannot silently desynchronize the way two pasted copies can.
@@ -521,6 +543,17 @@ object EventQueries {
       SELECT prev_type, next_type, n_trans,
              round(n_trans / sum(n_trans) OVER (PARTITION BY prev_type), 6) AS p_next
       FROM c
-      ORDER BY prev_type, next_type"""))
+      ORDER BY prev_type, next_type""")),
+    QueryDef("q72_cumulative_users", qCumulativeUsers _, Some("""
+      WITH f AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS day
+        FROM events GROUP BY user_id),
+      n AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+      SELECT day, CAST(new_users AS BIGINT) AS new_users,
+             CAST(sum(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+      FROM n
+      ORDER BY day"""))
   )
 }

@@ -1703,6 +1703,30 @@ object NorthStar {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(20)
 
+  /** Incremental dataset card through the STORE (the qn33 mergeable-
+    * sketch pattern applied to qn77's card): each ingest persists its
+    * per-source stateless card stats as one store version (a
+    * sources-sized table — O(delta) work), and the published card is
+    * the accumulate-read SUM over versions. Graded against the direct
+    * whole-corpus aggregate: it matches only if the per-version stats
+    * are truly mergeable and the version union loses nothing. This is
+    * how a 100 TB pipeline keeps its card current without rescanning
+    * history on every ingest.
+    */
+  private def qIncrementalCard(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_card_"))
+    val d = docs(s, dir)
+    def stats(half: org.apache.spark.sql.Column) =
+      graft.streaming.DocStreams.datasetCardTotals(d.where(half))
+    store.load(stats(pmod(col("doc_id"), lit(2)) === 0), "card/stats", externalKey = "b0")
+    store.load(stats(pmod(col("doc_id"), lit(2)) === 1), "card/stats", externalKey = "b1")
+    store.get("card/stats")
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_en").as("n_en"), sum("n_quality_pass").as("n_quality_pass"))
+      .orderBy("source")
+  }
+
   /** Per-epoch deterministic reshuffle ([[Mixture.epochPriority]]): the
     * first 10 docs of epochs 0 and 1 in their salted priority orders —
     * different epochs must produce different, reproducible orders, and
@@ -3276,6 +3300,33 @@ object NorthStar {
                AS BIGINT) AS checksum
       FROM j GROUP BY doc_id, n, k
       ORDER BY doc_id""")),
+    QueryDef("qn95_incremental_card", qIncrementalCard _, Some("""
+      WITH f AS (
+        SELECT source, lang,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(regexp_replace(text, '\s+', '', 'g'))
+                      * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS awl,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+                      * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS ttr,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t IN ('the', 'a', 'of', 'and', 'is', 'to')))
+                      * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS stopfrac
+        FROM documents)
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             CAST(sum(CASE WHEN (toks BETWEEN 25 AND 100000)
+                            AND (awl BETWEEN 3.0 AND 10.0)
+                            AND ttr >= 0.45 AND stopfrac >= 0.05
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+      FROM f
+      GROUP BY source
+      ORDER BY source""")),
     QueryDef("qn94_bpe_pair_counts", qBpePairCounts _, Some("""
       WITH w AS (
         SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
