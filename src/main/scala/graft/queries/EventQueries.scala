@@ -353,6 +353,31 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** Activity concentration per event type: the Gini coefficient of
+    * per-user event counts — the "how bot-heavy / whale-heavy is this
+    * stream" metric. Closed form over the sorted counts,
+    * `G = (2·Σ i·xᵢ)/(n·Σxᵢ) − (n+1)/n`, with every sum over exact
+    * integers (i·xᵢ products), so the value is engine-exact before the
+    * final double division. One users-sized aggregate, a per-type rank
+    * window over that (users per type, not events), one types-sized
+    * result.
+    */
+  private def qActivityGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("x").asc, col("user_id").asc)
+    ev(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("event_type"), col("n_users"),
+        round((lit(2d) * col("six")) / (col("n_users") * col("sx")) -
+          (col("n_users") + lit(1)).cast("double") / col("n_users"), 6).as("gini"))
+      .orderBy("event_type")
+  }
+
   /** Shared by q48 (unbucketed) and q50 (hot-key bucketed): the two
     * paths must grade against the IDENTICAL contract - a single constant
     * cannot silently desynchronize the way two pasted copies can.
@@ -554,6 +579,24 @@ object EventQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS cum_users
       FROM n
-      ORDER BY day"""))
+      ORDER BY day""")),
+    QueryDef("q73_activity_gini", qActivityGini _, Some("""
+      WITH u AS (
+        SELECT event_type, user_id, count(*) AS x
+        FROM events GROUP BY event_type, user_id),
+      r AS (
+        SELECT event_type, x,
+               CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY x, user_id) AS BIGINT) AS i
+        FROM u),
+      g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+               sum(x) AS sx, sum(i * x) AS six
+        FROM r GROUP BY event_type)
+      SELECT event_type, n_users,
+             round((2.0 * six) / (n_users * sx)
+                   - (n_users + 1) * 1.0 / n_users, 6) AS gini
+      FROM g
+      ORDER BY event_type"""))
   )
 }

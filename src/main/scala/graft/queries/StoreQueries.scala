@@ -213,6 +213,33 @@ object StoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Copy-on-write fold ([[Store.materializeMerged]]) graded
+    * end-to-end: base + one upsert/tombstone delta, fold the chain into
+    * one plain version, then read THE FOLDED VERSION via `use_last` —
+    * it must equal the merge-on-read final state, which the oracle
+    * restates from the delta predicates. This is the compaction half of
+    * the CDC story (qs07 grades the read half).
+    */
+  private def materializeFold(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    val orders = Tables.read(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val key = col("o_orderkey")
+    store.load(orders, "tpch/orders_cow", externalKey = "v1")
+    store.merge(
+      orders.where(pmod(key, lit(5)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000d)
+        .withColumn("is_del", pmod(key, lit(7)) === 0),
+      "tpch/orders_cow", Seq("o_orderkey"), externalKey = "v2",
+      deleteCol = Some("is_del"))
+    store.materializeMerged("tpch/orders_cow")
+    store.get("tpch/orders_cow", useLast = true)
+      .groupBy("o_orderstatus")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Data-skipping lifecycle end-to-end: three appends write per-file
     * min/max sidecars, OPTIMIZE-style compact Z-ORDERs the version by
     * (o_custkey, o_totalprice), and the read scans only files whose
@@ -426,6 +453,19 @@ object StoreQueries {
       FROM orders
       WHERE year(o_orderdate) < 1997 OR o_orderdate IS NULL
       GROUP BY 1
-      ORDER BY order_year"""))
+      ORDER BY order_year""")),
+    QueryDef("qs14_store_materialize", materializeFold _, Some("""
+      WITH fin AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000
+                    ELSE o_totalprice END AS p
+        FROM orders
+        WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 7 = 0))
+      SELECT o_orderstatus,
+             CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM fin
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
   )
 }
