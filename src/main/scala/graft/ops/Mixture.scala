@@ -156,15 +156,36 @@ object Mixture {
       idCol: String,
       tokCol: String,
       numShards: Int,
+      numBuckets: Int = 256): DataFrame =
+    tokenShardsOrdered(docs, idCol, tokCol,
+      priority(col(idCol)), PrioritySpace, numShards, numBuckets)
+
+  /** [[tokenShards]] over an ARBITRARY order key: the same two-phase
+    * bucket plan (per-bucket totals -> driver prefix sums -> exact
+    * per-row window INSIDE each bucket only), but rows are laid out by
+    * `orderKey` (any non-negative long below `orderSpace`) instead of
+    * the pseudo-random priority. This is what turns the sharder into a
+    * CURRICULUM builder: order by descending quality and shard 0 holds
+    * the highest-quality ~1/numShards of the token mass. The full
+    * corpus still crosses one aggregate and one broadcast join - never
+    * a global sort.
+    */
+  def tokenShardsOrdered(
+      docs: DataFrame,
+      idCol: String,
+      tokCol: String,
+      orderKey: org.apache.spark.sql.Column,
+      orderSpace: Long,
+      numShards: Int,
       numBuckets: Int = 256): DataFrame = {
 
     require(numShards >= 1, "numShards must be >= 1")
-    require(numBuckets >= 1 && PrioritySpace % numBuckets == 0,
-      s"numBuckets must divide 2^32, got $numBuckets")
-    val bucketWidth = PrioritySpace / numBuckets
+    require(numBuckets >= 1 && orderSpace % numBuckets == 0,
+      s"numBuckets must divide the order space, got $numBuckets for $orderSpace")
+    val bucketWidth = orderSpace / numBuckets
 
     val t = docs
-      .withColumn("__mx_pr", priority(col(idCol)))
+      .withColumn("__mx_pr", orderKey)
       .withColumn("__mx_bkt", (col("__mx_pr") / bucketWidth).cast("int"))
 
     // Bucket totals: metadata-scale, exact longs — the prefix sums and
@@ -202,6 +223,33 @@ object Mixture {
       .withColumn("shard_id",
         least(expr(s"__mx_prior div $target"), lit(numShards - 1L)).cast("int"))
       .select((keep :+ col("shard_id")): _*)
+  }
+
+  /** Curriculum sharding: token-balanced shards ordered by DESCENDING
+    * quality — shard 0 is the highest-quality ~1/numShards of the token
+    * mass, the layout curriculum-learning training consumes (start
+    * clean, anneal toward the tail). The order key is
+    * `⌊(1 − quality)·2²⁰⌋` (clamped into the space), so any engine
+    * restates the same boundaries; `qualityCol` must be in [0, 1]
+    * (e.g. [[TextOps.qualityScore]]).
+    */
+  def curriculumShards(
+      docs: DataFrame,
+      idCol: String,
+      tokCol: String,
+      qualityCol: String,
+      numShards: Int,
+      numBuckets: Int = 256): DataFrame = {
+    val space = 1L << 20
+    // Clamp BOTH ends: float summation can push a perfect score a few
+    // ulps past 1.0 (0.4+0.3+0.3 = 1.0000000000000002 in doubles),
+    // which would floor to −1 and land outside the bucket space.
+    val key = least(
+      greatest(
+        floor((lit(1d) - col(qualityCol)) * lit(space.toDouble)).cast("long"),
+        lit(0L)),
+      lit(space - 1L))
+    tokenShardsOrdered(docs, idCol, tokCol, key, space, numShards, numBuckets)
   }
 
   /** Temperature-scaled source sampling — the multilingual/multi-source

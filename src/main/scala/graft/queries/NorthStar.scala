@@ -1727,6 +1727,26 @@ object NorthStar {
       .orderBy("source")
   }
 
+  /** Curriculum sharding ([[Mixture.curriculumShards]]): token-balanced
+    * shards ordered by descending [[TextOps.qualityScore]] — shard 0 is
+    * the cleanest ~quarter of the token mass. Runs through the
+    * generalized two-phase bucket plan (per-bucket totals → driver
+    * prefix sums → window inside the boundary bucket only); the oracle
+    * restates the naive single-window formulation, which MixtureSpec
+    * proves row-identical.
+    */
+  private def qCurriculumShards(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("toks", TextOps.tokenCount(col("text")).cast("long"))
+      .withColumn("q", TextOps.qualityScore(col("text")))
+    Mixture.curriculumShards(d, "doc_id", "toks", "q", numShards = 4)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("shard_tokens"),
+        round(sum(round(col("q"), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 4).as("avg_quality"))
+      .orderBy("shard_id")
+  }
+
   /** Per-epoch deterministic reshuffle ([[Mixture.epochPriority]]): the
     * first 10 docs of epochs 0 and 1 in their salted priority orders —
     * different epochs must produce different, reproducible orders, and
@@ -3300,6 +3320,41 @@ object NorthStar {
                AS BIGINT) AS checksum
       FROM j GROUP BY doc_id, n, k
       ORDER BY doc_id""")),
+    QueryDef("qn96_curriculum_shards", qCurriculumShards _, Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) * 0.4
+                       + (len(list_distinct(string_split_regex(trim(text), '\s+')))
+                          / len(string_split_regex(trim(text), '\s+'))) * 0.3
+                       + least((len(regexp_replace(text, '\s+', '', 'g'))
+                          / len(string_split_regex(trim(text), '\s+'))) / 8.0, 1.0) * 0.3
+               END AS q
+        FROM documents),
+      k AS (
+        SELECT doc_id, toks, q,
+               least(greatest(CAST(floor((1.0 - q) * 1048576.0) AS BIGINT), 0), 1048575)
+                 AS okey
+        FROM f),
+      w AS (
+        SELECT doc_id, toks, q,
+               coalesce(sum(toks) OVER (ORDER BY okey, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        FROM k),
+      tot AS (SELECT greatest(1, (sum(toks) + 3) // 4) AS target FROM f),
+      s AS (
+        SELECT doc_id, toks, q,
+               least(prior // target, 3) AS shard_id
+        FROM w, tot)
+      SELECT CAST(shard_id AS INT) AS shard_id,
+             count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS shard_tokens,
+             round(CAST(sum(CAST(round(q, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 4) AS avg_quality
+      FROM s GROUP BY shard_id
+      ORDER BY shard_id""")),
     QueryDef("qn95_incremental_card", qIncrementalCard _, Some("""
       WITH f AS (
         SELECT source, lang,

@@ -71,6 +71,38 @@ object MixturePropSpec extends Properties("Mixture") {
       fast == slow
     }
 
+  property("curriculumShards == naive quality-ordered window assignment") =
+    Prop.forAllNoShrink(genCorpus, Gen.oneOf(1, 2, 4),
+      Gen.oneOf(1, 2, 256, 65536)) { (rows, shards, buckets) =>
+      val s = spark
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      // Quality derived deterministically from the id; include values
+      // at and just past 1.0 (the float-sum overshoot case).
+      val docs = rows.toDF("doc_id", "source", "toks")
+        .withColumn("q",
+          when(col("doc_id") % 17 === 0, lit(1.0000000000000002))
+            .otherwise(pmod(col("doc_id"), lit(97)).cast("double") / 97d))
+      val fast = Mixture.curriculumShards(docs, "doc_id", "toks", "q", shards, buckets)
+        .select("doc_id", "shard_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val total = rows.map(_._3).sum
+      val target = math.max(1L, (total + shards - 1) / shards)
+      val key = least(greatest(
+        floor((lit(1d) - col("q")) * lit(1048576d)).cast("long"), lit(0L)),
+        lit(1048575L))
+      val slow = docs
+        .withColumn("prior", coalesce(
+          sum(col("toks")).over(Window.orderBy(key, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("shard_id",
+          least(expr(s"prior div $target"), lit(shards - 1L)).cast("int"))
+        .select("doc_id", "shard_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      Prop(fast == slow) :| s"shards=$shards buckets=$buckets"
+    }
+
   property("clusterBalancedSample == brute per-cluster priority cut") =
     Prop.forAllNoShrink(genCorpus, Gen.oneOf(1, 2, 5)) { (rows, perCell) =>
       val s = spark
