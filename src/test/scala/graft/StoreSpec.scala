@@ -719,6 +719,25 @@ class StoreSpec extends SparkSpec {
     assertThrows[Store.LoadError](store.clone("t", "t2"))
   }
 
+  test("clone preserves a live merge chain (delta markers copy with the data)") {
+    import spark.implicits._
+    val store = freshStore()
+    store.load(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), "m", externalKey = "v1")
+    store.merge(Seq((2L, 25.0), (3L, 30.0)).toDF("k", "v"), "m", Seq("k"),
+      externalKey = "v2")
+    store.clone("m", "m2")
+    // A post-clone delta on the ORIGINAL must not leak into the branch.
+    store.merge(Seq((1L, 99.0)).toDF("k", "v"), "m", Seq("k"), externalKey = "v3")
+    assert(store.getMerged("m2").as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+    assert(store.getMerged("m").as[(Long, Double)].collect().toSet ==
+      Set((1L, 99.0), (2L, 25.0), (3L, 30.0)))
+    // The branch folds independently.
+    store.materializeMerged("m2")
+    assert(store.get("m2", useLast = true).as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+  }
+
   test("compacting a merge-delta version keeps it a delta (marker survives)") {
     import spark.implicits._
     val store = freshStore()
