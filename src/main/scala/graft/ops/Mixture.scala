@@ -185,7 +185,15 @@ object Mixture {
     val bucketWidth = orderSpace / numBuckets
 
     val t = docs
-      .withColumn("__mx_pr", orderKey)
+      // Fail LOUDLY on a contract-violating key: an out-of-space key
+      // would land in a bucket absent from the broadcast table and its
+      // row would vanish from the output through the inner join — a
+      // silent data loss no caller should have to debug.
+      .withColumn("__mx_pr",
+        when(orderKey >= 0L && orderKey < orderSpace, orderKey)
+          .otherwise(raise_error(concat(
+            lit(s"tokenShardsOrdered: order key outside [0, $orderSpace): "),
+            coalesce(orderKey.cast("string"), lit("NULL"))))))
       .withColumn("__mx_bkt", (col("__mx_pr") / bucketWidth).cast("int"))
 
     // Bucket totals: metadata-scale, exact longs — the prefix sums and

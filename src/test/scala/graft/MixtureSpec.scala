@@ -124,6 +124,27 @@ object MixturePropSpec extends Properties("Mixture") {
 
 class MixtureSpec extends SparkSpec {
 
+  test("tokenShardsOrdered: contract-violating order keys fail loudly, never drop rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, 5L), (2L, 7L)).toDF("doc_id", "toks")
+    // Out-of-space key (negative) and an undefined (null) key must both
+    // surface as errors — pre-guard they vanished through the bucket
+    // join as silent data loss.
+    val bad = intercept[Exception](
+      Mixture.tokenShardsOrdered(docs, "doc_id", "toks",
+        col("doc_id") - 10L, 1L << 20, 2).collect())
+    assert(bad.getMessage.contains("order key outside") ||
+      Option(bad.getCause).exists(_.getMessage.contains("order key outside")))
+    val nullKey = intercept[Exception](
+      Mixture.tokenShardsOrdered(docs, "doc_id", "toks",
+        when(col("doc_id") === 1L, lit(null)).otherwise(lit(0L)).cast("long"),
+        1L << 20, 2).collect())
+    def says(e: Throwable) =
+      e != null && e.getMessage != null && e.getMessage.contains("order key")
+    assert(says(nullKey) || says(nullKey.getCause), s"got: ${nullKey.getMessage}")
+  }
+
   test("budget fill: crossing doc included, later docs excluded, order is priority order") {
     import spark.implicits._
     // One source; priorities of ids 0..4 determine the fill order.
