@@ -7,6 +7,13 @@ oracle_sql.json in DuckDB over the same fixture tables, sorts columns by
 name and rows by all columns, and compares cell-by-cell (exact for
 non-floats; floats must match to 1e-9 after the query's own rounding).
 
+TYPE-STRICT (the r9 lesson): the driver's gate hashes TYPED values, so a
+DuckDB HUGEINT (bare `sum()` over BIGINT, surfacing as float64/object)
+against a Spark BIGINT fails the driver even when every value is equal.
+This script therefore fails on integer-vs-float dtype drift between the
+two frames (DTYPE-MISMATCH) instead of coercing through float compare —
+the oracle SQL must CAST to the exact type the Spark plan emits.
+
 Usage: python3 scripts/check.py <sfDir> <outDir>
 """
 import json
@@ -79,6 +86,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         a, b = canon(spark_df), canon(oracle_df)
         if list(a.columns) != list(b.columns):
             results[name] = f"SCHEMA-MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"
+            continue
+        # Type-strict gate: integer-vs-float drift (DuckDB HUGEINT/DOUBLE
+        # widening) fails the driver's typed hash even when values match.
+        dtype_bad = [
+            (c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+            if str(a[c].dtype) != str(b[c].dtype)
+            and {a[c].dtype.kind, b[c].dtype.kind} <= {"i", "u", "f"}
+            and a[c].dtype.kind != b[c].dtype.kind]
+        if dtype_bad:
+            results[name] = f"DTYPE-MISMATCH {dtype_bad}"
             continue
         if len(a) != len(b):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(a)} oracle={len(b)}"

@@ -1247,6 +1247,74 @@ object NorthStar {
       .orderBy("label")
   }
 
+  /** The ROUTED [[Similarity.positivePairs]] leg graded end-to-end —
+    * closing the r9 verdict's gap (qn63 pins exact semantics; the
+    * production cell-pruned routing above 20k rows was suite/ScaleBench-
+    * verified only). `maxExactRows = 0` forces the routed path — corpus-
+    * adaptive nlist, fixed-seed k-means fit, soft 3-probe assignment on
+    * both sides, (cell, label) candidate join, bounded-heap top-1 — and
+    * the exact leg is recomputed in-query as truth (the qn12 playbook).
+    * Graded as literal-stateable values: n_anchors (every vector whose
+    * label has a second member — SQL-stateable), coverage_ok (routed
+    * emits ≥ 95% of anchors), id_recall_ok (routed argmax id matches
+    * exact on ≥ 80% of anchors; the near-uniform fixture measures 1.0 at
+    * sf0.01 and sf0.1 — 3 probes of 8 corpus-adaptive cells is a 37.5%
+    * probed fraction, far above ScaleData's adversarial regime), and
+    * cos_sound_ok (a routed pair's cosine never exceeds the exact
+    * optimum — structural: routed scores a candidate subset, and
+    * rounding is monotonic, so the bound survives the 4dp round).
+    */
+  private def qPositivePairsRouted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val routed = Similarity.positivePairs(e, "vec_id", "embedding", "label",
+      maxExactRows = 0L)
+    val exact = Similarity.positivePairs(e, "vec_id", "embedding", "label",
+      maxExactRows = Long.MaxValue)
+    exact.select(col("label"), col("anchor_id"),
+        col("pos_id").as("exact_pos"), col("cos").as("exact_cos"))
+      .join(routed.select(col("label"), col("anchor_id"),
+        col("pos_id").as("routed_pos"), col("cos").as("routed_cos")),
+        Seq("label", "anchor_id"), "left")
+      .agg(
+        count(lit(1)).as("n_anchors"),
+        (count(col("routed_pos")) * 100L >= count(lit(1)) * 95L)
+          .as("coverage_ok"),
+        (sum(when(col("routed_pos") === col("exact_pos"), 1L).otherwise(0L))
+          * 100L >= count(lit(1)) * 80L).as("id_recall_ok"),
+        (coalesce(max(col("routed_cos") - col("exact_cos")), lit(0.0)) <= 0.0)
+          .as("cos_sound_ok"))
+  }
+
+  /** The ROUTED [[Similarity.knnLabelAgreement]] leg graded end-to-end
+    * (qn69's production path above 20k rows — `maxExactRows = 0` forces
+    * the IVF probe plan: fixed-seed coarse quantizer, hard-assigned
+    * candidates, 16-probe codegen anchor assignment). The exact leg is
+    * recomputed in-query as truth. Per label: the anchor count (SQL-
+    * stateable — every anchor has an exact 1-NN since the corpus dwarfs
+    * one row), n_ok (routed audits the SAME anchor population — no
+    * silent anchor loss from empty probed cells; 16 of ~√n cells leaves
+    * hundreds of candidates per anchor), and agreement_close_ok (routed
+    * per-label agreement within 0.1 of exact — the RecallSpec band,
+    * which holds on adversarial ScaleData at these defaults; the
+    * near-uniform fixture measures ≤ 0.02 drift at both SFs).
+    */
+  private def qKnnAgreementRouted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val anchors = e.where(col("vec_id") % 5 === 0)
+    val exact = Similarity.knnLabelAgreement(anchors, e,
+      "vec_id", "embedding", "label", maxExactRows = Long.MaxValue)
+    val routed = Similarity.knnLabelAgreement(anchors, e,
+      "vec_id", "embedding", "label", maxExactRows = 0L)
+    exact.select(col("label"), col("n"), col("agreement").as("exact_agreement"))
+      .join(routed.select(col("label"), col("n").as("n_routed"),
+        col("agreement").as("routed_agreement")), Seq("label"), "left")
+      .select(col("label"), col("n"),
+        coalesce(col("n_routed") === col("n"), lit(false)).as("n_ok"),
+        coalesce(abs(col("routed_agreement") - col("exact_agreement")) <= 0.1,
+          lit(false)).as("agreement_close_ok"))
+      .orderBy("label")
+  }
+
   /** Cross-modality referential integrity: every doc should have an
     * embedding row and vice versa — the join-coverage audit a
     * multimodal pipeline runs after every ingest (an orphaned side
@@ -1369,9 +1437,17 @@ object NorthStar {
     * mix, exact-duplicate rate (share of docs that are a non-anchor copy
     * of their normalized-text group, qn57's canonicalization), and the
     * qn18 quality-rule pass rate. Pure per-row expressions + one
-    * group-anchor aggregate + one source-sized aggregate; the exact
-    * per-source median uses Spark's `percentile` (group-sized value
-    * maps — at 100 TB swap in the q49 `approx_percentile` route).
+    * group-anchor aggregate + one source-sized aggregate.
+    *
+    * The per-source median is EXACT but never funnels a group's values
+    * through one reducer (the r9 verdict's scale flag on Spark's
+    * `percentile`, whose per-value count map collapses onto the final
+    * agg buffer): [[exactGroupMedian]] aggregates a compacted
+    * (source, toks) count map — map-side combined, sized by DISTINCT
+    * token counts, not rows — then rank-selects the two interpolation
+    * boundary values with a window over that compact table. Same
+    * quantile_cont definition as the oracle; integer values at frac ∈
+    * {0, .5} make the interpolation float-exact.
     */
   private def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(
@@ -1380,19 +1456,58 @@ object NorthStar {
       md5(TextOps.normalizeForMatch(col("text")).cast("binary")).as("g"),
       TextOps.qualityRules(col("text")).keep.as("q"))
     val anchors = base.groupBy("g").agg(min("doc_id").as("anchor"))
+    val med = exactGroupMedian(base, "source", "toks")
     base.join(anchors, "g")
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("toks").as("n_tokens"),
-        round(expr("percentile(toks, 0.5)"), 1).as("p50_tokens"),
         round(sum(when(col("lang") === "en", 1L).otherwise(0L)) / count(lit(1)), 4)
           .as("pct_en"),
         round(sum(when(col("doc_id") =!= col("anchor"), 1L).otherwise(0L))
           / count(lit(1)), 4).as("dup_rate"),
         round(sum(when(col("q"), 1L).otherwise(0L)) / count(lit(1)), 4)
           .as("quality_pass_rate"))
+      .join(broadcast(med), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("p50_tokens"), col("pct_en"), col("dup_rate"),
+        col("quality_pass_rate"))
       .orderBy("source")
+  }
+
+  /** Exact interpolated per-group median (the quantile_cont definition:
+    * v_lo + frac·(v_hi − v_lo) at 0-indexed position (n−1)/2) computed
+    * scale-safely — the per-GROUP analog of q58's distributed sort
+    * selection. Pass 1 compacts rows into a (group, value) count map via
+    * an ordinary map-side-combined aggregate (shuffle volume = distinct
+    * values per group, not rows); pass 2 windows over THAT compact table
+    * (per-group partition holds only distinct values) to turn cumulative
+    * counts into rank intervals, then one group-sized aggregate picks the
+    * two boundary ranks and interpolates. No aggregation buffer ever
+    * holds a group's raw values. Returns (group, p50_tokens rounded 1dp).
+    */
+  private def exactGroupMedian(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = df.groupBy(groupCol, valCol).agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(groupCol).orderBy(valCol)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = cnts
+      .withColumn("__hi", sum("__c").over(wOrd))
+      .withColumn("__n", sum("__c").over(wAll))
+      .withColumn("__lo", col("__hi") - col("__c") + 1)
+    val pos = (col("__n") - 1).cast("double") * 0.5
+    val rLo = floor(pos) + 1 // 1-indexed boundary ranks
+    val rHi = ceil(pos) + 1
+    val v = col(valCol).cast("double")
+    cum.groupBy(groupCol)
+      .agg(
+        max(when(col("__lo") <= rLo && rLo <= col("__hi"), v)).as("__vlo"),
+        max(when(col("__lo") <= rHi && rHi <= col("__hi"), v)).as("__vhi"),
+        max(pos - floor(pos)).as("__frac"))
+      .select(col(groupCol),
+        round(col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo")), 1)
+          .as("p50_tokens"))
   }
 
   /** CONTENT-level image dedup via perceptual hashing: every id%7==3
@@ -3107,7 +3222,7 @@ object NorthStar {
       a AS (SELECT g, min(doc_id) AS anchor FROM r GROUP BY g)
       SELECT source,
              count(*) AS n_docs,
-             sum(toks) AS n_tokens,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
              round(quantile_cont(toks, 0.5), 1) AS p50_tokens,
              round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / count(*), 4) AS pct_en,
              round(sum(CASE WHEN r.doc_id <> a.anchor THEN 1 ELSE 0 END) / count(*), 4) AS dup_rate,
@@ -3271,8 +3386,8 @@ object NorthStar {
         SELECT g.doc_id, g.w, g.h, xx.x, yy.y
         FROM g, unnest(range(0, 8)) xx(x), unnest(range(0, 8)) yy(y))
       SELECT doc_id,
-             sum(((doc_id * 131 + ((y * h) // 8) * w + ((x * w) // 8) * 7) % 251)
-                 * (y * 8 + x + 1)) AS thumb_checksum
+             CAST(sum(((doc_id * 131 + ((y * h) // 8) * w + ((x * w) // 8) * 7) % 251)
+                 * (y * 8 + x + 1)) AS BIGINT) AS thumb_checksum
       FROM px
       GROUP BY doc_id
       ORDER BY doc_id""")),
@@ -3449,6 +3564,18 @@ object NorthStar {
         FROM sc)
       SELECT cluster_id, rank, term, n, score
       FROM r WHERE rank <= 3
-      ORDER BY cluster_id, rank"""))
+      ORDER BY cluster_id, rank""")),
+    QueryDef("qn97_positive_pairs_routed", qPositivePairsRouted _, Some("""
+      WITH c AS (SELECT label, count(*) AS m FROM embeddings GROUP BY label)
+      SELECT CAST(coalesce(sum(CASE WHEN m >= 2 THEN m ELSE 0 END), 0)
+               AS BIGINT) AS n_anchors,
+             true AS coverage_ok, true AS id_recall_ok,
+             true AS cos_sound_ok
+      FROM c""")),
+    QueryDef("qn98_knn_audit_routed", qKnnAgreementRouted _, Some("""
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             true AS n_ok, true AS agreement_close_ok
+      FROM embeddings WHERE vec_id % 5 = 0
+      GROUP BY label ORDER BY label"""))
   )
 }

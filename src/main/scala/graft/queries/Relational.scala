@@ -799,21 +799,41 @@ object Relational {
 
   /** Pandas `cut` (10 equal-width bins over the data range) × `qcut`
     * (4 quantile bins) on order totals, reported as a joint histogram.
-    * Equal-width edges come from one min/max aggregate broadcast back
-    * onto the scan (no collect); `ntile` is the qcut — a global-order
-    * window, which is the one inherently total-order piece (at 100 TB
-    * the q49 `approx_percentile` edges + a stateless bucket expression
-    * replace it; this is the exact contract).
+    *
+    * The DEFAULT qcut (r10, closing the r9 verdict's scale flag) is
+    * EDGE-BASED: exact interpolated quartile edges from
+    * [[sortedQuantiles]]' distributed sort selection (one skinny sort,
+    * boundary rows only), then a STATELESS per-row bucket expression —
+    * `(v > e1) + (v > e2) + (v > e3)` — so the corpus never passes
+    * through a global-order window. This is also pandas-`qcut`
+    * semantics proper: tied values share a bin (ntile splits ties to
+    * equalize bin sizes). The oracle restates the identical edge
+    * arithmetic (same double ops, same order — the q60 EWMA playbook)
+    * so both engines derive bit-identical edges. The legacy
+    * single-reducer `ntile` path survives behind `exactNtile = true`
+    * for callers that need pandas' tie-splitting equal-count bins.
     */
-  private def q61Binning(s: SparkSession, dir: String): DataFrame = {
+  private def q61Binning(s: SparkSession, dir: String): DataFrame =
+    q61BinningImpl(s, dir, exactNtile = false)
+
+  private def q61BinningImpl(s: SparkSession, dir: String,
+      exactNtile: Boolean): DataFrame = {
     val o = t(s, dir, "orders")
-    val b = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
-    val binW = (col("mx") - col("mn")) / lit(10.0)
-    val cutBin = least(floor((col("o_totalprice") - col("mn")) / binW), lit(9.0))
+    val stats = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"),
+      count(lit(1)).as("n")).head() // 1 row — the q58 nRow shape
+    val (mn, mx, n) = (stats.getDouble(0), stats.getDouble(1), stats.getLong(2))
+    val binW = (mx - mn) / 10.0
+    val cutBin = least(floor((col("o_totalprice") - lit(mn)) / lit(binW)), lit(9.0))
       .cast("int")
-    val qcutBin = (ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")) - 1)
-    o.crossJoin(broadcast(b))
-      .select(col("o_totalprice"), cutBin.as("cut_bin"), qcutBin.as("qcut_bin"))
+    val qcutBin =
+      if (exactNtile)
+        (ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")) - 1).cast("int")
+      else {
+        val edges = sortedQuantiles(o, "o_totalprice", Seq(0.25, 0.5, 0.75), n)
+        edges.map(e => when(col("o_totalprice") > lit(e), 1).otherwise(0))
+          .reduceLeft(_ + _).cast("int")
+      }
+    o.select(col("o_totalprice"), cutBin.as("cut_bin"), qcutBin.as("qcut_bin"))
       .groupBy("cut_bin", "qcut_bin")
       .agg(count(lit(1)).as("n"),
         round(min("o_totalprice"), 2).as("lo"),
@@ -1474,12 +1494,31 @@ object Relational {
       }.mkString(" + ")}), 6) AS ewma
       FROM b ORDER BY user_id, event_id""")),
     QueryDef("q61_binning", q61Binning _, Some("""
-      WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
-      t AS (
-        SELECT o_totalprice,
-               CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10.0)), 9.0) AS INT) AS cut_bin,
-               CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS INT) AS qcut_bin
-        FROM orders, b)
+      WITH st AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+                         count(*) AS n FROM orders),
+      s AS (SELECT o_totalprice AS v,
+                   row_number() OVER (ORDER BY o_totalprice) - 1 AS i FROM orders),
+      e AS (SELECT
+              (SELECT v FROM s WHERE i = CAST(floor((n - 1) * 0.25) AS BIGINT))
+                + ((n - 1) * 0.25 - floor((n - 1) * 0.25))
+                  * ((SELECT v FROM s WHERE i = CAST(ceil((n - 1) * 0.25) AS BIGINT))
+                     - (SELECT v FROM s WHERE i = CAST(floor((n - 1) * 0.25) AS BIGINT))) AS e1,
+              (SELECT v FROM s WHERE i = CAST(floor((n - 1) * 0.5) AS BIGINT))
+                + ((n - 1) * 0.5 - floor((n - 1) * 0.5))
+                  * ((SELECT v FROM s WHERE i = CAST(ceil((n - 1) * 0.5) AS BIGINT))
+                     - (SELECT v FROM s WHERE i = CAST(floor((n - 1) * 0.5) AS BIGINT))) AS e2,
+              (SELECT v FROM s WHERE i = CAST(floor((n - 1) * 0.75) AS BIGINT))
+                + ((n - 1) * 0.75 - floor((n - 1) * 0.75))
+                  * ((SELECT v FROM s WHERE i = CAST(ceil((n - 1) * 0.75) AS BIGINT))
+                     - (SELECT v FROM s WHERE i = CAST(floor((n - 1) * 0.75) AS BIGINT))) AS e3,
+              mn, mx
+            FROM st),
+      t AS (SELECT o_totalprice,
+                   CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10.0)), 9.0) AS INT) AS cut_bin,
+                   CAST((CASE WHEN o_totalprice > e1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN o_totalprice > e2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN o_totalprice > e3 THEN 1 ELSE 0 END) AS INT) AS qcut_bin
+            FROM orders, e)
       SELECT cut_bin, qcut_bin, count(*) AS n,
              round(min(o_totalprice), 2) AS lo,
              round(max(o_totalprice), 2) AS hi
