@@ -70,6 +70,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val warmupSec = warmup(spark, sfDir)
+    // Host-speed calibration (r10, closing the r9 drift lesson): the r9
+    // round burned three NOTES sections re-deriving a uniform ~1.47×
+    // host slowdown from per-query ratios. A fixed post-warmup triple of
+    // the cheapest stable scan+agg query gives every artifact its own
+    // speedometer — cross-round comparisons divide by the calibration
+    // medians instead of re-arguing drift. (Runs AFTER warmup so it
+    // measures the host, not JIT/init; q01's own timed samples below
+    // are unaffected beyond the warmth every query already gets.)
+    val calibrationName = "q01_tpch_q1_agg"
+    val calibration: Seq[Double] =
+      if (!SparkEntry.queries.contains(calibrationName)) Seq.empty
+      else (1 to 3).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(calibrationName)(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -93,11 +111,15 @@ object Bench {
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts, true) => median(ts) }.sum
+    val calJson =
+      s""""calibration":{"query":"$calibrationName",""" +
+        s""""samples":${calibration.mkString("[", ",", "]")},""" +
+        s""""median":${if (calibration.isEmpty) -1.0 else median(calibration)}}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${timeMap(median)},""" +
         s""""queries_min":${timeMap(_.min)},"queries_max":${timeMap(_.max)},""" +
         s""""reps":$reps,"failures":$failures,"cpus":$cpus,"shuffle_partitions":$cpus,""" +
-        s""""warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+        s""""warmup_sec":$warmupSec,$calJson,"sf":"$sfDir"}"""
     println(fullJson)
     // The driver's BENCH_r* artifact keeps only the TAIL of stdout, which
     // truncates the full per-query map (BENCH_r07 lost the first ~45
@@ -114,7 +136,8 @@ object Bench {
     // the surviving fragment always contains the statistics that matter.
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"median",""" +
-        s""""queries":${timeMap(median)},"reps":$reps,"failures":$failures,"sf":"$sfDir"}""")
+        s""""queries":${timeMap(median)},"reps":$reps,"failures":$failures,""" +
+        s"""$calJson,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

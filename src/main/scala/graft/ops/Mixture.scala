@@ -168,7 +168,22 @@ object Mixture {
     * CURRICULUM builder: order by descending quality and shard 0 holds
     * the highest-quality ~1/numShards of the token mass. The full
     * corpus still crosses one aggregate and one broadcast join - never
-    * a global sort.
+    * a global sort of data rows.
+    *
+    * SKEW GUARD (r10, closing the r9 advice): fixed-width key ranges
+    * balance buckets only under roughly uniform keys — a corpus where
+    * most docs share one quality score would land in ONE bucket,
+    * collapsing the "window inside each bucket" into a corpus-sized
+    * single-partition sort. The per-bucket aggregate (already collected
+    * driver-side) now carries row counts; when any bucket holds > 4×
+    * the mean, bucket boundaries are re-derived from EXACT RANKS over a
+    * skinny (key, id) sort — the q58 distributed-selection shape, two
+    * longs per row — so buckets hold ~n/numBuckets rows regardless of
+    * the key distribution (a single hot key value splits by id). Shard
+    * semantics are unchanged: boundaries respect the (key, id) total
+    * order, so the prefix sums are identical. The skew path casts the
+    * id to long (and fails loudly if it can't) — rank boundaries need a
+    * portable composite literal.
     */
   def tokenShardsOrdered(
       docs: DataFrame,
@@ -196,23 +211,78 @@ object Mixture {
             coalesce(orderKey.cast("string"), lit("NULL"))))))
       .withColumn("__mx_bkt", (col("__mx_pr") / bucketWidth).cast("int"))
 
-    // Bucket totals: metadata-scale, exact longs — the prefix sums and
-    // the global total are computed driver-side from one aggregate.
+    // Bucket totals AND row counts: metadata-scale, exact longs — the
+    // prefix sums, the global total, and the skew decision are all
+    // driver-side reads of this one aggregate.
     val perBucket = t.groupBy("__mx_bkt")
-      .agg(coalesce(sum(col(tokCol).cast("long")), lit(0L)).as("__mx_btoks"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .agg(coalesce(sum(col(tokCol).cast("long")), lit(0L)).as("__mx_btoks"),
+        count(lit(1)).as("__mx_bcnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val nRows = perBucket.map(_._3).sum
+    val hottest = if (perBucket.isEmpty) 0L else perBucket.map(_._3).max
+    val skewed = numBuckets > 1 && nRows >= 4L * numBuckets &&
+      hottest * numBuckets > 4L * nRows
+
+    if (!skewed)
+      assembleShards(t, perBucket.map(x => (x._1, x._2)).toSeq,
+        docs.columns, idCol, tokCol, numShards)
+    else {
+      val idLong = col(idCol).cast("long")
+      val t1 = t.withColumn("__mx_idl",
+        when(idLong.isNotNull, idLong).otherwise(raise_error(lit(
+          s"tokenShardsOrdered: skewed-key rebucketing needs a numeric " +
+            s"id; '$idCol' does not cast to long"))))
+      val step = math.max(1L, (nRows + numBuckets - 1) / numBuckets)
+      val bounds = t1.select(col("__mx_pr"), col("__mx_idl")).rdd
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity)
+        .zipWithIndex()
+        .filter { case (_, i) => i > 0 && i % step == 0 }
+        .map(_._1).collect().sorted
+      if (bounds.isEmpty)
+        assembleShards(t, perBucket.map(x => (x._1, x._2)).toSeq,
+          docs.columns, idCol, tokCol, numShards)
+      else {
+        // Stateless composite-rank bucket: #boundaries ≤ (key, id) —
+        // ≤ numBuckets codegen comparisons per row, no shuffle.
+        val bktExpr = bounds.map { case (bp, bi) =>
+          when(col("__mx_pr") > bp ||
+            (col("__mx_pr") === bp && col("__mx_idl") >= bi), 1).otherwise(0)
+        }.reduceLeft(_ + _).cast("int")
+        val t2 = t1.withColumn("__mx_bkt", bktExpr)
+        val perBucket2 = t2.groupBy("__mx_bkt")
+          .agg(coalesce(sum(col(tokCol).cast("long")), lit(0L)).as("__mx_btoks"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+        assembleShards(t2, perBucket2, docs.columns, idCol, tokCol, numShards)
+      }
+    }
+  }
+
+  /** The shared back half of [[tokenShardsOrdered]]: driver prefix sums
+    * over the ≤ numBuckets (bucket, token-total) rows, broadcast join,
+    * and the exact running total as a window INSIDE each bucket only.
+    * `t` must carry `__mx_pr` and `__mx_bkt`; buckets must partition the
+    * (`__mx_pr`, `idCol`) total order into contiguous ranges.
+    */
+  private def assembleShards(
+      t: DataFrame,
+      perBucket: Seq[(Int, Long)],
+      keepCols: Array[String],
+      idCol: String,
+      tokCol: String,
+      numShards: Int): DataFrame = {
     val total = perBucket.map(_._2).sum
     val target = math.max(1L, (total + numShards - 1) / numShards)
     val before = {
       var acc = 0L
-      perBucket.toSeq.map { case (b, n) => val r = (b, acc); acc += n; r }
+      perBucket.map { case (b, n) => val r = (b, acc); acc += n; r }
     }
     val beforeDf = {
       import scala.jdk.CollectionConverters._
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("__mx_bkt", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("__mx_before", org.apache.spark.sql.types.LongType)))
-      docs.sparkSession.createDataFrame(
+      t.sparkSession.createDataFrame(
         before.map { case (b, acc) => org.apache.spark.sql.Row(b, acc) }.asJava, schema)
     }
 
@@ -222,7 +292,7 @@ object Mixture {
           .orderBy(col("__mx_pr"), col(idCol))
           .rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
-    val keep = docs.columns.map(col)
+    val keep = keepCols.map(col)
     t.join(broadcast(beforeDf), Seq("__mx_bkt"))
       .withColumn("__mx_prior", prior)
       // Integer division on exact longs — bit-identical in any engine

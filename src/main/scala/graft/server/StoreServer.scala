@@ -27,8 +27,14 @@ import graft.store.{Store, Wire}
   *     driver-collected. This façade is SDK-parity for client-sized
   *     frames; cluster-scale access uses the Store/DataFrame API
   *     directly (the wire itself is the bottleneck, not the engine).
-  *   - `Authorization` headers are accepted and ignored, mirroring the
-  *     ctor's no-op auth slots (SURVEY §2.1 #10: authn out of scope).
+  *   - `Authorization` headers are accepted and ignored by default,
+  *     mirroring the ctor's no-op auth slots (SURVEY §2.1 #10: authn
+  *     out of scope). `requireAuth = true` opts into wire-SHAPE parity
+  *     with the reference's Cognito gateway (client.py:60-63 always
+  *     sends `Bearer <token>`): requests without a bearer token answer
+  *     401 `{"error": ...}` before touching the store. Token
+  *     VALIDATION stays out of scope — this is the auth failure mode's
+  *     shape, not an authenticator.
   *   - JSON in/out uses Spark's own shipped Jackson — no new deps.
   *
   * Status mapping: validation errors → 400, `Store.GetError` → 404,
@@ -44,7 +50,7 @@ import graft.store.{Store, Wire}
   *        scale-appropriate alternative. <= 0 disables the cap.
   */
 final class StoreServer(spark: SparkSession, store: Store, port: Int = 0,
-    maxGetRows: Long = 1000000L) {
+    maxGetRows: Long = 1000000L, requireAuth: Boolean = false) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -71,6 +77,13 @@ final class StoreServer(spark: SparkSession, store: Store, port: Int = 0,
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod
     try {
+      if (requireAuth &&
+          !Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .exists(_.trim.toLowerCase.startsWith("bearer "))) {
+        respond(ex, 401, errorJson(
+          "Unauthorized: missing or malformed Authorization bearer token"))
+        return
+      }
       (method, path) match {
         case ("POST", "/dataframes/upload") => upload(ex)
         case ("GET", "/dataframes") => list(ex)

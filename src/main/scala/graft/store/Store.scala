@@ -1208,9 +1208,12 @@ final class Store(
             sizeBytes = bytes)
         }
       } else {
-        children.filter(_.isDirectory).foreach { st =>
-          walk(st.getPath, st.getPath.getName :: rel)
-        }
+        children.filter(_.isDirectory)
+          // In-flight clone staging dirs are not tables yet.
+          .filterNot(_.getPath.getName.contains(Store.TmpCloneInfix))
+          .foreach { st =>
+            walk(st.getPath, st.getPath.getName :: rel)
+          }
       }
     }
     try {
@@ -1258,10 +1261,19 @@ final class Store(
     * state to reason about. The copy runs as ONE SPARK JOB over the
     * file list (the distcp shape) — a 100 TB clone moves with cluster
     * bandwidth, not driver bandwidth, and on object stores each task's
-    * copy is server-side. Nobody can be reading the target mid-clone
-    * (the name doesn't exist until the clone made it), so per-file
-    * tasks need no commit protocol. Fails if the target exists (a
-    * clone never silently merges).
+    * copy is server-side. Fails if the target exists (a clone never
+    * silently merges).
+    *
+    * CRASH-SAFE PUBLISH (r10, closing the r9 advice): files copy into
+    * a hidden temp sibling (`<asName>._tmp-clone-<uuid>`, skipped by
+    * [[list]]'s walk and unreachable through [[get]]'s name space), and
+    * the target name appears only via one directory rename at the end —
+    * readers can never observe a partial clone (in particular, the tiny
+    * `_last` pointer can no longer land before data files), and a retry
+    * after a mid-copy crash first sweeps any stale temp for this target
+    * instead of tripping over it. The rename is atomic on HDFS/POSIX;
+    * an object-store deployment substitutes its native atomic-publish
+    * primitive (manifest commit) at exactly this one seam.
     */
   def clone(name: String, asName: String): Unit = {
     val src = new Path(rootPath, validateName(name))
@@ -1271,6 +1283,19 @@ final class Store(
     if (fs.exists(dst))
       throw new Store.LoadError(s"DataFrame '$asName' already exists", null)
     assertNoTableNesting(validateName(asName), dst)
+    // Sweep stale temps from earlier crashed clones of this target, then
+    // stage into a fresh uuid'd temp (concurrent clones of the SAME
+    // target race at the final rename — exactly one wins, the loser's
+    // rename fails onto the existing dst and its temp is deleted).
+    val parent = dst.getParent
+    if (fs.exists(parent))
+      fs.listStatus(parent).foreach { st =>
+        if (st.isDirectory &&
+            st.getPath.getName.startsWith(dst.getName + Store.TmpCloneInfix))
+          fs.delete(st.getPath, true)
+      }
+    val tmp = new Path(parent, dst.getName + Store.TmpCloneInfix +
+      java.util.UUID.randomUUID().toString.take(8))
     // Qualify both roots: walkFiles returns scheme-qualified paths
     // (file:/...), and the relative strip must match that exact form.
     val srcStr = fs.makeQualified(src).toString
@@ -1280,18 +1305,28 @@ final class Store(
       require(p.startsWith(srcStr + "/"), s"unexpected path $p outside $srcStr")
       rels += p.stripPrefix(srcStr + "/")
     }
-    val dstStr = fs.makeQualified(dst).toString
+    val tmpStr = fs.makeQualified(tmp).toString
     val sc = spark.sparkContext
     val confB = org.apache.spark.graft.ConfBridge.broadcast(
       sc, sc.hadoopConfiguration)
     val slices = math.max(1, math.min(rels.size, sc.defaultParallelism * 2))
-    sc.parallelize(rels.toSeq, slices).foreach { rel =>
-      val c = confB.value.value
-      val s = new Path(s"$srcStr/$rel")
-      val d = new Path(s"$dstStr/$rel")
-      if (!org.apache.hadoop.fs.FileUtil.copy(
-          s.getFileSystem(c), s, d.getFileSystem(c), d, false, c))
-        throw new java.io.IOException(s"clone copy failed for $rel")
+    try {
+      sc.parallelize(rels.toSeq, slices).foreach { rel =>
+        val c = confB.value.value
+        val s = new Path(s"$srcStr/$rel")
+        val d = new Path(s"$tmpStr/$rel")
+        if (!org.apache.hadoop.fs.FileUtil.copy(
+            s.getFileSystem(c), s, d.getFileSystem(c), d, false, c))
+          throw new java.io.IOException(s"clone copy failed for $rel")
+      }
+      if (!fs.rename(tmp, dst))
+        throw new Store.LoadError(
+          s"DataFrame '$asName' already exists (clone publish lost the race)",
+          null)
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, true) catch { case _: Exception => () }
+        throw e
     }
   }
 
@@ -1542,6 +1577,12 @@ object Store {
   val LastFile = "_last"
   val MetaFile = "_meta.json"
 
+  /** Hidden-staging marker for [[Store.clone]]'s crash-safe publish:
+    * `<asName>._tmp-clone-<uuid>` siblings hold the in-flight copy and
+    * are invisible to [[Store.list]] until the final atomic rename.
+    */
+  val TmpCloneInfix = "._tmp-clone-"
+
   /** Per-version merge-delta marker (inside the version dir): records the
     * merge key columns and optional tombstone column. Underscore-prefixed
     * so partition discovery and data-file walks skip it.
@@ -1586,6 +1627,11 @@ object Store {
     require(
       segs.forall(s => s.nonEmpty && s.matches("[A-Za-z0-9._-]+") && s != "." && s != ".."),
       s"Invalid DataFrame name '$name': segments must match [A-Za-z0-9._-]+ and not be '.'/'..'")
+    // The clone staging marker is reserved: a user table carrying it
+    // would be invisible to list() (whose walk skips in-flight clones)
+    // and collide with crash-retry temp sweeps.
+    require(!segs.exists(_.contains(TmpCloneInfix)),
+      s"Invalid DataFrame name '$name': '$TmpCloneInfix' is reserved for clone staging")
     segs.mkString("/")
   }
 

@@ -145,6 +145,32 @@ class MixtureSpec extends SparkSpec {
     assert(says(nullKey) || says(nullKey.getCause), s"got: ${nullKey.getMessage}")
   }
 
+  test("tokenShardsOrdered: a single hot order key still shards exactly (skew rebucketing)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Every row carries the SAME order key — the fixed-width layout
+    // would put the whole corpus in one bucket (a corpus-sized
+    // single-partition sort); the skew path must rebucket by rank over
+    // (key, id) and still produce the exact global-order shard ids.
+    val n = 2000L
+    val toks = (1L to n).map(i => 10L + (i % 7))
+    val docs = (1L to n).map(i => (i, 10L + (i % 7))).toDF("doc_id", "toks")
+    val out = Mixture.tokenShardsOrdered(docs, "doc_id", "toks",
+      lit(42L), 1L << 20, numShards = 8, numBuckets = 256)
+      .select("doc_id", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val total = toks.sum
+    val target = math.max(1L, (total + 7) / 8)
+    var acc = 0L
+    val exp = (1L to n).map { i =>
+      val s = math.min(acc / target, 7L).toInt
+      acc += 10L + (i % 7)
+      i -> s
+    }.toMap
+    assert(out == exp)
+    assert(out.values.toSet == (0 until 8).toSet, "not all shards used")
+  }
+
   test("budget fill: crossing doc included, later docs excluded, order is priority order") {
     import spark.implicits._
     // One source; priorities of ids 0..4 determine the fill order.

@@ -193,4 +193,79 @@ class StoreServerSpec extends SparkSpec {
     assert(bad.statusCode() == 400 &&
       bad.body().contains("unsupported Content-Encoding"), bad.body())
   }
+
+  test("requireAuth: tokenless requests answer 401 {'error': ...}; bearer passes (r10)") {
+    // Wire-SHAPE parity with the reference's Cognito gateway
+    // (client.py:60-63 always sends `Bearer <token>`): a server opted
+    // into requireAuth rejects bare requests before touching the store.
+    val authed = new StoreServer(spark, store, requireAuth = true)
+    val port = authed.start()
+    def url(p: String) = URI.create(s"http://127.0.0.1:$port$p")
+    try {
+      val noTok = http.send(HttpRequest.newBuilder(url("/dataframes")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(noTok.statusCode() == 401, s"${noTok.statusCode()} ${noTok.body()}")
+      assert(noTok.body().startsWith("""{"error":""") &&
+        noTok.body().contains("Authorization"), noTok.body())
+      val badScheme = http.send(HttpRequest.newBuilder(url("/dataframes"))
+        .header("Authorization", "Basic dXNlcg==").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(badScheme.statusCode() == 401, badScheme.body())
+      val ok = http.send(HttpRequest.newBuilder(url("/dataframes"))
+        .header("Authorization", "Bearer any-token").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200, s"${ok.statusCode()} ${ok.body()}")
+    } finally authed.stop()
+  }
+
+  test("shipped python client runs the reference docstring flow over the live wire (r10)") {
+    // The artifact a reference user actually executes
+    // (clients/python/pandas_db_client.py) driven as a real python3
+    // subprocess against the live HTTP server: load -> get(use_last) ->
+    // list with prefix (client.py:1-32's docstring flow), plus the
+    // {'error': ...} unwrapping and the client-side key-type guard.
+    val clientDir = {
+      val local = new java.io.File("clients/python")
+      if (local.isDirectory) local.getAbsolutePath
+      else new java.io.File(sys.props("user.dir"), "clients/python").getAbsolutePath
+    }
+    assume(new java.io.File(clientDir, "pandas_db_client.py").isFile)
+    val script = Files.createTempFile("graft_pyclient_", ".py")
+    Files.writeString(script,
+      """import sys
+        |sys.path.insert(0, sys.argv[1])
+        |from pandas_db_client import DataFrameClient
+        |
+        |client = DataFrameClient(sys.argv[2], auth_token='ignored')
+        |r = client.load_dataframe(
+        |    [{'date': '2024-01-01', 'v': 1}, {'date': '2024-01-02', 'v': 2}],
+        |    'py-test/test1', columns_keys={'date': 'Date'}, external_key='v1')
+        |assert r.get('version') == 'v1', r
+        |back = client.get_dataframe('py-test/test1', use_last=True)
+        |rows = back.to_dict('records') if hasattr(back, 'to_dict') else back
+        |assert sorted(row['v'] for row in rows) == [1, 2], rows
+        |listing = client.list_dataframes(prefix='py-test')
+        |names = [d['name'] for d in listing['dataframes']]
+        |assert 'py-test/test1' in names, names
+        |try:
+        |    client.get_dataframe('py-test/nope')
+        |    raise SystemExit('expected a GetError-shaped failure')
+        |except Exception as e:
+        |    msg = str(e)
+        |    assert 'Error retrieving DataFrame' in msg and 'not found' in msg, msg
+        |try:
+        |    client.load_dataframe([{'a': 1}], 'py-test/bad',
+        |                          columns_keys={'a': 'Hash'})
+        |    raise SystemExit('expected a client-side key-type ValueError')
+        |except ValueError:
+        |    pass
+        |print('PY-CLIENT-OK')
+        |""".stripMargin)
+    val proc = new ProcessBuilder("python3", script.toString, clientDir, base)
+      .redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rc = proc.waitFor()
+    assert(rc == 0 && out.contains("PY-CLIENT-OK"), s"rc=$rc\n$out")
+  }
 }

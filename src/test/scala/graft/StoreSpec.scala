@@ -719,6 +719,29 @@ class StoreSpec extends SparkSpec {
     assertThrows[Store.LoadError](store.clone("t", "t2"))
   }
 
+  test("clone is crash-safe: stale staging swept + invisible, atomic publish, reserved marker") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_test_").toString
+    val store = new Store(spark, root)
+    store.load(Seq((1L, "a")).toDF("k", "s"), "t", externalKey = "v1")
+    // Simulate a crashed earlier clone: a partial staging sibling holding
+    // a _meta.json — exactly the shape list() would misread as a table.
+    val stale = new java.io.File(root, "t2" + Store.TmpCloneInfix + "deadbeef")
+    assert(stale.mkdirs())
+    java.nio.file.Files.writeString(
+      stale.toPath.resolve(Store.MetaFile), "{}")
+    assert(store.list().map(_.name) == Seq("t"), "staging dir leaked into list()")
+    store.clone("t", "t2") // retry path: sweeps the stale temp, then publishes
+    assert(!stale.exists(), "stale staging dir survived the retry sweep")
+    assert(store.list().map(_.name).sorted == Seq("t", "t2"))
+    assert(store.get("t2").count() == 1L)
+    // No staging residue after a successful publish.
+    assert(new java.io.File(root).list().forall(!_.contains(Store.TmpCloneInfix)))
+    // The staging marker is reserved in the table namespace.
+    assertThrows[IllegalArgumentException](
+      store.load(Seq((1L, "x")).toDF("k", "s"), "bad._tmp-clone-1"))
+  }
+
   test("clone preserves a live merge chain (delta markers copy with the data)") {
     import spark.implicits._
     val store = freshStore()
