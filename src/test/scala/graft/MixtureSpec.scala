@@ -155,8 +155,12 @@ class MixtureSpec extends SparkSpec {
     val n = 2000L
     val toks = (1L to n).map(i => 10L + (i % 7))
     val docs = (1L to n).map(i => (i, 10L + (i % 7))).toDF("doc_id", "toks")
+    // skewMinBucketRows = 0 forces the rebucketing leg at fixture size
+    // (the default 256k floor exists precisely so corpora this small
+    // never pay the extra skinny-sort passes).
     val out = Mixture.tokenShardsOrdered(docs, "doc_id", "toks",
-      lit(42L), 1L << 20, numShards = 8, numBuckets = 256)
+      lit(42L), 1L << 20, numShards = 8, numBuckets = 256,
+      skewMinBucketRows = 0L)
       .select("doc_id", "shard_id").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     val total = toks.sum
