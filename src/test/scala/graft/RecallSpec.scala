@@ -238,4 +238,60 @@ class RecallSpec extends SparkSpec {
       assert(maxDelta <= 0.10, f"maxDelta $maxDelta%.4f")
     } finally e.unpersist()
   }
+
+  test("hier probeAssign at full group probes is EXACTLY the flat assignment (r10)") {
+    // 200 centroids (> HierAssignCentroids) on the unit sphere, 300
+    // probe rows: with groupProbes = #groups every member is ranked and
+    // the final (dist, cell) sort is identical to flat's — the grouped
+    // path may only ever change WHICH candidates are ranked, never how.
+    val rnd = new scala.util.Random(7L)
+    def unit(d: Int): Array[Double] = {
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val cents = (0 until 200).map(i => (i, unit(16)))
+    assert(cents.size > Similarity.HierAssignCentroids)
+    import spark.implicits._
+    val rows = (0 until 300).map(i => (i.toLong, unit(16).toSeq)).toDF("vec_id", "nv")
+    def collectAssign(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(r.fieldIndex("cell"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val flat = collectAssign(Similarity.probeAssignFlat(rows, cents, probes = 3))
+    val hierFull = collectAssign(
+      Similarity.probeAssignHier(rows, cents, probes = 3, groupProbes = 200))
+    assert(hierFull == flat)
+    // Default group probes: hard assignment (probes = 1) must agree
+    // with the exact argmin on a large fraction of isotropic inputs —
+    // the adversarial case for coarse grouping (real embedding corpora
+    // cluster; isotropic Gaussian is the floor).
+    val gp = Similarity.hierGroupProbes(cents.size)
+    val hierDef = collectAssign(
+      Similarity.probeAssignHier(rows, cents, probes = 1, groupProbes = gp))
+    val flat1 = collectAssign(Similarity.probeAssignFlat(rows, cents, probes = 1))
+    val agree = flat1.count { case (k, v) => hierDef.get(k).contains(v) }
+    val rate = agree.toDouble / flat1.size
+    info(f"hier hard-assign agreement at gp=$gp: $rate%.4f over ${flat1.size} rows")
+    assert(rate >= 0.85, f"agreement $rate%.4f") // measured 0.8633, deterministic
+  }
+
+  test("semDedupPairs above the hier threshold keeps pair recall >= 0.9 (r10)") {
+    // Force nlist past HierAssignCentroids on a corpus small enough to
+    // compute exact truth: the grouped assignment (both the hard cells
+    // and the 3-probe soft side) must not cost SemDeDup its recall
+    // gate. ScaleData plants exact twin pairs — the detector's targets.
+    val e = graft.tools.ScaleData.embeddings(spark, 6000L).cache()
+    try {
+      val truth = pairSet(
+        Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.9),
+        "id_a", "id_b")
+      val cand = pairSet(
+        Similarity.semDedupPairs(e, "vec_id", "embedding", threshold = 0.9,
+          nlist = 150, assignProbes = 3),
+        "id_a", "id_b")
+      val recall = recallOf(cand, truth)
+      info(f"hier semdedup recall = $recall%.4f over ${truth.size} true pairs")
+      assert(truth.nonEmpty && recall >= 0.9)
+    } finally e.unpersist()
+  }
 }
