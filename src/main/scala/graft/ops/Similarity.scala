@@ -723,18 +723,16 @@ object Similarity {
     val model = km.fit(fitInput)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
-    // Hard assignment is the same O(n·nlist·d) per-row scan as probing,
-    // so it routes through the same flat/hier seam: below the threshold
-    // the ML transform runs (exact argmin, the graded plans); above it
-    // the grouped probeAssign with probes = 1 — the r10 sixth scale
-    // point measured assignment as the superlinear term at adaptive
-    // nlist. Ranking metric is argmin-equivalent (||c||²/2 − x·c); only
-    // ScaleBench-sized corpora cross the threshold.
-    val assigned =
-      if (centroids.size <= HierAssignCentroids)
-        model.transform(e).select(col("vec_id"), col("nv"), col("cell"))
-      else
-        probeAssign(e.select(col("vec_id"), col("nv")), centroids, 1)
+    // Hard assignment stays on the ML transform at EVERY nlist: it is
+    // exact, BLAS-backed, and prunes with the triangle inequality — a
+    // ~10× better constant than Catalyst HOF evaluation. The r10
+    // measurement that motivated the hierarchical path tried routing
+    // this seam through probeAssignHier too and the qn69 leg got
+    // SLOWER (88 s vs 50 s at 400k vecs): 3.7× fewer FLOPs lost to the
+    // per-element evaluation overhead. The hier routing therefore lives
+    // only in [[probeAssign]] (the probe/soft legs, where evaluation
+    // was HOF-based to begin with and the FLOP cut is pure win).
+    val assigned = model.transform(e).select(col("vec_id"), col("nv"), col("cell"))
     (assigned, centroids, fitInput.select("nv"))
   }
 
@@ -888,9 +886,6 @@ object Similarity {
     val g = math.max(1, math.ceil(math.sqrt(centroids.size.toDouble)).toInt)
     val gcents = kmeansLocal(centroids.map(_._2).toArray, g, iters = 10)
     val byGroup = centroids.groupBy(c => nearestIdx(c._2, gcents))
-    // Struct layout (gi, ghalf, gcent, members): array_sort compares
-    // (dist, gi) — gi unique, so the members arrays never enter the
-    // comparison.
     val entries = byGroup.toSeq.sortBy(_._1).map { case (gi, members) =>
       val gc = gcents(gi)
       (gi, gc.map(x => x * x).sum / 2, gc.toSeq,
@@ -898,17 +893,31 @@ object Similarity {
     }
     val gp = math.min(math.max(1, groupProbes), entries.size)
     val grpArr = typedLit(entries)
+    // Level 1 sorts ONLY (dist, gi) pairs — the members arrays must
+    // never ride through the sort: a struct carrying them materializes
+    // a fresh copy of the whole nlist·dim table per ROW (~320 KB at
+    // nlist≈630 × d=64 — measured 2× SLOWER than flat on the qn69 leg
+    // before this split). The top group ids land in a projected column
+    // so the g·d level-1 scoring runs once per row, not once per
+    // array_contains probe.
     val scoredGroups = transform(grpArr, gr => struct(
       (gr.getField("_2") - dotD(col("nv"), gr.getField("_3"))).as("dist"),
-      gr.getField("_1").as("gi"),
-      gr.getField("_4").as("members")))
-    val cand = flatten(transform(slice(array_sort(scoredGroups), 1, gp),
-      x => x.getField("members")))
-    val scored = transform(cand, c => struct(
-      (c.getField("_2") - dotD(col("nv"), c.getField("_3"))).as("dist"),
-      c.getField("_1").as("cell")))
+      gr.getField("_1").as("gi")))
+    val topG = transform(slice(array_sort(scoredGroups), 1, gp),
+      x => x.getField("gi"))
+    val t = df.withColumn("__pa_topg", topG)
+    // Level 2 scores members of the selected groups ONLY (when/otherwise
+    // skips the transform for unselected groups) and emits 16-byte
+    // (dist, cell) structs — centroid vectors are read from the literal
+    // in place, never copied into per-row arrays.
+    val scored = flatten(transform(grpArr, gr =>
+      when(array_contains(col("__pa_topg"), gr.getField("_1")),
+        transform(gr.getField("_4"), c => struct(
+          (c.getField("_2") - dotD(col("nv"), c.getField("_3"))).as("dist"),
+          c.getField("_1").as("cell"))))
+        .otherwise(array().cast("array<struct<dist:double,cell:int>>"))))
     val keep = df.columns.filterNot(_ == "cell").map(col).toSeq
-    df.select(keep :+
+    t.select(keep :+
       explode(transform(slice(array_sort(scored), 1, probes),
         x => x.getField("cell"))).as("cell"): _*)
   }
@@ -1344,7 +1353,15 @@ object Similarity {
           .select(col("aid"), col("alabel"),
             col("__t").getItem(0).getField("vec_id").as("nn_id"))
       case _ =>
-        val nl = ivfNlistFor(rows)
+        // Cell-count sizing for an EVAL op whose anchor count grows
+        // WITH the corpus: candidate volume is |anchors|·nProbe·(n/nl),
+        // so √n cells (right for few-query serving) leave √n-sized
+        // cells and an n^1.5 candidate total. Taking the max with the
+        // constant-cell-rows sizing (n/2500) caps per-anchor candidates
+        // at nProbe·2500 above the n ≈ 6.25M crossover — linear
+        // candidates, while the hierarchical assignment keeps the
+        // per-row centroid ranking sublinear in nl.
+        val nl = math.max(ivfNlistFor(rows), semDedupNlistFor(rows))
         val probes = math.min(math.max(1, nProbe), nl)
         val (assigned, centroids, _) =
           fitCells(corpus, idCol, vecCol, nl, maxFitRows, Some(rows))

@@ -224,6 +224,40 @@ object NorthStar {
           .agg((count(lit(1)) === 0).as("precision_ok")))
   }
 
+  /** The HIERARCHICAL coarse quantizer ([[Similarity.probeAssignHier]])
+    * graded end-to-end (qn26's playbook): `nlist = 150` forces the
+    * centroid count past `HierAssignCentroids`, so BOTH the corpus hard
+    * assignment and the 3-probe soft side run the two-level
+    * group→member path — the 100 TB plan shape that adaptive nlist
+    * reaches on real corpora (SCALEBENCH_r10: the flat assignment was
+    * the superlinear term). Truth is the exact pair set recomputed
+    * in-query; booleans are literal-stateable: recall ≥ 0.6 (the
+    * fixture is the worst-case near-uniform corpus SPLIT INTO ~3-row
+    * cells — deliberately brutal for cluster pruning; RecallSpec
+    * measures the sf0.01 config at 0.8475, deterministic under the
+    * fixed seeds, and the boolean holds at both SFs), sim_exact_ok
+    * (within-cell scores are exact dot products), precision 1.0
+    * (exact-filtered at the threshold).
+    */
+  private def qSemDedupHier(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cand = Similarity.semDedupPairs(e, "vec_id", "embedding",
+      threshold = 0.4, nlist = 150, assignProbes = 3)
+    val truth = Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+    truth
+      .join(cand.select(col("id_a"), col("id_b"), col("sim").as("cand_sim")),
+        Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        (coalesce(sum(when(col("cand_sim").isNotNull, 1L).otherwise(0L)), lit(0L)) * 10L >=
+          count(lit(1)) * 6L).as("recall_ok"),
+        (count(col("cand_sim")) === 0 ||
+          max(abs(col("cand_sim") - col("sim"))) === 0.0).as("sim_exact_ok"))
+      .crossJoin(
+        cand.join(truth.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+          .agg((count(lit(1)) === 0).as("precision_ok")))
+  }
+
   /** IVF ANN graded as a DETERMINISTIC CONTRACT: exact brute-force top-5
     * per query (qn09's operator; SQL-expressible) is the truth set, and
     * the IVF probe results are graded per query as literal-stateable
@@ -3576,6 +3610,16 @@ object NorthStar {
       SELECT label, CAST(count(*) AS BIGINT) AS n,
              true AS n_ok, true AS agreement_close_ok
       FROM embeddings WHERE vec_id % 5 = 0
-      GROUP BY label ORDER BY label"""))
+      GROUP BY label ORDER BY label""")),
+    QueryDef("qn99_semdedup_hier", qSemDedupHier _, Some("""
+      WITH truth AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.4)
+      SELECT count(*) AS n_true_pairs, true AS recall_ok,
+             true AS sim_exact_ok, true AS precision_ok
+      FROM truth"""))
   )
 }

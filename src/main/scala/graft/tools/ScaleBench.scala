@@ -249,10 +249,22 @@ object ScaleBench {
         store.getMerged("t").count()
       }
 
+      // Fixed-SIZE calibration probe (r10, the Bench.scala lesson): the
+      // same 50k-doc tokenize+agg at every point and in every run, so
+      // cross-run wall comparisons can divide out host/JVM state — the
+      // r10 sixth-point run was ~2× the r9 artifact's 1M walls on
+      // identical code purely from measurement context, which an
+      // artifact-embedded speedometer makes visible instead of arguable.
+      val calib = timed {
+        val cd = ScaleData.documents(spark, 50000L)
+        cd.select(explode(split(col("text"), "\\s+")).as("t"))
+          .groupBy("t").count().count()
+      }._1
       val opsJson = ops.map { case (k, (s, rows)) =>
         s""""$k":{"sec":${f"$s%.3f"},"rows":$rows}"""
       }.mkString(",")
       println(s"""{"n_docs":$n,"n_vecs":$nVecs,""" +
+        s""""calibration_sec":${f"$calib%.3f"},""" +
         s""""capped_fanout":$cappedFanout,"raw_fanout":$rawFanout,$opsJson}""")
       docs.unpersist(); emb.unpersist(); freqs.unpersist()
       (n, cappedFanout, rawFanout, ops.toMap)

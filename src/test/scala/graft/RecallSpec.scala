@@ -275,6 +275,23 @@ class RecallSpec extends SparkSpec {
     assert(rate >= 0.85, f"agreement $rate%.4f") // measured 0.8633, deterministic
   }
 
+  test("qn99 graded config (nlist=150, hier path) fixture recall headroom") {
+    // The exact config the graded query pins (150 cells over the
+    // 500-row near-uniform fixture — ~3-row cells, deliberately brutal
+    // cluster pruning) must keep real margin over the contract's 0.6
+    // recall boolean.
+    val truth = pairSet(
+      Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.4),
+      "id_a", "id_b")
+    val cand = pairSet(
+      Similarity.semDedupPairs(emb, "vec_id", "embedding", threshold = 0.4,
+        nlist = 150, assignProbes = 3),
+      "id_a", "id_b")
+    val recall = recallOf(cand, truth)
+    info(f"qn99 fixture recall = $recall%.4f over ${truth.size} true pairs")
+    assert(truth.nonEmpty && recall >= 0.6)
+  }
+
   test("semDedupPairs above the hier threshold keeps pair recall >= 0.9 (r10)") {
     // Force nlist past HierAssignCentroids on a corpus small enough to
     // compute exact truth: the grouped assignment (both the hard cells
