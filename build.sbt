@@ -36,4 +36,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // a cap, not an upfront allocation, so co-resident JVMs stay safe.
   // Override via SPARK_DRIVER_MEM (ScaleBench's 1M-doc point uses 32g).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // HotSpot refuses to JIT methods over 8000 bytecodes — which Spark's
+  // whole-stage codegen can produce for wide plans. Standard Spark
+  // hygiene; compile time for huge methods is paid once. NOTE: this was
+  // first added chasing the r10 probeAssign bimodality (~2.5 s vs ~39 s
+  // for the same stage across JVMs) and did NOT fix it — thread-dumps
+  // showed the slow mode burning CPU in interpreted Catalyst HOF eval
+  // (InterpretedOrdering.compare), whose speed hangs on HotSpot's
+  // profile-driven inlining luck. The real fix was moving that kernel
+  // to a primitive-loop expression (NearestCellsExpr); the flag stays
+  // as cheap insurance for genuinely huge generated methods.
+  "-XX:-DontCompileHugeMethods",
 )

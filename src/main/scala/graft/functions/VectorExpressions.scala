@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, L2NormalizeExpr, MinHashSignatureExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, L2NormalizeExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
 
 /** Facade over the custom Catalyst expressions in
   * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
@@ -89,4 +89,24 @@ object VectorExpressions {
   /** Unicode NFC canonical composition of a string column. */
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
+
+  /** Top-`probes` nearest cell ids (array<int>, (dist, cell) ascending)
+    * of an `array<double>` query against a flat centroid matrix — the
+    * primitive-loop assignment kernel behind `Similarity.probeAssign`.
+    */
+  def nearestCells(nv: Column, cellIds: Array[Int], cents: Array[Double],
+      dim: Int, probes: Int): Column =
+    ColumnBridge.column(NearestCellsExpr(ColumnBridge.expression(nv),
+      cellIds, cents, dim, probes, Array.emptyDoubleArray,
+      Array.emptyIntArray, 0))
+
+  /** Two-level variant: group centroids scored first, members of the
+    * `groupProbes` nearest groups ranked. `cents`/`cellIds` packed in
+    * group order, delimited by `memberStart` offsets.
+    */
+  def nearestCellsHier(nv: Column, cellIds: Array[Int], cents: Array[Double],
+      dim: Int, probes: Int, groupCents: Array[Double],
+      memberStart: Array[Int], groupProbes: Int): Column =
+    ColumnBridge.column(NearestCellsExpr(ColumnBridge.expression(nv),
+      cellIds, cents, dim, probes, groupCents, memberStart, groupProbes))
 }

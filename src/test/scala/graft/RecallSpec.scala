@@ -239,6 +239,49 @@ class RecallSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("nearestCells kernel == brute-force (dist, cell) ranking, flat + hier, with ties (r10)") {
+    // The primitive-loop NearestCellsExpr replaced the HOF
+    // transform/array_sort/slice pipeline; this pins it to an
+    // independent Scala reference: dist = ||c||^2/2 - x.c with the same
+    // accumulation order, ranked by (dist, cell id) ascending under
+    // java.lang.Double.compare. Duplicated centroids under different
+    // ids force EXACT dist ties; shuffled non-contiguous ids catch any
+    // position-vs-id tie-break confusion.
+    val rnd = new scala.util.Random(11L)
+    val dim = 16
+    def vec(): Array[Double] = Array.fill(dim)(rnd.nextGaussian())
+    val base = (0 until 140).map(i => (i * 31 % 997, vec()))
+    val cents: Seq[(Int, Array[Double])] = base ++ base.zipWithIndex.collect {
+      case ((_, c), i) if i % 7 == 0 => (1000 + i, c.clone) }
+    assert(cents.map(_._1).distinct.size == cents.size)
+    assert(cents.size > Similarity.HierAssignCentroids)
+    val rows = (0 until 200).map(i => (i.toLong, vec().toSeq))
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "nv")
+    def reference(q: Seq[Double], probes: Int): Seq[Int] =
+      cents.map { case (id, c) =>
+        val half = c.map(x => x * x).sum / 2
+        var s = 0d
+        var t = 0
+        while (t < dim) { s += q(t) * c(t); t += 1 }
+        (half - s, id)
+      }.sortWith { case ((d1, c1), (d2, c2)) =>
+        val cc = java.lang.Double.compare(d1, d2)
+        cc < 0 || (cc == 0 && c1 < c2)
+      }.take(probes).map(_._2)
+    def collectAssignSeq(res: org.apache.spark.sql.DataFrame) =
+      res.collect().map(r => (r.getLong(0), r.getInt(r.fieldIndex("cell"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for (probes <- Seq(1, 3, 5)) {
+      val exp = rows.map { case (id, q) => (id, reference(q, probes)) }.toMap
+      assert(collectAssignSeq(
+        Similarity.probeAssignFlat(df, cents, probes)) == exp, s"flat probes=$probes")
+      assert(collectAssignSeq(
+        Similarity.probeAssignHier(df, cents, probes, groupProbes = cents.size)) == exp,
+        s"hier probes=$probes")
+    }
+  }
+
   test("hier probeAssign at full group probes is EXACTLY the flat assignment (r10)") {
     // 200 centroids (> HierAssignCentroids) on the unit sphere, 300
     // probe rows: with groupProbes = #groups every member is ranked and
