@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, L2NormalizeExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
+import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
 
 /** Facade over the custom Catalyst expressions in
   * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
@@ -89,6 +89,13 @@ object VectorExpressions {
   /** Unicode NFC canonical composition of a string column. */
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
+
+  /** Count of equal positions of two `array<long>` columns (MinHash
+    * signature agreement) — one primitive loop per candidate pair.
+    */
+  def longMatchCount(a: Column, b: Column): Column =
+    ColumnBridge.column(LongMatchCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Top-`probes` nearest cell ids (array<int>, (dist, cell) ascending)
     * of an `array<double>` query against a flat centroid matrix — the

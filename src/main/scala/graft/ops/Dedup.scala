@@ -416,9 +416,8 @@ object Dedup {
     // sits just below the threshold (21/32 = 0.65625 rounds to 0.6563).
     candidates
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+        graft.functions.VectorExpressions.longMatchCount(
+          col("sig_a"), col("sig_b")).cast("double") / numHashes)
       .where(col("est_jaccard") >= simThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }

@@ -30,9 +30,15 @@ import graft.functions.VectorExpressions.dotD
   */
 object Similarity {
 
-  /** Exact dot product of two double arrays. */
+  /** Exact dot product of two double arrays — the codegen'd
+    * [[graft.functions.VectorExpressions.dotD]] kernel (same
+    * left-to-right accumulation as the `zip_with`+`aggregate` HOF
+    * formulation it replaced, so values are bit-identical on the dense
+    * equal-length arrays every caller feeds it; unequal lengths now dot
+    * the overlap instead of going null).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotD(asDouble(a), asDouble(b))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -179,7 +185,9 @@ object Similarity {
     */
   def embeddingHealth(df: DataFrame, vecCol: String, byCol: String): DataFrame = {
     val v = asDouble(col(vecCol))
-    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    // dotD(v, v) accumulates x*x left-to-right like the HOF fold it
+    // replaced — bit-identical norms, NaN propagation included.
+    val norm = sqrt(graft.functions.VectorExpressions.dotD(v, v))
     val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
     df.select(col(byCol), size(v).as("dim"),
       round(norm, 6).as("norm"),

@@ -564,3 +564,34 @@ case class NearestCellsExpr(
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Count of positions where two `array<long>` columns hold equal values
+  * (over the shorter length) — the MinHash signature-agreement kernel.
+  * Replaces a `zip_with` + `aggregate` HOF pair evaluated interpreted per
+  * CANDIDATE PAIR (numHashes lambda steps each, on the band-join output —
+  * the volume the LSH banding exists to bound, but still the widest
+  * post-join stream in the near-dup family). Integer counting — result is
+  * exactly the HOF formulation's on dense equal-length signatures.
+  */
+case class LongMatchCountExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "long_match_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
