@@ -4,15 +4,22 @@
 Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`: for every query
 result parquet in <outDir>, executes the matching oracle SQL from
 oracle_sql.json in DuckDB over the same fixture tables, sorts columns by
-name and rows by all columns, and compares cell-by-cell (exact for
-non-floats; floats must match to 1e-9 after the query's own rounding).
+name and rows by all columns, and compares cell-by-cell EXACTLY —
+including floats. The driver hashes typed values bit-for-bit, so a float
+oracle that only matches to 1e-9 locally would still fail the driver
+(the r9 failure shape); oracle SQL must round/DECIMAL-ize floats to the
+point of bit-identity. A per-query tolerance can be DECLARED in
+TOLERANCES below for the rare oracle that genuinely needs one — the
+declaration is visible and reviewable instead of a silent global 1e-9.
 
 TYPE-STRICT (the r9 lesson): the driver's gate hashes TYPED values, so a
 DuckDB HUGEINT (bare `sum()` over BIGINT, surfacing as float64/object)
 against a Spark BIGINT fails the driver even when every value is equal.
-This script therefore fails on integer-vs-float dtype drift between the
-two frames (DTYPE-MISMATCH) instead of coercing through float compare —
-the oracle SQL must CAST to the exact type the Spark plan emits.
+This script therefore fails on dtype drift between the two frames
+(DTYPE-MISMATCH) instead of coercing through a value compare — both on
+int-vs-float kind drift AND on object-vs-numeric drift (HUGEINT can
+surface as object dtype holding Python ints, r10 advice). The oracle
+SQL must CAST to the exact type the Spark plan emits.
 
 Usage: python3 scripts/check.py <sfDir> <outDir>
 """
@@ -26,6 +33,12 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Per-query DECLARED relative float tolerance. Empty is the goal: every
+# oracle is written to bit-identity (rounded/DECIMAL-ized floats), which
+# is what the driver's typed hash requires anyway. Add an entry ONLY
+# when an oracle provably cannot be stated bit-identically, and note why.
+TOLERANCES: dict = {}
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -33,7 +46,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def cells_equal(a, b) -> bool:
+def cells_equal(a, b, tol: float = 0.0) -> bool:
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):
@@ -48,10 +61,13 @@ def cells_equal(a, b) -> bool:
             return False
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        if tol > 0.0:
+            return abs(fa - fb) <= tol * max(1.0, abs(fa), abs(fb))
+        # Exact — what the driver's typed hash demands of the oracle.
+        return fa == fb
     if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
         la, lb = list(a), list(b)
-        return len(la) == len(lb) and all(cells_equal(x, y) for x, y in zip(la, lb))
+        return len(la) == len(lb) and all(cells_equal(x, y, tol) for x, y in zip(la, lb))
     return a == b
 
 
@@ -89,11 +105,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         # Type-strict gate: integer-vs-float drift (DuckDB HUGEINT/DOUBLE
         # widening) fails the driver's typed hash even when values match.
+        # Also object-vs-numeric: HUGEINT can surface as object dtype
+        # holding Python ints, which the old {i,u,f}-only gate let slip
+        # through to the value compare (r10 advice).
+        def _drift(ka, kb):
+            num = {"i", "u", "f"}
+            if ka in num and kb in num:
+                return ka != kb
+            return ("O" in (ka, kb)) and (ka in num or kb in num)
         dtype_bad = [
             (c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
             if str(a[c].dtype) != str(b[c].dtype)
-            and {a[c].dtype.kind, b[c].dtype.kind} <= {"i", "u", "f"}
-            and a[c].dtype.kind != b[c].dtype.kind]
+            and _drift(a[c].dtype.kind, b[c].dtype.kind)]
         if dtype_bad:
             results[name] = f"DTYPE-MISMATCH {dtype_bad}"
             continue
@@ -101,10 +124,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             results[name] = f"ROWCOUNT-MISMATCH spark={len(a)} oracle={len(b)}"
             continue
         bad = []
+        tol = TOLERANCES.get(name, 0.0)
         av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
         for i in range(len(a)):
             for j in range(len(a.columns)):
-                if not cells_equal(av[i, j], bv[i, j]):
+                if not cells_equal(av[i, j], bv[i, j], tol):
                     bad.append((i, a.columns[j], av[i, j], bv[i, j]))
                     if len(bad) >= 3:
                         break

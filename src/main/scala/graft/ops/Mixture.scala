@@ -191,7 +191,12 @@ object Mixture {
     * boundaries respect the (key, id) total order, so the prefix sums
     * are identical. The skew path casts the id to long (and fails
     * loudly if it can't) — rank boundaries need a portable composite
-    * literal.
+    * literal — and both the boundary cuts AND the intra-bucket window
+    * order on that long cast, so a string-typed numeric id ('9' vs
+    * '10') cannot diverge between the two. `(orderKey, idCol)` pairs
+    * must be unique (ids unique is the usual contract): duplicate
+    * pairs make the (key, id) total order ambiguous and tied rows'
+    * shard ids arbitrary at boundaries.
     */
   def tokenShardsOrdered(
       docs: DataFrame,
@@ -275,7 +280,13 @@ object Mixture {
                 (col("__mx_pr") === bp && col("__mx_idl") >= bi), 1).otherwise(0)
             }.reduceLeft(_ + _).cast("int")
             val t2 = t1.withColumn("__mx_bkt", bktExpr)
-            assembleShards(t2, perBucket2, docs.columns, idCol, tokCol,
+            // The window MUST order by the same long-cast id the
+            // boundaries were cut on: for a string-typed numeric id
+            // ('9' vs '10') the native order diverges from the long
+            // order, and a tied-key row near a boundary would get a
+            // shard id inconsistent with bktExpr / the rank-derived
+            // perBucket2 totals (r10 advice).
+            assembleShards(t2, perBucket2, docs.columns, "__mx_idl", tokCol,
               numShards)
           }
         } finally sorted.unpersist(blocking = false)

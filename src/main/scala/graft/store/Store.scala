@@ -70,7 +70,14 @@ final class Store(
       * has no Cognito; kept so reference-era call sites type-check.
       */
     region: Option[String] = None,
-    authToken: Option[String] = None) {
+    authToken: Option[String] = None,
+    /** Staleness threshold for sweeping crashed clones' staging temps
+      * (see [[clone]]): a `._tmp-clone-*` sibling is deleted only when
+      * its newest file is older than this, so a concurrent in-flight
+      * clone's live staging dir is never swept. Raise it if single-file
+      * copies can take longer than an hour.
+      */
+    cloneStaleTempMs: Long = 60L * 60 * 1000) {
 
   import Store._
 
@@ -1283,16 +1290,25 @@ final class Store(
     if (fs.exists(dst))
       throw new Store.LoadError(s"DataFrame '$asName' already exists", null)
     assertNoTableNesting(validateName(asName), dst)
-    // Sweep stale temps from earlier crashed clones of this target, then
-    // stage into a fresh uuid'd temp (concurrent clones of the SAME
-    // target race at the final rename — exactly one wins, the loser's
-    // rename fails onto the existing dst and its temp is deleted).
+    // Sweep stale temps from earlier CRASHED clones of this target —
+    // but only temps whose newest file is older than the staleness
+    // threshold. A concurrent IN-FLIGHT clone of the same target also
+    // matches the name prefix, and deleting its live staging dir would
+    // drop files it already copied, letting it later publish a PARTIAL
+    // table; an active copy job keeps creating files, so its newest
+    // mtime stays fresh, while a crashed job's temp goes stale. (A
+    // deployment whose single-file copies can exceed the threshold
+    // should raise `cloneStaleTempMs` accordingly.)
     val parent = dst.getParent
+    val now = System.currentTimeMillis()
     if (fs.exists(parent))
       fs.listStatus(parent).foreach { st =>
         if (st.isDirectory &&
-            st.getPath.getName.startsWith(dst.getName + Store.TmpCloneInfix))
-          fs.delete(st.getPath, true)
+            st.getPath.getName.startsWith(dst.getName + Store.TmpCloneInfix)) {
+          var newest = st.getModificationTime
+          walkFiles(st.getPath)(f => newest = math.max(newest, f.getModificationTime))
+          if (now - newest > cloneStaleTempMs) fs.delete(st.getPath, true)
+        }
       }
     val tmp = new Path(parent, dst.getName + Store.TmpCloneInfix +
       java.util.UUID.randomUUID().toString.take(8))
@@ -1319,7 +1335,28 @@ final class Store(
             s.getFileSystem(c), s, d.getFileSystem(c), d, false, c))
           throw new java.io.IOException(s"clone copy failed for $rel")
       }
-      if (!fs.rename(tmp, dst))
+      // Rename-semantics-aware commit: on HDFS, rename(tmp, dst) with
+      // dst already present moves tmp INSIDE dst (returning true)
+      // rather than failing, so "rename returned false" is NOT a
+      // reliable lost-race signal across filesystems. Check-then-rename
+      // narrows the window; the post-rename nesting check closes it —
+      // if dst/<tmp.name> exists, the FS nested our temp inside a
+      // concurrently published dst, and we must undo that pollution and
+      // report the lost race instead of leaving a foreign subtree in
+      // the winner's table.
+      if (fs.exists(dst))
+        throw new Store.LoadError(
+          s"DataFrame '$asName' already exists (clone publish lost the race)",
+          null)
+      val renamed = fs.rename(tmp, dst)
+      val nested = new Path(dst, tmp.getName)
+      if (renamed && fs.exists(nested)) {
+        try fs.delete(nested, true) catch { case _: Exception => () }
+        throw new Store.LoadError(
+          s"DataFrame '$asName' already exists (clone publish lost the race)",
+          null)
+      }
+      if (!renamed)
         throw new Store.LoadError(
           s"DataFrame '$asName' already exists (clone publish lost the race)",
           null)

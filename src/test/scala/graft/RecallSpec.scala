@@ -335,6 +335,48 @@ class RecallSpec extends SparkSpec {
     assert(truth.nonEmpty && recall >= 0.6)
   }
 
+  test("large-nlist hier gate (nlist=1600): log-scaled group probes keep recall (r11)") {
+    // r10 advice: the fixed gp=4 cap's recall cost grows with g
+    // (probed member fraction ~4/√nlist) and the large-nlist regimes it
+    // most affects were unvalidated — semDedupNlistFor reaches 2^20 on
+    // big corpora. gp now scales ⌈log₂(g+1)⌉ with the group count; this
+    // gate pins a regime 10× past the routing threshold (nlist=1600,
+    // g=40 ⇒ gp=6 where the retired cap froze at 4) on a CLUSTERED
+    // corpus — the realistic embedding shape — checking both the hard
+    // assignment (probes=1 agreement with the exact argmin) and the
+    // soft side (the true nearest cell inside the 3-probe set).
+    val rnd = new scala.util.Random(23L)
+    val dim = 16
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val cents = (0 until 1600).map(i => (i, unit()))
+    val gp = Similarity.hierGroupProbes(cents.size)
+    assert(gp > 4, s"log-scaled gp must exceed the retired fixed cap, got $gp")
+    import spark.implicits._
+    val rows = (0 until 2000).map { i =>
+      val c = cents(rnd.nextInt(cents.size))._2
+      val v = c.map(x => x + rnd.nextGaussian() * 0.1)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n).toSeq)
+    }
+    val df = rows.toDF("vec_id", "nv")
+    def assignSets(res: org.apache.spark.sql.DataFrame) =
+      res.collect().map(r => (r.getLong(0), r.getInt(r.fieldIndex("cell"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth1 = assignSets(Similarity.probeAssignFlat(df, cents, probes = 1))
+    val hier1 = assignSets(Similarity.probeAssignHier(df, cents, probes = 1, gp))
+    val hard = truth1.count { case (k, v) => hier1(k) == v }.toDouble / truth1.size
+    val hier3 = assignSets(Similarity.probeAssignHier(df, cents, probes = 3, gp))
+    val soft = truth1.count { case (k, v) =>
+      v.subsetOf(hier3(k)) }.toDouble / truth1.size
+    info(f"nlist=1600 gp=$gp hard-assign agreement $hard%.4f, 3-probe recall $soft%.4f")
+    assert(hard >= 0.9, f"hard-assign agreement $hard%.4f")
+    assert(soft >= 0.9, f"3-probe recall of the true cell $soft%.4f")
+  }
+
   test("semDedupPairs above the hier threshold keeps pair recall >= 0.9 (r10)") {
     // Force nlist past HierAssignCentroids on a corpus small enough to
     // compute exact truth: the grouped assignment (both the hard cells

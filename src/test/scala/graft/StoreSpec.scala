@@ -728,15 +728,27 @@ class StoreSpec extends SparkSpec {
     // a _meta.json — exactly the shape list() would misread as a table.
     val stale = new java.io.File(root, "t2" + Store.TmpCloneInfix + "deadbeef")
     assert(stale.mkdirs())
-    java.nio.file.Files.writeString(
-      stale.toPath.resolve(Store.MetaFile), "{}")
+    val staleMeta = stale.toPath.resolve(Store.MetaFile)
+    java.nio.file.Files.writeString(staleMeta, "{}")
+    // A LIVE concurrent clone's staging dir (fresh mtimes) matches the
+    // same name prefix but must SURVIVE the sweep — deleting it would
+    // drop files the in-flight copy already landed and let it publish a
+    // partial table (r10 advice). Only the backdated temp is stale.
+    val live = new java.io.File(root, "t2" + Store.TmpCloneInfix + "cafebabe")
+    assert(live.mkdirs())
+    java.nio.file.Files.writeString(live.toPath.resolve(Store.MetaFile), "{}")
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    assert(stale.setLastModified(old) && staleMeta.toFile.setLastModified(old))
     assert(store.list().map(_.name) == Seq("t"), "staging dir leaked into list()")
     store.clone("t", "t2") // retry path: sweeps the stale temp, then publishes
     assert(!stale.exists(), "stale staging dir survived the retry sweep")
+    assert(live.exists(), "live concurrent staging dir was swept")
     assert(store.list().map(_.name).sorted == Seq("t", "t2"))
     assert(store.get("t2").count() == 1L)
-    // No staging residue after a successful publish.
-    assert(new java.io.File(root).list().forall(!_.contains(Store.TmpCloneInfix)))
+    // Our own staging temp left no residue after a successful publish
+    // (the simulated live sibling is the only marker-named survivor).
+    assert(new java.io.File(root).list().filter(_.contains(Store.TmpCloneInfix))
+      .toSeq == Seq(live.getName))
     // The staging marker is reserved in the table namespace.
     assertThrows[IllegalArgumentException](
       store.load(Seq((1L, "x")).toDF("k", "s"), "bad._tmp-clone-1"))
