@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, DotProductD, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
+import org.apache.spark.sql.graft.{BpeMergePairExpr, ColumnBridge, DotProductD, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
 
 /** Facade over the custom Catalyst expressions in
   * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
@@ -96,6 +96,13 @@ object VectorExpressions {
   def longMatchCount(a: Column, b: Column): Column =
     ColumnBridge.column(LongMatchCountExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** One BPE merge round over an `array<string>` symbol column: greedy
+    * left-to-right non-overlapping replacement of adjacent (a, b) with
+    * a+b — the apply step of `TextOps.bpeTrain`'s merge loop.
+    */
+  def bpeMergePair(syms: Column, a: String, b: String): Column =
+    ColumnBridge.column(BpeMergePairExpr(ColumnBridge.expression(syms), a, b))
 
   /** Top-`probes` nearest cell ids (array<int>, (dist, cell) ascending)
     * of an `array<double>` query against a flat centroid matrix — the

@@ -38,6 +38,76 @@ object TextOps {
 
   def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpePretokenPattern))
 
+  /** BPE tokenizer TRAINING — the full merge loop (extending the step-1
+    * pair census of qn94): `numMerges` rounds of "count adjacent symbol
+    * pairs weighted by word frequency, merge the most frequent pair
+    * everywhere" (Sennrich et al. 2016). Returns the merge sequence —
+    * (round, lhs, rhs, pair_count) — which IS the trained tokenizer.
+    *
+    * Scale shape: the corpus collapses ONCE to its word-frequency
+    * VOCABULARY (the only corpus-wide scan + shuffle; pair statistics
+    * are per-word-type weighted by frequency, so the loop never touches
+    * corpus rows again). Every round then costs one scan of the
+    * persisted vocab-scale table — adjacent-pair census through the
+    * primitive-loop `wordShinglesAll` kernel into a map-side-combined
+    * sum, a ONE-ROW collect of the argmax with deterministic
+    * (count desc, pair asc) tie-break — and one `bpe_merge_pair` apply,
+    * persisted so round r+1 re-evaluates nothing of rounds 1..r
+    * (driver-iterated loops must not stack lineage). Words restrict to
+    * letter/digit runs (`^[\p{L}\p{N}]+$`): BPE training normalizes its
+    * pre-token alphabet, and the clean domain is what lets an external
+    * engine restate the loop over a delimiter-wrapped string rendering
+    * (greedy non-overlapping merge ≡ left-to-right string replace).
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minWordLen: Int = 2): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = docs.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vocab0 = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= minWordLen &&
+        col("w").rlike("^[\\p{L}\\p{N}]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", filter(split(col("w"), ""), s => s =!= ""))
+      .select("freq", "syms")
+    var vocab = vocab0.persist(lvl)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var r = 1
+      var done = false
+      while (r <= numMerges && !done) {
+        val top = vocab.where(size(col("syms")) >= 2)
+          .select(col("freq"), explode(
+            graft.functions.VectorExpressions.wordShinglesAll(col("syms"), 2))
+            .as("pair"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect() // bounded: one row — the argmax pair
+        if (top.isEmpty) done = true
+        else {
+          val pair = top(0).getString(0)
+          val Array(l, rr) = pair.split(" ", 2)
+          merges += ((r, l, rr, top(0).getLong(1)))
+          val next = vocab.withColumn("syms",
+            graft.functions.VectorExpressions.bpeMergePair(col("syms"), l, rr))
+            .persist(lvl)
+          next.count() // materialize BEFORE dropping the parent
+          vocab.unpersist(blocking = false)
+          vocab = next
+          r += 1
+        }
+      }
+    } finally vocab.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+      .select(col("round").cast("int").as("round"), col("lhs"), col("rhs"),
+        col("pair_count"))
+  }
+
   /** Split each document into overlapping token windows (`window` tokens,
     * every `stride`) — the chunking pass between curation and
     * tokenization in a training pipeline (stride < window keeps

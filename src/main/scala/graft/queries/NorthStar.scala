@@ -1852,6 +1852,110 @@ object NorthStar {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(20)
 
+  /** BPE merge LOOP ([[TextOps.bpeTrain]], extending qn94's step-1
+    * census): 10 driver-iterated rounds of weighted adjacent-pair count
+    * → deterministic argmax (count desc, pair asc) → greedy merge-apply
+    * over the persisted word-frequency vocabulary. The oracle UNROLLS
+    * the loop round by round: it re-derives pair counts from a
+    * paren-wrapped segmentation string (`low` → `(l)(o)(w)`) and
+    * applies each round's merge as non-overlapping left-to-right
+    * `replace` — bit-equivalent to the greedy array merge (wrapping
+    * makes cross-symbol matches impossible since the alphabet is
+    * letter/digit runs, and SQL `replace` scans exactly the greedy
+    * order).
+    */
+  private def qBpeMergeLoop(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrain(docs(s, dir), "text", numMerges = 10).orderBy("round")
+
+  private def bpeLoopOracle(numMerges: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    // words_r references best_r (×3) + words_{r-1}, so an inlined
+    // 10-round chain expands to ~4^10 scans of `documents` — measured
+    // as an fd-exhaustion blowup. Materialization makes each round one
+    // vocab pass, the same shape as the Spark loop's persist.
+    val sb = new StringBuilder
+    sb.append("""
+      WITH words0 AS MATERIALIZED (
+        SELECT count(*)::BIGINT AS freq,
+               regexp_replace(w, '(.)', '(\1)', 'g') AS state
+        FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+          FROM documents WHERE len(trim(text)) > 0) t
+        WHERE len(w) >= 2 AND regexp_full_match(w, '[\p{L}\p{N}]+')
+        GROUP BY w)""")
+    for (r <- 1 to numMerges) {
+      val p = r - 1
+      sb.append(raw"""
+      , best$r AS MATERIALIZED (
+        SELECT $r AS round, pair, CAST(n AS BIGINT) AS n FROM (
+          SELECT pair, sum(freq) AS n FROM (
+            SELECT freq, unnest(list_transform(range(1, len(syms)),
+              i -> syms[i] || ' ' || syms[i+1])) AS pair
+            FROM (SELECT freq,
+                    regexp_extract_all(state, '\(([^()]+)\)', 1) AS syms
+                  FROM words$p) s$r) e$r
+          GROUP BY pair) c$r
+        ORDER BY n DESC, pair ASC LIMIT 1)
+      , words$r AS MATERIALIZED (
+        SELECT freq, replace(state,
+          '(' || split_part((SELECT pair FROM best$r), ' ', 1) || ')(' ||
+                 split_part((SELECT pair FROM best$r), ' ', 2) || ')',
+          '(' || replace((SELECT pair FROM best$r), ' ', '') || ')') AS state
+        FROM words$p)""")
+    }
+    sb.append(s"""
+      SELECT CAST(round AS INT) AS round,
+             split_part(pair, ' ', 1) AS lhs,
+             split_part(pair, ' ', 2) AS rhs,
+             n AS pair_count
+      FROM (${(1 to numMerges).map(r => s"SELECT * FROM best$r")
+        .mkString(" UNION ALL ")})
+      ORDER BY round""")
+    sb.toString
+  }
+
+  /** End-to-end corpus build — the composition a real pipeline runs,
+    * as ONE query over the fixtures: quality filter (qn18's rules) →
+    * 3-gram Jaccard near-dup dedup (qn15's detector + keep-min apply) →
+    * benchmark decontamination (qn22's overlap, benchmark = the
+    * doc_id%50==3 split) → per-source token-budget sample (qn28) →
+    * 8-way token-balanced shards (qn32). Every stage is an existing
+    * graded operator; what THIS query grades is the COMPOSITION: the
+    * final shard manifest plus the stage-boundary survivor counts
+    * (each stage's output is the next stage's input; the manifest's
+    * doc/token totals reconcile with n_sampled exactly, and
+    * n_corpus ≥ n_quality ≥ n_dedup ≥ n_decontam ≥ n_sampled by
+    * construction — the oracle recomputes all five). Stage frames are
+    * re-evaluated by the count aggregates here; a production run
+    * materializes each boundary through the store (the qs-series) —
+    * this query grades the algebra, not the checkpointing.
+    */
+  private def qCorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isBench = pmod(col("doc_id"), lit(50)) === 3
+    val corpus = d.select("doc_id", "source", "text").where(!isBench)
+    val bench = d.where(isBench)
+    val q = corpus.where(TextOps.qualityRules(col("text")).keep)
+    val dd = Dedup.dedupByJaccard(q, "doc_id", "text", n = 3, threshold = 0.8)
+    val contaminated = TextOps.contaminationOverlap(dd, bench, "doc_id", "text")
+    val dc = dd.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+    val t = dc.withColumn("toks", TextOps.tokenCount(col("text")).cast("long"))
+    val budgets = t.select(col("source")).distinct()
+      .withColumn("budget",
+        lit(200L) + lit(50L) * substring(col("source"), 4, 8).cast("long"))
+    val samp = Mixture.sampleByTokenBudget(t, "doc_id", "toks", "source", budgets)
+    val manifest = Mixture.tokenShards(samp, "doc_id", "toks", numShards = 8)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("shard_tokens"))
+    manifest
+      .crossJoin(corpus.agg(count(lit(1)).as("n_corpus")))
+      .crossJoin(q.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(dd.agg(count(lit(1)).as("n_dedup")))
+      .crossJoin(dc.agg(count(lit(1)).as("n_decontam")))
+      .crossJoin(samp.agg(count(lit(1)).as("n_sampled")))
+      .orderBy("shard_id")
+  }
+
   /** Incremental dataset card through the STORE (the qn33 mergeable-
     * sketch pattern applied to qn77's card): each ingest persists its
     * per-source stateless card stats as one store version (a
@@ -3620,6 +3724,101 @@ object NorthStar {
                                      b.embedding::DOUBLE[]) >= 0.4)
       SELECT count(*) AS n_true_pairs, true AS recall_ok,
              true AS sim_exact_ok, true AS precision_ok
-      FROM truth"""))
+      FROM truth""")),
+    QueryDef("qn100_bpe_merge_loop", qBpeMergeLoop _, Some(bpeLoopOracle(10))),
+    QueryDef("qn101_corpus_build", qCorpusBuild _, Some("""
+      WITH RECURSIVE corpus AS MATERIALIZED (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 3),
+      bench AS MATERIALIZED (
+        SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS s
+        FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+              FROM documents WHERE doc_id % 50 = 3 AND trim(text) <> '') bt,
+             unnest(range(1, len(w) - 1)) r(i)),
+      q AS MATERIALIZED (
+        SELECT doc_id, source, text FROM (
+          SELECT doc_id, source, text,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+                 CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE len(regexp_replace(text, '\s+', '', 'g'))
+                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS awl,
+                 CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS ttr,
+                 CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 t -> t IN ('the', 'a', 'of', 'and', 'is', 'to')))
+                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS stopfrac
+          FROM corpus) f
+        WHERE (toks BETWEEN 25 AND 100000) AND (awl BETWEEN 3.0 AND 10.0)
+          AND (ttr >= 0.45) AND (stopfrac >= 0.05)),
+      sh0 AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM q WHERE trim(text) <> '') qt,
+             unnest(range(1, len(w) - 1)) r(i)),
+      sh AS MATERIALIZED (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
+      nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      qpairs AS (SELECT doc_a, doc_b FROM prs
+                 JOIN nsh na ON doc_a = na.doc_id
+                 JOIN nsh nb ON doc_b = nb.doc_id
+                 WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM qpairs
+                UNION SELECT doc_b, doc_a FROM qpairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+                      UNION
+                      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u),
+      dd AS MATERIALIZED (
+        SELECT * FROM q WHERE doc_id NOT IN
+          (SELECT node FROM comp WHERE node <> component)),
+      dc AS MATERIALIZED (
+        SELECT * FROM dd WHERE doc_id NOT IN (
+          SELECT DISTINCT c.doc_id FROM (
+            SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                  FROM dd WHERE trim(text) <> '') dt,
+                 unnest(range(1, len(w) - 1)) r(i)) c
+          JOIN bench b ON c.s = b.s)),
+      t AS (
+        SELECT doc_id, source,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks,
+               CAST((doc_id::HUGEINT * 2654435761) % 4294967296 AS BIGINT) AS pr,
+               200 + 50 * CAST(substr(source, 4) AS INT) AS budget
+        FROM dc),
+      cb AS (
+        SELECT doc_id, toks, pr,
+               coalesce(sum(toks) OVER (PARTITION BY source ORDER BY pr, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior,
+               budget
+        FROM t),
+      samp AS MATERIALIZED (
+        SELECT doc_id, toks, pr FROM cb WHERE prior < budget),
+      tot AS (SELECT greatest(1, (sum(toks) + 7) // 8) AS target FROM samp),
+      csh AS (
+        SELECT doc_id, toks,
+               coalesce(sum(toks) OVER (ORDER BY pr, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        FROM samp),
+      a AS (
+        SELECT doc_id, toks, CAST(least(prior // target, 7) AS INT) AS shard_id
+        FROM csh, tot),
+      manifest AS (
+        SELECT shard_id, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS shard_tokens
+        FROM a GROUP BY shard_id)
+      SELECT m.shard_id, m.n_docs, m.shard_tokens,
+             (SELECT count(*) FROM corpus) AS n_corpus,
+             (SELECT count(*) FROM q) AS n_quality,
+             (SELECT count(*) FROM dd) AS n_dedup,
+             (SELECT count(*) FROM dc) AS n_decontam,
+             (SELECT count(*) FROM samp) AS n_sampled
+      FROM manifest m
+      ORDER BY m.shard_id"""))
   )
 }

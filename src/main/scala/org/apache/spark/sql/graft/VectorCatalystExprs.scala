@@ -595,3 +595,54 @@ case class LongMatchCountExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** One BPE training merge applied to a symbol array: greedy
+  * left-to-right, non-overlapping replacement of each ADJACENT
+  * (`a`, `b`) with the concatenation `a+b` — `["a","a","a"]` under
+  * merge (a, a) → `["aa","a"]` — the classic BPE apply step (Sennrich
+  * et al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units"), bit-compatible with non-overlapping left-to-right string
+  * `replace` on a delimiter-wrapped rendering, which is how the DuckDB
+  * oracle restates it. The pair is a per-round driver constant (the
+  * training loop collects the argmax pair — one row — then stacks one
+  * of these per round), so it rides the serialized plan; the vocab
+  * table it maps over never shuffles for the apply.
+  */
+case class BpeMergePairExpr(child: Expression, a: String, b: String)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_pair"
+
+  @transient private lazy val ua =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+  @transient private lazy val ub =
+    org.apache.spark.unsafe.types.UTF8String.fromString(b)
+  @transient private lazy val uab =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a + b)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val syms = input.asInstanceOf[ArrayData]
+    val m = syms.numElements()
+    val out = new java.util.ArrayList[Any](m)
+    var i = 0
+    while (i < m) {
+      val cur =
+        if (syms.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+        else syms.getUTF8String(i)
+      if (i + 1 < m && cur == ua && !syms.isNullAt(i + 1) &&
+          syms.getUTF8String(i + 1) == ub) {
+        out.add(uab)
+        i += 2
+      } else {
+        out.add(cur)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -300,4 +300,70 @@ object TextPropSpec extends Properties("TextOps.reference") {
           r.getInt(4), r.getDouble(5), r.getBoolean(6)))
       Prop(got.toSeq == ref) :| s"n=$n got=${got.toSeq} ref=$ref"
     }
+
+  /** In-memory reference BPE trainer: word-frequency compaction, then
+    * per round count adjacent pairs weighted by word freq, argmax with
+    * (count desc, "a b" asc) tie-break, GREEDY left-to-right
+    * non-overlapping apply ("aaa" + merge (a,a) → [aa, a]).
+    */
+  private def refBpe(
+      texts: Seq[Option[String]], numMerges: Int): Seq[(Int, String, String, Long)] = {
+    def applyMerge(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    var vocab: Map[Vector[String], Long] = texts.flatMap(t => toks(t.orNull))
+      .filter(w => w.length >= 2 && w.matches("^[\\p{L}\\p{N}]+$"))
+      .groupBy(w => w.map(_.toString).toVector)
+      .map { case (k, v) => (k, v.size.toLong) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var continue = true
+    while (r <= numMerges && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, s"$x $y") }
+        merges += ((r, a, b, n))
+        vocab = vocab.groupBy { case (syms, _) => applyMerge(syms, a, b) }
+          .map { case (k, g) => (k, g.values.sum) }
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  property("bpeTrain == in-memory reference merge loop (greedy, tie-broken)") = {
+    // Tiny alphabet ON PURPOSE: adjacent repeats ("aaaa") and exact
+    // count ties happen every run, pinning the greedy non-overlapping
+    // apply and the (count desc, pair asc) tie-break — the two places a
+    // distributed reformulation could silently diverge.
+    val genWord = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val genDocB: Gen[Option[String]] = Gen.frequency(
+      10 -> Gen.chooseNum(0, 10).flatMap(n =>
+        Gen.listOfN(n, genWord).map(ws => Some(ws.mkString(" ")))),
+      1 -> Gen.const(Some("   ")),
+      1 -> Gen.const(None))
+    val genCorpusB = Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, genDocB))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    Prop.forAllNoShrink(genCorpusB) { corpus =>
+      val got = TextOps.bpeTrain(toDf(corpus), "text", numMerges = 5)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      val ref = refBpe(corpus.map(_._2), 5)
+      Prop(got == ref) :| s"got=$got ref=$ref"
+    }
+  }
 }
