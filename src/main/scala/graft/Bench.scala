@@ -134,15 +134,23 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-    // The driver's artifact keeps only the TAIL of stdout. The long line
-    // above gets truncated from the front, so the total and medians were
-    // unrecoverable in BENCH_r04/r05 (only queries_max survived). Repeat
-    // the headline total + per-query MEDIANS as the final, short line so
-    // the surviving fragment always contains the statistics that matter.
+    // The driver's artifact keeps only the last ~2000 chars of stdout
+    // and tries to parse them as JSON ("parsed": null in BENCH_r10 —
+    // the 186-query median map alone is ~7 KB, so ANY final line
+    // carrying it truncates mid-JSON and the artifact degrades to a raw
+    // tail). The final line must therefore be SHORT, self-contained,
+    // and parseable at any registry size: headline total, calibration,
+    // failures, the 5 slowest query medians (the plan-audit shortlist),
+    // and a pointer to BENCH_full.json, which carries the complete
+    // per-query statistics and is committed to the repo every round.
+    val slowest = results.collect { case (k, ts, true) => (k, median(ts)) }
+      .sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"median",""" +
-        s""""queries":${timeMap(median)},"reps":$reps,"failures":$failures,""" +
-        s"""$calJson,"sf":"$sfDir"}""")
+        s""""n_queries":${results.size},"reps":$reps,"failures":$failures,""" +
+        s""""slowest":$slowest,$calJson,""" +
+        s""""per_query_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }

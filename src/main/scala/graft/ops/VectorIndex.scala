@@ -54,7 +54,8 @@ object VectorIndex {
       Similarity.fitCells(corpus, idCol, vecCol, nl, maxFitRows, Some(rows))
     store.load(spark.createDataFrame(centroids).toDF("cell", "centroid"),
       s"$name/centroids", externalKey = externalKey)
-    store.load(assigned.select(col("vec_id"), col("cell"), col("nv")),
+    store.load(
+      assigned.select(col("vec_id"), col("cell"), col("nv"), lit(0L).as("gen")),
       s"$name/assignments", Map("cell" -> Store.KeyId),
       externalKey = externalKey)
     (nl, rows)
@@ -81,16 +82,62 @@ object VectorIndex {
       idCol: String,
       vecCol: String,
       name: String,
-      externalKey: String): Unit = {
+      externalKey: String,
+      gen: Long = 0L): Unit = {
     val cents = store.get(s"$name/centroids", useLast = true)
       .select(col("cell"), col("centroid"))
     val withNv = batch.select(col(idCol).as("vec_id"),
       Similarity.normalize(col(vecCol).cast("array<double>")).as("nv"))
     val assigned = Similarity.assignToCentroids(withNv, cents,
       "vec_id", "nv", "cell", "centroid", carry = Seq("nv"))
-      .select(col("vec_id"), col("cluster_id").as("cell"), col("nv"))
+      .select(col("vec_id"), col("cluster_id").as("cell"), col("nv"),
+        lit(gen).as("gen"))
     store.load(assigned, s"$name/assignments", Map("cell" -> Store.KeyId),
       externalKey = externalKey)
+  }
+
+  /** Tombstone ids so every assignment row of theirs with `gen` OLDER
+    * than `gen` stops being served — the index-freshness seam under
+    * churn. Deletes live as a SIDECAR table (`<name>/deletes`, the
+    * Lucene-live-docs / deletion-vector layout), NOT as a fold over the
+    * assignments: folding (max_by per vec_id) before serving would have
+    * to scan every cell BEFORE the probe filter — a re-embedded vector
+    * can change cells, so filter-then-fold would resurrect the stale
+    * row — killing [[searchIvf]]'s plan-time partition pruning. The
+    * sidecar is churn-sized (ids × generations, metadata next to a
+    * 100 TB corpus), broadcasts into the probe join, and leaves the
+    * cell-pruned scan untouched. Tombstones accumulate as ordinary
+    * store versions; a full rebuild (new [[buildIvf]] at gen 0 under a
+    * fresh externalKey) retires them.
+    */
+  def tombstoneIvf(
+      store: Store,
+      ids: DataFrame,
+      idCol: String,
+      name: String,
+      gen: Long,
+      externalKey: String): Unit =
+    store.load(
+      ids.select(col(idCol).as("vec_id")).distinct()
+        .withColumn("gen", lit(gen)),
+      s"$name/deletes", externalKey = externalKey)
+
+  /** Re-embed: serve `batch`'s NEW vectors and stop serving their old
+    * ones, atomically at generation `gen` — one [[tombstoneIvf]] (kills
+    * rows with gen < `gen`) plus one [[appendIvf]] AT `gen` (the fresh
+    * rows carry `gen`, so the tombstone spares them). O(batch) work;
+    * the corpus-wide assignments are never rewritten.
+    */
+  def reembedIvf(
+      store: Store,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      gen: Long,
+      externalKey: String): Unit = {
+    tombstoneIvf(store, batch.select(col(idCol)), idCol, name, gen, externalKey)
+    appendIvf(store, batch, idCol, vecCol, name, externalKey, gen)
   }
 
   /** Serve exact-re-ranked top-k from a PERSISTED index version (no
@@ -125,9 +172,27 @@ object VectorIndex {
     // layout prunes unprobed directories before any task launches.
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val assigned = store.get(s"$name/assignments", externalKey, useLast)
+    val assigned0 = store.get(s"$name/assignments", externalKey, useLast)
       .where(col("cell").isin(probedCells: _*))
-      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("nv"))
+      .select(col("vec_id"), col("cell").cast("int").as("cell"), col("nv"),
+        col("gen"))
+    // Liveness: drop candidates superseded by a NEWER tombstone ((vec_id,
+    // gen) with gen < the id's max delete gen — a re-embedded row written
+    // AT the tombstone's gen survives). The delete sidecar is churn-sized
+    // and broadcasts; deletes apply to every index version read (live-doc
+    // semantics: a pinned historical read still must not serve a vector
+    // its owner re-embedded or removed).
+    val dels =
+      try Some(store.get(s"$name/deletes", externalKey = None, useLast = false)
+        .groupBy("vec_id").agg(max("gen").as("__del_gen")))
+      catch { case _: Store.GetError => None }
+    val assigned = dels match {
+      case None => assigned0.drop("gen")
+      case Some(d) => assigned0
+        .join(broadcast(d), Seq("vec_id"), "left")
+        .where(col("__del_gen").isNull || col("gen") >= col("__del_gen"))
+        .drop("__del_gen", "gen")
+    }
     probes.join(assigned, "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -1466,6 +1466,34 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN index freshness under CHURN ([[VectorIndex.reembedIvf]] /
+    * [[VectorIndex.tombstoneIvf]]): build → re-embed every 10th vector
+    * (deterministically: its reversed embedding) at generation 1 →
+    * tombstone every 17th at generation 2 → search with full probing.
+    * The graded contract is exact brute-force top-k over the LIVE set:
+    * a re-embedded vector is served only in its new form, a tombstoned
+    * one not at all — while the deletes ride a churn-sized broadcast
+    * sidecar and the cell-pruned assignments scan stays untouched (a
+    * merge-fold before the probe filter would cost the pruning; see
+    * tombstoneIvf's doc).
+    */
+  private def qIndexChurn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_vecidx_"),
+      idBucketWidth = 1L)
+    val (nl, _) = VectorIndex.buildIvf(store, e, "vec_id", "embedding", "idx/churn")
+    VectorIndex.reembedIvf(store,
+      e.where(pmod(col("vec_id"), lit(10)) === 0)
+        .withColumn("embedding", reverse(col("embedding"))),
+      "vec_id", "embedding", "idx/churn", gen = 1L, externalKey = "v2")
+    VectorIndex.tombstoneIvf(store,
+      e.where(pmod(col("vec_id"), lit(17)) === 0),
+      "vec_id", "idx/churn", gen = 2L, externalKey = "v3")
+    VectorIndex.searchIvf(store, "idx/churn", e.where(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5, nProbe = nl, useLast = false)
+      .orderBy("query_id", "rank")
+  }
+
   /** Dataset card: the one-row-per-source summary a pipeline PUBLISHES
     * with a training corpus — size (docs/tokens/median length), language
     * mix, exact-duplicate rate (share of docs that are a non-anchor copy
@@ -3726,6 +3754,25 @@ object NorthStar {
              true AS sim_exact_ok, true AS precision_ok
       FROM truth""")),
     QueryDef("qn100_bpe_merge_loop", qBpeMergeLoop _, Some(bpeLoopOracle(10))),
+    QueryDef("qn102_index_churn", qIndexChurn _, Some("""
+      WITH live AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 10 = 0
+                    THEN list_reverse(embedding::DOUBLE[])
+                    ELSE embedding::DOUBLE[] END AS v
+        FROM embeddings WHERE vec_id % 17 <> 0),
+      q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 8),
+      scored AS (SELECT q.query_id, l.vec_id,
+                        round(list_cosine_similarity(q.qv, l.v), 6) AS sim
+                 FROM live l, q WHERE l.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, vec_id, sim,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+                 FROM scored)
+      SELECT query_id, vec_id, sim, rank FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank""")),
     QueryDef("qn101_corpus_build", qCorpusBuild _, Some("""
       WITH RECURSIVE corpus AS MATERIALIZED (
         SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 3),

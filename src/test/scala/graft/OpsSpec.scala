@@ -738,6 +738,46 @@ class OpsSpec extends SparkSpec {
       "externalKey must roll back to the v1 index")
   }
 
+  test("VectorIndex churn: re-embed serves only the new vector, even across a cell move") {
+    import spark.implicits._
+    // Two well-separated directions in 2-d: cell A ~ +x, cell B ~ +y.
+    // vec 99 starts in A; its re-embedding points at +y — the vector
+    // CHANGES CELL, the case where a filter-then-fold (prune cells, then
+    // take the per-id max version) would resurrect the stale A-cell row
+    // when only A is probed. The delete sidecar must kill it everywhere.
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val base = (0L until 20L).map(i => (i, v(1.0, 0.01 * i))) :+ ((99L, v(1.0, 0.05)))
+    val ys = (100L until 120L).map(i => (i, v(0.01 * (i - 100), 1.0)))
+    val emb = (base ++ ys).toDF("vec_id", "embedding")
+    val store = new graft.store.Store(spark,
+      TempDirs.create("graft_vecidx_c_"), idBucketWidth = 1L)
+    val (nl, _) = graft.ops.VectorIndex.buildIvf(
+      store, emb, "vec_id", "embedding", "idx", nlist = 2, externalKey = "v1")
+    // Re-embed 99 to point at +y (gen 1), tombstone 5 outright (gen 2).
+    graft.ops.VectorIndex.reembedIvf(store,
+      Seq((99L, v(0.02, 1.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "idx", gen = 1L, externalKey = "v2")
+    graft.ops.VectorIndex.tombstoneIvf(store,
+      Seq(Tuple1(5L)).toDF("vec_id"), "vec_id", "idx", gen = 2L,
+      externalKey = "v3")
+    def hits(qx: Double, qy: Double, probe: Int) =
+      graft.ops.VectorIndex.searchIvf(store, "idx",
+        Seq((1000L, v(qx, qy))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 50, nProbe = probe, useLast = false)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = hits(1.0, 1.0, nl)
+    assert(!all.contains(5L), "tombstoned id still served")
+    assert(all.contains(99L), "re-embedded id must stay served (new form)")
+    // Probe ONLY the +x cell: 99's stale A-cell row must NOT resurrect
+    // (its new home is the +y cell; a 1-probe +x query can't see it).
+    val xOnly = hits(1.0, 0.0, 1)
+    assert(!xOnly.contains(99L),
+      "stale pre-re-embed row resurrected under cell pruning")
+    // And the +y cell serves exactly the new row.
+    val yOnly = hits(0.0, 1.0, 1)
+    assert(yOnly.contains(99L), "new-cell row missing from its cell")
+  }
+
   test("aHash64: container-invariant, content-sensitive, near-dup tolerant") {
     import graft.ops.Multimodal
     // Lossless re-encode (PNG vs BMP of the same raster) must hash equal.

@@ -51,6 +51,55 @@ class StreamingSpec extends SparkSpec {
       batch.orderBy("user_id", "session_start_us").collect().toSeq)
   }
 
+  test("per-batch status table surfaces row rates and watermark lag (r11)") {
+    // Two micro-batches staged by hand (second file lands after the
+    // first processAllAvailable), so the SECOND batch's progress event
+    // carries the watermark committed by the first — watermark lag must
+    // surface as a real number, not epoch-zero nonsense.
+    val dir = java.nio.file.Paths.get(TempDirs.create("graft_status_"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      dir.resolve("b0.parquet"))
+    val mon = new graft.streaming.StreamStatusMonitor(spark).attach()
+    try {
+      val q = EventStreams.tumblingCounts(
+          EventStreams.readEvents(spark, dir.toString), "1 hour", "10 minutes")
+        .writeStream.format("memory").queryName("t_status")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+          dir.resolve("b1.parquet"))
+        q.processAllAvailable()
+      } finally q.stop()
+      // Listener delivery is async; poll for the two data batches.
+      def dataRows() = mon.table()
+        .where(col("num_input_rows") > 0).collect()
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline && dataRows().length < 2)
+        Thread.sleep(100)
+      val rows = dataRows()
+      assert(rows.length >= 2, s"expected 2 data batches, got ${rows.length}")
+      val nEvents = batchEvents.count()
+      assert(rows.map(_.getAs[Long]("num_input_rows")).sum == 2 * nEvents,
+        "status rows must account for every input row")
+      assert(rows.forall(r => r.getAs[Long]("batch_ms") >= 0 &&
+        r.getAs[Double]("process_rps") >= 0.0))
+      assert(rows.forall(_.getAs[Long]("state_rows") > 0),
+        "complete-mode agg must report state size")
+      // The second data batch runs after the first's watermark commit:
+      // lag = wall clock minus (fixture max ts - 10 min) — positive and
+      // present. The FIRST batch must report NULL, not epoch lag.
+      val byBatch = rows.sortBy(_.getAs[Long]("batch_id"))
+      assert(byBatch.head.isNullAt(byBatch.head.fieldIndex("watermark_lag_ms")),
+        "pre-watermark batch must surface NULL lag")
+      val lag = byBatch.last.getAs[Long]("watermark_lag_ms")
+      assert(!byBatch.last.isNullAt(byBatch.last.fieldIndex("watermark_lag_ms"))
+        && lag > 0, s"watermark lag must surface per batch, got $lag")
+    } finally mon.detach()
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     val deduped = EventStreams.runToMemory(spark,
