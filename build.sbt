@@ -34,7 +34,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // measured costing ~11% across the full bench registry (old-gen GC
   // pressure; 123.1 s at 32g vs 138.3 s at 8g, same code/host). -Xmx is
   // a cap, not an upfront allocation, so co-resident JVMs stay safe.
-  // Override via SPARK_DRIVER_MEM (ScaleBench's 1M-doc point uses 32g).
+  // Override via SPARK_DRIVER_MEM. ScaleBench's 1M/2M points need 48g —
+  // the 2M ANN candidate streams (~7.5e9 joined rows through 800k
+  // bounded-heap states) sit on a GC cliff below that (r11 measured
+  // qn63_routed 3.8× slower at 32g than the r10 48g protocol on a
+  // same-speed host window; see SCALEBENCH_r11.json).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // HotSpot refuses to JIT methods over 8000 bytecodes — which Spark's
   // whole-stage codegen can produce for wide plans. Standard Spark

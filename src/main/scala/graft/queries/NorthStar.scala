@@ -1895,16 +1895,20 @@ object NorthStar {
   private def qBpeMergeLoop(s: SparkSession, dir: String): DataFrame =
     TextOps.bpeTrain(docs(s, dir), "text", numMerges = 10).orderBy("round")
 
-  private def bpeLoopOracle(numMerges: Int): String = {
-    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
-    // words_r references best_r (×3) + words_{r-1}, so an inlined
-    // 10-round chain expands to ~4^10 scans of `documents` — measured
-    // as an fd-exhaustion blowup. Materialization makes each round one
-    // vocab pass, the same shape as the Spark loop's persist.
+  /** The shared unrolled-BPE CTE chain (words0..words_N + best_1..N) —
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    * words_r references best_r (×3) + words_{r-1}, so an inlined
+    * 10-round chain expands to ~4^10 scans of `documents` — measured
+    * as an fd-exhaustion blowup. Materialization makes each round one
+    * vocab pass, the same shape as the Spark loop's persist. The chain
+    * carries the word itself so finals can join segmentation state back
+    * to per-source occurrence counts (qn103).
+    */
+  private def bpeChainSql(numMerges: Int): String = {
     val sb = new StringBuilder
     sb.append("""
       WITH words0 AS MATERIALIZED (
-        SELECT count(*)::BIGINT AS freq,
+        SELECT w, count(*)::BIGINT AS freq,
                regexp_replace(w, '(.)', '(\1)', 'g') AS state
         FROM (
           SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
@@ -1925,21 +1929,76 @@ object NorthStar {
           GROUP BY pair) c$r
         ORDER BY n DESC, pair ASC LIMIT 1)
       , words$r AS MATERIALIZED (
-        SELECT freq, replace(state,
+        SELECT w, freq, replace(state,
           '(' || split_part((SELECT pair FROM best$r), ' ', 1) || ')(' ||
                  split_part((SELECT pair FROM best$r), ' ', 2) || ')',
           '(' || replace((SELECT pair FROM best$r), ' ', '') || ')') AS state
         FROM words$p)""")
     }
-    sb.append(s"""
+    sb.toString
+  }
+
+  private def bpeLoopOracle(numMerges: Int): String =
+    bpeChainSql(numMerges) + s"""
       SELECT CAST(round AS INT) AS round,
              split_part(pair, ' ', 1) AS lhs,
              split_part(pair, ' ', 2) AS rhs,
              n AS pair_count
       FROM (${(1 to numMerges).map(r => s"SELECT * FROM best$r")
-        .mkString(" UNION ALL ")})
-      ORDER BY round""")
-    sb.toString
+      .mkString(" UNION ALL ")})
+      ORDER BY round"""
+
+  private def bpeTokenizeOracle(numMerges: Int): String =
+    bpeChainSql(numMerges) + raw"""
+      , wcnt AS (
+        SELECT source, w, count(*)::BIGINT AS cnt
+        FROM (
+          SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+          FROM documents WHERE len(trim(text)) > 0) t
+        WHERE len(w) >= 2 AND regexp_full_match(w, '[\p{L}\p{N}]+')
+        GROUP BY source, w)
+      , seg AS (
+        SELECT w,
+               len(regexp_extract_all(state, '\(([^()]+)\)', 1))::BIGINT AS n_sub
+        FROM words$numMerges)
+      SELECT source,
+             CAST(sum(cnt) AS BIGINT) AS n_words,
+             CAST(sum(cnt * n_sub) AS BIGINT) AS n_subwords
+      FROM wcnt JOIN seg USING (w)
+      GROUP BY source
+      ORDER BY source"""
+
+  /** BPE APPLY — the serving half of the tokenizer next to qn100's
+    * training half: train 10 merges, then SEGMENT the corpus with them
+    * and report per-source word/subword totals. The apply is
+    * vocabulary-compacted like the trainer (merges apply to the
+    * distinct-word table, one stacked [[...BpeMergePairExpr]] per
+    * round, then a join back to per-(source, word) occurrence counts —
+    * the corpus is scanned once, and the R-deep expression stack runs
+    * over word TYPES, not corpus tokens). The oracle reuses qn100's
+    * unrolled chain, carrying each word through to its final
+    * segmentation state.
+    */
+  private def qBpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = TextOps.bpeTrain(d, "text", numMerges = 10)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq // 10 rows — bounded
+    val words = d
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2 && col("w").rlike("^[\\p{L}\\p{N}]+$"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val vocab = words.select("w").distinct()
+      .withColumn("syms", filter(split(col("w"), ""), x => x =!= ""))
+    val segmented = merges.foldLeft(vocab) { case (df, (a, b)) =>
+      df.withColumn("syms",
+        graft.functions.VectorExpressions.bpeMergePair(col("syms"), a, b))
+    }.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    words.join(segmented, "w")
+      .groupBy("source")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("n_sub")).as("n_subwords"))
+      .orderBy("source")
   }
 
   /** End-to-end corpus build — the composition a real pipeline runs,
@@ -3754,6 +3813,7 @@ object NorthStar {
              true AS sim_exact_ok, true AS precision_ok
       FROM truth""")),
     QueryDef("qn100_bpe_merge_loop", qBpeMergeLoop _, Some(bpeLoopOracle(10))),
+    QueryDef("qn103_bpe_tokenize", qBpeTokenize _, Some(bpeTokenizeOracle(10))),
     QueryDef("qn102_index_churn", qIndexChurn _, Some("""
       WITH live AS (
         SELECT vec_id,

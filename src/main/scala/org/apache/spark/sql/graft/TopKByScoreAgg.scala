@@ -47,12 +47,28 @@ case class TopKByScoreAgg(
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
-  private def trim(buf: ArrayBuffer[(Double, Long)]): Unit =
-    if (buf.length > k) {
-      val best = buf.sortWith(better).take(k)
-      buf.clear()
-      buf ++= best
+  /** Keep `buf` ASCENDING by quality (worst at index 0) and capped at
+    * k, so a losing candidate costs ONE primitive compare against the
+    * worst and ZERO allocation. This is the property that matters when
+    * billions of candidate rows stream through hundreds of thousands of
+    * group buffers (the routed-ANN 2M shape): the previous
+    * append-then-trim re-SORTED the buffer every k updates — at k = 1,
+    * a sortWith allocation storm every OTHER row — which made the
+    * aggregate the dominant GC source of the stage and its wall a
+    * GC/JIT lottery across JVMs. Insertions (O(k) shift) happen only on
+    * genuine top-k improvements — O(k·log n) expected total per buffer.
+    */
+  private def insertOne(buf: ArrayBuffer[(Double, Long)], s: Double, i: Long): Unit = {
+    if (buf.length >= k) {
+      val w = buf(0)
+      if (s < w._1 || (s == w._1 && i >= w._2)) return // not better than worst
+      buf.remove(0)
     }
+    val v = (s, i)
+    var idx = 0
+    while (idx < buf.length && !better(buf(idx), v)) idx += 1
+    buf.insert(idx, v)
+  }
 
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     ArrayBuffer.empty
@@ -60,10 +76,10 @@ case class TopKByScoreAgg(
   override def update(
       buf: ArrayBuffer[(Double, Long)], input: InternalRow): ArrayBuffer[(Double, Long)] = {
     val s = score.eval(input)
-    val i = id.eval(input)
-    if (s != null && i != null) {
-      buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
-      if (buf.length >= 2 * k) trim(buf)
+    if (s != null) {
+      val i = id.eval(input)
+      if (i != null)
+        insertOne(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
     }
     buf
   }
@@ -71,8 +87,7 @@ case class TopKByScoreAgg(
   override def merge(
       buf: ArrayBuffer[(Double, Long)],
       other: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
-    buf ++= other
-    trim(buf)
+    other.foreach { case (s, i) => insertOne(buf, s, i) }
     buf
   }
 
@@ -84,7 +99,7 @@ case class TopKByScoreAgg(
   }
 
   override def serialize(buf: ArrayBuffer[(Double, Long)]): Array[Byte] = {
-    trim(buf)
+    // insertOne keeps every buffer <= k by construction; no trim needed.
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.length)
