@@ -73,14 +73,32 @@ case class TopKByScoreAgg(
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     ArrayBuffer.empty
 
+  /** (score, id) evaluated through a CODE-GENERATED UnsafeProjection,
+    * not `score.eval(input)`: a TypedImperativeAggregate's children run
+    * on the interpreted eval path by construction (CollapseProject
+    * re-inlines any pre-projected score column into the Aggregate, so
+    * callers cannot fix this from outside), and for the routed-ANN
+    * shapes the score is the candidate dot product over ~1e9 rows —
+    * r11 measured the same solo run 27 s vs 141 s depending on how
+    * HotSpot's profile-driven inlining landed in the megamorphic
+    * `BinaryExpression.eval` tree (the r10 probeAssign lottery, one
+    * layer down). The generated projection is one monomorphic call per
+    * row into compiled bytecode, writes into a reused row (zero
+    * allocation, no boxing), and falls back to interpreted eval only
+    * if codegen fails. ThreadLocal because generated projections carry
+    * a reused result buffer and are not thread-safe.
+    */
+  @transient private lazy val inputProj =
+    new ThreadLocal[org.apache.spark.sql.catalyst.expressions.UnsafeProjection] {
+      override def initialValue(): org.apache.spark.sql.catalyst.expressions.UnsafeProjection =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Seq(score, id))
+    }
+
   override def update(
       buf: ArrayBuffer[(Double, Long)], input: InternalRow): ArrayBuffer[(Double, Long)] = {
-    val s = score.eval(input)
-    if (s != null) {
-      val i = id.eval(input)
-      if (i != null)
-        insertOne(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
-    }
+    val row = inputProj.get()(input)
+    if (!row.isNullAt(0) && !row.isNullAt(1))
+      insertOne(buf, row.getDouble(0), row.getLong(1))
     buf
   }
 
