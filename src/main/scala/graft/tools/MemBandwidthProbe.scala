@@ -1,0 +1,88 @@
+package graft.tools
+
+/** Memory-bandwidth speedometer for the scale artifacts.
+  *
+  * The r11 qn63 investigation eliminated every in-JVM suspect for the
+  * bimodal 2M walls (33–56 s vs 483–781 s on identical committed code):
+  * the work is bit-identical across JVMs (CellBalanceProbe), the hot
+  * generated methods are tiny (143–233 bytecodes — nothing in a full
+  * `-XX:+PrintCompilation` run exceeds 8000, so the huge-method limit
+  * is never in play) and reach C2/tier-4 within ~150 ms of first
+  * invocation, there is no GC churn, and slow-mode executors are 100%
+  * CPU-bound *inside* the tier-4 code. A compiled, allocation-free,
+  * CPU-pegged loop that runs 12× slower on identical work has one
+  * remaining variable: cycles-per-instruction — i.e. the memory
+  * subsystem. The candidate-pair stage streams ~1 TB of vector rows
+  * through the two-level aggregate hash map; on a shared host,
+  * co-tenant bandwidth pressure turns 50 s of streaming into 500 s of
+  * stalls while the COMPUTE-bound calibration probe (tokenize+agg over
+  * a cache-resident corpus) reads perfectly normal.
+  *
+  * This probe measures what that calibration cannot: achievable DRAM
+  * streaming bandwidth, single-threaded (latency/one-channel view) and
+  * at the executor thread count (aggregate-controller view, where
+  * co-tenant contention actually bites). Embedding both numbers in
+  * every ScaleBench point makes "host memory weather" a recorded fact
+  * of the artifact instead of a post-hoc conjecture.
+  *
+  * Method: stream-sum disjoint slices of one page-touched 1 GiB long
+  * array for a fixed wall budget per measurement; GB/s = bytes swept /
+  * wall. The loop is allocation-free and sums into per-thread locals
+  * (published via a volatile sink so it cannot be dead-code
+  * eliminated). A 1 GiB working set defeats every cache level, so the
+  * number tracks the DRAM controllers, which is the resource the
+  * candidate-stream stages actually contend for.
+  */
+object MemBandwidthProbe {
+
+  @volatile private var sink: Long = 0L
+
+  /** GB/s achieved streaming `array` with `threads` concurrent
+    * summers for ~`budgetMs` of wall time. */
+  def measure(array: Array[Long], threads: Int, budgetMs: Long): Double = {
+    val n = array.length
+    val slice = n / threads
+    val deadline = System.nanoTime() + budgetMs * 1000000L
+    val bytesSwept = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        val lo = t * slice
+        val hi = if (t == threads - 1) n else lo + slice
+        var acc = 0L
+        var swept = 0L
+        while (System.nanoTime() < deadline) {
+          var i = lo
+          while (i < hi) { acc += array(i); i += 1 }
+          swept += (hi - lo).toLong * 8L
+        }
+        sink ^= acc
+        bytesSwept.addAndGet(swept)
+        ()
+      })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    bytesSwept.get() / 1e9 / wall
+  }
+
+  /** (single-thread GB/s, `threads`-thread GB/s) over a fresh 1 GiB
+    * working set; ~3×`budgetMs` total (one untimed page-touch sweep +
+    * two measurements). */
+  def probe(threads: Int, budgetMs: Long = 1000L): (Double, Double) = {
+    val arr = new Array[Long](1 << 27) // 1 GiB
+    java.util.Arrays.fill(arr, 1L)     // touch every page outside timing
+    val t1 = measure(arr, 1, budgetMs)
+    val tN = measure(arr, threads, budgetMs)
+    (t1, tN)
+  }
+
+  /** Standalone: `runMain graft.tools.MemBandwidthProbe [threads]`
+    * prints one JSON line; loop with `watch` to chart host weather. */
+  def main(args: Array[String]): Unit = {
+    val threads = if (args.nonEmpty) args(0).toInt else 32
+    val (t1, tN) = probe(threads)
+    println(f"""{"mem_bw_gbps":{"t1":$t1%.2f,"t$threads":$tN%.2f}}""")
+  }
+}

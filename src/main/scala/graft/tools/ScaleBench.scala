@@ -70,9 +70,12 @@ object ScaleBench {
       // The quadratic driver of the exact-Jaccard path, computed from
       // the doc-frequency table alone: sum over shingles of C(df, 2)
       // pair increments crossing the shingle self-join shuffle.
-      val freqs = Dedup.shingleDocFreqs(
-        Dedup.shingleSignatures(docs, "doc_id", "text")).cache()
-      def fanout(cap: Long): Long = {
+      // SPARK_GRAFT_SCALE_FANOUT=0 skips the (untimed, but multi-minute
+      // at 2M docs) census for single-op reruns that don't read it.
+      val wantFanout = sys.env.getOrElse("SPARK_GRAFT_SCALE_FANOUT", "1") != "0"
+      val freqs = if (wantFanout) Dedup.shingleDocFreqs(
+        Dedup.shingleSignatures(docs, "doc_id", "text")).cache() else null
+      def fanout(cap: Long): Long = if (!wantFanout) -1L else {
         val d = if (cap > 0) least(col("df"), lit(cap)) else col("df")
         freqs.agg(sum((d * (d - 1) / 2).cast("decimal(38,0)")))
           .head().getDecimal(0).longValueExact()
@@ -271,14 +274,20 @@ object ScaleBench {
         cd.select(explode(split(col("text"), "\\s+")).as("t"))
           .groupBy("t").count().count()
       }._1
+      // Bandwidth speedometer (r11): the compute-bound calibration above
+      // cannot see co-tenant DRAM pressure, which is the one variable
+      // left standing for the qn63 bimodality — see MemBandwidthProbe.
+      val (bw1, bwN) = MemBandwidthProbe.probe(threads = 32)
       val opsJson = ops.map { case (k, (s, rows)) =>
         s""""$k":{"sec":${f"$s%.3f"},"rows":$rows}"""
       }.mkString(",")
       val isWarm = warmN > 0 && n == warmN
       println(s"""{"n_docs":$n,"n_vecs":$nVecs,"warmup":$isWarm,""" +
         s""""calibration_sec":${f"$calib%.3f"},""" +
+        s""""mem_bw_gbps":{"t1":${f"$bw1%.2f"},"t32":${f"$bwN%.2f"}},""" +
         s""""capped_fanout":$cappedFanout,"raw_fanout":$rawFanout,$opsJson}""")
-      docs.unpersist(); emb.unpersist(); freqs.unpersist()
+      docs.unpersist(); emb.unpersist()
+      if (freqs != null) freqs.unpersist()
       (n, cappedFanout, rawFanout, ops.toMap)
     }
 
