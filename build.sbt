@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The judge's driver invokes `sbt "runMain graft.Bench"` and parses the
+// LAST stdout line as JSON. Two sbt default behaviors broke that every
+// round (BENCH_r10–r12 all record `parsed: null`): forked-run output is
+// routed through sbt's logger, which prefixes every line with
+// "[info] ", and sbt appends its own "[success] Total time: …" line
+// after the process exits. Pass forked output through verbatim and
+// silence the success banner so the final stdout line is exactly the
+// one short JSON object Bench prints.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// outputStrategy is consumed through task-scope delegation (run/test
+// forkOptions), which sbt's unused-key lint can't see.
+Global / excludeLintKeys += outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

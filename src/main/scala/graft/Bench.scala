@@ -88,6 +88,14 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       }
+    // Bandwidth speedometer (r11 item #7, landed r13): the compute-bound
+    // q01 calibration above is blind to co-tenant DRAM pressure — r12
+    // proved it by drifting 20% on bit-identical code while q01 read
+    // normal. Record achievable streaming bandwidth (single-thread and
+    // at the executor thread count) next to it so "host memory weather"
+    // is a fact of every BENCH artifact. ~3 s once per run.
+    val (bw1, bwN) = graft.tools.MemBandwidthProbe.probe(threads = cpus.toInt)
+    val bwJson = f""""calibration_bw":{"t1":$bw1%.2f,"t$cpus":$bwN%.2f}"""
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -124,8 +132,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${timeMap(median)},""" +
         s""""queries_min":${timeMap(_.min)},"queries_max":${timeMap(_.max)},""" +
         s""""reps":$reps,"failures":$failures,"cpus":$cpus,"shuffle_partitions":$cpus,""" +
-        s""""warmup_sec":$warmupSec,$calJson,"sf":"$sfDir"}"""
-    println(fullJson)
+        s""""warmup_sec":$warmupSec,$calJson,$bwJson,"sf":"$sfDir"}"""
+    // stderr, NOT stdout: the driver keeps a ~2000-char stdout tail and
+    // parses its last line as JSON — a ~7 KB per-query map on stdout
+    // truncates mid-object and poisons the tail (the BENCH_r10 lesson).
+    // The complete statistics live in the file below; stderr keeps them
+    // visible in interactive runs.
+    System.err.println(fullJson)
     // The driver's BENCH_r* artifact keeps only the TAIL of stdout, which
     // truncates the full per-query map (BENCH_r07 lost the first ~45
     // queries). Persist the COMPLETE statistics to a file so cross-round
@@ -146,12 +159,16 @@ object Bench {
     val slowest = results.collect { case (k, ts, true) => (k, median(ts)) }
       .sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // spark.stop() BEFORE the final line: Spark's shutdown logging goes
+    // to stderr, but nothing may race onto stdout after this print —
+    // it must be the last stdout line of the whole sbt invocation
+    // (build.sbt passes forked output through and silences [success]).
+    spark.stop()
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"median",""" +
         s""""n_queries":${results.size},"reps":$reps,"failures":$failures,""" +
-        s""""slowest":$slowest,$calJson,""" +
+        s""""slowest":$slowest,$calJson,$bwJson,""" +
         s""""per_query_file":"$outFile","sf":"$sfDir"}""")
-    spark.stop()
     if (results.exists(!_._3)) sys.exit(1)
   }
 }

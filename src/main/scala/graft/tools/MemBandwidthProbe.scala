@@ -78,6 +78,36 @@ object MemBandwidthProbe {
     (t1, tN)
   }
 
+  /** Continuous low-perturbation sampler for the qn63 bimodality hunt:
+    * a point-in-time probe AFTER a 500 s slow rep can read normal if the
+    * contention has passed — the decisive evidence is bandwidth DURING
+    * the stall. One daemon thread takes a single-threaded `budgetMs`
+    * sample every `intervalMs` (defaults: 0.5 s every 30 s ≈ 1.7% of one
+    * core out of 32 — negligible next to the 12× effect under test) and
+    * timestamps it relative to construction, so samples align with the
+    * per-op `off`/wall fields in the ScaleBench point JSON. */
+  final class Watcher(intervalMs: Long = 30000L, budgetMs: Long = 500L) {
+    private val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    private val arr = new Array[Long](1 << 27) // persistent 1 GiB working set
+    java.util.Arrays.fill(arr, 1L)
+    private val t0 = System.nanoTime()
+    @volatile private var stopped = false
+    def elapsed(): Double = (System.nanoTime() - t0) / 1e9
+    private val th = new Thread(() => {
+      while (!stopped) {
+        val g = measure(arr, 1, budgetMs)
+        samples.synchronized { samples += ((elapsed(), g)) }
+        try Thread.sleep(intervalMs) catch { case _: InterruptedException => stopped = true }
+      }
+    }, "graft-bw-watch")
+    th.setDaemon(true)
+    th.start()
+    /** Samples accumulated since the last drain, as (sec-since-start, GB/s). */
+    def drain(): Seq[(Double, Double)] =
+      samples.synchronized { val out = samples.toList; samples.clear(); out }
+    def stop(): Unit = { stopped = true; th.interrupt() }
+  }
+
   /** Standalone: `runMain graft.tools.MemBandwidthProbe [threads]`
     * prints one JSON line; loop with `watch` to chart host weather. */
   def main(args: Array[String]): Unit = {

@@ -50,15 +50,28 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def timed(f: => Long): (Double, Long) = {
+    // In-JVM bandwidth time series (r13, the qn63 protocol): point-level
+    // probes run AFTER the ops, so a transient co-tenant squeeze that
+    // caused a slow rep can have passed by the time it's measured. The
+    // watcher samples during the ops; each point JSON drains the samples
+    // accumulated since the previous point, and every op records its
+    // start offset (`off`, seconds on the same clock) so slow walls can
+    // be aligned with the bandwidth curve under them.
+    val bwWatch = if (sys.env.getOrElse("SPARK_GRAFT_BW_WATCH", "0") != "0")
+      Some(new MemBandwidthProbe.Watcher()) else None
+    val runT0 = System.nanoTime()
+    def offNow(): Double = (System.nanoTime() - runT0) / 1e9
+
+    def timed(f: => Long): (Double, Long, Double) = {
       // Prior ops' shuffle files are deleted by the ContextCleaner only
       // after their dependencies are GC'd — on a long multi-point run
       // they otherwise accumulate to fill the single local disk. Nudge
       // collection OUTSIDE the timed window.
       System.gc()
+      val off = offNow()
       val t0 = System.nanoTime()
       val out = f
-      ((System.nanoTime() - t0) / 1e9, out)
+      ((System.nanoTime() - t0) / 1e9, out, off)
     }
 
     val results = scales.map { n =>
@@ -83,7 +96,7 @@ object ScaleBench {
       val cappedFanout = fanout(Dedup.DefaultMaxShingleDocFreq)
       val rawFanout = fanout(0)
 
-      val ops = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
+      val ops = scala.collection.mutable.LinkedHashMap[String, (Double, Long, Double)]()
       // Optional op subset (regex over op names) for targeted audits of
       // newly added operators without re-paying the full suite:
       //   SPARK_GRAFT_SCALE_OPS='qn8[23]' sbt 'runMain graft.tools.ScaleBench ...'
@@ -278,13 +291,17 @@ object ScaleBench {
       // cannot see co-tenant DRAM pressure, which is the one variable
       // left standing for the qn63 bimodality — see MemBandwidthProbe.
       val (bw1, bwN) = MemBandwidthProbe.probe(threads = 32)
-      val opsJson = ops.map { case (k, (s, rows)) =>
-        s""""$k":{"sec":${f"$s%.3f"},"rows":$rows}"""
+      val opsJson = ops.map { case (k, (s, rows, off)) =>
+        s""""$k":{"sec":${f"$s%.3f"},"rows":$rows,"off":${f"$off%.1f"}}"""
       }.mkString(",")
+      val watchJson = bwWatch.map { w =>
+        val ss = w.drain().map { case (t, g) => f"[$t%.1f,$g%.2f]" }.mkString("[", ",", "]")
+        s""","bw_watch_t1":$ss"""
+      }.getOrElse("")
       val isWarm = warmN > 0 && n == warmN
       println(s"""{"n_docs":$n,"n_vecs":$nVecs,"warmup":$isWarm,""" +
         s""""calibration_sec":${f"$calib%.3f"},""" +
-        s""""mem_bw_gbps":{"t1":${f"$bw1%.2f"},"t32":${f"$bwN%.2f"}},""" +
+        s""""mem_bw_gbps":{"t1":${f"$bw1%.2f"},"t32":${f"$bwN%.2f"}}$watchJson,""" +
         s""""capped_fanout":$cappedFanout,"raw_fanout":$rawFanout,$opsJson}""")
       docs.unpersist(); emb.unpersist()
       if (freqs != null) freqs.unpersist()

@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
 /** Exact top-k by score as a typed imperative aggregate — the UDAF case
   * SURVEY.md §2.3 reserves for "exact top-k-by-similarity".
   *
-  * Buffer = bounded list of (score, id), kept ≤ 2k and trimmed to the
-  * best k by (score desc, id asc) on overflow (amortized O(1) per row).
+  * Buffer = bounded list of (score, id), kept sorted worst-first and
+  * capped at k: a losing row costs one primitive compare against the
+  * current worst and ZERO allocation; a genuine improvement shifts into
+  * place in O(k) (no tuple boxing, no re-sort — the r11 trim-storm fix;
+  * ordering is (score desc, id asc) best-first at output).
   * Because this is an aggregate, Catalyst runs it map-side first: each
   * partition ships at most k candidates to the final aggregation instead
   * of the whole scored corpus through a sort — the difference between an
