@@ -5,6 +5,47 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Similarity}
 
+/** Per-task execution stats for the qn63 straggler hunt (r13): the slow
+  * mode localizes to a FEW tasks of the candidate-pair hashAgg stage
+  * running ~10x their fast-mode wall while CPU-pegged on bit-identical
+  * work. The two surviving suspects differ exactly in what task metrics
+  * show: a JIT-deopt straggler burns cpu ~= duration with zero spill; an
+  * aggregation-map memory-lottery straggler spills (memoryBytesSpilled >
+  * 0) or shows depressed peakExecutionMemory. One listener, drained per
+  * op, reporting the top stages by total task time with per-task
+  * duration/cpu/spill/peak-memory spreads.
+  */
+final class TaskStatsListener extends org.apache.spark.scheduler.SparkListener {
+  private case class T(dur: Long, cpuMs: Long, spill: Long, disk: Long, peak: Long)
+  private val stages =
+    scala.collection.concurrent.TrieMap[Int, scala.collection.mutable.ArrayBuffer[T]]()
+  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null && e.taskInfo != null) {
+      val buf = stages.getOrElseUpdate(e.stageId,
+        scala.collection.mutable.ArrayBuffer.empty[T])
+      buf.synchronized {
+        buf += T(e.taskInfo.duration, m.executorCpuTime / 1000000L,
+          m.memoryBytesSpilled, m.diskBytesSpilled, m.peakExecutionMemory)
+      }
+    }
+  }
+  /** Top-`k` stages since the last drain, by summed task duration. */
+  def drainJson(k: Int = 3): String = {
+    val snap = stages.toSeq.map { case (sid, b) => (sid, b.synchronized(b.toVector)) }
+    stages.clear()
+    val top = snap.sortBy(-_._2.map(_.dur).sum).take(k)
+    top.map { case (sid, ts) =>
+      val ds = ts.map(_.dur).sorted
+      val ratios = ts.map(t => t.cpuMs.toDouble / math.max(t.dur, 1)).sorted
+      f""""s$sid":{"n":${ts.size},"dur_ms":[${ds.head},${ds(ds.size / 2)},${ds.last}],""" +
+        f""""cpu_over_wall":[${ratios.head}%.2f,${ratios(ratios.size / 2)}%.2f,${ratios.last}%.2f],""" +
+        f""""spill_mb":${ts.map(_.spill).sum / 1048576},"disk_mb":${ts.map(_.disk).sum / 1048576},""" +
+        f""""peak_mem_mb":[${ts.map(_.peak).min / 1048576},${ts.map(_.peak).max / 1048576}]}"""
+    }.mkString("{", ",", "}")
+  }
+}
+
 /** Scale audit for the dedup/ANN family: runs each operator on the
   * [[ScaleData]] synthetic corpus at two (or more) sizes and reports
   * wall time, output size, and the shingle-join fanout that dominates
@@ -59,6 +100,11 @@ object ScaleBench {
     // be aligned with the bandwidth curve under them.
     val bwWatch = if (sys.env.getOrElse("SPARK_GRAFT_BW_WATCH", "0") != "0")
       Some(new MemBandwidthProbe.Watcher()) else None
+    // Per-task stats (SPARK_GRAFT_TASK_METRICS=1): per-op top-stage task
+    // duration/cpu/spill spreads — the straggler-vs-spill discriminator.
+    val taskStats = if (sys.env.getOrElse("SPARK_GRAFT_TASK_METRICS", "0") != "0") {
+      val l = new TaskStatsListener; spark.sparkContext.addSparkListener(l); Some(l)
+    } else None
     val runT0 = System.nanoTime()
     def offNow(): Double = (System.nanoTime() - runT0) / 1e9
 
@@ -101,8 +147,20 @@ object ScaleBench {
       // newly added operators without re-paying the full suite:
       //   SPARK_GRAFT_SCALE_OPS='qn8[23]' sbt 'runMain graft.tools.ScaleBench ...'
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.r)
+      val opTasks = scala.collection.mutable.LinkedHashMap[String, String]()
       def addOp(name: String)(f: => Long): Unit =
-        if (opFilter.forall(_.findFirstIn(name).isDefined)) ops(name) = timed(f)
+        if (opFilter.forall(_.findFirstIn(name).isDefined)) {
+          // Listener events drain asynchronously (the bus flush API is
+          // private[spark]); a short settle keeps each op's task stats
+          // scoped to its own stages — task-END events of a completed
+          // action land well within it.
+          taskStats.foreach { l => Thread.sleep(500); l.drainJson(); () }
+          ops(name) = timed(f)
+          taskStats.foreach { l =>
+            Thread.sleep(500)
+            opTasks(name) = l.drainJson()
+          }
+        }
       addOp("qn02_jaccard_pairs")(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
       addOp("qn03_minhash_cand")(
@@ -298,10 +356,14 @@ object ScaleBench {
         val ss = w.drain().map { case (t, g) => f"[$t%.1f,$g%.2f]" }.mkString("[", ",", "]")
         s""","bw_watch_t1":$ss"""
       }.getOrElse("")
+      val taskJson =
+        if (opTasks.isEmpty) ""
+        else opTasks.map { case (k, v) => s""""$k":$v""" }
+          .mkString(""","task_stats":{""", ",", "}")
       val isWarm = warmN > 0 && n == warmN
       println(s"""{"n_docs":$n,"n_vecs":$nVecs,"warmup":$isWarm,""" +
         s""""calibration_sec":${f"$calib%.3f"},""" +
-        s""""mem_bw_gbps":{"t1":${f"$bw1%.2f"},"t32":${f"$bwN%.2f"}}$watchJson,""" +
+        s""""mem_bw_gbps":{"t1":${f"$bw1%.2f"},"t32":${f"$bwN%.2f"}}$watchJson$taskJson,""" +
         s""""capped_fanout":$cappedFanout,"raw_fanout":$rawFanout,$opsJson}""")
       docs.unpersist(); emb.unpersist()
       if (freqs != null) freqs.unpersist()
