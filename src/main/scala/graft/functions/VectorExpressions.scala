@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BpeMergePairExpr, ColumnBridge, DotProductD, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
+import org.apache.spark.sql.graft.{BpeMergePairExpr, ColumnBridge, DotProductD, HashedTokenCountsExpr, HashedTokenLogitExpr, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
 
 /** Facade over the custom Catalyst expressions in
   * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
@@ -103,6 +103,26 @@ object VectorExpressions {
     */
   def bpeMergePair(syms: Column, a: String, b: String): Column =
     ColumnBridge.column(BpeMergePairExpr(ColumnBridge.expression(syms), a, b))
+
+  /** Dense hashing-trick bag-of-words (`array<double>` of length `dim`)
+    * of an `array<string>` token column — the TRAIN-time featurizer of
+    * `TextOps.trainQualityModel`.
+    */
+  def hashedTokenCounts(tokens: Column, dim: Int): Column =
+    ColumnBridge.column(HashedTokenCountsExpr(ColumnBridge.expression(tokens), dim))
+
+  /** sigmoid(intercept + aux·w_prefix + Σ w(bucket(token))) — the
+    * SERVING kernel of the learned quality scorer; weights ride as a
+    * constructor array so the corpus scan stays a primitive loop with
+    * no feature materialization. `hashDim` splits the weight vector:
+    * the first `weights.length - hashDim` entries belong to the dense
+    * aux features, the rest to the hashed buckets.
+    */
+  def hashedTokenLogit(aux: Column, tokens: Column, weights: Array[Double],
+      hashDim: Int, intercept: Double): Column =
+    ColumnBridge.column(HashedTokenLogitExpr(
+      ColumnBridge.expression(aux), ColumnBridge.expression(tokens),
+      weights, hashDim, intercept))
 
   /** Top-`probes` nearest cell ids (array<int>, (dist, cell) ascending)
     * of an `array<double>` query against a flat centroid matrix — the

@@ -108,6 +108,67 @@ object TextOps {
         col("pair_count"))
   }
 
+  /** Persist a [[bpeTrain]] merge table as a versioned store artifact —
+    * the tokenizer-lifecycle seam (the [[VectorIndex]] pattern applied
+    * to tokenizers): each training run loads one version under
+    * `name`; the newest publishes atomically via the store's `_last`
+    * pointer, a pinned historical read is `externalKey` selection, and
+    * rolling back a bad artifact is just reading (or re-publishing) the
+    * previous key. The artifact is merges-sized (rows = merge rounds) —
+    * pure metadata next to the corpus it tokenizes.
+    */
+  def saveBpeMerges(
+      store: graft.store.Store,
+      name: String,
+      merges: DataFrame,
+      externalKey: String = "NOW",
+      keepLast: Boolean = false): Map[String, String] =
+    store.load(merges, name, externalKey = externalKey, keepLast = keepLast)
+
+  /** Read a persisted merge sequence back as the ordered (lhs, rhs) list
+    * [[bpeSegmentStats]] consumes. No `externalKey` → the `_last`
+    * version (what a serving job should read); an `externalKey` pins a
+    * specific artifact (rollback / reproducibility). The collect is
+    * merges-sized (tokenizer metadata, ≤ vocab size), never corpus data.
+    */
+  def loadBpeMerges(
+      store: graft.store.Store,
+      name: String,
+      externalKey: Option[String] = None): Seq[(String, String)] =
+    store.get(name, externalKey, useLast = externalKey.isEmpty)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+
+  /** Apply a trained merge sequence and report per-`byCol` word/subword
+    * totals — the serving half of the tokenizer (qn103/qn106). Vocabulary-
+    * compacted like the trainer: the corpus collapses once to distinct
+    * words, the R-deep [[graft.functions.VectorExpressions.bpeMergePair]]
+    * stack runs over word TYPES, and a join carries segment counts back
+    * to per-group occurrence counts — the corpus is scanned once.
+    */
+  def bpeSegmentStats(
+      docs: DataFrame,
+      textCol: String,
+      byCol: String,
+      merges: Seq[(String, String)],
+      minWordLen: Int = 2): DataFrame = {
+    val words = docs
+      .select(col(byCol), explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= minWordLen &&
+        col("w").rlike("^[\\p{L}\\p{N}]+$"))
+      .groupBy(byCol, "w").agg(count(lit(1)).as("cnt"))
+    val vocab = words.select("w").distinct()
+      .withColumn("syms", filter(split(col("w"), ""), x => x =!= ""))
+    val segmented = merges.foldLeft(vocab) { case (df, (a, b)) =>
+      df.withColumn("syms",
+        graft.functions.VectorExpressions.bpeMergePair(col("syms"), a, b))
+    }.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    words.join(segmented, "w")
+      .groupBy(byCol)
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("n_sub")).as("n_subwords"))
+  }
+
   /** Split each document into overlapping token windows (`window` tokens,
     * every `stride`) — the chunking pass between curation and
     * tokenization in a training pipeline (stride < window keeps
@@ -685,6 +746,122 @@ object TextOps {
       wordShapeOk = avgWordLen(c).between(minAvgWordLen, maxAvgWordLen),
       repetitionOk = typeTokenRatio(c) >= minTypeTokenRatio,
       stopwordOk = stopwordFraction(c) >= minStopwordFraction)
+
+  /** A trained quality classifier: `weights` = [dense aux coefficients,
+    * then `hashDim` hashed-bucket coefficients], serving via
+    * [[qualityModelScore]]. Model size ≈ `hashDim` doubles —
+    * broadcastable metadata, like a centroid table.
+    */
+  final case class QualityModel(
+      weights: Array[Double], intercept: Double, hashDim: Int) {
+    def auxDim: Int = weights.length - hashDim
+  }
+
+  /** Dense engineered features for the learned scorer — the handcrafted
+    * stats a fastText-style quality classifier carries next to its word
+    * features (CCNet pairs its LM scorer with exactly these). They are
+    * what makes the model LEARNABLE by a linear head: the quality rules
+    * are BANDS in length/shape space, invisible to bag-of-words counts
+    * alone (measured: AUC 0.71–0.77 without them). MUST be identical at
+    * train and serve time — both call this one function.
+    */
+  private def auxQualityFeatures(c: Column): Column = array(
+    log1p(tokenCount(c).cast("double")),
+    avgWordLen(c),
+    typeTokenRatio(c),
+    stopwordFraction(c))
+
+  /** Train the learned quality scorer — the fastText-shaped classifier
+    * real curation stacks run next to the C4/Gopher RULES (qn18): a
+    * logistic regression over hashing-trick bag-of-words features
+    * (`spark.ml`, L-BFGS — distributed, no driver-side data). By default
+    * the labels are WEAK SUPERVISION from [[qualityRules]].keep — the
+    * standard bootstrap when no human labels exist; pass `label` to
+    * train on real annotations (e.g. "is this a Wikipedia-like page").
+    *
+    * Scale shape: training runs over a deterministic hash-sampled subset
+    * of at most ~`maxTrainRows` docs (a classifier fit does not improve
+    * past ~10⁵ examples; the 100 TB corpus is scored, never fit), and
+    * each sampled doc carries ONE dense `dim`-length feature row through
+    * the L-BFGS tree-aggregations. Serving never materializes features
+    * at all ([[qualityModelScore]] is a single primitive-loop
+    * expression), so dim can grow without touching the corpus scan.
+    */
+  def trainQualityModel(
+      docs: DataFrame,
+      textCol: String,
+      dim: Int = 512,
+      label: Option[Column] = None,
+      maxTrainRows: Long = 200000L,
+      regParam: Double = 1e-3,
+      maxIter: Int = 50): QualityModel = {
+    val y = when(label.getOrElse(qualityRules(col(textCol)).keep), 1d).otherwise(0d)
+    val n = docs.count()
+    val sampled =
+      if (n <= maxTrainRows) docs
+      else docs.where(
+        pmod(xxhash64(col(textCol)), lit(math.max(1L, n / maxTrainRows))) === 0)
+    import org.apache.spark.ml.functions.array_to_vector
+    val labeled = sampled.select(y.as("label"),
+      array_to_vector(concat(auxQualityFeatures(col(textCol)),
+        graft.functions.VectorExpressions.hashedTokenCounts(
+          tokens(col(textCol)), dim))).as("features"))
+    // Class-balanced instance weights (w_c = n / (2·n_c)): quality
+    // labels run ~20/80 on real corpora, and an unweighted logloss fit
+    // parks the 0.5 decision boundary deep inside the majority class.
+    // One counts-sized aggregate, collected driver-side (2 rows).
+    val counts = labeled.groupBy("label").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val w = counts.map { case (k, c) => k -> total / (2d * math.max(c, 1L)) }
+    val feats = labeled.withColumn("w",
+      when(col("label") === 1d, lit(w.getOrElse(1d, 1d)))
+        .otherwise(lit(w.getOrElse(0d, 1d))))
+    val m = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam).setWeightCol("w")
+      .setFeaturesCol("features").setLabelCol("label").setTol(1e-7)
+      .fit(feats)
+    QualityModel(m.coefficients.toArray, m.intercept, dim)
+  }
+
+  /** Score a text column with a trained [[QualityModel]] — P(keep) in
+    * (0,1) as one shuffle-free primitive-loop expression (weights ride
+    * as a constructor array; no UDF, no corpus-side feature vector, no
+    * join). This is the pass that actually touches the 100 TB corpus.
+    */
+  def qualityModelScore(c: Column, model: QualityModel): Column =
+    graft.functions.VectorExpressions.hashedTokenLogit(
+      auxQualityFeatures(c), tokens(c),
+      model.weights, model.hashDim, model.intercept)
+
+  /** Distributed ROC-AUC for a score-vs-binary-label audit, via
+    * score-bucket rank statistics: one map-side-combinable aggregate
+    * over `bins` buckets (scores assumed in [0,1]), then the
+    * Mann-Whitney U sum over the bins-sized table (ties within a bucket
+    * take the mid-rank, so the result is exact at bucket resolution).
+    * Nothing corpus-sized sorts or shuffles — the global window runs
+    * over ≤ `bins` rows. Returns one row: (auc double, null if a class
+    * is absent).
+    */
+  def binaryAuc(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 4096): DataFrame = {
+    val b = least(greatest(floor(col(scoreCol) * bins), lit(0d)), lit((bins - 1).toDouble))
+      .cast("long")
+    val byBin = df.groupBy(b.as("__b")).agg(
+      sum(col(labelCol).cast("double")).as("__np"),
+      sum(lit(1d) - col(labelCol).cast("double")).as("__nn"))
+    byBin
+      .withColumn("__cnn", coalesce(
+        sum("__nn").over(Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0d)))
+      .agg(
+        sum(col("__np") * (col("__cnn") + col("__nn") / 2)).as("__u"),
+        sum("__np").as("__tp"), sum("__nn").as("__tn"))
+      .select(try_divide(col("__u"), col("__tp") * col("__tn")).as("auc"))
+  }
 
   /** PII patterns (email / NANP-style phone / IPv4) — deliberately in the
     * common subset of Java regex and RE2 (no lookaround) so the same

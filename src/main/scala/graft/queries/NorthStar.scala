@@ -1948,7 +1948,7 @@ object NorthStar {
       .mkString(" UNION ALL ")})
       ORDER BY round"""
 
-  private def bpeTokenizeOracle(numMerges: Int): String =
+  private def bpeTokenizeOracle(numMerges: Int, extraCols: String = ""): String =
     bpeChainSql(numMerges) + raw"""
       , wcnt AS (
         SELECT source, w, count(*)::BIGINT AS cnt
@@ -1963,7 +1963,7 @@ object NorthStar {
         FROM words$numMerges)
       SELECT source,
              CAST(sum(cnt) AS BIGINT) AS n_words,
-             CAST(sum(cnt * n_sub) AS BIGINT) AS n_subwords
+             CAST(sum(cnt * n_sub) AS BIGINT) AS n_subwords$extraCols
       FROM wcnt JOIN seg USING (w)
       GROUP BY source
       ORDER BY source"""
@@ -1984,21 +1984,74 @@ object NorthStar {
     val merges = TextOps.bpeTrain(d, "text", numMerges = 10)
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq // 10 rows — bounded
-    val words = d
-      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
-      .where(length(col("w")) >= 2 && col("w").rlike("^[\\p{L}\\p{N}]+$"))
-      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
-    val vocab = words.select("w").distinct()
-      .withColumn("syms", filter(split(col("w"), ""), x => x =!= ""))
-    val segmented = merges.foldLeft(vocab) { case (df, (a, b)) =>
-      df.withColumn("syms",
-        graft.functions.VectorExpressions.bpeMergePair(col("syms"), a, b))
-    }.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
-    words.join(segmented, "w")
-      .groupBy("source")
-      .agg(sum("cnt").as("n_words"),
-        sum(col("cnt") * col("n_sub")).as("n_subwords"))
+    TextOps.bpeSegmentStats(d, "text", "source", merges).orderBy("source")
+  }
+
+  /** Tokenizer ARTIFACT lifecycle: train → persist the merge table as a
+    * versioned store artifact ([[TextOps.saveBpeMerges]], the VectorIndex
+    * pattern applied to tokenizers) → SUPERSEDE it with a retrained
+    * artifact (the `_last` pointer now serves the new one) → ROLL BACK by
+    * pinned `externalKey` and serve from the rolled-back artifact. The
+    * graded per-source totals are computed ENTIRELY from the store-read
+    * merges, so the oracle's fresh-10-round restatement passing means
+    * tokenize-with-stored ≡ tokenize-with-fresh; the flags pin the
+    * lifecycle invariants (pinned read returns the original artifact
+    * row-for-row; `use_last` serves the superseding one). The artifact is
+    * rounds-sized metadata — persisting and reading it costs nothing at
+    * any corpus scale, which is the point: a 100 TB tokenize job pins an
+    * externalKey and is immune to concurrent retrains.
+    */
+  private def qTokenizerStore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_tok_"))
+    val freshDf = TextOps.bpeTrain(d, "text", numMerges = 10)
+    val fresh = freshDf.orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq // 10 rows — bounded
+    TextOps.saveBpeMerges(store, "tokenizer/merges", freshDf, externalKey = "m10")
+    // Supersede with a deliberately different artifact (3 merges, even
+    // half) — the rollback below must NOT see it.
+    TextOps.saveBpeMerges(store, "tokenizer/merges",
+      TextOps.bpeTrain(d.where(pmod(col("doc_id"), lit(2)) === 0), "text",
+        numMerges = 3),
+      externalKey = "m3half")
+    val last = TextOps.loadBpeMerges(store, "tokenizer/merges") // _last → m3half
+    val rolled = TextOps.loadBpeMerges(store, "tokenizer/merges", Some("m10"))
+    TextOps.bpeSegmentStats(d, "text", "source", rolled)
+      .withColumn("rollback_ok", lit(rolled == fresh))
+      .withColumn("last_superseded_ok", lit(last.size == 3 && last != rolled))
       .orderBy("source")
+  }
+
+  /** LEARNED quality scoring — the fastText-shaped classifier next to
+    * qn18's C4/Gopher rules: train [[TextOps.trainQualityModel]] (hashed
+    * bag-of-words → spark.ml logistic regression, weak supervision from
+    * the rules) on the even-doc_id half, score the odd half with the
+    * broadcast-weights primitive-loop expression, and grade the audit a
+    * pipeline would actually gate on: ROC-AUC (via the distributed
+    * bucket-rank statistic) and balanced accuracy against the rule
+    * labels. Counts are exactly restatable (the oracle recomputes the
+    * rules); the learned-model quality lands as contract booleans with
+    * wide margins (the qn97–qn99 pattern — L-BFGS weights aren't
+    * SQL-restatable, but a scorer that can't separate its own weak
+    * labels at AUC 0.8 is broken regardless of float luck).
+    */
+  private def qLearnedQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val model = TextOps.trainQualityModel(
+      d.where(pmod(col("doc_id"), lit(2)) === 0), "text", dim = 512)
+    val scored = d.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(when(TextOps.qualityRules(col("text")).keep, 1d).otherwise(0d).as("y"),
+        TextOps.qualityModelScore(col("text"), model).as("p"))
+    scored.agg(
+      count(lit(1)).as("n_test"),
+      sum(col("y").cast("long")).as("n_rule_keep"),
+      avg(when(col("y") === 1d, when(col("p") >= 0.5, 1d).otherwise(0d))).as("__tpr"),
+      avg(when(col("y") === 0d, when(col("p") < 0.5, 1d).otherwise(0d))).as("__tnr"))
+      .crossJoin(TextOps.binaryAuc(scored, "p", "y"))
+      .select(col("n_test"), col("n_rule_keep"),
+        coalesce(col("auc") >= 0.80, lit(false)).as("auc_ok"),
+        coalesce((col("__tpr") + col("__tnr")) / 2 >= 0.70, lit(false))
+          .as("balacc_ok"))
   }
 
   /** End-to-end corpus build — the composition a real pipeline runs,
@@ -2035,6 +2088,62 @@ object NorthStar {
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("shard_tokens"))
     manifest
+      .crossJoin(corpus.agg(count(lit(1)).as("n_corpus")))
+      .crossJoin(q.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(dd.agg(count(lit(1)).as("n_dedup")))
+      .crossJoin(dc.agg(count(lit(1)).as("n_decontam")))
+      .crossJoin(samp.agg(count(lit(1)).as("n_sampled")))
+      .orderBy("shard_id")
+  }
+
+  /** qn101's pipeline with every stage boundary MATERIALIZED through the
+    * versioned store — the production shape qn101's scaladoc promises
+    * (qn101 grades the algebra; its count aggregates re-evaluate stage
+    * subtrees). Here each stage WRITES one store version
+    * (`corpus_build/stage*`) and the next stage READS it back, so:
+    * every boundary count is a parquet-scan aggregate (no subtree
+    * re-instantiation anywhere in the plan); each intermediate is
+    * independently readable, auditable, and rollbackable (ordinary store
+    * versions — a failed downstream stage restarts from the last good
+    * boundary instead of from the crawl, which at 100 TB is the
+    * difference between a retry and a re-run); and the shard manifest
+    * the trainer consumes is itself a store table. Same stages, same
+    * semantics, same oracle as qn101 — what this query grades is the
+    * CHECKPOINTING: the store round-trip must be lossless at every
+    * boundary for the final manifest + conserved counts to survive the
+    * typed-hash gate.
+    */
+  private def qCorpusBuildStored(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_cbuild_"))
+    val d = docs(s, dir)
+    val isBench = pmod(col("doc_id"), lit(50)) === 3
+    val bench = d.where(isBench)
+    store.load(d.select("doc_id", "source", "text").where(!isBench),
+      "corpus_build/stage0_corpus", externalKey = "b0")
+    val corpus = store.get("corpus_build/stage0_corpus", useLast = true)
+    store.load(corpus.where(TextOps.qualityRules(col("text")).keep),
+      "corpus_build/stage1_quality", externalKey = "b0")
+    val q = store.get("corpus_build/stage1_quality", useLast = true)
+    store.load(Dedup.dedupByJaccard(q, "doc_id", "text", n = 3, threshold = 0.8),
+      "corpus_build/stage2_dedup", externalKey = "b0")
+    val dd = store.get("corpus_build/stage2_dedup", useLast = true)
+    val contaminated = TextOps.contaminationOverlap(dd, bench, "doc_id", "text")
+    store.load(dd.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti"),
+      "corpus_build/stage3_decontam", externalKey = "b0")
+    val dc = store.get("corpus_build/stage3_decontam", useLast = true)
+    val t = dc.withColumn("toks", TextOps.tokenCount(col("text")).cast("long"))
+    val budgets = t.select(col("source")).distinct()
+      .withColumn("budget",
+        lit(200L) + lit(50L) * substring(col("source"), 4, 8).cast("long"))
+    store.load(Mixture.sampleByTokenBudget(t, "doc_id", "toks", "source", budgets),
+      "corpus_build/stage4_sampled", externalKey = "b0")
+    val samp = store.get("corpus_build/stage4_sampled", useLast = true)
+    store.load(
+      Mixture.tokenShards(samp, "doc_id", "toks", numShards = 8)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("shard_tokens")),
+      "corpus_build/manifest", externalKey = "b0")
+    store.get("corpus_build/manifest", useLast = true)
       .crossJoin(corpus.agg(count(lit(1)).as("n_corpus")))
       .crossJoin(q.agg(count(lit(1)).as("n_quality")))
       .crossJoin(dd.agg(count(lit(1)).as("n_dedup")))
@@ -2186,6 +2295,105 @@ object NorthStar {
         col("label"), col("sim"))
       .orderBy("cluster_id", "pick_rank")
   }
+
+  /** Shared by qn101 (the pipeline as one algebraic plan) and qn104 (the
+    * same pipeline with every stage boundary store-materialized): both
+    * must produce the identical manifest + conserved stage counts.
+    */
+  private val corpusBuildOracle: String = """
+      WITH RECURSIVE corpus AS MATERIALIZED (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 3),
+      bench AS MATERIALIZED (
+        SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS s
+        FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+              FROM documents WHERE doc_id % 50 = 3 AND trim(text) <> '') bt,
+             unnest(range(1, len(w) - 1)) r(i)),
+      q AS MATERIALIZED (
+        SELECT doc_id, source, text FROM (
+          SELECT doc_id, source, text,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+                 CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE len(regexp_replace(text, '\s+', '', 'g'))
+                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS awl,
+                 CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS ttr,
+                 CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 t -> t IN ('the', 'a', 'of', 'and', 'is', 'to')))
+                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS stopfrac
+          FROM corpus) f
+        WHERE (toks BETWEEN 25 AND 100000) AND (awl BETWEEN 3.0 AND 10.0)
+          AND (ttr >= 0.45) AND (stopfrac >= 0.05)),
+      sh0 AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM q WHERE trim(text) <> '') qt,
+             unnest(range(1, len(w) - 1)) r(i)),
+      sh AS MATERIALIZED (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
+      nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      qpairs AS (SELECT doc_a, doc_b FROM prs
+                 JOIN nsh na ON doc_a = na.doc_id
+                 JOIN nsh nb ON doc_b = nb.doc_id
+                 WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM qpairs
+                UNION SELECT doc_b, doc_a FROM qpairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+                      UNION
+                      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u),
+      dd AS MATERIALIZED (
+        SELECT * FROM q WHERE doc_id NOT IN
+          (SELECT node FROM comp WHERE node <> component)),
+      dc AS MATERIALIZED (
+        SELECT * FROM dd WHERE doc_id NOT IN (
+          SELECT DISTINCT c.doc_id FROM (
+            SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                  FROM dd WHERE trim(text) <> '') dt,
+                 unnest(range(1, len(w) - 1)) r(i)) c
+          JOIN bench b ON c.s = b.s)),
+      t AS (
+        SELECT doc_id, source,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks,
+               CAST((doc_id::HUGEINT * 2654435761) % 4294967296 AS BIGINT) AS pr,
+               200 + 50 * CAST(substr(source, 4) AS INT) AS budget
+        FROM dc),
+      cb AS (
+        SELECT doc_id, toks, pr,
+               coalesce(sum(toks) OVER (PARTITION BY source ORDER BY pr, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior,
+               budget
+        FROM t),
+      samp AS MATERIALIZED (
+        SELECT doc_id, toks, pr FROM cb WHERE prior < budget),
+      tot AS (SELECT greatest(1, (sum(toks) + 7) // 8) AS target FROM samp),
+      csh AS (
+        SELECT doc_id, toks,
+               coalesce(sum(toks) OVER (ORDER BY pr, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        FROM samp),
+      a AS (
+        SELECT doc_id, toks, CAST(least(prior // target, 7) AS INT) AS shard_id
+        FROM csh, tot),
+      manifest AS (
+        SELECT shard_id, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS shard_tokens
+        FROM a GROUP BY shard_id)
+      SELECT m.shard_id, m.n_docs, m.shard_tokens,
+             (SELECT count(*) FROM corpus) AS n_corpus,
+             (SELECT count(*) FROM q) AS n_quality,
+             (SELECT count(*) FROM dd) AS n_dedup,
+             (SELECT count(*) FROM dc) AS n_decontam,
+             (SELECT count(*) FROM samp) AS n_sampled
+      FROM manifest m
+      ORDER BY m.shard_id"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
@@ -3833,99 +4041,30 @@ object NorthStar {
       SELECT query_id, vec_id, sim, rank FROM ranked
       WHERE rank <= 5
       ORDER BY query_id, rank""")),
-    QueryDef("qn101_corpus_build", qCorpusBuild _, Some("""
-      WITH RECURSIVE corpus AS MATERIALIZED (
-        SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 3),
-      bench AS MATERIALIZED (
-        SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS s
-        FROM (SELECT string_split_regex(trim(text), '\s+') AS w
-              FROM documents WHERE doc_id % 50 = 3 AND trim(text) <> '') bt,
-             unnest(range(1, len(w) - 1)) r(i)),
-      q AS MATERIALIZED (
-        SELECT doc_id, source, text FROM (
-          SELECT doc_id, source, text,
-                 CASE WHEN trim(text) = '' THEN 0
-                      ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
-                 CASE WHEN trim(text) = '' THEN 0.0
-                      ELSE len(regexp_replace(text, '\s+', '', 'g'))
-                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS awl,
-                 CASE WHEN trim(text) = '' THEN 0.0
-                      ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
-                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS ttr,
-                 CASE WHEN trim(text) = '' THEN 0.0
-                      ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
-                                 t -> t IN ('the', 'a', 'of', 'and', 'is', 'to')))
-                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS stopfrac
-          FROM corpus) f
-        WHERE (toks BETWEEN 25 AND 100000) AND (awl BETWEEN 3.0 AND 10.0)
-          AND (ttr >= 0.45) AND (stopfrac >= 0.05)),
-      sh0 AS (
-        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
-        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-              FROM q WHERE trim(text) <> '') qt,
-             unnest(range(1, len(w) - 1)) r(i)),
-      sh AS MATERIALIZED (SELECT * FROM sh0 WHERE s NOT IN
-             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
-      nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-      qpairs AS (SELECT doc_a, doc_b FROM prs
-                 JOIN nsh na ON doc_a = na.doc_id
-                 JOIN nsh nb ON doc_b = nb.doc_id
-                 WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8),
-      edges AS (SELECT doc_a AS u, doc_b AS v FROM qpairs
-                UNION SELECT doc_b, doc_a FROM qpairs),
-      reach(u, v) AS (SELECT u, v FROM edges
-                      UNION
-                      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-      comp AS (SELECT u AS node, least(u, min(v)) AS component
-               FROM reach GROUP BY u),
-      dd AS MATERIALIZED (
-        SELECT * FROM q WHERE doc_id NOT IN
-          (SELECT node FROM comp WHERE node <> component)),
-      dc AS MATERIALIZED (
-        SELECT * FROM dd WHERE doc_id NOT IN (
-          SELECT DISTINCT c.doc_id FROM (
-            SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
-            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-                  FROM dd WHERE trim(text) <> '') dt,
-                 unnest(range(1, len(w) - 1)) r(i)) c
-          JOIN bench b ON c.s = b.s)),
-      t AS (
-        SELECT doc_id, source,
-               CAST(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks,
-               CAST((doc_id::HUGEINT * 2654435761) % 4294967296 AS BIGINT) AS pr,
-               200 + 50 * CAST(substr(source, 4) AS INT) AS budget
-        FROM dc),
-      cb AS (
-        SELECT doc_id, toks, pr,
-               coalesce(sum(toks) OVER (PARTITION BY source ORDER BY pr, doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior,
-               budget
-        FROM t),
-      samp AS MATERIALIZED (
-        SELECT doc_id, toks, pr FROM cb WHERE prior < budget),
-      tot AS (SELECT greatest(1, (sum(toks) + 7) // 8) AS target FROM samp),
-      csh AS (
-        SELECT doc_id, toks,
-               coalesce(sum(toks) OVER (ORDER BY pr, doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
-        FROM samp),
-      a AS (
-        SELECT doc_id, toks, CAST(least(prior // target, 7) AS INT) AS shard_id
-        FROM csh, tot),
-      manifest AS (
-        SELECT shard_id, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS shard_tokens
-        FROM a GROUP BY shard_id)
-      SELECT m.shard_id, m.n_docs, m.shard_tokens,
-             (SELECT count(*) FROM corpus) AS n_corpus,
-             (SELECT count(*) FROM q) AS n_quality,
-             (SELECT count(*) FROM dd) AS n_dedup,
-             (SELECT count(*) FROM dc) AS n_decontam,
-             (SELECT count(*) FROM samp) AS n_sampled
-      FROM manifest m
-      ORDER BY m.shard_id"""))
+    QueryDef("qn101_corpus_build", qCorpusBuild _, Some(corpusBuildOracle)),
+    QueryDef("qn104_corpus_build_stored", qCorpusBuildStored _, Some(corpusBuildOracle)),
+    QueryDef("qn105_learned_quality", qLearnedQuality _, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN (toks BETWEEN 25 AND 100000)
+                            AND (awl BETWEEN 3.0 AND 10.0)
+                            AND (ttr >= 0.45) AND (stopfrac >= 0.05)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_keep,
+             true AS auc_ok, true AS balacc_ok
+      FROM (
+        SELECT CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(regexp_replace(text, '\s+', '', 'g'))
+                      * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS awl,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+                      * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS ttr,
+               CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t IN ('the', 'a', 'of', 'and', 'is', 'to')))
+                      * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS stopfrac
+        FROM documents WHERE doc_id % 2 = 1) f""")),
+    QueryDef("qn106_tokenizer_store", qTokenizerStore _, Some(bpeTokenizeOracle(
+      10, ", true AS rollback_ok, true AS last_superseded_ok")))
   )
 }

@@ -1,0 +1,110 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Shared hashing-trick bucket function for the learned quality scorer:
+  * xxhash64(token, seed 42) reduced to [0, dim) by floor-mod. TRAINING
+  * ([[HashedTokenCountsExpr]]) and SERVING ([[HashedTokenLogitExpr]])
+  * must agree bucket-for-bucket or the learned weights are garbage at
+  * score time — both call THIS function, and TextModelSpec pins the
+  * equivalence against an in-memory reference.
+  */
+object HashedTokenBucket {
+  def bucket(token: org.apache.spark.unsafe.types.UTF8String, dim: Int): Int = {
+    val h = XxHash64Function.hash(token, StringType, 42L)
+    (((h % dim) + dim) % dim).toInt
+  }
+}
+
+/** Dense hashed bag-of-words featurizer (the fastText/C4-classifier
+  * feature shape): `array<string>` tokens → `array<double>` of length
+  * `dim`, where slot i counts token occurrences hashing to bucket i.
+  * Feeds `org.apache.spark.ml.functions.array_to_vector` →
+  * LogisticRegression at TRAIN time only (training runs over a bounded
+  * sample, so a dense dim-length row is fine); the corpus-scale scoring
+  * pass never materializes features — see [[HashedTokenLogitExpr]].
+  * Null tokens are skipped; one primitive loop per row, no UDF.
+  */
+case class HashedTokenCountsExpr(child: Expression, dim: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(dim > 0, "dim must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hashed_token_counts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Double](dim)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        counts(HashedTokenBucket.bucket(arr.getUTF8String(i), dim)) += 1d
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Serving half of the learned quality scorer:
+  * sigmoid(intercept + aux·w[0,nAux) + Σ_token w(nAux + bucket(token)))
+  * over an `array<double>` dense-feature column and an `array<string>`
+  * token column — the exact mirror of the train-time feature layout
+  * (dense engineered stats first, hashed bag-of-words after; a linear
+  * model needs the dense stats because the quality rules are BANDS in
+  * length/shape space that token counts alone cannot express). The
+  * trained weight vector rides along as a CONSTRUCTOR array (the
+  * `typedLit`/constant-table discipline — per-element literals would
+  * blow the codegen budget, and a higher-order-function dot product
+  * would run interpreted), so scoring a 100 TB corpus is one
+  * shuffle-free scan: a short dot, one hash + indexed add per token,
+  * one exp. No feature vector is ever materialized.
+  */
+case class HashedTokenLogitExpr(
+    left: Expression,
+    right: Expression,
+    weights: Array[Double],
+    hashDim: Int,
+    intercept: Double)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ExpectsInputTypes with CodegenFallback {
+
+  require(hashDim > 0 && weights.length >= hashDim,
+    "weights must cover hashDim hashed buckets (plus any aux prefix)")
+  private val nAux = weights.length - hashDim
+
+  /** left = aux dense features, right = tokens. */
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hashed_token_logit"
+
+  override protected def nullSafeEval(aux: Any, toks: Any): Any = {
+    val a = aux.asInstanceOf[ArrayData]
+    val t = toks.asInstanceOf[ArrayData]
+    var z = intercept
+    val na = math.min(nAux, a.numElements())
+    var i = 0
+    while (i < na) { z += a.getDouble(i) * weights(i); i += 1 }
+    i = 0
+    while (i < t.numElements()) {
+      if (!t.isNullAt(i)) {
+        z += weights(nAux + HashedTokenBucket.bucket(t.getUTF8String(i), hashDim))
+      }
+      i += 1
+    }
+    1d / (1d + math.exp(-z))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

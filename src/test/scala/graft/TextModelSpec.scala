@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.VectorExpressions
+import graft.ops.TextOps
+
+/** Learned quality scorer (qn105) + tokenizer store lifecycle (qn106):
+  * the hashing/scoring expressions are pinned bit-for-bit against an
+  * in-memory reference scorer, training is validated end-to-end on a
+  * separable corpus, and the persisted-merges lifecycle (save →
+  * supersede → `use_last` vs pinned-key rollback) is exercised against
+  * a real store.
+  */
+class TextModelSpec extends SparkSpec {
+
+  import org.apache.spark.sql.graft.HashedTokenBucket
+
+  private def refBucket(tok: String, dim: Int): Int =
+    HashedTokenBucket.bucket(UTF8String.fromString(tok), dim)
+
+  /** In-memory mirror of HashedTokenLogitExpr: aux dot with the weight
+    * prefix, then per-token hashed adds, accumulated left-to-right from
+    * the intercept — double addition is non-associative, so bit-for-bit
+    * means SAME association, not just same terms.
+    */
+  private def refScore(aux: Seq[Double], toks: Seq[String], w: Array[Double],
+      hashDim: Int, b: Double): Double = {
+    val nAux = w.length - hashDim
+    var z = b
+    aux.take(nAux).zipWithIndex.foreach { case (v, i) => z += v * w(i) }
+    toks.foreach(t => z += w(nAux + refBucket(t, hashDim)))
+    1d / (1d + math.exp(-z))
+  }
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "aaa aaa aaa aaa",
+    "", "   ",
+    "über Äpfel und Öl zür 42 tokens",
+    "one-token",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+
+  test("hashedTokenCounts matches the in-memory reference (counts, dim, empties)") {
+    import spark.implicits._
+    val dim = 64
+    val got = texts.toDF("text")
+      .select(VectorExpressions.hashedTokenCounts(TextOps.tokens(col("text")), dim))
+      .as[Seq[Double]].collect()
+    texts.zip(got).foreach { case (t, arr) =>
+      assert(arr.length === dim)
+      val toks = t.trim match { case "" => Seq.empty[String]; case s => s.split("\\s+").toSeq }
+      val exp = new Array[Double](dim)
+      toks.foreach(tok => exp(refBucket(tok, dim)) += 1d)
+      assert(arr === exp.toSeq, s"counts mismatch for '$t'")
+      assert(arr.sum === toks.size.toDouble)
+    }
+  }
+
+  test("hashedTokenLogit matches the in-memory scorer bit-for-bit (with and without aux)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val w = Array.fill(64)(rnd.nextGaussian() * 0.3)
+    val b = -0.7
+    val noAux = texts.toDF("text")
+      .select(VectorExpressions.hashedTokenLogit(
+        array().cast("array<double>"), TextOps.tokens(col("text")), w, w.length, b))
+      .as[Double].collect()
+    texts.zip(noAux).foreach { case (t, p) =>
+      val toks = t.trim match { case "" => Seq.empty[String]; case s => s.split("\\s+").toSeq }
+      assert(p === refScore(Nil, toks, w, w.length, b), s"score mismatch for '$t'")
+    }
+    val auxVals = Seq(0.5, -1.25)
+    val wAux = Array(0.9, 0.11) ++ w
+    val withAux = texts.toDF("text")
+      .select(VectorExpressions.hashedTokenLogit(
+        array(lit(0.5), lit(-1.25)), TextOps.tokens(col("text")), wAux, w.length, b))
+      .as[Double].collect()
+    texts.zip(withAux).foreach { case (t, p) =>
+      val toks = t.trim match { case "" => Seq.empty[String]; case s => s.split("\\s+").toSeq }
+      assert(p === refScore(auxVals, toks, wAux, w.length, b), s"aux score mismatch for '$t'")
+    }
+  }
+
+  test("trainQualityModel separates its labels; expression scoring == in-memory model application") {
+    import spark.implicits._
+    // Separable-by-vocabulary synthetic corpus: good docs draw from one
+    // word set, bad docs from another, with shared filler.
+    val rnd = new scala.util.Random(7)
+    val good = Seq("science", "method", "result", "observed", "theory")
+    val bad = Seq("click", "winner", "free", "pills", "casino")
+    val fill = Seq("the", "a", "of", "and", "is", "to")
+    def doc(words: Seq[String]): String =
+      Seq.fill(20)(if (rnd.nextBoolean()) words(rnd.nextInt(words.size))
+      else fill(rnd.nextInt(fill.size))).mkString(" ")
+    // class = (i/2) % 2, NOT i % 2: the train/test split below is by id
+    // parity, and class ≡ parity would put ONE class in each half.
+    val rows = (0 until 400).map { i =>
+      val y = (i / 2) % 2
+      (i.toLong, if (y == 1) doc(good) else doc(bad), y)
+    }
+    val df = rows.toDF("id", "text", "y")
+    val model = TextOps.trainQualityModel(df.where(col("id") % 2 === 0), "text",
+      dim = 128, label = Some(col("y") === 1))
+    // Fetch the aux features Spark computes, so the in-memory mirror
+    // tests the expression arithmetic, not a re-derivation of the stats.
+    val scored = df.where(col("id") % 2 === 1)
+      .select(col("text"), col("y"),
+        TextOps.qualityModelScore(col("text"), model).as("p"),
+        array(log1p(TextOps.tokenCount(col("text")).cast("double")),
+          TextOps.avgWordLen(col("text")), TextOps.typeTokenRatio(col("text")),
+          TextOps.stopwordFraction(col("text"))).as("aux"))
+      .collect()
+    // Expression scoring is exactly the in-memory model application.
+    scored.foreach { r =>
+      val exp = refScore(r.getSeq[Double](3), r.getString(0).trim.split("\\s+").toSeq,
+        model.weights, model.hashDim, model.intercept)
+      assert(r.getDouble(2) === exp)
+    }
+    // And the model actually separates: every held-out doc on the right
+    // side of 0.5 (the corpus is linearly separable by construction).
+    val acc = scored.count(r => (r.getDouble(2) >= 0.5) == (r.getInt(1) == 1))
+      .toDouble / scored.length
+    assert(acc >= 0.95, s"held-out accuracy $acc")
+  }
+
+  test("binaryAuc: exact on a hand-checkable ranking, null on a single class") {
+    import spark.implicits._
+    // scores 0.1..0.8; labels: the top half positive except one swap —
+    // hand AUC: positives {0.8,0.7,0.6,0.4}, negatives {0.5,0.3,0.2,0.1}
+    // pairs won = 4+4+4+3 = 15 of 16 -> 0.9375.
+    val df = Seq(
+      (0.8, 1d), (0.7, 1d), (0.6, 1d), (0.5, 0d),
+      (0.4, 1d), (0.3, 0d), (0.2, 0d), (0.1, 0d)).toDF("p", "y")
+    val auc = TextOps.binaryAuc(df, "p", "y").as[Double].head()
+    assert(math.abs(auc - 0.9375) < 1e-12)
+    val one = Seq((0.8, 1d), (0.2, 1d)).toDF("p", "y")
+    assert(TextOps.binaryAuc(one, "p", "y").head().isNullAt(0))
+  }
+
+  test("tokenizer artifact lifecycle: save -> supersede -> use_last vs pinned rollback") {
+    val store = new graft.store.Store(spark, TempDirs.create("graft_tokspec_"))
+    val d = Tables.read(spark, sf(), "documents")
+    val m5 = TextOps.bpeTrain(d, "text", numMerges = 5)
+    val fresh = m5.orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextOps.saveBpeMerges(store, "tok/merges", m5, externalKey = "v1")
+    // supersede with a 2-merge artifact
+    TextOps.saveBpeMerges(store, "tok/merges",
+      TextOps.bpeTrain(d.limit(50), "text", numMerges = 2), externalKey = "v2")
+    val last = TextOps.loadBpeMerges(store, "tok/merges")
+    val rolled = TextOps.loadBpeMerges(store, "tok/merges", Some("v1"))
+    assert(last.size === 2, "_last must serve the superseding artifact")
+    assert(rolled === fresh, "pinned read must return the original artifact")
+    // serving from the rolled-back artifact == serving from fresh merges
+    val viaStored = TextOps.bpeSegmentStats(d, "text", "source", rolled)
+      .orderBy("source").collect().toSeq
+    val viaFresh = TextOps.bpeSegmentStats(d, "text", "source", fresh)
+      .orderBy("source").collect().toSeq
+    assert(viaStored === viaFresh)
+  }
+}
