@@ -87,6 +87,18 @@ object ScaleBench {
       // over hundreds of executor disks). Keep hash aggregation until
       // maps are genuinely large.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      // r13: the generated two-level fast hash map is a double loss for
+      // the high-cardinality candidate-pair aggregations this suite
+      // measures: its speculative branches seeded the unstable_if →
+      // deopt-without-OSR-rescue lottery behind qn63's bimodal 2M walls
+      // (SCALEBENCH_r13.json / NOTES_r13.md — slow reps ran the loop
+      // INTERPRETED to partition end), and at ~800k groups every probe
+      // paid the fast-map miss before reaching the real map anyway:
+      // twolevel-off measured 37–59 s vs 70–92 s fast-mode / 473–652 s
+      // slow-mode walls, 4/4 reps stable. SPARK_GRAFT_TWOLEVEL=1
+      // restores the stock codegen (e.g. to reproduce the pathology).
+      .config("spark.sql.codegen.aggregate.map.twolevel.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_TWOLEVEL", "0") == "1").toString)
       .config("spark.hadoop.fs.file.impl", classOf[graft.hadoop.FastLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
