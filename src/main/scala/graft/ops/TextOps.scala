@@ -824,6 +824,41 @@ object TextOps {
     QualityModel(m.coefficients.toArray, m.intercept, dim)
   }
 
+  /** Persist a trained [[QualityModel]] as a versioned store artifact —
+    * the same lifecycle seam as [[saveBpeMerges]]: one-row table
+    * (weights array, intercept, hash_dim), `_last` serves the newest
+    * model, pinned `externalKey` reads give rollback/reproducibility.
+    * A scoring job that pins its model key is immune to concurrent
+    * retrains — at 100 TB the scorer version IS data lineage.
+    */
+  def saveQualityModel(
+      spark: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store,
+      name: String,
+      model: QualityModel,
+      externalKey: String = "NOW",
+      keepLast: Boolean = false): Map[String, String] = {
+    import spark.implicits._
+    store.load(
+      Seq((model.weights.toSeq, model.intercept, model.hashDim))
+        .toDF("weights", "intercept", "hash_dim"),
+      name, externalKey = externalKey, keepLast = keepLast)
+  }
+
+  /** Read a persisted [[QualityModel]] back (one-row collect — model
+    * metadata, never data). No `externalKey` → the `_last` version.
+    */
+  def loadQualityModel(
+      store: graft.store.Store,
+      name: String,
+      externalKey: Option[String] = None): QualityModel = {
+    val r = store.get(name, externalKey, useLast = externalKey.isEmpty).head()
+    QualityModel(
+      r.getAs[scala.collection.Seq[Double]]("weights").toArray,
+      r.getAs[Double]("intercept"),
+      r.getAs[Int]("hash_dim"))
+  }
+
   /** Score a text column with a trained [[QualityModel]] — P(keep) in
     * (0,1) as one shuffle-free primitive-loop expression (weights ride
     * as a constructor array; no UDF, no corpus-side feature vector, no

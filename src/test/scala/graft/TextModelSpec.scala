@@ -139,6 +139,25 @@ class TextModelSpec extends SparkSpec {
     assert(TextOps.binaryAuc(one, "p", "y").head().isNullAt(0))
   }
 
+  test("quality-model artifact lifecycle: save -> supersede -> use_last vs pinned rollback") {
+    import spark.implicits._
+    val store = new graft.store.Store(spark, TempDirs.create("graft_qmspec_"))
+    val m1 = TextOps.QualityModel(Array(0.5, -0.25, 1.5), -0.75, 2)
+    val m2 = TextOps.QualityModel(Array(9.0, 9.0), 0.0, 2)
+    TextOps.saveQualityModel(spark, store, "quality/model", m1, externalKey = "v1")
+    TextOps.saveQualityModel(spark, store, "quality/model", m2, externalKey = "v2")
+    val last = TextOps.loadQualityModel(store, "quality/model")
+    val rolled = TextOps.loadQualityModel(store, "quality/model", Some("v1"))
+    assert(last.weights.toSeq === m2.weights.toSeq)
+    assert(rolled.weights.toSeq === m1.weights.toSeq
+      && rolled.intercept === m1.intercept && rolled.hashDim === m1.hashDim)
+    // served scores from the rolled-back artifact == original model
+    val got = Seq("a b", "").toDF("text")
+      .select(TextOps.qualityModelScore(col("text"), rolled),
+        TextOps.qualityModelScore(col("text"), m1)).collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("tokenizer artifact lifecycle: save -> supersede -> use_last vs pinned rollback") {
     val store = new graft.store.Store(spark, TempDirs.create("graft_tokspec_"))
     val d = Tables.read(spark, sf(), "documents")
