@@ -376,7 +376,8 @@ object ScaleBench {
       println(s"""{"n_docs":$n,"n_vecs":$nVecs,"warmup":$isWarm,""" +
         s""""calibration_sec":${f"$calib%.3f"},""" +
         s""""mem_bw_gbps":{"t1":${f"$bw1%.2f"},"t32":${f"$bwN%.2f"}}$watchJson$taskJson,""" +
-        s""""capped_fanout":$cappedFanout,"raw_fanout":$rawFanout,$opsJson}""")
+        s""""capped_fanout":$cappedFanout,"raw_fanout":$rawFanout""" +
+        (if (ops.isEmpty) "}" else s",$opsJson}"))
       docs.unpersist(); emb.unpersist()
       if (freqs != null) freqs.unpersist()
       (n, cappedFanout, rawFanout, ops.toMap)

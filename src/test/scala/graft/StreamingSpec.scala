@@ -150,6 +150,28 @@ class StreamingSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("streaming learned-quality scoring from a STORED model == batch scores") {
+    import graft.streaming.DocStreams
+    import graft.ops.TextOps
+    // The serving kernel is a plain expression, so a trained model loaded
+    // from the versioned store drops straight into a streaming query —
+    // the shape a live ingest pipeline runs (train offline, pin a model
+    // version, score the stream). Scores must be bit-identical to batch.
+    val batchDocs = Tables.read(spark, sf(), "documents")
+    val store = new graft.store.Store(spark, TempDirs.create("graft_qmstream_"))
+    val trained = TextOps.trainQualityModel(batchDocs, "text", dim = 128)
+    TextOps.saveQualityModel(spark, store, "quality/model", trained, externalKey = "v1")
+    val served = TextOps.loadQualityModel(store, "quality/model")
+    val streamed = EventStreams.runToMemory(spark,
+      DocStreams.readDocs(spark, docsDir).select(col("doc_id"),
+        TextOps.qualityModelScore(col("text"), served).as("p")),
+      "t_qmscore", OutputMode.Append())
+    val batch = batchDocs.select(col("doc_id"),
+      TextOps.qualityModelScore(col("text"), trained).as("p"))
+    assert(streamed.orderBy("doc_id").collect().toSeq ==
+      batch.orderBy("doc_id").collect().toSeq)
+  }
+
   test("streaming dataset-card totals == batch aggregate") {
     import graft.streaming.DocStreams
     val stream = DocStreams.readDocs(spark, docsDir)
