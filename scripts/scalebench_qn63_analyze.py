@@ -107,5 +107,52 @@ for r in reps:
         "host_during_qn63": hs,
     })
 
-print(json.dumps({"protocol": "7x solo 2M qn63_routed, 48g, 100k warmup, r13",
-                  "reps": out}, indent=1))
+def op_walls(path):
+    """[(n_docs, {op: sec})] for the timed points of a ScaleBench log."""
+    pts = []
+    try:
+        for line in open(path):
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            d = json.loads(line)
+            if d.get("warmup") is False and "n_docs" in d:
+                pts.append((d["n_docs"],
+                            {k: round(v["sec"], 1) for k, v in d.items()
+                             if isinstance(v, dict) and "sec" in v}))
+    except FileNotFoundError:
+        pass
+    return pts
+
+doc = {
+    "protocol": "7x solo 2M qn63_routed, 48g, 100k warmup, r13",
+    "reps": out,
+    "conclusion": {
+        "bandwidth_hypothesis": "refuted - slow windows show idle-baseline "
+            "DRAM bandwidth (in-JVM and external), host up to 90% idle, "
+            "steal <= 0.14 cores, zero spill, uniform task peak memory",
+        "root_cause": "unstable_if deopts of the generated two-level "
+            "fast-map hashAgg loop whose frames are not OSR-rescued in "
+            "slow JVMs (LogCompilation: ~40 deopt events in BOTH modes; "
+            "8 stage-7 OSR compiles at stage start in the fast rep vs 0 "
+            "in slow reps -> interpreted to partition end)",
+        "mitigation": "spark.sql.codegen.aggregate.map.twolevel.enabled="
+            "false (ScaleBench default since r13; SPARK_GRAFT_TWOLEVEL=1 "
+            "restores stock codegen)",
+    },
+    # LogCompilation diagnostic reps (task metrics on): walls + stage-101
+    # task-duration spreads live in SCALEBENCH_r13_diag.log.
+    "diag_reps_2m_sec": [p[1].get("qn63_routed")
+                         for p in op_walls(f"{base}/SCALEBENCH_r13_diag.log")],
+    "mitigation_reps_2m_sec": [p[1].get("qn63_routed")
+                               for p in op_walls(f"{base}/SCALEBENCH_r13_mitig.log")],
+    "family_1m_2m": op_walls(f"{base}/SCALEBENCH_r13_family.log"),
+    "textfam_1m_2m": op_walls(f"{base}/SCALEBENCH_r13_textfam.log"),
+    "fanout_census": [
+        {"n_docs": d["n_docs"], "capped_fanout": d["capped_fanout"],
+         "raw_fanout": d["raw_fanout"]}
+        for d in (json.loads(l.strip().replace(",}", "}"))
+                  for l in open(f"{base}/SCALEBENCH_r13_fanout.log")
+                  if l.startswith("{") and '"n_docs"' in l)],
+}
+print(json.dumps(doc, indent=1))
