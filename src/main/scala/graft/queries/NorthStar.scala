@@ -2022,6 +2022,40 @@ object NorthStar {
       .orderBy("source")
   }
 
+  /** Quality-MODEL artifact lifecycle — qn106's store seam applied to
+    * the learned scorer: train on the even half → persist as a
+    * versioned store artifact → supersede with a deliberately
+    * degenerate model (the `_last` pointer must serve it) → roll back
+    * via pinned `externalKey` and SCORE the odd half from the
+    * rolled-back artifact. `stored_eq_fresh` pins score equality
+    * per-source (the store round-trip must be bit-lossless on the
+    * weight vector for a sigmoid over it to match exactly);
+    * `rollback_ok`/`last_superseded_ok` pin the version semantics.
+    * Counts are restatable; the flags are the qn97-pattern contract.
+    */
+  private def qQualityModelStore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_qm_"))
+    val fresh = TextOps.trainQualityModel(
+      d.where(pmod(col("doc_id"), lit(2)) === 0), "text", dim = 512)
+    TextOps.saveQualityModel(s, store, "quality/model", fresh, externalKey = "v1")
+    TextOps.saveQualityModel(s, store, "quality/model",
+      TextOps.QualityModel(new Array[Double](4 + 512), 9d, 512), externalKey = "v2")
+    val last = TextOps.loadQualityModel(store, "quality/model")
+    val rolled = TextOps.loadQualityModel(store, "quality/model", Some("v1"))
+    val rollbackOk = rolled.weights.sameElements(fresh.weights) &&
+      rolled.intercept == fresh.intercept && rolled.hashDim == fresh.hashDim
+    val lastOk = last.intercept == 9d && last.weights.forall(_ == 0d)
+    d.where(pmod(col("doc_id"), lit(2)) === 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min(TextOps.qualityModelScore(col("text"), rolled) <=>
+          TextOps.qualityModelScore(col("text"), fresh)).as("stored_eq_fresh"))
+      .withColumn("rollback_ok", lit(rollbackOk))
+      .withColumn("last_superseded_ok", lit(lastOk))
+      .orderBy("source")
+  }
+
   /** LEARNED quality scoring — the fastText-shaped classifier next to
     * qn18's C4/Gopher rules: train [[TextOps.trainQualityModel]] (hashed
     * bag-of-words → spark.ml logistic regression, weak supervision from
@@ -4065,6 +4099,12 @@ object NorthStar {
                       * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS stopfrac
         FROM documents WHERE doc_id % 2 = 1) f""")),
     QueryDef("qn106_tokenizer_store", qTokenizerStore _, Some(bpeTokenizeOracle(
-      10, ", true AS rollback_ok, true AS last_superseded_ok")))
+      10, ", true AS rollback_ok, true AS last_superseded_ok"))),
+    QueryDef("qn107_quality_model_store", qQualityModelStore _, Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             true AS stored_eq_fresh, true AS rollback_ok,
+             true AS last_superseded_ok
+      FROM documents WHERE doc_id % 2 = 1
+      GROUP BY source ORDER BY source"""))
   )
 }
