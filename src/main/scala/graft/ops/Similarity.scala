@@ -682,37 +682,35 @@ object Similarity {
       ksub: Int = 16,
       shortlist: Int = 50,
       maxFitRows: Long = 100000L,
-      corpusRows: Option[Long] = None): DataFrame = {
+      corpusRows: Option[Long] = None,
+      codebook: Option[PqCodebook] = None): DataFrame = {
 
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     require(shortlist >= k, "shortlist must be >= k")
     val e = corpus.select(col(idCol).as("vec_id"),
       normalize(asDouble(col(vecCol))).as("nv"))
-    // Sizing order: caller hint, then parquet-footer metadata (exact —
-    // shrunk plans fall back), then (only when the plan hides its
-    // sources) a column-pruned count() job.
-    val nRows = corpusRows.orElse(planRowUpperBound(e)).getOrElse(e.count())
-    val fitInput =
-      if (nRows <= maxFitRows) e
-      else e.sample(withReplacement = false, maxFitRows.toDouble / nRows, seed = 42L)
-    val sample0 = fitInput.select("nv").collect()
-      .map(_.getSeq[Double](0).toArray).filter(_.length == dim)
-    // A stale OVERestimated caller hint undersamples — possibly to
-    // empty. Rather than crash a non-empty corpus, refit from a bounded
-    // prefix (still maxFitRows-capped).
-    val sample =
-      if (sample0.nonEmpty || nRows <= maxFitRows) sample0
-      else e.select("nv").limit(math.min(maxFitRows, Int.MaxValue.toLong).toInt)
-        .collect().map(_.getSeq[Double](0).toArray).filter(_.length == dim)
-    require(sample.nonEmpty, s"no fit vectors of dim $dim")
-    val codebook = trainPqCodebook(sample, dim, m, ksub)
+    // Pinned codebook (the qn108 artifact lifecycle) or a fresh fit.
+    // With a pinned artifact the encode pass starts immediately — no
+    // sizing, no fit sample, no driver k-means — and two runs over the
+    // same corpus produce bit-identical codes (reproducibility across
+    // re-runs is what the artifact is FOR at 100 TB).
+    val cb = codebook match {
+      case Some(c) =>
+        require(c.dim == dim && c.m == m && c.ksub == ksub,
+          s"codebook artifact is (dim=${c.dim}, m=${c.m}, ksub=${c.ksub}); " +
+            s"caller asked for (dim=$dim, m=$m, ksub=$ksub)")
+        c.codebook
+      case None =>
+        trainPqCodebookFor(e, "nv", dim, m, ksub, maxFitRows,
+          corpusRows, preNormalized = true).codebook
+    }
 
     val fn = graft.functions.VectorExpressions
-    val coded = e.withColumn("code", fn.pqEncode(col("nv"), codebook, dim, m, ksub))
+    val coded = e.withColumn("code", fn.pqEncode(col("nv"), cb, dim, m, ksub))
       .select("vec_id", "code")
     val q = queries.select(col(idCol).as("query_id"),
         normalize(asDouble(col(vecCol))).as("qnv"))
-      .withColumn("qtable", fn.pqAdcTable(col("qnv"), codebook, dim, m, ksub))
+      .withColumn("qtable", fn.pqAdcTable(col("qnv"), cb, dim, m, ksub))
 
     // Candidate pass: only (vec_id, m-byte code) per corpus row crosses
     // the broadcast join + bounded-heap shortlist aggregate.
@@ -833,6 +831,91 @@ object Similarity {
         col("col.vec_id").as("vec_id"),
         col("col.sim").as("sim"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** A trained product-quantization codebook — `m` per-subspace k-means
+    * tables in the flat `[(subspace·ksub + code)·dsub + t]` layout
+    * [[pqTopK]] encodes against. `m·ksub·(dim/m)` doubles regardless of
+    * corpus size: broadcastable model metadata, like IVF centroids or
+    * the [[graft.ops.TextOps.QualityModel]] weights.
+    */
+  final case class PqCodebook(
+      codebook: Array[Double], dim: Int, m: Int, ksub: Int)
+
+  /** Fit a [[PqCodebook]] from a bounded corpus sample — the training
+    * half of [[pqTopK]], exposed so the codebook can be trained ONCE and
+    * persisted ([[savePqCodebook]]) instead of re-fit per query call: a
+    * 100 TB encode pass must reuse a pinned codebook version or its
+    * codes (and every ANN result derived from them) change under
+    * concurrent refits and sample drift across re-runs. Vectors are
+    * L2-normalized before the fit (pass `preNormalized = true` when the
+    * input column already is); sizing follows the [[pqTopK]] ladder —
+    * caller hint, then parquet-footer metadata (exact — shrunk plans
+    * fall back), then a column-pruned count() job.
+    */
+  def trainPqCodebookFor(
+      corpus: DataFrame,
+      vecCol: String,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      maxFitRows: Long = 100000L,
+      corpusRows: Option[Long] = None,
+      preNormalized: Boolean = false): PqCodebook = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val nvCol = if (preNormalized) col(vecCol) else normalize(asDouble(col(vecCol)))
+    val e = corpus.select(nvCol.as("nv"))
+    val nRows = corpusRows.orElse(planRowUpperBound(e)).getOrElse(e.count())
+    val fitInput =
+      if (nRows <= maxFitRows) e
+      else e.sample(withReplacement = false, maxFitRows.toDouble / nRows, seed = 42L)
+    val sample0 = fitInput.collect()
+      .map(_.getSeq[Double](0).toArray).filter(_.length == dim)
+    // A stale OVERestimated caller hint undersamples — possibly to
+    // empty. Rather than crash a non-empty corpus, refit from a bounded
+    // prefix (still maxFitRows-capped).
+    val sample =
+      if (sample0.nonEmpty || nRows <= maxFitRows) sample0
+      else e.limit(math.min(maxFitRows, Int.MaxValue.toLong).toInt)
+        .collect().map(_.getSeq[Double](0).toArray).filter(_.length == dim)
+    require(sample.nonEmpty, s"no fit vectors of dim $dim")
+    PqCodebook(trainPqCodebook(sample, dim, m, ksub), dim, m, ksub)
+  }
+
+  /** Persist a [[PqCodebook]] as a versioned store artifact — the
+    * lifecycle seam of [[graft.ops.TextOps.saveQualityModel]]/
+    * [[graft.ops.TextOps.saveBpeMerges]] applied to the last fit-per-query
+    * model in the ANN family: one-row table (codebook array, dim, m,
+    * ksub), `_last` serves the newest fit, a pinned `externalKey` read
+    * gives rollback and run-to-run reproducibility. An encode job that
+    * pins its codebook key is immune to concurrent refits — at 100 TB
+    * the codebook version IS the lineage of every code derived from it.
+    */
+  def savePqCodebook(
+      spark: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store,
+      name: String,
+      cb: PqCodebook,
+      externalKey: String = "NOW",
+      keepLast: Boolean = false): Map[String, String] = {
+    import spark.implicits._
+    store.load(
+      Seq((cb.codebook.toSeq, cb.dim, cb.m, cb.ksub))
+        .toDF("codebook", "dim", "m", "ksub"),
+      name, externalKey = externalKey, keepLast = keepLast)
+  }
+
+  /** Read a persisted [[PqCodebook]] back (one-row collect — model
+    * metadata, never data). No `externalKey` → the `_last` version.
+    */
+  def loadPqCodebook(
+      store: graft.store.Store,
+      name: String,
+      externalKey: Option[String] = None): PqCodebook = {
+    val r = store.get(name, externalKey, useLast = externalKey.isEmpty).head()
+    PqCodebook(
+      r.getAs[scala.collection.Seq[Double]]("codebook").toArray,
+      r.getAs[Int]("dim"), r.getAs[Int]("m"), r.getAs[Int]("ksub"))
   }
 
   /** Per-subspace Lloyd k-means on a driver-side sample, fully

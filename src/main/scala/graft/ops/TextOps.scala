@@ -796,11 +796,17 @@ object TextOps {
       regParam: Double = 1e-3,
       maxIter: Int = 50): QualityModel = {
     val y = when(label.getOrElse(qualityRules(col(textCol)).keep), 1d).otherwise(0d)
-    val n = docs.count()
+    // Size from parquet footers when the plan exposes them (driver-side
+    // metadata, no job) — the count() job runs only for non-file inputs.
+    val n = Similarity.planRowUpperBound(docs).getOrElse(docs.count())
+    // CEIL division: floor put the modulus at 1 for n in
+    // (maxTrainRows, 2·maxTrainRows), keeping EVERY row — up to ~2× the
+    // documented cap. Ceil bounds the expected sample at maxTrainRows.
     val sampled =
       if (n <= maxTrainRows) docs
       else docs.where(
-        pmod(xxhash64(col(textCol)), lit(math.max(1L, n / maxTrainRows))) === 0)
+        pmod(xxhash64(col(textCol)),
+          lit((n + maxTrainRows - 1) / maxTrainRows)) === 0)
     import org.apache.spark.ml.functions.array_to_vector
     val labeled = sampled.select(y.as("label"),
       array_to_vector(concat(auxQualityFeatures(col(textCol)),

@@ -1989,7 +1989,7 @@ object NorthStar {
 
   /** Tokenizer ARTIFACT lifecycle: train → persist the merge table as a
     * versioned store artifact ([[TextOps.saveBpeMerges]], the VectorIndex
-    * pattern applied to tokenizers) → SUPERSEDE it with a retrained
+    * pattern applied to tokenizers) → SUPERSEDE it with a different
     * artifact (the `_last` pointer now serves the new one) → ROLL BACK by
     * pinned `externalKey` and serve from the rolled-back artifact. The
     * graded per-source totals are computed ENTIRELY from the store-read
@@ -2008,12 +2008,15 @@ object NorthStar {
     val fresh = freshDf.orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq // 10 rows — bounded
     TextOps.saveBpeMerges(store, "tokenizer/merges", freshDf, externalKey = "m10")
-    // Supersede with a deliberately different artifact (3 merges, even
-    // half) — the rollback below must NOT see it.
+    // Supersede with a deliberately different artifact (the first 3
+    // merge rounds) — the rollback below must NOT see it. Truncating the
+    // already-trained table exercises the same supersede/rollback
+    // machinery as a retrain would (what the flags pin is VERSION
+    // semantics, not training provenance) without paying a second BPE
+    // fit per call; freshDf is a driver-local merges table, so the
+    // filter costs nothing.
     TextOps.saveBpeMerges(store, "tokenizer/merges",
-      TextOps.bpeTrain(d.where(pmod(col("doc_id"), lit(2)) === 0), "text",
-        numMerges = 3),
-      externalKey = "m3half")
+      freshDf.where(col("round") <= 3), externalKey = "m3trunc")
     val last = TextOps.loadBpeMerges(store, "tokenizer/merges") // _last → m3half
     val rolled = TextOps.loadBpeMerges(store, "tokenizer/merges", Some("m10"))
     TextOps.bpeSegmentStats(d, "text", "source", rolled)
@@ -2054,6 +2057,79 @@ object NorthStar {
       .withColumn("rollback_ok", lit(rollbackOk))
       .withColumn("last_superseded_ok", lit(lastOk))
       .orderBy("source")
+  }
+
+  /** PQ-codebook ARTIFACT lifecycle — the qn106/qn107 store seam applied
+    * to the last fit-per-query model in the ANN family: fit
+    * [[Similarity.trainPqCodebookFor]] once → persist as a versioned
+    * store artifact → supersede with a deliberately degenerate codebook
+    * (the `_last` pointer must serve it) → roll back via pinned
+    * `externalKey` and run the FULL [[Similarity.pqTopK]] search from
+    * the rolled-back artifact (no re-fit anywhere in the graded path).
+    * The search grades qn29's deterministic recall contract, so
+    * oracle-green here means a pinned artifact serves real searches;
+    * `encode_eq_fresh` pins encode-with-stored ≡ encode-with-fresh
+    * code-for-code over the whole corpus in ONE comparison scan (the
+    * store round-trip must be bit-lossless on the codebook for the
+    * byte codes to match exactly), and `rollback_ok`/
+    * `last_superseded_ok` pin the version semantics. At 100 TB this is
+    * the difference between reproducible ANN results across re-runs and
+    * codes that drift under concurrent refits.
+    */
+  private def qPqCodebookStore(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.where(col("vec_id") < 8)
+    val nRows = Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_pqcb_"))
+    val fresh = Similarity.trainPqCodebookFor(e, "embedding",
+      dim = 64, m = 16, ksub = 16, corpusRows = Some(nRows))
+    Similarity.savePqCodebook(s, store, "ann/pq_codebook", fresh,
+      externalKey = "v1")
+    Similarity.savePqCodebook(s, store, "ann/pq_codebook",
+      Similarity.PqCodebook(new Array[Double](16 * 16 * 4), 64, 16, 16),
+      externalKey = "v2degen")
+    val last = Similarity.loadPqCodebook(store, "ann/pq_codebook")
+    val rolled = Similarity.loadPqCodebook(store, "ann/pq_codebook", Some("v1"))
+    val rollbackOk = rolled.codebook.sameElements(fresh.codebook) &&
+      rolled.dim == fresh.dim && rolled.m == fresh.m && rolled.ksub == fresh.ksub
+    val lastOk = last.codebook.forall(_ == 0d) && last.dim == 64
+    // Encode equality in ONE corpus scan (two expressions, zero extra
+    // jobs): byte-identical codes under stored vs fresh codebooks — the
+    // qn107 pattern (score the same rows under both models in one pass)
+    // rather than paying a second full search purely to prove a flag.
+    val fn = graft.functions.VectorExpressions
+    val encodeEq = e.agg(
+      coalesce(
+        min(fn.pqEncode(col("embedding").cast("array<double>"), rolled.codebook, 64, 16, 16) <=>
+          fn.pqEncode(col("embedding").cast("array<double>"), fresh.codebook, 64, 16, 16)),
+        lit(false)).as("encode_eq_fresh"))
+    // qn29's graded recall contract, served entirely from the ROLLED
+    // artifact (same adaptive shortlist — see the qn29 note).
+    val pq = Similarity.pqTopK(e, queries, "vec_id", "embedding",
+      dim = 64, k = 5, m = 16, ksub = 16,
+      shortlist = math.max(50L, nRows / 10).toInt,
+      corpusRows = Some(nRows), codebook = Some(rolled))
+    val exact = Similarity.topKPerQuery(e, queries, "vec_id", "embedding", k = 5)
+    val perQuery = exact
+      .join(pq.select(col("query_id"), col("vec_id"), lit(1L).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val returned = pq.groupBy("query_id")
+      .agg((count(lit(1)) === 5).as("returned_ok"))
+    val global = perQuery
+      .agg((sum("n_hit") * 10L >= sum("k_exact") * 9L).as("recall_ok"))
+    perQuery
+      .join(returned, Seq("query_id"), "left")
+      .crossJoin(broadcast(global))
+      .crossJoin(broadcast(encodeEq))
+      .select(col("query_id"), col("k_exact"),
+        coalesce(col("returned_ok"), lit(false)).as("returned_ok"),
+        col("recall_ok"), col("encode_eq_fresh"))
+      .withColumn("rollback_ok", lit(rollbackOk))
+      .withColumn("last_superseded_ok", lit(lastOk))
+      .orderBy("query_id")
   }
 
   /** LEARNED quality scoring — the fastText-shaped classifier next to
@@ -4105,6 +4181,13 @@ object NorthStar {
              true AS stored_eq_fresh, true AS rollback_ok,
              true AS last_superseded_ok
       FROM documents WHERE doc_id % 2 = 1
-      GROUP BY source ORDER BY source"""))
+      GROUP BY source ORDER BY source""")),
+    QueryDef("qn108_pq_codebook_store", qPqCodebookStore _, Some("""
+      SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_exact,
+             true AS returned_ok, true AS recall_ok,
+             true AS encode_eq_fresh, true AS rollback_ok,
+             true AS last_superseded_ok
+      FROM embeddings WHERE vec_id < 8
+      ORDER BY query_id"""))
   )
 }

@@ -19,6 +19,20 @@ final class TaskStatsListener extends org.apache.spark.scheduler.SparkListener {
   private case class T(dur: Long, cpuMs: Long, spill: Long, disk: Long, peak: Long)
   private val stages =
     scala.collection.concurrent.TrieMap[Int, scala.collection.mutable.ArrayBuffer[T]]()
+  // Stage → job-group attribution (r14, the r13 advice): the listener
+  // bus is async and its flush API is private[spark], so time-based
+  // fencing mis-files late task-end events of a prior op into the next
+  // op's stats on a loaded host. Job-group tags travel WITH the events
+  // (SparkListenerJobStart carries the submitting thread's group and the
+  // job's stage ids), so attribution is correct whenever the event
+  // arrives; the post-op settle now only bounds COMPLETENESS (a task-end
+  // still in flight at drain time is dropped, never mis-attributed).
+  private val stageGroup = scala.collection.concurrent.TrieMap[Int, String]()
+  override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+    val g = Option(e.properties)
+      .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+    e.stageIds.foreach(sid => stageGroup(sid) = g)
+  }
   override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
     val m = e.taskMetrics
     if (m != null && e.taskInfo != null) {
@@ -30,10 +44,18 @@ final class TaskStatsListener extends org.apache.spark.scheduler.SparkListener {
       }
     }
   }
-  /** Top-`k` stages since the last drain, by summed task duration. */
-  def drainJson(k: Int = 3): String = {
-    val snap = stages.toSeq.map { case (sid, b) => (sid, b.synchronized(b.toVector)) }
-    stages.clear()
+  /** Top-`k` stages since the last drain, by summed task duration.
+    * `group` (when non-null) keeps only stages whose job ran under that
+    * job group — stages tagged otherwise stay buffered for THEIR drain.
+    */
+  def drainJson(k: Int = 3, group: String = null): String = {
+    val keep: Int => Boolean =
+      if (group == null) _ => true
+      else sid => stageGroup.getOrElse(sid, "") == group
+    val snap = stages.toSeq.collect {
+      case (sid, b) if keep(sid) => (sid, b.synchronized(b.toVector))
+    }
+    snap.foreach { case (sid, _) => stages.remove(sid); stageGroup.remove(sid) }
     val top = snap.sortBy(-_._2.map(_.dur).sum).take(k)
     top.map { case (sid, ts) =>
       val ds = ts.map(_.dur).sorted
@@ -162,15 +184,17 @@ object ScaleBench {
       val opTasks = scala.collection.mutable.LinkedHashMap[String, String]()
       def addOp(name: String)(f: => Long): Unit =
         if (opFilter.forall(_.findFirstIn(name).isDefined)) {
-          // Listener events drain asynchronously (the bus flush API is
-          // private[spark]); a short settle keeps each op's task stats
-          // scoped to its own stages — task-END events of a completed
-          // action land well within it.
-          taskStats.foreach { l => Thread.sleep(500); l.drainJson(); () }
-          ops(name) = timed(f)
+          // Jobs run under a per-op job group so the listener attributes
+          // stages by tag, not arrival time (late task-end events of a
+          // prior op can no longer bleed into this op's stats). The
+          // settle only bounds completeness: events still in flight at
+          // drain time are dropped, never mis-filed.
+          spark.sparkContext.setJobGroup(s"op:$name", name)
+          try ops(name) = timed(f)
+          finally spark.sparkContext.clearJobGroup()
           taskStats.foreach { l =>
             Thread.sleep(500)
-            opTasks(name) = l.drainJson()
+            opTasks(name) = l.drainJson(group = s"op:$name")
           }
         }
       addOp("qn02_jaccard_pairs")(
@@ -380,6 +404,9 @@ object ScaleBench {
         (if (ops.isEmpty) "}" else s",$opsJson}"))
       docs.unpersist(); emb.unpersist()
       if (freqs != null) freqs.unpersist()
+      // Flush stats of ungrouped jobs (cache materialization, fanout
+      // census, calibration) so they don't accumulate across points.
+      taskStats.foreach { l => l.drainJson(); () }
       (n, cappedFanout, rawFanout, ops.toMap)
     }
 

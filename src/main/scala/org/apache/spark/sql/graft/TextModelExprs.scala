@@ -91,9 +91,18 @@ case class HashedTokenLogitExpr(
     val a = aux.asInstanceOf[ArrayData]
     val t = toks.asInstanceOf[ArrayData]
     var z = intercept
-    val na = math.min(nAux, a.numElements())
+    // The aux array must match the model's dense prefix exactly: a
+    // shorter array means train/serve FEATURE-LAYOUT DRIFT (the model
+    // was fit with aux stats this caller isn't providing), and silently
+    // dropping weight terms would score every row wrong. Fail loudly.
+    if (a.numElements() != nAux) {
+      throw new IllegalArgumentException(
+        s"hashed_token_logit: aux feature array has ${a.numElements()} " +
+          s"elements but the model was trained with $nAux dense features " +
+          "before its hashed buckets — train/serve layout drift")
+    }
     var i = 0
-    while (i < na) { z += a.getDouble(i) * weights(i); i += 1 }
+    while (i < nAux) { z += a.getDouble(i) * weights(i); i += 1 }
     i = 0
     while (i < t.numElements()) {
       if (!t.isNullAt(i)) {

@@ -100,8 +100,14 @@ case class TopKByScoreAgg(
   override def update(
       buf: ArrayBuffer[(Double, Long)], input: InternalRow): ArrayBuffer[(Double, Long)] = {
     val row = inputProj.get()(input)
-    if (!row.isNullAt(0) && !row.isNullAt(1))
-      insertOne(buf, row.getDouble(0), row.getLong(1))
+    if (!row.isNullAt(0) && !row.isNullAt(1)) {
+      val s = row.getDouble(0)
+      // A NaN score fails EVERY ordered compare, so insertOne would
+      // evict the current worst and park the entry as best-ranked —
+      // silent top-k corruption. NaN means "no meaningful score"
+      // (0/0-normalized vectors and the like): drop it like a null.
+      if (!java.lang.Double.isNaN(s)) insertOne(buf, s, row.getLong(1))
+    }
     buf
   }
 

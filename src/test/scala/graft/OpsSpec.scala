@@ -940,6 +940,54 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).toSeq == exact.map(_.getDouble(2)).toSeq)
   }
 
+  test("PQ codebook artifact lifecycle: save -> supersede -> use_last vs pinned rollback; pinned search == fresh search") {
+    val store = new graft.store.Store(spark, TempDirs.create("graft_pqspec_"))
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 4)
+    val fresh = Similarity.trainPqCodebookFor(emb, "embedding",
+      dim = 64, m = 16, ksub = 16)
+    assert(fresh.codebook.length === 16 * 16 * 4)
+    Similarity.savePqCodebook(spark, store, "ann/cb", fresh, externalKey = "v1")
+    Similarity.savePqCodebook(spark, store, "ann/cb",
+      Similarity.PqCodebook(new Array[Double](16 * 16 * 4), 64, 16, 16),
+      externalKey = "v2")
+    val last = Similarity.loadPqCodebook(store, "ann/cb")
+    val rolled = Similarity.loadPqCodebook(store, "ann/cb", Some("v1"))
+    assert(last.codebook.forall(_ == 0d), "_last must serve the superseding artifact")
+    assert(rolled.codebook.toSeq === fresh.codebook.toSeq
+      && rolled.dim === 64 && rolled.m === 16 && rolled.ksub === 16,
+      "pinned read must return the original artifact bit-for-bit")
+    // Search from the pinned artifact == search with the in-memory fit
+    // (same codebook bits -> same codes -> same shortlist -> same result).
+    val viaStored = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 3, m = 16, ksub = 16, shortlist = 50,
+      codebook = Some(rolled)).orderBy("query_id", "rank").collect().toSeq
+    val viaFresh = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 3, m = 16, ksub = 16, shortlist = 50,
+      codebook = Some(fresh)).orderBy("query_id", "rank").collect().toSeq
+    assert(viaStored === viaFresh)
+    // Config drift between artifact and call site must fail loudly, not
+    // encode garbage.
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 3, m = 8, ksub = 16, shortlist = 50,
+        codebook = Some(rolled))
+    }
+  }
+
+  test("topKByScore drops NaN scores instead of ranking them best") {
+    import spark.implicits._
+    // A NaN fails every ordered compare: before the r14 guard it evicted
+    // the current worst and appended as BEST-ranked, corrupting top-k.
+    val df = Seq((1L, 0.9), (2L, Double.NaN), (3L, 0.7), (4L, 0.8))
+      .toDF("id", "s")
+    val top = df.agg(graft.functions.VectorExpressions
+        .topKByScore(col("s"), col("id"), 2).as("top"))
+      .select(explode(col("top"))).select("col.vec_id", "col.sim")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top === Seq((1L, 0.9), (4L, 0.8)))
+  }
+
   test("planRowUpperBound sizes from parquet footers / local relations, no job") {
     import spark.implicits._
     // Parquet-backed frame with projection + filter: footer metadata

@@ -142,8 +142,12 @@ class TextModelSpec extends SparkSpec {
   test("quality-model artifact lifecycle: save -> supersede -> use_last vs pinned rollback") {
     import spark.implicits._
     val store = new graft.store.Store(spark, TempDirs.create("graft_qmspec_"))
-    val m1 = TextOps.QualityModel(Array(0.5, -0.25, 1.5), -0.75, 2)
-    val m2 = TextOps.QualityModel(Array(9.0, 9.0), 0.0, 2)
+    // 4 aux weights + hashDim hashed weights — the layout
+    // qualityModelScore serves (it always passes the 4 engineered
+    // stats; hashed_token_logit rejects any other aux arity as
+    // train/serve drift since r14).
+    val m1 = TextOps.QualityModel(Array(0.5, -0.25, 1.5, 0.3, -1.0, 0.9), -0.75, 2)
+    val m2 = TextOps.QualityModel(Array(9.0, 9.0, 9.0, 9.0, 9.0, 9.0), 0.0, 2)
     TextOps.saveQualityModel(spark, store, "quality/model", m1, externalKey = "v1")
     TextOps.saveQualityModel(spark, store, "quality/model", m2, externalKey = "v2")
     val last = TextOps.loadQualityModel(store, "quality/model")
