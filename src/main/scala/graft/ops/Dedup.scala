@@ -238,6 +238,43 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Candidate-volume census for [[crossCorpusNearDupPairs]] — the
+    * bipartite counterpart of the self-join fanout census ScaleBench
+    * computes from [[shingleDocFreqs]]: the shingle equality join fans
+    * out df_target(s) × df_ref(s) rows per shared shingle, so the sum
+    * of that product over shingles SURVIVING the hot-cap (combined
+    * occurrence count ≤ `maxShingleDocFreq`, exactly the predicate the
+    * operator applies) is the exact row count entering the pair
+    * aggregation — the quantity a scale wall must track. Computed from
+    * the two df tables alone (two vocab-sized aggregates + one shingle
+    * equality join; the corpus pair join never runs), it's the audit
+    * you run BEFORE committing a decontamination pass at 100 TB: if
+    * capped volume grows superlinearly in corpus size, tighten the cap
+    * or block the reference side — measured, not discovered in a
+    * blown-up shuffle. One output row: (raw_pairs, capped_pairs,
+    * n_shared_shingles, n_hot_dropped).
+    */
+  def crossCorpusCandidateVolume(
+      target: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxShingleDocFreq: Long = DefaultMaxShingleDocFreq): DataFrame = {
+    val tdf = shingleDocFreqs(shingleSignatures(target, idCol, textCol, n))
+      .select(col("s"), col("df").as("df_t"))
+    val rdf = shingleDocFreqs(shingleSignatures(reference, idCol, textCol, n))
+      .select(col("s"), col("df").as("df_r"))
+    val prod = (col("df_t") * col("df_r")).cast("decimal(38,0)")
+    val hot = col("df_t") + col("df_r") > maxShingleDocFreq
+    tdf.join(rdf, "s").agg(
+      sum(prod).as("raw_pairs"),
+      sum(when(!hot, prod).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("capped_pairs"),
+      count(lit(1)).as("n_shared_shingles"),
+      sum(when(hot, 1L).otherwise(0L)).as("n_hot_dropped"))
+  }
+
   /** Duplicate-cluster size distribution — the first numbers a corpus
     * quality report states ("12% of docs sit in duplicate clusters;
     * the largest cluster holds 40k copies"): cluster the pair list via

@@ -175,6 +175,19 @@ object ScaleBench {
       }
       val cappedFanout = fanout(Dedup.DefaultMaxShingleDocFreq)
       val rawFanout = fanout(0)
+      // Bipartite census behind qn49_cross_neardup (r14, the r13 ask):
+      // the cross-corpus join's candidate volume is Σ df_A·df_B over
+      // shingles surviving the COMBINED hot-cap — a different quantity
+      // from the self-join C(df,2) sum above, and the one qn49's wall
+      // must track. Same split as the qn49 op below.
+      val crossCensus: Option[(Long, Long, Long)] = if (!wantFanout) None else {
+        val cut = n / 2
+        val r = Dedup.crossCorpusCandidateVolume(
+          docs.where(col("doc_id") >= cut), docs.where(col("doc_id") < cut),
+          "doc_id", "text").head()
+        Some((r.getDecimal(1).longValueExact(), r.getDecimal(0).longValueExact(),
+          r.getLong(3)))
+      }
 
       val ops = scala.collection.mutable.LinkedHashMap[String, (Double, Long, Double)]()
       // Optional op subset (regex over op names) for targeted audits of
@@ -242,6 +255,21 @@ object ScaleBench {
         val pairs = Similarity.semDedupPairs(emb, "vec_id", "embedding",
           threshold = 0.9, assignProbes = 3)
         Dedup.applyComponents(emb, pairs, "id_a", "id_b", "vec_id").count()
+      }
+      // The learned-quality SERVING pass (qn105's 100 TB claim): the
+      // model trains on a bounded sample OUTSIDE the timed window (a
+      // fit does not grow with the corpus — trainQualityModel
+      // hash-samples past maxTrainRows; forcing it before addOp keeps
+      // the fit out of the wall); the timed section is the corpus-scale
+      // scoring scan through HashedTokenLogitExpr — one shuffle-free
+      // pass whose wall must track the tokenize scan (the qn82/qn86
+      // family), with zero spill.
+      if (opFilter.forall(_.findFirstIn("qn105_score").isDefined)) {
+        val qualityModel = graft.ops.TextOps.trainQualityModel(docs, "text")
+        addOp("qn105_score")(
+          docs.select(graft.ops.TextOps
+              .qualityModelScore(col("text"), qualityModel).as("p"))
+            .where(col("p") >= 0.5).count())
       }
       addOp("qn51_dedup_spans")(
         // The stride-1 window stream is the heaviest text-op shape
@@ -397,31 +425,40 @@ object ScaleBench {
         else opTasks.map { case (k, v) => s""""$k":$v""" }
           .mkString(""","task_stats":{""", ",", "}")
       val isWarm = warmN > 0 && n == warmN
+      val crossJson = crossCensus.map { case (c, r, h) =>
+        s""""cross_capped_pairs":$c,"cross_raw_pairs":$r,"cross_hot_dropped":$h,"""
+      }.getOrElse("")
       println(s"""{"n_docs":$n,"n_vecs":$nVecs,"warmup":$isWarm,""" +
         s""""calibration_sec":${f"$calib%.3f"},""" +
         s""""mem_bw_gbps":{"t1":${f"$bw1%.2f"},"t32":${f"$bwN%.2f"}}$watchJson$taskJson,""" +
-        s""""capped_fanout":$cappedFanout,"raw_fanout":$rawFanout""" +
+        s"""$crossJson"capped_fanout":$cappedFanout,"raw_fanout":$rawFanout""" +
         (if (ops.isEmpty) "}" else s",$opsJson}"))
       docs.unpersist(); emb.unpersist()
       if (freqs != null) freqs.unpersist()
       // Flush stats of ungrouped jobs (cache materialization, fanout
       // census, calibration) so they don't accumulate across points.
       taskStats.foreach { l => l.drainJson(); () }
-      (n, cappedFanout, rawFanout, ops.toMap)
+      (n, cappedFanout, rawFanout, crossCensus, ops.toMap)
     }
 
     // Ratios over the TIMED points only — the warmup point exists to
     // absorb first-execution costs, not to anchor a growth claim.
     results.drop(if (warmN > 0) 1 else 0).sliding(2).foreach {
-      case Seq((n1, c1, r1, ops1), (n2, c2, r2, ops2)) =>
+      case Seq((n1, c1, r1, x1, ops1), (n2, c2, r2, x2, ops2)) =>
         val scale = n2.toDouble / n1
         val ratios = ops1.keys.map { k =>
           s""""$k":${f"${ops2(k)._1 / math.max(ops1(k)._1, 1e-9)}%.2f"}"""
         }.mkString(",")
+        val crossRatio = (x1, x2) match {
+          case (Some((cc1, cr1, _)), Some((cc2, cr2, _))) =>
+            s""""cross_capped_ratio":${f"${cc2.toDouble / math.max(cc1, 1)}%.2f"},""" +
+              s""""cross_raw_ratio":${f"${cr2.toDouble / math.max(cr1, 1)}%.2f"},"""
+          case _ => ""
+        }
         println(s"""{"ratio_of":"$n2/$n1","scale":$scale,""" +
           s""""capped_fanout_ratio":${f"${c2.toDouble / math.max(c1, 1)}%.2f"},""" +
           s""""raw_fanout_ratio":${f"${r2.toDouble / math.max(r1, 1)}%.2f"},""" +
-          s""""wall_ratios":{$ratios}}""")
+          s"""$crossRatio"wall_ratios":{$ratios}}""")
       case _ => ()
     }
     spark.stop()
