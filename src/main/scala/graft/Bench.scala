@@ -62,12 +62,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // The bench measures the PRODUCTION single-JVM conf
+    // ([[Graft.singleJvmScaleConfs]] — what a local deployment gets from
+    // tuneForScale) since r14; SPARK_GRAFT_STOCK_CONF=1 restores stock
+    // Spark defaults for A/B runs. The r14 A/B at sf0.1 measured the
+    // tuned conf registry-wide no-regression before it became default.
+    var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.file.impl", classOf[graft.hadoop.FastLocalFileSystem].getName)
-      .getOrCreate()
+    if (sys.env.getOrElse("SPARK_GRAFT_STOCK_CONF", "0") != "1")
+      Graft.singleJvmScaleConfs.foreach { case (k, v) => builder = builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val warmupSec = warmup(spark, sfDir)
     // Host-speed calibration (r10, closing the r9 drift lesson): the r9
@@ -128,11 +135,18 @@ object Bench {
       s""""calibration":{"query":"$calibrationName",""" +
         s""""samples":${calibration.mkString("[", ",", "]")},""" +
         s""""median":${if (calibration.isEmpty) -1.0 else median(calibration)}}"""
+    // Conf provenance: r9–r13 artifacts ran stock codegen; r14+ default
+    // to the tuned production conf — cross-round per-query comparisons
+    // must read this field (hashAgg-heavy walls changed REGIME, not
+    // just host weather).
+    val confTag =
+      if (sys.env.getOrElse("SPARK_GRAFT_STOCK_CONF", "0") == "1") "stock"
+      else "tuned_single_jvm"
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${timeMap(median)},""" +
         s""""queries_min":${timeMap(_.min)},"queries_max":${timeMap(_.max)},""" +
         s""""reps":$reps,"failures":$failures,"cpus":$cpus,"shuffle_partitions":$cpus,""" +
-        s""""warmup_sec":$warmupSec,$calJson,$bwJson,"sf":"$sfDir"}"""
+        s""""conf":"$confTag","warmup_sec":$warmupSec,$calJson,$bwJson,"sf":"$sfDir"}"""
     // stderr, NOT stdout: the driver keeps a ~2000-char stdout tail and
     // parses its last line as JSON — a ~7 KB per-query map on stdout
     // truncates mid-object and poisons the tail (the BENCH_r10 lesson).
@@ -167,7 +181,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"median",""" +
         s""""n_queries":${results.size},"reps":$reps,"failures":$failures,""" +
-        s""""slowest":$slowest,$calJson,$bwJson,""" +
+        s""""slowest":$slowest,$calJson,$bwJson,"conf":"$confTag",""" +
         s""""per_query_file":"$outFile","sf":"$sfDir"}""")
     if (results.exists(!_._3)) sys.exit(1)
   }

@@ -18,6 +18,51 @@ import graft.store.Store
   * val dups = graft.ops.Dedup.dedupByJaccard(docs, "doc_id", "text")
   * }}}
   */
+object Graft {
+
+  /** Runtime session confs for single-JVM / few-executor deployments
+    * (local mode, one-box services, notebook drivers) — the measured
+    * mitigations from the scale audits, promoted from benchmark
+    * protocol to product surface so a fresh session gets the stable
+    * behavior without reading the round notes:
+    *
+    *  - `twolevel.enabled=false`: the generated two-level "fast" hash
+    *    map is a double loss for high-cardinality aggregations (ANN
+    *    candidate pairs, dedup pair counts): its speculative branches
+    *    seed a HotSpot unstable_if → deopt-without-OSR-rescue lottery
+    *    that can leave a fused hashAgg loop running INTERPRETED to
+    *    partition end (measured 473–652 s vs 37–59 s on identical 2M-row
+    *    work), and at ≥ ~10⁵ groups every probe pays the fast-map miss
+    *    before reaching the real map anyway (twolevel-off measured
+    *    faster even in JIT-lucky runs: 37–59 s vs 70–92 s). Confirmed
+    *    registry-wide no-regression at sf0.1 before becoming a default
+    *    here (r14 A/B bench).
+    *  - `objectHashAggregate.sortBased.fallbackThreshold`: the stock
+    *    128-keys-per-partition fallback external-sorts bounded-heap
+    *    aggregate streams (top-k shortlists) whose hash maps fit memory
+    *    trivially; on one box the per-op spills stack into a disk
+    *    blowout. Keep hash aggregation until maps are genuinely large.
+    *
+    * On a REAL multi-executor cluster the JIT lottery shows up as
+    * stragglers on a FEW executors instead — there, prefer
+    * `spark.speculation=true` (a re-launched copy of a deopt-struck
+    * task JITs normally on another executor); twolevel-off remains a
+    * measured win for ≥ ~10⁵-group aggregations either way. All
+    * runtime-settable (safe on an existing session via [[tuneForScale]]).
+    */
+  val singleJvmScaleConfs: Map[String, String] = Map(
+    "spark.sql.codegen.aggregate.map.twolevel.enabled" -> "false",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304")
+
+  /** Apply [[singleJvmScaleConfs]] to an existing session (all entries
+    * are runtime SQL confs — no session rebuild needed).
+    */
+  def tuneForScale(spark: SparkSession): SparkSession = {
+    singleJvmScaleConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark
+  }
+}
+
 final case class Graft(
     spark: SparkSession,
     root: String,
@@ -32,6 +77,17 @@ final case class Graft(
     */
   def registerSql(): Graft = {
     org.apache.spark.sql.graft.GraftFunctionRegistry.register(spark)
+    this
+  }
+
+  /** Apply the measured single-JVM scale confs
+    * ([[Graft.singleJvmScaleConfs]]) to this session — chainable next to
+    * [[registerSql]]/[[installPruningRule]] in a local deployment's
+    * setup. See the object-level scaladoc for the cluster-side
+    * counterpart (`spark.speculation`).
+    */
+  def tuneForScale(): Graft = {
+    Graft.tuneForScale(spark)
     this
   }
 

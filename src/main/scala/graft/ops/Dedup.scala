@@ -218,14 +218,30 @@ object Dedup {
       maxShingleDocFreq: Long = DefaultMaxShingleDocFreq): DataFrame = {
     val tSh0 = shingleSignatures(target, idCol, textCol, n)
     val rSh0 = shingleSignatures(reference, idCol, textCol, n)
-    val (tPlan, rPlan) =
-      if (maxShingleDocFreq <= 0) (tSh0, rSh0)
-      else {
-        val hot = tSh0.union(rSh0).groupBy("s").count()
-          .where(col("count") > maxShingleDocFreq).select("s")
-        (tSh0.join(hot, Seq("s"), "left_anti"),
-          rSh0.join(hot, Seq("s"), "left_anti"))
-      }
+    val hot =
+      if (maxShingleDocFreq <= 0) None
+      else Some(tSh0.union(rSh0).groupBy("s").count()
+        .where(col("count") > maxShingleDocFreq).select("s"))
+    crossPairsHotFiltered(tSh0, rSh0, hot, threshold)
+  }
+
+  /** Shared tail of the cross-corpus detectors (fresh and store-backed
+    * entry points run EXACTLY this algebra — the stored path must not
+    * be able to drift from the fresh one): anti-join the hot set off
+    * both signature sides, materialize the skinny streams once, and
+    * threshold the bipartite shingle-equality join's Jaccard.
+    */
+  private def crossPairsHotFiltered(
+      tSh0: DataFrame,
+      rSh0: DataFrame,
+      hot: Option[DataFrame],
+      threshold: Double): DataFrame = {
+    val (tPlan, rPlan) = hot match {
+      case None => (tSh0, rSh0)
+      case Some(h) =>
+        (tSh0.join(h, Seq("s"), "left_anti"),
+          rSh0.join(h, Seq("s"), "left_anti"))
+    }
     val tSh = materialize(tPlan)
     val rSh = materialize(rPlan)
     val tCounts = tSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
@@ -236,6 +252,65 @@ object Dedup {
     jaccardThreshold(common, tCounts, rCounts, threshold)
       .select(col("doc_a").as("target_id"), col("doc_b").as("ref_id"),
         round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Persist a reference corpus's shingle-signature artifact — the
+    * versioned-store seam applied to DECONTAMINATION references: a
+    * benchmark suite is small and STATIC, so its `(id, shingle)`
+    * signatures and `(shingle, df)` frequency table are fit-once
+    * artifacts exactly like IVF centroids or BPE merges, not something
+    * every corpus build should re-derive by re-reading benchmark text.
+    * Two tables under `name` (`signatures`, `freqs`), one version per
+    * save; `_last` serves the newest suite revision, a pinned
+    * `externalKey` makes a 100 TB decontamination run reproducible
+    * against the exact suite version it certified against (the suite
+    * version belongs in the dataset card — see qn77).
+    */
+  def saveReferenceShingles(
+      store: graft.store.Store,
+      name: String,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      externalKey: String = "NOW"): Map[String, String] = {
+    val sig = materialize(shingleSignatures(reference, idCol, textCol, n))
+    val r = store.load(sig, s"$name/signatures", externalKey = externalKey)
+    store.load(shingleDocFreqs(sig), s"$name/freqs", externalKey = externalKey)
+    r
+  }
+
+  /** [[crossCorpusNearDupPairs]] against a [[saveReferenceShingles]]
+    * artifact: the target corpus streams fresh; the reference side reads
+    * its persisted signatures (no benchmark re-shingling, no reference
+    * text anywhere in the plan). The combined hot-shingle set is the
+    * target-side frequencies SUMMED with the stored reference
+    * frequencies — bit-identical to the fresh path's union census, so
+    * detect-with-stored ≡ detect-with-fresh row-for-row (qn109's
+    * oracle restates the full fresh semantics over the stored path's
+    * output). No `externalKey` → the `_last` suite version; pinning one
+    * is run-to-run reproducibility under concurrent suite updates.
+    */
+  def crossCorpusNearDupPairsStored(
+      target: DataFrame,
+      store: graft.store.Store,
+      name: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleDocFreq: Long = DefaultMaxShingleDocFreq,
+      externalKey: Option[String] = None): DataFrame = {
+    val useLast = externalKey.isEmpty
+    val rSh0 = store.get(s"$name/signatures", externalKey, useLast = useLast)
+    val rFreqs = store.get(s"$name/freqs", externalKey, useLast = useLast)
+    val tSh0 = shingleSignatures(target, idCol, textCol, n)
+    val hot =
+      if (maxShingleDocFreq <= 0) None
+      else Some(shingleDocFreqs(tSh0).unionByName(rFreqs)
+        .groupBy("s").agg(sum("df").as("df"))
+        .where(col("df") > maxShingleDocFreq).select("s"))
+    crossPairsHotFiltered(tSh0, rSh0, hot, threshold)
   }
 
   /** Candidate-volume census for [[crossCorpusNearDupPairs]] — the

@@ -888,12 +888,34 @@ object TextOps {
       df: DataFrame,
       scoreCol: String,
       labelCol: String,
+      bins: Int = 4096): DataFrame =
+    binaryAucFromBins(scoreLabelBins(df, scoreCol, labelCol, bins))
+
+  /** The mergeable half of [[binaryAuc]]: per-score-bucket positive/
+    * negative counts `(__b, __np, __nn)`. A plain groupBy-sum, so it is
+    * ALSO a legal complete-mode STREAMING aggregate — the state a live
+    * quality monitor keeps (≤ `bins` rows) while [[binaryAucFromBins]]
+    * turns any snapshot of it into the exact same AUC the batch audit
+    * computes (see [[graft.streaming.DocStreams.qualityAucBins]]).
+    */
+  def scoreLabelBins(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
       bins: Int = 4096): DataFrame = {
     val b = least(greatest(floor(col(scoreCol) * bins), lit(0d)), lit((bins - 1).toDouble))
       .cast("long")
-    val byBin = df.groupBy(b.as("__b")).agg(
+    df.groupBy(b.as("__b")).agg(
       sum(col(labelCol).cast("double")).as("__np"),
       sum(lit(1d) - col(labelCol).cast("double")).as("__nn"))
+  }
+
+  /** Finish a [[scoreLabelBins]] table into the ROC-AUC (Mann-Whitney U
+    * over bucket rank statistics; ties within a bucket take the
+    * mid-rank). The window runs over ≤ bins rows — bounded whatever the
+    * corpus size behind the counts.
+    */
+  def binaryAucFromBins(byBin: DataFrame): DataFrame =
     byBin
       .withColumn("__cnn", coalesce(
         sum("__nn").over(Window.orderBy("__b")
@@ -902,7 +924,6 @@ object TextOps {
         sum(col("__np") * (col("__cnn") + col("__nn") / 2)).as("__u"),
         sum("__np").as("__tp"), sum("__nn").as("__tn"))
       .select(try_divide(col("__u"), col("__tp") * col("__tn")).as("auc"))
-  }
 
   /** PII patterns (email / NANP-style phone / IPv4) — deliberately in the
     * common subset of Java regex and RE2 (no lookaround) so the same

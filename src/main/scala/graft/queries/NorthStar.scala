@@ -2132,6 +2132,49 @@ object NorthStar {
       .orderBy("query_id")
   }
 
+  /** Decontamination against a STORED reference artifact — qn49's
+    * cross-corpus near-dup detection with the benchmark side persisted
+    * once ([[Dedup.saveReferenceShingles]]) instead of re-shingled per
+    * run: a benchmark suite is small and static, so its signature and
+    * frequency tables are versioned store artifacts like IVF centroids
+    * or BPE merges, and every corpus build joins the pinned version
+    * (suite updates supersede via `_last`; a certification run pins its
+    * `externalKey`). Graded output = qn49's EXACT pair semantics
+    * computed entirely through the stored path (the oracle restates the
+    * fresh algebra, so oracle-green IS detect-with-stored ≡
+    * detect-with-fresh) + the lifecycle flags: pinned rollback returns
+    * the original artifact (row counts + df-table equality), `_last`
+    * serves the superseding suite revision.
+    */
+  private def qDecontamStoredRef(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = Tables.parquetRowCount(s, s"$dir/documents.parquet") / 2
+    val target = d.where(col("doc_id") >= cut)
+    val reference = d.where(col("doc_id") < cut)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_refsig_"))
+    Dedup.saveReferenceShingles(store, "decontam/bench", reference,
+      "doc_id", "text", externalKey = "suite_v1")
+    // Supersede with a deliberately smaller suite revision (even-id
+    // quarter) — the pinned read below must NOT see it.
+    Dedup.saveReferenceShingles(store, "decontam/bench",
+      reference.where(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", externalKey = "suite_v2")
+    val freshSigCount = Dedup.shingleSignatures(reference, "doc_id", "text")
+      .count()
+    val pinnedSigCount = store.get("decontam/bench/signatures", Some("suite_v1"))
+      .count()
+    val lastSigCount = store.get("decontam/bench/signatures", useLast = true)
+      .count()
+    val rollbackOk = pinnedSigCount == freshSigCount
+    val lastOk = lastSigCount < freshSigCount && lastSigCount > 0
+    Dedup.crossCorpusNearDupPairsStored(target, store, "decontam/bench",
+      "doc_id", "text", n = 3, threshold = 0.8,
+      externalKey = Some("suite_v1"))
+      .withColumn("rollback_ok", lit(rollbackOk))
+      .withColumn("last_superseded_ok", lit(lastOk))
+      .orderBy("target_id", "ref_id")
+  }
+
   /** LEARNED quality scoring — the fastText-shaped classifier next to
     * qn18's C4/Gopher rules: train [[TextOps.trainQualityModel]] (hashed
     * bag-of-words → spark.ml logistic regression, weak supervision from
@@ -2144,6 +2187,16 @@ object NorthStar {
     * wide margins (the qn97–qn99 pattern — L-BFGS weights aren't
     * SQL-restatable, but a scorer that can't separate its own weak
     * labels at AUC 0.8 is broken regardless of float luck).
+    *
+    * Threshold stability (r14, the r13 advice): the trained weights DO
+    * vary run-to-run at the ulp level (treeAggregate's float-sum order
+    * follows partitioning), so the gates must sit far inside the
+    * audited band, not at its edge. [[graft.tools.QualityModelAudit]]
+    * measures AUC 0.90–0.97 and balanced accuracy 0.86–0.93 across SFs
+    * (re-confirmed r14 at sf0.01/sf0.1) vs gates of 0.80/0.70 — a
+    * ≥ 0.10 margin against perturbations measured in the 4th decimal.
+    * Re-run the audit and re-justify the thresholds if the fixture
+    * generator or the feature set changes.
     */
   private def qLearnedQuality(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -4188,6 +4241,29 @@ object NorthStar {
              true AS encode_eq_fresh, true AS rollback_ok,
              true AS last_superseded_ok
       FROM embeddings WHERE vec_id < 8
-      ORDER BY query_id"""))
+      ORDER BY query_id""")),
+    QueryDef("qn109_decontam_stored_ref", qDecontamStoredRef _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents WHERE trim(text) <> ''),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      sh AS (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
+      cut AS (SELECT count(*) // 2 AS c FROM documents),
+      t AS (SELECT * FROM sh WHERE doc_id >= (SELECT c FROM cut)),
+      r AS (SELECT * FROM sh WHERE doc_id < (SELECT c FROM cut)),
+      tc AS (SELECT doc_id, count(*) AS n_sh FROM t GROUP BY doc_id),
+      rc AS (SELECT doc_id, count(*) AS n_sh FROM r GROUP BY doc_id),
+      prs AS (SELECT a.doc_id AS target_id, b.doc_id AS ref_id,
+                     count(*) AS common
+              FROM t a JOIN r b ON a.s = b.s GROUP BY 1, 2)
+      SELECT target_id, ref_id,
+             round(common * 1.0 / (tc.n_sh + rc.n_sh - common), 4) AS jaccard,
+             true AS rollback_ok, true AS last_superseded_ok
+      FROM prs
+      JOIN tc ON target_id = tc.doc_id
+      JOIN rc ON ref_id = rc.doc_id
+      WHERE common * 1.0 / (tc.n_sh + rc.n_sh - common) >= 0.8
+      ORDER BY target_id, ref_id"""))
   )
 }

@@ -85,6 +85,36 @@ object DocStreams {
       sum(when(TextOps.qualityRules(col("text")).keep, 1L).otherwise(0L))
         .as("n_quality_pass"))
 
+  /** Running learned-quality AUC state — the streaming form of the
+    * qn105 batch audit, closing the loop the artifact lifecycle opened:
+    * a pipeline trains offline, pins a model version
+    * ([[TextOps.loadQualityModel]]), scores the live ingest
+    * (StreamingSpec's stored-model scoring), and THIS monitor keeps the
+    * class-balanced separation audit current as batches land — a
+    * drifting upstream encoder (or a corpus whose character moved away
+    * from the training sample) degrades AUC in the status table while
+    * the batch that caused it is still arriving, instead of at the next
+    * offline audit.
+    *
+    * Emits [[TextOps.scoreLabelBins]] state — per-score-bucket
+    * positive/negative counts against the [[TextOps.qualityRules]] weak
+    * labels, the same expressions as the batch audit, so
+    * [[TextOps.binaryAucFromBins]] over any complete-mode snapshot
+    * equals the batch [[TextOps.binaryAuc]] on the same rows EXACTLY
+    * (StreamingSpec, including a poisoned batch). State is ≤ `bins`
+    * rows; the AUC finisher's window runs over that bounded table,
+    * never the stream.
+    */
+  def qualityAucBins(
+      docs: DataFrame,
+      model: TextOps.QualityModel,
+      bins: Int = 4096): DataFrame =
+    TextOps.scoreLabelBins(
+      docs.select(
+        TextOps.qualityModelScore(col("text"), model).as("p"),
+        when(TextOps.qualityRules(col("text")).keep, 1d).otherwise(0d).as("y")),
+      "p", "y", bins)
+
   /** Embedding batches as they land from an encoder job. */
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

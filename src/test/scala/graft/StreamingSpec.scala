@@ -172,6 +172,57 @@ class StreamingSpec extends SparkSpec {
       batch.orderBy("doc_id").collect().toSeq)
   }
 
+  test("streaming learned-quality AUC monitor == batch audit, including a poisoned batch") {
+    import graft.streaming.DocStreams
+    import graft.ops.TextOps
+    val batchDocs = Tables.read(spark, sf(), "documents")
+    val model = TextOps.trainQualityModel(batchDocs, "text", dim = 128)
+    // Poison batch — the drift shape the monitor exists to surface:
+    // near-boundary truncations of rule-PASSING docs. 24 tokens keeps
+    // every aux stat close to the keep class (log1p(24) vs log1p(25+),
+    // same word shape/diversity/stopword mass, same vocabulary), but
+    // fails lengthOk — so the model scores them like keepers while the
+    // rules label them 0, and AUC must DROP in the status table.
+    val poison = batchDocs.where(TextOps.qualityRules(col("text")).keep)
+      .orderBy("doc_id").limit(40)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 24)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val dir = java.nio.file.Paths.get(TempDirs.create("graft_stream_qauc_"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/documents.parquet"),
+      dir.resolve("b0.parquet"))
+    poison.coalesce(1).write.parquet(dir.resolve("b1_staged").toString)
+    java.nio.file.Files.list(dir.resolve("b1_staged")).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p, dir.resolve("b1.parquet"))
+    }
+    // Stream the bin state in complete mode; finish any snapshot into
+    // the AUC with the same bounded-table window the batch audit uses.
+    val streamedBins = EventStreams.runToMemory(spark,
+      DocStreams.qualityAucBins(DocStreams.readDocs(spark, dir.toString), model),
+      "t_qauc", OutputMode.Complete())
+    val streamAuc = TextOps.binaryAucFromBins(streamedBins).head().getDouble(0)
+    val union = batchDocs.unionByName(
+      spark.read.parquet(dir.resolve("b1.parquet").toString))
+    val batchAuc = TextOps.binaryAuc(
+      union.select(
+        TextOps.qualityModelScore(col("text"), model).as("p"),
+        when(TextOps.qualityRules(col("text")).keep, 1d).otherwise(0d).as("y")),
+      "p", "y").head().getDouble(0)
+    assert(streamAuc == batchAuc,
+      s"stream AUC $streamAuc != batch AUC $batchAuc")
+    // The monitor actually CATCHES the drift: the poisoned union's AUC
+    // sits below the clean corpus's.
+    val cleanAuc = TextOps.binaryAuc(
+      batchDocs.select(
+        TextOps.qualityModelScore(col("text"), model).as("p"),
+        when(TextOps.qualityRules(col("text")).keep, 1d).otherwise(0d).as("y")),
+      "p", "y").head().getDouble(0)
+    assert(streamAuc < cleanAuc,
+      s"poisoned AUC $streamAuc should drop below clean $cleanAuc")
+  }
+
   test("streaming dataset-card totals == batch aggregate") {
     import graft.streaming.DocStreams
     val stream = DocStreams.readDocs(spark, docsDir)
