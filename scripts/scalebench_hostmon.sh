@@ -9,7 +9,7 @@
 # Pure /proc reads — zero measurable perturbation.
 # Usage: scripts/scalebench_hostmon.sh [out.log]   (kill when done)
 set -u
-OUT="${1:-/root/repo/SCALEBENCH_r13_hostmon.log}"
+OUT="${1:-/root/repo/SCALEBENCH_r14_hostmon.log}"
 while true; do
   PID=$(pgrep -f 'graft.tools.ScaleBench' | head -1)
   TS=$(date -u +%s)

@@ -7,7 +7,7 @@
 # in which kernel path?
 # Usage: scripts/scalebench_threadmon.sh [out.log]
 set -u
-OUT="${1:-/root/repo/SCALEBENCH_r13_threadmon.log}"
+OUT="${1:-/root/repo/SCALEBENCH_r14_threadmon.log}"
 while true; do
   PID=$(pgrep -f 'graft.tools.ScaleBench' | head -1)
   if [ -z "${PID:-}" ]; then sleep 20; continue; fi

@@ -188,6 +188,23 @@ object ScaleBench {
         Some((r.getDecimal(1).longValueExact(), r.getDecimal(0).longValueExact(),
           r.getLong(3)))
       }
+      // Fixed-reference census (r14): the PRODUCTION decontamination
+      // shape. A benchmark suite does not grow with the corpus, so the
+      // deployment law at 100 TB is Σ df_t·df_r with df_r CONSTANT —
+      // linear in the target. The both-halves split above doubles BOTH
+      // df factors per point (the fixture's closed-vocabulary
+      // densification gives ~4× per 2× by construction); this pair
+      // pins the reference to the same 250k docs at every timed point
+      // so the growth readings separate fixture law from deployment
+      // law. Same quantity, same cap predicate, different split.
+      val fixedRefN = math.min(n / 4, 250000L)
+      val fixedRefCensus: Option[(Long, Long, Long)] = if (!wantFanout) None else {
+        val r = Dedup.crossCorpusCandidateVolume(
+          docs.where(col("doc_id") >= fixedRefN),
+          docs.where(col("doc_id") < fixedRefN), "doc_id", "text").head()
+        Some((r.getDecimal(1).longValueExact(), r.getDecimal(0).longValueExact(),
+          r.getLong(3)))
+      }
 
       val ops = scala.collection.mutable.LinkedHashMap[String, (Double, Long, Double)]()
       // Optional op subset (regex over op names) for targeted audits of
@@ -246,6 +263,14 @@ object ScaleBench {
           docs.where(col("doc_id") >= cut), docs.where(col("doc_id") < cut),
           "doc_id", "text").count()
       }
+      addOp("qn49_fixedref")(
+        // The deployment shape (see fixedRefCensus above): reference
+        // pinned at 250k docs across points, target grows with n —
+        // the wall must track the fixed-ref capped census (linear in
+        // target), not the both-halves fixture law.
+        Dedup.crossCorpusNearDupPairs(
+          docs.where(col("doc_id") >= fixedRefN),
+          docs.where(col("doc_id") < fixedRefN), "doc_id", "text").count())
       addOp("qn40_semdedup") {
         // DEFAULT (corpus-adaptive) nlist — THE SemDeDup scale lever
         // (cells hold ~2500 rows at any corpus size; fixed nlist is
@@ -427,6 +452,9 @@ object ScaleBench {
       val isWarm = warmN > 0 && n == warmN
       val crossJson = crossCensus.map { case (c, r, h) =>
         s""""cross_capped_pairs":$c,"cross_raw_pairs":$r,"cross_hot_dropped":$h,"""
+      }.getOrElse("") + fixedRefCensus.map { case (c, r, h) =>
+        s""""fixedref_n":$fixedRefN,"fixedref_capped_pairs":$c,""" +
+          s""""fixedref_raw_pairs":$r,"fixedref_hot_dropped":$h,"""
       }.getOrElse("")
       println(s"""{"n_docs":$n,"n_vecs":$nVecs,"warmup":$isWarm,""" +
         s""""calibration_sec":${f"$calib%.3f"},""" +
@@ -438,13 +466,13 @@ object ScaleBench {
       // Flush stats of ungrouped jobs (cache materialization, fanout
       // census, calibration) so they don't accumulate across points.
       taskStats.foreach { l => l.drainJson(); () }
-      (n, cappedFanout, rawFanout, crossCensus, ops.toMap)
+      (n, cappedFanout, rawFanout, crossCensus, fixedRefCensus, ops.toMap)
     }
 
     // Ratios over the TIMED points only — the warmup point exists to
     // absorb first-execution costs, not to anchor a growth claim.
     results.drop(if (warmN > 0) 1 else 0).sliding(2).foreach {
-      case Seq((n1, c1, r1, x1, ops1), (n2, c2, r2, x2, ops2)) =>
+      case Seq((n1, c1, r1, x1, f1, ops1), (n2, c2, r2, x2, f2, ops2)) =>
         val scale = n2.toDouble / n1
         val ratios = ops1.keys.map { k =>
           s""""$k":${f"${ops2(k)._1 / math.max(ops1(k)._1, 1e-9)}%.2f"}"""
@@ -455,10 +483,16 @@ object ScaleBench {
               s""""cross_raw_ratio":${f"${cr2.toDouble / math.max(cr1, 1)}%.2f"},"""
           case _ => ""
         }
+        val fixedRefRatio = (f1, f2) match {
+          case (Some((fc1, fr1, _)), Some((fc2, fr2, _))) =>
+            s""""fixedref_capped_ratio":${f"${fc2.toDouble / math.max(fc1, 1)}%.2f"},""" +
+              s""""fixedref_raw_ratio":${f"${fr2.toDouble / math.max(fr1, 1)}%.2f"},"""
+          case _ => ""
+        }
         println(s"""{"ratio_of":"$n2/$n1","scale":$scale,""" +
           s""""capped_fanout_ratio":${f"${c2.toDouble / math.max(c1, 1)}%.2f"},""" +
           s""""raw_fanout_ratio":${f"${r2.toDouble / math.max(r1, 1)}%.2f"},""" +
-          s"""$crossRatio"wall_ratios":{$ratios}}""")
+          s"""$crossRatio$fixedRefRatio"wall_ratios":{$ratios}}""")
       case _ => ()
     }
     spark.stop()

