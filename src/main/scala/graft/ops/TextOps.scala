@@ -294,6 +294,31 @@ object TextOps {
       .agg(count(lit(1)).as("n_overlap")) // corpus shingles are per-doc distinct
   }
 
+  /** [[contaminationOverlap]] against a PRE-SHINGLED benchmark — the
+    * artifact seam: a benchmark suite is static, so its shingle table
+    * fits the fit-once/version/pin lifecycle
+    * ([[graft.ops.Dedup.saveReferenceShingles]] persists exactly this
+    * under `<name>/signatures`), and every corpus build or streaming
+    * ingest joins the pinned table instead of re-shingling benchmark
+    * text per call. `benchShingles` is any frame whose `s` column holds
+    * the benchmark's shingles (deduplicated here); same broadcast
+    * match, same (id, n_overlap) output, bit-identical to the fresh
+    * path on the same reference.
+    */
+  def contaminationOverlapStored(
+      corpus: org.apache.spark.sql.DataFrame,
+      benchShingles: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val benchSh = benchShingles.select(col("s").as("__s")).distinct()
+    corpus.select(col(idCol), explode(shingles(col(textCol), n)).as("__s"))
+      .join(broadcast(benchSh), "__s")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Bloom-sketch decontamination — [[contaminationOverlap]]'s sibling
     * for benchmark suites too large to broadcast as a distinct-shingle
     * table: the benchmark's shingles fold into ONE fixed-size Bloom

@@ -312,6 +312,75 @@ object DocStreams {
     kept
   }
 
+  /** One micro-batch of the FULL streaming corpus build — qn110's
+    * delta-ingest pipeline as the `foreachBatch` body a continuously
+    * crawling deployment runs: quality rules → incremental near-dup
+    * dedup against the accumulated signature state
+    * ([[dedupBatchAgainstStore]]) → decontamination against the PINNED
+    * reference-shingle artifact ([[Dedup.saveReferenceShingles]] /
+    * [[TextOps.contaminationOverlapStored]] — the benchmark never
+    * re-shingles) → one corpus APPEND version + one sources-sized card
+    * version per batch. The published corpus and card are selector-less
+    * accumulate reads; an all-filtered batch publishes no version and
+    * stays lossless (the qn110 sf0.1 edge).
+    *
+    * Replay safety is inherited: every write is a `b<batchId>` version
+    * ([[Store.load]] replaces a re-written subtree), and a
+    * half-committed batch re-reading its own signatures only adds
+    * self-edges and duplicate pairs, which keep-min components ignore.
+    * Per-ingest cost: the quality/decontam/card stages are
+    * batch-sized; the prior corpus re-enters only as the signature
+    * equality join (linear in state — the exact-Jaccard design's
+    * stated tradeoff; measured at fixed delta in
+    * SCALEBENCH_r14_delta.log: wall 1.93× per 2× state) and the
+    * broadcast reference shingles. On a real cluster the per-ingest
+    * state SORT is the removable half of that cost: store the
+    * signature table bucketed/sorted by shingle (storage-partitioned
+    * join) and each ingest shuffles only the batch side.
+    */
+  def corpusIngestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      store: Store,
+      refName: String = "streaming/decontam-ref",
+      corpusTable: String = "streaming/corpus",
+      cardTable: String = "streaming/corpus-card",
+      sigTable: String = "streaming/corpus-sigs",
+      freqTable: String = "streaming/corpus-freqs",
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val q = batch.where(TextOps.qualityRules(col("text")).keep)
+    val kept = dedupBatchAgainstStore(q, batchId, store,
+      sigTable = sigTable, freqTable = freqTable, n = n, threshold = threshold)
+    val contaminated = TextOps.contaminationOverlapStored(kept,
+      store.get(s"$refName/signatures"), "doc_id", "text", n)
+    val dc = Dedup.materialize(
+      kept.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti"))
+    store.load(dc, corpusTable, externalKey = s"b$batchId")
+    store.load(
+      dc.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens")),
+      cardTable, externalKey = s"b$batchId")
+    dc
+  }
+
+  /** The [[corpusIngestBatch]] loop as a ready-to-start stream: the
+    * corpus lives in the store (no side parquet sink needed) — start
+    * with a `checkpointLocation` and the build stays current as crawl
+    * files land.
+    */
+  def corpusIngestTo(
+      docs: DataFrame,
+      store: Store,
+      refName: String = "streaming/decontam-ref",
+      n: Int = 3,
+      threshold: Double = 0.8): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      corpusIngestBatch(batch, batchId, store, refName = refName,
+        n = n, threshold = threshold)
+      ()
+    }
+
   /** The [[dedupBatchAgainstStore]] loop as a ready-to-start stream:
     * survivors of each micro-batch append as parquet under `outDir`.
     * Caller sets `checkpointLocation` and starts — exactly-once

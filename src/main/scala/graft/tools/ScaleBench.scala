@@ -263,6 +263,27 @@ object ScaleBench {
           docs.where(col("doc_id") >= cut), docs.where(col("doc_id") < cut),
           "doc_id", "text").count()
       }
+      // The O(delta) claim behind qn110_corpus_build_incremental: one
+      // ingest's timed cost with the DELTA FIXED (250k docs) while the
+      // prior corpus state grows with n. The state artifacts
+      // (signatures + freqs — what a real pipeline reads back from the
+      // store) build OUTSIDE the timed window, eagerly forced; the
+      // timed section is exactly the per-ingest work (incremental
+      // dedup of the fixed batch against the grown state). The wall
+      // must track the delta and the state-join, not the corpus: a
+      // rescan-shaped regression shows up as ~n growth here.
+      if (opFilter.forall(_.findFirstIn("qn110_delta_ingest").isDefined)) {
+        val ingestN = math.min(n / 4, 250000L)
+        val stateD = docs.where(col("doc_id") < n - ingestN)
+        val deltaD = docs.where(col("doc_id") >= n - ingestN)
+        val sigState = Dedup.materialize(
+          Dedup.shingleSignatures(stateD, "doc_id", "text"))
+        val freqState = Dedup.materialize(Dedup.shingleDocFreqs(sigState))
+        sigState.count(); freqState.count() // force outside the timing
+        addOp("qn110_delta_ingest")(
+          Dedup.dedupIncremental(deltaD, sigState, "doc_id", "text",
+            prevShingleFreqs = Some(freqState)).count())
+      }
       addOp("qn49_fixedref")(
         // The deployment shape (see fixedRefCensus above): reference
         // pinned at 250k docs across points, target grows with n —

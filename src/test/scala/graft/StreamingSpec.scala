@@ -521,6 +521,65 @@ class StreamingSpec extends SparkSpec {
     assert(info.versions.toSet == Set("b0", "b1"), info.versions)
   }
 
+  test("streaming corpus ingest == replayed batch pipeline; card accumulates; decontam bites") {
+    import graft.ops.Dedup
+    import graft.streaming.DocStreams
+    val (srcDir, cut) = stageDocHalves()
+    val d = Tables.read(spark, sf(), "documents")
+    val bench = d.where(pmod(col("doc_id"), lit(50)) === 3)
+    // Day-0 setup, once per deployment: the pinned reference artifact.
+    val store = new graft.store.Store(spark, TempDirs.create("graft_stream_cb_"))
+    Dedup.saveReferenceShingles(store, "streaming/decontam-ref", bench,
+      "doc_id", "text")
+    val ckpt = TempDirs.create("graft_stream_cb_ckpt_")
+    val stream = spark.readStream.schema(DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = DocStreams.corpusIngestTo(stream, store)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = store.get("streaming/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // The replayed batch sequence the stream must reproduce: the same
+    // foreachBatch body run twice against a second store.
+    val store2 = new graft.store.Store(spark, TempDirs.create("graft_stream_cb2_"))
+    Dedup.saveReferenceShingles(store2, "streaming/decontam-ref", bench,
+      "doc_id", "text")
+    val k0 = DocStreams.corpusIngestBatch(d.where(col("doc_id") < cut), 0, store2)
+    val k1 = DocStreams.corpusIngestBatch(d.where(col("doc_id") >= cut), 1, store2)
+    val expected = (k0.select("doc_id").collect() ++
+      k1.select("doc_id").collect()).map(_.getLong(0)).toSet
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).size} batch-only=${(expected -- streamed).size}")
+
+    // Decontamination bites: bench-split docs flow through the crawl
+    // files but never reach the corpus (each trivially shares its own
+    // shingles with the reference).
+    assert(streamed.nonEmpty)
+    assert(!streamed.exists(_ % 50 == 3))
+
+    // The published card (accumulate-read over per-batch versions)
+    // equals the direct aggregate over the accumulated corpus.
+    import graft.ops.TextOps
+    val card = store.get("streaming/corpus-card")
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = store.get("streaming/corpus")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(card == direct)
+
+    // One version per non-empty micro-batch on every table.
+    val sigInfo = store.list(Some("streaming/corpus-sigs"))
+      .find(_.name == "streaming/corpus-sigs").get
+    assert(sigInfo.versions.toSet == Set("b0", "b1"), sigInfo.versions)
+  }
+
   test("streaming near-dup alerts == batch MinHash candidates on a replayed ingest") {
     import graft.ops.Dedup
     import graft.streaming.DocStreams
