@@ -276,10 +276,20 @@ object ScaleBench {
         val ingestN = math.min(n / 4, 250000L)
         val stateD = docs.where(col("doc_id") < n - ingestN)
         val deltaD = docs.where(col("doc_id") >= n - ingestN)
-        val sigState = Dedup.materialize(
-          Dedup.shingleSignatures(stateD, "doc_id", "text"))
-        val freqState = Dedup.materialize(Dedup.shingleDocFreqs(sigState))
-        sigState.count(); freqState.count() // force outside the timing
+        // The state lives in the STORE and reads back as parquet — the
+        // production shape (qn24 / dedupBatchAgainstStore). The first
+        // harness draft localCheckpoint'ed the ~70M-row state table
+        // instead: the heap-pinned blocks pressured the op's own
+        // execution memory (reproducible calibration inflation 5.7 s vs
+        // 0.7 s, borderline 8 GB spill) — a measurement artifact, not
+        // the op. Writes land outside the timed window.
+        val st = new graft.store.Store(spark,
+          graft.TempDirs.create("graft_sb_delta_"))
+        val sig = Dedup.shingleSignatures(stateD, "doc_id", "text")
+        st.load(sig, "state/sigs", externalKey = "b0")
+        st.load(Dedup.shingleDocFreqs(sig), "state/freqs", externalKey = "b0")
+        val sigState = st.get("state/sigs", useLast = true)
+        val freqState = st.get("state/freqs", useLast = true)
         addOp("qn110_delta_ingest")(
           Dedup.dedupIncremental(deltaD, sigState, "doc_id", "text",
             prevShingleFreqs = Some(freqState)).count())

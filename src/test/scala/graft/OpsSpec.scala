@@ -1376,6 +1376,27 @@ class OpsSpec extends SparkSpec {
     assert(lastSigs < pinnedSigs && lastSigs > 0)
   }
 
+  test("contaminationOverlapStored == contaminationOverlap on the saved artifact") {
+    // The scaladoc's bit-identical claim, pinned: matching against the
+    // store-persisted reference shingle table (saveReferenceShingles'
+    // signatures) reproduces the fresh text-shingling path's
+    // (id, n_overlap) rows exactly — the two shingle renderings
+    // (Dedup's signature table, TextOps' shingles column) must stay
+    // the same function of the text or the stored seam silently drifts.
+    val d = Tables.read(spark, sf(), "documents")
+    val bench = d.where(pmod(col("doc_id"), lit(50)) === 3)
+    val corpus = d.where(pmod(col("doc_id"), lit(50)) =!= 3)
+    val store = new graft.store.Store(spark, TempDirs.create("graft_contam_spec_"))
+    graft.ops.Dedup.saveReferenceShingles(store, "ref", bench, "doc_id", "text")
+    val fresh = graft.ops.TextOps.contaminationOverlap(
+      corpus, bench, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val stored = graft.ops.TextOps.contaminationOverlapStored(
+      corpus, store.get("ref/signatures", useLast = true), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(fresh.nonEmpty, "fixture should contain contaminated docs")
+    assert(stored === fresh)
+  }
+
   test("dupClusterSizeHistogram: sizes, cluster counts, doc totals") {
     import spark.implicits._
     // Clusters: {1,2,3} (size 3) and {10,11} (size 2) → rows
