@@ -772,6 +772,60 @@ object TextOps {
       repetitionOk = typeTokenRatio(c) >= minTypeTokenRatio,
       stopwordOk = stopwordFraction(c) >= minStopwordFraction)
 
+  /** Per-document rejection attribution through the standard curation
+    * funnel — quality rules (per-rule, fixed precedence: length →
+    * word-shape → repetition → stopword) → near-dup dedup
+    * ([[graft.ops.Dedup.dedupByJaccard]]'s keep-min clusters) →
+    * benchmark decontamination ([[contaminationOverlap]]). Returns the
+    * corpus with one extra `stage` column: the FIRST gate that rejected
+    * each doc (`quality_length` | `quality_wordshape` |
+    * `quality_repetition` | `quality_stopword` | `dedup` | `decontam`)
+    * or `kept`. The composite keep-filter (qn101's pipeline) tells you
+    * THAT the corpus shrank; this tells you WHERE, per doc — the
+    * per-source × per-stage census it feeds (qn111) is the audit a
+    * curation run publishes before anyone trains on the output, and the
+    * precedence makes the stages a PARTITION of the input (counts sum
+    * back to arrivals — conservation is spec-pinned).
+    *
+    * Scale shape: the quality stage is per-row codegen'd flags on the
+    * corpus scan; dedup/decontam run exactly their standalone plans
+    * (capped candidate join + broadcast benchmark match); the
+    * attribution itself is two id-keyed joins against ID-ONLY frames
+    * (survivor ids, contaminated ids — never text), so the corpus body
+    * shuffles once on the id key and nothing else grows with text size.
+    * Project narrow columns before calling at 100 TB; the stage label
+    * rides whatever columns the caller kept.
+    */
+  def rejectionFunnel(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val r = qualityRules(col(textCol))
+    val qstage = when(!r.lengthOk, "quality_length")
+      .when(!r.wordShapeOk, "quality_wordshape")
+      .when(!r.repetitionOk, "quality_repetition")
+      .when(!r.stopwordOk, "quality_stopword")
+    val flagged = corpus.withColumn("__qstage", qstage)
+    val q = flagged.where(col("__qstage").isNull).drop("__qstage")
+    val survivors = Dedup.dedupByJaccard(q, idCol, textCol, n, threshold)
+    val contaminated =
+      contaminationOverlap(survivors, benchmark, idCol, textCol, n)
+    flagged
+      .join(survivors.select(col(idCol), lit(true).as("__surv")),
+        Seq(idCol), "left")
+      .join(contaminated.select(col(idCol), lit(true).as("__cont")),
+        Seq(idCol), "left")
+      .withColumn("stage",
+        coalesce(col("__qstage"),
+          when(col("__surv").isNull, "dedup")
+            .when(col("__cont").isNotNull, "decontam")
+            .otherwise("kept")))
+      .drop("__qstage", "__surv", "__cont")
+  }
+
   /** A trained quality classifier: `weights` = [dense aux coefficients,
     * then `hashDim` hashed-bucket coefficients], serving via
     * [[qualityModelScore]]. Model size ≈ `hashDim` doubles —

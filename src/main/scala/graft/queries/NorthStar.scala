@@ -2406,6 +2406,31 @@ object NorthStar {
       .orderBy("source")
   }
 
+  /** Rejection-funnel census — the per-source × per-stage attribution
+    * audit over qn101's exact pipeline ([[graft.ops.TextOps
+    * .rejectionFunnel]]): every corpus doc is labeled with the FIRST
+    * gate that rejected it (the four quality rules in fixed precedence,
+    * then dedup, then decontamination) or `kept`, and the census
+    * aggregates docs + tokens per (source, stage). qn101 grades the
+    * pipeline's OUTPUT; this grades its ACCOUNTING — the stages
+    * partition the input exactly (counts sum back to arrivals), so a
+    * curation run can publish WHY each source shrank before anyone
+    * trains on the result. Oracle restates the per-doc CASE precedence
+    * over the same shingle/component/benchmark CTEs as qn101's.
+    */
+  private def qFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isBench = pmod(col("doc_id"), lit(50)) === 3
+    val corpus = d.select("doc_id", "source", "text").where(!isBench)
+    val bench = d.where(isBench)
+    TextOps.rejectionFunnel(corpus, bench, "doc_id", "text")
+      .groupBy("source", "stage")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("source", "stage")
+  }
+
   /** Incremental dataset card through the STORE (the qn33 mergeable-
     * sketch pattern applied to qn77's card): each ingest persists its
     * per-source stateless card stats as one store version (a
@@ -4432,6 +4457,83 @@ object NorthStar {
              (SELECT count(*) FROM dc
               WHERE doc_id >= (SELECT c FROM cut)) AS n_delta_kept
       FROM card
-      ORDER BY source"""))
+      ORDER BY source""")),
+    QueryDef("qn111_filter_funnel", qFilterFunnel _, Some("""
+      WITH RECURSIVE corpus AS MATERIALIZED (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 3),
+      bench AS MATERIALIZED (
+        SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS s
+        FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+              FROM documents WHERE doc_id % 50 = 3 AND trim(text) <> '') bt,
+             unnest(range(1, len(w) - 1)) r(i)),
+      staged AS MATERIALIZED (
+        SELECT doc_id, source, toks,
+               CASE WHEN NOT (toks BETWEEN 25 AND 100000) THEN 'quality_length'
+                    WHEN NOT (awl BETWEEN 3.0 AND 10.0) THEN 'quality_wordshape'
+                    WHEN ttr < 0.45 THEN 'quality_repetition'
+                    WHEN stopfrac < 0.05 THEN 'quality_stopword'
+                    END AS qstage
+        FROM (
+          SELECT doc_id, source,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+                 CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE len(regexp_replace(text, '\s+', '', 'g'))
+                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS awl,
+                 CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS ttr,
+                 CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 t -> t IN ('the', 'a', 'of', 'and', 'is', 'to')))
+                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS stopfrac
+          FROM corpus) f),
+      q AS MATERIALIZED (
+        SELECT c.doc_id, c.text FROM corpus c
+        JOIN staged st ON c.doc_id = st.doc_id WHERE st.qstage IS NULL),
+      sh0 AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM q WHERE trim(text) <> '') qt,
+             unnest(range(1, len(w) - 1)) r(i)),
+      sh AS MATERIALIZED (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
+      nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      qpairs AS (SELECT doc_a, doc_b FROM prs
+                 JOIN nsh na ON doc_a = na.doc_id
+                 JOIN nsh nb ON doc_b = nb.doc_id
+                 WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM qpairs
+                UNION SELECT doc_b, doc_a FROM qpairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+                      UNION
+                      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      losers AS MATERIALIZED (
+        SELECT u AS doc_id FROM (SELECT u, least(u, min(v)) AS component
+                                 FROM reach GROUP BY u) c
+        WHERE u <> component),
+      cont AS MATERIALIZED (
+        SELECT DISTINCT c.doc_id FROM (
+          SELECT dt.doc_id, array_to_string(w[i:i+2], ' ') AS s
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM q WHERE trim(text) <> ''
+                  AND doc_id NOT IN (SELECT doc_id FROM losers)) dt,
+               unnest(range(1, len(w) - 1)) r(i)) c
+        JOIN bench b ON c.s = b.s),
+      final AS (
+        SELECT source,
+               coalesce(qstage,
+                 CASE WHEN doc_id IN (SELECT doc_id FROM losers) THEN 'dedup'
+                      WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'decontam'
+                      ELSE 'kept' END) AS stage,
+               toks
+        FROM staged)
+      SELECT source, stage, count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens
+      FROM final GROUP BY 1, 2
+      ORDER BY source, stage"""))
   )
 }

@@ -876,6 +876,49 @@ class OpsSpec extends SparkSpec {
       s"benchmark side must broadcast:\n$plan")
   }
 
+  test("rejectionFunnel: first-gate attribution, stages partition the corpus") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // Distinct-vocabulary "good" docs: 28 tokens, 2 stopwords (7.1%),
+    // awl ~3-4, ttr 1.0 — pass every rule; zero shared 3-shingles
+    // across different i (every shingle carries an i-suffixed word).
+    def good(i: Int): String =
+      "the and " + ('a' to 'z').map(c => s"w$i$c").mkString(" ")
+    // 25 words of 12+ chars: length passes, awl > 10 fails word-shape.
+    val longWords =
+      (0 until 25).map(j => "aaaaaaaaaaaa" + j).mkString(" ")
+    val noStop = // 28 tokens, all distinct, zero stopwords
+      ('a' to 'z').map(c => s"v4$c").mkString(" ") + " v4aa v4bb"
+    val corpus = Seq(
+      (1L, "tiny doc"),                         // fails length
+      (2L, longWords),                          // fails word-shape
+      (3L, Seq.fill(30)("word").mkString(" ")), // ttr 1/30: repetition
+      (4L, noStop),                             // fails stopword
+      (10L, good(1)),                           // kept (dup keep-min)
+      (11L, good(1)),                           // exact dup -> dedup
+      (20L, good(2)),                           // contaminated below
+      (30L, good(3))                            // kept
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "w2c w2d w2e benchmark prompt")).toDF("doc_id", "text")
+    val out = TextOps.rejectionFunnel(corpus, bench, "doc_id", "text")
+    val got = out.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stage")).toMap
+    assert(got == Map(
+      1L -> "quality_length", 2L -> "quality_wordshape",
+      3L -> "quality_repetition", 4L -> "quality_stopword",
+      10L -> "kept", 11L -> "dedup", 20L -> "decontam", 30L -> "kept"))
+    // Conservation: the stage label PARTITIONS the input (one row per
+    // arriving doc, no drops, no dupes) ...
+    assert(out.count() == corpus.count())
+    // ... and `kept` is exactly the composite pipeline's survivor set.
+    val q = corpus.where(TextOps.qualityRules(col("text")).keep)
+    val dd = graft.ops.Dedup.dedupByJaccard(q, "doc_id", "text")
+    val survivors = dd.join(
+      TextOps.contaminationOverlap(dd, bench, "doc_id", "text").select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    assert(got.filter(_._2 == "kept").keySet ==
+      survivors.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("quality score bounded in [0,1]") {
     val docs = Tables.read(spark, sf(), "documents")
     val mm = docs.select(
