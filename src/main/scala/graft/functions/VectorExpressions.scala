@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BpeMergePairExpr, ColumnBridge, DotProductD, HashedTokenCountsExpr, HashedTokenLogitExpr, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
+import org.apache.spark.sql.graft.{BpeMergePairExpr, ColumnBridge, DotProductD, HashedTokenCountsExpr, HashedTokenLogitExpr, HashedTokenMultiLogitExpr, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
 
 /** Facade over the custom Catalyst expressions in
   * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
@@ -123,6 +123,19 @@ object VectorExpressions {
     ColumnBridge.column(HashedTokenLogitExpr(
       ColumnBridge.expression(aux), ColumnBridge.expression(tokens),
       weights, hashDim, intercept))
+
+  /** Multiclass serving kernel of the learned domain classifier:
+    * `struct<pred int, prob double>` = softmax argmax over K logits
+    * computed in one primitive pass (each token hashes once and adds
+    * its bucket weight to every class lane). `weights` is the K ×
+    * (nAux + hashDim) matrix flattened row-major; `intercepts` is K.
+    */
+  def hashedTokenMultiLogit(aux: Column, tokens: Column,
+      weights: Array[Double], hashDim: Int,
+      intercepts: Array[Double]): Column =
+    ColumnBridge.column(HashedTokenMultiLogitExpr(
+      ColumnBridge.expression(aux), ColumnBridge.expression(tokens),
+      weights, hashDim, intercepts))
 
   /** Top-`probes` nearest cell ids (array<int>, (dist, cell) ascending)
     * of an `array<double>` query against a flat centroid matrix — the

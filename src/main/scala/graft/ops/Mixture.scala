@@ -651,6 +651,51 @@ object Mixture {
     * Output: the input columns plus `pick_rank` (1-based within the
     * cluster, in pick order).
     */
+  /** Exact-count rebalance to a target domain distribution — the
+    * mixture step AFTER domain classification
+    * ([[graft.ops.TextOps.domainPredict]]): given per-row domain labels
+    * and target shares (positive, summing to 1), keep the largest
+    * corpus whose realized domain mix matches the target. The feasible
+    * total is N = min_d ⌊count_d / share_d⌋ (the scarcest domain pins
+    * the mixture — you cannot upsample what you don't have without
+    * repeating docs, which is [[epochPriority]]'s job); each domain
+    * then keeps exactly ⌊share_d·N⌋ rows, chosen deterministically as
+    * the hash-priority-first rows ([[priority]] order, ties by id), so
+    * two runs over the same corpus select the same docs.
+    *
+    * Scale shape: one K-row count aggregate (collected — domains, not
+    * data), then delegation to [[sampleByTokenBudget]] with one "token"
+    * per row — the count budget inherits the bucketed two-phase
+    * prefix-sum plan (per-bucket counts classify full/boundary; only
+    * ~1/numBuckets of each domain ever sorts). Domains absent from
+    * `target` are dropped; a target domain absent from the corpus pins
+    * N = 0 (empty result) rather than silently mis-mixing.
+    */
+  def rebalanceToTarget(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      target: Map[String, Double]): DataFrame = {
+    require(target.nonEmpty && target.values.forall(_ > 0d),
+      "target shares must be positive")
+    require(math.abs(target.values.sum - 1d) < 1e-9,
+      "target shares must sum to 1")
+    val counts = df.where(col(domainCol).isin(target.keys.toSeq: _*))
+      .groupBy(domainCol).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val feasible = target.map { case (d, s) =>
+      (counts.getOrElse(d, 0L) / s).toLong }.min
+    // Clamp per-domain needs at the observed count: float error in
+    // share·N could otherwise ask for one row more than exists.
+    val needs = target.toSeq.map { case (d, s) =>
+      d -> math.min((s * feasible).toLong, counts.getOrElse(d, 0L)) }
+    import df.sparkSession.implicits._
+    sampleByTokenBudget(
+      df.withColumn("__rb_one", lit(1L)), idCol, "__rb_one", domainCol,
+      needs.toDF(domainCol, "budget"))
+      .drop("__rb_one")
+  }
+
   def clusterBalancedSample(
       df: DataFrame,
       idCol: String,

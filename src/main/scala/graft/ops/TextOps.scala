@@ -954,6 +954,177 @@ object TextOps {
       auxQualityFeatures(c), tokens(c),
       model.weights, model.hashDim, model.intercept)
 
+  /** A trained multiclass DOMAIN classifier (fastText-shaped softmax
+    * over hashed bag-of-words + the same dense aux stats as
+    * [[QualityModel]]): `labels(i)` names class i, `weights` is the
+    * K × (auxDim + hashDim) coefficient matrix flattened row-major,
+    * `intercepts` one per class. The whole model is a few K·hashDim
+    * doubles — broadcastable metadata, serving via [[domainPredict]].
+    * This is the mixture-construction classifier a curation stack runs
+    * to label crawl docs with a domain/register before rebalancing
+    * ([[Mixture.rebalanceToTarget]]).
+    */
+  final case class DomainModel(
+      labels: Array[String],
+      weights: Array[Double],
+      intercepts: Array[Double],
+      hashDim: Int) {
+    def numClasses: Int = labels.length
+    def auxDim: Int = weights.length / numClasses - hashDim
+  }
+
+  /** Train the domain classifier: multinomial logistic regression
+    * (`spark.ml`, L-BFGS — distributed, driver holds only the K×n
+    * coefficient matrix) over the SAME feature layout as
+    * [[trainQualityModel]] (dense aux stats, then `dim` hashed-BoW
+    * buckets), labeled by `labelCol`. The label vocabulary is collected
+    * and sorted — domains are a handful of strings by construction, so
+    * the collect is K rows, and the sorted order makes class indices
+    * deterministic. Same scale shape as the binary scorer: the fit
+    * sees a hash-bounded ≤ `maxTrainRows` sample with class-balanced
+    * instance weights; the 100 TB corpus is only ever SCORED
+    * ([[domainPredict]] — one shuffle-free primitive-loop scan).
+    */
+  def trainDomainModel(
+      docs: DataFrame,
+      textCol: String,
+      labelCol: String,
+      dim: Int = 512,
+      maxTrainRows: Long = 200000L,
+      regParam: Double = 1e-3,
+      maxIter: Int = 50,
+      classBalance: Boolean = false): DomainModel =
+    trainDomainModelWithMl(
+      docs, textCol, labelCol, dim, maxTrainRows, regParam, maxIter,
+      classBalance)._1
+
+  /** The domain-classifier feature row: dense aux stats, then `dim`
+    * hashed-BoW buckets — TRAIN-side only (serving never materializes
+    * it). Public so audits can rebuild the exact train-time layout.
+    */
+  def domainFeatures(c: Column, dim: Int): Column =
+    concat(auxQualityFeatures(c),
+      graft.functions.VectorExpressions.hashedTokenCounts(tokens(c), dim))
+
+  /** [[trainDomainModel]] variant that also returns the fitted
+    * `spark.ml` model, so audit tooling ([[graft.tools
+    * .DomainModelAudit]]) can cross-check the primitive-loop serving
+    * expression against `transform`'s argmax row-for-row.
+    */
+  def trainDomainModelWithMl(
+      docs: DataFrame,
+      textCol: String,
+      labelCol: String,
+      dim: Int = 512,
+      maxTrainRows: Long = 200000L,
+      regParam: Double = 1e-3,
+      maxIter: Int = 50,
+      classBalance: Boolean = false)
+      : (DomainModel,
+         org.apache.spark.ml.classification.LogisticRegressionModel) = {
+    val labels = docs.select(labelCol).where(col(labelCol).isNotNull)
+      .distinct().orderBy(labelCol)
+      .collect().map(_.getString(0))
+    require(labels.length >= 2, "need at least two domain labels")
+    val n = Similarity.planRowUpperBound(docs).getOrElse(docs.count())
+    val sampled =
+      if (n <= maxTrainRows) docs
+      else docs.where(
+        pmod(xxhash64(col(textCol)),
+          lit((n + maxTrainRows - 1) / maxTrainRows)) === 0)
+    import org.apache.spark.ml.functions.array_to_vector
+    val labelIdx = labels.zipWithIndex.tail.foldLeft(
+      when(col(labelCol) === labels.head, 0d)) {
+      case (acc, (l, i)) => acc.when(col(labelCol) === l, i.toDouble)
+    }
+    val labeled = sampled.where(col(labelCol).isNotNull)
+      .select(labelIdx.as("label"),
+        array_to_vector(domainFeatures(col(textCol), dim)).as("features"))
+    // Instance weights: UNWEIGHTED by default — a mixture classifier
+    // should be calibrated to the corpus prior (argmax against the real
+    // label frequencies is what rebalancing consumes; balancing the
+    // classes here measurably costs top-1 accuracy on a skewed-prior
+    // corpus, DAUDIT r14). `classBalance = true` restores the quality
+    // scorer's w_c = n / (K·n_c) for rare-domain recall at the expense
+    // of head-domain precision. One K-row aggregate, driver-side.
+    val k = labels.length
+    val wCol = if (!classBalance) lit(1d) else {
+      val counts = labeled.groupBy("label").count().collect()
+        .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum.toDouble
+      labels.indices.tail.foldLeft(
+        when(col("label") === 0d,
+          lit(total / (k * math.max(counts.getOrElse(0d, 1L), 1L))))) {
+        case (acc, i) => acc.when(col("label") === i.toDouble,
+          lit(total / (k * math.max(counts.getOrElse(i.toDouble, 1L), 1L))))
+      }
+    }
+    val m = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFamily("multinomial")
+      .setWeightCol("w").setFeaturesCol("features").setLabelCol("label")
+      .setTol(1e-7)
+      .fit(labeled.withColumn("w", wCol))
+    val cm = m.coefficientMatrix // K x (nAux + dim)
+    val flat = new Array[Double](cm.numRows * cm.numCols)
+    cm.foreachActive { (r, c, v) => flat(r * cm.numCols + c) = v }
+    (DomainModel(labels, flat, m.interceptVector.toArray, dim), m)
+  }
+
+  /** Classify a text column with a trained [[DomainModel]]:
+    * `struct<pred int, prob double>` — deterministic argmax class index
+    * (ties to the smallest index) and its softmax probability, in one
+    * shuffle-free primitive-loop scan. Map `pred` to a name via
+    * [[domainLabel]].
+    */
+  def domainPredict(c: Column, model: DomainModel): Column =
+    graft.functions.VectorExpressions.hashedTokenMultiLogit(
+      auxQualityFeatures(c), tokens(c),
+      model.weights, model.hashDim, model.intercepts)
+
+  /** Class-index → label-name lookup for [[domainPredict]] output (a
+    * K-element literal array — domains, not data).
+    */
+  def domainLabel(pred: Column, model: DomainModel): Column =
+    element_at(typedLit(model.labels.toSeq), pred + lit(1))
+
+  /** Persist a trained [[DomainModel]] as a versioned store artifact —
+    * the [[saveQualityModel]] lifecycle: one-row table (labels,
+    * weights, intercepts, hash_dim), `_last` serves the newest model,
+    * pinned `externalKey` reads give rollback. A mixture build that
+    * pins its classifier version is reproducible regardless of
+    * concurrent retrains.
+    */
+  def saveDomainModel(
+      spark: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store,
+      name: String,
+      model: DomainModel,
+      externalKey: String = "NOW",
+      keepLast: Boolean = false): Map[String, String] = {
+    import spark.implicits._
+    store.load(
+      Seq((model.labels.toSeq, model.weights.toSeq,
+        model.intercepts.toSeq, model.hashDim))
+        .toDF("labels", "weights", "intercepts", "hash_dim"),
+      name, externalKey = externalKey, keepLast = keepLast)
+  }
+
+  /** Read a persisted [[DomainModel]] back (one-row collect — model
+    * metadata, never data). No `externalKey` → the `_last` version.
+    */
+  def loadDomainModel(
+      store: graft.store.Store,
+      name: String,
+      externalKey: Option[String] = None): DomainModel = {
+    val r = store.get(name, externalKey, useLast = externalKey.isEmpty).head()
+    DomainModel(
+      r.getAs[scala.collection.Seq[String]]("labels").toArray,
+      r.getAs[scala.collection.Seq[Double]]("weights").toArray,
+      r.getAs[scala.collection.Seq[Double]]("intercepts").toArray,
+      r.getAs[Int]("hash_dim"))
+  }
+
   /** Distributed ROC-AUC for a score-vs-binary-label audit, via
     * score-bucket rank statistics: one map-side-combinable aggregate
     * over `bins` buckets (scores assumed in [0,1]), then the

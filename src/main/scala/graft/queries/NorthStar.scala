@@ -2218,6 +2218,94 @@ object NorthStar {
           .as("balacc_ok"))
   }
 
+  /** Learned DOMAIN classification + mixture rebalancing — the
+    * fastText-shaped language-ID / register classifier a curation stack
+    * trains once and then uses to LABEL the crawl and REBALANCE the
+    * training mixture (the step between qn105's quality gate and
+    * qn28's budget sampling). Grades, in one row: (a) holdout top-1
+    * accuracy on the fixture's `lang` labels through the multiclass
+    * primitive-loop serving expression ([[TextOps.domainPredict]]) —
+    * contract boolean, qn105's discipline; (b) the artifact lifecycle
+    * (save → zero-weight supersede → pinned-v1 rollback, the
+    * qn106/qn107/qn108 seam) with stored ≡ fresh proven by comparing
+    * BOTH models' predictions in ONE scan; and (c)
+    * [[Mixture.rebalanceToTarget]]'s exact-count contract — the
+    * realized per-domain counts of a uniform-target rebalance over the
+    * PREDICTED labels must equal ⌊share·N_feasible⌋ exactly, domain by
+    * domain.
+    *
+    * Threshold stability: gates sit inside the measured band
+    * ([[graft.tools.DomainModelAudit]], DAUDIT_r14_sf001/sf01.json,
+    * same doc_id%4 split as this query: holdout acc 0.360 at sf0.01 /
+    * 0.417 at sf0.1 vs 0.20 chance, spark.ml-transform agreement
+    * 1.0000 at both SFs), so the 0.28 accuracy gate keeps ≥ 0.08
+    * margin at the tightest SF against the ulp-level treeAggregate
+    * perturbations (4th decimal) that move trained weights run-to-run.
+    * The classifier trains UNWEIGHTED (calibrated to the corpus
+    * prior — what a mixture pass consumes); class-balancing measurably
+    * cost top-1 accuracy here (0.23 vs 0.48 on the hash-split probe,
+    * DAUDIT r14). Re-run the audit and re-justify if the fixture
+    * generator or feature set changes.
+    */
+  private def qDomainMixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val test = d.where(pmod(col("doc_id"), lit(4)) === 1)
+    val fresh = TextOps.trainDomainModel(
+      d.where(pmod(col("doc_id"), lit(4)) =!= 1), "text", "lang", dim = 512)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_dmodel_"))
+    TextOps.saveDomainModel(s, store, "models/domain", fresh, externalKey = "v1")
+    // Supersede with a recognizably-broken artifact: `_last` must serve
+    // it, the pinned read below must not.
+    TextOps.saveDomainModel(s, store, "models/domain",
+      fresh.copy(weights = new Array[Double](fresh.weights.length)),
+      externalKey = "v2")
+    val last = TextOps.loadDomainModel(store, "models/domain")
+    val pinned = TextOps.loadDomainModel(store, "models/domain", Some("v1"))
+    val rollbackOk = last.weights.forall(_ == 0d) &&
+      pinned.weights.sameElements(fresh.weights) &&
+      pinned.intercepts.sameElements(fresh.intercepts) &&
+      pinned.labels.sameElements(fresh.labels)
+    // Holdout accuracy + stored ≡ fresh, one comparison scan (two
+    // serving expressions over the same rows — the qn107/qn108 shape).
+    val audit = test.select(col("lang"),
+        TextOps.domainPredict(col("text"), fresh).as("pf"),
+        TextOps.domainPredict(col("text"), pinned).as("ps"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        min(when(col("pf.pred") === col("ps.pred") &&
+          col("pf.prob") === col("ps.prob"), 1).otherwise(0)).as("__same"),
+        avg(when(TextOps.domainLabel(col("pf.pred"), fresh) === col("lang"),
+          1d).otherwise(0d)).as("__acc"))
+    // Rebalance the full corpus by PREDICTED domain to a uniform
+    // target; the contract is exact realized counts. The labeled frame
+    // feeds three count passes — materialize it once.
+    val labeled = Dedup.materialize(d.select(col("doc_id"),
+      TextOps.domainLabel(
+        TextOps.domainPredict(col("text"), pinned).getField("pred"), pinned)
+        .as("domain")))
+    val predCounts = labeled.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val doms = predCounts.keys.toSeq.sorted
+    val share = 1d / doms.size
+    val realized = Mixture.rebalanceToTarget(
+      labeled, "doc_id", "domain", doms.map(_ -> share).toMap)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val feasible = doms.map(dm => (predCounts(dm) / share).toLong).min
+    val needs = doms.map(dm =>
+      dm -> math.min((share * feasible).toLong, predCounts(dm))).toMap
+    val rebalanceOk =
+      doms.forall(dm => realized.getOrElse(dm, 0L) == needs(dm)) &&
+        realized.keySet.forall(needs.contains)
+    audit.select(
+      col("n_test"),
+      lit(fresh.numClasses).as("n_lang"),
+      coalesce(col("__acc") >= 0.28, lit(false)).as("acc_ok"),
+      (col("__same") === 1).as("stored_ok"),
+      lit(rollbackOk).as("rollback_ok"),
+      lit(rebalanceOk).as("rebalance_ok"))
+  }
+
   /** End-to-end corpus build — the composition a real pipeline runs,
     * as ONE query over the fixtures: quality filter (qn18's rules) →
     * 3-gram Jaccard near-dup dedup (qn15's detector + keep-min apply) →
@@ -4534,6 +4622,13 @@ object NorthStar {
       SELECT source, stage, count(*) AS n_docs,
              CAST(sum(toks) AS BIGINT) AS n_tokens
       FROM final GROUP BY 1, 2
-      ORDER BY source, stage"""))
+      ORDER BY source, stage""")),
+    QueryDef("qn112_domain_mixture", qDomainMixture _, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST((SELECT count(DISTINCT lang) FROM documents
+                   WHERE doc_id % 4 <> 1) AS INT) AS n_lang,
+             true AS acc_ok, true AS stored_ok,
+             true AS rollback_ok, true AS rebalance_ok
+      FROM documents WHERE doc_id % 4 = 1"""))
   )
 }

@@ -327,6 +327,33 @@ object ScaleBench {
               .qualityModelScore(col("text"), qualityModel).as("p"))
             .where(col("p") >= 0.5).count())
       }
+      // Rejection-funnel attribution (qn111): the full curation
+      // composition (per-row quality flags → capped-candidate dedup →
+      // broadcast decontam) plus the two id-keyed attribution joins
+      // and a sources×stages aggregate. The components are measured
+      // solo elsewhere (qn26/qn40/qn52 families); this point pins the
+      // COMPOSITION's overhead — the wall should read like dedup +
+      // decontam, the joins and census being id/metadata-sized.
+      addOp("qn111_funnel")(
+        graft.ops.TextOps.rejectionFunnel(
+          docs.where(pmod(col("doc_id"), lit(50L)) =!= 3L),
+          docs.where(pmod(col("doc_id"), lit(50L)) === 3L),
+          "doc_id", "text")
+          .groupBy("source", "stage").count().count())
+      // The multiclass DOMAIN serving pass (qn112's 100 TB claim):
+      // same protocol as qn105_score — the fit (bounded sample) runs
+      // OUTSIDE the timed window; the timed section is the corpus scan
+      // through HashedTokenMultiLogitExpr (K logit lanes per token vs
+      // the binary kernel's one — the wall should stay scan-tracking,
+      // K× the per-token adds being arithmetic, not memory).
+      if (opFilter.forall(_.findFirstIn("qn112_score").isDefined)) {
+        val domainModel =
+          graft.ops.TextOps.trainDomainModel(docs, "text", "lang")
+        addOp("qn112_score")(
+          docs.select(graft.ops.TextOps
+              .domainPredict(col("text"), domainModel).as("p"))
+            .where(col("p.prob") >= 0.5).count())
+      }
       addOp("qn51_dedup_spans")(
         // The stride-1 window stream is the heaviest text-op shape
         // (one skinny (id, start, hash) row per token position); the

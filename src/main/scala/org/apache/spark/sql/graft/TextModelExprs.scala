@@ -117,3 +117,87 @@ case class HashedTokenLogitExpr(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Multiclass sibling of [[HashedTokenLogitExpr]] — the serving kernel
+  * of the learned DOMAIN classifier (fastText-shaped softmax over
+  * hashed bag-of-words + dense aux stats). `weights` is the K × (nAux +
+  * hashDim) coefficient matrix flattened row-major; `intercepts` has
+  * one entry per class. Per row: K logits accumulate in one pass (each
+  * token hashes ONCE, then adds its bucket weight to every class
+  * lane), softmax normalizes, and the result is a
+  * `struct<pred int, prob double>` — argmax class index (ties break to
+  * the smallest index, so scoring is deterministic) and its softmax
+  * probability. Same constructor-array discipline as the binary
+  * scorer: classifying a 100 TB corpus into domains is one
+  * shuffle-free scan, no feature vector, no UDF, no join.
+  */
+case class HashedTokenMultiLogitExpr(
+    left: Expression,
+    right: Expression,
+    weights: Array[Double],
+    hashDim: Int,
+    intercepts: Array[Double])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ExpectsInputTypes with CodegenFallback {
+
+  private val k = intercepts.length
+  require(k >= 2, "need at least two classes")
+  require(hashDim > 0 && weights.length % k == 0,
+    "weights must be a K x (nAux + hashDim) row-major matrix")
+  private val stride = weights.length / k
+  private val nAux = stride - hashDim
+  require(nAux >= 0, "per-class weight rows must cover hashDim buckets")
+
+  /** left = aux dense features, right = tokens. */
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("pred", IntegerType, nullable = false),
+    StructField("prob", DoubleType, nullable = false)))
+  override def prettyName: String = "hashed_token_multi_logit"
+
+  override protected def nullSafeEval(aux: Any, toks: Any): Any = {
+    val a = aux.asInstanceOf[ArrayData]
+    val t = toks.asInstanceOf[ArrayData]
+    if (a.numElements() != nAux) {
+      throw new IllegalArgumentException(
+        s"hashed_token_multi_logit: aux feature array has " +
+          s"${a.numElements()} elements but the model was trained with " +
+          s"$nAux dense features before its hashed buckets — train/serve " +
+          "layout drift")
+    }
+    val z = new Array[Double](k)
+    var c = 0
+    while (c < k) { z(c) = intercepts(c); c += 1 }
+    var i = 0
+    while (i < nAux) {
+      val v = a.getDouble(i)
+      c = 0
+      while (c < k) { z(c) += v * weights(c * stride + i); c += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < t.numElements()) {
+      if (!t.isNullAt(i)) {
+        val b = nAux + HashedTokenBucket.bucket(t.getUTF8String(i), hashDim)
+        c = 0
+        while (c < k) { z(c) += weights(c * stride + b); c += 1 }
+      }
+      i += 1
+    }
+    var best = 0
+    c = 1
+    while (c < k) { if (z(c) > z(best)) best = c; c += 1 }
+    var denom = 0d
+    c = 0
+    while (c < k) { denom += math.exp(z(c) - z(best)); c += 1 }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    row.setInt(0, best)
+    row.setDouble(1, 1d / denom)
+    row
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

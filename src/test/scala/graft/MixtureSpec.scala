@@ -268,6 +268,38 @@ class MixtureSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
 
+  test("rebalanceToTarget: exact needs per domain, deterministic picks, strays dropped") {
+    import spark.implicits._
+    // Domain counts a=6, b=3, c=1 (+2 'stray' rows outside the target).
+    // Target (0.5, 0.3, 0.2): feasible N = min(⌊6/.5⌋, ⌊3/.3⌋, ⌊1/.2⌋)
+    // = min(12, 9, 5) = 5 (3/.3 floats to 9.99…, floor 9 — still not
+    // binding); needs = ⌊.5·5⌋, ⌊.3·5⌋, ⌊.2·5⌋ = 2, 1, 1.
+    val rows = (0L until 6L).map((_, "a")) ++
+      (10L until 13L).map((_, "b")) ++ Seq((20L, "c")) ++
+      Seq((30L, "stray"), (31L, "stray"))
+    val df = rows.toDF("doc_id", "domain")
+    val target = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val got = Mixture.rebalanceToTarget(df, "doc_id", "domain", target)
+    val counts = got.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    // Deterministic: same corpus -> same docs, and they are the
+    // hash-priority-first rows of each domain.
+    val again = Mixture.rebalanceToTarget(df, "doc_id", "domain", target)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.select("doc_id").as[Long].collect().toSet === again)
+    val expected = rows.filter(_._2 != "stray").groupBy(_._2).flatMap {
+      case (d, rs) =>
+        rs.map(_._1).sortBy(id => ((id * 2654435761L) % 4294967296L, id))
+          .take(counts(d).toInt)
+    }.toSet
+    assert(again === expected)
+    // A target domain absent from the corpus pins N = 0: empty result,
+    // never a silently mis-mixed sample.
+    assert(Mixture.rebalanceToTarget(
+      df, "doc_id", "domain", Map("a" -> 0.5, "nope" -> 0.5)).count() === 0L)
+  }
+
   test("leakageSafeSplit: groups never straddle splits; label = anchor's hashSplit") {
     import spark.implicits._
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

@@ -83,6 +83,132 @@ class TextModelSpec extends SparkSpec {
     }
   }
 
+  /** In-memory mirror of HashedTokenMultiLogitExpr — same loop order
+    * (per-feature outer, per-class inner), so bit-for-bit again means
+    * same float association, not just same terms.
+    */
+  private def refMulti(aux: Seq[Double], toks: Seq[String], w: Array[Double],
+      hashDim: Int, b: Array[Double]): (Int, Double) = {
+    val k = b.length
+    val stride = w.length / k
+    val nAux = stride - hashDim
+    val z = b.clone()
+    var i = 0
+    while (i < nAux) {
+      var c = 0
+      while (c < k) { z(c) += aux(i) * w(c * stride + i); c += 1 }
+      i += 1
+    }
+    toks.foreach { t =>
+      val bk = nAux + refBucket(t, hashDim)
+      var c = 0
+      while (c < k) { z(c) += w(c * stride + bk); c += 1 }
+    }
+    var best = 0
+    var c = 1
+    while (c < k) { if (z(c) > z(best)) best = c; c += 1 }
+    var denom = 0d
+    c = 0
+    while (c < k) { denom += math.exp(z(c) - z(best)); c += 1 }
+    (best, 1d / denom)
+  }
+
+  test("hashedTokenMultiLogit matches the in-memory reference; ties break low; drift rejected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val hashDim = 32
+    val k = 3
+    val w = Array.fill(k * (2 + hashDim))(rnd.nextGaussian() * 0.4)
+    val b = Array(-0.2, 0.05, 0.3)
+    val auxVals = Seq(0.8, -0.4)
+    val got = texts.toDF("text")
+      .select(VectorExpressions.hashedTokenMultiLogit(
+        array(lit(0.8), lit(-0.4)), TextOps.tokens(col("text")), w, hashDim, b)
+        .as("p"))
+      .select(col("p.pred"), col("p.prob")).collect()
+    texts.zip(got).foreach { case (t, r) =>
+      val toks = t.trim match {
+        case "" => Seq.empty[String]; case s => s.split("\\s+").toSeq }
+      val (pred, prob) = refMulti(auxVals, toks, w, hashDim, b)
+      assert(r.getInt(0) === pred, s"pred mismatch for '$t'")
+      assert(r.getDouble(1) === prob, s"prob mismatch for '$t'")
+    }
+    // All-zero model: every class logit equal -> argmax must break to
+    // class 0 with prob exactly 1/K (deterministic scoring contract).
+    val tie = Seq("some text here").toDF("text")
+      .select(VectorExpressions.hashedTokenMultiLogit(
+        array().cast("array<double>"), TextOps.tokens(col("text")),
+        new Array[Double](k * hashDim), hashDim, new Array[Double](k)).as("p"))
+      .select(col("p.pred"), col("p.prob")).head()
+    assert(tie.getInt(0) === 0 && tie.getDouble(1) === 1d / k)
+    // Aux arity drift (model trained with 2 dense features, caller
+    // supplies 1) must throw, not silently mis-score.
+    val ex = intercept[Exception] {
+      Seq("x").toDF("text").select(VectorExpressions.hashedTokenMultiLogit(
+        array(lit(1.0)), TextOps.tokens(col("text")), w, hashDim, b)).collect()
+    }
+    assert(ex.getMessage.contains("layout drift")
+      || Option(ex.getCause).exists(_.getMessage.contains("layout drift")))
+  }
+
+  test("trainDomainModel separates a vocab-split corpus; expression == in-memory; lifecycle") {
+    import spark.implicits._
+    // Three classes, disjoint content vocabularies + shared filler.
+    val rnd = new scala.util.Random(13)
+    val vocab = Map(
+      "news" -> Seq("election", "minister", "policy", "vote", "reform"),
+      "code" -> Seq("compile", "function", "array", "pointer", "thread"),
+      "chat" -> Seq("lol", "omg", "gonna", "wanna", "haha"))
+    val fill = Seq("the", "a", "of", "and", "is", "to")
+    def doc(words: Seq[String]): String =
+      Seq.fill(20)(if (rnd.nextBoolean()) words(rnd.nextInt(words.size))
+      else fill(rnd.nextInt(fill.size))).mkString(" ")
+    val classes = vocab.keys.toSeq.sorted
+    val rows = (0 until 600).map { i =>
+      val cls = classes((i / 2) % 3)
+      (i.toLong, doc(vocab(cls)), cls)
+    }
+    val df = rows.toDF("id", "text", "domain")
+    val model = TextOps.trainDomainModel(
+      df.where(col("id") % 2 === 0), "text", "domain", dim = 128)
+    assert(model.labels.toSeq === classes)
+    val scored = df.where(col("id") % 2 === 1)
+      .select(col("text"), col("domain"),
+        TextOps.domainPredict(col("text"), model).as("p"),
+        array(log1p(TextOps.tokenCount(col("text")).cast("double")),
+          TextOps.avgWordLen(col("text")), TextOps.typeTokenRatio(col("text")),
+          TextOps.stopwordFraction(col("text"))).as("aux"))
+      .select(col("text"), col("domain"), col("p.pred"), col("p.prob"), col("aux"))
+      .collect()
+    scored.foreach { r =>
+      val (pred, prob) = refMulti(r.getSeq[Double](4),
+        r.getString(0).trim.split("\\s+").toSeq,
+        model.weights, model.hashDim, model.intercepts)
+      assert(r.getInt(2) === pred && r.getDouble(3) === prob)
+    }
+    val acc = scored.count(r => model.labels(r.getInt(2)) == r.getString(1))
+      .toDouble / scored.length
+    assert(acc >= 0.95, s"held-out accuracy $acc")
+    // Artifact lifecycle: save -> supersede -> use_last vs pinned
+    // rollback, serving equality from the rolled-back artifact.
+    val store = new graft.store.Store(spark, TempDirs.create("graft_dmspec_"))
+    TextOps.saveDomainModel(spark, store, "models/dom", model, externalKey = "v1")
+    TextOps.saveDomainModel(spark, store, "models/dom",
+      model.copy(weights = new Array[Double](model.weights.length)),
+      externalKey = "v2")
+    val last = TextOps.loadDomainModel(store, "models/dom")
+    val rolled = TextOps.loadDomainModel(store, "models/dom", Some("v1"))
+    assert(last.weights.forall(_ == 0d), "_last must serve the superseding artifact")
+    assert(rolled.weights.sameElements(model.weights)
+      && rolled.intercepts.sameElements(model.intercepts)
+      && rolled.labels.sameElements(model.labels)
+      && rolled.hashDim === model.hashDim)
+    val both = df.limit(10).select(
+      TextOps.domainPredict(col("text"), rolled).as("a"),
+      TextOps.domainPredict(col("text"), model).as("b")).collect()
+    both.foreach(r => assert(r.getStruct(0) === r.getStruct(1)))
+  }
+
   test("trainQualityModel separates its labels; expression scoring == in-memory model application") {
     import spark.implicits._
     // Separable-by-vocabulary synthetic corpus: good docs draw from one
