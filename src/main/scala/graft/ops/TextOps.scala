@@ -803,7 +803,12 @@ object TextOps {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val r = qualityRules(col(textCol))
+    // NULL text: every rule evaluates to NULL, which `where(keep)`
+    // DROPS but a bare `when(!rule, …)` chain would skip — the funnel
+    // would call "kept" what the pipeline rejects. Coalesce to empty so
+    // a null-text doc attributes as quality_length, matching the
+    // composite filter's fate for it.
+    val r = qualityRules(coalesce(col(textCol), lit("")))
     val qstage = when(!r.lengthOk, "quality_length")
       .when(!r.wordShapeOk, "quality_wordshape")
       .when(!r.repetitionOk, "quality_repetition")
@@ -1022,10 +1027,15 @@ object TextOps {
       classBalance: Boolean = false)
       : (DomainModel,
          org.apache.spark.ml.classification.LogisticRegressionModel) = {
+    // Domains are a handful of strings by construction; the 4096 guard
+    // keeps a mistaken labelCol (a doc id, a URL) from collecting a
+    // corpus-sized vocabulary onto the driver.
     val labels = docs.select(labelCol).where(col(labelCol).isNotNull)
-      .distinct().orderBy(labelCol)
+      .distinct().orderBy(labelCol).limit(4097)
       .collect().map(_.getString(0))
     require(labels.length >= 2, "need at least two domain labels")
+    require(labels.length <= 4096,
+      s"'$labelCol' has > 4096 distinct values — not a domain label column")
     val n = Similarity.planRowUpperBound(docs).getOrElse(docs.count())
     val sampled =
       if (n <= maxTrainRows) docs

@@ -220,6 +220,40 @@ object StoreQueries {
     * restates from the delta predicates. This is the compaction half of
     * the CDC story (qs07 grades the read half).
     */
+  /** Partition-layout migration ([[Store.rekey]]): a Date-keyed table
+    * with two versions AND a rolled-back `_last` pointer republishes
+    * under a Date×ID layout. Graded three ways at once: the accumulate
+    * read over the migrated table reconstructs the full corpus exactly
+    * (per-bucket money contract), `use_last` still serves v1 (the
+    * migration carries the POINTER, not just data — a rolled-back
+    * source must not silently "un-rollback"), and the pinned v2 read
+    * proves version labels survive. The new ID key makes the
+    * per-customer bucket aggregate prunable — the point of the
+    * migration at 100 TB.
+    */
+  private def rekeyMigration(s: SparkSession, dir: String): DataFrame = {
+    val store = freshStore(s)
+    val orders = Tables.read(s, dir, "orders")
+      .withColumn("o_month", trunc(col("o_orderdate").cast("date"), "month"))
+    val cut = year(col("o_orderdate")) < 1997
+    store.load(orders.where(coalesce(cut, lit(true))), "tpch/orders_bydate",
+      Map("o_month" -> Store.KeyDate), externalKey = "v1")
+    store.load(orders.where(coalesce(!cut, lit(false))), "tpch/orders_bydate",
+      Map("o_month" -> Store.KeyDate), externalKey = "v2")
+    store.rollback("tpch/orders_bydate", "v1")
+    store.rekey("tpch/orders_bydate", "tpch/orders_bykey",
+      Map("o_month" -> Store.KeyDate, "o_custkey" -> Store.KeyId))
+    val lastN = store.get("tpch/orders_bykey", useLast = true)
+      .agg(count(lit(1)).as("n_last"))
+    val v2N = store.get("tpch/orders_bykey", Some("v2"))
+      .agg(count(lit(1)).as("n_v2"))
+    store.get("tpch/orders_bykey")
+      .groupBy((floor(col("o_custkey") / 1000) * 1000).cast("long").as("cust_bucket"))
+      .agg(totalN.head, totalN.tail: _*)
+      .crossJoin(lastN).crossJoin(v2N)
+      .orderBy("cust_bucket")
+  }
+
   private def materializeFold(s: SparkSession, dir: String): DataFrame = {
     val store = freshStore(s)
     val orders = Tables.read(s, dir, "orders")
@@ -466,6 +500,17 @@ object StoreQueries {
              count(*) AS n
       FROM fin
       GROUP BY o_orderstatus
-      ORDER BY o_orderstatus"""))
+      ORDER BY o_orderstatus""")),
+    QueryDef("qs15_store_rekey", rekeyMigration _, Some("""
+      SELECT CAST(floor(o_custkey / 1000) * 1000 AS BIGINT) AS cust_bucket,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(*) AS n,
+             (SELECT count(*) FROM orders
+              WHERE year(o_orderdate) < 1997 OR o_orderdate IS NULL) AS n_last,
+             (SELECT count(*) FROM orders
+              WHERE year(o_orderdate) >= 1997) AS n_v2
+      FROM orders
+      GROUP BY 1
+      ORDER BY cust_bucket"""))
   )
 }

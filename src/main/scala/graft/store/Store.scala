@@ -401,6 +401,52 @@ final class Store(
     writeSmall(new Path(tableDir, LastFile), label)
   }
 
+  /** Layout migration: republish every version of `name` under `asName`
+    * with NEW partition keys — what a 100 TB deployment runs when its
+    * read pattern changes (a Date-partitioned table starts serving
+    * per-customer reads → Date×ID layout makes those reads prune). Each
+    * source version is copied through the ordinary [[load]] path under
+    * the SAME version label, so the copy inherits staged-write crash
+    * safety (a killed migration leaves complete published versions plus
+    * at most one invisible staging dir — re-running RESUMES, skipping
+    * labels already published, because a published version is complete
+    * by the rename discipline and a same-label re-load would append
+    * duplicates). The `_last` pointer is re-pointed at the source's
+    * `_last` version at the end, so selector semantics (pinned key /
+    * accumulate / use_last — including a source that was rolled back)
+    * survive the migration unchanged. Contents are row-identical per
+    * version; only the directory layout, and therefore the pruning
+    * behavior, changes.
+    *
+    * Merge-delta versions are refused (their rows are CDC ops, not
+    * snapshots — a key-blind copy would republish tombstones as data);
+    * run [[materializeMerged]] first and migrate the materialized
+    * snapshot.
+    */
+  def rekey(
+      name: String,
+      asName: String,
+      columnsKeys: Map[String, String]): Unit = {
+    require(validateName(name) != validateName(asName),
+      "rekey requires a distinct destination table (published versions " +
+        "are immutable; an in-place rekey would be a silent no-op)")
+    val versions = history(name)
+    require(versions.forall(!_.isMerge),
+      s"'$name' has merge-delta versions; materializeMerged first, then rekey the snapshot")
+    val already: Set[String] =
+      if (fs.exists(new Path(rootPath, validateName(asName))))
+        history(asName).map(_.label).toSet
+      else Set.empty
+    // Oldest-first replay (recency order reversed); skip published labels.
+    versions.reverse.foreach { v =>
+      if (!already.contains(v.label))
+        load(get(name, Some(v.label)), asName, columnsKeys, externalKey = v.label)
+    }
+    lastVersion(name).foreach { srcLast =>
+      if (!lastVersion(asName).contains(srcLast)) rollback(asName, srcLast)
+    }
+  }
+
   /** Retention: delete all but the newest `keepVersions` versions (by
     * version-label sort, same ordering `lastVersion` uses). Generalizes
     * the reference's binary keep_last (client.py:72) into a policy; the

@@ -115,6 +115,26 @@ object DocStreams {
         when(TextOps.qualityRules(col("text")).keep, 1d).otherwise(0d).as("y")),
       "p", "y", bins)
 
+  /** Live domain-mix monitor: per-predicted-domain doc counts from a
+    * STORED [[TextOps.DomainModel]] — the qn112 classifier as a
+    * complete-mode stream status table (state is domains-sized: one
+    * row per label). The mixture a crawl delivers drifts (a source
+    * goes dark, a spam wave lands); watching the PREDICTED mix live
+    * means the rebalance targets ([[graft.ops.Mixture
+    * .rebalanceToTarget]]) get re-planned while the batch causing the
+    * drift is still landing. Same serving expression as batch
+    * (stream ≡ batch pinned in StreamingSpec), groupBy-count is a
+    * legal streaming aggregate.
+    */
+  def domainMixTotals(
+      docs: DataFrame,
+      model: TextOps.DomainModel): DataFrame =
+    docs.select(TextOps.domainLabel(
+        TextOps.domainPredict(col("text"), model).getField("pred"), model)
+      .as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Embedding batches as they land from an encoder job. */
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

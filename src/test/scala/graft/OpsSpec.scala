@@ -894,6 +894,7 @@ class OpsSpec extends SparkSpec {
       (2L, longWords),                          // fails word-shape
       (3L, Seq.fill(30)("word").mkString(" ")), // ttr 1/30: repetition
       (4L, noStop),                             // fails stopword
+      (5L, null.asInstanceOf[String]),          // null text == empty: length
       (10L, good(1)),                           // kept (dup keep-min)
       (11L, good(1)),                           // exact dup -> dedup
       (20L, good(2)),                           // contaminated below
@@ -905,6 +906,7 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(
       1L -> "quality_length", 2L -> "quality_wordshape",
       3L -> "quality_repetition", 4L -> "quality_stopword",
+      5L -> "quality_length",
       10L -> "kept", 11L -> "dedup", 20L -> "decontam", 30L -> "kept"))
     // Conservation: the stage label PARTITIONS the input (one row per
     // arriving doc, no drops, no dupes) ...

@@ -107,6 +107,45 @@ class StoreSpec extends SparkSpec {
       Set("__p_id=from_1000_to_2000", "__p_id=from_0_to_1000", "__p_id=from_2000_to_3000"))
   }
 
+  test("rekey: new layout dirs, labels + rolled-back _last carried, resume skips, merge refused") {
+    val store = freshStore()
+    store.load(sampleDf(), "t", Map("date" -> "Date"), externalKey = "v1")
+    store.load(sampleDf().withColumn("id", col("id") + 10), "t",
+      Map("date" -> "Date"), externalKey = "v2")
+    store.rollback("t", "v1")
+    store.rekey("t", "t2", Map("date" -> "Date", "id" -> "ID"))
+    // New layout: date dirs now nest ID-range dirs.
+    val t2Dir = new java.io.File(
+      store.get("t2").queryExecution.logical.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+        .relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.rootPaths.head.toUri.getPath)
+    val vDirs = t2Dir.listFiles().filter(_.getName.startsWith("__version="))
+    assert(vDirs.map(_.getName).sorted.toSeq ==
+      Seq("__version=v_v1", "__version=v_v2"))
+    val idDirs = vDirs.flatMap(_.listFiles())
+      .filter(_.getName.startsWith("__p_date=")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("__p_id="))
+    assert(idDirs.nonEmpty, "rekeyed table must have nested ID-range dirs")
+    // Data identical per version; _last carries the source's ROLLBACK.
+    assert(store.get("t2").count() == 6L)
+    assert(store.get("t2", Some("v2")).orderBy("id").collect().toSeq ==
+      store.get("t", Some("v2")).orderBy("id").collect().toSeq)
+    assert(store.lastVersion("t2").contains("v1"))
+    assert(store.get("t2", useLast = true).count() == 3L)
+    // Resume semantics: a second rekey over the same pair is a no-op
+    // (published labels skip — no appended duplicates).
+    store.rekey("t", "t2", Map("date" -> "Date", "id" -> "ID"))
+    assert(store.get("t2").count() == 6L)
+    // Merge-delta versions refuse a key-blind copy.
+    store.merge(sampleDf().withColumn("value", col("value") + 1),
+      "t", Seq("id"), externalKey = "m1")
+    val ex = intercept[IllegalArgumentException] {
+      store.rekey("t", "t3", Map("id" -> "ID"))
+    }
+    assert(ex.getMessage.contains("materializeMerged"))
+  }
+
   test("version filter prunes partitions in the physical plan") {
     val store = freshStore()
     store.load(sampleDf(), "t", externalKey = "v1")

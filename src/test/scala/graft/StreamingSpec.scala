@@ -223,6 +223,31 @@ class StreamingSpec extends SparkSpec {
       s"poisoned AUC $streamAuc should drop below clean $cleanAuc")
   }
 
+  test("streaming domain-mix monitor from a STORED model == batch counts") {
+    import graft.streaming.DocStreams
+    import graft.ops.TextOps
+    // The qn112 classifier as a live mix monitor: train offline, pin a
+    // store version, watch the predicted domain distribution of the
+    // ingest. Counts must equal the batch aggregate exactly (same
+    // serving expression, groupBy-count is a legal streaming agg).
+    val batchDocs = Tables.read(spark, sf(), "documents")
+    val store = new graft.store.Store(spark, TempDirs.create("graft_dmixstream_"))
+    val trained = TextOps.trainDomainModel(batchDocs, "text", "lang", dim = 128)
+    TextOps.saveDomainModel(spark, store, "models/domain", trained, externalKey = "v1")
+    val served = TextOps.loadDomainModel(store, "models/domain", Some("v1"))
+    val streamed = EventStreams.runToMemory(spark,
+      DocStreams.domainMixTotals(DocStreams.readDocs(spark, docsDir), served),
+      "t_dmix", OutputMode.Complete())
+    val batch = batchDocs.select(TextOps.domainLabel(
+        TextOps.domainPredict(col("text"), trained).getField("pred"), trained)
+        .as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+    assert(streamed.orderBy("domain").collect().toSeq ==
+      batch.orderBy("domain").collect().toSeq)
+    // All docs accounted for (the mix table partitions the ingest).
+    assert(streamed.agg(sum("n_docs")).head().getLong(0) == batchDocs.count())
+  }
+
   test("streaming dataset-card totals == batch aggregate") {
     import graft.streaming.DocStreams
     val stream = DocStreams.readDocs(spark, docsDir)
