@@ -233,16 +233,20 @@ object StoreQueries {
     */
   private def rekeyMigration(s: SparkSession, dir: String): DataFrame = {
     val store = freshStore(s)
+    // Year granularity for the fixture: a month-grained Date key at
+    // sf0.1 crosses ~84 date dirs x ~15 ID buckets per version — a
+    // tiny-files benchmark, not a migration one (measured 9.2 s vs
+    // ~4 s; the layout MECHANICS are identical at year grain).
     val orders = Tables.read(s, dir, "orders")
-      .withColumn("o_month", trunc(col("o_orderdate").cast("date"), "month"))
+      .withColumn("o_year", trunc(col("o_orderdate").cast("date"), "year"))
     val cut = year(col("o_orderdate")) < 1997
     store.load(orders.where(coalesce(cut, lit(true))), "tpch/orders_bydate",
-      Map("o_month" -> Store.KeyDate), externalKey = "v1")
+      Map("o_year" -> Store.KeyDate), externalKey = "v1")
     store.load(orders.where(coalesce(!cut, lit(false))), "tpch/orders_bydate",
-      Map("o_month" -> Store.KeyDate), externalKey = "v2")
+      Map("o_year" -> Store.KeyDate), externalKey = "v2")
     store.rollback("tpch/orders_bydate", "v1")
     store.rekey("tpch/orders_bydate", "tpch/orders_bykey",
-      Map("o_month" -> Store.KeyDate, "o_custkey" -> Store.KeyId))
+      Map("o_year" -> Store.KeyDate, "o_custkey" -> Store.KeyId))
     val lastN = store.get("tpch/orders_bykey", useLast = true)
       .agg(count(lit(1)).as("n_last"))
     val v2N = store.get("tpch/orders_bykey", Some("v2"))
