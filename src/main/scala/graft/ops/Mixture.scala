@@ -683,12 +683,23 @@ object Mixture {
     val counts = df.where(col(domainCol).isin(target.keys.toSeq: _*))
       .groupBy(domainCol).count().collect()
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    // DECIMAL floors, not double: the contract is the floors of the
+    // shares AS WRITTEN (BigDecimal.valueOf goes through the double's
+    // shortest decimal form, so share 0.29 means 29/100 exactly);
+    // double arithmetic computes 0.29·100 = 28.999…6 and floors to 28,
+    // silently shorting a domain one row. Clamp at the observed count
+    // covers the opposite (over-ask) rounding direction.
+    def floorDiv(n: Long, s: Double): Long =
+      (BigDecimal.valueOf(n).bigDecimal.divide(
+        BigDecimal.valueOf(s).bigDecimal, 18, java.math.RoundingMode.FLOOR))
+        .longValue()
+    def floorMul(s: Double, n: Long): Long =
+      (BigDecimal.valueOf(s).bigDecimal.multiply(BigDecimal.valueOf(n).bigDecimal))
+        .setScale(0, java.math.RoundingMode.FLOOR).longValue()
     val feasible = target.map { case (d, s) =>
-      (counts.getOrElse(d, 0L) / s).toLong }.min
-    // Clamp per-domain needs at the observed count: float error in
-    // share·N could otherwise ask for one row more than exists.
+      floorDiv(counts.getOrElse(d, 0L), s) }.min
     val needs = target.toSeq.map { case (d, s) =>
-      d -> math.min((s * feasible).toLong, counts.getOrElse(d, 0L)) }
+      d -> math.min(floorMul(s, feasible), counts.getOrElse(d, 0L)) }
     import df.sparkSession.implicits._
     sampleByTokenBudget(
       df.withColumn("__rb_one", lit(1L)), idCol, "__rb_one", domainCol,

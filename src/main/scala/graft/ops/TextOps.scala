@@ -892,10 +892,13 @@ object TextOps {
         pmod(xxhash64(col(textCol)),
           lit((n + maxTrainRows - 1) / maxTrainRows)) === 0)
     import org.apache.spark.ml.functions.array_to_vector
-    val labeled = sampled.select(y.as("label"),
-      array_to_vector(concat(auxQualityFeatures(col(textCol)),
-        graft.functions.VectorExpressions.hashedTokenCounts(
-          tokens(col(textCol)), dim))).as("features"))
+    // Null text cannot featurize (a null feature vector NPEs the fit);
+    // the composite quality filter drops such rows anyway.
+    val labeled = sampled.where(col(textCol).isNotNull)
+      .select(y.as("label"),
+        array_to_vector(concat(auxQualityFeatures(col(textCol)),
+          graft.functions.VectorExpressions.hashedTokenCounts(
+            tokens(col(textCol)), dim))).as("features"))
     // Class-balanced instance weights (w_c = n / (2·n_c)): quality
     // labels run ~20/80 on real corpora, and an unweighted logloss fit
     // parks the 0.5 decision boundary deep inside the majority class.
@@ -1047,7 +1050,8 @@ object TextOps {
       when(col(labelCol) === labels.head, 0d)) {
       case (acc, (l, i)) => acc.when(col(labelCol) === l, i.toDouble)
     }
-    val labeled = sampled.where(col(labelCol).isNotNull)
+    val labeled = sampled
+      .where(col(labelCol).isNotNull && col(textCol).isNotNull)
       .select(labelIdx.as("label"),
         array_to_vector(domainFeatures(col(textCol), dim)).as("features"))
     // Instance weights: UNWEIGHTED by default — a mixture classifier
@@ -1075,6 +1079,15 @@ object TextOps {
       .setWeightCol("w").setFeaturesCol("features").setLabelCol("label")
       .setTol(1e-7)
       .fit(labeled.withColumn("w", wCol))
+    // The label vocabulary came from the FULL input but the fit saw the
+    // hash-bounded sample: if a rare domain vanished from the sample,
+    // spark.ml infers fewer classes and the coefficient matrix would
+    // silently misalign with `labels` (and the model could never
+    // predict the missing domain). Fail fast instead.
+    require(m.numClasses == labels.length,
+      s"domain '$labelCol' has ${labels.length} labels but only " +
+        s"${m.numClasses} survived the ${maxTrainRows}-row training " +
+        "sample — raise maxTrainRows or drop ultra-rare domains upstream")
     val cm = m.coefficientMatrix // K x (nAux + dim)
     val flat = new Array[Double](cm.numRows * cm.numCols)
     cm.foreachActive { (r, c, v) => flat(r * cm.numCols + c) = v }

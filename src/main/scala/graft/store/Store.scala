@@ -426,21 +426,39 @@ final class Store(
   def rekey(
       name: String,
       asName: String,
-      columnsKeys: Map[String, String]): Unit = {
+      columnsKeys: Map[String, String],
+      statsCols: Option[Seq[String]] = None): Unit = {
     require(validateName(name) != validateName(asName),
       "rekey requires a distinct destination table (published versions " +
         "are immutable; an in-place rekey would be a silent no-op)")
     val versions = history(name)
     require(versions.forall(!_.isMerge),
       s"'$name' has merge-delta versions; materializeMerged first, then rekey the snapshot")
+    // statsCols: None = CARRY the source's data-skipping columns
+    // (detected from its `_stats_*` sidecars — a migration must not
+    // silently downgrade stats-pruned reads to full scans); Some(cols)
+    // overrides, Some(Nil) drops stats deliberately.
+    val carryStats: Seq[String] = statsCols.getOrElse {
+      val tableDir = new Path(rootPath, validateName(name))
+      versions.flatMap { v =>
+        val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(v.label)}")
+        fs.listStatus(vDir)
+          .filter(st => !st.isDirectory && st.getPath.getName.startsWith(StatsFilePrefix))
+          .flatMap(st => FileStats.parse(readSmall(st.getPath)).values.flatMap(_.keys))
+      }.distinct.sorted
+    }
     val already: Set[String] =
       if (fs.exists(new Path(rootPath, validateName(asName))))
         history(asName).map(_.label).toSet
       else Set.empty
-    // Oldest-first replay (recency order reversed); skip published labels.
-    versions.reverse.foreach { v =>
+    // history() is oldest-first (versionsByRecency sorts ascending by
+    // (mtime, label)); replay in that order so the migrated dirs'
+    // mtimes preserve load recency — vacuum/history on the new table
+    // must see the same recency the source had.
+    versions.foreach { v =>
       if (!already.contains(v.label))
-        load(get(name, Some(v.label)), asName, columnsKeys, externalKey = v.label)
+        load(get(name, Some(v.label)), asName, columnsKeys,
+          externalKey = v.label, statsCols = carryStats)
     }
     lastVersion(name).foreach { srcLast =>
       if (!lastVersion(asName).contains(srcLast)) rollback(asName, srcLast)

@@ -272,8 +272,8 @@ class MixtureSpec extends SparkSpec {
     import spark.implicits._
     // Domain counts a=6, b=3, c=1 (+2 'stray' rows outside the target).
     // Target (0.5, 0.3, 0.2): feasible N = min(⌊6/.5⌋, ⌊3/.3⌋, ⌊1/.2⌋)
-    // = min(12, 9, 5) = 5 (3/.3 floats to 9.99…, floor 9 — still not
-    // binding); needs = ⌊.5·5⌋, ⌊.3·5⌋, ⌊.2·5⌋ = 2, 1, 1.
+    // = min(12, 10, 5) = 5 (decimal floors — 3/0.3 is exactly 10);
+    // needs = ⌊.5·5⌋, ⌊.3·5⌋, ⌊.2·5⌋ = 2, 1, 1.
     val rows = (0L until 6L).map((_, "a")) ++
       (10L until 13L).map((_, "b")) ++ Seq((20L, "c")) ++
       Seq((30L, "stray"), (31L, "stray"))
@@ -298,6 +298,16 @@ class MixtureSpec extends SparkSpec {
     // never a silently mis-mixed sample.
     assert(Mixture.rebalanceToTarget(
       df, "doc_id", "domain", Map("a" -> 0.5, "nope" -> 0.5)).count() === 0L)
+    // Decimal-floor contract: shares 0.29/0.71 over counts 29/71 are a
+    // PERFECT mixture (N = 100, needs = 29 and 71) — double arithmetic
+    // computes 0.29·100 = 28.999…6 and would short domain a by one row.
+    val perfect = ((0L until 29L).map((_, "a")) ++ (100L until 171L).map((_, "b")))
+      .toDF("doc_id", "domain")
+    val pc = Mixture.rebalanceToTarget(
+      perfect, "doc_id", "domain", Map("a" -> 0.29, "b" -> 0.71))
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pc === Map("a" -> 29L, "b" -> 71L))
   }
 
   test("leakageSafeSplit: groups never straddle splits; label = anchor's hashSplit") {

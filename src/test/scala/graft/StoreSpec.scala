@@ -109,11 +109,18 @@ class StoreSpec extends SparkSpec {
 
   test("rekey: new layout dirs, labels + rolled-back _last carried, resume skips, merge refused") {
     val store = freshStore()
-    store.load(sampleDf(), "t", Map("date" -> "Date"), externalKey = "v1")
+    store.load(sampleDf(), "t", Map("date" -> "Date"), externalKey = "v1",
+      statsCols = Seq("value"))
+    Thread.sleep(20) // distinct dir mtimes: the recency-order assert below
     store.load(sampleDf().withColumn("id", col("id") + 10), "t",
-      Map("date" -> "Date"), externalKey = "v2")
+      Map("date" -> "Date"), externalKey = "v2", statsCols = Seq("value"))
     store.rollback("t", "v1")
+    val srcOrder = store.history("t").map(_.label)
     store.rekey("t", "t2", Map("date" -> "Date", "id" -> "ID"))
+    // Replay preserved load recency (oldest-first mtimes) and carried
+    // the source's data-skipping sidecars (a migration must not
+    // silently downgrade stats-pruned reads to full scans).
+    assert(store.history("t2").map(_.label) == srcOrder)
     // New layout: date dirs now nest ID-range dirs.
     val t2Dir = new java.io.File(
       store.get("t2").queryExecution.logical.collectLeaves().head
@@ -127,6 +134,11 @@ class StoreSpec extends SparkSpec {
       .filter(_.getName.startsWith("__p_date=")).flatMap(_.listFiles())
       .filter(_.getName.startsWith("__p_id="))
     assert(idDirs.nonEmpty, "rekeyed table must have nested ID-range dirs")
+    vDirs.foreach { v =>
+      assert(v.listFiles().exists(
+        _.getName.startsWith(graft.store.Store.StatsFilePrefix)),
+        s"stats sidecars must carry through rekey (missing in ${v.getName})")
+    }
     // Data identical per version; _last carries the source's ROLLBACK.
     assert(store.get("t2").count() == 6L)
     assert(store.get("t2", Some("v2")).orderBy("id").collect().toSeq ==
