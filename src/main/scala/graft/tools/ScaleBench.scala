@@ -294,6 +294,22 @@ object ScaleBench {
           Dedup.dedupIncremental(deltaD, sigState, "doc_id", "text",
             prevShingleFreqs = Some(freqState)).count())
       }
+      // Store layout migration (qs15's 100 TB claim): the SOURCE table
+      // loads outside the timed window; the timed section is exactly
+      // one rekey — full read + partition-clustered staged write +
+      // rename publish. The wall must track data size (~2x per 2x
+      // docs); bucket width is sized so dir count stays O(10) and the
+      // measurement is migration throughput, not tiny-file creation.
+      if (opFilter.forall(_.findFirstIn("qs15_rekey").isDefined)) {
+        val st = new graft.store.Store(spark,
+          graft.TempDirs.create("graft_sb_rekey_"), idBucketWidth = 500000L)
+        st.load(docs, "mig/src", externalKey = "v1")
+        addOp("qs15_rekey") {
+          st.rekey("mig/src", "mig/dst",
+            Map("doc_id" -> graft.store.Store.KeyId))
+          st.get("mig/dst", Some("v1")).count()
+        }
+      }
       addOp("qn49_fixedref")(
         // The deployment shape (see fixedRefCensus above): reference
         // pinned at 250k docs across points, target grows with n —

@@ -120,6 +120,57 @@ object MixturePropSpec extends Properties("Mixture") {
         .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
       Prop(got == ref) :| s"perCell=$perCell got=$got ref=$ref"
     }
+  // Shares are multiples of 0.05 summing to 1 — exact SHORT decimals, so
+  // the independent rational reference (percent / 100 integer math)
+  // states the documented floors without float ambiguity.
+  private val genRebalance: Gen[(Seq[(Long, String)], Seq[(String, Int)])] = for {
+    k <- Gen.chooseNum(2, 4)
+    cuts <- Gen.listOfN(k - 1, Gen.chooseNum(1, 19)).map(_.map(_ * 5))
+    counts <- Gen.listOfN(k, Gen.chooseNum(0, 40))
+    stray <- Gen.chooseNum(0, 5)
+  } yield {
+    val bounds = (0 +: cuts.sorted :+ 100).distinct
+    // Percentages from consecutive distinct bounds; may collapse — pad.
+    val pcts0 = bounds.sliding(2).map(p => p(1) - p(0)).filter(_ > 0).toSeq
+    val pcts = if (pcts0.size >= 2) pcts0 else Seq(50, 50)
+    val doms = pcts.indices.map(i => s"d$i")
+    val rows = Seq.newBuilder[(Long, String)]
+    var id = 0L
+    doms.zip(counts).foreach { case (d, c) =>
+      (0 until c).foreach { _ => rows += ((id, d)); id += 7 } // gappy ids
+    }
+    (0 until stray).foreach { _ => rows += ((id, "stray")); id += 7 }
+    (rows.result(), doms.zip(pcts))
+  }
+
+  property("rebalanceToTarget == rational floors; picks are hash-first") =
+    Prop.forAllNoShrink(genRebalance) { case (rows, domPcts) =>
+      val s = spark
+      import s.implicits._
+      val df = rows.toDF("doc_id", "domain")
+      val target = domPcts.map { case (d, p) => d -> p / 100d }.toMap
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      // Rational reference: N = min ⌊100·count_d / pct_d⌋, need_d =
+      // min(⌊pct_d·N / 100⌋, count_d) — exact integer arithmetic.
+      val feasible = domPcts.map { case (d, p) =>
+        counts.getOrElse(d, 0L) * 100L / p }.min
+      val needs = domPcts.map { case (d, p) =>
+        d -> math.min(p * feasible / 100L, counts.getOrElse(d, 0L)) }.toMap
+      val got = Mixture.rebalanceToTarget(df, "doc_id", "domain", target)
+        .select("doc_id", "domain").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val gotCounts = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      def prio(idv: Long): Long =
+        ((BigInt(idv) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+      val expectedIds = domPcts.flatMap { case (d, _) =>
+        rows.filter(_._2 == d).map(_._1)
+          .sortBy(idv => (prio(idv), idv)).take(needs(d).toInt)
+      }.toSet
+      Prop(domPcts.forall { case (d, _) =>
+        gotCounts.getOrElse(d, 0L) == needs(d) } &&
+        got.map(_._1).toSet == expectedIds) :|
+        s"needs=$needs gotCounts=$gotCounts"
+    }
 }
 
 class MixtureSpec extends SparkSpec {

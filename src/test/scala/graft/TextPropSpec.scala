@@ -366,4 +366,64 @@ object TextPropSpec extends Properties("TextOps.reference") {
       Prop(got == ref) :| s"got=$got ref=$ref"
     }
   }
+
+  // Funnel corpora mix every rejection class: tiny docs, one-word
+  // repetition, stopword-free, rule-passing docs with disjoint
+  // vocabularies (unique suffix per doc — zero cross-doc shingles), and
+  // exact duplicates of earlier good docs (dedup clusters).
+  private val genFunnelCorpus: Gen[Seq[(Long, String)]] =
+    Gen.chooseNum(3, 18).flatMap { n =>
+      Gen.listOfN(n, Gen.frequency(
+        2 -> Gen.const("tiny"),
+        2 -> Gen.const("repeat"),
+        2 -> Gen.const("nostop"),
+        4 -> Gen.const("good"),
+        3 -> Gen.const("dup")))
+    }.map { kinds =>
+      def good(i: Int): String =
+        "the and " + ('a' to 'z').map(c => s"w$i$c").mkString(" ")
+      val out = Seq.newBuilder[(Long, String)]
+      var lastGood = -1
+      kinds.zipWithIndex.foreach { case (k, i) =>
+        val text = k match {
+          case "tiny" => "too short"
+          case "repeat" => Seq.fill(30)("word").mkString(" ")
+          case "nostop" => ('a' to 'z').map(c => s"v$i$c").mkString(" ") +
+            s" v${i}aa v${i}bb"
+          case "dup" if lastGood >= 0 => good(lastGood)
+          case _ => lastGood = i; good(i)
+        }
+        out += ((i.toLong, text))
+      }
+      out.result()
+    }
+
+  property("rejectionFunnel: one labeled row per doc; kept == composite pipeline") =
+    Prop.forAllNoShrink(genFunnelCorpus) { rows =>
+      val s = spark
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val corpus = rows.toDF("doc_id", "text")
+      // Benchmark shares a trigram with the FIRST good doc (if any), so
+      // contamination bites exactly when that doc survives dedup.
+      val firstGood = rows.collectFirst {
+        case (_, t) if t.startsWith("the and ") => t.split(" ").take(5).mkString(" ")
+      }.getOrElse("zz zz zz zz zz")
+      val bench = Seq((999L, firstGood)).toDF("doc_id", "text")
+      val out = TextOps.rejectionFunnel(corpus, bench, "doc_id", "text")
+        .select("doc_id", "stage").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      val partitionOk = out.length == rows.length &&
+        out.map(_._1).toSet == rows.map(_._1).toSet &&
+        out.forall(_._2 != null)
+      // Independent composite: the pipeline the funnel attributes.
+      val q = corpus.where(TextOps.qualityRules(col("text")).keep)
+      val dd = Dedup.dedupByJaccard(q, "doc_id", "text")
+      val survivors = dd.join(
+        TextOps.contaminationOverlap(dd, bench, "doc_id", "text").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+      val keptOk = out.filter(_._2 == "kept").map(_._1).toSet == survivors
+      Prop(partitionOk && keptOk) :| s"out=${out.toSeq} survivors=$survivors"
+    }
 }
