@@ -661,7 +661,10 @@ object Mixture {
     * repeating docs, which is [[epochPriority]]'s job); each domain
     * then keeps exactly ⌊share_d·N⌋ rows, chosen deterministically as
     * the hash-priority-first rows ([[priority]] order, ties by id), so
-    * two runs over the same corpus select the same docs.
+    * two runs over the same corpus select the same docs. Floors are
+    * taken in DECIMAL over the share's shortest decimal form (0.29
+    * means 29/100 exactly, so 0.29·100 floors to 29, not double
+    * arithmetic's 28) — property-pinned against a rational reference.
     *
     * Scale shape: one K-row count aggregate (collected — domains, not
     * data), then delegation to [[sampleByTokenBudget]] with one "token"
