@@ -437,6 +437,64 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL 2019 — the method behind CCMatrix/LASER parallel-corpus
+    * construction): a raw cosine threshold cannot mine translation
+    * pairs because some sentences are "hubs" that score high against
+    * everything; the margin divides each candidate cosine by the mean
+    * of BOTH endpoints' k-NN cosines (the ratio variant), so a pair
+    * only survives when it stands OUT of its neighborhoods, not merely
+    * above an absolute bar. For each source vector: its k nearest
+    * targets are margin-scored, the argmax is kept when its margin
+    * clears `threshold`.
+    *
+    * Determinism contract (the qn08 discipline): candidate cosines are
+    * 6dp-rounded; the two k-NN denominators accumulate as exact
+    * DECIMAL(18,6) sums; the final margin is one double division of
+    * identical operands on any engine, rounded to 6 — so the DuckDB
+    * oracle restates the whole computation bit-for-bit. Ties (rank and
+    * argmax) break by id.
+    *
+    * Scale shape: two k-NN passes (here the exact broadcast-queries
+    * kernel — at 100 TB substitute the routed/IVF search for candidate
+    * generation, exactly as the published pipeline does) plus
+    * id-keyed joins against two k-row-per-id DECIMAL sum tables
+    * (broadcastable: one row per vector id, two numbers each) and a
+    * per-source top-1 window over ≤ k rows. Nothing beyond the k-NN
+    * passes grows with the corpus.
+    */
+  def marginBitextPairs(
+      src: DataFrame,
+      tgt: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val fwd = topKPerQuery(tgt, src, idCol, vecCol, k)
+    val bwd = topKPerQuery(src, tgt, idCol, vecCol, k)
+    val sumS = fwd.groupBy("query_id")
+      .agg(sum(col("sim").cast(d6)).as("__sum_s"))
+    val sumT = bwd.groupBy(col("query_id").as("vec_id"))
+      .agg(sum(col("sim").cast(d6)).as("__sum_t"))
+    // margin = sim / ((avg_s + avg_t) / 2) = 2k·sim / (sum_s + sum_t);
+    // the sums stay DECIMAL until the single final division.
+    val margins = fwd
+      .join(broadcast(sumS), "query_id")
+      .join(broadcast(sumT), "vec_id")
+      .withColumn("margin",
+        round(lit(2d * k) * col("sim") /
+          (col("__sum_s") + col("__sum_t")).cast("double"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("margin").desc, col("vec_id"))
+    margins.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1 && col("margin") >= threshold)
+      .select(col("query_id").as("src_id"), col("vec_id").as("tgt_id"),
+        col("sim"), col("margin"))
+  }
+
   /** Contrastive-pair mining: for each query (anchor), the top-k corpus
     * vectors whose cosine lies in `[loSim, hiSim)` — hard NEGATIVES when
     * the band sits below the duplicate threshold (similar enough to be

@@ -2519,6 +2519,25 @@ object NorthStar {
       .orderBy("source", "stage")
   }
 
+  /** Margin-based bitext mining ([[Similarity.marginBitextPairs]] —
+    * Artetxe & Schwenk 2019, the CCMatrix/LASER recipe): even-id
+    * vectors play the source language, odd-id vectors the target; for
+    * each source its k=4 nearest targets are margin-scored (cosine over
+    * the mean of both endpoints' k-NN cosines) and the argmax survives
+    * above threshold. The whole computation — 6dp candidate cosines,
+    * DECIMAL k-NN sums, one final double division — restates
+    * bit-for-bit in the DuckDB oracle (no contract booleans needed:
+    * this is an EXACT-graded learned-embedding op, like qn08).
+    */
+  private def qBitextMargin(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.marginBitextPairs(
+      e.where(pmod(col("vec_id"), lit(2)) === 0),
+      e.where(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", k = 4, threshold = 1.02)
+      .orderBy("src_id")
+  }
+
   /** Incremental dataset card through the STORE (the qn33 mergeable-
     * sketch pattern applied to qn77's card): each ingest persists its
     * per-source stateless card stats as one store version (a
@@ -4629,6 +4648,38 @@ object NorthStar {
                    WHERE doc_id % 4 <> 1) AS INT) AS n_lang,
              true AS acc_ok, true AS stored_ok,
              true AS rollback_ok, true AS rebalance_ok
-      FROM documents WHERE doc_id % 4 = 1"""))
+      FROM documents WHERE doc_id % 4 = 1""")),
+    QueryDef("qn113_bitext_margin", qBitextMargin _, Some("""
+      WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE vec_id % 2 = 0),
+      tgt AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id % 2 = 1),
+      fwd0 AS (SELECT s.vec_id AS query_id, t.vec_id AS vec_id,
+                      round(list_cosine_similarity(s.v, t.v), 6) AS sim
+               FROM src s, tgt t),
+      fwd AS (SELECT query_id, vec_id, sim FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, vec_id) AS rk FROM fwd0) WHERE rk <= 4),
+      bwd0 AS (SELECT t.vec_id AS query_id, s.vec_id AS vec_id,
+                      round(list_cosine_similarity(t.v, s.v), 6) AS sim
+               FROM tgt t, src s),
+      bwd AS (SELECT query_id, vec_id, sim FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, vec_id) AS rk FROM bwd0) WHERE rk <= 4),
+      sums AS (SELECT query_id, sum(CAST(sim AS DECIMAL(18,6))) AS sum_s
+               FROM fwd GROUP BY 1),
+      sumt AS (SELECT query_id AS vec_id, sum(CAST(sim AS DECIMAL(18,6))) AS sum_t
+               FROM bwd GROUP BY 1),
+      m AS (SELECT f.query_id, f.vec_id, f.sim,
+                   round(8.0 * f.sim / CAST(ss.sum_s + st.sum_t AS DOUBLE), 6)
+                     AS margin
+            FROM fwd f
+            JOIN sums ss ON f.query_id = ss.query_id
+            JOIN sumt st ON f.vec_id = st.vec_id),
+      best AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY margin DESC, vec_id) AS brk FROM m)
+      SELECT query_id AS src_id, vec_id AS tgt_id, sim, margin
+      FROM best WHERE brk = 1 AND margin >= 1.02
+      ORDER BY src_id"""))
   )
 }

@@ -876,6 +876,33 @@ class OpsSpec extends SparkSpec {
       s"benchmark side must broadcast:\n$plan")
   }
 
+  test("marginBitextPairs: exact ratio-margin on hand vectors, hub depressed") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // src a=(1,0), b=(0,1); tgt x=(1,0) (a's true match), h=(0.6,0.8)
+    // (a hub: decent cosine to BOTH sources). 6dp sims: a·x=1.0,
+    // a·h=0.6, b·x=0.0, b·h=0.8; k=2 sums: s(a)=1.6, s(b)=0.8,
+    // t(x)=1.0, t(h)=1.4; margin = 2k·sim/(sum_s+sum_t):
+    //   a→x 4/2.6   = 1.538462   (kept: argmax for a)
+    //   a→h 2.4/3.0 = 0.8        (the hub's margin collapses even
+    //                             though its raw cosine 0.6 is decent)
+    //   b→h 3.2/2.2 = 1.454545   (kept: h IS b's genuine neighbor)
+    val src = Seq((0L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Array(1f, 0f)), (3L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.marginBitextPairs(src, tgt, "vec_id", "embedding",
+      k = 2, threshold = 1.0)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 1.0, 1.538462),
+      (2L, 3L, 0.8, 1.454545)))
+    // Raising the threshold past b→h's margin keeps only the standout.
+    assert(Similarity.marginBitextPairs(src, tgt, "vec_id", "embedding",
+      k = 2, threshold = 1.5).count() == 1L)
+  }
+
   test("rejectionFunnel: first-gate attribution, stages partition the corpus") {
     import spark.implicits._
     import graft.ops.TextOps
