@@ -456,13 +456,24 @@ object Similarity {
     * oracle restates the whole computation bit-for-bit. Ties (rank and
     * argmax) break by id.
     *
-    * Scale shape: two k-NN passes (here the exact broadcast-queries
-    * kernel — at 100 TB substitute the routed/IVF search for candidate
-    * generation, exactly as the published pipeline does) plus
+    * Scale shape: SIZE-ROUTED entry point (the qn26/qn52/qn63
+    * discipline — the caller gets the right plan at any size): below
+    * `maxExactRows` combined rows the two k-NN passes run the exact
+    * broadcast-queries kernel (what the fixture oracle restates);
+    * above, candidate generation routes through [[ivfTopK]] in both
+    * directions — exactly the published pipeline's recipe (CCMatrix
+    * mines its candidates with FAISS-IVF, then margin-scores the
+    * retrieved lists). The margin tail is identical either way:
     * id-keyed joins against two k-row-per-id DECIMAL sum tables
-    * (broadcastable: one row per vector id, two numbers each) and a
-    * per-source top-1 window over ≤ k rows. Nothing beyond the k-NN
-    * passes grows with the corpus.
+    * (broadcastable: one row per vector id) and a per-source top-1
+    * window over ≤ k rows. Nothing beyond the k-NN passes grows with
+    * the corpus. The routed denominators average the RETRIEVED k-NN
+    * cosines (the published recipe's semantics too), so mined-pair
+    * recall vs the exact leg follows the candidate search's probed
+    * fraction — the standard IVF dial: on weakly-clustered vectors
+    * probe more (nProbe = nlist reproduces the exact pair set EXACTLY,
+    * RecallSpec-pinned); on encoder-shaped clustered embeddings the
+    * default 8 probes suffice (RecallSpec gates ≥ 0.9).
     */
   def marginBitextPairs(
       src: DataFrame,
@@ -470,11 +481,21 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int = 4,
-      threshold: Double = 1.0): DataFrame = {
+      threshold: Double = 1.0,
+      maxExactRows: Long = DefaultExactCosineRows,
+      nProbe: Int = 8,
+      maxFitRows: Long = 100000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val fwd = topKPerQuery(tgt, src, idCol, vecCol, k)
-    val bwd = topKPerQuery(src, tgt, idCol, vecCol, k)
+    val nSrc = planRowUpperBound(src).getOrElse(src.count())
+    val nTgt = planRowUpperBound(tgt).getOrElse(tgt.count())
+    def knn(corpus: DataFrame, queries: DataFrame, cRows: Long) =
+      if (nSrc + nTgt <= maxExactRows)
+        topKPerQuery(corpus, queries, idCol, vecCol, k)
+      else ivfTopK(corpus, queries, idCol, vecCol, k, nProbe = nProbe,
+        maxFitRows = maxFitRows, corpusRows = Some(cRows))
+    val fwd = knn(tgt, src, nTgt)
+    val bwd = knn(src, tgt, nSrc)
     val sumS = fwd.groupBy("query_id")
       .agg(sum(col("sim").cast(d6)).as("__sum_s"))
     val sumT = bwd.groupBy(col("query_id").as("vec_id"))

@@ -184,6 +184,36 @@ class RecallSpec extends SparkSpec {
   // 1% planted twins over isotropic noise) is the adversarial case: most
   // true nearest positives are near-orthogonal non-neighbors.
 
+  test("qn113 bitext: full-probe routed leg == exact; clustered recall >= 0.9") {
+    import graft.ops.Similarity
+    // (a) nProbe >= nlist makes IVF retrieval exhaustive, so the routed
+    // leg must reproduce the exact pair set EXACTLY — this pins the
+    // margin tail (sums, division, argmax) as retrieval-independent.
+    // Weakly-clustered vectors on purpose: the hard case.
+    val hard = graft.tools.ScaleData.embeddings(spark, 4000L).cache()
+    // (b) On encoder-shaped CLUSTERED embeddings (the real bitext
+    // input), the default 8 probes must track exact at >= 0.9.
+    val clustered = graft.tools.ScaleData.embeddings(
+      spark, 4000L, clusterWeight = 0.9).cache()
+    try {
+      def pairs(e: org.apache.spark.sql.DataFrame, maxExact: Long, probes: Int) =
+        Similarity.marginBitextPairs(
+          e.where(pmod(col("vec_id"), lit(2)) === 0),
+          e.where(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", k = 4, threshold = 1.02,
+          maxExactRows = maxExact, nProbe = probes)
+          .select("src_id", "tgt_id", "margin").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val nlist = Similarity.ivfNlistFor(2000L) // per-side corpus rows
+      assert(pairs(hard, 0L, probes = nlist) == pairs(hard, Long.MaxValue, 8),
+        "full-probe routed leg must equal the exact leg bit-for-bit")
+      val exactC = pairs(clustered, Long.MaxValue, 8).map(p => (p._1, p._2))
+      val routedC = pairs(clustered, 0L, 8).map(p => (p._1, p._2))
+      val recall = (exactC & routedC).size.toDouble / exactC.size
+      assert(recall >= 0.9, s"clustered routed bitext recall $recall (|exact|=${exactC.size})")
+    } finally { hard.unpersist(); clustered.unpersist() }
+  }
+
   test("qn63 routed (default probes) nearest-positive agreement vs exact on ScaleData") {
     val e = graft.tools.ScaleData.embeddings(spark, 4000L).cache()
     try {
