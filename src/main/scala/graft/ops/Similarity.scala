@@ -492,8 +492,8 @@ object Similarity {
     def knn(corpus: DataFrame, queries: DataFrame, cRows: Long) =
       if (nSrc + nTgt <= maxExactRows)
         topKPerQuery(corpus, queries, idCol, vecCol, k)
-      else ivfTopK(corpus, queries, idCol, vecCol, k, nProbe = nProbe,
-        maxFitRows = maxFitRows, corpusRows = Some(cRows))
+      else ivfTopKBulk(corpus, queries, idCol, vecCol, k, nProbe,
+        maxFitRows, Some(cRows))
     val fwd = knn(tgt, src, nTgt)
     val bwd = knn(src, tgt, nSrc)
     val sumS = fwd.groupBy("query_id")
@@ -1841,6 +1841,50 @@ object Similarity {
     * re-rank inside. See [[fitCells]] for the `corpusRows` sizing hint.
     * `nlist <= 0` (default) sizes cells as √n via [[ivfNlistFor]].
     */
+  /** IVF kNN for CORPUS-SIZED query sets: same retrieval semantics as
+    * [[ivfTopK]] (fit cells, probe `nProbe` nearest, exact-score the
+    * probed candidates, bounded-heap top-k), but probe selection runs
+    * through the shuffle-free primitive-loop assignment
+    * ([[probeAssign]] — centroids as constructor arrays, one pass per
+    * row) instead of ivfTopK's crossJoin + per-query window, which
+    * materializes AND window-sorts |queries|·nlist rows — measured
+    * 26 GB of spill and a 250 s wall at 200k queries × 447 cells
+    * before this path existed (SCALEBENCH_r14_bitext.log, run 1). The
+    * bulk shape is [[knnLabelAgreement]]'s routed leg, generalized.
+    */
+  private[graft] def ivfTopKBulk(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      maxFitRows: Long,
+      corpusRows: Option[Long]): DataFrame = {
+    val rows = corpusRows.orElse(planRowUpperBound(corpus)).getOrElse(corpus.count())
+    val nl = ivfNlistFor(rows)
+    val probes = math.min(math.max(1, nProbe), nl)
+    val (assigned, centroids, _) =
+      fitCells(corpus, idCol, vecCol, nl, maxFitRows, Some(rows))
+    // Candidates keep their HARD cell (one cell per candidate), so a
+    // (query, candidate) pair is scored at most once — no distinct.
+    val qProbed = probeAssign(
+      queries.select(col(idCol).cast("long").as("query_id"),
+        normalize(asDouble(col(vecCol))).as("nv")), centroids, probes)
+      .select(col("query_id"), col("nv").as("qnv"), col("cell"))
+    qProbed.join(assigned.select(col("vec_id"), col("nv"), col("cell")), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions.topKByScore(
+        round(dotD(col("qnv"), col("nv")), 6), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.vec_id").as("vec_id"),
+        col("col.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,

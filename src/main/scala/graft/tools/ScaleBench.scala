@@ -370,6 +370,16 @@ object ScaleBench {
               .domainPredict(col("text"), domainModel).as("p"))
             .where(col("p.prob") >= 0.5).count())
       }
+      // Routed bitext mining (qn113): two IVF candidate searches over
+      // the even/odd embedding halves + the margin tail (id-keyed
+      // DECIMAL-sum joins, per-source top-1 over <= k rows). The wall
+      // should read like two qn12-family searches; the tail is
+      // id/metadata-sized.
+      addOp("qn113_bitext")(
+        Similarity.marginBitextPairs(
+          emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          emb.where(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", k = 4, threshold = 1.02).count())
       addOp("qn51_dedup_spans")(
         // The stride-1 window stream is the heaviest text-op shape
         // (one skinny (id, start, hash) row per token position); the
