@@ -487,27 +487,39 @@ object Similarity {
       maxFitRows: Long = 100000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val nSrc = planRowUpperBound(src).getOrElse(src.count())
-    val nTgt = planRowUpperBound(tgt).getOrElse(tgt.count())
-    def knn(corpus: DataFrame, queries: DataFrame, cRows: Long) =
-      if (nSrc + nTgt <= maxExactRows)
-        topKPerQuery(corpus, queries, idCol, vecCol, k)
+    // Row counts only when the route actually depends on them —
+    // maxExactRows = Long.MaxValue (pinned-exact callers, e.g. the
+    // graded query) and <= 0 (forced-routed) skip the two count jobs.
+    lazy val nSrc = planRowUpperBound(src).getOrElse(src.count())
+    lazy val nTgt = planRowUpperBound(tgt).getOrElse(tgt.count())
+    val exact = maxExactRows == Long.MaxValue ||
+      (maxExactRows > 0 && nSrc + nTgt <= maxExactRows)
+    def knn(corpus: DataFrame, queries: DataFrame) =
+      if (exact) topKPerQuery(corpus, queries, idCol, vecCol, k)
       else ivfTopKBulk(corpus, queries, idCol, vecCol, k, nProbe,
-        maxFitRows, Some(cRows))
-    val fwd = knn(tgt, src, nTgt)
-    val bwd = knn(src, tgt, nSrc)
+        maxFitRows, None)
+    val fwd = knn(tgt, src)
+    val bwd = knn(src, tgt)
     val sumS = fwd.groupBy("query_id")
-      .agg(sum(col("sim").cast(d6)).as("__sum_s"))
+      .agg(sum(col("sim").cast(d6)).as("__sum_s"),
+        count(lit(1)).as("__cnt_s"))
     val sumT = bwd.groupBy(col("query_id").as("vec_id"))
-      .agg(sum(col("sim").cast(d6)).as("__sum_t"))
-    // margin = sim / ((avg_s + avg_t) / 2) = 2k·sim / (sum_s + sum_t);
-    // the sums stay DECIMAL until the single final division.
+      .agg(sum(col("sim").cast(d6)).as("__sum_t"),
+        count(lit(1)).as("__cnt_t"))
+    // margin = sim / ((avg_s + avg_t) / 2) over the RETRIEVED counts —
+    // a probed retrieval can return fewer than k neighbors, and a
+    // constant-k denominator would treat the missing ones as cosine 0,
+    // INFLATING margins exactly where retrieval was weakest. Sums stay
+    // DECIMAL until the per-side average; candidates whose target
+    // retrieved no backward neighbors have an undefined margin and are
+    // dropped by the inner join (can only happen on the routed leg).
     val margins = fwd
       .join(broadcast(sumS), "query_id")
       .join(broadcast(sumT), "vec_id")
       .withColumn("margin",
-        round(lit(2d * k) * col("sim") /
-          (col("__sum_s") + col("__sum_t")).cast("double"), 6))
+        round(col("sim") /
+          ((col("__sum_s").cast("double") / col("__cnt_s") +
+            col("__sum_t").cast("double") / col("__cnt_t")) / 2), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("margin").desc, col("vec_id"))
     margins.withColumn("__rk", row_number().over(w))
@@ -1841,16 +1853,20 @@ object Similarity {
     * re-rank inside. See [[fitCells]] for the `corpusRows` sizing hint.
     * `nlist <= 0` (default) sizes cells as √n via [[ivfNlistFor]].
     */
-  /** IVF kNN for CORPUS-SIZED query sets: same retrieval semantics as
-    * [[ivfTopK]] (fit cells, probe `nProbe` nearest, exact-score the
-    * probed candidates, bounded-heap top-k), but probe selection runs
-    * through the shuffle-free primitive-loop assignment
+  /** IVF kNN for CORPUS-SIZED query sets: [[ivfTopK]]'s contract (fit
+    * cells, probe `nProbe` cells, exact-score the probed candidates,
+    * bounded-heap top-k) with probe selection running
     * ([[probeAssign]] — centroids as constructor arrays, one pass per
     * row) instead of ivfTopK's crossJoin + per-query window, which
     * materializes AND window-sorts |queries|·nlist rows — measured
     * 26 GB of spill and a 250 s wall at 200k queries × 447 cells
     * before this path existed (SCALEBENCH_r14_bitext.log, run 1). The
     * bulk shape is [[knnLabelAgreement]]'s routed leg, generalized.
+    * Probe RANKING uses the KMeans assignment metric (Euclidean, the
+    * nearestCells kernel) like every routed entry point, vs ivfTopK's
+    * cosine centroid ranking — at nProbe < nlist the two can probe
+    * different cells; at nProbe >= nlist both are exhaustive and
+    * identical (the RecallSpec-pinned equivalence).
     */
   private[graft] def ivfTopKBulk(
       corpus: DataFrame,
@@ -1868,8 +1884,10 @@ object Similarity {
       fitCells(corpus, idCol, vecCol, nl, maxFitRows, Some(rows))
     // Candidates keep their HARD cell (one cell per candidate), so a
     // (query, candidate) pair is scored at most once — no distinct.
+    // Keep the caller's id TYPE (the exact leg does): a long cast
+    // would null out non-numeric ids on this route only.
     val qProbed = probeAssign(
-      queries.select(col(idCol).cast("long").as("query_id"),
+      queries.select(col(idCol).as("query_id"),
         normalize(asDouble(col(vecCol))).as("nv")), centroids, probes)
       .select(col("query_id"), col("nv").as("qnv"), col("cell"))
     qProbed.join(assigned.select(col("vec_id"), col("nv"), col("cell")), Seq("cell"))

@@ -2531,10 +2531,15 @@ object NorthStar {
     */
   private def qBitextMargin(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    // Long.MaxValue pins the exact leg (the qn10/qn63 discipline): the
+    // corpus-size routing default must not silently flip this query's
+    // semantics to the approximate search at a larger SF and fail the
+    // exact oracle.
     Similarity.marginBitextPairs(
       e.where(pmod(col("vec_id"), lit(2)) === 0),
       e.where(pmod(col("vec_id"), lit(2)) === 1),
-      "vec_id", "embedding", k = 4, threshold = 1.02)
+      "vec_id", "embedding", k = 4, threshold = 1.02,
+      maxExactRows = Long.MaxValue)
       .orderBy("src_id")
   }
 
@@ -4666,12 +4671,15 @@ object NorthStar {
       bwd AS (SELECT query_id, vec_id, sim FROM (
                 SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY sim DESC, vec_id) AS rk FROM bwd0) WHERE rk <= 4),
-      sums AS (SELECT query_id, sum(CAST(sim AS DECIMAL(18,6))) AS sum_s
+      sums AS (SELECT query_id, sum(CAST(sim AS DECIMAL(18,6))) AS sum_s,
+                      count(*) AS cnt_s
                FROM fwd GROUP BY 1),
-      sumt AS (SELECT query_id AS vec_id, sum(CAST(sim AS DECIMAL(18,6))) AS sum_t
+      sumt AS (SELECT query_id AS vec_id, sum(CAST(sim AS DECIMAL(18,6))) AS sum_t,
+                      count(*) AS cnt_t
                FROM bwd GROUP BY 1),
       m AS (SELECT f.query_id, f.vec_id, f.sim,
-                   round(8.0 * f.sim / CAST(ss.sum_s + st.sum_t AS DOUBLE), 6)
+                   round(f.sim / ((CAST(ss.sum_s AS DOUBLE) / ss.cnt_s +
+                                   CAST(st.sum_t AS DOUBLE) / st.cnt_t) / 2), 6)
                      AS margin
             FROM fwd f
             JOIN sums ss ON f.query_id = ss.query_id

@@ -305,10 +305,16 @@ object ScaleBench {
           graft.TempDirs.create("graft_sb_rekey_"), idBucketWidth = 500000L)
         st.load(docs, "mig/src", externalKey = "v1")
         addOp("qs15_rekey") {
+          // rekey is eager (each version copies through load); the
+          // destination read-back verifies OUTSIDE the timed window —
+          // the r14 runs before this fix timed migration + one full
+          // read-back (walls overstated by the extra scan).
           st.rekey("mig/src", "mig/dst",
             Map("doc_id" -> graft.store.Store.KeyId))
-          st.get("mig/dst", Some("v1")).count()
+          1L
         }
+        require(st.get("mig/dst", Some("v1")).count() == n,
+          "rekey destination row-count mismatch")
       }
       addOp("qn49_fixedref")(
         // The deployment shape (see fixedRefCensus above): reference
