@@ -674,6 +674,21 @@ object Mixture {
     * `target` are dropped; a target domain absent from the corpus pins
     * N = 0 (empty result) rather than silently mis-mixing.
     */
+  /** The decimal-floor arithmetic [[rebalanceToTarget]] documents —
+    * exposed so contract checks (qn112) state the SAME floors instead
+    * of silently diverging through double rounding; MixtureSpec pins
+    * these against an independent rational reference.
+    */
+  private[graft] def rebalanceFloorDiv(n: Long, s: Double): Long =
+    BigDecimal.valueOf(n).bigDecimal
+      .divide(BigDecimal.valueOf(s).bigDecimal, 18, java.math.RoundingMode.FLOOR)
+      .longValue()
+
+  private[graft] def rebalanceFloorMul(s: Double, n: Long): Long =
+    BigDecimal.valueOf(s).bigDecimal
+      .multiply(BigDecimal.valueOf(n).bigDecimal)
+      .setScale(0, java.math.RoundingMode.FLOOR).longValue()
+
   def rebalanceToTarget(
       df: DataFrame,
       idCol: String,
@@ -692,17 +707,10 @@ object Mixture {
     // double arithmetic computes 0.29·100 = 28.999…6 and floors to 28,
     // silently shorting a domain one row. Clamp at the observed count
     // covers the opposite (over-ask) rounding direction.
-    def floorDiv(n: Long, s: Double): Long =
-      (BigDecimal.valueOf(n).bigDecimal.divide(
-        BigDecimal.valueOf(s).bigDecimal, 18, java.math.RoundingMode.FLOOR))
-        .longValue()
-    def floorMul(s: Double, n: Long): Long =
-      (BigDecimal.valueOf(s).bigDecimal.multiply(BigDecimal.valueOf(n).bigDecimal))
-        .setScale(0, java.math.RoundingMode.FLOOR).longValue()
     val feasible = target.map { case (d, s) =>
-      floorDiv(counts.getOrElse(d, 0L), s) }.min
+      rebalanceFloorDiv(counts.getOrElse(d, 0L), s) }.min
     val needs = target.toSeq.map { case (d, s) =>
-      d -> math.min(floorMul(s, feasible), counts.getOrElse(d, 0L)) }
+      d -> math.min(rebalanceFloorMul(s, feasible), counts.getOrElse(d, 0L)) }
     import df.sparkSession.implicits._
     sampleByTokenBudget(
       df.withColumn("__rb_one", lit(1L)), idCol, "__rb_one", domainCol,

@@ -2291,9 +2291,12 @@ object NorthStar {
       labeled, "doc_id", "domain", doms.map(_ -> share).toMap)
       .groupBy("domain").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val feasible = doms.map(dm => (predCounts(dm) / share).toLong).min
-    val needs = doms.map(dm =>
-      dm -> math.min((share * feasible).toLong, predCounts(dm))).toMap
+    // The op's documented DECIMAL floors (Mixture exposes them for
+    // exactly this check); double floors diverge at e.g. count/0.2.
+    val feasible = doms.map(dm =>
+      Mixture.rebalanceFloorDiv(predCounts(dm), share)).min
+    val needs = doms.map(dm => dm -> math.min(
+      Mixture.rebalanceFloorMul(share, feasible), predCounts(dm))).toMap
     val rebalanceOk =
       doms.forall(dm => realized.getOrElse(dm, 0L) == needs(dm)) &&
         realized.keySet.forall(needs.contains)
