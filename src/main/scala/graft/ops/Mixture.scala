@@ -698,9 +698,18 @@ object Mixture {
       "target shares must be positive")
     require(math.abs(target.values.sum - 1d) < 1e-9,
       "target shares must sum to 1")
-    val counts = df.where(col(domainCol).isin(target.keys.toSeq: _*))
-      .groupBy(domainCol).count().collect()
-      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    // The target map is keyed by STRING, so the domain key is compared
+    // as a string end-to-end: a temp string-cast column feeds the isin
+    // filter, the count, and the budget equi-join alike. Without it a
+    // non-string domain column (integer domain codes) would equi-join
+    // against the string-typed budget frame through an implicit cast —
+    // or fail analysis — while the counts map's toString masked the
+    // mismatch.
+    val domS = "__rb_dom"
+    val dfS = df.withColumn(domS, col(domainCol).cast("string"))
+    val counts = dfS.where(col(domS).isin(target.keys.toSeq: _*))
+      .groupBy(domS).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     // DECIMAL floors, not double: the contract is the floors of the
     // shares AS WRITTEN (BigDecimal.valueOf goes through the double's
     // shortest decimal form, so share 0.29 means 29/100 exactly);
@@ -713,9 +722,9 @@ object Mixture {
       d -> math.min(rebalanceFloorMul(s, feasible), counts.getOrElse(d, 0L)) }
     import df.sparkSession.implicits._
     sampleByTokenBudget(
-      df.withColumn("__rb_one", lit(1L)), idCol, "__rb_one", domainCol,
-      needs.toDF(domainCol, "budget"))
-      .drop("__rb_one")
+      dfS.withColumn("__rb_one", lit(1L)), idCol, "__rb_one", domS,
+      needs.toDF(domS, "budget"))
+      .drop("__rb_one", domS)
   }
 
   def clusterBalancedSample(

@@ -405,21 +405,26 @@ object Similarity {
   }
 
   /** Exact top-k neighbors for each query vector (brute force, broadcast
-    * queries). Excludes self-matches on id equality.
+    * queries). Excludes self-matches on id equality by default
+    * (`excludeSelf`) — the right contract when corpus == queries; pass
+    * false when the two frames are INDEPENDENT corpora whose id spaces
+    * may collide (cross-corpus mining: src row 7 and tgt row 7 are
+    * different vectors and may be each other's true match).
     */
   def topKPerQuery(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
 
     val c = corpus.select(col(idCol).as("vec_id"),
       normalize(asDouble(col(vecCol))).as("nv"))
     val q = queries.select(col(idCol).as("query_id"),
       normalize(asDouble(col(vecCol))).as("qnv"))
     val scored = c.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("query_id"))
+      .where(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id"),
         round(dotD(col("qnv"), col("nv")), 6).as("sim"))
     // Bounded-heap aggregate with map-side combine: each partition ships
@@ -449,6 +454,18 @@ object Similarity {
     * targets are margin-scored, the argmax is kept when its margin
     * clears `threshold`.
     *
+    * Cross-corpus id semantics: `src` and `tgt` are INDEPENDENT corpora,
+    * so id equality across them means nothing — both k-NN legs run with
+    * self-exclusion OFF (corpora independently numbered from 0 routinely
+    * put the true translation pair on the diagonal; excluding it would
+    * silently drop exactly the pairs the miner exists to find). Margins
+    * whose denominator (the mean of the two retrieved-k-NN cosine
+    * averages) is not strictly positive are UNDEFINED and dropped — a
+    * zero or negative denominator only arises from zero-norm embeddings
+    * or neighborhoods of cancelling negative cosines, where the ratio
+    * margin carries no signal (and an unguarded division would throw
+    * under ANSI mode).
+    *
     * Determinism contract (the qn08 discipline): candidate cosines are
     * 6dp-rounded; the two k-NN denominators accumulate as exact
     * DECIMAL(18,6) sums; the final margin is one double division of
@@ -464,10 +481,13 @@ object Similarity {
     * directions — exactly the published pipeline's recipe (CCMatrix
     * mines its candidates with FAISS-IVF, then margin-scores the
     * retrieved lists). The margin tail is identical either way:
-    * id-keyed joins against two k-row-per-id DECIMAL sum tables
-    * (broadcastable: one row per vector id) and a per-source top-1
-    * window over ≤ k rows. Nothing beyond the k-NN passes grows with
-    * the corpus. The routed denominators average the RETRIEVED k-NN
+    * id-keyed equi-joins against two one-row-per-vector-id DECIMAL sum
+    * tables and a per-source top-1 window over ≤ k rows. The sum tables
+    * grow linearly with the corpora, so the joins carry NO broadcast
+    * hint — AQE broadcasts them while they fit and degrades to a shuffle
+    * join past the broadcast ceiling instead of dying on it; either way
+    * the tail is O(|src|·k) rows. Nothing beyond the k-NN passes grows
+    * faster than the corpus. The routed denominators average the RETRIEVED k-NN
     * cosines (the published recipe's semantics too), so mined-pair
     * recall vs the exact leg follows the candidate search's probed
     * fraction — the standard IVF dial: on weakly-clustered vectors
@@ -495,9 +515,10 @@ object Similarity {
     val exact = maxExactRows == Long.MaxValue ||
       (maxExactRows > 0 && nSrc + nTgt <= maxExactRows)
     def knn(corpus: DataFrame, queries: DataFrame) =
-      if (exact) topKPerQuery(corpus, queries, idCol, vecCol, k)
+      if (exact) topKPerQuery(corpus, queries, idCol, vecCol, k,
+        excludeSelf = false)
       else ivfTopKBulk(corpus, queries, idCol, vecCol, k, nProbe,
-        maxFitRows, None)
+        maxFitRows, None, excludeSelf = false)
     val fwd = knn(tgt, src)
     val bwd = knn(src, tgt)
     val sumS = fwd.groupBy("query_id")
@@ -513,13 +534,22 @@ object Similarity {
     // DECIMAL until the per-side average; candidates whose target
     // retrieved no backward neighbors have an undefined margin and are
     // dropped by the inner join (can only happen on the routed leg).
+    // The denominator guard: zero-norm embeddings (or k-NN cosines that
+    // cancel to <= 0) make the mean-of-averages exactly zero or
+    // negative — the margin is undefined there, the candidate drops
+    // (null sorts after every real margin under desc, and the threshold
+    // cut removes a null argmax). Unguarded, ANSI mode throws
+    // DIVIDE_BY_ZERO on the zero case. No broadcast hints: sumS/sumT
+    // are one row per vector — linear in the corpora — so AQE must stay
+    // free to pick a shuffle join once they outgrow the broadcast limit.
+    val denom =
+      (col("__sum_s").cast("double") / col("__cnt_s") +
+        col("__sum_t").cast("double") / col("__cnt_t")) / 2
     val margins = fwd
-      .join(broadcast(sumS), "query_id")
-      .join(broadcast(sumT), "vec_id")
+      .join(sumS, "query_id")
+      .join(sumT, "vec_id")
       .withColumn("margin",
-        round(col("sim") /
-          ((col("__sum_s").cast("double") / col("__cnt_s") +
-            col("__sum_t").cast("double") / col("__cnt_t")) / 2), 6))
+        when(denom > 0, round(col("sim") / denom, 6)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("margin").desc, col("vec_id"))
     margins.withColumn("__rk", row_number().over(w))
@@ -1876,7 +1906,8 @@ object Similarity {
       k: Int,
       nProbe: Int,
       maxFitRows: Long,
-      corpusRows: Option[Long]): DataFrame = {
+      corpusRows: Option[Long],
+      excludeSelf: Boolean = true): DataFrame = {
     val rows = corpusRows.orElse(planRowUpperBound(corpus)).getOrElse(corpus.count())
     val nl = ivfNlistFor(rows)
     val probes = math.min(math.max(1, nProbe), nl)
@@ -1891,7 +1922,7 @@ object Similarity {
         normalize(asDouble(col(vecCol))).as("nv")), centroids, probes)
       .select(col("query_id"), col("nv").as("qnv"), col("cell"))
     qProbed.join(assigned.select(col("vec_id"), col("nv"), col("cell")), Seq("cell"))
-      .where(col("vec_id") =!= col("query_id"))
+      .where(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .groupBy("query_id")
       .agg(graft.functions.VectorExpressions.topKByScore(
         round(dotD(col("qnv"), col("nv")), 6), col("vec_id"), k).as("top"))

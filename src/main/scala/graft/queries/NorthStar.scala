@@ -2528,9 +2528,13 @@ object NorthStar {
     * each source its k=4 nearest targets are margin-scored (cosine over
     * the mean of both endpoints' k-NN cosines) and the argmax survives
     * above threshold. The whole computation — 6dp candidate cosines,
-    * DECIMAL k-NN sums, one final double division — restates
-    * bit-for-bit in the DuckDB oracle (no contract booleans needed:
-    * this is an EXACT-graded learned-embedding op, like qn08).
+    * DECIMAL k-NN sums, one final GUARDED double division (denominator
+    * must be strictly positive; undefined margins drop — the r14 ANSI
+    * divide-by-zero fix) — restates bit-for-bit in the DuckDB oracle
+    * (no contract booleans needed: this is an EXACT-graded
+    * learned-embedding op, like qn08). Ids here are disjoint by the
+    * even/odd split, but the op itself no longer self-excludes across
+    * corpora (independent id spaces — see the scaladoc).
     */
   private def qBitextMargin(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -4589,16 +4593,20 @@ object NorthStar {
                     WHEN stopfrac < 0.05 THEN 'quality_stopword'
                     END AS qstage
         FROM (
+          -- coalesce(text, '') : NULL text is empty text (rejectionFunnel's
+          -- documented null handling) — without it trim(NULL)='' is NULL,
+          -- every CASE arm nulls out and a null-text doc would slip
+          -- through to 'kept' instead of quality_length.
           SELECT doc_id, source,
-                 CASE WHEN trim(text) = '' THEN 0
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                       ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
-                 CASE WHEN trim(text) = '' THEN 0.0
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0.0
                       ELSE len(regexp_replace(text, '\s+', '', 'g'))
                         * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS awl,
-                 CASE WHEN trim(text) = '' THEN 0.0
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0.0
                       ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
                         * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS ttr,
-                 CASE WHEN trim(text) = '' THEN 0.0
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0.0
                       ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
                                  t -> t IN ('the', 'a', 'of', 'and', 'is', 'to')))
                         * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS stopfrac
@@ -4681,14 +4689,17 @@ object NorthStar {
                       count(*) AS cnt_t
                FROM bwd GROUP BY 1),
       m AS (SELECT f.query_id, f.vec_id, f.sim,
-                   round(f.sim / ((CAST(ss.sum_s AS DOUBLE) / ss.cnt_s +
-                                   CAST(st.sum_t AS DOUBLE) / st.cnt_t) / 2), 6)
-                     AS margin
+                   CASE WHEN (CAST(ss.sum_s AS DOUBLE) / ss.cnt_s +
+                              CAST(st.sum_t AS DOUBLE) / st.cnt_t) / 2 > 0
+                        THEN round(f.sim /
+                               ((CAST(ss.sum_s AS DOUBLE) / ss.cnt_s +
+                                 CAST(st.sum_t AS DOUBLE) / st.cnt_t) / 2), 6)
+                        END AS margin
             FROM fwd f
             JOIN sums ss ON f.query_id = ss.query_id
             JOIN sumt st ON f.vec_id = st.vec_id),
       best AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY margin DESC, vec_id) AS brk FROM m)
+                 ORDER BY margin DESC NULLS LAST, vec_id) AS brk FROM m)
       SELECT query_id AS src_id, vec_id AS tgt_id, sim, margin
       FROM best WHERE brk = 1 AND margin >= 1.02
       ORDER BY src_id"""))

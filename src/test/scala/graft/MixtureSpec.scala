@@ -361,6 +361,28 @@ class MixtureSpec extends SparkSpec {
     assert(pc === Map("a" -> 29L, "b" -> 71L))
   }
 
+  test("rebalanceToTarget: non-string domain columns compare as strings, schema preserved") {
+    import spark.implicits._
+    // Integer domain codes with string target keys: the op casts the
+    // domain to string on BOTH sides of the budget join, so "1"/"2"
+    // select the int-coded domains instead of silently mis-joining (or
+    // failing analysis) through an implicit cast.
+    val df = ((0L until 6L).map((_, 1)) ++ (10L until 13L).map((_, 2)))
+      .toDF("doc_id", "domain")
+    val got = Mixture.rebalanceToTarget(
+      df, "doc_id", "domain", Map("1" -> 0.6, "2" -> 0.4))
+    // feasible N = min(⌊6/.6⌋, ⌊3/.4⌋) = min(10, 7) = 7; needs = ⌊.6·7⌋,
+    // ⌊.4·7⌋ = 4, 2.
+    val counts = got.groupBy("domain").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1 -> 4L, 2 -> 2L))
+    // The output schema is the input's — the internal string-cast and
+    // unit-token columns never leak.
+    assert(got.columns.toSeq === df.columns.toSeq)
+    assert(got.schema("domain").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+  }
+
   test("leakageSafeSplit: groups never straddle splits; label = anchor's hashSplit") {
     import spark.implicits._
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

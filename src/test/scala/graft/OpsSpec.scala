@@ -903,6 +903,62 @@ class OpsSpec extends SparkSpec {
       k = 2, threshold = 1.5).count() == 1L)
   }
 
+  test("marginBitextPairs: zero-norm / cancelling denominators drop, never throw (ANSI)") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // All-zero embeddings on both sides: every cosine is 0, both k-NN
+    // sums are 0, the margin denominator is EXACTLY zero — the r14
+    // judge-run crash (ANSI DIVIDE_BY_ZERO at the margin division).
+    // Contract: undefined margin => the candidate drops; no exception.
+    val zsrc = Seq((0L, Array(0f, 0f)), (2L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ztgt = Seq((1L, Array(0f, 0f)), (3L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.marginBitextPairs(zsrc, ztgt, "vec_id", "embedding",
+      k = 2, threshold = 0.0).count() == 0L)
+    // Antipodal targets: src a=(1,0) sees tgt x=(1,0) sim 1.0 and
+    // y=(-1,0) sim -1.0; its forward sum CANCELS to exactly 0. Backward:
+    // x and y each see only a (k=2 but one source), sums +1 and -1. So
+    // a→x denom = (0/2 + 1/1)/2 = 0.5 > 0 => margin 1.0/0.5 = 2.0 kept;
+    // a→y denom = (0/2 + (-1)/1)/2 = -0.5 <= 0 => undefined, dropped
+    // (not a huge negative margin, not a crash).
+    val asrc = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val atgt = Seq((1L, Array(1f, 0f)), (3L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.marginBitextPairs(asrc, atgt, "vec_id", "embedding",
+      k = 2, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 1L, 1.0, 2.0)))
+  }
+
+  test("marginBitextPairs: colliding ids across corpora keep the diagonal pair") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // Independent corpora numbered from 0: row i of each side IS the
+    // true translation pair. A same-corpus self-exclusion would drop
+    // exactly these diagonal candidates (and their k-NN denominator
+    // contributions) — the op must not self-exclude cross-corpus.
+    val src = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    // fwd s0: sims t0=1.0, t1=0.0 (sum 1.0); bwd t0: s0=1.0, s1=0.0
+    // (sum 1.0); margin s0→t0 = 1.0 / ((0.5 + 0.5)/2) = 2.0; symmetric
+    // for s1→t1.
+    val got = Similarity.marginBitextPairs(src, tgt, "vec_id", "embedding",
+      k = 2, threshold = 1.0)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 0L, 1.0, 2.0), (1L, 1L, 1.0, 2.0)))
+    // And the routed leg honors the same contract (forced route,
+    // exhaustive probes so retrieval is exact).
+    val routed = Similarity.marginBitextPairs(src, tgt, "vec_id", "embedding",
+      k = 2, threshold = 1.0, maxExactRows = 0L, nProbe = 64)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(routed.toSeq == got.toSeq)
+  }
+
   test("rejectionFunnel: first-gate attribution, stages partition the corpus") {
     import spark.implicits._
     import graft.ops.TextOps
