@@ -1473,6 +1473,10 @@ object TextOps {
       k: Int = 10,
       c: Int = 60): DataFrame = {
     require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
+    // c >= 1 keeps every reciprocal denominator c + rank strictly
+    // positive for any rank >= 0 (ANSI mode would turn c = -rank into a
+    // DIVIDE_BY_ZERO error); the RRF constant is positive by definition.
+    require(c >= 1, "rrf constant c must be >= 1")
     ranked
       .map(_.select(col(idCol).as("id"), col(rankCol).cast("int").as("__r")))
       .reduce(_.unionAll(_))
@@ -1664,10 +1668,16 @@ object TextOps {
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
         count(lit(1)).cast("double").as("n"))
       .select(col("source"), col("n_vocab"), col("n_tokens"),
+        // nullif: a single-term vocabulary (n = 1, so x = ln 1 = 0 and
+        // n·sxx − sx² = 0 EXACTLY — the only degenerate case, since for
+        // n >= 2 the ranks are distinct integers and Cauchy–Schwarz is
+        // strict) has no defined regression slope, and ANSI mode would
+        // make the bare division a DIVIDE_BY_ZERO error rather than a
+        // null. Null slope = "can't fit", the honest answer.
         round((col("n") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /
-          (col("n") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")), 6)
+          nullif(col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"), lit(0d)), 6)
           .as("zipf_slope"))
   }
 

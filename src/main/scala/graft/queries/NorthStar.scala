@@ -4174,7 +4174,8 @@ object NorthStar {
       SELECT source, CAST(n_vocab AS BIGINT) AS n_vocab,
              CAST(n_tokens AS BIGINT) AS n_tokens,
              round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                   / nullif(n * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0),
                    6) AS zipf_slope
       FROM s
       ORDER BY source""")),

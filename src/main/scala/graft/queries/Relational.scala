@@ -908,7 +908,11 @@ object Relational {
       .select(col("event_type"), col("day"),
         col("v").cast("double").as("day_value"),
         round((col("v") - prev).cast("double"), 4).as("diff"),
-        round((col("v") - prev).cast("double") / prev.cast("double"), 6)
+        // nullif: pct change from a zero base is undefined, not an ANSI
+        // DIVIDE_BY_ZERO error (a day whose value sum is exactly 0 is
+        // legal input even though the fixture never produces one).
+        round((col("v") - prev).cast("double") /
+          nullif(prev, lit(0).cast(DecimalType(18, 4))).cast("double"), 6)
           .as("pct_change"))
       .orderBy("event_type", "day")
   }
@@ -1561,7 +1565,8 @@ object Relational {
       SELECT event_type, day,
              CAST(v AS DOUBLE) AS day_value,
              round(CAST(v - prev AS DOUBLE), 4) AS diff,
-             round(CAST(v - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6) AS pct_change
+             round(CAST(v - prev AS DOUBLE) / CAST(nullif(prev, 0) AS DOUBLE), 6)
+               AS pct_change
       FROM l
       ORDER BY event_type, day""")),
     QueryDef("q66_group_sample", q66GroupSample _, Some("""

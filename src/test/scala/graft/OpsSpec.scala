@@ -959,6 +959,103 @@ class OpsSpec extends SparkSpec {
     assert(routed.toSeq == got.toSeq)
   }
 
+  test("ANSI division audit: zero-denominator edges drop or null, never throw") {
+    import spark.implicits._
+    import graft.ops.{Mixture, TextOps}
+    // Spark 4's default ANSI mode turns EVERY division by zero — double
+    // included — into a runtime DIVIDE_BY_ZERO error, so each division
+    // on an aggregate-derived column needs either a guard or a
+    // structural reason the denominator is nonzero. This test pins one
+    // reachable-zero fixture per guarded site and one degenerate-input
+    // case per structurally-safe site (the r14 punch-list sweep; the
+    // bitext margin cases live in their own tests above).
+
+    // zipfSlope: a single-term vocabulary has x = ln 1 = 0 for its only
+    // point, so the regression denominator n·sxx − sx² is EXACTLY 0 —
+    // the nullif guard yields a null slope; multi-term sources are
+    // unaffected (distinct integer ranks make Cauchy–Schwarz strict).
+    val zdf = Seq(
+      ("mono", "word word word word"),
+      ("mono", "word word"),
+      ("rich", "a a a a b b c d")).toDF("source", "text")
+    val zs = TextOps.zipfSlope(zdf, "text", "source").collect()
+      .map(r => r.getString(0) -> Option(r.get(3))).toMap
+    assert(zs("mono").isEmpty, "single-term vocab must yield null slope")
+    assert(zs("rich").nonEmpty)
+    // maxRank = 1 truncates EVERY source to one point — all null.
+    assert(TextOps.zipfSlope(zdf, "text", "source", maxRank = 1)
+      .where(col("zipf_slope").isNotNull).count() == 0L)
+
+    // dsirScores: the smoothing denominators n_tgt + v and n_all + v
+    // carry v = |vocab| >= 1 whenever any token row exists (the totals
+    // fold in via a lazy cross join, so an EMPTY corpus evaluates no
+    // division at all — it is just empty).
+    assert(TextOps.dsirScores(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", lit(false)).count() == 0L)
+    // All-target / no-target corpora keep v >= 1: no crash, scores defined.
+    val dd = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    assert(TextOps.dsirScores(dd, "doc_id", "text", lit(true)).count() == 2L)
+    assert(TextOps.dsirScores(dd, "doc_id", "text", lit(false)).count() == 2L)
+
+    // bm25Search: blank docs are filtered before dl, and tokens() of
+    // non-blank text always has >= 1 element (whitespace split), so
+    // avgdl >= 1 — an all-blank corpus is empty, never 0/0.
+    assert(TextOps.bm25Search(
+      Seq((1L, "   "), (2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", Seq("x")).count() == 0L)
+
+    // temperatureSample: the α-power normalizer __mx_z is a sum of
+    // pow(count >= 1, α) > 0 over however many sources exist; an empty
+    // corpus evaluates no rate division (empty counts table).
+    assert(Mixture.temperatureSample(
+      Seq.empty[(Long, String)].toDF("doc_id", "source"),
+      "doc_id", "source", alpha = 0.5, budgetDocs = 10L).count() == 0L)
+
+    // weightedSample: rows with weight <= 0 or null are excluded BEFORE
+    // the -ln(u)/w key (the A-ES domain), so the division never sees 0.
+    val wdf = Seq((1L, Some(2.0)), (2L, Some(0.0)), (3L, Some(-1.0)),
+      (4L, Option.empty[Double]))
+      .toDF("doc_id", "w")
+    val picked = Mixture.weightedSample(wdf, "doc_id", "w", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked == Set(1L))
+
+    // unigramJsdMatrix: the shared-mass denominator p + q is guarded by
+    // the when(p > 0)/when(q > 0) branches (the disjoint-vocab ln 2 test
+    // exercises them); a single source yields no pairs — no division.
+    assert(TextOps.unigramJsdMatrix(
+      Seq(("a", "x y z")).toDF("source", "text"), "text", "source")
+      .count() == 0L)
+
+    // rrfFuse: c >= 1 keeps every c + rank > 0 for rank >= 0.
+    intercept[IllegalArgumentException] {
+      TextOps.rrfFuse(
+        Seq(Seq((1L, 1)).toDF("id", "rank")), "id", "rank", k = 5, c = 0)
+    }
+
+    // ngramNovelty: docs with < n tokens have no shingles and are ABSENT
+    // (n_shingles >= 1 for every emitted row); an empty reference makes
+    // everything fully novel rather than dividing by zero.
+    val nov = TextOps.ngramNovelty(
+      Seq((1L, "one two"), (2L, "one two three four")).toDF("doc_id", "text"),
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", n = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov == Map(2L -> 1.0))
+
+    // q65-style pct change: a zero previous value is an undefined pct
+    // change (null), not an error — nullif on both engine sides.
+    val pc = Seq((1, 0.0), (2, 5.0)).toDF("k", "v")
+      .withColumn("prev",
+        lag(col("v"), 1).over(org.apache.spark.sql.expressions.Window.orderBy("k")))
+      .select(round((col("v") - col("prev")) / nullif(col("prev"), lit(0.0)), 6)
+        .as("pct"))
+      .collect().map(r => Option(r.get(0)))
+    assert(pc.toSeq == Seq(None, None)) // first row: null prev; second: zero prev
+  }
+
   test("rejectionFunnel: first-gate attribution, stages partition the corpus") {
     import spark.implicits._
     import graft.ops.TextOps
