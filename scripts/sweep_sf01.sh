@@ -1,0 +1,27 @@
+#!/bin/bash
+# Standing FULL-registry correctness sweep at sf0.1 (VERDICT r14 item #7).
+#
+# The driver's graded gate runs at sf0.01 only; this sweep re-runs every
+# registry query + its DuckDB oracle at 10x that scale, which catches
+# scale-dependent divergences the gate cannot see (r14: qn112's contract
+# check used double floors while the op used decimal — green at sf0.01,
+# red at sf0.1). Run it before closing a round and cite the output file
+# in the round NOTES. ~15 min; run SOLO (no concurrent sbt/Spark JVM).
+#
+# Usage: scripts/sweep_sf01.sh [out.log] [name-regex]
+set -u
+OUT="${1:-/tmp/sweep_sf01.log}"
+FILTER="${2:-}"
+DIR=/tmp/verify_sf01
+cd /root/repo
+rm -rf "$DIR"
+echo "=== sweep sf0.1 start $(date -u +%FT%TZ) filter='${FILTER}' ===" | tee "$OUT"
+if [ -n "$FILTER" ]; then
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $DIR $FILTER" \
+    2>&1 | grep -E "\[verify\].*failed|Exception in" | tee -a "$OUT"
+else
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $DIR" \
+    2>&1 | grep -E "\[verify\].*failed|Exception in" | tee -a "$OUT"
+fi
+python3 scripts/check.py /root/testdata/sf0.1 "$DIR" 2>&1 | tee -a "$OUT"
+echo "=== sweep sf0.1 end $(date -u +%FT%TZ) ===" | tee -a "$OUT"

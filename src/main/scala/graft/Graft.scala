@@ -42,6 +42,14 @@ object Graft {
     *    aggregate streams (top-k shortlists) whose hash maps fit memory
     *    trivially; on one box the per-op spills stack into a disk
     *    blowout. Keep hash aggregation until maps are genuinely large.
+    *  - `legacy.bucketedTableScan.outputOrdering`: lets a bucketed scan
+    *    report its stored SORT order, so a sort-merge join against
+    *    [[graft.store.BucketedState]] signature state skips the
+    *    state-side local sort as well as the exchange (the state then
+    *    streams: pure scan + merge). Safe: Spark only claims the order
+    *    when every bucket has at most one file, which BucketedState
+    *    writes guarantee (per-version repartition by bucket) and
+    *    arbitrary bucketed tables fall back to an explicit sort.
     *
     * On a REAL multi-executor cluster the JIT lottery shows up as
     * stragglers on a FEW executors instead — there, prefer
@@ -52,7 +60,8 @@ object Graft {
     */
   val singleJvmScaleConfs: Map[String, String] = Map(
     "spark.sql.codegen.aggregate.map.twolevel.enabled" -> "false",
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304")
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304",
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
 
   /** Apply [[singleJvmScaleConfs]] to an existing session (all entries
     * are runtime SQL confs — no session rebuild needed).

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BpeMergePairExpr, ColumnBridge, DotProductD, HashedTokenCountsExpr, HashedTokenLogitExpr, HashedTokenMultiLogitExpr, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
+import org.apache.spark.sql.graft.{BpeMergePairExpr, ColumnBridge, DotProductD, HashedCharNgramCountsExpr, HashedTokenCountsExpr, HashedTokenLogitExpr, HashedTokenMultiLogitExpr, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
 
 /** Facade over the custom Catalyst expressions in
   * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
@@ -111,6 +111,13 @@ object VectorExpressions {
   def hashedTokenCounts(tokens: Column, dim: Int): Column =
     ColumnBridge.column(HashedTokenCountsExpr(ColumnBridge.expression(tokens), dim))
 
+  /** Hashed char-n-gram counts (the subword train lane; same gram/seed
+    * contract as the serving kernel — see HashedTokenBucket).
+    */
+  def hashedCharNgramCounts(tokens: Column, n: Int, dim: Int): Column =
+    ColumnBridge.column(HashedCharNgramCountsExpr(
+      ColumnBridge.expression(tokens), n, dim))
+
   /** sigmoid(intercept + aux·w_prefix + Σ w(bucket(token))) — the
     * SERVING kernel of the learned quality scorer; weights ride as a
     * constructor array so the corpus scan stays a primitive loop with
@@ -132,10 +139,11 @@ object VectorExpressions {
     */
   def hashedTokenMultiLogit(aux: Column, tokens: Column,
       weights: Array[Double], hashDim: Int,
-      intercepts: Array[Double]): Column =
+      intercepts: Array[Double],
+      charN: Int = 3, charDim: Int = 0): Column =
     ColumnBridge.column(HashedTokenMultiLogitExpr(
       ColumnBridge.expression(aux), ColumnBridge.expression(tokens),
-      weights, hashDim, intercepts))
+      weights, hashDim, intercepts, charN, charDim))
 
   /** Top-`probes` nearest cell ids (array<int>, (dist, cell) ascending)
     * of an `array<double>` query against a flat centroid matrix — the

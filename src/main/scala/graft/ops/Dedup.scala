@@ -879,18 +879,60 @@ object Dedup {
       threshold: Double = 0.8,
       maxShingleDocFreq: Long = DefaultMaxShingleDocFreq,
       prevShingleFreqs: Option[DataFrame] = None,
+      batchShingleFreqs: Option[DataFrame] = None): DataFrame =
+    dedupIncrementalSliced(newDocs, Seq(prevSignatures), idCol, textCol, n,
+      threshold, maxShingleDocFreq, prevShingleFreqs, batchShingleFreqs)
+
+  /** [[dedupIncremental]] with the corpus signature state supplied as
+    * SLICES — one DataFrame per persisted ingest version — instead of
+    * one pre-unioned frame. This is the shape the bucketed state layout
+    * requires ([[graft.store.BucketedState]]): each slice scans with its
+    * stored `HashPartitioning(s)` intact, so the state-side Exchange
+    * disappears from BOTH state joins (the hot-shingle anti-join and
+    * the cross-pair join key on `s`, exactly the bucket column) and
+    * only the batch side shuffles per ingest. `Union` would erase that
+    * partitioning, so the union happens AFTER the per-slice aggregates,
+    * on pair/doc-sized results.
+    *
+    * Contract: the slices must PARTITION the prior corpus by document —
+    * every prev doc's signature rows live entirely in one slice (true
+    * for per-batch ingest versions, where each doc arrives exactly
+    * once). Then both per-slice aggregates are already complete — a
+    * (prev, new) pair's shingle overlap lives in the prev doc's slice,
+    * as does its n_sh count — and the slice-wise union is exactly the
+    * single-frame computation, bit for bit (DedupSpec pins it). The
+    * remaining per-ingest state cost is one in-place scan per slice
+    * plus the per-doc count aggregate (map-side combined; its shuffle
+    * carries ~min(shingles, buckets) partial rows per doc, not the
+    * signature table).
+    */
+  def dedupIncrementalSliced(
+      newDocs: DataFrame,
+      prevSignatureSlices: Seq[DataFrame],
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleDocFreq: Long = DefaultMaxShingleDocFreq,
+      prevShingleFreqs: Option[DataFrame] = None,
       batchShingleFreqs: Option[DataFrame] = None): DataFrame = {
 
-    val prevSig0 = prevSignatures.select(col("id"), col("s"))
     val newSig0 = shingleSignatures(newDocs, idCol, textCol, n)
+    // No prior state = one empty slice with the right schema (id typed
+    // like the caller's idCol, via an empty projection of the batch).
+    val slices0 =
+      if (prevSignatureSlices.nonEmpty)
+        prevSignatureSlices.map(_.select(col("id"), col("s")))
+      else Seq(newSig0.limit(0))
     // Hot-shingle cap over prev ∪ new doc frequency — the same stopword
     // shingles the one-shot dedup drops (fanout bound on the cross join).
-    val (prevSig, newSigPlan) =
-      if (maxShingleDocFreq <= 0) (prevSig0, newSig0)
+    val (prevSlices, newSigPlan) =
+      if (maxShingleDocFreq <= 0) (slices0, newSig0)
       else {
         val prevFreq = prevShingleFreqs
           .map(_.select(col("s"), col("df").cast("long").as("df")))
-          .getOrElse(prevSig0.groupBy("s").agg(count(lit(1)).as("df")))
+          .getOrElse(slices0.map(_.select("s")).reduce(_ unionAll _)
+            .groupBy("s").agg(count(lit(1)).as("df")))
         val newFreq = batchShingleFreqs
           .map(_.select(col("s"), col("df").cast("long").as("df")))
           .getOrElse(newSig0.groupBy("s").agg(count(lit(1)).as("df")))
@@ -899,8 +941,10 @@ object Dedup {
           .where(col("df") > maxShingleDocFreq).select("s")
         // No broadcast() hint on the hot set: usually tiny, but on a
         // Zipf corpus it is the unbounded distribution head — AQE picks
-        // broadcast vs shuffle from the runtime size.
-        (prevSig0.join(hot, Seq("s"), "left_anti"),
+        // broadcast vs shuffle from the runtime size. Either plan keeps
+        // a bucketed slice in place: the anti-join key is the bucket
+        // column, so even a sort-merge anti shuffles only the hot side.
+        (slices0.map(_.join(hot, Seq("s"), "left_anti")),
           newSig0.join(hot, Seq("s"), "left_anti"))
       }
     // The new batch's signatures feed the cross join, the self-join (both
@@ -908,17 +952,21 @@ object Dedup {
     // through each consumer without materialization (it is the 100 TB
     // side).
     val newSig = materialize(newSigPlan)
-    val prevCounts = prevSig.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val newCounts = newSig.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
     def jaccardPairs(pairs: DataFrame, aCounts: DataFrame, bCounts: DataFrame) =
       jaccardThreshold(pairs, aCounts, bCounts, threshold).select("doc_a", "doc_b")
 
-    val cross = jaccardPairs(
-      prevSig.as("p").join(newSig.as("q"), col("p.s") === col("q.s"))
+    // Per-slice aggregates, unioned on the RESULT side (see scaladoc).
+    val crossPairs = prevSlices.map { sl =>
+      sl.as("p").join(newSig.as("q"), col("p.s") === col("q.s"))
         .groupBy(col("p.id").as("doc_a"), col("q.id").as("doc_b"))
-        .agg(count(lit(1)).as("common")),
-      prevCounts, newCounts)
+        .agg(count(lit(1)).as("common"))
+    }.reduce(_ unionAll _)
+    val prevCounts = prevSlices.map(_.groupBy("id")
+      .agg(count(lit(1)).as("n_sh"))).reduce(_ unionAll _)
+
+    val cross = jaccardPairs(crossPairs, prevCounts, newCounts)
     val newNew = jaccardPairs(
       newSig.as("a").join(newSig.as("b"),
           col("a.s") === col("b.s") && col("a.id") < col("b.id"))

@@ -976,9 +976,12 @@ object TextOps {
       labels: Array[String],
       weights: Array[Double],
       intercepts: Array[Double],
-      hashDim: Int) {
+      hashDim: Int,
+      /** Char-n-gram lane size (0 = lane off — pre-r15 models). */
+      charDim: Int = 0,
+      charN: Int = 3) {
     def numClasses: Int = labels.length
-    def auxDim: Int = weights.length / numClasses - hashDim
+    def auxDim: Int = weights.length / numClasses - hashDim - charDim
   }
 
   /** Train the domain classifier: multinomial logistic regression
@@ -1001,18 +1004,27 @@ object TextOps {
       maxTrainRows: Long = 200000L,
       regParam: Double = 1e-3,
       maxIter: Int = 50,
-      classBalance: Boolean = false): DomainModel =
+      classBalance: Boolean = false,
+      charDim: Int = 512,
+      charN: Int = 3): DomainModel =
     trainDomainModelWithMl(
       docs, textCol, labelCol, dim, maxTrainRows, regParam, maxIter,
-      classBalance)._1
+      classBalance, charDim, charN)._1
 
-  /** The domain-classifier feature row: dense aux stats, then `dim`
-    * hashed-BoW buckets — TRAIN-side only (serving never materializes
-    * it). Public so audits can rebuild the exact train-time layout.
+  /** The domain-classifier feature row: dense aux stats, `dim`
+    * hashed-BoW buckets, then `charDim` hashed char-n-gram buckets
+    * (`charDim` 0 turns the subword lane off) — TRAIN-side only
+    * (serving never materializes it). Public so audits can rebuild the
+    * exact train-time layout.
     */
-  def domainFeatures(c: Column, dim: Int): Column =
-    concat(auxQualityFeatures(c),
+  def domainFeatures(
+      c: Column, dim: Int, charDim: Int = 0, charN: Int = 3): Column = {
+    val base = concat(auxQualityFeatures(c),
       graft.functions.VectorExpressions.hashedTokenCounts(tokens(c), dim))
+    if (charDim <= 0) base
+    else concat(base, graft.functions.VectorExpressions
+      .hashedCharNgramCounts(tokens(c), charN, charDim))
+  }
 
   /** [[trainDomainModel]] variant that also returns the fitted
     * `spark.ml` model, so audit tooling ([[graft.tools
@@ -1027,7 +1039,13 @@ object TextOps {
       maxTrainRows: Long = 200000L,
       regParam: Double = 1e-3,
       maxIter: Int = 50,
-      classBalance: Boolean = false)
+      classBalance: Boolean = false,
+      /** Char-n-gram subword lane (r15 — the DAUDIT headroom fix: the
+        * fixture's `lang` label separates on character shapes that
+        * hashed whole words can't see). 0 turns the lane off.
+        */
+      charDim: Int = 512,
+      charN: Int = 3)
       : (DomainModel,
          org.apache.spark.ml.classification.LogisticRegressionModel) = {
     // Domains are a handful of strings by construction; the 4096 guard
@@ -1053,7 +1071,8 @@ object TextOps {
     val labeled = sampled
       .where(col(labelCol).isNotNull && col(textCol).isNotNull)
       .select(labelIdx.as("label"),
-        array_to_vector(domainFeatures(col(textCol), dim)).as("features"))
+        array_to_vector(domainFeatures(col(textCol), dim, charDim, charN))
+          .as("features"))
     // Instance weights: UNWEIGHTED by default — a mixture classifier
     // should be calibrated to the corpus prior (argmax against the real
     // label frequencies is what rebalancing consumes; balancing the
@@ -1088,10 +1107,11 @@ object TextOps {
       s"domain '$labelCol' has ${labels.length} labels but only " +
         s"${m.numClasses} survived the ${maxTrainRows}-row training " +
         "sample — raise maxTrainRows or drop ultra-rare domains upstream")
-    val cm = m.coefficientMatrix // K x (nAux + dim)
+    val cm = m.coefficientMatrix // K x (nAux + dim + charDim)
     val flat = new Array[Double](cm.numRows * cm.numCols)
     cm.foreachActive { (r, c, v) => flat(r * cm.numCols + c) = v }
-    (DomainModel(labels, flat, m.interceptVector.toArray, dim), m)
+    (DomainModel(labels, flat, m.interceptVector.toArray, dim,
+      charDim = math.max(charDim, 0), charN = charN), m)
   }
 
   /** Classify a text column with a trained [[DomainModel]]:
@@ -1103,7 +1123,8 @@ object TextOps {
   def domainPredict(c: Column, model: DomainModel): Column =
     graft.functions.VectorExpressions.hashedTokenMultiLogit(
       auxQualityFeatures(c), tokens(c),
-      model.weights, model.hashDim, model.intercepts)
+      model.weights, model.hashDim, model.intercepts,
+      charN = model.charN, charDim = model.charDim)
 
   /** Class-index → label-name lookup for [[domainPredict]] output (a
     * K-element literal array — domains, not data).
@@ -1128,8 +1149,9 @@ object TextOps {
     import spark.implicits._
     store.load(
       Seq((model.labels.toSeq, model.weights.toSeq,
-        model.intercepts.toSeq, model.hashDim))
-        .toDF("labels", "weights", "intercepts", "hash_dim"),
+        model.intercepts.toSeq, model.hashDim, model.charDim, model.charN))
+        .toDF("labels", "weights", "intercepts", "hash_dim",
+          "char_dim", "char_n"),
       name, externalKey = externalKey, keepLast = keepLast)
   }
 
@@ -1140,12 +1162,17 @@ object TextOps {
       store: graft.store.Store,
       name: String,
       externalKey: Option[String] = None): DomainModel = {
-    val r = store.get(name, externalKey, useLast = externalKey.isEmpty).head()
+    val df = store.get(name, externalKey, useLast = externalKey.isEmpty)
+    val r = df.head()
+    // Pre-r15 artifacts have no char lane columns: lane off.
+    val hasChar = df.columns.contains("char_dim")
     DomainModel(
       r.getAs[scala.collection.Seq[String]]("labels").toArray,
       r.getAs[scala.collection.Seq[Double]]("weights").toArray,
       r.getAs[scala.collection.Seq[Double]]("intercepts").toArray,
-      r.getAs[Int]("hash_dim"))
+      r.getAs[Int]("hash_dim"),
+      charDim = if (hasChar) r.getAs[Int]("char_dim") else 0,
+      charN = if (hasChar) r.getAs[Int]("char_n") else 3)
   }
 
   /** Distributed ROC-AUC for a score-vs-binary-label audit, via

@@ -2448,10 +2448,13 @@ object NorthStar {
     val q1 = delta.where(TextOps.qualityRules(col("text")).keep)
     // Day 0: one-shot build of the first batch; the dedup state
     // (signatures + per-shingle freqs) persists for every later ingest.
-    // The batch freq table feeds two cap legs (the qn24 sharing), so it
-    // aggregates once.
+    // Signatures persist BUCKETED by shingle (the r15 layout — each
+    // later ingest's state join storage-partitions, shuffling only the
+    // delta side), freqs as ordinary row versions. The batch freq table
+    // feeds two cap legs (the qn24 sharing), so it aggregates once.
     val sig0 = Dedup.shingleSignatures(q0, "doc_id", "text", n = 3)
-    store.load(sig0, "cb/signatures", externalKey = "b0")
+    val sigRoot = store.statePath("cb/signatures")
+    graft.store.BucketedState.write(sig0, sigRoot, "b0", "s", numBuckets = 32)
     store.load(Dedup.shingleDocFreqs(sig0), "cb/freqs", externalKey = "b0")
     val batchFreqs = Dedup.materialize(
       Dedup.shingleDocFreqs(Dedup.shingleSignatures(q1, "doc_id", "text", n = 3)))
@@ -2474,9 +2477,10 @@ object NorthStar {
       shingleFreqs = Some(corpusFreqs))))
     store.load(dc0, "cb/corpus", externalKey = "b0")
     // Day 1: ONLY the delta flows — incremental dedup against the
-    // read-back signatures, per-doc decontam, append version.
-    val dc1 = Dedup.materialize(decontam(Dedup.dedupIncremental(q1,
-      store.get("cb/signatures", useLast = true), "doc_id", "text",
+    // read-back bucketed signature slices, per-doc decontam, append
+    // version.
+    val dc1 = Dedup.materialize(decontam(Dedup.dedupIncrementalSliced(q1,
+      graft.store.BucketedState.slices(s, sigRoot), "doc_id", "text",
       n = 3, threshold = 0.8,
       prevShingleFreqs = Some(prevFreqs), batchShingleFreqs = Some(batchFreqs))))
     store.load(dc1, "cb/corpus", externalKey = "b1")

@@ -85,6 +85,16 @@ final class Store(
   private def fs: FileSystem =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Filesystem home for auxiliary NON-row-versioned state artifacts
+    * sharing this store's root — e.g. [[BucketedState]] signature state.
+    * The `.bstate` suffix is a reserved-by-convention namespace (don't
+    * name row tables `*.bstate`); [[list]] never reports these dirs
+    * (no MetaFile), so they stay off the catalog surface while living
+    * inside the store's lifecycle.
+    */
+  private[graft] def statePath(name: String): String =
+    new Path(rootPath, name + ".bstate").toString
+
   // ---------------------------------------------------------------- load
 
   /** Store `df` under `name`. Mirrors `load_dataframe` (client.py:66-137).

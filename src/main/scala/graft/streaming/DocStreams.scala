@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 
 import graft.ops.{Dedup, TextOps}
-import graft.store.Store
+import graft.store.{BucketedState, Store}
 
 /** Structured Streaming forms of the DOCUMENT-pipeline operators — the
   * corpus-ingest half of the streaming story (EventStreams covers the
@@ -134,6 +134,53 @@ object DocStreams {
       .as("domain"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Streaming margin-based bitext mining (qn113's
+    * [[graft.ops.Similarity.marginBitextPairs]] as a live monitor): each
+    * micro-batch of freshly-encoded SOURCE-language embeddings mines
+    * translation pairs against a PINNED target-language corpus read from
+    * the store (the qn76/qn81 stored-artifact seam: the target table is
+    * versioned, so the miner pins exactly one reference no matter what
+    * retrains land mid-stream) and appends `(src_id, tgt_id, sim,
+    * margin, batch_id)` to `outDir` — both the candidate feed for a
+    * human/aligner queue and, aggregated, the per-batch mined-pair-rate
+    * monitor (an encoder regression shows up as the rate falling while
+    * the batch is still landing).
+    *
+    * Semantics note (the contract StreamingSpec pins): margins are
+    * BATCH-LOCAL — the backward k-NN denominator ranks each candidate
+    * target against THIS batch's sources, exactly
+    * `marginBitextPairs(batch, target)` per micro-batch, so a replayed
+    * batch sequence reproduces the stream bit for bit. That is the
+    * deployment-honest reading: a live miner cannot consult future
+    * batches, and re-mining history per batch would be O(stream²). For
+    * corpus-global margins run the batch op over the accumulated source
+    * corpus (qn113) — the nightly re-mine next to this live monitor.
+    * Routing inherits the batch op's size dial: fixture-scale batches
+    * take the exact leg; corpus-scale ones route through IVF on the
+    * pinned target.
+    */
+  def bitextMinedTo(
+      srcEmbs: DataFrame,
+      store: Store,
+      tgtTable: String,
+      outDir: String,
+      checkpoint: String,
+      k: Int = 4,
+      threshold: Double = 1.0,
+      maxExactRows: Long = graft.ops.Similarity.DefaultExactCosineRows,
+      nProbe: Int = 8): DataStreamWriter[Row] =
+    srcEmbs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Similarity.marginBitextPairs(
+          batch.toDF(), store.get(tgtTable), "vec_id", "embedding",
+          k = k, threshold = threshold, maxExactRows = maxExactRows,
+          nProbe = nProbe)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
 
   /** Embedding batches as they land from an encoder job. */
   val embSchema: StructType = StructType(Seq(
@@ -299,9 +346,24 @@ object DocStreams {
     * replaying every micro-batch). [[nearDupAlerts]] is the
     * low-latency/bounded-state half; this path is what the nightly
     * compaction and the replayed-ingest equivalence (StreamingSpec)
-    * grade. The signature table accumulates one version per batch
-    * (`b<batchId>`), so a restarted stream resumes against exactly the
-    * state its last committed batch left.
+    * grade.
+    *
+    * State layout: the signature corpus lives as BUCKETED-by-shingle
+    * parquet ([[graft.store.BucketedState]] under the store root, one
+    * version per batch), so each ingest's state joins are
+    * storage-partitioned — the state scans IN PLACE with its stored
+    * `HashPartitioning(s)` and only the batch side shuffles
+    * ([[Dedup.dedupIncrementalSliced]]); without it the ingest
+    * re-shuffle-sorted the full state every batch (the measured 1.93×
+    * wall per 2× state, SCALEBENCH_r14_delta.log — the removable half).
+    * `sigBuckets` sizes the layout: state_rows/buckets should fit an
+    * executor's scan partition (thousands at 100 TB; the default suits
+    * the 32-thread test bed). Versions are replace-on-rewrite, so a
+    * restarted stream resumes against exactly the state its last
+    * committed batch left; [[graft.store.BucketedState.compact]] bounds
+    * slice count between ingests (the nightly compaction). The shingle
+    * FREQUENCY table stays a row-versioned store table: it is
+    * vocab-sized, summed at read, never joined at corpus scale.
     */
   def dedupBatchAgainstStore(
       batch: DataFrame,
@@ -310,24 +372,29 @@ object DocStreams {
       sigTable: String = "streaming/neardup-sigs",
       freqTable: String = "streaming/neardup-freqs",
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      sigBuckets: Int = 32): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val sig = Dedup.materialize(
       Dedup.shingleSignatures(batch, "doc_id", "text", n))
     val freqs = Dedup.materialize(Dedup.shingleDocFreqs(sig))
-    val hasPrev = store.list(Some(sigTable)).exists(_.name == sigTable)
-    val prevSig =
-      if (hasPrev) store.get(sigTable)
-      else Seq.empty[(Long, String)].toDF("id", "s")
+    val sigRoot = store.statePath(sigTable)
+    val prevSlices = BucketedState.slices(spark, sigRoot)
+    val hasFreqs = store.list(Some(freqTable)).exists(_.name == freqTable)
     val prevFreqs =
-      if (hasPrev) store.get(freqTable).groupBy("s").agg(sum("df").as("df"))
+      if (hasFreqs) store.get(freqTable).groupBy("s").agg(sum("df").as("df"))
       else Seq.empty[(String, Long)].toDF("s", "df")
-    val kept = Dedup.dedupIncremental(batch, prevSig, "doc_id", "text", n,
-      threshold,
+    val kept = Dedup.dedupIncrementalSliced(batch, prevSlices, "doc_id",
+      "text", n, threshold,
       prevShingleFreqs = Some(prevFreqs),
       batchShingleFreqs = Some(freqs))
-    store.load(sig, sigTable, externalKey = s"b$batchId")
+    // Mirror Store.load's 0-row guard: an all-filtered (or all-short)
+    // batch has no signatures and publishes no state version — an empty
+    // bucketed table couldn't re-register after a restart (no parquet
+    // footer to infer a schema from).
+    if (!sig.isEmpty)
+      BucketedState.write(sig, sigRoot, s"b$batchId", "s", sigBuckets)
     store.load(freqs, freqTable, externalKey = s"b$batchId")
     kept
   }
@@ -351,12 +418,13 @@ object DocStreams {
     * Per-ingest cost: the quality/decontam/card stages are
     * batch-sized; the prior corpus re-enters only as the signature
     * equality join (linear in state — the exact-Jaccard design's
-    * stated tradeoff; measured at fixed delta in
-    * SCALEBENCH_r14_delta.log: wall 1.93× per 2× state) and the
-    * broadcast reference shingles. On a real cluster the per-ingest
-    * state SORT is the removable half of that cost: store the
-    * signature table bucketed/sorted by shingle (storage-partitioned
-    * join) and each ingest shuffles only the batch side.
+    * stated tradeoff) and the broadcast reference shingles. The
+    * signature state is stored bucketed/sorted by shingle
+    * ([[dedupBatchAgainstStore]]'s [[graft.store.BucketedState]]
+    * layout), so that join is storage-partitioned: the state scans in
+    * place and only the batch side shuffles — the per-ingest state
+    * shuffle-sort that measured 1.93× wall per 2× state
+    * (SCALEBENCH_r14_delta.log) is gone from the plan.
     */
   def corpusIngestBatch(
       batch: DataFrame,
@@ -368,10 +436,12 @@ object DocStreams {
       sigTable: String = "streaming/corpus-sigs",
       freqTable: String = "streaming/corpus-freqs",
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      sigBuckets: Int = 32): DataFrame = {
     val q = batch.where(TextOps.qualityRules(col("text")).keep)
     val kept = dedupBatchAgainstStore(q, batchId, store,
-      sigTable = sigTable, freqTable = freqTable, n = n, threshold = threshold)
+      sigTable = sigTable, freqTable = freqTable, n = n,
+      threshold = threshold, sigBuckets = sigBuckets)
     val contaminated = TextOps.contaminationOverlapStored(kept,
       store.get(s"$refName/signatures"), "doc_id", "text", n)
     val dc = Dedup.materialize(

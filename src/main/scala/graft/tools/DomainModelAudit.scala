@@ -50,7 +50,8 @@ object DomainModelAudit {
     import org.apache.spark.ml.functions.array_to_vector
     val mlPred = mlModel.transform(
       test.select(col("doc_id"),
-        array_to_vector(TextOps.domainFeatures(col("text"), dim)).as("features")))
+        array_to_vector(TextOps.domainFeatures(
+          col("text"), dim, model.charDim, model.charN)).as("features")))
       .select(col("doc_id"), col("prediction"))
     val agree = scored.join(mlPred, "doc_id")
       .agg(avg(when(col("pred").cast("double") === col("prediction"), 1d)
@@ -59,7 +60,8 @@ object DomainModelAudit {
       count(lit(1)).as("n"),
       avg(when(col("y") === col("yhat"), 1d).otherwise(0d)).as("acc"),
       avg("prob").as("mean_prob")).head()
-    println(f"""{"sf":"$sfDir","label":"$labelCol","dim":$dim,"iters":$iters,""" +
+    println(f"""{"sf":"$sfDir","label":"$labelCol","dim":$dim,""" +
+      f""""char_dim":${model.charDim},"char_n":${model.charN},"iters":$iters,""" +
       f""""k":$k,"train_sec":$trainSec%.2f,"n_test":${r.getLong(0)},""" +
       f""""acc":${r.getDouble(1)}%.4f,"chance":${1d / k}%.4f,""" +
       f""""acc_over_chance":${r.getDouble(1) * k}%.2f,""" +

@@ -121,6 +121,14 @@ object ScaleBench {
       // restores the stock codegen (e.g. to reproduce the pathology).
       .config("spark.sql.codegen.aggregate.map.twolevel.enabled",
         (sys.env.getOrElse("SPARK_GRAFT_TWOLEVEL", "0") == "1").toString)
+      // r15 deployment conf (Graft.singleJvmScaleConfs): bucketed state
+      // scans report their stored sort, so the delta-ingest SMJ streams
+      // the state side (no exchange AND no local sort). Safe: Spark
+      // only claims the order for one-file-per-bucket tables, which
+      // BucketedState writes guarantee. SPARK_GRAFT_BUCKETSORT=0
+      // restores the stock re-sort to reproduce the before shape.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        (sys.env.getOrElse("SPARK_GRAFT_BUCKETSORT", "1") == "1").toString)
       .config("spark.hadoop.fs.file.impl", classOf[graft.hadoop.FastLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -286,12 +294,19 @@ object ScaleBench {
         val st = new graft.store.Store(spark,
           graft.TempDirs.create("graft_sb_delta_"))
         val sig = Dedup.shingleSignatures(stateD, "doc_id", "text")
-        st.load(sig, "state/sigs", externalKey = "b0")
+        // r15: signatures persist BUCKETED by shingle — the ingest's
+        // state joins storage-partition (state scans in place, no
+        // Exchange/shuffle-sort of the state side; only the fixed delta
+        // shuffles). The r14 row-versioned layout measured 1.93× wall
+        // per 2× state at fixed delta from exactly that state shuffle.
+        val sigRoot = st.statePath("state/sigs")
+        graft.store.BucketedState.write(sig, sigRoot, "b0", "s",
+          numBuckets = 32)
         st.load(Dedup.shingleDocFreqs(sig), "state/freqs", externalKey = "b0")
-        val sigState = st.get("state/sigs", useLast = true)
+        val sigSlices = graft.store.BucketedState.slices(spark, sigRoot)
         val freqState = st.get("state/freqs", useLast = true)
         addOp("qn110_delta_ingest")(
-          Dedup.dedupIncremental(deltaD, sigState, "doc_id", "text",
+          Dedup.dedupIncrementalSliced(deltaD, sigSlices, "doc_id", "text",
             prevShingleFreqs = Some(freqState)).count())
       }
       // Store layout migration (qs15's 100 TB claim): the SOURCE table

@@ -17,6 +17,35 @@ object HashedTokenBucket {
     val h = XxHash64Function.hash(token, StringType, 42L)
     (((h % dim) + dim) % dim).toInt
   }
+
+  /** Character-n-gram bucket stream of one token — the fastText subword
+    * lane (languages and domains separate on character shapes long
+    * before whole-word vocabularies do, and hashed whole words can't
+    * see morphology at all). Seed 4242, distinct from the word lane's
+    * 42, so a token and its own n-gram never collide systematically.
+    * Tokens shorter than `n` contribute themselves as one gram (short
+    * function words are exactly the strongest language markers).
+    * TRAIN ([[HashedCharNgramCountsExpr]]) and SERVE
+    * ([[HashedTokenMultiLogitExpr]]) both iterate THIS function;
+    * TextModelSpec pins the equivalence.
+    */
+  def foreachCharNgramBucket(
+      token: org.apache.spark.unsafe.types.UTF8String,
+      n: Int,
+      dim: Int)(f: Int => Unit): Unit = {
+    val len = token.numChars()
+    if (len <= n) {
+      val h = XxHash64Function.hash(token, StringType, 4242L)
+      f((((h % dim) + dim) % dim).toInt)
+    } else {
+      var i = 0
+      while (i + n <= len) {
+        val h = XxHash64Function.hash(token.substring(i, i + n), StringType, 4242L)
+        f((((h % dim) + dim) % dim).toInt)
+        i += 1
+      }
+    }
+  }
 }
 
 /** Dense hashed bag-of-words featurizer (the fastText/C4-classifier
@@ -44,6 +73,40 @@ case class HashedTokenCountsExpr(child: Expression, dim: Int)
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
         counts(HashedTokenBucket.bucket(arr.getUTF8String(i), dim)) += 1d
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dense hashed CHARACTER-n-gram featurizer — [[HashedTokenCountsExpr]]'s
+  * subword sibling (train-time lane of the domain classifier's char
+  * features; see [[HashedTokenBucket.foreachCharNgramBucket]] for the
+  * gram/seed contract). `array<string>` tokens → `array<double>` of
+  * length `dim` counting n-gram bucket occurrences across all tokens.
+  */
+case class HashedCharNgramCountsExpr(child: Expression, n: Int, dim: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(n > 0, "n must be positive")
+  require(dim > 0, "dim must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hashed_char_ngram_counts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Double](dim)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        HashedTokenBucket.foreachCharNgramBucket(
+          arr.getUTF8String(i), n, dim)(b => counts(b) += 1d)
       }
       i += 1
     }
@@ -120,11 +183,13 @@ case class HashedTokenLogitExpr(
 
 /** Multiclass sibling of [[HashedTokenLogitExpr]] — the serving kernel
   * of the learned DOMAIN classifier (fastText-shaped softmax over
-  * hashed bag-of-words + dense aux stats). `weights` is the K × (nAux +
-  * hashDim) coefficient matrix flattened row-major; `intercepts` has
-  * one entry per class. Per row: K logits accumulate in one pass (each
-  * token hashes ONCE, then adds its bucket weight to every class
-  * lane), softmax normalizes, and the result is a
+  * hashed bag-of-words + char-n-gram subwords + dense aux stats).
+  * `weights` is the K × (nAux + hashDim + charDim) coefficient matrix
+  * flattened row-major (dense aux prefix, word-bucket lane, then the
+  * char-n-gram lane — `charDim` 0 disables it); `intercepts` has one
+  * entry per class. Per row: K logits accumulate in one pass (each
+  * token hashes ONCE per lane gram, then adds its bucket weight to
+  * every class lane), softmax normalizes, and the result is a
   * `struct<pred int, prob double>` — argmax class index (ties break to
   * the smallest index, so scoring is deterministic) and its softmax
   * probability. Same constructor-array discipline as the binary
@@ -136,17 +201,22 @@ case class HashedTokenMultiLogitExpr(
     right: Expression,
     weights: Array[Double],
     hashDim: Int,
-    intercepts: Array[Double])
+    intercepts: Array[Double],
+    charN: Int = 3,
+    charDim: Int = 0)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
   with ExpectsInputTypes with CodegenFallback {
 
   private val k = intercepts.length
   require(k >= 2, "need at least two classes")
+  require(charDim >= 0 && (charDim == 0 || charN > 0),
+    "charDim must be >= 0, with charN > 0 when the char lane is on")
   require(hashDim > 0 && weights.length % k == 0,
-    "weights must be a K x (nAux + hashDim) row-major matrix")
+    "weights must be a K x (nAux + hashDim + charDim) row-major matrix")
   private val stride = weights.length / k
-  private val nAux = stride - hashDim
-  require(nAux >= 0, "per-class weight rows must cover hashDim buckets")
+  private val nAux = stride - hashDim - charDim
+  require(nAux >= 0,
+    "per-class weight rows must cover hashDim + charDim buckets")
 
   /** left = aux dense features, right = tokens. */
   override def inputTypes: Seq[AbstractDataType] =
@@ -179,9 +249,17 @@ case class HashedTokenMultiLogitExpr(
     i = 0
     while (i < t.numElements()) {
       if (!t.isNullAt(i)) {
-        val b = nAux + HashedTokenBucket.bucket(t.getUTF8String(i), hashDim)
+        val tok = t.getUTF8String(i)
+        val b = nAux + HashedTokenBucket.bucket(tok, hashDim)
         c = 0
         while (c < k) { z(c) += weights(c * stride + b); c += 1 }
+        if (charDim > 0) {
+          val base = nAux + hashDim
+          HashedTokenBucket.foreachCharNgramBucket(tok, charN, charDim) { g =>
+            var cc = 0
+            while (cc < k) { z(cc) += weights(cc * stride + base + g); cc += 1 }
+          }
+        }
       }
       i += 1
     }

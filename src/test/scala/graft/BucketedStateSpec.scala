@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+import graft.store.BucketedState
+
+/** The bucketed signature-state layout behind the incremental ingest
+  * path: versioned write/read round-trips, the storage-partitioned join
+  * plan (state side scans with NO Exchange), the restart re-registration
+  * path, replay idempotence, compaction, and bit-equality of the sliced
+  * incremental dedup against the single-frame op.
+  */
+class BucketedStateSpec extends SparkSpec {
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.count() // force AQE to finalize
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("write/slice round-trip; state side of a join scans bucketed with no Exchange") {
+    import spark.implicits._
+    val root = TempDirs.create("graft_bstate_rt_") + "/sigs"
+    val state = (1 to 5000).map(i => (i.toLong, s"sh${i % 400}"))
+      .toDF("id", "s")
+    BucketedState.write(state, root, "b0", "s", numBuckets = 4)
+    val slice = BucketedState.slice(spark, root, "b0")
+    assert(slice.count() == 5000L)
+    assert(BucketedState.versions(spark, root) == Seq("b0"))
+
+    val batch = (1 to 500).map(i => (i.toLong + 100000L, s"sh${i % 400}"))
+      .toDF("id", "s")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // Force a shuffle-class join so the Exchange structure is visible.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = slice.as("p").join(batch.as("q"), col("p.s") === col("q.s"))
+        .groupBy(col("p.id")).agg(count(lit(1)).as("n"))
+      val plan = finalPlan(j)
+      assert(plan.contains("Bucketed: true"), s"state scan not bucketed:\n$plan")
+      // Exactly TWO exchanges: the batch side's join shuffle and the
+      // final groupBy — the state side reads IN PLACE. (An unbucketed
+      // state would add a third, state-sized one.)
+      val exchanges = plan.split("\n").count(_.contains("Exchange"))
+      assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("restart path: catalog drop re-registers from the sidecar, still bucketed") {
+    import spark.implicits._
+    val root = TempDirs.create("graft_bstate_rr_") + "/sigs"
+    val state = (1 to 1000).map(i => (i.toLong, s"w${i % 50}")).toDF("id", "s")
+    BucketedState.write(state, root, "b0", "s", numBuckets = 4)
+    // Simulate a fresh session: the in-memory catalog forgot the table.
+    val path = new org.apache.hadoop.fs.Path(root, "v_b0").toString
+    spark.sql(s"DROP TABLE ${BucketedState.tableName(path)}")
+    val slice = BucketedState.slice(spark, root, "b0")
+    assert(slice.count() == 1000L)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = slice.as("p")
+        .join(state.limit(100).as("q"), col("p.s") === col("q.s"))
+        .select(col("p.id"))
+      assert(finalPlan(j).contains("Bucketed: true"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("version rewrite is replace (replay-idempotent); compact folds slices") {
+    import spark.implicits._
+    val root = TempDirs.create("graft_bstate_cp_") + "/sigs"
+    val v0 = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+    BucketedState.write(v0, root, "b0", "s", numBuckets = 2)
+    // Replayed batch rewrites its version: same rows, not doubled.
+    BucketedState.write(v0, root, "b0", "s", numBuckets = 2)
+    assert(BucketedState.slice(spark, root, "b0").count() == 100L)
+    val v1 = (101 to 150).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+    BucketedState.write(v1, root, "b1", "s", numBuckets = 2)
+    assert(BucketedState.versions(spark, root) == Seq("b0", "b1"))
+    val before = BucketedState.slices(spark, root)
+      .map(_.select("id").collect().map(_.getLong(0)).toSet)
+      .reduce(_ ++ _)
+    BucketedState.compact(spark, root, "c0", "s", numBuckets = 2)
+    assert(BucketedState.versions(spark, root) == Seq("c0"))
+    val after = BucketedState.slice(spark, root, "c0")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(after == before && after.size == 150)
+  }
+
+  test("dedupIncrementalSliced == dedupIncremental, any slicing of the state") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val uniq = "one two three four five six seven eight nine ten"
+    val novel = "completely different words entirely fresh content arrives here now"
+    val old = Seq(
+      (0L, base), (1L, base + " lambda"), (2L, uniq),
+      (3L, novel + " tail"), (4L, uniq + " extra")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base + " lambda"), (11L, uniq), (12L, novel), (13L, novel)
+    ).toDF("doc_id", "text")
+    val sigAll = Dedup.shingleSignatures(old, "doc_id", "text")
+    val single = Dedup.dedupIncremental(fresh, sigAll, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // Slices partition the prior corpus BY DOC (the contract): any such
+    // split must reproduce the single-frame result bit for bit.
+    for (cut <- Seq(1L, 2L, 4L)) {
+      val slices = Seq(
+        sigAll.where(col("id") < cut), sigAll.where(col("id") >= cut))
+      val sliced = Dedup.dedupIncrementalSliced(fresh, slices,
+        "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sliced == single, s"cut=$cut sliced=$sliced single=$single")
+    }
+    // Empty state: the sliced op with no slices equals dedup against an
+    // empty history (= one-shot dedup of the batch).
+    val noState = Dedup.dedupIncrementalSliced(fresh, Seq.empty,
+      "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShot = Dedup.dedupByJaccard(fresh, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(noState == oneShot)
+    // And through the REAL layout: bucketed slices from disk.
+    val root = TempDirs.create("graft_bstate_dd_") + "/sigs"
+    BucketedState.write(sigAll.where(col("id") < 2L), root, "b0", "s", 2)
+    BucketedState.write(sigAll.where(col("id") >= 2L), root, "b1", "s", 2)
+    val viaDisk = Dedup.dedupIncrementalSliced(fresh,
+      BucketedState.slices(spark, root), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaDisk == single)
+  }
+}

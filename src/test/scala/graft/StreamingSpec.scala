@@ -540,10 +540,13 @@ class StreamingSpec extends SparkSpec {
     val oneShot0 = Dedup.dedupByJaccard(old, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept0.select("doc_id").collect().map(_.getLong(0)).toSet == oneShot0)
-    // The signature store accumulated one version per micro-batch.
-    val info = store.list(Some("streaming/neardup-sigs"))
-      .find(_.name == "streaming/neardup-sigs").get
-    assert(info.versions.toSet == Set("b0", "b1"), info.versions)
+    // The signature state accumulated one BUCKETED version per
+    // micro-batch (the storage-partitioned layout), invisible to the
+    // store's table catalog.
+    val sigRoot = store.statePath("streaming/neardup-sigs")
+    assert(graft.store.BucketedState.versions(spark, sigRoot).toSet ==
+      Set("b0", "b1"))
+    assert(!store.list().exists(_.name.contains("neardup-sigs")))
   }
 
   test("streaming corpus ingest == replayed batch pipeline; card accumulates; decontam bites") {
@@ -599,10 +602,71 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(card == direct)
 
-    // One version per non-empty micro-batch on every table.
-    val sigInfo = store.list(Some("streaming/corpus-sigs"))
-      .find(_.name == "streaming/corpus-sigs").get
-    assert(sigInfo.versions.toSet == Set("b0", "b1"), sigInfo.versions)
+    // One version per non-empty micro-batch on every state surface:
+    // bucketed signature slices + row-versioned freq table.
+    val sigRoot = store.statePath("streaming/corpus-sigs")
+    assert(graft.store.BucketedState.versions(spark, sigRoot).toSet ==
+      Set("b0", "b1"))
+    val freqInfo = store.list(Some("streaming/corpus-freqs"))
+      .find(_.name == "streaming/corpus-freqs").get
+    assert(freqInfo.versions.toSet == Set("b0", "b1"), freqInfo.versions)
+  }
+
+  test("streaming bitext mining == replayed per-batch margin mining; pinned target") {
+    import graft.streaming.DocStreams
+    import graft.ops.Similarity
+    val emb = Tables.read(spark, sf(), "embeddings")
+    // Target corpus = odd ids, PINNED in the store (the stored-artifact
+    // seam); the stream delivers even-id source embeddings in two
+    // batches split by id.
+    val store = new graft.store.Store(spark,
+      TempDirs.create("graft_bitext_store_"), idBucketWidth = 1L)
+    store.load(emb.where(pmod(col("vec_id"), lit(2)) === 1), "bitext/tgt",
+      externalKey = "v1")
+    val srcAll = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val cut = 250L
+    val srcDir = java.nio.file.Paths.get(TempDirs.create("graft_bitext_src_"))
+    Seq(("0", col("vec_id") < cut), ("1", col("vec_id") >= cut)).foreach {
+      case (tag, pred) =>
+        val tmp = java.nio.file.Paths.get(TempDirs.create(s"graft_bx${tag}_"))
+        srcAll.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dest = srcDir.resolve(s"batch$tag.parquet")
+        java.nio.file.Files.move(part, dest)
+        dest.toFile.setLastModified(1700000000000L + tag.toLong * 60000L)
+    }
+    val outDir = TempDirs.create("graft_bitext_out_") + "/pairs"
+    val ckpt = TempDirs.create("graft_bitext_ckpt_")
+    val srcStream = spark.readStream.schema(DocStreams.embSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = DocStreams.bitextMinedTo(
+      srcStream, store, "bitext/tgt",
+      outDir, ckpt, k = 4, threshold = 1.02, maxExactRows = Long.MaxValue)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("margin"), r.getAs[Long]("batch_id"))).toSet
+    // The replayed batch sequence: the same op per source batch against
+    // the same pinned target (batch-local margins — the documented
+    // streaming contract).
+    val tgt = store.get("bitext/tgt")
+    val expected = Seq((0L, col("vec_id") < cut), (1L, col("vec_id") >= cut))
+      .flatMap { case (bid, pred) =>
+        Similarity.marginBitextPairs(srcAll.where(pred), tgt,
+          "vec_id", "embedding", k = 4, threshold = 1.02,
+          maxExactRows = Long.MaxValue)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), bid))
+      }.toSet
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).size} batch-only=${(expected -- streamed).size}")
+    assert(streamed.nonEmpty, "fixture mined no pairs — threshold too high to grade")
+    // Per-batch rate monitor reads directly off the sink.
+    val perBatch = spark.read.parquet(outDir).groupBy("batch_id").count()
+    assert(perBatch.count() >= 1L)
   }
 
   test("streaming near-dup alerts == batch MinHash candidates on a replayed ingest") {

@@ -169,8 +169,11 @@ class TextModelSpec extends SparkSpec {
       (i.toLong, doc(vocab(cls)), cls)
     }
     val df = rows.toDF("id", "text", "domain")
+    // charDim = 0 pins the word-lane-only path (the char lane has its
+    // own reference test below).
     val model = TextOps.trainDomainModel(
-      df.where(col("id") % 2 === 0), "text", "domain", dim = 128)
+      df.where(col("id") % 2 === 0), "text", "domain", dim = 128,
+      charDim = 0)
     assert(model.labels.toSeq === classes)
     val scored = df.where(col("id") % 2 === 1)
       .select(col("text"), col("domain"),
@@ -308,5 +311,137 @@ class TextModelSpec extends SparkSpec {
     val viaFresh = TextOps.bpeSegmentStats(d, "text", "source", fresh)
       .orderBy("source").collect().toSeq
     assert(viaStored === viaFresh)
+  }
+
+  /** In-memory mirror of the char-n-gram lane: uses the SAME shared gram
+    * iterator the kernels use (the bucket function IS the contract; the
+    * loop-order pin is the per-gram-outer / per-class-inner accumulation
+    * below).
+    */
+  private def refCharBuckets(tok: String, n: Int, dim: Int): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    HashedTokenBucket.foreachCharNgramBucket(
+      UTF8String.fromString(tok), n, dim)(out += _)
+    out.result()
+  }
+
+  test("hashedCharNgramCounts matches the in-memory reference (grams, short tokens, unicode)") {
+    import spark.implicits._
+    val n = 3
+    val dim = 64
+    val got = texts.toDF("text")
+      .select(VectorExpressions.hashedCharNgramCounts(
+        TextOps.tokens(col("text")), n, dim))
+      .as[Seq[Double]].collect()
+    texts.zip(got).foreach { case (t, arr) =>
+      assert(arr.length === dim)
+      val toks = t.trim match {
+        case "" => Seq.empty[String]; case s => s.split("\\s+").toSeq }
+      val exp = new Array[Double](dim)
+      toks.foreach(tok => refCharBuckets(tok, n, dim).foreach(exp(_) += 1d))
+      assert(arr === exp.toSeq, s"char-gram counts mismatch for '$t'")
+      // A token of L >= n code points yields L - n + 1 grams; shorter
+      // tokens yield exactly one (themselves).
+      val expGrams = toks.map(tok =>
+        math.max(1, tok.codePointCount(0, tok.length) - n + 1)).sum
+      assert(arr.sum === expGrams.toDouble, s"gram count for '$t'")
+    }
+  }
+
+  test("char lane: serving == in-memory reference; unseen-vocab generalization") {
+    import spark.implicits._
+    // Two "languages" distinguishable ONLY by character shape: every
+    // content word is unseen at test time (hashed whole-word buckets
+    // carry no weight for it), but the suffix n-grams transfer. The
+    // word-lane-only model cannot beat chance here; the char lane can.
+    val rnd = new scala.util.Random(7)
+    def word(suffix: String): String =
+      (0 until 4).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString + suffix
+    def doc(suffix: String): String =
+      (0 until 15).map(_ => word(suffix)).mkString(" ")
+    // EQUAL-LENGTH suffixes: every aux stat (token count, avg word
+    // length, ttr, stopword fraction) is identical across classes, so
+    // neither the aux nor the word lane carries class signal for
+    // unseen words — only the char grams do.
+    val train = (0 until 400).map(i =>
+      (i.toLong, doc(if (i % 2 == 0) "ius" else "oxa"),
+        if (i % 2 == 0) "lat" else "grk"))
+    val test = (1000 until 1200).map(i =>
+      (i.toLong, doc(if (i % 2 == 0) "ius" else "oxa"),
+        if (i % 2 == 0) "lat" else "grk"))
+    val trainDf = train.toDF("id", "text", "lang")
+    val testDf = test.toDF("id", "text", "lang")
+    val charModel = TextOps.trainDomainModel(
+      trainDf, "text", "lang", dim = 64, charDim = 128, charN = 3)
+    val wordModel = TextOps.trainDomainModel(
+      trainDf, "text", "lang", dim = 64, charDim = 0)
+    def acc(m: TextOps.DomainModel): Double =
+      testDf.select(
+        when(TextOps.domainLabel(
+          TextOps.domainPredict(col("text"), m).getField("pred"), m)
+          === col("lang"), 1d).otherwise(0d).as("hit"))
+        .agg(avg("hit")).head().getDouble(0)
+    val charAcc = acc(charModel)
+    val wordAcc = acc(wordModel)
+    assert(charAcc >= 0.95, s"char-lane accuracy $charAcc on unseen vocab")
+    assert(wordAcc <= 0.75,
+      s"word-only model should NOT generalize to unseen vocab (got $wordAcc)" +
+        " — if it does, this fixture no longer isolates the char lane")
+    // Bit-for-bit serving pin with the lane on: kernel == in-memory
+    // reference sharing loop order (aux, word bucket, then char grams
+    // per token).
+    def refMultiChar(aux: Seq[Double], toks: Seq[String],
+        m: TextOps.DomainModel): (Int, Double) = {
+      val k = m.intercepts.length
+      val stride = m.weights.length / k
+      val nAux = stride - m.hashDim - m.charDim
+      val z = m.intercepts.clone()
+      var i = 0
+      while (i < nAux) {
+        var c = 0
+        while (c < k) { z(c) += aux(i) * m.weights(c * stride + i); c += 1 }
+        i += 1
+      }
+      toks.foreach { t =>
+        val bk = nAux + refBucket(t, m.hashDim)
+        var c = 0
+        while (c < k) { z(c) += m.weights(c * stride + bk); c += 1 }
+        refCharBuckets(t, m.charN, m.charDim).foreach { g =>
+          var cc = 0
+          while (cc < k) {
+            z(cc) += m.weights(cc * stride + nAux + m.hashDim + g); cc += 1 }
+        }
+      }
+      var best = 0
+      var c = 1
+      while (c < k) { if (z(c) > z(best)) best = c; c += 1 }
+      var denom = 0d
+      c = 0
+      while (c < k) { denom += math.exp(z(c) - z(best)); c += 1 }
+      (best, 1d / denom)
+    }
+    val scored = testDf.limit(40)
+      .select(col("text"),
+        TextOps.domainPredict(col("text"), charModel).as("p"),
+        array(log1p(TextOps.tokenCount(col("text")).cast("double")),
+          TextOps.avgWordLen(col("text")), TextOps.typeTokenRatio(col("text")),
+          TextOps.stopwordFraction(col("text"))).as("aux"))
+      .select(col("text"), col("p.pred"), col("p.prob"), col("aux")).collect()
+    scored.foreach { r =>
+      val (pred, prob) = refMultiChar(r.getSeq[Double](3),
+        r.getString(0).trim.split("\\s+").toSeq, charModel)
+      assert(r.getInt(1) === pred && r.getDouble(2) === prob)
+    }
+    // Lifecycle carries the lane: store round-trip preserves char dims
+    // and serves identically.
+    val store = new graft.store.Store(spark, TempDirs.create("graft_dmchar_"))
+    TextOps.saveDomainModel(spark, store, "models/domc", charModel,
+      externalKey = "v1")
+    val back = TextOps.loadDomainModel(store, "models/domc", Some("v1"))
+    assert(back.charDim === charModel.charDim && back.charN === charModel.charN)
+    val both = testDf.limit(10).select(
+      TextOps.domainPredict(col("text"), back).as("a"),
+      TextOps.domainPredict(col("text"), charModel).as("b")).collect()
+    both.foreach(r => assert(r.getStruct(0) === r.getStruct(1)))
   }
 }
