@@ -822,6 +822,17 @@ object Dedup {
   def shingleDocFreqs(signatures: DataFrame): DataFrame =
     signatures.groupBy("s").agg(count(lit(1)).as("df"))
 
+  /** Per-doc RAW signature counts `(id, n_sh)` — the O(docs) companion
+    * state persisted next to the signatures (one version per ingest,
+    * O(batch) to produce at write time) so each later ingest's Jaccard
+    * denominators come from tiny persisted counts instead of
+    * re-aggregating the full history's signature rows — the last
+    * state-sized shuffle in the ingest path (see
+    * [[dedupIncrementalSliced]]'s `prevSigCounts`).
+    */
+  def shingleSignatureCounts(signatures: DataFrame): DataFrame =
+    signatures.groupBy("id").agg(count(lit(1)).as("n_sh"))
+
   /** Incremental near-dup dedup of a NEW batch against an already-deduped
     * corpus — the op a real pipeline runs daily. The quadratic full-corpus
     * re-pair is replaced by exactly two joins:
@@ -902,9 +913,19 @@ object Dedup {
     * as does its n_sh count — and the slice-wise union is exactly the
     * single-frame computation, bit for bit (DedupSpec pins it). The
     * remaining per-ingest state cost is one in-place scan per slice
-    * plus the per-doc count aggregate (map-side combined; its shuffle
-    * carries ~min(shingles, buckets) partial rows per doc, not the
-    * signature table).
+    * plus (without `prevSigCounts`) the per-doc count aggregate
+    * (map-side combined; its shuffle carries ~min(shingles, buckets)
+    * partial rows per doc — close to the signature table itself).
+    *
+    * `prevSigCounts` removes that last state-sized shuffle: pass the
+    * persisted RAW per-doc signature counts (`(id, n_sh)`, one table
+    * over all slices — [[shingleSignatureCounts]], written next to each
+    * state version at ingest time, O(batch) to produce). The hot-cap
+    * adjustment then only aggregates the rows whose shingle IS hot (a
+    * per-slice semi-join — the hot set is the Zipf head, tiny next to
+    * the table), and capped count = raw − hot hits exactly. DedupSpec
+    * pins counts-supplied ≡ counts-derived ≡ single-frame on a
+    * cap-active fixture.
     */
   def dedupIncrementalSliced(
       newDocs: DataFrame,
@@ -915,7 +936,8 @@ object Dedup {
       threshold: Double = 0.8,
       maxShingleDocFreq: Long = DefaultMaxShingleDocFreq,
       prevShingleFreqs: Option[DataFrame] = None,
-      batchShingleFreqs: Option[DataFrame] = None): DataFrame = {
+      batchShingleFreqs: Option[DataFrame] = None,
+      prevSigCounts: Option[DataFrame] = None): DataFrame = {
 
     val newSig0 = shingleSignatures(newDocs, idCol, textCol, n)
     // No prior state = one empty slice with the right schema (id typed
@@ -926,8 +948,8 @@ object Dedup {
       else Seq(newSig0.limit(0))
     // Hot-shingle cap over prev ∪ new doc frequency — the same stopword
     // shingles the one-shot dedup drops (fanout bound on the cross join).
-    val (prevSlices, newSigPlan) =
-      if (maxShingleDocFreq <= 0) (slices0, newSig0)
+    val hotOpt: Option[DataFrame] =
+      if (maxShingleDocFreq <= 0) None
       else {
         val prevFreq = prevShingleFreqs
           .map(_.select(col("s"), col("df").cast("long").as("df")))
@@ -936,17 +958,21 @@ object Dedup {
         val newFreq = batchShingleFreqs
           .map(_.select(col("s"), col("df").cast("long").as("df")))
           .getOrElse(newSig0.groupBy("s").agg(count(lit(1)).as("df")))
-        val hot = prevFreq.union(newFreq).groupBy("s")
+        Some(prevFreq.union(newFreq).groupBy("s")
           .agg(sum("df").as("df"))
-          .where(col("df") > maxShingleDocFreq).select("s")
-        // No broadcast() hint on the hot set: usually tiny, but on a
-        // Zipf corpus it is the unbounded distribution head — AQE picks
-        // broadcast vs shuffle from the runtime size. Either plan keeps
-        // a bucketed slice in place: the anti-join key is the bucket
-        // column, so even a sort-merge anti shuffles only the hot side.
+          .where(col("df") > maxShingleDocFreq).select("s"))
+      }
+    // No broadcast() hint on the hot set: usually tiny, but on a Zipf
+    // corpus it is the unbounded distribution head — AQE picks
+    // broadcast vs shuffle from the runtime size. Either plan keeps a
+    // bucketed slice in place: the anti/semi-join key is the bucket
+    // column, so even a sort-merge join shuffles only the hot side.
+    val (prevSlices, newSigPlan) = hotOpt match {
+      case None => (slices0, newSig0)
+      case Some(hot) =>
         (slices0.map(_.join(hot, Seq("s"), "left_anti")),
           newSig0.join(hot, Seq("s"), "left_anti"))
-      }
+    }
     // The new batch's signatures feed the cross join, the self-join (both
     // sides) and the counts — materialize once. The corpus side streams
     // through each consumer without materialization (it is the 100 TB
@@ -963,8 +989,27 @@ object Dedup {
         .groupBy(col("p.id").as("doc_a"), col("q.id").as("doc_b"))
         .agg(count(lit(1)).as("common"))
     }.reduce(_ unionAll _)
-    val prevCounts = prevSlices.map(_.groupBy("id")
-      .agg(count(lit(1)).as("n_sh"))).reduce(_ unionAll _)
+    val prevCounts = (prevSigCounts, hotOpt) match {
+      case (Some(raw), Some(hot)) =>
+        // Capped count = raw − hot hits, exactly: aggregate ONLY the
+        // hot-shingle rows of each slice (pre-anti-join — the rows the
+        // cap removed). Tiny next to the table: |hot| shingles'
+        // occurrences. Docs capped to zero drop (they have no surviving
+        // signatures, so they appear in no pair).
+        val hotHits = slices0.map(
+          _.join(hot, Seq("s"), "left_semi")
+            .groupBy("id").agg(count(lit(1)).as("__hot")))
+          .reduce(_ unionAll _)
+        raw.select(col("id"), col("n_sh").cast("long").as("__raw"))
+          .join(hotHits, Seq("id"), "left")
+          .select(col("id"),
+            (col("__raw") - coalesce(col("__hot"), lit(0L))).as("n_sh"))
+          .where(col("n_sh") > 0)
+      case (Some(raw), None) =>
+        raw.select(col("id"), col("n_sh").cast("long").as("n_sh"))
+      case (None, _) => prevSlices.map(_.groupBy("id")
+        .agg(count(lit(1)).as("n_sh"))).reduce(_ unionAll _)
+    }
 
     val cross = jaccardPairs(crossPairs, prevCounts, newCounts)
     val newNew = jaccardPairs(

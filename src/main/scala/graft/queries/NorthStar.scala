@@ -2456,6 +2456,8 @@ object NorthStar {
     val sigRoot = store.statePath("cb/signatures")
     graft.store.BucketedState.write(sig0, sigRoot, "b0", "s", numBuckets = 32)
     store.load(Dedup.shingleDocFreqs(sig0), "cb/freqs", externalKey = "b0")
+    store.load(Dedup.shingleSignatureCounts(sig0), "cb/sigcounts",
+      externalKey = "b0")
     val batchFreqs = Dedup.materialize(
       Dedup.shingleDocFreqs(Dedup.shingleSignatures(q1, "doc_id", "text", n = 3)))
     val prevFreqs = store.get("cb/freqs", useLast = true).select(col("s"), col("df"))
@@ -2482,7 +2484,8 @@ object NorthStar {
     val dc1 = Dedup.materialize(decontam(Dedup.dedupIncrementalSliced(q1,
       graft.store.BucketedState.slices(s, sigRoot), "doc_id", "text",
       n = 3, threshold = 0.8,
-      prevShingleFreqs = Some(prevFreqs), batchShingleFreqs = Some(batchFreqs))))
+      prevShingleFreqs = Some(prevFreqs), batchShingleFreqs = Some(batchFreqs),
+      prevSigCounts = Some(store.get("cb/sigcounts", useLast = true)))))
     store.load(dc1, "cb/corpus", externalKey = "b1")
     // Published card: per-batch stats versions, accumulate-read SUM
     // (the qn95 mergeable pattern applied to the build output).

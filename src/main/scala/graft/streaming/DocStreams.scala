@@ -362,8 +362,11 @@ object DocStreams {
     * restarted stream resumes against exactly the state its last
     * committed batch left; [[graft.store.BucketedState.compact]] bounds
     * slice count between ingests (the nightly compaction). The shingle
-    * FREQUENCY table stays a row-versioned store table: it is
-    * vocab-sized, summed at read, never joined at corpus scale.
+    * FREQUENCY and per-doc COUNT tables stay row-versioned store tables:
+    * vocab-/docs-sized, read back whole, never joined at corpus scale —
+    * the counts table (r15) feeds the Jaccard denominators so the ingest
+    * never re-aggregates the state's signature rows per doc (the last
+    * state-sized shuffle, gone).
     */
   def dedupBatchAgainstStore(
       batch: DataFrame,
@@ -379,16 +382,23 @@ object DocStreams {
     val sig = Dedup.materialize(
       Dedup.shingleSignatures(batch, "doc_id", "text", n))
     val freqs = Dedup.materialize(Dedup.shingleDocFreqs(sig))
+    val countsTable = sigTable + "-counts"
     val sigRoot = store.statePath(sigTable)
     val prevSlices = BucketedState.slices(spark, sigRoot)
     val hasFreqs = store.list(Some(freqTable)).exists(_.name == freqTable)
     val prevFreqs =
       if (hasFreqs) store.get(freqTable).groupBy("s").agg(sum("df").as("df"))
       else Seq.empty[(String, Long)].toDF("s", "df")
+    // Accumulate-read per-doc counts: each doc arrives in exactly one
+    // batch, so the version union IS the counts table (no aggregation).
+    val hasCounts = store.list(Some(countsTable)).exists(_.name == countsTable)
+    val prevCounts =
+      if (hasCounts) Some(store.get(countsTable)) else None
     val kept = Dedup.dedupIncrementalSliced(batch, prevSlices, "doc_id",
       "text", n, threshold,
       prevShingleFreqs = Some(prevFreqs),
-      batchShingleFreqs = Some(freqs))
+      batchShingleFreqs = Some(freqs),
+      prevSigCounts = prevCounts)
     // Mirror Store.load's 0-row guard: an all-filtered (or all-short)
     // batch has no signatures and publishes no state version — an empty
     // bucketed table couldn't re-register after a restart (no parquet
@@ -396,6 +406,8 @@ object DocStreams {
     if (!sig.isEmpty)
       BucketedState.write(sig, sigRoot, s"b$batchId", "s", sigBuckets)
     store.load(freqs, freqTable, externalKey = s"b$batchId")
+    store.load(Dedup.shingleSignatureCounts(sig), countsTable,
+      externalKey = s"b$batchId")
     kept
   }
 

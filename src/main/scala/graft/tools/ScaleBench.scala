@@ -303,11 +303,15 @@ object ScaleBench {
         graft.store.BucketedState.write(sig, sigRoot, "b0", "s",
           numBuckets = 32)
         st.load(Dedup.shingleDocFreqs(sig), "state/freqs", externalKey = "b0")
+        st.load(Dedup.shingleSignatureCounts(sig), "state/sigcounts",
+          externalKey = "b0")
         val sigSlices = graft.store.BucketedState.slices(spark, sigRoot)
         val freqState = st.get("state/freqs", useLast = true)
+        val countState = st.get("state/sigcounts", useLast = true)
         addOp("qn110_delta_ingest")(
           Dedup.dedupIncrementalSliced(deltaD, sigSlices, "doc_id", "text",
-            prevShingleFreqs = Some(freqState)).count())
+            prevShingleFreqs = Some(freqState),
+            prevSigCounts = Some(countState)).count())
       }
       // Store layout migration (qs15's 100 TB claim): the SOURCE table
       // loads outside the timed window; the timed section is exactly

@@ -132,4 +132,44 @@ class BucketedStateSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaDisk == single)
   }
+
+  test("prevSigCounts path == derived counts, hot-cap adjustment exact") {
+    import spark.implicits._
+    // The OpsSpec corpus-wide-cap fixture: the "spam" trigram crosses
+    // the doc-freq cap only corpus-wide (4 old + 4 new > cap 6), and
+    // whether docs 10/11 pair depends EXACTLY on the capped counts
+    // (with the hot trigram Jaccard = 0.8 >= threshold; without, 7/9 <
+    // threshold). If the raw-minus-hot-hits adjustment were off by one
+    // shingle, doc 11's fate flips.
+    val spam = "spam spam spam spam spam"
+    def doc(tag: String) = s"$spam $tag"
+    val old = Seq(
+      (0L, doc("a1 a2 a3 a4")), (1L, doc("b1 b2 b3 b4")),
+      (2L, doc("c1 c2 c3 c4")), (3L, doc("d1 d2 d3 d4"))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, doc("w1 w2 w3 w4 w5 w6 w7 x9")),
+      (11L, doc("w1 w2 w3 w4 w5 w6 w7 y9")),
+      (12L, doc("e1 e2 e3 e4"))).toDF("doc_id", "text")
+    val cap = 6L
+    val sigAll = Dedup.shingleSignatures(old, "doc_id", "text")
+    val slices = Seq(
+      sigAll.where(col("id") < 2L), sigAll.where(col("id") >= 2L))
+    val freqs = Some(Dedup.shingleDocFreqs(sigAll))
+    def kept(counts: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.dedupIncrementalSliced(fresh, slices, "doc_id", "text",
+        maxShingleDocFreq = cap, prevShingleFreqs = freqs,
+        prevSigCounts = counts)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val derived = kept(None)
+    val supplied = kept(Some(Dedup.shingleSignatureCounts(sigAll)))
+    assert(derived == supplied && derived == Set(10L, 11L, 12L),
+      s"derived=$derived supplied=$supplied (cap must spare doc 11)")
+    // Cap off: the raw counts pass through unadjusted and doc 11 drops
+    // (the hot trigram pushes the pair to 0.8).
+    val uncapped = Dedup.dedupIncrementalSliced(fresh, slices,
+      "doc_id", "text", maxShingleDocFreq = 0L,
+      prevSigCounts = Some(Dedup.shingleSignatureCounts(sigAll)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(uncapped == Set(10L, 12L), s"uncapped=$uncapped")
+  }
 }

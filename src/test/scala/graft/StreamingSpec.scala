@@ -546,7 +546,12 @@ class StreamingSpec extends SparkSpec {
     val sigRoot = store.statePath("streaming/neardup-sigs")
     assert(graft.store.BucketedState.versions(spark, sigRoot).toSet ==
       Set("b0", "b1"))
-    assert(!store.list().exists(_.name.contains("neardup-sigs")))
+    // The bucketed signature dirs stay off the table catalog; the
+    // per-doc COUNTS companion is an ordinary versioned store table.
+    assert(!store.list().exists(_.name == "streaming/neardup-sigs"))
+    val cInfo = store.list(Some("streaming/neardup-sigs-counts"))
+      .find(_.name == "streaming/neardup-sigs-counts").get
+    assert(cInfo.versions.toSet == Set("b0", "b1"), cInfo.versions)
   }
 
   test("streaming corpus ingest == replayed batch pipeline; card accumulates; decontam bites") {
