@@ -727,6 +727,83 @@ object Mixture {
       .drop("__rb_one", domS)
   }
 
+  /** UniMax language sampling (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): distribute a total DOCUMENT budget
+    * across languages as uniformly as possible, EPOCH-CAPPED — no
+    * language repeats more than `maxEpochs` passes of its own data.
+    * Languages are processed smallest-first (ties by the string form of
+    * the key, so allocation is deterministic); each takes
+    * `min(floor(n_l · maxEpochs), floor(remaining / languagesLeft))`
+    * and whatever a capped small language leaves on the table
+    * redistributes to the larger ones — the published recipe's exact
+    * greedy waterfill (their Algorithm 1 in documents rather than
+    * characters). Temperature sampling ([[temperatureSample]]) needs a
+    * tuned α and still over-samples tails at corpus-scale imbalance;
+    * UniMax replaces the dial with the epoch cap.
+    *
+    * Selection per language is the deterministic hash-priority prefix
+    * of `min(quota, n_l)` distinct docs ([[priority]] order — a
+    * reproducible subsample, the qn28 discipline). A quota past one
+    * epoch means the training LOADER repeats the selection;
+    * `ux_epochs` (= quota / n_l, 4dp) reports that per-language repeat
+    * factor, `ux_quota` the allocated document budget.
+    *
+    * Scale shape: one source-cardinality count aggregate (collected —
+    * languages are tens, not billions), the waterfill on the driver
+    * over K rows, then the bucketed two-phase budget sampler with
+    * unit tokens ([[sampleByTokenBudget]] — per-(language, bucket)
+    * partial counts, never a global or per-language sort) and a
+    * broadcast K-row join for the quota columns.
+    *
+    * Engine-exactness note: `maxEpochs` enters a floor — pass a value
+    * exactly representable in binary (2.0, 1.5, 0.25) when an external
+    * restatement must floor identically; the implementation itself
+    * floors the decimal SHORTEST FORM (0.3 means 3/10 exactly, the
+    * [[rebalanceToTarget]] discipline).
+    */
+  def unimaxSample(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      budgetDocs: Long,
+      maxEpochs: Double = 1.0): DataFrame = {
+    require(budgetDocs >= 0, "budgetDocs must be >= 0")
+    require(maxEpochs > 0, "maxEpochs must be > 0")
+    // String-keyed end to end (the rebalanceToTarget discipline): the
+    // waterfill map, the budget join and the quota columns all compare
+    // the same string form of the language key.
+    val srcS = "__ux_src"
+    val dfS = docs.withColumn(srcS, col(sourceCol).cast("string"))
+    val counts = dfS.where(col(srcS).isNotNull)
+      .groupBy(srcS).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (src, n) => (n, src) }
+    var remaining = budgetDocs
+    val quotas = counts.zipWithIndex.map { case ((src, n), i) =>
+      val languagesLeft = counts.length - i
+      val cap = rebalanceFloorMul(maxEpochs, n)
+      val fair = remaining / languagesLeft
+      val quota = math.min(cap, fair)
+      remaining -= quota
+      (src, n, quota)
+    }
+    import docs.sparkSession.implicits._
+    // ux_epochs computed IN the engine (one double division of identical
+    // longs + round — the qn08 cross-engine discipline), not on the
+    // driver, so a SQL restatement states the identical double.
+    val budgets = quotas.toSeq.map { case (src, n, q) =>
+      (src, math.min(q, n), q, n)
+    }.toDF(srcS, "budget", "ux_quota", "__ux_n")
+    sampleByTokenBudget(
+      dfS.withColumn("__ux_one", lit(1L)), idCol, "__ux_one", srcS,
+      budgets.select(col(srcS), col("budget")))
+      .join(broadcast(budgets.select(col(srcS), col("ux_quota"),
+        round(col("ux_quota").cast("double") / col("__ux_n"), 4)
+          .as("ux_epochs"))), Seq(srcS))
+      .drop("__ux_one", srcS)
+  }
+
   def clusterBalancedSample(
       df: DataFrame,
       idCol: String,

@@ -2434,7 +2434,25 @@ object NorthStar {
     * quality / kept), each restated by the oracle over the one-shot
     * frames split at the same footer-metadata cut.
     */
-  private def qCorpusBuildIncremental(s: SparkSession, dir: String): DataFrame = {
+  private def qCorpusBuildIncremental(s: SparkSession, dir: String): DataFrame =
+    corpusBuildIncremental(s, dir, compactState = false)
+
+  /** qn114 — qn110's pipeline with the state-COMPACTION lifecycle in the
+    * middle: day 0's signatures land as TWO bucketed versions (a
+    * mid-day flush and the rest), [[graft.store.BucketedState.compact]]
+    * folds them into one before the ingest, and day 1 runs against the
+    * compacted slice. Graded against the SAME one-shot oracle as qn110:
+    * compaction must preserve the state exactly — the joins, the
+    * Jaccard counts, the hot-cap — or the incremental ≡ one-shot claim
+    * breaks. This is the nightly-compaction step every long-running
+    * ingest deployment performs, now oracle-graded rather than
+    * suite-only.
+    */
+  private def qCorpusBuildCompacted(s: SparkSession, dir: String): DataFrame =
+    corpusBuildIncremental(s, dir, compactState = true)
+
+  private def corpusBuildIncremental(
+      s: SparkSession, dir: String, compactState: Boolean): DataFrame = {
     val store = new graft.store.Store(s, graft.TempDirs.create("graft_cbinc_"))
     val d = docs(s, dir)
     val cut = Tables.parquetRowCount(s, s"$dir/documents.parquet") / 2
@@ -2454,7 +2472,19 @@ object NorthStar {
     // feeds two cap legs (the qn24 sharing), so it aggregates once.
     val sig0 = Dedup.shingleSignatures(q0, "doc_id", "text", n = 3)
     val sigRoot = store.statePath("cb/signatures")
-    graft.store.BucketedState.write(sig0, sigRoot, "b0", "s", numBuckets = 32)
+    if (!compactState) {
+      graft.store.BucketedState.write(sig0, sigRoot, "b0", "s", numBuckets = 32)
+    } else {
+      // Two intra-day flushes (split by doc id), then the nightly
+      // compaction folds them to one slice BEFORE the ingest — the
+      // graded claim is that day 1 cannot tell the difference.
+      val mid = cut / 2
+      graft.store.BucketedState.write(
+        sig0.where(col("id") < mid), sigRoot, "b0a", "s", numBuckets = 32)
+      graft.store.BucketedState.write(
+        sig0.where(col("id") >= mid), sigRoot, "b0b", "s", numBuckets = 32)
+      graft.store.BucketedState.compact(s, sigRoot, "c0", "s", numBuckets = 32)
+    }
     store.load(Dedup.shingleDocFreqs(sig0), "cb/freqs", externalKey = "b0")
     store.load(Dedup.shingleSignatureCounts(sig0), "cb/sigcounts",
       externalKey = "b0")
@@ -2543,6 +2573,23 @@ object NorthStar {
     * even/odd split, but the op itself no longer self-excludes across
     * corpora (independent id spaces — see the scaladoc).
     */
+  /** UniMax epoch-capped language sampling ([[Mixture.unimaxSample]] —
+    * Chung et al., ICLR 2023): a 700-doc budget waterfills across the
+    * corpus languages smallest-first, each capped at 2 epochs of its
+    * own data, leftovers redistributing upward; selection is the
+    * hash-priority prefix per language. At sf0.01 the cap BINDS for the
+    * two smallest languages (their quota = 2·n, epochs exactly 2.0) and
+    * the freed budget flows to the rest — the exact greedy recurrence
+    * restates as a recursive CTE in the oracle. maxEpochs = 2.0 is
+    * binary-exact, so both engines floor identically (the op's
+    * documented restatement contract).
+    */
+  private def qUnimaxSample(s: SparkSession, dir: String): DataFrame =
+    Mixture.unimaxSample(
+      docs(s, dir).select("doc_id", "lang"), "doc_id", "lang",
+      budgetDocs = 700L, maxEpochs = 2.0)
+      .orderBy("lang", "doc_id")
+
   private def qBitextMargin(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     // Long.MaxValue pins the exact leg (the qn10/qn63 discipline): the
@@ -2799,6 +2846,89 @@ object NorthStar {
              (SELECT count(*) FROM samp) AS n_sampled
       FROM manifest m
       ORDER BY m.shard_id"""
+
+  /** The day0/delta one-shot restatement shared by qn110 and qn114
+    * (distinct from qn101/qn104's manifest-shaped corpusBuildOracle):
+    * incremental ≡ one-shot is the graded claim, and the compacted
+    * variant must be indistinguishable.
+    */
+  private val incrementalBuildOracle: String = """
+      WITH RECURSIVE corpus AS MATERIALIZED (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 3),
+      bench AS MATERIALIZED (
+        SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS s
+        FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+              FROM documents WHERE doc_id % 50 = 3 AND trim(text) <> '') bt,
+             unnest(range(1, len(w) - 1)) r(i)),
+      q AS MATERIALIZED (
+        SELECT doc_id, source, text FROM (
+          SELECT doc_id, source, text,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+                 CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE len(regexp_replace(text, '\s+', '', 'g'))
+                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS awl,
+                 CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS ttr,
+                 CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 t -> t IN ('the', 'a', 'of', 'and', 'is', 'to')))
+                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS stopfrac
+          FROM corpus) f
+        WHERE (toks BETWEEN 25 AND 100000) AND (awl BETWEEN 3.0 AND 10.0)
+          AND (ttr >= 0.45) AND (stopfrac >= 0.05)),
+      sh0 AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM q WHERE trim(text) <> '') qt,
+             unnest(range(1, len(w) - 1)) r(i)),
+      sh AS MATERIALIZED (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
+      nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      qpairs AS (SELECT doc_a, doc_b FROM prs
+                 JOIN nsh na ON doc_a = na.doc_id
+                 JOIN nsh nb ON doc_b = nb.doc_id
+                 WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM qpairs
+                UNION SELECT doc_b, doc_a FROM qpairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+                      UNION
+                      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u),
+      dd AS MATERIALIZED (
+        SELECT * FROM q WHERE doc_id NOT IN
+          (SELECT node FROM comp WHERE node <> component)),
+      dc AS MATERIALIZED (
+        SELECT * FROM dd WHERE doc_id NOT IN (
+          SELECT DISTINCT c.doc_id FROM (
+            SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                  FROM dd WHERE trim(text) <> '') dt,
+                 unnest(range(1, len(w) - 1)) r(i)) c
+          JOIN bench b ON c.s = b.s)),
+      cut AS (SELECT count(*) // 2 AS c FROM documents),
+      card AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END)
+                 AS BIGINT) AS n_tokens
+        FROM dc GROUP BY source)
+      SELECT source, n_docs, n_tokens,
+             (SELECT count(*) FROM dc
+              WHERE doc_id < (SELECT c FROM cut)) AS n_day0_kept,
+             (SELECT count(*) FROM corpus
+              WHERE doc_id >= (SELECT c FROM cut)) AS n_delta,
+             (SELECT count(*) FROM q
+              WHERE doc_id >= (SELECT c FROM cut)) AS n_delta_quality,
+             (SELECT count(*) FROM dc
+              WHERE doc_id >= (SELECT c FROM cut)) AS n_delta_kept
+      FROM card
+      ORDER BY source"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("qn01_dedup_exact", qDedupExact _, Some("""
@@ -4508,83 +4638,10 @@ object NorthStar {
       JOIN rc ON ref_id = rc.doc_id
       WHERE common * 1.0 / (tc.n_sh + rc.n_sh - common) >= 0.8
       ORDER BY target_id, ref_id""")),
-    QueryDef("qn110_corpus_build_incremental", qCorpusBuildIncremental _, Some("""
-      WITH RECURSIVE corpus AS MATERIALIZED (
-        SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 3),
-      bench AS MATERIALIZED (
-        SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS s
-        FROM (SELECT string_split_regex(trim(text), '\s+') AS w
-              FROM documents WHERE doc_id % 50 = 3 AND trim(text) <> '') bt,
-             unnest(range(1, len(w) - 1)) r(i)),
-      q AS MATERIALIZED (
-        SELECT doc_id, source, text FROM (
-          SELECT doc_id, source, text,
-                 CASE WHEN trim(text) = '' THEN 0
-                      ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
-                 CASE WHEN trim(text) = '' THEN 0.0
-                      ELSE len(regexp_replace(text, '\s+', '', 'g'))
-                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS awl,
-                 CASE WHEN trim(text) = '' THEN 0.0
-                      ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
-                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS ttr,
-                 CASE WHEN trim(text) = '' THEN 0.0
-                      ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
-                                 t -> t IN ('the', 'a', 'of', 'and', 'is', 'to')))
-                        * 1.0 / len(string_split_regex(trim(text), '\s+')) END AS stopfrac
-          FROM corpus) f
-        WHERE (toks BETWEEN 25 AND 100000) AND (awl BETWEEN 3.0 AND 10.0)
-          AND (ttr >= 0.45) AND (stopfrac >= 0.05)),
-      sh0 AS (
-        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
-        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-              FROM q WHERE trim(text) <> '') qt,
-             unnest(range(1, len(w) - 1)) r(i)),
-      sh AS MATERIALIZED (SELECT * FROM sh0 WHERE s NOT IN
-             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
-      nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-      qpairs AS (SELECT doc_a, doc_b FROM prs
-                 JOIN nsh na ON doc_a = na.doc_id
-                 JOIN nsh nb ON doc_b = nb.doc_id
-                 WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8),
-      edges AS (SELECT doc_a AS u, doc_b AS v FROM qpairs
-                UNION SELECT doc_b, doc_a FROM qpairs),
-      reach(u, v) AS (SELECT u, v FROM edges
-                      UNION
-                      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-      comp AS (SELECT u AS node, least(u, min(v)) AS component
-               FROM reach GROUP BY u),
-      dd AS MATERIALIZED (
-        SELECT * FROM q WHERE doc_id NOT IN
-          (SELECT node FROM comp WHERE node <> component)),
-      dc AS MATERIALIZED (
-        SELECT * FROM dd WHERE doc_id NOT IN (
-          SELECT DISTINCT c.doc_id FROM (
-            SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
-            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-                  FROM dd WHERE trim(text) <> '') dt,
-                 unnest(range(1, len(w) - 1)) r(i)) c
-          JOIN bench b ON c.s = b.s)),
-      cut AS (SELECT count(*) // 2 AS c FROM documents),
-      card AS (
-        SELECT source, count(*) AS n_docs,
-               CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '\s+')) END)
-                 AS BIGINT) AS n_tokens
-        FROM dc GROUP BY source)
-      SELECT source, n_docs, n_tokens,
-             (SELECT count(*) FROM dc
-              WHERE doc_id < (SELECT c FROM cut)) AS n_day0_kept,
-             (SELECT count(*) FROM corpus
-              WHERE doc_id >= (SELECT c FROM cut)) AS n_delta,
-             (SELECT count(*) FROM q
-              WHERE doc_id >= (SELECT c FROM cut)) AS n_delta_quality,
-             (SELECT count(*) FROM dc
-              WHERE doc_id >= (SELECT c FROM cut)) AS n_delta_kept
-      FROM card
-      ORDER BY source""")),
+    QueryDef("qn110_corpus_build_incremental", qCorpusBuildIncremental _,
+      Some(incrementalBuildOracle)),
+    QueryDef("qn114_corpus_build_compacted", qCorpusBuildCompacted _,
+      Some(incrementalBuildOracle)),
     QueryDef("qn111_filter_funnel", qFilterFunnel _, Some("""
       WITH RECURSIVE corpus AS MATERIALIZED (
         SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 3),
@@ -4673,6 +4730,34 @@ object NorthStar {
              true AS acc_ok, true AS stored_ok,
              true AS rollback_ok, true AS rebalance_ok
       FROM documents WHERE doc_id % 4 = 1""")),
+    QueryDef("qn115_unimax_sample", qUnimaxSample _, Some("""
+      WITH RECURSIVE c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+      o AS (SELECT lang, n,
+              CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS i,
+              CAST(count(*) OVER () AS BIGINT) AS k FROM c),
+      alloc(i, quota, r) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(700 AS BIGINT)
+        UNION ALL
+        SELECT o.i,
+               least(CAST(floor(o.n * 2.0) AS BIGINT),
+                     a.r // (o.k - o.i + 1)),
+               a.r - least(CAST(floor(o.n * 2.0) AS BIGINT),
+                           a.r // (o.k - o.i + 1))
+        FROM alloc a JOIN o ON o.i = a.i + 1),
+      q AS (SELECT o.lang, o.n, al.quota
+            FROM o JOIN alloc al ON al.i = o.i),
+      sel AS (SELECT doc_id, lang,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY CAST((doc_id::HUGEINT * 2654435761) % 4294967296
+                           AS BIGINT), doc_id) AS BIGINT) AS rk
+              FROM documents WHERE lang IS NOT NULL)
+      SELECT s.doc_id, s.lang, q.quota AS ux_quota,
+             round(CAST(q.quota AS DOUBLE) / q.n, 4) AS ux_epochs
+      FROM sel s JOIN q ON s.lang = q.lang
+      WHERE s.rk <= least(q.quota, q.n)
+      ORDER BY s.lang, s.doc_id""")),
     QueryDef("qn113_bitext_margin", qBitextMargin _, Some("""
       WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v
                    FROM embeddings WHERE vec_id % 2 = 0),

@@ -383,6 +383,46 @@ class MixtureSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("unimaxSample: greedy waterfill, epoch cap binds smallest-first, priority prefix") {
+    import spark.implicits._
+    // Languages a=4, b=10, c=30 docs. Budget 30, maxEpochs 2.0 —
+    // smallest-first waterfill:
+    //   a: left=3, fair=30/3=10, cap=8  -> quota 8 (CAP binds), R=22
+    //   b: left=2, fair=22/2=11, cap=20 -> quota 11,            R=11
+    //   c: left=1, fair=11,     cap=60 -> quota 11,            R=0
+    // Selection: min(quota, n) priority-first docs — a takes ALL 4
+    // (epochs 2.0), b takes 10 (epochs 1.1), c takes 11 of 30.
+    val rows = (0L until 4L).map((_, "a")) ++
+      (100L until 110L).map((_, "b")) ++ (200L until 230L).map((_, "c"))
+    val df = rows.toDF("doc_id", "lang")
+    val got = Mixture.unimaxSample(df, "doc_id", "lang",
+      budgetDocs = 30L, maxEpochs = 2.0)
+    val byLang = got.groupBy("lang").agg(
+      count(lit(1)).as("n"), min("ux_quota").as("q"), min("ux_epochs").as("e"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(byLang == Map(
+      "a" -> ((4L, 8L, 2.0)), "b" -> ((10L, 11L, 1.1)),
+      "c" -> ((11L, 11L, round11(11d / 30d)))), byLang.toString)
+    // Selection is the hash-priority prefix (ties by id) — the same
+    // deterministic order every mixture op uses.
+    val cSel = got.where(col("lang") === "c")
+      .select("doc_id").as[Long].collect().toSet
+    val cExp = (200L until 230L)
+      .sortBy(id => ((id * 2654435761L) % 4294967296L, id)).take(11).toSet
+    assert(cSel == cExp)
+    // Budget exhaustion: zero budget selects nothing; a budget smaller
+    // than the language count still floors fairly (1 doc each here).
+    assert(Mixture.unimaxSample(df, "doc_id", "lang", 0L).count() == 0L)
+    val tiny = Mixture.unimaxSample(df, "doc_id", "lang", 3L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  private def round11(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("leakageSafeSplit: groups never straddle splits; label = anchor's hashSplit") {
     import spark.implicits._
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
