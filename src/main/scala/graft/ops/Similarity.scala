@@ -442,6 +442,105 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Sign-bit binary quantization: pack each dimension's sign
+    * (`> 0` → 1) into 32-bit words stored as longs — the "binary
+    * quantization" vector-index compression (one bit per dimension ≈
+    * 32× smaller than float32). 32 bits per word, not 64: the word
+    * accumulates as `acc·2 + bit`, which stays < 2³² and so can never
+    * trip Spark 4's ANSI overflow check (a 64-bit accumulation would
+    * overflow the sign bit); Hamming distance via `bit_count(xor)` is
+    * chunk-size-agnostic, so the only cost is 2× the optimal packed
+    * footprint — still 16× under the floats.
+    */
+  private[graft] def packSignBits(vec: Column): Column = {
+    val v = asDouble(vec)
+    val nWords = ceil(size(v) / lit(32.0)).cast("int")
+    when(size(v) === 0, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(0), nWords - 1), w =>
+        aggregate(
+          slice(v, w * 32 + 1, lit(32)),
+          lit(0L),
+          (acc, x) => acc * 2 + when(x > 0d, 1L).otherwise(0L))))
+  }
+
+  /** Hamming distance between two packed sign-bit signatures
+    * ([[packSignBits]]) = the number of dimensions whose signs differ.
+    */
+  private[graft] def hammingDistance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary-quantized ANN: Hamming-distance candidate generation over
+    * sign-bit signatures, exact-cosine rerank — the memory-lean search
+    * path every production vector store ships (often named "binary
+    * quantization with rescoring"): sign-bit signatures are 32× smaller
+    * than the float vectors, Hamming over packed words is a handful of
+    * xor+popcount instructions per pair, and exact scoring touches only
+    * the `k·oversample` survivors per query.
+    *
+    * Scale shape: the candidate pass scans PACKED signatures only
+    * (16× fewer bytes than the float scan — the reason this beats
+    * brute-force cosine on a memory-bound corpus), broadcasts the
+    * packed query set, and bounds the shuffle with the
+    * [[org.apache.spark.sql.graft.TopKByScoreAgg]] map-side heap
+    * (score = −hamming; ties (hamming, id) ascending). Only the
+    * candidate ids — |queries|·k·oversample rows — proceed: one
+    * candidate-sized equality join back to the corpus fetches the float
+    * vectors for the rerank (AQE broadcasts the candidate side), and
+    * the final top-k windows over ≤ k·oversample rows per query.
+    * Neither pass sorts or shuffles anything corpus-sized.
+    *
+    * Recall contract: sign-bit Hamming approximates angular distance
+    * (it is SRP-LSH with axis-aligned hyperplanes — [[srpNeighbors]]'s
+    * geometry at projection = identity), so recall vs exact top-k rises
+    * with `oversample`; RecallSpec gates the fixture at ≥ 0.9. All
+    * determinism knobs match qn08: 6dp-rounded cosines, id tie-breaks.
+    *
+    * Output: (query_id, vec_id, hamming, sim, rank) — top `k` per
+    * query by reranked cosine, rank 1-based.
+    */
+  def hammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      oversample: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(oversample >= 1, "oversample must be >= 1")
+    val c = corpus.select(col(idCol).as("vec_id"),
+      packSignBits(col(vecCol)).as("__cw"))
+    val q = queries.select(col(idCol).as("query_id"),
+      packSignBits(col(vecCol)).as("__qw"))
+    val cand = c.crossJoin(broadcast(q))
+      .where(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"),
+        hammingDistance(col("__qw"), col("__cw")).as("hamming"))
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(-col("hamming").cast("double"), col("vec_id"),
+          k * oversample).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        (-col("c.sim")).cast("long").as("hamming"))
+    val cv = corpus.select(col(idCol).as("vec_id"),
+      normalize(asDouble(col(vecCol))).as("__nv"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      normalize(asDouble(col(vecCol))).as("__qnv"))
+    val reranked = cand
+      .join(cv, Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("hamming"),
+        round(dotD(col("__qnv"), col("__nv")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    reranked
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
     * Parallel Corpus Mining with Multilingual Sentence Embeddings",
     * ACL 2019 — the method behind CCMatrix/LASER parallel-corpus

@@ -754,6 +754,54 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Multi-benchmark decontamination: two disjoint benchmark slices
+    * (doc_id % 50 == 3 → bench_a, == 7 → bench_b) screened in ONE
+    * corpus pass with per-benchmark attribution — K more benchmarks
+    * cost broadcast bytes, not corpus scans. Exact-match oracle
+    * (string-keyed shingle joins on both sides, qn22's construction
+    * with a benchmark tag).
+    */
+  private def qDecontamMulti(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isA = pmod(col("doc_id"), lit(50)) === 3
+    val isB = pmod(col("doc_id"), lit(50)) === 7
+    TextOps.contaminationOverlapMulti(d.where(!isA && !isB),
+        Seq("bench_a" -> d.where(isA), "bench_b" -> d.where(isB)),
+        "doc_id", "text")
+      .orderBy("doc_id", "benchmark")
+  }
+
+  /** CCNet perplexity terciles: the odd-id half scored under the
+    * even-id-trained bigram LM (qn45's split, so every backoff path
+    * grades), then cut head/middle/tail PER LANGUAGE by equal-count
+    * ntile — the published CCNet bucketing. Scores 4dp-rounded before
+    * the cut, ties by doc_id → the bucket assignment is
+    * engine-deterministic and the oracle restates it exactly.
+    */
+  private def qPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextOps.perplexityBuckets(d.where(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", "lang",
+        lm = Some(d.where(pmod(col("doc_id"), lit(2)) === 0)))
+      .orderBy("doc_id")
+  }
+
+  /** Binary-quantized ANN: sign-bit Hamming candidates (k·4
+    * oversample), exact-cosine rerank — graded END-TO-END as an exact
+    * contract because every step is deterministic: the signature is
+    * the dimension signs (no hashing), the candidate cut breaks ties
+    * (hamming, vec_id) ascending, and the rerank is qn08's 6dp-rounded
+    * cosine. The oracle restates the pipeline with hamming as a
+    * sign-mismatch count — packing-free, so it also pins that the
+    * packed-word bit_count(xor) equals the definition.
+    */
+  private def qAnnHamming(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.hammingTopK(e, e.where(col("vec_id") < 8), "vec_id",
+        "embedding", k = 5, oversample = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** Temperature-scaled mixing over the (skewed) `lang` grouping:
     * p ∝ c^0.7 sized to a 200-doc budget, hash-thresholded selection.
     * Per-group totals + rates are closed-form → exact-match oracle.
@@ -4795,6 +4843,85 @@ object NorthStar {
                  ORDER BY margin DESC NULLS LAST, vec_id) AS brk FROM m)
       SELECT query_id AS src_id, vec_id AS tgt_id, sim, margin
       FROM best WHERE brk = 1 AND margin >= 1.02
-      ORDER BY src_id"""))
+      ORDER BY src_id""")),
+    QueryDef("qn116_decontam_multi", qDecontamMulti _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE trim(text) <> ''),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+             FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      bench AS (SELECT 'bench_a' AS benchmark, s
+                FROM (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 3)
+                UNION ALL
+                SELECT 'bench_b' AS benchmark, s
+                FROM (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 7))
+      SELECT c.doc_id, b.benchmark, count(*) AS n_overlap
+      FROM sh c JOIN bench b ON c.s = b.s
+      WHERE c.doc_id % 50 NOT IN (3, 7)
+      GROUP BY 1, 2
+      ORDER BY doc_id, benchmark""")),
+    QueryDef("qn117_perplexity_buckets", qPerplexityBuckets _, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''),
+      lmt AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+      uni AS (
+        SELECT tok AS w2, count(*) AS cu
+        FROM (SELECT unnest(w) AS tok FROM lmt) GROUP BY tok),
+      n AS (SELECT sum(cu) AS n FROM uni),
+      bi AS (
+        SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS cb
+        FROM lmt, unnest(range(1, len(w))) t(i)
+        GROUP BY 1, 2),
+      lft AS (SELECT w1, sum(cb) AS cl FROM bi GROUP BY w1),
+      big AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM toks, unnest(range(1, len(w))) t(i)
+        WHERE doc_id % 2 = 1),
+      p AS (
+        SELECT g.doc_id,
+               CASE
+                 WHEN b.cb IS NOT NULL THEN b.cb * 1.0 / l.cl
+                 WHEN 0.4 * coalesce(u.cu, 0) / n.n > 0
+                   THEN 0.4 * coalesce(u.cu, 0) / n.n
+                 ELSE 0.4 / (n.n + 1)
+               END AS pr
+        FROM big g
+        LEFT JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+        LEFT JOIN lft l ON g.w1 = l.w1
+        LEFT JOIN uni u ON g.w2 = u.w2
+        CROSS JOIN n),
+      sc AS (SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS n_bigrams,
+                    round(sum(log10(pr)) / count(*), 4) AS score
+             FROM p GROUP BY doc_id),
+      b AS (SELECT s.doc_id, d.lang, s.n_bigrams, s.score,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY s.score DESC, s.doc_id) AS t
+            FROM sc s JOIN documents d ON d.doc_id = s.doc_id)
+      SELECT doc_id, lang, n_bigrams, score,
+             CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS bucket
+      FROM b ORDER BY doc_id""")),
+    QueryDef("qn118_ann_hamming", qAnnHamming _, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      p AS (SELECT q.query_id, e.vec_id, qv, e.embedding::DOUBLE[] AS ev
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      h AS (SELECT query_id, vec_id, qv, ev,
+                   CAST(len(list_filter(range(1, len(qv) + 1),
+                          i -> (qv[i] > 0) <> (ev[i] > 0))) AS BIGINT)
+                     AS hamming
+            FROM p),
+      cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY hamming, vec_id) AS hr FROM h),
+      r AS (SELECT query_id, vec_id, hamming,
+                   round(list_cosine_similarity(qv, ev), 6) AS sim
+            FROM cand WHERE hr <= 20),
+      ranked AS (SELECT query_id, vec_id, hamming, sim,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+                 FROM r)
+      SELECT query_id, vec_id, hamming, sim, rank FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 }

@@ -2133,4 +2133,92 @@ class OpsSpec extends SparkSpec {
       (10L, 2L, rrf(1, 2)), (20L, 2L, rrf(1, 2)),
       (30L, 1L, rrf(3)), (40L, 1L, rrf(3))), s"got ${got.toSeq}")
   }
+
+  test("contaminationOverlapMulti: per-benchmark attribution, shared shingles hit both") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), // 'alpha beta gamma' in A and B
+      (2L, "epsilon zeta eta theta"), // 'epsilon zeta eta' only in B
+      (3L, "iota kappa lambda")       // clean
+    ).toDF("doc_id", "text")
+    val benchA = Seq("alpha beta gamma x").toDF("text")
+    val benchB = Seq("alpha beta gamma y epsilon zeta eta").toDF("text")
+    val multi = TextOps.contaminationOverlapMulti(corpus,
+        Seq("A" -> benchA, "B" -> benchB), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // doc 1's 'alpha beta gamma' attributes to BOTH suites (separate
+    // remediation reports); doc 2 overlaps B alone ('epsilon zeta
+    // eta'); doc 3 is clean and absent.
+    assert(multi == Set((1L, "A", 1L), (1L, "B", 1L), (2L, "B", 1L)),
+      s"got $multi")
+    // One-pass result == K single-benchmark calls (the scale win is the
+    // single corpus scan; the answer must be identical).
+    for ((name, bench) <- Seq("A" -> benchA, "B" -> benchB)) {
+      val single = TextOps.contaminationOverlap(corpus, bench, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), name, r.getLong(1))).toSet
+      assert(multi.filter(_._2 == name) == single, s"benchmark $name")
+    }
+  }
+
+  test("contaminationOverlapMulti rejects duplicate benchmark names") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.contaminationOverlapMulti(d, Seq("A" -> d, "A" -> d),
+        "doc_id", "text")
+    }
+  }
+
+  test("perplexityBuckets: equal-count terciles per group, score-prefix order") {
+    val d = Tables.read(spark, sf(), "documents")
+    val even = d.where(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = d.where(pmod(col("doc_id"), lit(2)) === 1)
+    val rows = TextOps.perplexityBuckets(odd, "doc_id", "text", "lang",
+        lm = Some(even))
+      .select("lang", "score", "doc_id", "bucket")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val order = Map("head" -> 1, "middle" -> 2, "tail" -> 3)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      // ntile contract: bucket sizes differ by <= 1, remainder to the
+      // earlier buckets (head >= middle >= tail).
+      val sizes = rs.groupBy(_._4).view.mapValues(_.length).toMap
+      val h = sizes.getOrElse("head", 0)
+      val m = sizes.getOrElse("middle", 0)
+      val t = sizes.getOrElse("tail", 0)
+      assert(h >= m && m >= t && h - t <= 1, s"$lang sizes h=$h m=$m t=$t")
+      // Sorted by (score desc, id), buckets form contiguous prefixes.
+      val seq = rs.sortBy(r => (-r._2, r._3)).map(r => order(r._4))
+      assert(seq.sameElements(seq.sorted), s"$lang buckets not contiguous")
+    }
+  }
+
+  test("packSignBits: 32-bit words, partial tail word, empty vector; hamming = sign mismatches") {
+    import spark.implicits._
+    // 40 dims: one full word + one 8-bit tail word; signs alternate in a
+    // known pattern. Expected words computed by the definitional acc·2+bit.
+    val a = Array.tabulate(40)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val b = Array.tabulate(40)(i => if (i % 5 == 0) 1.0f else -0.0f)
+    def words(v: Array[Float]): Seq[Long] =
+      v.grouped(32).map(_.foldLeft(0L)((acc, x) => acc * 2 + (if (x > 0) 1 else 0))).toSeq
+    val df = Seq((1L, a.toSeq, b.toSeq)).toDF("id", "va", "vb")
+    val got = df.select(
+      Similarity.packSignBits(col("va")).as("wa"),
+      Similarity.packSignBits(col("vb")).as("wb"),
+      Similarity.hammingDistance(
+        Similarity.packSignBits(col("va")),
+        Similarity.packSignBits(col("vb"))).as("h")).head()
+    assert(got.getSeq[Long](0) == words(a), "pack a")
+    assert(got.getSeq[Long](1) == words(b), "pack b")
+    val expectH = a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+    assert(got.getLong(2) == expectH.toLong, s"hamming ${got.getLong(2)} != $expectH")
+    // -0.0f > 0 is false on both engines; empty vectors pack to empty
+    // and hamming 0 (no ANSI hazard anywhere in the chain).
+    val empty = Seq((1L, Seq.empty[Float])).toDF("id", "v")
+      .select(Similarity.packSignBits(col("v")).as("w"))
+      .select(col("w"), Similarity.hammingDistance(col("w"), col("w")).as("h"))
+      .head()
+    assert(empty.getSeq[Long](0).isEmpty && empty.getLong(1) == 0L)
+  }
 }
