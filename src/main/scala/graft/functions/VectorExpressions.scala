@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BpeMergePairExpr, ColumnBridge, DotProductD, HashedCharNgramCountsExpr, HashedTokenCountsExpr, HashedTokenLogitExpr, HashedTokenMultiLogitExpr, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
+import org.apache.spark.sql.graft.{BpeMergePairExpr, ColumnBridge, DotProductD, HammingDistanceExpr, HashedCharNgramCountsExpr, HashedTokenCountsExpr, HashedTokenLogitExpr, HashedTokenMultiLogitExpr, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PackSignBitsExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
 
 /** Facade over the custom Catalyst expressions in
   * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
@@ -95,6 +95,19 @@ object VectorExpressions {
     */
   def longMatchCount(a: Column, b: Column): Column =
     ColumnBridge.column(LongMatchCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Sign-bit packing of an `array<double>` vector into 32-bit words
+    * (binary quantization signature).
+    */
+  def packSignBits(vec: Column): Column =
+    ColumnBridge.column(PackSignBitsExpr(ColumnBridge.expression(vec)))
+
+  /** Codegen'd Hamming distance between two packed sign-bit
+    * signatures ([[packSignBits]]).
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingDistanceExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** One BPE merge round over an `array<string>` symbol column: greedy

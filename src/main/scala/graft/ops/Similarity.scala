@@ -446,30 +446,25 @@ object Similarity {
     * (`> 0` → 1) into 32-bit words stored as longs — the "binary
     * quantization" vector-index compression (one bit per dimension ≈
     * 32× smaller than float32). 32 bits per word, not 64: the word
-    * accumulates as `acc·2 + bit`, which stays < 2³² and so can never
-    * trip Spark 4's ANSI overflow check (a 64-bit accumulation would
-    * overflow the sign bit); Hamming distance via `bit_count(xor)` is
-    * chunk-size-agnostic, so the only cost is 2× the optimal packed
-    * footprint — still 16× under the floats.
+    * accumulates as `acc·2 + bit`, which stays < 2³² so the SQL
+    * restatement of the packing can never trip an ANSI overflow check;
+    * Hamming via `bit_count(xor)` is chunk-size-agnostic, so the only
+    * cost is 2× the optimal packed footprint — still 16× under the
+    * floats. Primitive-loop kernel
+    * ([[org.apache.spark.sql.graft.PackSignBitsExpr]]) — the first HOF
+    * draft (transform/slice/aggregate) ran interpreted and erased the
+    * packed scan's advantage (the probeAssign lesson).
     */
-  private[graft] def packSignBits(vec: Column): Column = {
-    val v = asDouble(vec)
-    val nWords = ceil(size(v) / lit(32.0)).cast("int")
-    when(size(v) === 0, array().cast("array<long>"))
-      .otherwise(transform(sequence(lit(0), nWords - 1), w =>
-        aggregate(
-          slice(v, w * 32 + 1, lit(32)),
-          lit(0L),
-          (acc, x) => acc * 2 + when(x > 0d, 1L).otherwise(0L))))
-  }
+  private[graft] def packSignBits(vec: Column): Column =
+    graft.functions.VectorExpressions.packSignBits(asDouble(vec))
 
   /** Hamming distance between two packed sign-bit signatures
     * ([[packSignBits]]) = the number of dimensions whose signs differ.
+    * Codegen'd pair-hot kernel
+    * ([[org.apache.spark.sql.graft.HammingDistanceExpr]]).
     */
   private[graft] def hammingDistance(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.hammingDistance(a, b)
 
   /** Binary-quantized ANN: Hamming-distance candidate generation over
     * sign-bit signatures, exact-cosine rerank — the memory-lean search

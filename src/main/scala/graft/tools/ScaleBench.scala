@@ -405,6 +405,45 @@ object ScaleBench {
           emb.where(pmod(col("vec_id"), lit(2)) === 0),
           emb.where(pmod(col("vec_id"), lit(2)) === 1),
           "vec_id", "embedding", k = 4, threshold = 1.02).count())
+      // Multi-benchmark decontamination's scale claim is K-INVARIANCE:
+      // 4 suites in one pass should cost ~one corpus shingle scan, vs
+      // the 4-sequential-calls baseline paying the scan per suite. Both
+      // rows share the same 4 metadata-scale benchmark slices.
+      locally {
+        val mods = Seq(3, 10, 17, 24)
+        val isBench = mods.map(m => pmod(col("doc_id"), lit(50)) === m)
+          .reduce(_ || _)
+        val corpus = docs.where(!isBench)
+        val benches = mods.map(m => s"bench_$m" ->
+          docs.where(pmod(col("doc_id"), lit(50)) === m))
+        addOp("qn116_multi_onepass")(
+          graft.ops.TextOps.contaminationOverlapMulti(corpus, benches,
+            "doc_id", "text").count())
+        addOp("qn116_single_x4")(
+          benches.map { case (_, b) =>
+            graft.ops.TextOps.contaminationOverlap(corpus, b,
+              "doc_id", "text").count()
+          }.sum)
+      }
+      addOp("qn117_ppl_buckets") {
+        // lmFluency train+score passes plus the skinny (id, by, score)
+        // tercile window; wall should track qn45's LM joins (the text
+        // never enters the sort shuffle).
+        val cut = n / 2
+        graft.ops.TextOps.perplexityBuckets(
+          docs.where(col("doc_id") >= cut), "doc_id", "text", "source",
+          lm = Some(docs.where(col("doc_id") < cut))).count()
+      }
+      // Binary-quantized ANN vs the exact float scan on the SAME query
+      // set: the hamming pass reads 16× fewer candidate bytes, so the
+      // pair of rows measures what the packed scan actually buys on a
+      // memory-bound corpus (plus the rerank's candidate-sized tail).
+      addOp("qn118_hamming_ann")(
+        Similarity.hammingTopK(emb, emb.where(col("vec_id") < 64),
+          "vec_id", "embedding", k = 10, oversample = 4).count())
+      addOp("qn118_brute_float")(
+        Similarity.topKPerQuery(emb, emb.where(col("vec_id") < 64),
+          "vec_id", "embedding", k = 10).count())
       addOp("qn51_dedup_spans")(
         // The stride-1 window stream is the heaviest text-op shape
         // (one skinny (id, start, hash) row per token position); the

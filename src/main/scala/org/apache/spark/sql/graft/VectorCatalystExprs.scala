@@ -409,6 +409,97 @@ case class L2NormalizeExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Sign-bit packing for binary quantization: dimension signs (`> 0`)
+  * fold MSB-first into 32-bit words stored as longs (`acc·2 + bit` —
+  * bit-identical to the HOF formulation it replaced, pinned in
+  * OpsSpec). 32-bit chunks keep the accumulation below 2³² so the
+  * equivalent SQL restatement can never trip ANSI overflow; Hamming
+  * via `bit_count(xor)` is chunk-size-agnostic. Runs once per row per
+  * scan (not in the pair loop), so a tight interpreted primitive loop
+  * suffices; null elements read as 0d = sign bit 0 (embeddings are
+  * dense).
+  */
+case class PackSignBitsExpr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pack_sign_bits"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val words = (n + 31) / 32
+    val out = new Array[Any](words)
+    var w = 0
+    while (w < words) {
+      var acc = 0L
+      var j = w * 32
+      val end = math.min(j + 32, n)
+      while (j < end) {
+        acc = acc * 2 + (if (!v.isNullAt(j) && v.getDouble(j) > 0d) 1L else 0L)
+        j += 1
+      }
+      out(w) = acc
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two packed sign-bit signatures
+  * ([[PackSignBitsExpr]]): Σ Long.bitCount(xᵢ ⊕ yᵢ) over the shared
+  * prefix. This is the PAIR-HOT kernel of the binary-quantized ANN
+  * candidate scan (|corpus|·|queries| evaluations), so it carries
+  * `doGenCode` — the zip_with/aggregate HOF formulation it replaced is
+  * CodegenFallback and measured SLOWER than the exact float dot scan
+  * it exists to beat (interpreted megamorphic eval per pair).
+  */
+case class HammingDistanceExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming_distance"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      code"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $s = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+        }
+        ${ev.value} = $s;
+      """.toString
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Top-`probes` nearest cells of a query vector against a centroid table
   * held as primitive arrays INSIDE the expression — the assignment kernel
   * of the ANN family (`Similarity.probeAssign`), replacing the
