@@ -669,8 +669,78 @@ object TextOps {
       idCol: String,
       textCol: String,
       lm: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
+    val (uni, bi) = lmCounts(lm.getOrElse(df), textCol)
+    lmFluencyScoresFrom(df, idCol, textCol, uni, bi)
+  }
+
+  /** The n-gram LM "fit": unigram and bigram occurrence-count tables
+    * from a reference corpus — the entire state of the stupid-backoff
+    * model [[lmFluencyScoresFrom]] serves. Two map-side-combined count
+    * aggregates over one corpus scan; vocab-sized outputs.
+    *
+    * Returns (unigrams (term, n), bigrams (w1, w2, n)).
+    */
+  def lmCounts(
+      lm: org.apache.spark.sql.DataFrame,
+      textCol: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val uni = lm.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val bi = lm.select(tokens(col(textCol)).as("__w"))
+      .where(size(col("__w")) >= 2)
+      .select(col("__w"),
+        posexplode(sequence(lit(0), size(col("__w")) - 2)))
+      .select(element_at(col("__w"), col("col") + 1).as("w1"),
+        element_at(col("__w"), col("col") + 2).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    (uni, bi)
+  }
+
+  /** Persist an n-gram LM ([[lmCounts]] tables) as a versioned store
+    * artifact — the [[saveQualityModel]]/[[graft.ops.Dedup
+    * .saveReferenceShingles]] lifecycle seam applied to the LAST
+    * fit-per-query model in the text family: the reference LM behind
+    * perplexity filtering/bucketing is trained on a curated corpus
+    * ONCE (CCNet's Wikipedia LM), versions through the store, pins by
+    * `externalKey`, and every build scores against the pinned tables
+    * instead of re-counting the reference per run.
+    */
+  def saveLanguageModel(
+      spark: org.apache.spark.sql.SparkSession,
+      store: graft.store.Store,
+      name: String,
+      unigrams: org.apache.spark.sql.DataFrame,
+      bigrams: org.apache.spark.sql.DataFrame,
+      externalKey: String = "NOW"): Map[String, String] = {
+    val r = store.load(unigrams, s"$name/unigrams", externalKey = externalKey)
+    store.load(bigrams, s"$name/bigrams", externalKey = externalKey)
+    r
+  }
+
+  /** Load an n-gram LM artifact ([[saveLanguageModel]]); no
+    * `externalKey` → the `_last` version. Returns (unigrams, bigrams).
+    */
+  def loadLanguageModel(
+      store: graft.store.Store,
+      name: String,
+      externalKey: Option[String] = None): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val useLast = externalKey.isEmpty
+    (store.get(s"$name/unigrams", externalKey, useLast = useLast),
+      store.get(s"$name/bigrams", externalKey, useLast = useLast))
+  }
+
+  /** [[lmFluencyScores]] against a pre-fitted LM — `unigrams` (term, n)
+    * and `bigrams` (w1, w2, n) straight from [[lmCounts]] or a
+    * [[loadLanguageModel]] artifact: score-with-stored ≡
+    * score-with-fresh bit-for-bit on the same tables (the count joins
+    * are key-exact; parquet round-trips longs losslessly).
+    */
+  def lmFluencyScoresFrom(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      unigrams: org.apache.spark.sql.DataFrame,
+      bigrams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val lmDf = lm.getOrElse(df)
     def bigramStream(src: org.apache.spark.sql.DataFrame) =
       src.select(col(idCol), tokens(col(textCol)).as("__w"))
         .where(size(col("__w")) >= 2)
@@ -680,11 +750,10 @@ object TextOps {
           element_at(col("__w"), col("col") + 1).as("__w1"),
           element_at(col("__w"), col("col") + 2).as("__w2"))
     val uni = Dedup.materialize(
-      lmDf.select(explode(tokens(col(textCol))).as("__w2"))
-        .groupBy("__w2").agg(count(lit(1)).as("__cu")))
+      unigrams.select(col("term").as("__w2"), col("n").as("__cu")))
     val bi = Dedup.materialize(
-      bigramStream(lmDf)
-        .groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb")))
+      bigrams.select(col("w1").as("__w1"), col("w2").as("__w2"),
+        col("n").as("__cb")))
     val uniTot = uni.agg(coalesce(sum(col("__cu")), lit(0L)).as("__n"))
     // c(w1) re-derived from the bigram table (count of w1 as a bigram
     // LEFT word) so conditional probabilities normalize exactly.

@@ -786,6 +786,40 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** n-gram LM ARTIFACT lifecycle — the qn106–qn109 store seam applied
+    * to the last fit-per-query model in the text family: fit
+    * [[TextOps.lmCounts]] on the even-id half once → persist as a
+    * versioned store artifact → supersede with a deliberately
+    * degenerate one-row LM (the `_last` pointer must serve it) → roll
+    * back via pinned `externalKey` and score the odd half from the
+    * rolled-back tables. The oracle is qn45's EXACT fresh-LM SQL, so
+    * oracle-green IS the stored ≡ fresh proof (count tables round-trip
+    * parquet losslessly; every join is key-exact);
+    * `last_superseded_ok` pins the version semantics as a literal the
+    * oracle restates.
+    */
+  private def qLmStore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_lm_"))
+    val (uni, bi) = TextOps.lmCounts(
+      d.where(pmod(col("doc_id"), lit(2)) === 0), "text")
+    TextOps.saveLanguageModel(s, store, "lm/bigram", uni, bi,
+      externalKey = "v1")
+    TextOps.saveLanguageModel(s, store, "lm/bigram",
+      Seq(("the", 1L)).toDF("term", "n"),
+      Seq(("the", "the", 1L)).toDF("w1", "w2", "n"), externalKey = "v2")
+    val (lastUni, _) = TextOps.loadLanguageModel(store, "lm/bigram")
+    val lastOk = lastUni.count() == 1L
+    val (u1, b1) = TextOps.loadLanguageModel(store, "lm/bigram", Some("v1"))
+    TextOps.lmFluencyScoresFrom(
+        d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", u1, b1)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("score"), 4).as("score"))
+      .withColumn("last_superseded_ok", lit(lastOk))
+      .orderBy("doc_id")
+  }
+
   /** Binary-quantized ANN: sign-bit Hamming candidates (k·4
     * oversample), exact-cosine rerank — graded END-TO-END as an exact
     * contract because every step is deterministic: the signature is
@@ -4922,6 +4956,44 @@ object NorthStar {
                              ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
                  FROM r)
       SELECT query_id, vec_id, hamming, sim, rank FROM ranked
-      WHERE rank <= 5 ORDER BY query_id, rank"""))
+      WHERE rank <= 5 ORDER BY query_id, rank""")),
+    QueryDef("qn119_lm_store", qLmStore _, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''),
+      lmt AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+      uni AS (
+        SELECT tok AS w2, count(*) AS cu
+        FROM (SELECT unnest(w) AS tok FROM lmt) GROUP BY tok),
+      n AS (SELECT sum(cu) AS n FROM uni),
+      bi AS (
+        SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS cb
+        FROM lmt, unnest(range(1, len(w))) t(i)
+        GROUP BY 1, 2),
+      lft AS (SELECT w1, sum(cb) AS cl FROM bi GROUP BY w1),
+      big AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM toks, unnest(range(1, len(w))) t(i)
+        WHERE doc_id % 2 = 1),
+      p AS (
+        SELECT g.doc_id,
+               CASE
+                 WHEN b.cb IS NOT NULL THEN b.cb * 1.0 / l.cl
+                 WHEN 0.4 * coalesce(u.cu, 0) / n.n > 0
+                   THEN 0.4 * coalesce(u.cu, 0) / n.n
+                 ELSE 0.4 / (n.n + 1)
+               END AS pr
+        FROM big g
+        LEFT JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+        LEFT JOIN lft l ON g.w1 = l.w1
+        LEFT JOIN uni u ON g.w2 = u.w2
+        CROSS JOIN n)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(sum(log10(pr)) / count(*), 4) AS score,
+             TRUE AS last_superseded_ok
+      FROM p
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
   )
 }

@@ -2194,6 +2194,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("LM artifact: stored scoring == fresh; _last serves the superseded version") {
+    import spark.implicits._
+    val d = Tables.read(spark, sf(), "documents")
+    val even = d.where(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = d.where(pmod(col("doc_id"), lit(2)) === 1)
+    def scoresOf(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      df.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val fresh = scoresOf(
+      TextOps.lmFluencyScores(odd, "doc_id", "text", lm = Some(even)))
+    val store = new graft.store.Store(spark, TempDirs.create("graft_lmspec_"))
+    val (uni, bi) = TextOps.lmCounts(even, "text")
+    TextOps.saveLanguageModel(spark, store, "lm/test", uni, bi,
+      externalKey = "v1")
+    TextOps.saveLanguageModel(spark, store, "lm/test",
+      Seq(("x", 1L)).toDF("term", "n"),
+      Seq(("x", "x", 1L)).toDF("w1", "w2", "n"), externalKey = "v2")
+    // _last serves the superseded degenerate version…
+    val (lastUni, lastBi) = TextOps.loadLanguageModel(store, "lm/test")
+    assert(lastUni.count() == 1L && lastBi.count() == 1L)
+    // …and the pinned rollback scores bit-identically to the fresh fit.
+    val (u1, b1) = TextOps.loadLanguageModel(store, "lm/test", Some("v1"))
+    val stored = scoresOf(
+      TextOps.lmFluencyScoresFrom(odd, "doc_id", "text", u1, b1))
+    assert(stored.nonEmpty && stored == fresh)
+  }
+
   test("packSignBits: 32-bit words, partial tail word, empty vector; hamming = sign mismatches") {
     import spark.implicits._
     // 40 dims: one full word + one 8-bit tail word; signs alternate in a
