@@ -502,11 +502,34 @@ object Similarity {
       vecCol: String,
       k: Int,
       oversample: Int = 4,
+      excludeSelf: Boolean = true): DataFrame =
+    hammingTopKFrom(
+      corpus.select(col(idCol).as("vec_id"),
+        packSignBits(col(vecCol)).as("words")),
+      corpus, queries, idCol, vecCol, k, oversample, excludeSelf)
+
+  /** [[hammingTopK]] against PRE-PACKED signatures — `packed` is any
+    * (vec_id, words) frame from [[packSignBits]], e.g. a
+    * [[graft.ops.VectorIndex]] binary-signature artifact read back
+    * from the store. The candidate scan touches ONLY the packed table
+    * (the artifact is the 16×-smaller scan — the reason to persist it
+    * instead of re-packing 100 TB of floats per query batch); `corpus`
+    * supplies float vectors for the candidate-sized rerank join alone.
+    * Bit-identical to [[hammingTopK]] on the same rows (parquet
+    * round-trips longs losslessly).
+    */
+  def hammingTopKFrom(
+      packed: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      oversample: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(oversample >= 1, "oversample must be >= 1")
-    val c = corpus.select(col(idCol).as("vec_id"),
-      packSignBits(col(vecCol)).as("__cw"))
+    val c = packed.select(col("vec_id"), col("words").as("__cw"))
     val q = queries.select(col(idCol).as("query_id"),
       packSignBits(col(vecCol)).as("__qw"))
     val cand = c.crossJoin(broadcast(q))

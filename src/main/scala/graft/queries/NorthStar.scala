@@ -786,6 +786,30 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Binary-signature INDEX lifecycle: build the packed-signature
+    * artifact on 90% of the corpus, append the remaining 10% as a
+    * second version (O(batch) — signatures are deterministic per
+    * vector, so appends are exact, no centroid drift), and serve qn118's
+    * search from the accumulated artifact. The oracle is qn118's SQL
+    * verbatim over the FULL corpus, so oracle-green pins
+    * stored+append ≡ fresh end-to-end (pack → parquet round-trip →
+    * Hamming heap → rerank).
+    */
+  private def qHammingIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_bq_"))
+    VectorIndex.buildHamming(store,
+      e.where(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id", "embedding",
+      "ann/bq", externalKey = "v1")
+    VectorIndex.appendHamming(store,
+      e.where(pmod(col("vec_id"), lit(10)) === 0), "vec_id", "embedding",
+      "ann/bq", externalKey = "v2")
+    VectorIndex.searchHamming(store, "ann/bq", e,
+        e.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, oversample = 4, useLast = false)
+      .orderBy("query_id", "rank")
+  }
+
   /** n-gram LM ARTIFACT lifecycle — the qn106–qn109 store seam applied
     * to the last fit-per-query model in the text family: fit
     * [[TextOps.lmCounts]] on the even-id half once → persist as a
@@ -4937,6 +4961,27 @@ object NorthStar {
                AS bucket
       FROM b ORDER BY doc_id""")),
     QueryDef("qn118_ann_hamming", qAnnHamming _, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      p AS (SELECT q.query_id, e.vec_id, qv, e.embedding::DOUBLE[] AS ev
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      h AS (SELECT query_id, vec_id, qv, ev,
+                   CAST(len(list_filter(range(1, len(qv) + 1),
+                          i -> (qv[i] > 0) <> (ev[i] > 0))) AS BIGINT)
+                     AS hamming
+            FROM p),
+      cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY hamming, vec_id) AS hr FROM h),
+      r AS (SELECT query_id, vec_id, hamming,
+                   round(list_cosine_similarity(qv, ev), 6) AS sim
+            FROM cand WHERE hr <= 20),
+      ranked AS (SELECT query_id, vec_id, hamming, sim,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+                 FROM r)
+      SELECT query_id, vec_id, hamming, sim, rank FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""")),
+    QueryDef("qn120_hamming_index", qHammingIndex _, Some("""
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                  FROM embeddings WHERE vec_id < 8),
       p AS (SELECT q.query_id, e.vec_id, qv, e.embedding::DOUBLE[] AS ev
