@@ -819,9 +819,7 @@ object TextOps {
       textCol: String,
       byCol: String,
       lm: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
-    val scored = lmFluencyScores(df, idCol, textCol, lm)
-      .withColumn("score", round(col("score"), 4))
-      .join(df.select(col(idCol), col(byCol)), Seq(idCol))
+    val scored = scoredWithBy(df, idCol, textCol, byCol, lm)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(byCol).orderBy(col("score").desc, col(idCol))
     scored
@@ -829,6 +827,55 @@ object TextOps {
       .select(col(idCol), col(byCol), col("n_bigrams"), col("score"),
         when(col("__t") === 1, "head")
           .when(col("__t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  private def scoredWithBy(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      byCol: String,
+      lm: Option[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame =
+    lmFluencyScores(df, idCol, textCol, lm)
+      .withColumn("score", round(col("score"), 4))
+      .join(df.select(col(idCol), col(byCol)), Seq(idCol))
+
+  /** [[perplexityBuckets]]'s 100 TB relaxation, SHIPPED (the q61
+    * edge-based-qcut discipline, not just a scaladoc promise): instead
+    * of an exact per-language ntile — whose window puts a 100 TB
+    * mostly-English crawl's rows through ONE sort partition — compute
+    * the two tercile edges per language with the bounded-memory GK
+    * sketch (`approx_percentile`, one map-side-combined aggregate),
+    * broadcast the languages×2 edge table, and assign buckets with a
+    * STATELESS per-row comparison on the scoring scan. No sort
+    * anywhere; the corpus crosses one aggregate and one broadcast
+    * join.
+    *
+    * Contract differences vs the exact cut (both inherent to
+    * edge-based bucketing, the pandas-qcut stance): tied scores share
+    * a bucket (ntile splits ties to force equal counts), and bucket
+    * counts are equal only to within the sketch's rank error
+    * (`accuracy` = GK 1/ε). Buckets are still MONOTONE in score by
+    * construction — every head score ≥ every middle ≥ every tail
+    * within a language — and the suite pins fixture agreement with the
+    * exact cut.
+    */
+  def perplexityBucketsByThresholds(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      byCol: String,
+      lm: Option[org.apache.spark.sql.DataFrame] = None,
+      accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val scored = scoredWithBy(df, idCol, textCol, byCol, lm)
+    val edges = scored.groupBy(byCol).agg(
+      percentile_approx(col("score"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("__e"))
+    scored.join(broadcast(edges), Seq(byCol))
+      .select(col(idCol), col(byCol), col("n_bigrams"), col("score"),
+        when(col("score") > element_at(col("__e"), 2), "head")
+          .when(col("score") > element_at(col("__e"), 1), "middle")
           .otherwise("tail").as("bucket"))
   }
 

@@ -2194,6 +2194,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("perplexityBucketsByThresholds: sort-free cut tracks the exact ntile") {
+    val d = Tables.read(spark, sf(), "documents")
+    val even = d.where(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = d.where(pmod(col("doc_id"), lit(2)) === 1)
+    val exact = TextOps.perplexityBuckets(odd, "doc_id", "text", "lang",
+        lm = Some(even))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val approxDf = TextOps.perplexityBucketsByThresholds(odd, "doc_id",
+      "text", "lang", lm = Some(even))
+    // The scale contract: NO window/sort anywhere in the plan — the cut
+    // is an aggregate (GK sketch) + broadcast join + per-row compare.
+    assert(!approxDf.queryExecution.executedPlan.toString.contains("Window"),
+      "threshold cut must not sort")
+    val approx = approxDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getString(4)))
+    // Monotone by construction: within a language every head score is
+    // strictly above every middle score, middle above tail.
+    val order = Map("head" -> 3, "middle" -> 2, "tail" -> 1)
+    approx.groupBy(_._2).foreach { case (lang, rs) =>
+      for (Seq(hi, lo) <- Seq("head", "middle", "tail").sliding(2)) {
+        val his = rs.filter(_._4 == hi).map(_._3)
+        val los = rs.filter(_._4 == lo).map(_._3)
+        if (his.nonEmpty && los.nonEmpty)
+          assert(his.min > los.max, s"$lang: $hi/$lo overlap")
+      }
+    }
+    // Agreement with the exact equal-count cut differs only at tercile
+    // boundaries (tie handling + sketch rank error); fixture measures
+    // 0.9720 — the gate sits under it with margin for the boundary ties.
+    val agree = approx.count { case (id, _, _, b) => exact(id) == b }
+    val rate = agree.toDouble / approx.length
+    info(f"bucket agreement vs exact = $rate%.4f over ${approx.length} docs")
+    assert(approx.length == exact.size && rate >= 0.9)
+  }
+
   test("LM artifact: stored scoring == fresh; _last serves the superseded version") {
     import spark.implicits._
     val d = Tables.read(spark, sf(), "documents")
