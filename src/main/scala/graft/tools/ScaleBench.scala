@@ -444,6 +444,21 @@ object ScaleBench {
       addOp("qn118_brute_float")(
         Similarity.topKPerQuery(emb, emb.where(col("vec_id") < 64),
           "vec_id", "embedding", k = 10).count())
+      // The qn120 artifact claim, measured: serving from STORED packed
+      // signatures vs qn118's re-pack-per-call — the delta is the
+      // packing scan of the float corpus the artifact amortizes away.
+      // Build lands outside the timed window (it's a once-per-corpus
+      // cost, like the delta-ingest state builds above).
+      if (opFilter.forall(_.findFirstIn("qn120_hamming_stored").isDefined)) {
+        val st = new graft.store.Store(spark,
+          graft.TempDirs.create("graft_sb_bq_"))
+        graft.ops.VectorIndex.buildHamming(st, emb, "vec_id", "embedding",
+          "ann/bq", externalKey = "v1")
+        addOp("qn120_hamming_stored")(
+          graft.ops.VectorIndex.searchHamming(st, "ann/bq", emb,
+            emb.where(col("vec_id") < 64), "vec_id", "embedding",
+            k = 10, oversample = 4).count())
+      }
       addOp("qn51_dedup_spans")(
         // The stride-1 window stream is the heaviest text-op shape
         // (one skinny (id, start, hash) row per token position); the
