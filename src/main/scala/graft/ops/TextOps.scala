@@ -344,14 +344,43 @@ object TextOps {
       benchmarks: Seq[(String, org.apache.spark.sql.DataFrame)],
       idCol: String,
       textCol: String,
-      n: Int = 3): org.apache.spark.sql.DataFrame = {
+      n: Int = 3): org.apache.spark.sql.DataFrame =
+    multiOverlapTail(corpus, benchmarks.map { case (name, b) =>
+      name -> b.select(explode(shingles(col(textCol), n)).as("s"))
+    }, idCol, textCol, n)
+
+  /** [[contaminationOverlapMulti]] against PRE-SHINGLED benchmarks —
+    * the [[contaminationOverlapStored]] artifact seam at suite scale:
+    * each entry's frame holds that suite's shingles in column `s`
+    * (deduplicated here), e.g. the `<name>/signatures` tables
+    * [[graft.ops.Dedup.saveReferenceShingles]] persists. The standing
+    * benchmark battery screens every build from its PINNED store
+    * versions — no benchmark text and no re-shingling anywhere in the
+    * plan — and stays one corpus pass regardless of suite count;
+    * bit-identical to the fresh path on the same references.
+    */
+  def contaminationOverlapMultiStored(
+      corpus: org.apache.spark.sql.DataFrame,
+      benchShingles: Seq[(String, org.apache.spark.sql.DataFrame)],
+      idCol: String,
+      textCol: String,
+      n: Int = 3): org.apache.spark.sql.DataFrame =
+    multiOverlapTail(corpus, benchShingles.map { case (name, b) =>
+      name -> b.select(col("s"))
+    }, idCol, textCol, n)
+
+  private def multiOverlapTail(
+      corpus: org.apache.spark.sql.DataFrame,
+      benchmarks: Seq[(String, org.apache.spark.sql.DataFrame)],
+      idCol: String,
+      textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     require(benchmarks.nonEmpty, "at least one benchmark required")
     require(benchmarks.map(_._1).distinct.size == benchmarks.size,
       "benchmark names must be unique")
     val tagged = benchmarks.map { case (name, b) =>
-      b.select(lit(name).as("__bench"),
-        explode(shingles(col(textCol), n)).as("__s")).distinct()
+      b.select(lit(name).as("__bench"), col("s").as("__s")).distinct()
     }.reduce(_ unionAll _)
     corpus.select(col(idCol), explode(shingles(col(textCol), n)).as("__s"))
       .join(broadcast(tagged), "__s")

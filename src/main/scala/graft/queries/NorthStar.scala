@@ -771,6 +771,30 @@ object NorthStar {
       .orderBy("doc_id", "benchmark")
   }
 
+  /** qn116 against PINNED store artifacts: each benchmark's shingle
+    * table persists once ([[Dedup.saveReferenceShingles]], the qn109
+    * seam), and the one-pass multi-suite screen reads the pinned
+    * versions — no benchmark text, no re-shingling in the plan. Oracle
+    * is qn116's SQL verbatim: oracle-green IS the stored ≡ fresh proof
+    * for the whole battery.
+    */
+  private def qDecontamMultiStored(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isA = pmod(col("doc_id"), lit(50)) === 3
+    val isB = pmod(col("doc_id"), lit(50)) === 7
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_mref_"))
+    Dedup.saveReferenceShingles(store, "bench/a", d.where(isA),
+      "doc_id", "text", externalKey = "v1")
+    Dedup.saveReferenceShingles(store, "bench/b", d.where(isB),
+      "doc_id", "text", externalKey = "v1")
+    TextOps.contaminationOverlapMultiStored(d.where(!isA && !isB),
+        Seq(
+          "bench_a" -> store.get("bench/a/signatures", Some("v1"), useLast = false),
+          "bench_b" -> store.get("bench/b/signatures", Some("v1"), useLast = false)),
+        "doc_id", "text")
+      .orderBy("doc_id", "benchmark")
+  }
+
   /** CCNet perplexity terciles: the odd-id half scored under the
     * even-id-trained bigram LM (qn45's split, so every backoff path
     * grades), then cut head/middle/tail PER LANGUAGE by equal-count
@@ -4903,6 +4927,21 @@ object NorthStar {
       FROM best WHERE brk = 1 AND margin >= 1.02
       ORDER BY src_id""")),
     QueryDef("qn116_decontam_multi", qDecontamMulti _, Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE trim(text) <> ''),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+             FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      bench AS (SELECT 'bench_a' AS benchmark, s
+                FROM (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 3)
+                UNION ALL
+                SELECT 'bench_b' AS benchmark, s
+                FROM (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 7))
+      SELECT c.doc_id, b.benchmark, count(*) AS n_overlap
+      FROM sh c JOIN bench b ON c.s = b.s
+      WHERE c.doc_id % 50 NOT IN (3, 7)
+      GROUP BY 1, 2
+      ORDER BY doc_id, benchmark""")),
+    QueryDef("qn121_decontam_multi_stored", qDecontamMultiStored _, Some("""
       WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
                     FROM documents WHERE trim(text) <> ''),
       sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s

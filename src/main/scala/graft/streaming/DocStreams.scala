@@ -182,6 +182,41 @@ object DocStreams {
         ()
       }
 
+  /** Live multi-benchmark contamination monitor: each micro-batch of
+    * crawled docs screens against the PINNED benchmark-shingle
+    * artifacts ([[graft.ops.Dedup.saveReferenceShingles]] — the
+    * qn109/qn121 seam) in ONE pass
+    * ([[TextOps.contaminationOverlapMultiStored]]) and appends
+    * `(doc id, benchmark, n_overlap, batch_id)` to `outDir` — the
+    * per-suite leak feed for quarantine, and, aggregated by
+    * (batch_id, benchmark), the live leak-rate monitor (a crawl
+    * suddenly ingesting an eval set shows as one suite's rate spiking
+    * while the batch is still landing). Per-doc screening is
+    * batch-independent, so a replayed batch sequence reproduces the
+    * stream exactly (StreamingSpec pins stream ≡ batch op per half);
+    * K more suites cost broadcast bytes per batch, never extra batch
+    * scans.
+    */
+  def contaminationMonitorTo(
+      docs: DataFrame,
+      store: Store,
+      benchTables: Seq[(String, String)],
+      outDir: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val refs = benchTables.map { case (nm, t) => nm -> store.get(t) }
+        TextOps.contaminationOverlapMultiStored(batch.toDF(), refs,
+          idCol, textCol, n)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+
   /** Embedding batches as they land from an encoder job. */
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

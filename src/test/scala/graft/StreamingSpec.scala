@@ -674,6 +674,51 @@ class StreamingSpec extends SparkSpec {
     assert(perBatch.count() >= 1L)
   }
 
+  test("streaming multi-benchmark contamination monitor == batch op per replayed half") {
+    import graft.ops.{Dedup, TextOps}
+    import graft.streaming.DocStreams
+    val (srcDir, cut) = stageDocHalves()
+    val d = Tables.read(spark, sf(), "documents")
+    val isA = pmod(col("doc_id"), lit(50)) === 3
+    val isB = pmod(col("doc_id"), lit(50)) === 7
+    // Benchmarks as PINNED store artifacts (the qn121 seam). The
+    // streamed corpus is the full staged doc set — benchmark docs
+    // screening against their own suite is fine here; the monitor's
+    // contract is per-doc, per-suite counts, not corpus curation.
+    val store = new graft.store.Store(spark, TempDirs.create("graft_cmon_"))
+    Dedup.saveReferenceShingles(store, "bench/a", d.where(isA),
+      "doc_id", "text", externalKey = "v1")
+    Dedup.saveReferenceShingles(store, "bench/b", d.where(isB),
+      "doc_id", "text", externalKey = "v1")
+    val refs = Seq("bench_a" -> "bench/a/signatures",
+      "bench_b" -> "bench/b/signatures")
+    val stream = spark.readStream.schema(DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val outDir = TempDirs.create("graft_cmon_out_") + "/hits"
+    val ckpt = TempDirs.create("graft_cmon_ckpt_")
+    val q = DocStreams.contaminationMonitorTo(stream, store, refs,
+      outDir, ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("benchmark"),
+        r.getAs[Long]("n_overlap"))).toSet
+    // Per-doc screening is batch-independent: the replayed halves must
+    // union to exactly the one-shot batch op over the full corpus.
+    val expected = TextOps.contaminationOverlapMultiStored(d,
+        Seq("bench_a" -> store.get("bench/a/signatures"),
+          "bench_b" -> store.get("bench/b/signatures")),
+        "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).size} batch-only=${(expected -- streamed).size}")
+    assert(streamed.nonEmpty && cut > 0)
+    // Both batches contributed rows (the leak-rate monitor axis).
+    val batches = spark.read.parquet(outDir)
+      .select("batch_id").distinct().count()
+    assert(batches == 2L, s"expected 2 batches, got $batches")
+  }
+
   test("streaming near-dup alerts == batch MinHash candidates on a replayed ingest") {
     import graft.ops.Dedup
     import graft.streaming.DocStreams
