@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BpeMergePairExpr, ColumnBridge, DotProductD, HammingDistanceExpr, HashedCharNgramCountsExpr, HashedTokenCountsExpr, HashedTokenLogitExpr, HashedTokenMultiLogitExpr, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PackSignBitsExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
+import org.apache.spark.sql.graft.{BpeMergePairExpr, ColumnBridge, DotProductD, HammingDistanceExpr, HashedCharNgramCountsExpr, HashedTokenCountsExpr, HashedTokenLogitExpr, HashedTokenMultiLogitExpr, Int8CodesExpr, Int8DotExpr, Int8ScaleExpr, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PackSignBitsExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
 
 /** Facade over the custom Catalyst expressions in
   * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
@@ -95,6 +95,19 @@ object VectorExpressions {
     */
   def longMatchCount(a: Column, b: Column): Column =
     ColumnBridge.column(LongMatchCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Per-vector symmetric int8 scale (max|x|/127). */
+  def int8Scale(vec: Column): Column =
+    ColumnBridge.column(Int8ScaleExpr(ColumnBridge.expression(vec)))
+
+  /** int8 codes of a vector under its own symmetric scale (BINARY). */
+  def int8Codes(vec: Column): Column =
+    ColumnBridge.column(Int8CodesExpr(ColumnBridge.expression(vec)))
+
+  /** Codegen'd integer dot of two int8 code arrays. */
+  def int8Dot(a: Column, b: Column): Column =
+    ColumnBridge.column(Int8DotExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Sign-bit packing of an `array<double>` vector into 32-bit words

@@ -559,6 +559,79 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Scalar-quantized (SQ8) ANN: per-vector symmetric int8 codes over
+    * the L2-NORMALIZED vectors (so the integer dot approximates cosine
+    * directly), exact-cosine rerank of the `k·oversample` survivors —
+    * the 4×-compression middle tier of the quantization ladder between
+    * [[hammingTopK]]'s 1 bit/dim and the float scan ([[pqTopK]] covers
+    * the sub-byte codebook end). The approximate score is
+    * `scale_q · scale_c · Σ code_q·code_c` — one codegen'd integer
+    * loop per pair ([[org.apache.spark.sql.graft.Int8DotExpr]]) plus
+    * two double multiplies.
+    *
+    * Scale shape = [[hammingTopK]]'s: the candidate pass scans only
+    * (id, scale, codes) — ~4× fewer bytes than the float scan —
+    * broadcasts the quantized queries, bounds the shuffle with the
+    * TopKByScoreAgg map-side heap (6dp-rounded approx score, id
+    * tie-breaks), and only candidate ids proceed to the float fetch +
+    * rerank. Nothing corpus-sized sorts or shuffles.
+    *
+    * Determinism: codes are integers from `round(nv / (max|nv|/127))`
+    * with half-away-from-zero ties — every arithmetic step (normalize,
+    * max, divide, round) is the same IEEE double sequence in DuckDB,
+    * so the oracle restates the whole pipeline including the integer
+    * dot exactly.
+    *
+    * Output: (query_id, vec_id, qdot, sim, rank) — `qdot` the 6dp
+    * approximate cosine that chose the candidate, `sim` the exact
+    * rerank cosine, top `k` per query by `sim`.
+    */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      oversample: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(oversample >= 1, "oversample must be >= 1")
+    import graft.functions.VectorExpressions.{int8Codes, int8Dot, int8Scale}
+    def quant(df: DataFrame, idAs: String, p: String) =
+      df.select(col(idCol).as(idAs),
+        normalize(asDouble(col(vecCol))).as("__nv"))
+        .select(col(idAs),
+          int8Scale(col("__nv")).as(s"__${p}s"),
+          int8Codes(col("__nv")).as(s"__${p}c"))
+    val c = quant(corpus, "vec_id", "c")
+    val q = quant(queries, "query_id", "q")
+    val cand = c.crossJoin(broadcast(q))
+      .where(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"),
+        round(col("__qs") * col("__cs") *
+          int8Dot(col("__qc"), col("__cc")).cast("double"), 6).as("qdot"))
+      .groupBy("query_id")
+      .agg(graft.functions.VectorExpressions
+        .topKByScore(col("qdot"), col("vec_id"), k * oversample).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        col("c.sim").as("qdot"))
+    val cv = corpus.select(col(idCol).as("vec_id"),
+      normalize(asDouble(col(vecCol))).as("__nv"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      normalize(asDouble(col(vecCol))).as("__qnv"))
+    val reranked = cand
+      .join(cv, Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qdot"),
+        round(dotD(col("__qnv"), col("__nv")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    reranked
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
     * Parallel Corpus Mining with Multilingual Sentence Embeddings",
     * ACL 2019 — the method behind CCMatrix/LASER parallel-corpus

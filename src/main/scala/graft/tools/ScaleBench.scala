@@ -444,6 +444,9 @@ object ScaleBench {
       addOp("qn118_brute_float")(
         Similarity.topKPerQuery(emb, emb.where(col("vec_id") < 64),
           "vec_id", "embedding", k = 10).count())
+      addOp("qn122_int8_ann")(
+        Similarity.int8TopK(emb, emb.where(col("vec_id") < 64),
+          "vec_id", "embedding", k = 10, oversample = 4).count())
       // The qn120 artifact claim, measured: serving from STORED packed
       // signatures vs qn118's re-pack-per-call — the delta is the
       // packing scan of the float corpus the artifact amortizes away.

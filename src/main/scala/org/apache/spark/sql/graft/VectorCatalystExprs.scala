@@ -500,6 +500,128 @@ case class HammingDistanceExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-vector symmetric int8 scale: `max|xᵢ| / 127` — the scalar
+  * quantization ("SQ8") convention: codes = round(x / scale) land in
+  * [−127, 127] and `scaleA·scaleB·Σ codeA·codeB` approximates the dot
+  * product at 4× under float32. Zero vectors scale to 0 (codes all 0,
+  * approx dot 0 — no division anywhere downstream).
+  */
+case class Int8ScaleExpr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_scale"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var m = 0d
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val a = math.abs(v.getDouble(i))
+        if (a > m) m = a
+      }
+      i += 1
+    }
+    m / 127d
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** int8 codes of a vector under its own [[Int8ScaleExpr]] scale, as
+  * BINARY (one signed byte per dimension): `round(xᵢ / scale)` with
+  * round-half-AWAY-FROM-ZERO — the same tie rule DuckDB's and Spark
+  * SQL's `round` use, so an oracle can restate the quantization
+  * bit-for-bit (`Math.round`'s half-up would disagree on negative
+  * ties). |xᵢ/scale| ≤ 127 + ulp by construction, so codes fit int8
+  * without clamping. Zero scale → all-zero codes.
+  */
+case class Int8CodesExpr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_codes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var m = 0d
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val a = math.abs(v.getDouble(i))
+        if (a > m) m = a
+      }
+      i += 1
+    }
+    val s = m / 127d
+    val out = new Array[Byte](n)
+    if (s > 0d) {
+      i = 0
+      while (i < n) {
+        val x = if (v.isNullAt(i)) 0d else v.getDouble(i) / s
+        val r = if (x >= 0d) math.floor(x + 0.5d) else -math.floor(-x + 0.5d)
+        out(i) = r.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Integer dot product of two int8 code arrays ([[Int8CodesExpr]]) —
+  * the PAIR-HOT kernel of the scalar-quantized candidate scan
+  * (|corpus|·|queries| evaluations ⇒ `doGenCode`, the
+  * [[HammingDistanceExpr]] stance): Σ aᵢ·bᵢ over the shared prefix,
+  * exact in long (≤ dims·127² never overflows).
+  */
+case class Int8DotExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int8_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x(i).toLong * y(i).toLong; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      code"""
+        int $n = java.lang.Math.min($a.length, $b.length);
+        long $s = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += (long) $a[$i] * (long) $b[$i];
+        }
+        ${ev.value} = $s;
+      """.toString
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Top-`probes` nearest cells of a query vector against a centroid table
   * held as primitive arrays INSIDE the expression — the assignment kernel
   * of the ANN family (`Similarity.probeAssign`), replacing the

@@ -2256,6 +2256,39 @@ class OpsSpec extends SparkSpec {
     assert(stored.nonEmpty && stored == fresh)
   }
 
+  test("int8 quantizer: definitional codes, half-away-from-zero ties, integer dot") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{int8Codes, int8Dot, int8Scale}
+    // max|v| = 127 makes scale exactly 1.0, so the .5 code boundaries
+    // are exercised literally: ±2.5 must round AWAY from zero (±3) —
+    // Java Math.round's half-UP would give -2 for -2.5, which is the
+    // cross-engine disagreement the kernel exists to avoid (DuckDB and
+    // Spark SQL round() both go away from zero).
+    val a = Seq(127.0, 2.5, -2.5, 0.6, -0.6, 0.0)
+    val b = Seq(64.0, -2.0, 3.0, 127.0, 1.4, -1.4)
+    val row = Seq((a, b)).toDF("va", "vb")
+      .select(int8Scale(col("va")).as("sa"),
+        int8Codes(col("va")).as("ca"),
+        int8Codes(col("vb")).as("cb"),
+        int8Dot(int8Codes(col("va")), int8Codes(col("vb"))).as("d"))
+      .head()
+    assert(row.getDouble(0) == 1.0)
+    val ca = row.getAs[Array[Byte]](1)
+    val cb = row.getAs[Array[Byte]](2)
+    assert(ca.toSeq == Seq[Byte](127, 3, -3, 1, -1, 0), s"ca ${ca.toSeq}")
+    assert(cb.toSeq == Seq[Byte](64, -2, 3, 127, 1, -1), s"cb ${cb.toSeq}")
+    val expectDot = ca.zip(cb).map { case (x, y) => x.toLong * y.toLong }.sum
+    assert(row.getLong(3) == expectDot)
+    // Zero vector: scale 0, all-zero codes, dot 0 — no division
+    // anywhere (the ANSI stance).
+    val z = Seq(Seq(0.0, 0.0)).toDF("v")
+      .select(int8Scale(col("v")).as("s"), int8Codes(col("v")).as("c"),
+        int8Dot(int8Codes(col("v")), int8Codes(col("v"))).as("d"))
+      .head()
+    assert(z.getDouble(0) == 0.0 && z.getAs[Array[Byte]](1).forall(_ == 0)
+      && z.getLong(2) == 0L)
+  }
+
   test("packSignBits: 32-bit words, partial tail word, empty vector; hamming = sign mismatches") {
     import spark.implicits._
     // 40 dims: one full word + one 8-bit tail word; signs alternate in a
