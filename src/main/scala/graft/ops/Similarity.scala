@@ -593,18 +593,46 @@ object Similarity {
       vecCol: String,
       k: Int,
       oversample: Int = 4,
+      excludeSelf: Boolean = true): DataFrame =
+    int8TopKFrom(int8Quantized(corpus, idCol, vecCol),
+      corpus, queries, idCol, vecCol, k, oversample, excludeSelf)
+
+  /** (vec_id, scale, codes) of a corpus under SQ8 — the frame
+    * [[int8TopKFrom]] scans and [[graft.ops.VectorIndex]] persists.
+    */
+  private[graft] def int8Quantized(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorExpressions.{int8Codes, int8Scale}
+    df.select(col(idCol).as("vec_id"),
+      normalize(asDouble(col(vecCol))).as("__nv"))
+      .select(col("vec_id"),
+        int8Scale(col("__nv")).as("scale"),
+        int8Codes(col("__nv")).as("codes"))
+  }
+
+  /** [[int8TopK]] against PRE-QUANTIZED (vec_id, scale, codes) — e.g. a
+    * [[graft.ops.VectorIndex]] SQ8 artifact read back from the store:
+    * the candidate scan reads only the ~4×-smaller quantized table;
+    * `corpus` supplies floats for the candidate-sized rerank alone.
+    * Bit-identical to [[int8TopK]] on the same rows.
+    */
+  def int8TopKFrom(
+      quantized: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      oversample: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(oversample >= 1, "oversample must be >= 1")
-    import graft.functions.VectorExpressions.{int8Codes, int8Dot, int8Scale}
-    def quant(df: DataFrame, idAs: String, p: String) =
-      df.select(col(idCol).as(idAs),
-        normalize(asDouble(col(vecCol))).as("__nv"))
-        .select(col(idAs),
-          int8Scale(col("__nv")).as(s"__${p}s"),
-          int8Codes(col("__nv")).as(s"__${p}c"))
-    val c = quant(corpus, "vec_id", "c")
-    val q = quant(queries, "query_id", "q")
+    import graft.functions.VectorExpressions.int8Dot
+    val c = quantized.select(col("vec_id"),
+      col("scale").as("__cs"), col("codes").as("__cc"))
+    val q = int8Quantized(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"),
+        col("scale").as("__qs"), col("codes").as("__qc"))
     val cand = c.crossJoin(broadcast(q))
       .where(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id"),

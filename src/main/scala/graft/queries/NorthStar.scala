@@ -850,6 +850,26 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** SQ8 INDEX lifecycle — qn120's build/append/serve contract applied
+    * to the 8-bit tier: build on 90%, O(batch)-append the rest, serve
+    * qn122's search from the accumulated artifact; oracle is qn122's
+    * SQL verbatim, so stored+append ≡ fresh is the green itself.
+    */
+  private def qInt8Index(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_sq8_"))
+    VectorIndex.buildInt8(store,
+      e.where(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id", "embedding",
+      "ann/sq8", externalKey = "v1")
+    VectorIndex.appendInt8(store,
+      e.where(pmod(col("vec_id"), lit(10)) === 0), "vec_id", "embedding",
+      "ann/sq8", externalKey = "v2")
+    VectorIndex.searchInt8(store, "ann/sq8", e,
+        e.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, oversample = 4, useLast = false)
+      .orderBy("query_id", "rank")
+  }
+
   /** n-gram LM ARTIFACT lifecycle — the qn106–qn109 store seam applied
     * to the last fit-per-query model in the text family: fit
     * [[TextOps.lmCounts]] on the even-id half once → persist as a
@@ -5058,6 +5078,42 @@ object NorthStar {
       SELECT query_id, vec_id, hamming, sim, rank FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""")),
     QueryDef("qn122_ann_int8", qAnnInt8 _, Some("""
+      WITH allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      nrm AS (SELECT vec_id,
+        CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+             THEN list_transform(v, x -> 0.0)
+             ELSE list_transform(v,
+                    x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+        END AS nv FROM allv),
+      cz AS (SELECT vec_id,
+        list_max(list_transform(nv, x -> abs(x))) / 127 AS s,
+        list_transform(nv, x -> CAST(CASE
+          WHEN list_max(list_transform(nv, y -> abs(y))) / 127 = 0 THEN 0
+          ELSE round(x / (list_max(list_transform(nv, y -> abs(y))) / 127))
+          END AS BIGINT)) AS c
+        FROM nrm),
+      q AS (SELECT vec_id AS query_id, s AS qs, c AS qc FROM cz
+            WHERE vec_id < 8),
+      p AS (SELECT q.query_id, e.vec_id, qs, qc, e.s AS cs, e.c AS cc
+            FROM cz e, q WHERE e.vec_id <> q.query_id),
+      d AS (SELECT query_id, vec_id,
+              round(qs * cs * CAST(list_sum(list_transform(
+                range(1, len(qc) + 1), i -> qc[i] * cc[i])) AS DOUBLE), 6)
+                AS qdot
+            FROM p),
+      cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY qdot DESC, vec_id) AS cr FROM d),
+      r AS (SELECT c.query_id, c.vec_id, c.qdot,
+              round(list_cosine_similarity(qa.v, ca.v), 6) AS sim
+            FROM cand c JOIN allv qa ON qa.vec_id = c.query_id
+                        JOIN allv ca ON ca.vec_id = c.vec_id
+            WHERE c.cr <= 20),
+      ranked AS (SELECT query_id, vec_id, qdot, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, vec_id) AS INTEGER) AS rank FROM r)
+      SELECT query_id, vec_id, qdot, sim, rank FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""")),
+    QueryDef("qn123_int8_index", qInt8Index _, Some("""
       WITH allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       nrm AS (SELECT vec_id,
         CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
