@@ -235,6 +235,13 @@ object VectorIndex {
     * the new vectors, load them as a new version; an accumulate-mode
     * [[searchHamming]] (`useLast = false`, no `externalKey`) then
     * serves base + every appended batch.
+    *
+    * Precondition: appends carry NEW ids only. A re-embedded id would
+    * coexist with its stale row across versions (both score as
+    * candidates) — churn needs [[tombstoneIvf]]'s generation-sidecar
+    * pattern or a rebuild under a fresh externalKey; the flat
+    * signature tables deliberately stay sidecar-free because their
+    * rebuild is one deterministic pack pass, not a refit.
     */
   def appendHamming(
       store: Store,
@@ -262,7 +269,9 @@ object VectorIndex {
       s"$name/sq8", externalKey = externalKey)
 
   /** Append a batch to a persisted SQ8 index — O(batch); accumulate-mode
-    * [[searchInt8]] then serves base + every appended batch.
+    * [[searchInt8]] then serves base + every appended batch. Same
+    * NEW-ids-only precondition as [[appendHamming]] (churn → rebuild or
+    * the [[tombstoneIvf]] sidecar pattern).
     */
   def appendInt8(
       store: Store,
