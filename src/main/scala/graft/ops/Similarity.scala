@@ -489,7 +489,9 @@ object Similarity {
     * Recall contract: sign-bit Hamming approximates angular distance
     * (it is SRP-LSH with axis-aligned hyperplanes — [[srpNeighbors]]'s
     * geometry at projection = identity), so recall vs exact top-k rises
-    * with `oversample`; RecallSpec gates the fixture at ≥ 0.9. All
+    * with `oversample`; RecallSpec gates planted near-twins at ≥ 0.95
+    * and documents the near-uniform fixture's candidate-fraction
+    * curve (0.46 → 0.99 recall over 20 → 320 candidates of 5000). All
     * determinism knobs match qn08: 6dp-rounded cosines, id tie-breaks.
     *
     * Output: (query_id, vec_id, hamming, sim, rank) — top `k` per
