@@ -64,4 +64,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // to a primitive-loop expression (NearestCellsExpr); the flag stays
   // as cheap insurance for genuinely huge generated methods.
   "-XX:-DontCompileHugeMethods",
-)
+) ++ (
+  // Lift HotSpot's recompilation cutoffs (default 400/200) — after
+  // that many deopts HotSpot BLACKLISTS the method to the interpreter
+  // PERMANENTLY, which is the "deopt-without-OSR-rescue → whole stage
+  // interpreted" slow mode behind the 2M ScaleBench bimodality
+  // (NOTES_r13 mitigation option 3, now measured: untreated, ~5 of 8
+  // 2M delta-ingest reps ran 88–173 s with a 29 s whole-stage task
+  // MEDIAN, CPU-pegged, zero spill; with unlimited cutoffs 3/3 reps
+  // read 45–74 s — one BELOW the untreated best — and the same stages'
+  // medians dropped to 4–10 s. SCALEBENCH_r15_trapbudget.log). The
+  // trade is recompile churn, which the A/B shows is noise here.
+  // SPARK_GRAFT_TRAP_BUDGET=0 restores stock cutoffs to reproduce the
+  // lottery.
+  if (sys.env.getOrElse("SPARK_GRAFT_TRAP_BUDGET", "1") == "1") Seq(
+    "-XX:PerMethodRecompilationCutoff=-1",
+    "-XX:PerBytecodeRecompilationCutoff=-1")
+  else Seq.empty)
