@@ -9,19 +9,24 @@
 # in the round NOTES. ~15 min; run SOLO (no concurrent sbt/Spark JVM).
 #
 # Usage: scripts/sweep_sf01.sh [out.log] [name-regex]
-set -u
+set -u -o pipefail
 OUT="${1:-/tmp/sweep_sf01.log}"
 FILTER="${2:-}"
 DIR=/tmp/verify_sf01
 cd /root/repo
 rm -rf "$DIR"
 echo "=== sweep sf0.1 start $(date -u +%FT%TZ) filter='${FILTER}' ===" | tee "$OUT"
+# grep -q exits 1 on "no failure lines", which is the GOOD case — only
+# treat sbt's own exit status as the verdict (pipefail propagates it).
+# Matching bare '[error]' instead would flood the log: sbt prefixes the
+# forked JVM's whole stderr (all Spark logging) with [error].
 if [ -n "$FILTER" ]; then
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $DIR $FILTER" \
-    2>&1 | grep -E "\[verify\].*failed|Exception in" | tee -a "$OUT"
+    2>&1 | { grep -E "\[verify\].*failed|Exception in" || true; } | tee -a "$OUT"
 else
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $DIR" \
-    2>&1 | grep -E "\[verify\].*failed|Exception in" | tee -a "$OUT"
+    2>&1 | { grep -E "\[verify\].*failed|Exception in" || true; } | tee -a "$OUT"
 fi
+echo "sbt_rc=$?" | tee -a "$OUT"
 python3 scripts/check.py /root/testdata/sf0.1 "$DIR" 2>&1 | tee -a "$OUT"
 echo "=== sweep sf0.1 end $(date -u +%FT%TZ) ===" | tee -a "$OUT"

@@ -545,6 +545,27 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("c"))
       .select(col("query_id"), col("c.vec_id").as("vec_id"),
         (-col("c.sim")).cast("long").as("hamming"))
+    rerankCandidates(cand, corpus, queries, idCol, vecCol, k, "hamming")
+  }
+
+  /** Shared exact-rerank tail of the quantized ANN tiers
+    * ([[hammingTopKFrom]], [[int8TopKFrom]]): fetch floats for the
+    * candidate ids (candidate-sized equality join — AQE broadcasts the
+    * candidate side), 6dp-rounded exact cosine against the broadcast
+    * query vectors, top `k` per query by (sim desc, id) — rank 1-based.
+    * `carryCol` is the tier's candidate score (hamming / qdot), kept in
+    * the output for observability. One definition so the rerank
+    * contract (rounding, tie-breaks, join shape) cannot drift between
+    * tiers.
+    */
+  private def rerankCandidates(
+      cand: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      carryCol: String): DataFrame = {
     val cv = corpus.select(col(idCol).as("vec_id"),
       normalize(asDouble(col(vecCol))).as("__nv"))
     val qv = queries.select(col(idCol).as("query_id"),
@@ -552,7 +573,7 @@ object Similarity {
     val reranked = cand
       .join(cv, Seq("vec_id"))
       .join(broadcast(qv), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"), col("hamming"),
+      .select(col("query_id"), col("vec_id"), col(carryCol),
         round(dotD(col("__qnv"), col("__nv")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
@@ -646,20 +667,7 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("c"))
       .select(col("query_id"), col("c.vec_id").as("vec_id"),
         col("c.sim").as("qdot"))
-    val cv = corpus.select(col(idCol).as("vec_id"),
-      normalize(asDouble(col(vecCol))).as("__nv"))
-    val qv = queries.select(col(idCol).as("query_id"),
-      normalize(asDouble(col(vecCol))).as("__qnv"))
-    val reranked = cand
-      .join(cv, Seq("vec_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qdot"),
-        round(dotD(col("__qnv"), col("__nv")), 6).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    reranked
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .where(col("rank") <= k)
+    rerankCandidates(cand, corpus, queries, idCol, vecCol, k, "qdot")
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based

@@ -897,7 +897,12 @@ object TextOps {
       lm: Option[org.apache.spark.sql.DataFrame] = None,
       accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val scored = scoredWithBy(df, idCol, textCol, byCol, lm)
+    // Materialized: the scored frame feeds BOTH the edge aggregate and
+    // the assignment join, and un-materialized the whole LM pipeline
+    // (tokenize + bigram explode + three joins) would execute twice —
+    // doubling the dominant cost of the very function that exists to be
+    // the cheap path (the sampleByTokenBudget stats pattern).
+    val scored = Dedup.materialize(scoredWithBy(df, idCol, textCol, byCol, lm))
     val edges = scored.groupBy(byCol).agg(
       percentile_approx(col("score"),
         array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("__e"))

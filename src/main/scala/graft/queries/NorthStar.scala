@@ -2739,6 +2739,20 @@ object NorthStar {
     * even/odd split, but the op itself no longer self-excludes across
     * corpora (independent id spaces — see the scaladoc).
     */
+  private def qBitextMargin(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // Long.MaxValue pins the exact leg (the qn10/qn63 discipline): the
+    // corpus-size routing default must not silently flip this query's
+    // semantics to the approximate search at a larger SF and fail the
+    // exact oracle.
+    Similarity.marginBitextPairs(
+      e.where(pmod(col("vec_id"), lit(2)) === 0),
+      e.where(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", k = 4, threshold = 1.02,
+      maxExactRows = Long.MaxValue)
+      .orderBy("src_id")
+  }
+
   /** UniMax epoch-capped language sampling ([[Mixture.unimaxSample]] —
     * Chung et al., ICLR 2023): a 700-doc budget waterfills across the
     * corpus languages smallest-first, each capped at 2 epochs of its
@@ -2755,20 +2769,6 @@ object NorthStar {
       docs(s, dir).select("doc_id", "lang"), "doc_id", "lang",
       budgetDocs = 700L, maxEpochs = 2.0)
       .orderBy("lang", "doc_id")
-
-  private def qBitextMargin(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    // Long.MaxValue pins the exact leg (the qn10/qn63 discipline): the
-    // corpus-size routing default must not silently flip this query's
-    // semantics to the approximate search at a larger SF and fail the
-    // exact oracle.
-    Similarity.marginBitextPairs(
-      e.where(pmod(col("vec_id"), lit(2)) === 0),
-      e.where(pmod(col("vec_id"), lit(2)) === 1),
-      "vec_id", "embedding", k = 4, threshold = 1.02,
-      maxExactRows = Long.MaxValue)
-      .orderBy("src_id")
-  }
 
   /** Incremental dataset card through the STORE (the qn33 mergeable-
     * sketch pattern applied to qn77's card): each ingest persists its

@@ -86,6 +86,18 @@ object BucketedState {
     val spark = df.sparkSession
     val path = versionPath(root, version)
     val name = tableName(path.toString)
+    // Replay idempotence ACROSS a session restart: same-session rewrites
+    // find the catalog entry and take the insert-overwrite path, but a
+    // fresh session replaying a crashed write (data files landed, the
+    // sidecar — written last — did not) has no catalog entry, and
+    // saveAsTable would then go through CTAS, which refuses a non-empty
+    // location (Spark 4 default). Clear the debris first: without a
+    // sidecar the dir is not a readable version ([[versions]] skips it),
+    // so deleting it loses nothing the replay isn't about to rewrite.
+    if (!spark.catalog.tableExists(name)) {
+      val f0 = fs(spark, path)
+      if (f0.exists(path)) f0.delete(path, true)
+    }
     df.repartition(numBuckets, col(bucketCol))
       .write.format("parquet")
       .bucketBy(numBuckets, bucketCol)

@@ -169,18 +169,27 @@ object DocStreams {
       k: Int = 4,
       threshold: Double = 1.0,
       maxExactRows: Long = graft.ops.Similarity.DefaultExactCosineRows,
-      nProbe: Int = 8): DataStreamWriter[Row] =
+      nProbe: Int = 8,
+      externalKey: Option[String] = None): DataStreamWriter[Row] = {
+    // Pin the reference ONCE, at stream construction — the contract the
+    // scaladoc promises. A per-batch `_last` (or accumulate) read would
+    // silently swap/duplicate the target mid-stream when a retrain
+    // publishes a new version, breaking replay determinism.
+    val pinned = Some(externalKey.getOrElse(store.lastVersion(tgtTable)
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$tgtTable' has no _last pointer to pin; pass externalKey"))))
     srcEmbs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         graft.ops.Similarity.marginBitextPairs(
-          batch.toDF(), store.get(tgtTable), "vec_id", "embedding",
+          batch.toDF(), store.get(tgtTable, pinned), "vec_id", "embedding",
           k = k, threshold = threshold, maxExactRows = maxExactRows,
           nProbe = nProbe)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
         ()
       }
+  }
 
   /** Live multi-benchmark contamination monitor: each micro-batch of
     * crawled docs screens against the PINNED benchmark-shingle
@@ -205,17 +214,27 @@ object DocStreams {
       checkpoint: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      n: Int = 3): DataStreamWriter[Row] =
+      n: Int = 3): DataStreamWriter[Row] = {
+    // Pin every suite ONCE at stream construction (the bitextMinedTo
+    // stance): a suite update mid-stream must not change — or, under an
+    // accumulate read, DUPLICATE — the reference shingles between
+    // batches; replayed batches must reproduce the stream.
+    val pinnedRefs = benchTables.map { case (nm, t) =>
+      (nm, t, Some(store.lastVersion(t).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$t' has no _last pointer to pin"))))
+    }
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val refs = benchTables.map { case (nm, t) => nm -> store.get(t) }
+        val refs = pinnedRefs.map { case (nm, t, key) => nm -> store.get(t, key) }
         TextOps.contaminationOverlapMultiStored(batch.toDF(), refs,
           idCol, textCol, n)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
         ()
       }
+  }
 
   /** Embedding batches as they land from an encoder job. */
   val embSchema: StructType = StructType(Seq(
@@ -420,6 +439,18 @@ object DocStreams {
     val countsTable = sigTable + "-counts"
     val sigRoot = store.statePath(sigTable)
     val prevSlices = BucketedState.slices(spark, sigRoot)
+    // The r15 layout migration guard: pre-bucketed deployments stored
+    // the signature state as an ordinary row-versioned STORE table
+    // under `sigTable`. Resuming such a checkpoint here would silently
+    // dedup every batch against EMPTY history (the accumulated state
+    // dropped on the floor) — fail loudly instead and name the
+    // migration (read the legacy table once, BucketedState.write it as
+    // a b0 slice + shingleSignatureCounts, then drop the legacy table).
+    if (prevSlices.isEmpty && store.list(Some(sigTable)).exists(_.name == sigTable))
+      throw new IllegalStateException(
+        s"legacy row-versioned signature state found at '$sigTable' but no " +
+          "bucketed slices: migrate it (BucketedState.write + " +
+          "shingleSignatureCounts) before resuming the stream")
     val hasFreqs = store.list(Some(freqTable)).exists(_.name == freqTable)
     val prevFreqs =
       if (hasFreqs) store.get(freqTable).groupBy("s").agg(sum("df").as("df"))

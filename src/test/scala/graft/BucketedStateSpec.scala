@@ -91,6 +91,31 @@ class BucketedStateSpec extends SparkSpec {
     assert(after == before && after.size == 150)
   }
 
+  test("replay after a crash in a FRESH session: debris cleared, write succeeds") {
+    import spark.implicits._
+    val root = TempDirs.create("graft_bstate_cr_") + "/sigs"
+    val v0 = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+    // Simulate a crashed first attempt seen from a RESTARTED session:
+    // data files landed in the version dir, the sidecar (written last)
+    // did not, and the new session's catalog has no table entry. The
+    // old write() then hit CTAS's non-empty-location refusal and the
+    // stream was wedged forever.
+    val path = new org.apache.hadoop.fs.Path(root, "v_b0")
+    val f = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    v0.write.parquet(path.toString) // debris: data, no _bucketspec
+    spark.sql(s"DROP TABLE IF EXISTS ${BucketedState.tableName(path.toString)}")
+    assert(BucketedState.versions(spark, root).isEmpty) // not readable yet
+    BucketedState.write(v0, root, "b0", "s", numBuckets = 2)
+    assert(BucketedState.versions(spark, root) == Seq("b0"))
+    assert(BucketedState.slice(spark, root, "b0").count() == 100L)
+    // Same shape for a crashed COMPLETE version being replayed from a
+    // fresh session (sidecar present, catalog empty).
+    spark.sql(s"DROP TABLE IF EXISTS ${BucketedState.tableName(path.toString)}")
+    assert(f.exists(new org.apache.hadoop.fs.Path(path, "_bucketspec")))
+    BucketedState.write(v0, root, "b0", "s", numBuckets = 2)
+    assert(BucketedState.slice(spark, root, "b0").count() == 100L)
+  }
+
   test("dedupIncrementalSliced == dedupIncremental, any slicing of the state") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -696,8 +696,16 @@ class StreamingSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val outDir = TempDirs.create("graft_cmon_out_") + "/hits"
     val ckpt = TempDirs.create("graft_cmon_ckpt_")
-    val q = DocStreams.contaminationMonitorTo(stream, store, refs,
-      outDir, ckpt).start()
+    val writer = DocStreams.contaminationMonitorTo(stream, store, refs,
+      outDir, ckpt)
+    // A suite update lands AFTER the monitor was constructed: the
+    // stream must keep serving the version it pinned at construction —
+    // doc 0 is not a bench_a doc, so if the new version leaked in (via
+    // `_last` re-resolution or an accumulate read) its shingles would
+    // add bench_a rows and the batch comparison below would fail.
+    Dedup.saveReferenceShingles(store, "bench/a",
+      d.where(col("doc_id") === 0), "doc_id", "text", externalKey = "v2")
+    val q = writer.start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.read.parquet(outDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("benchmark"),
@@ -705,8 +713,8 @@ class StreamingSpec extends SparkSpec {
     // Per-doc screening is batch-independent: the replayed halves must
     // union to exactly the one-shot batch op over the full corpus.
     val expected = TextOps.contaminationOverlapMultiStored(d,
-        Seq("bench_a" -> store.get("bench/a/signatures"),
-          "bench_b" -> store.get("bench/b/signatures")),
+        Seq("bench_a" -> store.get("bench/a/signatures", Some("v1")),
+          "bench_b" -> store.get("bench/b/signatures", Some("v1"))),
         "doc_id", "text")
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
