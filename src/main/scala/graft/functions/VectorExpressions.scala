@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BpeMergePairExpr, ColumnBridge, DotProductD, HammingDistanceExpr, HashedCharNgramCountsExpr, HashedTokenCountsExpr, HashedTokenLogitExpr, HashedTokenMultiLogitExpr, Int8CodesExpr, Int8DotExpr, Int8ScaleExpr, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PackSignBitsExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
+import org.apache.spark.sql.graft.{BpeMergePairExpr, ColumnBridge, DotProductD, HammingDistanceExpr, HashedCharNgramCountsExpr, HashedTokenCountsExpr, HashedTokenLogitExpr, HashedTokenMultiLogitExpr, Int8CodesExpr, Int8DotExpr, Int8MixedDotExpr, Int8ScaleExpr, L2NormalizeExpr, LongMatchCountExpr, MinHashSignatureExpr, NearestCellsExpr, NfcNormalizeExpr, PackSignBitsExpr, PqAdcScoreExpr, PqAdcTableExpr, PqEncodeExpr, SimHash64Expr, SrpSketchExpr, TopKByScoreAgg, WordShinglesExpr}
 
 /** Facade over the custom Catalyst expressions in
   * `org.apache.spark.sql.graft` (they live inside Spark's package tree to
@@ -109,6 +109,11 @@ object VectorExpressions {
   def int8Dot(a: Column, b: Column): Column =
     ColumnBridge.column(Int8DotExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Mixed dot of an `array<double>` vector against int8 codes. */
+  def int8MixedDot(vec: Column, codes: Column): Column =
+    ColumnBridge.column(Int8MixedDotExpr(
+      ColumnBridge.expression(vec), ColumnBridge.expression(codes)))
 
   /** Sign-bit packing of an `array<double>` vector into 32-bit words
     * (binary quantization signature).

@@ -670,6 +670,54 @@ object Similarity {
     rerankCandidates(cand, corpus, queries, idCol, vecCol, k, "qdot")
   }
 
+  /** Quantization-fidelity audit: per-group reconstruction cosine of the
+    * two lossy vector tiers against the float vectors they stand in for
+    * — the report a vector store publishes BEFORE enabling compression
+    * (and the [[embeddingHealth]] sibling that closes the loop after
+    * [[int8TopK]]/[[hammingTopK]] ship). For each vector: `sq8_cos` =
+    * cos(nv, dequant(int8(nv))) — the per-vector scale cancels out of
+    * the ratio, so it reduces to ΣnvᵢcᵢI/√(Σnvᵢ²·Σcᵢ²) over the codes —
+    * and `bin_cos` = cos(nv, sign(nv)) = Σ|nvᵢ|/√(Σnvᵢ²·d), the known
+    * angular fidelity of 1-bit quantization. Per `byCol` group: count,
+    * 6dp mean (DECIMAL-summed — the qn113 engine-order discipline) and
+    * min of each.
+    *
+    * Scale shape: one corpus scan (primitive kernels per row), one
+    * groups-sized hash aggregate. Zero-norm vectors report fidelity 0
+    * (nothing to reconstruct; guards keep ANSI quiet).
+    */
+  def quantizationErrorAudit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      byCol: String): DataFrame = {
+    import graft.functions.VectorExpressions.{int8Codes, int8Dot, int8MixedDot}
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val scored = df
+      .select(col(byCol), normalize(asDouble(col(vecCol))).as("__nv"))
+      .withColumn("__c", int8Codes(col("__nv")))
+      .withColumn("__nv2", dotD(col("__nv"), col("__nv")))
+      .withColumn("__c2", int8Dot(col("__c"), col("__c")).cast("double"))
+      .withColumn("__cos8",
+        round(when(col("__nv2") > 0d && col("__c2") > 0d,
+          int8MixedDot(col("__nv"), col("__c")) /
+            sqrt(col("__nv2") * col("__c2"))).otherwise(0d), 6))
+      .withColumn("__l1",
+        aggregate(transform(col("__nv"), x => abs(x)), lit(0d), (a, x) => a + x))
+      .withColumn("__cosb",
+        round(when(col("__nv2") > 0d,
+          col("__l1") / sqrt(col("__nv2") * size(col("__nv")).cast("double")))
+          .otherwise(0d), 6))
+    scored.groupBy(byCol)
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("__cos8").cast(d6)).cast("double") / count(lit(1)), 6)
+          .as("sq8_avg_cos"),
+        min(col("__cos8")).as("sq8_min_cos"),
+        round(sum(col("__cosb").cast(d6)).cast("double") / count(lit(1)), 6)
+          .as("bin_avg_cos"),
+        min(col("__cosb")).as("bin_min_cos"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
     * Parallel Corpus Mining with Multilingual Sentence Embeddings",
     * ACL 2019 — the method behind CCMatrix/LASER parallel-corpus

@@ -850,6 +850,20 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** Quantization-fidelity audit over both lossy tiers, per label:
+    * mean/min reconstruction cosine of SQ8 (≈0.99998 on this fixture —
+    * near-lossless, why its search recall reads 1.0) and of 1-bit
+    * sign quantization (≈0.80 ≈ √(2/π), the known Gaussian-vector
+    * angular fidelity — why the 1-bit tier needs oversampling+rerank).
+    * Every step is deterministic arithmetic the oracle restates
+    * (guarded ratios, 6dp per-vector rounding, DECIMAL group sums), so
+    * the audit itself is exact-graded, not spot-checked.
+    */
+  private def qQuantErrorAudit(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizationErrorAudit(emb(s, dir), "vec_id", "embedding",
+        "label")
+      .orderBy("label")
+
   /** SQ8 INDEX lifecycle — qn120's build/append/serve contract applied
     * to the 8-bit tier: build on 90%, O(batch)-append the rest, serve
     * qn122's search from the accumulated artifact; oracle is qn122's
@@ -5149,6 +5163,43 @@ object NorthStar {
               ORDER BY sim DESC, vec_id) AS INTEGER) AS rank FROM r)
       SELECT query_id, vec_id, qdot, sim, rank FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""")),
+    QueryDef("qn124_quant_error_audit", qQuantErrorAudit _, Some("""
+      WITH allv AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+      nrm AS (SELECT vec_id, label,
+        CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0
+             THEN list_transform(v, x -> 0.0)
+             ELSE list_transform(v,
+                    x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+        END AS nv FROM allv),
+      cz AS (SELECT vec_id, label, nv,
+        list_transform(nv, x -> CAST(CASE
+          WHEN list_max(list_transform(nv, y -> abs(y))) / 127 = 0 THEN 0
+          ELSE round(x / (list_max(list_transform(nv, y -> abs(y))) / 127))
+          END AS BIGINT)) AS c
+        FROM nrm),
+      per AS (SELECT label,
+        list_sum(list_transform(nv, x -> x * x)) AS nv2,
+        CAST(list_sum(list_transform(c, x -> x * x)) AS DOUBLE) AS c2,
+        list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * c[i]))
+          AS md,
+        list_sum(list_transform(nv, x -> abs(x))) AS l1,
+        len(nv) AS d
+        FROM cz),
+      sc AS (SELECT label,
+        round(CASE WHEN nv2 > 0 AND c2 > 0 THEN md / sqrt(nv2 * c2)
+              ELSE 0 END, 6) AS cos8,
+        round(CASE WHEN nv2 > 0 THEN l1 / sqrt(nv2 * d) ELSE 0 END, 6)
+          AS cosb
+        FROM per)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        round(CAST(sum(CAST(cos8 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+          AS sq8_avg_cos,
+        min(cos8) AS sq8_min_cos,
+        round(CAST(sum(CAST(cosb AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+          AS bin_avg_cos,
+        min(cosb) AS bin_min_cos
+      FROM sc GROUP BY label ORDER BY label""")),
     QueryDef("qn119_lm_store", qLmStore _, Some("""
       WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

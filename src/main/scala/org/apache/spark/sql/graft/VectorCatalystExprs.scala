@@ -622,6 +622,37 @@ case class Int8DotExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Mixed dot product of a double vector against int8 codes
+  * ([[Int8CodesExpr]]): Σ vᵢ·codesᵢ — the numerator of the SQ8
+  * reconstruction-fidelity cosine (the scale cancels out of the
+  * ratio). Corpus-linear (once per row), primitive interpreted loop.
+  */
+case class Int8MixedDotExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_mixed_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.numElements(), y.length)
+    var s = 0d
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) s += x.getDouble(i) * y(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Top-`probes` nearest cells of a query vector against a centroid table
   * held as primitive arrays INSIDE the expression — the assignment kernel
   * of the ANN family (`Similarity.probeAssign`), replacing the

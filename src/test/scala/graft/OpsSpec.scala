@@ -2289,6 +2289,28 @@ class OpsSpec extends SparkSpec {
       && z.getLong(2) == 0L)
   }
 
+  test("quantizationErrorAudit: hand-computed fidelities, zero-vector guard") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{int8Codes, int8MixedDot}
+    // Mixed dot kernel vs definition.
+    val md = Seq((Seq(0.5, -0.25, 1.0), 1L)).toDF("v", "id")
+      .select(int8MixedDot(col("v"), int8Codes(col("v"))).as("m")).head()
+    // scale = 1/127 -> codes = round(x*127) = [64, -32, 127] (0.5*127 =
+    // 63.5 rounds half-away to 64); mixed = .5*64 + .25*32 + 127
+    assert(md.getDouble(0) == 0.5 * 64 + 0.25 * 32 + 127.0)
+    // Audit on a unit axis vector (exactly representable): codes [127,0],
+    // sq8 cos = 1; bin cos = 1/sqrt(2) (d=2). Zero vector reports 0s.
+    val rows = Similarity.quantizationErrorAudit(
+      Seq((1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.0f, 0.0f), "z"))
+        .toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(4)))).toMap
+    assert(rows("a")._1 == 1.0, s"sq8 ${rows("a")}")
+    assert(math.abs(rows("a")._2 - 1 / math.sqrt(2)) < 1e-6, s"bin ${rows("a")}")
+    assert(rows("z") == ((0.0, 0.0)), s"zero-vec ${rows("z")}")
+  }
+
   test("packSignBits: 32-bit words, partial tail word, empty vector; hamming = sign mismatches") {
     import spark.implicits._
     // 40 dims: one full word + one 8-bit tail word; signs alternate in a
