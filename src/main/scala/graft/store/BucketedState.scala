@@ -51,6 +51,7 @@ import org.apache.spark.sql.functions.col
 object BucketedState {
 
   private val SpecFile = "_bucketspec"
+  private val ManifestFile = "_compaction"
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -82,21 +83,47 @@ object BucketedState {
       version: String,
       bucketCol: String,
       numBuckets: Int): Unit = {
+    writeData(df, root, version, bucketCol, numBuckets)
+    commitSidecar(df.sparkSession, root, version, bucketCol, numBuckets)
+  }
+
+  /** The data half of [[write]]: the bucketed table lands on disk and in
+    * the catalog but the version is NOT yet readable ([[versions]] only
+    * lists sidecar-complete dirs). [[compact]] uses the split so its
+    * publish instant is the sidecar commit, after the retirement
+    * manifest is already in place.
+    */
+  private def writeData(
+      df: DataFrame,
+      root: String,
+      version: String,
+      bucketCol: String,
+      numBuckets: Int): Unit = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     val spark = df.sparkSession
     val path = versionPath(root, version)
     val name = tableName(path.toString)
     // Replay idempotence ACROSS a session restart: same-session rewrites
     // find the catalog entry and take the insert-overwrite path, but a
-    // fresh session replaying a crashed write (data files landed, the
-    // sidecar — written last — did not) has no catalog entry, and
-    // saveAsTable would then go through CTAS, which refuses a non-empty
-    // location (Spark 4 default). Clear the debris first: without a
-    // sidecar the dir is not a readable version ([[versions]] skips it),
-    // so deleting it loses nothing the replay isn't about to rewrite.
+    // fresh session has no catalog entry and saveAsTable would then go
+    // through CTAS, which refuses a non-empty location (Spark 4
+    // default). Two cases:
+    //  - sidecar present (a COMPLETE version being replayed): register
+    //    the existing location so the insert-overwrite path applies —
+    //    never delete committed state (a crash between delete and
+    //    rewrite would otherwise turn it into unreadable debris);
+    //  - sidecar absent (a crashed write's debris): not a readable
+    //    version yet, so deleting loses nothing the replay isn't about
+    //    to rewrite. Also the only option when the stored bucket spec
+    //    no longer matches the requested one.
     if (!spark.catalog.tableExists(name)) {
       val f0 = fs(spark, path)
-      if (f0.exists(path)) f0.delete(path, true)
+      if (f0.exists(new Path(path, SpecFile)) &&
+          readSpec(spark, path) == ((numBuckets, bucketCol))) {
+        registerTable(spark, path)
+      } else if (f0.exists(path)) {
+        f0.delete(path, true)
+      }
     }
     df.repartition(numBuckets, col(bucketCol))
       .write.format("parquet")
@@ -105,24 +132,75 @@ object BucketedState {
       .option("path", path.toString)
       .mode(SaveMode.Overwrite)
       .saveAsTable(name)
-    val f = fs(spark, path)
-    val out = f.create(new Path(path, SpecFile), true)
-    try out.write(s"$numBuckets\n$bucketCol".getBytes(StandardCharsets.UTF_8))
-    finally out.close()
   }
 
-  /** Versions present under `root`, sorted. */
+  /** Publish a data-complete version: the sidecar lands via temp-file +
+    * rename so readers see either no version or a whole one.
+    */
+  private def commitSidecar(
+      spark: SparkSession,
+      root: String,
+      version: String,
+      bucketCol: String,
+      numBuckets: Int): Unit = {
+    val path = versionPath(root, version)
+    atomicWrite(spark, new Path(path, SpecFile), s"$numBuckets\n$bucketCol")
+  }
+
+  /** Write `content` to `target` via a hidden temp file + rename — the
+    * same single-publish-step discipline as [[Store]]'s `_last` pointer.
+    */
+  private def atomicWrite(
+      spark: SparkSession, target: Path, content: String): Unit = {
+    val f = fs(spark, target)
+    val tmp = new Path(target.getParent, s"._tmp-${target.getName}")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(target)) f.delete(target, false)
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+  }
+
+  /** Versions present under `root`, sorted. A completed compaction's
+    * retirement manifest hides the folded-away versions the moment the
+    * compacted slice's sidecar lands (see [[compact]]); a PENDING
+    * manifest (successor not yet sidecar-complete) changes nothing —
+    * the old versions stay live until the single publish step.
+    */
   def versions(spark: SparkSession, root: String): Seq[String] = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
-    if (!f.exists(rootP)) Seq.empty
-    else f.listStatus(rootP).toSeq
+    if (!f.exists(rootP)) return Seq.empty
+    val complete = f.listStatus(rootP).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_"))
       // A crashed write can leave a dir without its sidecar (written
       // last): not a readable version yet, the replay will rewrite it.
       .filter(st => f.exists(new Path(st.getPath, SpecFile)))
       .map(_.getPath.getName.stripPrefix("v_"))
-      .sorted
+    readManifest(spark, root) match {
+      case Some((successor, retired)) if complete.contains(successor) =>
+        (complete.toSet -- retired).toSeq.sorted
+      case _ => complete.sorted
+    }
+  }
+
+  /** The compaction manifest, if present: (successor, retired set). */
+  private def readManifest(
+      spark: SparkSession, root: String): Option[(String, Set[String])] = {
+    val p = new Path(root, ManifestFile)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      val in = f.open(p)
+      try in.readFully(buf) finally in.close()
+      val lines = new String(buf, StandardCharsets.UTF_8).split("\n")
+      val successor = lines(0).stripPrefix("successor=").trim
+      val retired = lines(1).stripPrefix("retired=").split(",")
+        .map(_.trim).filter(_.nonEmpty).toSet
+      Some((successor, retired))
+    }
   }
 
   def exists(spark: SparkSession, root: String): Boolean =
@@ -147,17 +225,23 @@ object BucketedState {
   def slice(spark: SparkSession, root: String, version: String): DataFrame = {
     val path = versionPath(root, version)
     val name = tableName(path.toString)
-    if (!spark.catalog.tableExists(name)) {
-      val (buckets, bucketCol) = readSpec(spark, path)
-      val schema = spark.read.parquet(path.toString).schema
-      spark.sql(
-        s"""CREATE TABLE $name (${schema.toDDL})
-           |USING PARQUET
-           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
-           |INTO $buckets BUCKETS
-           |LOCATION '${path.toString}'""".stripMargin)
-    }
+    if (!spark.catalog.tableExists(name)) registerTable(spark, path)
     spark.table(name)
+  }
+
+  /** Register the sidecar-complete bucketed table at `path` in the
+    * session catalog under its deterministic name (external table over
+    * the existing location — no data movement).
+    */
+  private def registerTable(spark: SparkSession, path: Path): Unit = {
+    val (buckets, bucketCol) = readSpec(spark, path)
+    val schema = spark.read.parquet(path.toString).schema
+    spark.sql(
+      s"""CREATE TABLE ${tableName(path.toString)} (${schema.toDDL})
+         |USING PARQUET
+         |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+         |INTO $buckets BUCKETS
+         |LOCATION '${path.toString}'""".stripMargin)
   }
 
   /** Every version as its own bucketed slice (see the class doc for why
@@ -167,10 +251,22 @@ object BucketedState {
     versions(spark, root).map(v => slice(spark, root, v))
 
   /** Fold all versions into one (`version` names the result) — the
-    * compaction that bounds slice count between ingests. Reads every
-    * slice, rewrites one bucketed table, then drops the old subtrees.
-    * Runs at state-scan cost; schedule it like any compaction (nightly,
-    * or at a slice-count watermark), not per ingest.
+    * compaction that bounds slice count between ingests. Runs at
+    * state-scan cost; schedule it like any compaction (nightly, or at a
+    * slice-count watermark), not per ingest.
+    *
+    * Crash-atomic and replay-idempotent (single writer): the folded
+    * slice's DATA lands first but stays invisible (no sidecar), then the
+    * retirement manifest records `successor + retired set`, and the ONE
+    * publish step is the successor's sidecar commit — the instant it
+    * lands, [[versions]] swaps atomically from the old slice set to the
+    * folded one, so no reader ever sees a document in two slices (the
+    * partition contract [[graft.ops.Dedup.dedupIncrementalSliced]]
+    * depends on). Physical retirement of the old subtrees is AFTER the
+    * publish and purely janitorial; a crash anywhere replays cleanly:
+    * before the sidecar the old slices are still the live set and the
+    * rerun rewrites the staged data, after it the rerun finds only the
+    * successor live and just finishes the cleanup ([[healCompaction]]).
     */
   def compact(
       spark: SparkSession,
@@ -178,18 +274,53 @@ object BucketedState {
       version: String,
       bucketCol: String,
       numBuckets: Int): Unit = {
+    healCompaction(spark, root)
     val old = versions(spark, root)
     require(old.nonEmpty, s"no versions to compact under $root")
+    if (old == Seq(version)) return // a published compaction replayed: done
     require(!old.contains(version),
       s"compaction version '$version' already exists under $root")
     val all = slices(spark, root).reduce(_ unionByName _)
-    write(all, root, version, bucketCol, numBuckets)
-    val rootP = new Path(root)
-    val f = fs(spark, rootP)
-    old.foreach { v =>
+    writeData(all, root, version, bucketCol, numBuckets)
+    atomicWrite(spark, new Path(root, ManifestFile),
+      s"successor=$version\nretired=${old.mkString(",")}")
+    commitSidecar(spark, root, version, bucketCol, numBuckets) // PUBLISH
+    retire(spark, root, old)
+  }
+
+  /** Finish (or discard) an interrupted compaction so a replay converges.
+    * Published manifest (successor sidecar-complete): the logical swap
+    * already happened — complete the physical retirement. Pending
+    * manifest (successor incomplete): the publish never happened, the
+    * old slices are still the only live set — drop the staged debris and
+    * the manifest.
+    */
+  private def healCompaction(spark: SparkSession, root: String): Unit =
+    readManifest(spark, root).foreach { case (successor, retired) =>
+      val succPath = versionPath(root, successor)
+      val f = fs(spark, succPath)
+      if (f.exists(new Path(succPath, SpecFile))) {
+        retire(spark, root, retired.toSeq)
+      } else {
+        spark.sql(s"DROP TABLE IF EXISTS ${tableName(succPath.toString)}")
+        if (f.exists(succPath)) f.delete(succPath, true)
+        f.delete(new Path(root, ManifestFile), false)
+      }
+    }
+
+  /** Physically remove retired version subtrees, then the manifest that
+    * named them (manifest last: until it is gone it keeps hiding any
+    * not-yet-deleted dirs from [[versions]], so this is safe to rerun
+    * from any point).
+    */
+  private def retire(
+      spark: SparkSession, root: String, retired: Seq[String]): Unit = {
+    val f = fs(spark, new Path(root))
+    retired.foreach { v =>
       val p = versionPath(root, v)
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(p.toString)}")
-      f.delete(p, true)
+      if (f.exists(p)) f.delete(p, true)
     }
+    f.delete(new Path(root, ManifestFile), false)
   }
 }

@@ -116,6 +116,93 @@ class BucketedStateSpec extends SparkSpec {
     assert(BucketedState.slice(spark, root, "b0").count() == 100L)
   }
 
+  test("compact crash windows: no reader ever sees a doc in two slices; replay heals") {
+    import spark.implicits._
+    def fsOf(p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ids(root: String): Seq[Long] = BucketedState.slices(spark, root)
+      .map(_.select("id").collect().map(_.getLong(0)).toSeq)
+      .foldLeft(Seq.empty[Long])(_ ++ _) // with multiplicity: catches double-count
+    def setup(tag: String): String = {
+      val root = TempDirs.create(s"graft_bstate_$tag") + "/sigs"
+      val v0 = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+      val v1 = (101 to 150).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+      BucketedState.write(v0, root, "b0", "s", numBuckets = 2)
+      BucketedState.write(v1, root, "b1", "s", numBuckets = 2)
+      root
+    }
+    val expect = (1 to 150).map(_.toLong)
+
+    // Window 1: crash AFTER the staged fold's data landed (and the
+    // manifest with it), BEFORE the sidecar publish. The old slices must
+    // still be the one live set; the staged successor is invisible.
+    val rootA = setup("cwA_")
+    val succA = new org.apache.hadoop.fs.Path(rootA, "v_c0")
+    (1 to 150).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+      .write.parquet(succA.toString) // staged data, NO _bucketspec
+    val manA = new org.apache.hadoop.fs.Path(rootA, "_compaction")
+    val outA = fsOf(manA).create(manA, true)
+    outA.write("successor=c0\nretired=b0,b1".getBytes("UTF-8")); outA.close()
+    assert(BucketedState.versions(spark, rootA) == Seq("b0", "b1"))
+    assert(ids(rootA).sorted == expect, "pending manifest must change nothing")
+    spark.sql(s"DROP TABLE IF EXISTS ${BucketedState.tableName(succA.toString)}")
+    BucketedState.compact(spark, rootA, "c0", "s", numBuckets = 2) // replay
+    assert(BucketedState.versions(spark, rootA) == Seq("c0"))
+    assert(ids(rootA).sorted == expect)
+    assert(!fsOf(manA).exists(manA), "manifest must be gone after replay")
+
+    // Window 2: crash AFTER the sidecar publish, BEFORE the old subtrees
+    // were removed — the r15 verdict's defect. Both the folded slice AND
+    // the originals are sidecar-complete on disk; the manifest must keep
+    // exactly ONE of them live (the successor), never both.
+    val rootB = setup("cwB_")
+    val all = (1 to 150).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+    BucketedState.write(all, rootB, "c0", "s", numBuckets = 2)
+    val manB = new org.apache.hadoop.fs.Path(rootB, "_compaction")
+    val outB = fsOf(manB).create(manB, true)
+    outB.write("successor=c0\nretired=b0,b1".getBytes("UTF-8")); outB.close()
+    assert(BucketedState.versions(spark, rootB) == Seq("c0"),
+      "published compaction must hide the retired slices")
+    assert(ids(rootB).sorted == expect, "no doc may appear in two slices")
+    // Partial retirement (b0 already deleted) is the same read state.
+    val b0B = new org.apache.hadoop.fs.Path(rootB, "v_b0")
+    spark.sql(s"DROP TABLE IF EXISTS ${BucketedState.tableName(b0B.toString)}")
+    fsOf(b0B).delete(b0B, true)
+    assert(BucketedState.versions(spark, rootB) == Seq("c0"))
+    // Replaying the SAME compaction label heals instead of throwing or
+    // folding the duplicates in (the old code did one of each).
+    BucketedState.compact(spark, rootB, "c0", "s", numBuckets = 2)
+    assert(BucketedState.versions(spark, rootB) == Seq("c0"))
+    assert(ids(rootB).sorted == expect)
+    assert(!fsOf(manB).exists(manB))
+    val b1B = new org.apache.hadoop.fs.Path(rootB, "v_b1")
+    assert(!fsOf(b1B).exists(b1B), "retired dir must be physically gone")
+
+    // And the thing the contract protects: an ingest against the healed
+    // state equals the ingest against the never-crashed one-shot state.
+    val baseDocs = (0L until 6L).map(i =>
+      (i, s"alpha beta gamma delta epsilon tag$i")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon tag0"), // near-dup of doc 0
+      (11L, "totally novel content words here")).toDF("doc_id", "text")
+    val sig = graft.ops.Dedup.shingleSignatures(baseDocs, "doc_id", "text")
+    val rootC = TempDirs.create("graft_bstate_cwC_") + "/sigs"
+    BucketedState.write(sig.where(col("id") < 3L), rootC, "b0", "s", 2)
+    BucketedState.write(sig.where(col("id") >= 3L), rootC, "b1", "s", 2)
+    BucketedState.write(sig, rootC, "c0", "s", 2) // staged fold, published…
+    val manC = new org.apache.hadoop.fs.Path(rootC, "_compaction")
+    val outC = fsOf(manC).create(manC, true)
+    outC.write("successor=c0\nretired=b0,b1".getBytes("UTF-8")); outC.close()
+    val viaCrashed = graft.ops.Dedup.dedupIncrementalSliced(fresh,
+      BucketedState.slices(spark, rootC), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShot = graft.ops.Dedup.dedupIncremental(fresh, sig,
+      "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaCrashed == oneShot && oneShot == Set(11L),
+      s"crashed-compaction state diverged: $viaCrashed vs $oneShot")
+  }
+
   test("dedupIncrementalSliced == dedupIncremental, any slicing of the state") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
