@@ -27,6 +27,13 @@ else
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $DIR" \
     2>&1 | { grep -E "\[verify\].*failed|Exception in" || true; } | tee -a "$OUT"
 fi
-echo "sbt_rc=$?" | tee -a "$OUT"
+sbt_rc=$?   # pipefail: sbt's status survives the grep/tee stages
+echo "sbt_rc=$sbt_rc" | tee -a "$OUT"
 python3 scripts/check.py /root/testdata/sf0.1 "$DIR" 2>&1 | tee -a "$OUT"
+check_rc=$?
 echo "=== sweep sf0.1 end $(date -u +%FT%TZ) ===" | tee -a "$OUT"
+# The sweep's verdict IS the exit status: callers (and the round close
+# checklist) must see a red Verify or oracle mismatch without reading
+# the log.
+if [ "$sbt_rc" -ne 0 ]; then exit "$sbt_rc"; fi
+exit "$check_rc"

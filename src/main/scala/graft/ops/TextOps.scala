@@ -740,19 +740,36 @@ object TextOps {
       unigrams: org.apache.spark.sql.DataFrame,
       bigrams: org.apache.spark.sql.DataFrame,
       externalKey: String = "NOW"): Map[String, String] = {
+    // The pair is ONE logical artifact but lands as two store loads, so
+    // a crash between them leaves the _last pointers at different
+    // versions. Resolve "NOW" once and stamp BOTH tables with the same
+    // label; [[loadLanguageModel]] verifies label agreement, turning a
+    // torn save into a loud error instead of silently pairing new
+    // unigrams with old bigrams (wrong fluency scores, no symptom).
     val r = store.load(unigrams, s"$name/unigrams", externalKey = externalKey)
-    store.load(bigrams, s"$name/bigrams", externalKey = externalKey)
+    store.load(bigrams, s"$name/bigrams", externalKey = r("version"))
     r
   }
 
   /** Load an n-gram LM artifact ([[saveLanguageModel]]); no
-    * `externalKey` → the `_last` version. Returns (unigrams, bigrams).
+    * `externalKey` → the `_last` version, after checking the two
+    * tables' pointers name the SAME label (a torn save — crash between
+    * the pair's two loads — fails here instead of mis-scoring).
+    * Returns (unigrams, bigrams).
     */
   def loadLanguageModel(
       store: graft.store.Store,
       name: String,
       externalKey: Option[String] = None): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val useLast = externalKey.isEmpty
+    if (useLast) {
+      val u = store.lastVersion(s"$name/unigrams")
+      val b = store.lastVersion(s"$name/bigrams")
+      require(u == b,
+        s"language model '$name' is torn: unigrams _last=$u, bigrams " +
+          s"_last=$b (a save crashed between the pair's tables); pass the " +
+          "externalKey of the last consistent save to read it")
+    }
     (store.get(s"$name/unigrams", externalKey, useLast = useLast),
       store.get(s"$name/bigrams", externalKey, useLast = useLast))
   }

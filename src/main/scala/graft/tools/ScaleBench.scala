@@ -413,8 +413,13 @@ object ScaleBench {
         // K from SPARK_GRAFT_MULTI_K (default 4, max 16). The corpus
         // always excludes ALL 16 candidate residues so one-pass walls
         // are comparable ACROSS K — only the broadcast suite set grows.
-        val k116 = math.min(16,
-          sys.env.getOrElse("SPARK_GRAFT_MULTI_K", "4").toInt)
+        val rawK = sys.env.getOrElse("SPARK_GRAFT_MULTI_K", "4")
+        val k116 = math.max(1, math.min(16,
+          try rawK.trim.toInt
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"SPARK_GRAFT_MULTI_K must be an integer in [1,16], got '$rawK'")
+          }))
         val mods16 = (0 until 16).map(i => (i * 7 + 3) % 50)
         val isBench = mods16.map(m => pmod(col("doc_id"), lit(50)) === m)
           .reduce(_ || _)

@@ -470,7 +470,14 @@ case class HammingDistanceExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Equal lengths REQUIRED: silently scoring the shared prefix would
+    // hand a wrong-dims query plausible-but-wrong neighbors (and the
+    // DuckDB oracle errors on mismatched lists, so the engines would
+    // also diverge quietly).
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"hamming_distance: signature lengths differ: $n vs ${y.numElements()}")
     var s = 0L
     var i = 0
     while (i < n) {
@@ -486,7 +493,12 @@ case class HammingDistanceExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       code"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          throw new IllegalArgumentException(
+            "hamming_distance: signature lengths differ: " + $n +
+            " vs " + $b.numElements());
+        }
         long $s = 0L;
         for (int $i = 0; $i < $n; $i++) {
           $s += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
@@ -595,7 +607,12 @@ case class Int8DotExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    // Equal lengths REQUIRED — the [[HammingDistanceExpr]] stance: a
+    // wrong-dims code array must fail loudly, not score its prefix.
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"int8_dot: code lengths differ: ${x.length} vs ${y.length}")
+    val n = x.length
     var s = 0L
     var i = 0
     while (i < n) { s += x(i).toLong * y(i).toLong; i += 1 }
@@ -608,7 +625,11 @@ case class Int8DotExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       code"""
-        int $n = java.lang.Math.min($a.length, $b.length);
+        int $n = $a.length;
+        if ($n != $b.length) {
+          throw new IllegalArgumentException(
+            "int8_dot: code lengths differ: " + $n + " vs " + $b.length);
+        }
         long $s = 0L;
         for (int $i = 0; $i < $n; $i++) {
           $s += (long) $a[$i] * (long) $b[$i];

@@ -2256,6 +2256,50 @@ class OpsSpec extends SparkSpec {
     assert(stored.nonEmpty && stored == fresh)
   }
 
+  test("LM artifact: a torn save (one _last advanced) fails loudly at load") {
+    import spark.implicits._
+    val store = new graft.store.Store(spark, TempDirs.create("graft_lmtear_"))
+    val uni = Seq(("a", 2L)).toDF("term", "n")
+    val bi = Seq(("a", "a", 1L)).toDF("w1", "w2", "n")
+    TextOps.saveLanguageModel(spark, store, "lm/t", uni, bi, externalKey = "v1")
+    // Simulate the crash window: the unigram half of a v2 save landed
+    // (and advanced its _last), the bigram half never ran.
+    store.load(Seq(("b", 9L)).toDF("term", "n"), "lm/t/unigrams",
+      externalKey = "v2")
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.loadLanguageModel(store, "lm/t")
+    }
+    assert(ex.getMessage.contains("torn"), ex.getMessage)
+    // The last CONSISTENT pair stays readable by its key.
+    val (u1, b1) = TextOps.loadLanguageModel(store, "lm/t", Some("v1"))
+    assert(u1.count() == 1L && b1.count() == 1L)
+  }
+
+  test("quantized kernels reject mismatched dims instead of scoring a prefix") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{int8Codes, int8Dot}
+    // A wrong-dims query against packed signatures / int8 codes must be
+    // a loud error — the silent shared-prefix score ranked plausible
+    // neighbors for garbage input (and DuckDB's oracle side errors on
+    // mismatched lists, so the engines would diverge quietly).
+    val ham = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+        .select(Similarity.hammingDistance(col("a"), col("b"))).collect()
+    }
+    assert(ham.getMessage != null &&
+      (ham.getMessage.contains("lengths differ") ||
+        ham.getCause != null && ham.getCause.getMessage.contains("lengths differ")),
+      s"hamming: $ham")
+    val i8 = intercept[Exception] {
+      Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+        .select(int8Dot(int8Codes(col("a")), int8Codes(col("b")))).collect()
+    }
+    assert(i8.getMessage != null &&
+      (i8.getMessage.contains("lengths differ") ||
+        i8.getCause != null && i8.getCause.getMessage.contains("lengths differ")),
+      s"int8: $i8")
+  }
+
   test("int8 quantizer: definitional codes, half-away-from-zero ties, integer dot") {
     import spark.implicits._
     import graft.functions.VectorExpressions.{int8Codes, int8Dot, int8Scale}
