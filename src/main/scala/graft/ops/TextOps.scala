@@ -930,6 +930,85 @@ object TextOps {
           .otherwise("tail").as("bucket"))
   }
 
+  /** The [[perplexityBucketsByThresholds]] CONTRACT, graded: per
+    * language, verify the GK edges against exactly-counted ranks and
+    * the bucket assignment against its own guarantees — the qn97-style
+    * self-audit that lets the driver grade an approximate operator
+    * whose edge VALUES are engine-specific (no SQL oracle can restate
+    * a GK sketch; it CAN restate "every flag is true" plus the
+    * scoreable population).
+    *
+    * Flags, all derived from one scan-local aggregate (no windows, no
+    * sorts — the audit must not reintroduce the cost the relaxation
+    * removes):
+    *  - `edge1_rank_ok`/`edge2_rank_ok`: the returned edge's rank
+    *    interval `[count(< e)+1, count(<= e)]` intersects the target
+    *    rank N/3 (resp. 2N/3) within ±(N/accuracy + 1) — the GK sketch
+    *    guarantee restated on exact counts.
+    *  - `monotone_ok`: min(head) > max(middle) and min(middle) >
+    *    max(tail) per language (vacuous for empty buckets) — every
+    *    kept "head" doc really outscores every "middle" doc.
+    *  - `balance_ok`: each bucket's size within N/3 ± (rank error +
+    *    the edge's tie width) — equal counts up to the two inherent
+    *    slacks (sketch error; ties share a bucket).
+    *
+    * Output: (byCol, n_docs, edge1_rank_ok, edge2_rank_ok,
+    * monotone_ok, balance_ok), one row per language; `n_docs` is the
+    * engine-restatable scoreable population.
+    */
+  def perplexityThresholdAudit(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      byCol: String,
+      lm: Option[org.apache.spark.sql.DataFrame] = None,
+      accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val scored = Dedup.materialize(scoredWithBy(df, idCol, textCol, byCol, lm))
+    val edges = scored.groupBy(byCol).agg(
+      percentile_approx(col("score"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("__e"))
+    val b = scored.join(broadcast(edges), Seq(byCol))
+      .select(col(idCol), col(byCol), col("score"),
+        element_at(col("__e"), 1).as("__e1"),
+        element_at(col("__e"), 2).as("__e2"),
+        when(col("score") > element_at(col("__e"), 2), "head")
+          .when(col("score") > element_at(col("__e"), 1), "middle")
+          .otherwise("tail").as("bucket"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val agg = b.groupBy(byCol).agg(
+      count(lit(1)).as("n_docs"),
+      cnt(col("score") < col("__e1")).as("__lt1"),
+      cnt(col("score") <= col("__e1")).as("__le1"),
+      cnt(col("score") < col("__e2")).as("__lt2"),
+      cnt(col("score") <= col("__e2")).as("__le2"),
+      min(when(col("bucket") === "head", col("score"))).as("__minH"),
+      max(when(col("bucket") === "middle", col("score"))).as("__maxM"),
+      min(when(col("bucket") === "middle", col("score"))).as("__minM"),
+      max(when(col("bucket") === "tail", col("score"))).as("__maxT"))
+    val n = col("n_docs").cast("double")
+    val err = n / accuracy + 1d // GK rank error + integer-rank slack
+    val t1 = n / 3d
+    val t2 = n * 2d / 3d
+    val tie1 = (col("__le1") - col("__lt1")).cast("double")
+    val tie2 = (col("__le2") - col("__lt2")).cast("double")
+    val nTail = col("__le1").cast("double")
+    val nHead = n - col("__le2").cast("double")
+    val nMid = (col("__le2") - col("__le1")).cast("double")
+    agg.select(col(byCol), col("n_docs"),
+      (col("__lt1") <= t1 + err && col("__le1") >= t1 - err)
+        .as("edge1_rank_ok"),
+      (col("__lt2") <= t2 + err && col("__le2") >= t2 - err)
+        .as("edge2_rank_ok"),
+      (coalesce(col("__minH") > col("__maxM"), lit(true)) &&
+        coalesce(col("__minM") > col("__maxT"), lit(true)))
+        .as("monotone_ok"),
+      (abs(nTail - t1) <= err + tie1 &&
+        abs(nHead - t1) <= err + tie2 &&
+        abs(nMid - t1) <= err * 2d + tie1 + tie2)
+        .as("balance_ok"))
+  }
+
   /** DSIR-style importance scoring (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every document by its log-likelihood ratio under two unigram

@@ -810,6 +810,22 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** The GK-threshold perplexity cut — qn117's 100 TB deployment path —
+    * graded as a contract ([[TextOps.perplexityThresholdAudit]]): the
+    * sketch edges' rank bounds, bucket monotonicity, and tie-adjusted
+    * bucket balance verified against exactly-counted ranks per
+    * language, with zero windows or sorts anywhere in the plan
+    * (suite-asserted). Same LM split as qn117 so every backoff path
+    * feeds the cut being audited.
+    */
+  private def qPerplexityThresholds(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextOps.perplexityThresholdAudit(
+        d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", "lang",
+        lm = Some(d.where(pmod(col("doc_id"), lit(2)) === 0)))
+      .orderBy("lang")
+  }
+
   /** Binary-signature INDEX lifecycle: build the packed-signature
     * artifact on 90% of the corpus, append the remaining 10% as a
     * second version (O(batch) — signatures are deterministic per
@@ -5049,6 +5065,20 @@ object NorthStar {
              CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
                AS bucket
       FROM b ORDER BY doc_id""")),
+    QueryDef("qn125_perplexity_thresholds", qPerplexityThresholds _, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''),
+      big AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM toks, unnest(range(1, len(w))) t(i)
+        WHERE doc_id % 2 = 1),
+      sc AS (SELECT doc_id FROM big GROUP BY doc_id)
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             true AS edge1_rank_ok, true AS edge2_rank_ok,
+             true AS monotone_ok, true AS balance_ok
+      FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+      GROUP BY d.lang ORDER BY d.lang""")),
     QueryDef("qn118_ann_hamming", qAnnHamming _, Some("""
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                  FROM embeddings WHERE vec_id < 8),

@@ -2229,6 +2229,36 @@ class OpsSpec extends SparkSpec {
     assert(approx.length == exact.size && rate >= 0.9)
   }
 
+  test("perplexityThresholdAudit: every contract flag true, window-free plan") {
+    val d = Tables.read(spark, sf(), "documents")
+    val even = d.where(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = d.where(pmod(col("doc_id"), lit(2)) === 1)
+    // Both the deployment accuracy and a deliberately coarse sketch:
+    // the flags restate the GK guarantee itself, so they must hold at
+    // ANY accuracy (the bound scales with 1/accuracy).
+    for (acc <- Seq(10000, 50)) {
+      val audit = TextOps.perplexityThresholdAudit(odd, "doc_id", "text",
+        "lang", lm = Some(even), accuracy = acc)
+      assert(!audit.queryExecution.executedPlan.toString.contains("Window"),
+        s"audit must stay window-free (accuracy=$acc)")
+      val rows = audit.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4) &&
+          r.getBoolean(5),
+          s"accuracy=$acc lang=${r.getString(0)}: $r")
+      }
+      // n_docs = the scoreable population (>= 1 bigram), per language —
+      // the restatable half of the qn125 oracle.
+      val expected = TextOps.lmFluencyScores(odd, "doc_id", "text",
+          lm = Some(even))
+        .join(odd.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
+    }
+  }
+
   test("LM artifact: stored scoring == fresh; _last serves the superseded version") {
     import spark.implicits._
     val d = Tables.read(spark, sf(), "documents")
