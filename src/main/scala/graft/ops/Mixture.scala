@@ -767,8 +767,40 @@ object Mixture {
       idCol: String,
       sourceCol: String,
       budgetDocs: Long,
+      maxEpochs: Double = 1.0): DataFrame =
+    // A document budget is the token budget with unit weights — one
+    // waterfill, two published units (Chung et al. budget characters;
+    // qn115 grades the doc form, qn126 the token form).
+    unimaxSampleTokens(docs.withColumn("__ux_one", lit(1L)),
+      idCol, "__ux_one", sourceCol, budgetDocs, maxEpochs)
+      .drop("__ux_one")
+
+  /** [[unimaxSample]] with the budget in TOKENS — the published recipe's
+    * actual unit (UniMax waterfills a character/token budget; a doc
+    * budget under-weights long documents). Same epoch-capped greedy
+    * waterfill, smallest token-mass language first, cap =
+    * floor(maxEpochs · tokens_l); selection per language is the
+    * [[priority]]-order prefix whose RUNNING token total starts under
+    * the quota (the [[sampleByTokenBudget]] contract, so a boundary doc
+    * may carry the total past it — documents are atomic).
+    *
+    * `ux_quota` is the allocated token budget, `ux_epochs` =
+    * quota / tokens_l (4dp, computed in-engine so a SQL restatement
+    * states the identical double; 0 for a zero-token language).
+    *
+    * Scale shape: unchanged from the doc variant — one map-combined
+    * token-sum aggregate (collected: languages are tens), the driver
+    * waterfill over K rows, the two-phase bucketed budget sampler
+    * (never a global or per-language sort), one broadcast K-row join.
+    */
+  def unimaxSampleTokens(
+      docs: DataFrame,
+      idCol: String,
+      tokCol: String,
+      sourceCol: String,
+      budgetTokens: Long,
       maxEpochs: Double = 1.0): DataFrame = {
-    require(budgetDocs >= 0, "budgetDocs must be >= 0")
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
     require(maxEpochs > 0, "maxEpochs must be > 0")
     // String-keyed end to end (the rebalanceToTarget discipline): the
     // waterfill map, the budget join and the quota columns all compare
@@ -776,10 +808,12 @@ object Mixture {
     val srcS = "__ux_src"
     val dfS = docs.withColumn(srcS, col(sourceCol).cast("string"))
     val counts = dfS.where(col(srcS).isNotNull)
-      .groupBy(srcS).count().collect()
+      .groupBy(srcS)
+      .agg(coalesce(sum(col(tokCol).cast("long")), lit(0L)).as("__n"))
+      .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .sortBy { case (src, n) => (n, src) }
-    var remaining = budgetDocs
+    var remaining = budgetTokens
     val quotas = counts.zipWithIndex.map { case ((src, n), i) =>
       val languagesLeft = counts.length - i
       val cap = rebalanceFloorMul(maxEpochs, n)
@@ -792,16 +826,16 @@ object Mixture {
     // ux_epochs computed IN the engine (one double division of identical
     // longs + round — the qn08 cross-engine discipline), not on the
     // driver, so a SQL restatement states the identical double.
-    val budgets = quotas.toSeq.map { case (src, n, q) =>
-      (src, math.min(q, n), q, n)
-    }.toDF(srcS, "budget", "ux_quota", "__ux_n")
-    sampleByTokenBudget(
-      dfS.withColumn("__ux_one", lit(1L)), idCol, "__ux_one", srcS,
+    val budgets = quotas.toSeq.map { case (src, n, q) => (src, q, n) }
+      .toDF(srcS, "budget", "__ux_n")
+    sampleByTokenBudget(dfS, idCol, tokCol, srcS,
       budgets.select(col(srcS), col("budget")))
-      .join(broadcast(budgets.select(col(srcS), col("ux_quota"),
-        round(col("ux_quota").cast("double") / col("__ux_n"), 4)
-          .as("ux_epochs"))), Seq(srcS))
-      .drop("__ux_one", srcS)
+      .join(broadcast(budgets.select(col(srcS),
+        col("budget").as("ux_quota"),
+        when(col("__ux_n") > 0L,
+          round(col("budget").cast("double") / col("__ux_n"), 4))
+          .otherwise(lit(0d)).as("ux_epochs"))), Seq(srcS))
+      .drop(srcS)
   }
 
   def clusterBalancedSample(

@@ -2800,6 +2800,25 @@ object NorthStar {
       budgetDocs = 700L, maxEpochs = 2.0)
       .orderBy("lang", "doc_id")
 
+  /** Token-budget UniMax ([[Mixture.unimaxSampleTokens]]) — the
+    * published recipe's actual unit. budget=12000 tokens at
+    * maxEpochs=0.5 makes the epoch cap BIND on the four non-English
+    * languages at sf0.01 (caps ≈1.8–2.1k tokens < the 2.4k fair share)
+    * and visibly redistributes their slack to English (fair-bound at
+    * ~4.3k > budget/5) — the oracle's recursive waterfill grades the
+    * redistribution arithmetic, not just the happy path. 0.5 is
+    * exactly representable so both engines floor identically.
+    */
+  private def qUnimaxTokens(s: SparkSession, dir: String): DataFrame =
+    Mixture.unimaxSampleTokens(
+      docs(s, dir).select("doc_id", "lang", "text")
+        .withColumn("toks", TextOps.tokenCount(col("text")).cast("long"))
+        .drop("text"),
+      "doc_id", "toks", "lang", budgetTokens = 12000L, maxEpochs = 0.5)
+      .select(col("doc_id"), col("lang"), col("toks").cast("int").as("toks"),
+        col("ux_quota"), col("ux_epochs"))
+      .orderBy("lang", "doc_id")
+
   /** Incremental dataset card through the STORE (the qn33 mergeable-
     * sketch pattern applied to qn77's card): each ingest persists its
     * per-source stateless card stats as one store version (a
@@ -4953,6 +4972,44 @@ object NorthStar {
              round(CAST(q.quota AS DOUBLE) / q.n, 4) AS ux_epochs
       FROM sel s JOIN q ON s.lang = q.lang
       WHERE s.rk <= least(q.quota, q.n)
+      ORDER BY s.lang, s.doc_id""")),
+    QueryDef("qn126_unimax_tokens", qUnimaxTokens _, Some("""
+      WITH RECURSIVE c AS (
+        SELECT lang,
+               CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(trim(text), '\s+'))
+                        END) AS BIGINT) AS n
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+      o AS (SELECT lang, n,
+              CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS i,
+              CAST(count(*) OVER () AS BIGINT) AS k FROM c),
+      alloc(i, quota, r) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(12000 AS BIGINT)
+        UNION ALL
+        SELECT o.i,
+               least(CAST(floor(o.n * 0.5) AS BIGINT),
+                     a.r // (o.k - o.i + 1)),
+               a.r - least(CAST(floor(o.n * 0.5) AS BIGINT),
+                           a.r // (o.k - o.i + 1))
+        FROM alloc a JOIN o ON o.i = a.i + 1),
+      q AS (SELECT o.lang, o.n, al.quota
+            FROM o JOIN alloc al ON al.i = o.i),
+      t AS (SELECT doc_id, lang,
+              CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+              CAST((doc_id::HUGEINT * 2654435761) % 4294967296 AS BIGINT) AS pr
+            FROM documents WHERE lang IS NOT NULL),
+      sel AS (SELECT doc_id, lang, toks,
+                coalesce(sum(toks) OVER (PARTITION BY lang ORDER BY pr, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS prior
+              FROM t)
+      SELECT s.doc_id, s.lang, CAST(s.toks AS INT) AS toks,
+             q.quota AS ux_quota,
+             CASE WHEN q.n > 0 THEN round(CAST(q.quota AS DOUBLE) / q.n, 4)
+                  ELSE 0.0 END AS ux_epochs
+      FROM sel s JOIN q ON s.lang = q.lang
+      WHERE s.prior < q.quota
       ORDER BY s.lang, s.doc_id""")),
     QueryDef("qn113_bitext_margin", qBitextMargin _, Some("""
       WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v

@@ -420,6 +420,56 @@ class MixtureSpec extends SparkSpec {
     assert(tiny == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("unimaxSampleTokens: token-mass waterfill, atomic boundary doc, zero-token lang") {
+    import spark.implicits._
+    // Token masses a=40 (4 docs x 10), b=100 (10 x 10), c=300 (30 x 10),
+    // z=0 (2 empty docs). Budget 300 tokens, maxEpochs 2.0 — the SAME
+    // waterfill as the doc test scaled by 10, plus the zero language
+    // first (cap 0, quota 0):
+    //   z: left=4, fair=75,  cap=0   -> 0 (cap), R=300
+    //   a: left=3, fair=100, cap=80  -> 80 (CAP binds), R=220
+    //   b: left=2, fair=110, cap=200 -> 110,            R=110
+    //   c: left=1, fair=110, cap=600 -> 110,            R=0
+    // Selection: a all 4 docs (2 epochs); b 10 of 10 (prior of doc 10 =
+    // 90 < 110); c the 11-doc priority prefix (prior of doc 11 = 100 <
+    // 110 — the BOUNDARY doc carries the total to 110; doc 12's prior
+    // 110 is not < 110).
+    val rows = (0L until 4L).map((_, "a", 10L)) ++
+      (100L until 110L).map((_, "b", 10L)) ++
+      (200L until 230L).map((_, "c", 10L)) ++
+      Seq((300L, "z", 0L), (301L, "z", 0L))
+    val df = rows.toDF("doc_id", "lang", "toks")
+    val got = Mixture.unimaxSampleTokens(df, "doc_id", "toks", "lang",
+      budgetTokens = 300L, maxEpochs = 2.0)
+    val byLang = got.groupBy("lang").agg(
+      count(lit(1)).as("n"), min("ux_quota").as("q"), min("ux_epochs").as("e"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(byLang == Map(
+      "a" -> ((4L, 80L, 2.0)), "b" -> ((10L, 110L, 1.1)),
+      "c" -> ((11L, 110L, round11(110d / 300d)))), byLang.toString)
+    // z allocated 0 tokens -> selects nothing, and the epochs division
+    // is guarded (no ANSI divide-by-zero, no NaN row).
+    assert(!byLang.contains("z"))
+    val cSel = got.where(col("lang") === "c")
+      .select("doc_id").as[Long].collect().toSet
+    val cExp = (200L until 230L)
+      .sortBy(id => ((id * 2654435761L) % 4294967296L, id)).take(11).toSet
+    assert(cSel == cExp)
+    // The doc variant IS the unit-token case — identical selection and
+    // quota columns on the shared fixture (delegation pinned).
+    val viaTokens = Mixture.unimaxSampleTokens(
+      df.select("doc_id", "lang").withColumn("one", lit(1L)),
+      "doc_id", "one", "lang", 30L, 2.0)
+      .select("doc_id", "ux_quota", "ux_epochs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaDocs = Mixture.unimaxSample(
+      df.select("doc_id", "lang"), "doc_id", "lang", 30L, 2.0)
+      .select("doc_id", "ux_quota", "ux_epochs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaTokens == viaDocs)
+  }
+
   private def round11(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
