@@ -268,19 +268,27 @@ object BucketedState {
     * rerun rewrites the staged data, after it the rerun finds only the
     * successor live and just finishes the cleanup ([[healCompaction]]).
     */
+  /** @param exclude version labels left OUT of the fold (and untouched
+    *                 by retirement) — the streaming watermark excludes
+    *                 the in-flight batch's own slice so a replayed
+    *                 half-committed batch can't fold its rows into the
+    *                 compacted slice AND then rewrite them as a live
+    *                 slice (double presence).
+    */
   def compact(
       spark: SparkSession,
       root: String,
       version: String,
       bucketCol: String,
-      numBuckets: Int): Unit = {
+      numBuckets: Int,
+      exclude: Set[String] = Set.empty): Unit = {
     healCompaction(spark, root)
-    val old = versions(spark, root)
+    val old = versions(spark, root).filterNot(exclude)
     require(old.nonEmpty, s"no versions to compact under $root")
     if (old == Seq(version)) return // a published compaction replayed: done
     require(!old.contains(version),
       s"compaction version '$version' already exists under $root")
-    val all = slices(spark, root).reduce(_ unionByName _)
+    val all = old.map(v => slice(spark, root, v)).reduce(_ unionByName _)
     writeData(all, root, version, bucketCol, numBuckets)
     atomicWrite(spark, new Path(root, ManifestFile),
       s"successor=$version\nretired=${old.mkString(",")}")

@@ -430,7 +430,8 @@ object DocStreams {
       freqTable: String = "streaming/neardup-freqs",
       n: Int = 3,
       threshold: Double = 0.8,
-      sigBuckets: Int = 32): DataFrame = {
+      sigBuckets: Int = 32,
+      maxSlices: Int = 16): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val sig = Dedup.materialize(
@@ -438,6 +439,24 @@ object DocStreams {
     val freqs = Dedup.materialize(Dedup.shingleDocFreqs(sig))
     val countsTable = sigTable + "-counts"
     val sigRoot = store.statePath(sigTable)
+    // Slice-count watermark: a long-running stream accumulates one
+    // bucketed slice per batch; once `maxSlices` are live, fold history
+    // into one slice HERE — before any state read, so the batch's lazy
+    // state joins never reference dirs a later compaction would retire.
+    // Replay discipline: the fold label is the batch id (a replayed
+    // batch that already compacted skips — its label is live), and the
+    // batch's OWN slice from a half-committed prior attempt is excluded
+    // from the fold (it is about to be rewritten; folding it too would
+    // put its rows in two live slices). `maxSlices <= 0` disables.
+    if (maxSlices > 0) {
+      val own = s"b$batchId"
+      val foldLabel = s"c$batchId"
+      val live = BucketedState.versions(spark, sigRoot)
+      if (live.size >= maxSlices && !live.contains(foldLabel) &&
+          live.exists(v => v != own))
+        BucketedState.compact(spark, sigRoot, foldLabel, "s", sigBuckets,
+          exclude = Set(own))
+    }
     val prevSlices = BucketedState.slices(spark, sigRoot)
     // The r15 layout migration guard: pre-bucketed deployments stored
     // the signature state as an ordinary row-versioned STORE table
@@ -515,11 +534,13 @@ object DocStreams {
       freqTable: String = "streaming/corpus-freqs",
       n: Int = 3,
       threshold: Double = 0.8,
-      sigBuckets: Int = 32): DataFrame = {
+      sigBuckets: Int = 32,
+      maxSlices: Int = 16): DataFrame = {
     val q = batch.where(TextOps.qualityRules(col("text")).keep)
     val kept = dedupBatchAgainstStore(q, batchId, store,
       sigTable = sigTable, freqTable = freqTable, n = n,
-      threshold = threshold, sigBuckets = sigBuckets)
+      threshold = threshold, sigBuckets = sigBuckets,
+      maxSlices = maxSlices)
     val contaminated = TextOps.contaminationOverlapStored(kept,
       store.get(s"$refName/signatures"), "doc_id", "text", n)
     val dc = Dedup.materialize(
@@ -542,10 +563,11 @@ object DocStreams {
       store: Store,
       refName: String = "streaming/decontam-ref",
       n: Int = 3,
-      threshold: Double = 0.8): DataStreamWriter[Row] =
+      threshold: Double = 0.8,
+      maxSlices: Int = 16): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       corpusIngestBatch(batch, batchId, store, refName = refName,
-        n = n, threshold = threshold)
+        n = n, threshold = threshold, maxSlices = maxSlices)
       ()
     }
 
@@ -561,9 +583,11 @@ object DocStreams {
       store: Store,
       outDir: String,
       n: Int = 3,
-      threshold: Double = 0.8): DataStreamWriter[Row] =
+      threshold: Double = 0.8,
+      maxSlices: Int = 16): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      dedupBatchAgainstStore(batch, batchId, store, n = n, threshold = threshold)
+      dedupBatchAgainstStore(batch, batchId, store, n = n,
+        threshold = threshold, maxSlices = maxSlices)
         .write.mode("append").parquet(outDir)
     }
 }

@@ -554,6 +554,72 @@ class StreamingSpec extends SparkSpec {
     assert(cInfo.versions.toSet == Set("b0", "b1"), cInfo.versions)
   }
 
+  test("slice-count watermark: stream self-compacts, bounded slices, survivors unchanged") {
+    import graft.ops.Dedup
+    import graft.streaming.DocStreams
+    // Four micro-batches (doc_id quartiles) against maxSlices=2: the
+    // watermark must trip at batches 2 and 3, hold the live slice count
+    // at <= 2 throughout, and change NOTHING about the survivor set vs
+    // the never-compacted pipeline (compaction is a layout operation).
+    val d = Tables.read(spark, sf(), "documents")
+    val total = Tables.parquetRowCount(spark, s"${sf()}/documents.parquet")
+    val cuts = Seq(total / 4, total / 2, 3 * total / 4)
+    val preds = Seq(
+      col("doc_id") < cuts(0),
+      col("doc_id") >= cuts(0) && col("doc_id") < cuts(1),
+      col("doc_id") >= cuts(1) && col("doc_id") < cuts(2),
+      col("doc_id") >= cuts(2))
+    val dir = java.nio.file.Paths.get(TempDirs.create("graft_stream_wm_"))
+    preds.zipWithIndex.foreach { case (pred, i) =>
+      val tmp = java.nio.file.Paths.get(TempDirs.create(s"graft_wm${i}_"))
+      d.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = dir.resolve(s"batch$i.parquet")
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified(1700000000000L + i.toLong * 60000L)
+    }
+    val store = new graft.store.Store(spark, TempDirs.create("graft_wm_st_"))
+    val outDir = TempDirs.create("graft_wm_out_") + "/kept"
+    val ckpt = TempDirs.create("graft_wm_ckpt_")
+    val stream = spark.readStream.schema(DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = DocStreams.nearDupDedupedTo(stream, store, outDir, maxSlices = 2)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val sigRoot = store.statePath("streaming/neardup-sigs")
+    val live = graft.store.BucketedState.versions(spark, sigRoot)
+    // Steady state: the latest fold + the latest batch slice, nothing
+    // else (b0/b1 folded into c2; c2+b2 folded into c3).
+    assert(live.toSet == Set("c3", "b3"), live.toString)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // The never-compacted replay of the same four batches.
+    val store2 = new graft.store.Store(spark, TempDirs.create("graft_wm_st2_"))
+    val expected = preds.zipWithIndex.flatMap { case (pred, i) =>
+      DocStreams.dedupBatchAgainstStore(d.where(pred), i.toLong, store2,
+        maxSlices = 0)
+        .select("doc_id").collect().map(_.getLong(0))
+    }.toSet
+    assert(graft.store.BucketedState.versions(spark,
+      store2.statePath("streaming/neardup-sigs")).size == 4)
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).size} batch-only=${(expected -- streamed).size}")
+    // Replay idempotence at the fold boundary: re-running batch 3's
+    // body (its slice live, its fold label live) must not throw, not
+    // double state, and keep the survivor set for a FUTURE batch
+    // identical — the crashed-checkpoint case.
+    DocStreams.dedupBatchAgainstStore(d.where(preds(3)), 3L, store,
+      maxSlices = 2)
+    val liveAfter = graft.store.BucketedState.versions(spark, sigRoot)
+    assert(liveAfter.toSet == Set("c3", "b3"), liveAfter.toString)
+    val stateDocs = graft.store.BucketedState.slices(spark, sigRoot)
+      .map(_.select("id").distinct().collect().map(_.getLong(0)).toSeq)
+      .foldLeft(Seq.empty[Long])(_ ++ _)
+    assert(stateDocs.distinct.size == stateDocs.size,
+      "a doc's signatures appear in two live slices after replay")
+  }
+
   test("streaming corpus ingest == replayed batch pipeline; card accumulates; decontam bites") {
     import graft.ops.Dedup
     import graft.streaming.DocStreams
