@@ -224,11 +224,13 @@ object VectorIndex {
       idCol: String,
       vecCol: String,
       name: String,
-      externalKey: String = "v1"): Map[String, String] =
+      externalKey: String = "v1",
+      gen: Long = 0L): Map[String, String] =
     store.load(
       corpus.select(col(idCol).as("vec_id"),
         Similarity.packSignBits(col(vecCol).cast("array<double>"))
-          .as("words")),
+          .as("words"))
+        .withColumn("gen", lit(gen)),
       s"$name/signatures", externalKey = externalKey)
 
   /** Append a batch to a persisted signature index — O(batch): pack
@@ -236,12 +238,12 @@ object VectorIndex {
     * [[searchHamming]] (`useLast = false`, no `externalKey`) then
     * serves base + every appended batch.
     *
-    * Precondition: appends carry NEW ids only. A re-embedded id would
-    * coexist with its stale row across versions (both score as
-    * candidates) — churn needs [[tombstoneIvf]]'s generation-sidecar
-    * pattern or a rebuild under a fresh externalKey; the flat
-    * signature tables deliberately stay sidecar-free because their
-    * rebuild is one deterministic pack pass, not a refit.
+    * Precondition: a plain append carries NEW ids only — a re-embedded
+    * id would coexist with its stale row across versions (both score
+    * as candidates). Churn goes through [[reembedHamming]] /
+    * [[deleteHamming]], the [[tombstoneIvf]] generation-sidecar
+    * pattern wired through the flat tier: the stale row stays in the
+    * artifact but stops being SERVED.
     */
   def appendHamming(
       store: Store,
@@ -249,8 +251,42 @@ object VectorIndex {
       idCol: String,
       vecCol: String,
       name: String,
-      externalKey: String): Map[String, String] =
-    buildHamming(store, batch, idCol, vecCol, name, externalKey)
+      externalKey: String,
+      gen: Long = 0L): Map[String, String] =
+    buildHamming(store, batch, idCol, vecCol, name, externalKey, gen)
+
+  /** Stop serving `ids` from the flat signature index: one churn-sized
+    * tombstone version in the `<name>/deletes` sidecar (the
+    * [[tombstoneIvf]] layout — flat tiers share it verbatim, the
+    * liveness join is identical). O(batch); the signature table is
+    * never rewritten.
+    */
+  def deleteHamming(
+      store: Store,
+      ids: DataFrame,
+      idCol: String,
+      name: String,
+      gen: Long,
+      externalKey: String): Unit =
+    tombstoneIvf(store, ids, idCol, name, gen, externalKey)
+
+  /** Re-embed against the flat signature index: tombstone the ids
+    * below `gen`, append their fresh packs AT `gen` (the tombstone
+    * spares rows written at its own generation — [[reembedIvf]]'s
+    * exact semantics). O(batch).
+    */
+  def reembedHamming(
+      store: Store,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      gen: Long,
+      externalKey: String): Unit = {
+    tombstoneIvf(store, batch.select(col(idCol)), idCol, name, gen,
+      externalKey)
+    appendHamming(store, batch, idCol, vecCol, name, externalKey, gen)
+  }
 
   /** Build an SQ8 index: quantize every corpus vector once
     * ([[Similarity.int8Quantized]] — per-vector scale + int8 codes over
@@ -264,14 +300,18 @@ object VectorIndex {
       idCol: String,
       vecCol: String,
       name: String,
-      externalKey: String = "v1"): Map[String, String] =
-    store.load(Similarity.int8Quantized(corpus, idCol, vecCol),
+      externalKey: String = "v1",
+      gen: Long = 0L): Map[String, String] =
+    store.load(
+      Similarity.int8Quantized(corpus, idCol, vecCol)
+        .withColumn("gen", lit(gen)),
       s"$name/sq8", externalKey = externalKey)
 
   /** Append a batch to a persisted SQ8 index — O(batch); accumulate-mode
     * [[searchInt8]] then serves base + every appended batch. Same
-    * NEW-ids-only precondition as [[appendHamming]] (churn → rebuild or
-    * the [[tombstoneIvf]] sidecar pattern).
+    * NEW-ids-only precondition as [[appendHamming]]; churn goes through
+    * [[reembedInt8]] / [[deleteInt8]] (the shared `<name>/deletes`
+    * generation sidecar).
     */
   def appendInt8(
       store: Store,
@@ -279,14 +319,66 @@ object VectorIndex {
       idCol: String,
       vecCol: String,
       name: String,
-      externalKey: String): Map[String, String] =
-    buildInt8(store, batch, idCol, vecCol, name, externalKey)
+      externalKey: String,
+      gen: Long = 0L): Map[String, String] =
+    buildInt8(store, batch, idCol, vecCol, name, externalKey, gen)
+
+  /** [[deleteHamming]] for the SQ8 tier — same sidecar, same liveness. */
+  def deleteInt8(
+      store: Store,
+      ids: DataFrame,
+      idCol: String,
+      name: String,
+      gen: Long,
+      externalKey: String): Unit =
+    tombstoneIvf(store, ids, idCol, name, gen, externalKey)
+
+  /** [[reembedHamming]] for the SQ8 tier: tombstone below `gen`, append
+    * the fresh quantized rows AT `gen`. O(batch).
+    */
+  def reembedInt8(
+      store: Store,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      gen: Long,
+      externalKey: String): Unit = {
+    tombstoneIvf(store, batch.select(col(idCol)), idCol, name, gen,
+      externalKey)
+    appendInt8(store, batch, idCol, vecCol, name, externalKey, gen)
+  }
 
   /** SQ8 top-k from a PERSISTED artifact: the candidate scan reads the
     * stored quantized table; `corpus` supplies floats for the
     * candidate-sized rerank. Bit-identical to [[Similarity.int8TopK]]
     * over the same rows — graded against qn122's oracle verbatim.
     */
+  /** Apply the `<name>/deletes` generation sidecar to a stored index
+    * table: keep rows whose `gen` is >= the id's newest tombstone
+    * (re-embeds written AT the tombstone's gen survive; see
+    * [[tombstoneIvf]]). A legacy artifact without a `gen` column reads
+    * as gen 0; with no sidecar the table passes through untouched —
+    * the pre-churn plans (and the qn120/qn123 oracles) are unchanged.
+    */
+  private def liveRows(
+      store: Store, name: String, rows: DataFrame): DataFrame = {
+    val withGen =
+      if (rows.columns.contains("gen")) rows
+      else rows.withColumn("gen", lit(0L))
+    val dels =
+      try Some(store.get(s"$name/deletes", externalKey = None, useLast = false)
+        .groupBy("vec_id").agg(max("gen").as("__del_gen")))
+      catch { case _: Store.GetError => None }
+    dels match {
+      case None => withGen.drop("gen")
+      case Some(d) => withGen
+        .join(broadcast(d), Seq("vec_id"), "left")
+        .where(col("__del_gen").isNull || col("gen") >= col("__del_gen"))
+        .drop("__del_gen", "gen")
+    }
+  }
+
   def searchInt8(
       store: Store,
       name: String,
@@ -299,7 +391,8 @@ object VectorIndex {
       excludeSelf: Boolean = true,
       externalKey: Option[String] = None,
       useLast: Boolean = true): DataFrame = {
-    val sq = store.get(s"$name/sq8", externalKey, useLast)
+    val sq = liveRows(store, name,
+      store.get(s"$name/sq8", externalKey, useLast))
       .select(col("vec_id"), col("scale"), col("codes"))
     Similarity.int8TopKFrom(sq, corpus, queries, idCol, vecCol,
       k, oversample, excludeSelf)
@@ -324,7 +417,8 @@ object VectorIndex {
       excludeSelf: Boolean = true,
       externalKey: Option[String] = None,
       useLast: Boolean = true): DataFrame = {
-    val sigs = store.get(s"$name/signatures", externalKey, useLast)
+    val sigs = liveRows(store, name,
+      store.get(s"$name/signatures", externalKey, useLast))
       .select(col("vec_id"), col("words"))
     Similarity.hammingTopKFrom(sigs, corpus, queries, idCol, vecCol,
       k, oversample, excludeSelf)

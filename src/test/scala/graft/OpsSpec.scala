@@ -778,6 +778,61 @@ class OpsSpec extends SparkSpec {
     assert(yOnly.contains(99L), "new-cell row missing from its cell")
   }
 
+  test("flat index churn: delete + re-embed + search == brute over the live set") {
+    import graft.ops.VectorIndex
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .where(col("vec_id") < 120)
+    val base = emb.where(col("vec_id") < 100)
+    val extra = emb.where(col("vec_id") >= 100)
+    // Churn: tombstone %10 ids at gen 1, re-embed %7 ids at gen 2 with
+    // REVERSED vectors. An id in BOTH sets (0, 70) must come back live
+    // with its new vector — the tombstone spares rows at its own gen.
+    val reembedded = emb.where(pmod(col("vec_id"), lit(7)) === 0)
+      .withColumn("embedding", reverse(col("embedding")))
+    val live = emb
+      .where(pmod(col("vec_id"), lit(10)) =!= 0 &&
+        pmod(col("vec_id"), lit(7)) =!= 0)
+      .unionByName(reembedded)
+    val queries = live.where(col("vec_id") < 8)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+
+    val store = new graft.store.Store(spark, TempDirs.create("graft_flatchurn_"))
+    VectorIndex.buildHamming(store, base, "vec_id", "embedding", "bq", "v1")
+    VectorIndex.appendHamming(store, extra, "vec_id", "embedding", "bq", "v2")
+    VectorIndex.deleteHamming(store,
+      emb.where(pmod(col("vec_id"), lit(10)) === 0).select("vec_id"),
+      "vec_id", "bq", gen = 1L, externalKey = "d1")
+    VectorIndex.reembedHamming(store, reembedded, "vec_id", "embedding",
+      "bq", gen = 2L, externalKey = "v3")
+    val gotH = canon(VectorIndex.searchHamming(store, "bq", live, queries,
+      "vec_id", "embedding", k = 5, oversample = 4, useLast = false))
+    val wantH = canon(Similarity.hammingTopK(live, queries,
+      "vec_id", "embedding", k = 5, oversample = 4))
+    assert(gotH == wantH, s"hamming churn diverged from brute-over-live")
+    // Tombstoned-only ids are never served; re-embedded ids serve their
+    // NEW form (reversal flips which neighbors they pack near).
+    val served = VectorIndex.searchHamming(store, "bq", live, queries,
+      "vec_id", "embedding", k = 50, oversample = 100, useLast = false)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!served.exists(id => id % 10 == 0 && id % 7 != 0),
+      s"tombstoned id served: ${served.filter(id => id % 10 == 0 && id % 7 != 0)}")
+    assert(served.exists(_ % 7 == 0), "re-embedded ids missing entirely")
+
+    VectorIndex.buildInt8(store, base, "vec_id", "embedding", "sq", "v1")
+    VectorIndex.appendInt8(store, extra, "vec_id", "embedding", "sq", "v2")
+    VectorIndex.deleteInt8(store,
+      emb.where(pmod(col("vec_id"), lit(10)) === 0).select("vec_id"),
+      "vec_id", "sq", gen = 1L, externalKey = "d1")
+    VectorIndex.reembedInt8(store, reembedded, "vec_id", "embedding",
+      "sq", gen = 2L, externalKey = "v3")
+    val gotQ = canon(VectorIndex.searchInt8(store, "sq", live, queries,
+      "vec_id", "embedding", k = 5, oversample = 4, useLast = false))
+    val wantQ = canon(Similarity.int8TopK(live, queries,
+      "vec_id", "embedding", k = 5, oversample = 4))
+    assert(gotQ == wantQ, s"sq8 churn diverged from brute-over-live")
+  }
+
   test("aHash64: container-invariant, content-sensitive, near-dup tolerant") {
     import graft.ops.Multimodal
     // Lossless re-encode (PNG vs BMP of the same raster) must hash equal.
