@@ -822,6 +822,42 @@ object Dedup {
   def shingleDocFreqs(signatures: DataFrame): DataFrame =
     signatures.groupBy("s").agg(count(lit(1)).as("df"))
 
+  /** Corpus-wide hot shingles: rows of the prev∪batch doc frequency
+    * above the cap. A FULL OUTER zipper join, not union+groupBy: both
+    * inputs are one-row-per-shingle (the [[shingleDocFreqs]] shape the
+    * `prevShingleFreqs`/`batchShingleFreqs` contracts document), and
+    * the join keeps a bucketed-by-`s` frequency state IN PLACE — a
+    * union erases the stored partitioning and re-shuffles the whole
+    * accumulated vocabulary every ingest, while the join shuffles only
+    * the batch side.
+    */
+  def hotShingles(
+      prevFreqs: DataFrame,
+      newFreqs: DataFrame,
+      maxShingleDocFreq: Long): DataFrame =
+    prevFreqs.select(col("s"), col("df").cast("long").as("__pf"))
+      .join(newFreqs.select(col("s"), col("df").cast("long").as("__nf")),
+        Seq("s"), "full_outer")
+      .where(coalesce(col("__pf"), lit(0L)) + coalesce(col("__nf"), lit(0L))
+        > maxShingleDocFreq)
+      .select("s")
+
+  /** Fold shingle-frequency slices into one `(s, df)` frame — the
+    * COMPACTION fold for frequency state ([[graft.store.BucketedState
+    * .compact]]'s `fold` param): unlike the signature state, the same
+    * shingle appears in many slices, so the fold must SUM to keep the
+    * one-row-per-shingle invariant readers assume. One vocabulary
+    * shuffle, paid at compaction time (amortized) — per-INGEST reads go
+    * through [[graft.store.BucketedState.family]]'s exchange-free
+    * bucketed aggregate instead.
+    */
+  def foldShingleFreqSlices(slices: Seq[DataFrame]): DataFrame = {
+    require(slices.nonEmpty, "no frequency slices to fold")
+    slices.map(_.select(col("s"), col("df").cast("long").as("df")))
+      .reduce(_ unionByName _)
+      .groupBy("s").agg(sum("df").as("df"))
+  }
+
   /** Per-doc RAW signature counts `(id, n_sh)` — the O(docs) companion
     * state persisted next to the signatures (one version per ingest,
     * O(batch) to produce at write time) so each later ingest's Jaccard
@@ -958,9 +994,7 @@ object Dedup {
         val newFreq = batchShingleFreqs
           .map(_.select(col("s"), col("df").cast("long").as("df")))
           .getOrElse(newSig0.groupBy("s").agg(count(lit(1)).as("df")))
-        Some(prevFreq.union(newFreq).groupBy("s")
-          .agg(sum("df").as("df"))
-          .where(col("df") > maxShingleDocFreq).select("s"))
+        Some(hotShingles(prevFreq, newFreq, maxShingleDocFreq))
       }
     // No broadcast() hint on the hot set: usually tiny, but on a Zipf
     // corpus it is the unbounded distribution head — AQE picks

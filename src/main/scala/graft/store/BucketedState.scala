@@ -250,6 +250,46 @@ object BucketedState {
   def slices(spark: SparkSession, root: String): Seq[DataFrame] =
     versions(spark, root).map(v => slice(spark, root, v))
 
+  /** Every live version as ONE bucketed scan — for state whose consumer
+    * aggregates or joins ACROSS versions by the bucket column (the
+    * shingle-frequency state: the same key lives in many slices, so the
+    * per-slice union trick doesn't apply and a plain `union` of slice
+    * DataFrames erases the stored partitioning, re-shuffling the whole
+    * accumulated vocabulary every read).
+    *
+    * Mechanism: an external PARTITIONED + CLUSTERED catalog table whose
+    * `__slice` partitions each point at a live version dir, so the ONE
+    * `FileSourceScanExec` spans every version while still reporting
+    * `HashPartitioning(bucketCol, numBuckets)` (bucket files group by
+    * bucket id across partitions — Spark's stock partitioned-bucketed
+    * read). A `groupBy(bucketCol)` over it is a single exchange-free
+    * HashAggregate, and its output feeds a join on the bucket column
+    * with the partitioning intact. Re-registered from the live version
+    * set on every call (metadata-only DDL), so a compaction or append
+    * between reads is picked up and retired dirs are never referenced.
+    */
+  def family(spark: SparkSession, root: String): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no versions under $root")
+    val head = versionPath(root, vs.head)
+    val (buckets, bucketCol) = readSpec(spark, head)
+    val schema = spark.read.parquet(head.toString).schema
+    val name = tableName(root + "#family")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name (${schema.toDDL}, __slice STRING)
+         |USING PARQUET
+         |PARTITIONED BY (__slice)
+         |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+         |INTO $buckets BUCKETS
+         |LOCATION '$root'""".stripMargin)
+    vs.foreach { v =>
+      spark.sql(s"ALTER TABLE $name ADD PARTITION (__slice='$v') " +
+        s"LOCATION '${versionPath(root, v)}'")
+    }
+    spark.table(name).drop("__slice")
+  }
+
   /** Fold all versions into one (`version` names the result) — the
     * compaction that bounds slice count between ingests. Runs at
     * state-scan cost; schedule it like any compaction (nightly, or at a
@@ -274,6 +314,13 @@ object BucketedState {
     *                 half-committed batch can't fold its rows into the
     *                 compacted slice AND then rewrite them as a live
     *                 slice (double presence).
+    * @param fold how the old slices combine into the successor. Default
+    *             plain union (signature state: slices partition the
+    *             corpus by doc, so union IS the fold). Frequency-shaped
+    *             state — the same key in many slices — passes a summing
+    *             fold ([[graft.ops.Dedup.foldShingleFreqSlices]]) so the
+    *             compacted slice keeps the one-row-per-key invariant its
+    *             readers assume.
     */
   def compact(
       spark: SparkSession,
@@ -281,14 +328,15 @@ object BucketedState {
       version: String,
       bucketCol: String,
       numBuckets: Int,
-      exclude: Set[String] = Set.empty): Unit = {
+      exclude: Set[String] = Set.empty,
+      fold: Seq[DataFrame] => DataFrame = _.reduce(_ unionByName _)): Unit = {
     healCompaction(spark, root)
     val old = versions(spark, root).filterNot(exclude)
     require(old.nonEmpty, s"no versions to compact under $root")
     if (old == Seq(version)) return // a published compaction replayed: done
     require(!old.contains(version),
       s"compaction version '$version' already exists under $root")
-    val all = old.map(v => slice(spark, root, v)).reduce(_ unionByName _)
+    val all = fold(old.map(v => slice(spark, root, v)))
     writeData(all, root, version, bucketCol, numBuckets)
     atomicWrite(spark, new Path(root, ManifestFile),
       s"successor=$version\nretired=${old.mkString(",")}")

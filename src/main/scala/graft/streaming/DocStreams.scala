@@ -439,23 +439,32 @@ object DocStreams {
     val freqs = Dedup.materialize(Dedup.shingleDocFreqs(sig))
     val countsTable = sigTable + "-counts"
     val sigRoot = store.statePath(sigTable)
+    val freqRoot = store.statePath(freqTable)
     // Slice-count watermark: a long-running stream accumulates one
-    // bucketed slice per batch; once `maxSlices` are live, fold history
-    // into one slice HERE — before any state read, so the batch's lazy
-    // state joins never reference dirs a later compaction would retire.
-    // Replay discipline: the fold label is the batch id (a replayed
-    // batch that already compacted skips — its label is live), and the
-    // batch's OWN slice from a half-committed prior attempt is excluded
-    // from the fold (it is about to be rewritten; folding it too would
-    // put its rows in two live slices). `maxSlices <= 0` disables.
+    // bucketed slice per batch on BOTH state surfaces; once `maxSlices`
+    // are live, fold history into one slice HERE — before any state
+    // read, so the batch's lazy state joins never reference dirs a
+    // later compaction would retire. Replay discipline: the fold label
+    // is the batch id (a replayed batch that already compacted skips —
+    // its label is live), and the batch's OWN slice from a
+    // half-committed prior attempt is excluded from the fold (it is
+    // about to be rewritten; folding it too would put its rows in two
+    // live slices). The frequency fold SUMS (the same shingle lives in
+    // many slices); the signature fold is plain union (slices partition
+    // the corpus by doc). `maxSlices <= 0` disables.
     if (maxSlices > 0) {
       val own = s"b$batchId"
       val foldLabel = s"c$batchId"
-      val live = BucketedState.versions(spark, sigRoot)
-      if (live.size >= maxSlices && !live.contains(foldLabel) &&
-          live.exists(v => v != own))
-        BucketedState.compact(spark, sigRoot, foldLabel, "s", sigBuckets,
-          exclude = Set(own))
+      def watermark(root: String,
+          fold: Seq[DataFrame] => DataFrame): Unit = {
+        val live = BucketedState.versions(spark, root)
+        if (live.size >= maxSlices && !live.contains(foldLabel) &&
+            live.exists(v => v != own))
+          BucketedState.compact(spark, root, foldLabel, "s", sigBuckets,
+            exclude = Set(own), fold = fold)
+      }
+      watermark(sigRoot, _.reduce(_ unionByName _))
+      watermark(freqRoot, Dedup.foldShingleFreqSlices)
     }
     val prevSlices = BucketedState.slices(spark, sigRoot)
     // The r15 layout migration guard: pre-bucketed deployments stored
@@ -470,9 +479,25 @@ object DocStreams {
         s"legacy row-versioned signature state found at '$sigTable' but no " +
           "bucketed slices: migrate it (BucketedState.write + " +
           "shingleSignatureCounts) before resuming the stream")
-    val hasFreqs = store.list(Some(freqTable)).exists(_.name == freqTable)
+    // Frequency state — the SECOND bucketed-state consumer: one
+    // bucketed-by-`s` slice per batch, read back through
+    // [[BucketedState.family]] (one partitioned-bucketed scan spanning
+    // every slice) so the accumulated-vocabulary aggregate is a single
+    // exchange-free HashAggregate whose output feeds the hot-set
+    // full-outer join with its `HashPartitioning(s)` intact — the old
+    // row-versioned table paid one vocab-wide Exchange every batch.
+    // Same legacy-layout guard as the signatures.
+    val hasFreqState = BucketedState.exists(spark, freqRoot)
+    if (!hasFreqState &&
+        store.list(Some(freqTable)).exists(_.name == freqTable))
+      throw new IllegalStateException(
+        s"legacy row-versioned shingle-frequency state found at '$freqTable' " +
+          "but no bucketed slices: migrate it (aggregate the versions, " +
+          "BucketedState.write one slice) before resuming the stream")
     val prevFreqs =
-      if (hasFreqs) store.get(freqTable).groupBy("s").agg(sum("df").as("df"))
+      if (hasFreqState)
+        BucketedState.family(spark, freqRoot)
+          .groupBy("s").agg(sum("df").as("df"))
       else Seq.empty[(String, Long)].toDF("s", "df")
     // Accumulate-read per-doc counts: each doc arrives in exactly one
     // batch, so the version union IS the counts table (no aggregation).
@@ -488,9 +513,10 @@ object DocStreams {
     // batch has no signatures and publishes no state version — an empty
     // bucketed table couldn't re-register after a restart (no parquet
     // footer to infer a schema from).
-    if (!sig.isEmpty)
+    if (!sig.isEmpty) {
       BucketedState.write(sig, sigRoot, s"b$batchId", "s", sigBuckets)
-    store.load(freqs, freqTable, externalKey = s"b$batchId")
+      BucketedState.write(freqs, freqRoot, s"b$batchId", "s", sigBuckets)
+    }
     store.load(Dedup.shingleSignatureCounts(sig), countsTable,
       externalKey = s"b$batchId")
     kept

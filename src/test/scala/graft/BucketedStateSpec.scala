@@ -245,6 +245,73 @@ class BucketedStateSpec extends SparkSpec {
     assert(viaDisk == single)
   }
 
+  test("freq slices: family aggregate + hot-set join run with ZERO state-side Exchange") {
+    import spark.implicits._
+    // Three overlapping per-batch frequency slices (same shingles across
+    // slices — the shape that FORCES a summing fold) stored bucketed.
+    val root = TempDirs.create("graft_bstate_fq_") + "/freqs"
+    val mk = (off: Int) => (0 until 400).map(i => (s"sh${(i + off) % 500}", 1L + i % 3))
+      .toDF("s", "df").groupBy("s").agg(sum("df").as("df"))
+    val parts = Seq(mk(0), mk(100), mk(250))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      BucketedState.write(p, root, s"b$i", "s", numBuckets = 4)
+    }
+    def stateAgg() = BucketedState.family(spark, root)
+      .groupBy("s").agg(sum("df").as("df"))
+    // Correctness: the family aggregate == union + groupBy sum, and the
+    // compaction fold states the same frame.
+    val expect = parts.reduce(_ unionByName _).groupBy("s")
+      .agg(sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stateAgg().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+    assert(Dedup.foldShingleFreqSlices(BucketedState.slices(spark, root))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // The vocabulary aggregate alone: ONE bucketed scan spanning all
+      // three slice partitions, aggregated IN PLACE — the only Exchange
+      // in the plan is the final count's single-partition agg.
+      val foldPlan = {
+        val f = stateAgg().groupBy().count()
+        f.count()
+        f.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      }
+      // (That the scan spans all three slices is pinned by the
+      // correctness assert above — 500 distinct shingles only exist
+      // across the partitions; the plan shows one CatalogFileIndex.)
+      assert(foldPlan.contains("Bucketed: true"),
+        s"family read must scan bucketed:\n$foldPlan")
+      assert(foldPlan.split("\n").count(_.contains("Exchange")) == 1,
+        s"state aggregate must add no Exchange:\n$foldPlan")
+      // The ingest's hot-set leg: state aggregate FULL OUTER batch
+      // freqs. Exactly one more Exchange — the batch side; the
+      // vocabulary state stays in place end to end.
+      val batchFreqs = (0 until 50).map(i => (s"sh${i * 7 % 500}", 2L))
+        .toDF("s", "df").groupBy("s").agg(sum("df").as("df"))
+      val hot = Dedup.hotShingles(stateAgg(), batchFreqs,
+        maxShingleDocFreq = 3L)
+      val hotCount = hot.groupBy().count()
+      hotCount.count()
+      val hotPlan = hotCount.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val hotExchanges = hotPlan.split("\n").count(_.contains("Exchange"))
+      assert(hotExchanges == 2,
+        s"hot set must shuffle ONLY the batch side (+count agg), got " +
+          s"$hotExchanges:\n$hotPlan")
+      // And the hot SET is the prev∪batch sum over the cap.
+      val hotSet = hot.collect().map(_.getString(0)).toSet
+      val batchMap = batchFreqs.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expectHot = (expect.keySet ++ batchMap.keySet).filter(s =>
+        expect.getOrElse(s, 0L) + batchMap.getOrElse(s, 0L) > 3L)
+      assert(hotSet == expectHot)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("prevSigCounts path == derived counts, hot-cap adjustment exact") {
     import spark.implicits._
     // The OpsSpec corpus-wide-cap fixture: the "spam" trigram crosses

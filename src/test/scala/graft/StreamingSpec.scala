@@ -673,14 +673,24 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(card == direct)
 
-    // One version per non-empty micro-batch on every state surface:
-    // bucketed signature slices + row-versioned freq table.
+    // One version per non-empty micro-batch on BOTH bucketed state
+    // surfaces: signature slices and frequency slices.
     val sigRoot = store.statePath("streaming/corpus-sigs")
     assert(graft.store.BucketedState.versions(spark, sigRoot).toSet ==
       Set("b0", "b1"))
-    val freqInfo = store.list(Some("streaming/corpus-freqs"))
-      .find(_.name == "streaming/corpus-freqs").get
-    assert(freqInfo.versions.toSet == Set("b0", "b1"), freqInfo.versions)
+    val freqRoot = store.statePath("streaming/corpus-freqs")
+    assert(graft.store.BucketedState.versions(spark, freqRoot).toSet ==
+      Set("b0", "b1"))
+    // The folded frequency state equals the per-batch aggregates summed
+    // (the zipper fold's correctness on real overlapping slices).
+    val folded = Dedup.foldShingleFreqSlices(
+        graft.store.BucketedState.slices(spark, freqRoot))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectFreqs = Dedup.shingleDocFreqs(
+        Dedup.shingleSignatures(
+          d.where(TextOps.qualityRules(col("text")).keep), "doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded == expectFreqs)
   }
 
   test("streaming bitext mining == replayed per-batch margin mining; pinned target") {
