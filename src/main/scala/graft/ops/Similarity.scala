@@ -528,7 +528,8 @@ object Similarity {
       vecCol: String,
       k: Int,
       oversample: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      pruneRerank: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(oversample >= 1, "oversample must be >= 1")
     val c = packed.select(col("vec_id"), col("words").as("__cw"))
@@ -545,7 +546,8 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("c"))
       .select(col("query_id"), col("c.vec_id").as("vec_id"),
         (-col("c.sim")).cast("long").as("hamming"))
-    rerankCandidates(cand, corpus, queries, idCol, vecCol, k, "hamming")
+    rerankCandidates(cand, corpus, queries, idCol, vecCol, k, "hamming",
+      pruneRerank)
   }
 
   /** Shared exact-rerank tail of the quantized ANN tiers
@@ -557,15 +559,36 @@ object Similarity {
     * the output for observability. One definition so the rerank
     * contract (rounding, tie-breaks, join shape) cannot drift between
     * tiers.
+    *
+    * `pruneRerank`: the join is candidate-sized in ROWS either way, but
+    * the default plan still SCANS the full float corpus to feed it —
+    * irrelevant when the floats are cached/in-memory, but on a
+    * storage-bound deployment it forfeits the quantized tier's whole
+    * byte advantage (the candidate scan reads the 16×-smaller artifact
+    * and then the rerank re-reads 100 TB of floats). With it on, the
+    * candidates are materialized (queries·k·oversample rows —
+    * metadata-scale), their ids collected into a PLAN-time IN filter
+    * (the [[graft.ops.VectorIndex.searchIvf]] probed-cells discipline),
+    * and parquet row-group stats + any id-keyed partition layout prune
+    * the float fetch to candidate-touched bytes. Result-identical
+    * (spec-pinned); plan-only.
     */
   private def rerankCandidates(
-      cand: DataFrame,
-      corpus: DataFrame,
+      cand0: DataFrame,
+      corpus0: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      carryCol: String): DataFrame = {
+      carryCol: String,
+      pruneRerank: Boolean = false): DataFrame = {
+    val (cand, corpus) =
+      if (!pruneRerank) (cand0, corpus0)
+      else {
+        val m = graft.ops.Dedup.materialize(cand0)
+        val ids = m.select("vec_id").distinct().collect().map(_.get(0))
+        (m, corpus0.where(col(idCol).isin(ids.toSeq: _*)))
+      }
     val cv = corpus.select(col(idCol).as("vec_id"),
       normalize(asDouble(col(vecCol))).as("__nv"))
     val qv = queries.select(col(idCol).as("query_id"),
@@ -647,7 +670,8 @@ object Similarity {
       vecCol: String,
       k: Int,
       oversample: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      pruneRerank: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(oversample >= 1, "oversample must be >= 1")
     import graft.functions.VectorExpressions.int8Dot
@@ -667,7 +691,8 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("c"))
       .select(col("query_id"), col("c.vec_id").as("vec_id"),
         col("c.sim").as("qdot"))
-    rerankCandidates(cand, corpus, queries, idCol, vecCol, k, "qdot")
+    rerankCandidates(cand, corpus, queries, idCol, vecCol, k, "qdot",
+      pruneRerank)
   }
 
   /** Quantization-fidelity audit: per-group reconstruction cosine of the

@@ -390,12 +390,13 @@ object VectorIndex {
       oversample: Int = 4,
       excludeSelf: Boolean = true,
       externalKey: Option[String] = None,
-      useLast: Boolean = true): DataFrame = {
+      useLast: Boolean = true,
+      pruneRerank: Boolean = false): DataFrame = {
     val sq = liveRows(store, name,
       store.get(s"$name/sq8", externalKey, useLast))
       .select(col("vec_id"), col("scale"), col("codes"))
     Similarity.int8TopKFrom(sq, corpus, queries, idCol, vecCol,
-      k, oversample, excludeSelf)
+      k, oversample, excludeSelf, pruneRerank)
   }
 
   /** Binary-quantized top-k from a PERSISTED signature artifact (no
@@ -416,11 +417,12 @@ object VectorIndex {
       oversample: Int = 4,
       excludeSelf: Boolean = true,
       externalKey: Option[String] = None,
-      useLast: Boolean = true): DataFrame = {
+      useLast: Boolean = true,
+      pruneRerank: Boolean = false): DataFrame = {
     val sigs = liveRows(store, name,
       store.get(s"$name/signatures", externalKey, useLast))
       .select(col("vec_id"), col("words"))
     Similarity.hammingTopKFrom(sigs, corpus, queries, idCol, vecCol,
-      k, oversample, excludeSelf)
+      k, oversample, excludeSelf, pruneRerank)
   }
 }

@@ -215,6 +215,7 @@ object ScaleBench {
       }
 
       val ops = scala.collection.mutable.LinkedHashMap[String, (Double, Long, Double)]()
+      val opBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
       // Optional op subset (regex over op names) for targeted audits of
       // newly added operators without re-paying the full suite:
       //   SPARK_GRAFT_SCALE_OPS='qn8[23]' sbt 'runMain graft.tools.ScaleBench ...'
@@ -477,6 +478,70 @@ object ScaleBench {
             emb.where(col("vec_id") < 64), "vec_id", "embedding",
             k = 10, oversample = 4).count())
       }
+      // Storage-bound claim behind qn120/qn123 (r15 verdict item #4):
+      // on a page-cached corpus the quantized artifacts TIE the re-pack
+      // path, so the N×-fewer-candidate-scan-bytes deployment claim was
+      // unmeasured. This block defeats the cache (sync + drop_caches
+      // before every op — root-only; loud note and uncooled reps
+      // otherwise), reads the float corpus and both stored artifacts
+      // from PARQUET, prunes the rerank float fetch to candidate ids
+      // (pruneRerank — without it the rerank re-scans every float byte
+      // and the artifact's whole byte advantage vanishes by
+      // construction), and records per-op task input bytes next to the
+      // walls. Opt-in ONLY (opFilter.exists — it drops the host's page
+      // cache): SPARK_GRAFT_SCALE_OPS=storage_bound.
+      if (opFilter.exists(_.findFirstIn("storage_bound").isDefined)) {
+        val bytesRead = new java.util.concurrent.atomic.AtomicLong
+        val bl = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+        }
+        spark.sparkContext.addSparkListener(bl)
+        val dir = graft.TempDirs.create("graft_sb_storage_")
+        val floatPath = s"$dir/floats"
+        emb.write.mode("overwrite").parquet(floatPath)
+        def floats = spark.read.parquet(floatPath)
+        val st = new graft.store.Store(spark, s"$dir/store")
+        graft.ops.VectorIndex.buildHamming(st, floats, "vec_id",
+          "embedding", "ann/bq", externalKey = "v1")
+        graft.ops.VectorIndex.buildInt8(st, floats, "vec_id",
+          "embedding", "ann/sq", externalKey = "v1")
+        // Queries as a LOCAL relation so every timed byte is corpus-side.
+        val q0 = floats.where(col("vec_id") < 64)
+        val queries = spark.createDataFrame(
+          java.util.Arrays.asList(q0.collect(): _*), q0.schema)
+        def dropCaches(): Unit = {
+          Runtime.getRuntime.exec(Array("sync")).waitFor()
+          try java.nio.file.Files.write(
+            java.nio.file.Paths.get("/proc/sys/vm/drop_caches"),
+            "3".getBytes)
+          catch { case e: Exception =>
+            System.err.println(s"[storage_bound] drop_caches failed " +
+              s"(reps NOT cold): $e")
+          }
+        }
+        def cold(name: String)(f: => Long): Unit = {
+          dropCaches()
+          val b0 = bytesRead.get()
+          addOp(name)(f)
+          Thread.sleep(1000) // listener bus drain
+          opBytes(name) = bytesRead.get() - b0
+        }
+        cold("qn118_storage_bound_brute")(
+          Similarity.topKPerQuery(floats, queries, "vec_id", "embedding",
+            k = 10).count())
+        cold("qn120_storage_bound_hamming")(
+          graft.ops.VectorIndex.searchHamming(st, "ann/bq", floats,
+            queries, "vec_id", "embedding", k = 10, oversample = 4,
+            pruneRerank = true).count())
+        cold("qn123_storage_bound_sq8")(
+          graft.ops.VectorIndex.searchInt8(st, "ann/sq", floats,
+            queries, "vec_id", "embedding", k = 10, oversample = 4,
+            pruneRerank = true).count())
+        spark.sparkContext.removeSparkListener(bl)
+      }
       addOp("qn51_dedup_spans")(
         // The stride-1 window stream is the heaviest text-op shape
         // (one skinny (id, start, hash) row per token position); the
@@ -637,10 +702,14 @@ object ScaleBench {
         s""""fixedref_n":$fixedRefN,"fixedref_capped_pairs":$c,""" +
           s""""fixedref_raw_pairs":$r,"fixedref_hot_dropped":$h,"""
       }.getOrElse("")
+      val bytesJson =
+        if (opBytes.isEmpty) ""
+        else opBytes.map { case (k, v) => s""""$k":$v""" }
+          .mkString(""","bytes_read":{""", ",", "}")
       println(s"""{"n_docs":$n,"n_vecs":$nVecs,"warmup":$isWarm,""" +
         s""""calibration_sec":${f"$calib%.3f"},""" +
         s""""mem_bw_gbps":{"t1":${f"$bw1%.2f"},"t32":${f"$bwN%.2f"}}$watchJson$taskJson,""" +
-        s"""$crossJson"capped_fanout":$cappedFanout,"raw_fanout":$rawFanout""" +
+        s"""$crossJson"capped_fanout":$cappedFanout,"raw_fanout":$rawFanout$bytesJson""" +
         (if (ops.isEmpty) "}" else s",$opsJson}"))
       docs.unpersist(); emb.unpersist()
       if (freqs != null) freqs.unpersist()

@@ -833,6 +833,42 @@ class OpsSpec extends SparkSpec {
     assert(gotQ == wantQ, s"sq8 churn diverged from brute-over-live")
   }
 
+  test("pruneRerank: result-identical, float fetch pruned to candidate ids") {
+    import graft.ops.VectorIndex
+    // The storage-bound serving path: floats from PARQUET (the 100 TB
+    // side), candidates collected into a plan-time IN filter so the
+    // rerank reads candidate-touched bytes instead of re-scanning every
+    // float byte the quantized artifact just saved.
+    val dir = TempDirs.create("graft_prr_")
+    spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .write.parquet(s"$dir/floats")
+    def floats = spark.read.parquet(s"$dir/floats")
+    val store = new graft.store.Store(spark, s"$dir/store")
+    VectorIndex.buildHamming(store, floats, "vec_id", "embedding", "bq", "v1")
+    val queries = floats.where(col("vec_id") < 8)
+    def run(prune: Boolean) =
+      VectorIndex.searchHamming(store, "bq", floats, queries,
+        "vec_id", "embedding", k = 5, oversample = 4, pruneRerank = prune)
+    val want = run(false).orderBy("query_id", "rank")
+      .collect().map(_.toString).toSeq
+    val pruned = run(true)
+    assert(pruned.orderBy("query_id", "rank")
+      .collect().map(_.toString).toSeq == want)
+    val plan = pruned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("PushedFilters: [In(vec_id"),
+      s"float fetch must push the candidate-id IN filter:\n$plan")
+    // Same contract on the SQ8 tier.
+    VectorIndex.buildInt8(store, floats, "vec_id", "embedding", "sq", "v1")
+    def runQ(prune: Boolean) =
+      VectorIndex.searchInt8(store, "sq", floats, queries,
+        "vec_id", "embedding", k = 5, oversample = 4, pruneRerank = prune)
+    assert(runQ(true).orderBy("query_id", "rank")
+      .collect().map(_.toString).toSeq ==
+      runQ(false).orderBy("query_id", "rank")
+        .collect().map(_.toString).toSeq)
+  }
+
   test("aHash64: container-invariant, content-sensitive, near-dup tolerant") {
     import graft.ops.Multimodal
     // Lossless re-encode (PNG vs BMP of the same raster) must hash equal.
