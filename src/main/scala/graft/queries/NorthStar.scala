@@ -850,6 +850,61 @@ object NorthStar {
       .orderBy("query_id", "rank")
   }
 
+  /** Flat-index CHURN graded end-to-end (the qn102 pattern applied to
+    * the binary-signature tier): build the packed artifact on the full
+    * corpus, tombstone the `%10` ids (gen 1), re-embed the `%7` ids
+    * with REVERSED vectors (gen 2 — an id in both sets comes back live
+    * in its new form; the tombstone spares rows at its own
+    * generation), and serve qn118's search from the artifact plus the
+    * deletes sidecar. The oracle restates qn118's hamming pipeline
+    * over the LIVE corpus (exclusions + reversals in SQL), so
+    * oracle-green pins the whole liveness join: stale rows dead
+    * everywhere, re-embedded rows served in their new form, candidate
+    * cut and ranks exact.
+    */
+  private def qIndexChurnFlat(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_bqchurn_"))
+    VectorIndex.buildHamming(store, e, "vec_id", "embedding", "ann/bqc",
+      externalKey = "v1")
+    VectorIndex.deleteHamming(store,
+      e.where(pmod(col("vec_id"), lit(10)) === 0).select("vec_id"),
+      "vec_id", "ann/bqc", gen = 1L, externalKey = "d1")
+    val reembedded = e.where(pmod(col("vec_id"), lit(7)) === 0)
+      .withColumn("embedding", reverse(col("embedding")))
+    VectorIndex.reembedHamming(store, reembedded, "vec_id", "embedding",
+      "ann/bqc", gen = 2L, externalKey = "v2")
+    val live = e.where(pmod(col("vec_id"), lit(10)) =!= 0 &&
+        pmod(col("vec_id"), lit(7)) =!= 0)
+      .unionByName(reembedded)
+    VectorIndex.searchHamming(store, "ann/bqc", live,
+        live.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, oversample = 4, useLast = false)
+      .orderBy("query_id", "rank")
+  }
+
+  /** qn120's lifecycle served through the candidate-id-PRUNED rerank —
+    * the storage-bound deployment plan (the rerank's float fetch
+    * carries a plan-time IN filter instead of re-scanning every float
+    * byte; SCALEBENCH_r16_storage.log measures why). Result-identical
+    * to the default plan by contract, so the graded claim is the
+    * shared qn120 oracle verbatim: pruning changed the PLAN only.
+    */
+  private def qHammingIndexPruned(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_bqp_"))
+    VectorIndex.buildHamming(store,
+      e.where(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id", "embedding",
+      "ann/bq", externalKey = "v1")
+    VectorIndex.appendHamming(store,
+      e.where(pmod(col("vec_id"), lit(10)) === 0), "vec_id", "embedding",
+      "ann/bq", externalKey = "v2")
+    VectorIndex.searchHamming(store, "ann/bq", e,
+        e.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, oversample = 4, useLast = false, pruneRerank = true)
+      .orderBy("query_id", "rank")
+  }
+
   /** Scalar-quantized (SQ8) ANN graded end-to-end as an exact contract
     * (the qn118 stance): every step — L2 normalize, per-vector
     * max-abs/127 scale, round-half-away int8 codes, integer dot,
@@ -2967,6 +3022,33 @@ object NorthStar {
     * same pipeline with every stage boundary store-materialized): both
     * must produce the identical manifest + conserved stage counts.
     */
+  /** qn118's hamming pipeline over the full corpus — shared verbatim by
+    * qn120 (stored+append ≡ fresh) and qn128 (the candidate-id-pruned
+    * rerank: pruning is plan-only by contract, so the SAME oracle is
+    * the graded claim).
+    */
+  private val hammingIndexOracle: String = """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      p AS (SELECT q.query_id, e.vec_id, qv, e.embedding::DOUBLE[] AS ev
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      h AS (SELECT query_id, vec_id, qv, ev,
+                   CAST(len(list_filter(range(1, len(qv) + 1),
+                          i -> (qv[i] > 0) <> (ev[i] > 0))) AS BIGINT)
+                     AS hamming
+            FROM p),
+      cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY hamming, vec_id) AS hr FROM h),
+      r AS (SELECT query_id, vec_id, hamming,
+                   round(list_cosine_similarity(qv, ev), 6) AS sim
+            FROM cand WHERE hr <= 20),
+      ranked AS (SELECT query_id, vec_id, hamming, sim,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+                 FROM r)
+      SELECT query_id, vec_id, hamming, sim, rank FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
   private val corpusBuildOracle: String = """
       WITH RECURSIVE corpus AS MATERIALIZED (
         SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 3),
@@ -5157,11 +5239,18 @@ object NorthStar {
                  FROM r)
       SELECT query_id, vec_id, hamming, sim, rank FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""")),
-    QueryDef("qn120_hamming_index", qHammingIndex _, Some("""
-      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                 FROM embeddings WHERE vec_id < 8),
-      p AS (SELECT q.query_id, e.vec_id, qv, e.embedding::DOUBLE[] AS ev
-            FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+    QueryDef("qn120_hamming_index", qHammingIndex _, Some(hammingIndexOracle)),
+    QueryDef("qn128_hamming_index_pruned", qHammingIndexPruned _,
+      Some(hammingIndexOracle)),
+    QueryDef("qn127_index_churn_flat", qIndexChurnFlat _, Some("""
+      WITH live AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0 THEN list_reverse(embedding::DOUBLE[])
+                    ELSE embedding::DOUBLE[] END AS v
+        FROM embeddings WHERE vec_id % 10 <> 0 OR vec_id % 7 = 0),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM live WHERE vec_id < 8),
+      p AS (SELECT q.query_id, l.vec_id, qv, l.v AS ev
+            FROM live l, q WHERE l.vec_id <> q.query_id),
       h AS (SELECT query_id, vec_id, qv, ev,
                    CAST(len(list_filter(range(1, len(qv) + 1),
                           i -> (qv[i] > 0) <> (ev[i] > 0))) AS BIGINT)
