@@ -275,8 +275,13 @@ object Dedup {
       n: Int = 3,
       externalKey: String = "NOW"): Map[String, String] = {
     val sig = materialize(shingleSignatures(reference, idCol, textCol, n))
+    // One resolved label stamps BOTH tables (the saveLanguageModel
+    // discipline): a crash between the two loads must read as a torn —
+    // loudly rejected — artifact, never as new signatures silently
+    // paired with old frequencies (a wrong hot set, no symptom).
     val r = store.load(sig, s"$name/signatures", externalKey = externalKey)
-    store.load(shingleDocFreqs(sig), s"$name/freqs", externalKey = externalKey)
+    store.load(shingleDocFreqs(sig), s"$name/freqs",
+      externalKey = r("version"))
     r
   }
 
@@ -302,6 +307,14 @@ object Dedup {
       maxShingleDocFreq: Long = DefaultMaxShingleDocFreq,
       externalKey: Option[String] = None): DataFrame = {
     val useLast = externalKey.isEmpty
+    if (useLast) {
+      val s = store.lastVersion(s"$name/signatures")
+      val f = store.lastVersion(s"$name/freqs")
+      require(s == f,
+        s"reference artifact '$name' is torn: signatures _last=$s, freqs " +
+          s"_last=$f (a save crashed between the pair's tables); pass the " +
+          "externalKey of the last consistent save to read it")
+    }
     val rSh0 = store.get(s"$name/signatures", externalKey, useLast = useLast)
     val rFreqs = store.get(s"$name/freqs", externalKey, useLast = useLast)
     val tSh0 = shingleSignatures(target, idCol, textCol, n)

@@ -2396,6 +2396,28 @@ class OpsSpec extends SparkSpec {
     assert(u1.count() == 1L && b1.count() == 1L)
   }
 
+  test("reference-shingle artifact: a torn save fails loudly at read") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val store = new graft.store.Store(spark, TempDirs.create("graft_reftear_"))
+    val ref = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    Dedup.saveReferenceShingles(store, "bench/t", ref, "doc_id", "text",
+      externalKey = "v1")
+    // Crash window: a v2 save's signature half landed (advancing its
+    // _last), the freqs half never ran.
+    store.load(Seq((9L, "x y z")).toDF("id", "s"), "bench/t/signatures",
+      externalKey = "v2")
+    val target = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.crossCorpusNearDupPairsStored(target, store, "bench/t",
+        "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("torn"), ex.getMessage)
+    // The last consistent pair stays readable by its key.
+    assert(Dedup.crossCorpusNearDupPairsStored(target, store, "bench/t",
+      "doc_id", "text", externalKey = Some("v1")).count() >= 0L)
+  }
+
   test("quantized kernels reject mismatched dims instead of scoring a prefix") {
     import spark.implicits._
     import graft.functions.VectorExpressions.{int8Codes, int8Dot}
