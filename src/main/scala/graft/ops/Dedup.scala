@@ -307,14 +307,9 @@ object Dedup {
       maxShingleDocFreq: Long = DefaultMaxShingleDocFreq,
       externalKey: Option[String] = None): DataFrame = {
     val useLast = externalKey.isEmpty
-    if (useLast) {
-      val s = store.lastVersion(s"$name/signatures")
-      val f = store.lastVersion(s"$name/freqs")
-      require(s == f,
-        s"reference artifact '$name' is torn: signatures _last=$s, freqs " +
-          s"_last=$f (a save crashed between the pair's tables); pass the " +
-          "externalKey of the last consistent save to read it")
-    }
+    if (useLast)
+      store.requireConsistentPair(s"$name/signatures", s"$name/freqs",
+        s"reference artifact '$name'")
     val rSh0 = store.get(s"$name/signatures", externalKey, useLast = useLast)
     val rFreqs = store.get(s"$name/freqs", externalKey, useLast = useLast)
     val tSh0 = shingleSignatures(target, idCol, textCol, n)
@@ -986,7 +981,8 @@ object Dedup {
       maxShingleDocFreq: Long = DefaultMaxShingleDocFreq,
       prevShingleFreqs: Option[DataFrame] = None,
       batchShingleFreqs: Option[DataFrame] = None,
-      prevSigCounts: Option[DataFrame] = None): DataFrame = {
+      prevSigCounts: Option[DataFrame] = None,
+      prevFreqsPartitioned: Boolean = false): DataFrame = {
 
     val newSig0 = shingleSignatures(newDocs, idCol, textCol, n)
     // No prior state = one empty slice with the right schema (id typed
@@ -1007,7 +1003,22 @@ object Dedup {
         val newFreq = batchShingleFreqs
           .map(_.select(col("s"), col("df").cast("long").as("df")))
           .getOrElse(newSig0.groupBy("s").agg(count(lit(1)).as("df")))
-        Some(hotShingles(prevFreq, newFreq, maxShingleDocFreq))
+        // Two plans for the same set, chosen by what the caller's freq
+        // frame physically IS (both sides one-row-per-shingle):
+        //  - generic frames: union + hash-aggregate — sort-free; the
+        //    full-outer join here would SORT the whole vocabulary on
+        //    both sides (measured: the 4M fixed-delta ingest read 316 s
+        //    vs ~156 s when r16 briefly made the join unconditional —
+        //    SCALEBENCH_r16_delta.log);
+        //  - a partitioned state frame (the [[graft.store.BucketedState
+        //    .family]] aggregate): the [[hotShingles]] zipper join keeps
+        //    the vocabulary in place and shuffles only the batch side.
+        if (prevFreqsPartitioned)
+          Some(hotShingles(prevFreq, newFreq, maxShingleDocFreq))
+        else
+          Some(prevFreq.union(newFreq).groupBy("s")
+            .agg(sum("df").as("df"))
+            .where(col("df") > maxShingleDocFreq).select("s"))
       }
     // No broadcast() hint on the hot set: usually tiny, but on a Zipf
     // corpus it is the unbounded distribution head — AQE picks

@@ -762,14 +762,9 @@ object TextOps {
       name: String,
       externalKey: Option[String] = None): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val useLast = externalKey.isEmpty
-    if (useLast) {
-      val u = store.lastVersion(s"$name/unigrams")
-      val b = store.lastVersion(s"$name/bigrams")
-      require(u == b,
-        s"language model '$name' is torn: unigrams _last=$u, bigrams " +
-          s"_last=$b (a save crashed between the pair's tables); pass the " +
-          "externalKey of the last consistent save to read it")
-    }
+    if (useLast)
+      store.requireConsistentPair(s"$name/unigrams", s"$name/bigrams",
+        s"language model '$name'")
     (store.get(s"$name/unigrams", externalKey, useLast = useLast),
       store.get(s"$name/bigrams", externalKey, useLast = useLast))
   }

@@ -178,21 +178,12 @@ object VectorIndex {
         col("gen"))
     // Liveness: drop candidates superseded by a NEWER tombstone ((vec_id,
     // gen) with gen < the id's max delete gen — a re-embedded row written
-    // AT the tombstone's gen survives). The delete sidecar is churn-sized
-    // and broadcasts; deletes apply to every index version read (live-doc
-    // semantics: a pinned historical read still must not serve a vector
-    // its owner re-embedded or removed).
-    val dels =
-      try Some(store.get(s"$name/deletes", externalKey = None, useLast = false)
-        .groupBy("vec_id").agg(max("gen").as("__del_gen")))
-      catch { case _: Store.GetError => None }
-    val assigned = dels match {
-      case None => assigned0.drop("gen")
-      case Some(d) => assigned0
-        .join(broadcast(d), Seq("vec_id"), "left")
-        .where(col("__del_gen").isNull || col("gen") >= col("__del_gen"))
-        .drop("__del_gen", "gen")
-    }
+    // AT the tombstone's gen survives). ONE implementation ([[liveRows]])
+    // shared with the flat tiers so the liveness predicate cannot drift
+    // between index families; deletes apply to every index version read
+    // (live-doc semantics: a pinned historical read still must not serve
+    // a vector its owner re-embedded or removed).
+    val assigned = liveRows(store, name, assigned0)
     probes.join(assigned, "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -374,7 +365,11 @@ object VectorIndex {
       case None => withGen.drop("gen")
       case Some(d) => withGen
         .join(broadcast(d), Seq("vec_id"), "left")
-        .where(col("__del_gen").isNull || col("gen") >= col("__del_gen"))
+        // coalesce: a MIXED artifact (pre-gen version + gen'd appends)
+        // schema-merges to NULL gen for the old rows — they must read
+        // as the documented gen 0, not as always-dead.
+        .where(col("__del_gen").isNull ||
+          coalesce(col("gen"), lit(0L)) >= col("__del_gen"))
         .drop("__del_gen", "gen")
     }
   }

@@ -149,6 +149,12 @@ object BucketedState {
 
   /** Write `content` to `target` via a hidden temp file + rename — the
     * same single-publish-step discipline as [[Store]]'s `_last` pointer.
+    * On the local scheme the replace is a POSIX atomic move, so even a
+    * REPLAY-overwrite of an existing sidecar never passes through a
+    * sidecar-less instant (a crash there would make [[versions]] hide a
+    * committed slice and the next [[writeData]] replay wipe it as
+    * debris). Non-posix stores fall back to delete+rename — the same
+    * tiny window every rename-based commit has on an object store.
     */
   private def atomicWrite(
       spark: SparkSession, target: Path, content: String): Unit = {
@@ -157,9 +163,18 @@ object BucketedState {
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(target)) f.delete(target, false)
-    if (!f.rename(tmp, target))
-      throw new java.io.IOException(s"rename $tmp -> $target failed")
+    val uri = target.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(new Path(tmp.toUri.getPath).toString),
+        java.nio.file.Paths.get(new Path(uri.getPath).toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      if (f.exists(target)) f.delete(target, false)
+      if (!f.rename(tmp, target))
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
   }
 
   /** Versions present under `root`, sorted. A completed compaction's
@@ -273,6 +288,19 @@ object BucketedState {
     require(vs.nonEmpty, s"no versions under $root")
     val head = versionPath(root, vs.head)
     val (buckets, bucketCol) = readSpec(spark, head)
+    // Every live version MUST share the spec: declaring the head's
+    // bucketing over files hashed with a different modulus would make
+    // Spark trust a partitioning the files don't satisfy — the
+    // "exchange-free" aggregate then emits duplicate keys SILENTLY
+    // (per-slice reads via [[slice]] are immune: each registers its own
+    // spec). A deployment that changes numBuckets must compact first.
+    vs.tail.foreach { v =>
+      val spec = readSpec(spark, versionPath(root, v))
+      require(spec == ((buckets, bucketCol)),
+        s"version '$v' under $root has bucket spec $spec but '${vs.head}' " +
+          s"has ${(buckets, bucketCol)}: compact to one spec before a " +
+          "family read")
+    }
     val schema = spark.read.parquet(head.toString).schema
     val name = tableName(root + "#family")
     spark.sql(s"DROP TABLE IF EXISTS $name")

@@ -1223,6 +1223,27 @@ final class Store(
   def hasVersions(name: String): Boolean =
     versionsOf(new Path(rootPath, validateName(name))).nonEmpty
 
+  /** Guard for TWO-table artifacts read through their `_last` pointers
+    * (language models, reference shingles — any "pair saved as one
+    * logical object"): consistent only when both pointers name the SAME
+    * label, which saves guarantee by resolving "NOW" once and stamping
+    * both tables. ONE implementation so the invariant and its diagnosis
+    * cannot drift across artifact families. A mismatch means either a
+    * save crashed between the pair's loads, or the artifact predates
+    * paired labels (each half carries its own per-call NOW timestamp) —
+    * indistinguishable from here, and both unsafe to serve silently.
+    */
+  def requireConsistentPair(nameA: String, nameB: String, what: String): Unit = {
+    val a = lastVersion(nameA)
+    val b = lastVersion(nameB)
+    require(a == b,
+      s"$what is torn: $nameA _last=$a, $nameB _last=$b — either a save " +
+        "crashed between the pair's tables, or this artifact predates " +
+        "paired labels (per-call NOW timestamps on each half). Re-save " +
+        "the artifact, or pass the externalKey of a known-consistent " +
+        "save to read it")
+  }
+
   /** Newest version label from the `_last` pointer file (README.md:217),
     * falling back to the most recently written version directory.
     */

@@ -465,6 +465,30 @@ object DocStreams {
       }
       watermark(sigRoot, _.reduce(_ unionByName _))
       watermark(freqRoot, Dedup.foldShingleFreqSlices)
+      // The per-doc counts companion is a row-versioned store table
+      // accumulating one version per batch — fold it at the same
+      // watermark (plain union: each doc's count lives in exactly one
+      // version) into ONE keepLast version so the accumulate read's
+      // version listing stays bounded too. Same replay discipline: the
+      // in-flight batch's own version is excluded (it is rewritten at
+      // batch end; its docs' pairs are duplicates of the batch
+      // self-join in the interim, which keep-min components ignore),
+      // and a live fold label skips.
+      locally {
+        val infoOpt = store.list(Some(countsTable))
+          .find(_.name == countsTable)
+        infoOpt.foreach { info =>
+          val others = info.versions.filterNot(_ == own)
+          if (info.versions.size >= maxSlices &&
+              !info.versions.contains(foldLabel) && others.nonEmpty) {
+            val folded = Dedup.materialize(others.map(v =>
+              store.get(countsTable, Some(v), useLast = false))
+              .reduce(_ unionByName _))
+            store.load(folded, countsTable, externalKey = foldLabel,
+              keepLast = true)
+          }
+        }
+      }
     }
     val prevSlices = BucketedState.slices(spark, sigRoot)
     // The r15 layout migration guard: pre-bucketed deployments stored
@@ -508,7 +532,11 @@ object DocStreams {
       "text", n, threshold,
       prevShingleFreqs = Some(prevFreqs),
       batchShingleFreqs = Some(freqs),
-      prevSigCounts = prevCounts)
+      prevSigCounts = prevCounts,
+      // The family aggregate carries HashPartitioning(s): take the
+      // zipper-join hot set (state stays in place). The empty-history
+      // literal takes the generic plan.
+      prevFreqsPartitioned = hasFreqState)
     // Mirror Store.load's 0-row guard: an all-filtered (or all-short)
     // batch has no signatures and publishes no state version — an empty
     // bucketed table couldn't re-register after a restart (no parquet

@@ -488,9 +488,12 @@ object ScaleBench {
       // (pruneRerank — without it the rerank re-scans every float byte
       // and the artifact's whole byte advantage vanishes by
       // construction), and records per-op task input bytes next to the
-      // walls. Opt-in ONLY (opFilter.exists — it drops the host's page
-      // cache): SPARK_GRAFT_SCALE_OPS=storage_bound.
-      if (opFilter.exists(_.findFirstIn("storage_bound").isDefined)) {
+      // walls. Opt-in ONLY: the filter PATTERN must literally name the
+      // block — a broad regex ('.*', 'qn1.*|s.*') that merely MATCHES
+      // the token must not trigger it, because it drops the host's
+      // whole page cache and pollutes every op measured after it.
+      // SPARK_GRAFT_SCALE_OPS=storage_bound.
+      if (opFilter.exists(_.regex.contains("storage_bound"))) {
         // Two instruments, both REAL quantities (the task-metrics
         // bytesRead listener was tried first and discarded: on the
         // local file scheme it reported ~100× under the file sizes and

@@ -312,6 +312,25 @@ class BucketedStateSpec extends SparkSpec {
     }
   }
 
+  test("family refuses mixed bucket specs (a wrong trusted partitioning is silent)") {
+    import spark.implicits._
+    val root = TempDirs.create("graft_bstate_mx_") + "/freqs"
+    BucketedState.write((1 to 50).map(i => (s"a$i", 1L)).toDF("s", "df"),
+      root, "b0", "s", numBuckets = 2)
+    BucketedState.write((1 to 50).map(i => (s"b$i", 1L)).toDF("s", "df"),
+      root, "b1", "s", numBuckets = 4)
+    val ex = intercept[IllegalArgumentException] {
+      BucketedState.family(spark, root)
+    }
+    assert(ex.getMessage.contains("bucket spec"), ex.getMessage)
+    // Per-slice reads are immune (each registers its own spec)…
+    assert(BucketedState.slices(spark, root).map(_.count()).sum == 100L)
+    // …and compacting to one spec unblocks the family read.
+    BucketedState.compact(spark, root, "c0", "s", numBuckets = 4,
+      fold = graft.ops.Dedup.foldShingleFreqSlices)
+    assert(BucketedState.family(spark, root).count() == 100L)
+  }
+
   test("prevSigCounts path == derived counts, hot-cap adjustment exact") {
     import spark.implicits._
     // The OpsSpec corpus-wide-cap fixture: the "spam" trigram crosses

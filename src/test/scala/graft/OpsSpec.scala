@@ -833,6 +833,40 @@ class OpsSpec extends SparkSpec {
     assert(gotQ == wantQ, s"sq8 churn diverged from brute-over-live")
   }
 
+  test("flat index mixed generations: a pre-gen version's NULL gen reads as gen 0") {
+    import spark.implicits._
+    import graft.ops.VectorIndex
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .where(col("vec_id") < 60)
+    val store = new graft.store.Store(spark, TempDirs.create("graft_mixedgen_"))
+    // Simulate a PRE-generation artifact version: (vec_id, words) only —
+    // the schema-merged accumulate read then yields NULL gen for these
+    // rows, which must behave as the documented gen 0 (alive until any
+    // tombstone), not as always-dead.
+    store.load(
+      emb.where(col("vec_id") < 40).select(col("vec_id"),
+        Similarity.packSignBits(col("embedding").cast("array<double>"))
+          .as("words")),
+      "bq/signatures", externalKey = "v1")
+    VectorIndex.appendHamming(store, emb.where(col("vec_id") >= 40),
+      "vec_id", "embedding", "bq", externalKey = "v2")
+    val queries = emb.where(col("vec_id") < 4)
+    def served(k: Int) = VectorIndex.searchHamming(store, "bq", emb,
+      queries, "vec_id", "embedding", k = k, oversample = 8,
+      useLast = false)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // No tombstones: legacy rows serve (NULL gen alive).
+    assert(served(50).exists(_ < 40), "legacy-version rows not served")
+    // Tombstone one legacy id: it dies; other legacy rows stay alive.
+    VectorIndex.deleteHamming(store,
+      Seq(Tuple1(10L)).toDF("vec_id"), "vec_id", "bq",
+      gen = 1L, externalKey = "d1")
+    val after = served(50)
+    assert(!after.contains(10L), "tombstoned legacy row still served")
+    assert(after.exists(id => id < 40 && id != 10L),
+      "untombstoned legacy rows must stay alive")
+  }
+
   test("pruneRerank: result-identical, float fetch pruned to candidate ids") {
     import graft.ops.VectorIndex
     // The storage-bound serving path: floats from PARQUET (the 100 TB

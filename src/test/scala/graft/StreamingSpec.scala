@@ -605,6 +605,20 @@ class StreamingSpec extends SparkSpec {
       store2.statePath("streaming/neardup-sigs")).size == 4)
     assert(streamed == expected,
       s"stream-only=${(streamed -- expected).size} batch-only=${(expected -- streamed).size}")
+    // Every state surface is bounded, including the row-versioned
+    // counts companion (folded into one keepLast version at the same
+    // watermark): versions = {latest fold} ∪ {latest batch}.
+    val cInfo = store.list(Some("streaming/neardup-sigs-counts"))
+      .find(_.name == "streaming/neardup-sigs-counts").get
+    assert(cInfo.versions.toSet == Set("c3", "b3"), cInfo.versions.toString)
+    // ...and the folded counts still cover every prior doc exactly once
+    // (the accumulate read over {fold, batch} == the never-compacted
+    // accumulate).
+    val cntA = store.get("streaming/neardup-sigs-counts")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cntB = store2.get("streaming/neardup-sigs-counts")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cntA == cntB, s"counts diverged: ${cntA.size} vs ${cntB.size}")
     // Replay idempotence at the fold boundary: re-running batch 3's
     // body (its slice live, its fold label live) must not throw, not
     // double state, and keep the survivor set for a FUTURE batch
