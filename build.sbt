@@ -64,6 +64,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // to a primitive-loop expression (NearestCellsExpr); the flag stays
   // as cheap insurance for genuinely huge generated methods.
   "-XX:-DontCompileHugeMethods",
+  // GCLocker starvation (JDK-8192647 family): the 8M-doc ScaleBench
+  // point at 48g died with "Retried waiting for GCLocker too often
+  // allocating 3 words" — a spurious OOM from allocation retries racing
+  // JNI critical sections (parquet/netty buffers), not real exhaustion;
+  // doubling the heap to 96g "fixed" it but measurably slowed the same
+  // op ~1.6× (GC geometry). More retries is the targeted fix (a
+  // diagnostic option — the unlock must precede it).
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 ) ++ (
   // Lift HotSpot's recompilation cutoffs (default 400/200) — after
   // that many deopts HotSpot BLACKLISTS the method to the interpreter
