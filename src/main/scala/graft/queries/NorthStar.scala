@@ -471,6 +471,60 @@ object NorthStar {
     keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
   }
 
+  /** qn24's day-0/day-1 replay with the state on the round-16 layout
+    * end to end — signatures as TWO bucketed slices, shingle
+    * frequencies as TWO bucketed slices read through [[graft.store
+    * .BucketedState.family]]'s exchange-free aggregate feeding the
+    * zipper hot set (`prevFreqsPartitioned`), per-doc raw counts as the
+    * persisted companion — i.e. exactly what
+    * [[graft.streaming.DocStreams.dedupBatchAgainstStore]] runs per
+    * micro-batch, graded in batch form. The oracle is qn24's one-shot
+    * recursive-CTE SQL verbatim: the layout and every state-side plan
+    * change, the survivor set must not (and the freq slices OVERLAP by
+    * construction, so the family aggregate's summing semantics are on
+    * the graded path, not just the suite).
+    */
+  private def qDedupIncrementalBucketed(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = Tables.parquetRowCount(s, s"$dir/documents.parquet") / 2
+    val half = cut / 2
+    val old = d.where(col("doc_id") < cut)
+    val fresh = d.where(col("doc_id") >= cut)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_dedupb_"))
+    val sig0 = Dedup.materialize(
+      Dedup.shingleSignatures(old, "doc_id", "text", n = 3))
+    val sigRoot = store.statePath("dedup/sigs")
+    val freqRoot = store.statePath("dedup/freqs")
+    graft.store.BucketedState.write(
+      sig0.where(col("id") < half), sigRoot, "b0", "s", numBuckets = 32)
+    graft.store.BucketedState.write(
+      sig0.where(col("id") >= half), sigRoot, "b1", "s", numBuckets = 32)
+    graft.store.BucketedState.write(
+      Dedup.shingleDocFreqs(sig0.where(col("id") < half)),
+      freqRoot, "b0", "s", numBuckets = 32)
+    graft.store.BucketedState.write(
+      Dedup.shingleDocFreqs(sig0.where(col("id") >= half)),
+      freqRoot, "b1", "s", numBuckets = 32)
+    store.load(Dedup.shingleSignatureCounts(sig0), "dedup/sigcounts",
+      externalKey = "b0")
+    val prevFreqs = graft.store.BucketedState.family(s, freqRoot)
+      .groupBy("s").agg(sum("df").as("df"))
+    val batchFreqs = Dedup.materialize(
+      Dedup.shingleDocFreqs(Dedup.shingleSignatures(fresh, "doc_id", "text", n = 3)))
+    val corpusFreqs = prevFreqs.unionByName(batchFreqs)
+      .groupBy("s").agg(sum("df").as("df"))
+    val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3,
+      threshold = 0.8, shingleFreqs = Some(corpusFreqs))
+    val keptNew = Dedup.dedupIncrementalSliced(fresh,
+      graft.store.BucketedState.slices(s, sigRoot), "doc_id", "text",
+      n = 3, threshold = 0.8,
+      prevShingleFreqs = Some(prevFreqs),
+      batchShingleFreqs = Some(batchFreqs),
+      prevSigCounts = Some(store.get("dedup/sigcounts", useLast = true)),
+      prevFreqsPartitioned = true)
+    keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
+  }
+
   /** Edit-distance + character-transform text functions. */
   private def qTextDistance(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -3022,6 +3076,38 @@ object NorthStar {
     * same pipeline with every stage boundary store-materialized): both
     * must produce the identical manifest + conserved stage counts.
     */
+  /** qn24's one-shot corpus dedup (recursive-CTE components over capped
+    * exact Jaccard) — shared verbatim by qn24 (row-versioned freq
+    * state) and qn129 (the r16 bucketed layout end to end): the layout
+    * and plan change, the survivor set must not.
+    */
+  private val incrementalDedupOracle: String = """
+      WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents WHERE trim(text) <> ''),
+      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
+      sh AS (SELECT * FROM sh0 WHERE s NOT IN
+             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      qpairs AS (SELECT doc_a, doc_b FROM prs
+                 JOIN counts na ON doc_a = na.doc_id
+                 JOIN counts nb ON doc_b = nb.doc_id
+                 WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM qpairs
+                UNION SELECT doc_b, doc_a FROM qpairs),
+      reach(u, v) AS (SELECT u, v FROM edges
+                      UNION
+                      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+      ORDER BY doc_id"""
+
   /** qn118's hamming pipeline over the full corpus — shared verbatim by
     * qn120 (stored+append ≡ fresh) and qn128 (the candidate-id-pruned
     * rerank: pruning is plan-only by contract, so the SAME oracle is
@@ -3570,32 +3656,10 @@ object NorthStar {
       FROM t GROUP BY tok
       ORDER BY doc_freq DESC, tok
       LIMIT 30""")),
-    QueryDef("qn24_dedup_incremental", qDedupIncremental _, Some("""
-      WITH RECURSIVE
-      toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-               FROM documents WHERE trim(text) <> ''),
-      sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
-              FROM toks, unnest(range(1, len(w) - 1)) r(i)),
-      sh AS (SELECT * FROM sh0 WHERE s NOT IN
-             (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000)),
-      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-      qpairs AS (SELECT doc_a, doc_b FROM prs
-                 JOIN counts na ON doc_a = na.doc_id
-                 JOIN counts nb ON doc_b = nb.doc_id
-                 WHERE common / (na.n_sh + nb.n_sh - common) >= 0.8),
-      edges AS (SELECT doc_a AS u, doc_b AS v FROM qpairs
-                UNION SELECT doc_b, doc_a FROM qpairs),
-      reach(u, v) AS (SELECT u, v FROM edges
-                      UNION
-                      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-      comp AS (SELECT u AS node, least(u, min(v)) AS component
-               FROM reach GROUP BY u)
-      SELECT doc_id FROM documents
-      WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
-      ORDER BY doc_id""")),
+    QueryDef("qn24_dedup_incremental", qDedupIncremental _,
+      Some(incrementalDedupOracle)),
+    QueryDef("qn129_dedup_incremental_bucketed", qDedupIncrementalBucketed _,
+      Some(incrementalDedupOracle)),
     QueryDef("qn25_video_frames", qVideoFrames _, Some("""
       WITH d AS (SELECT doc_id,
                         CAST(6 + doc_id % 10 AS INTEGER) AS w,
