@@ -475,8 +475,9 @@ object NorthStar {
     * end to end — signatures as TWO bucketed slices, shingle
     * frequencies as TWO bucketed slices read through [[graft.store
     * .BucketedState.family]]'s exchange-free aggregate feeding the
-    * zipper hot set (`prevFreqsPartitioned`), per-doc raw counts as the
-    * persisted companion — i.e. exactly what
+    * zipper hot set (`prevFreqsPartitioned`), per-doc raw counts as TWO
+    * bucketed-by-id slices read through the same family scan (the r17
+    * third surface) — i.e. exactly what
     * [[graft.streaming.DocStreams.dedupBatchAgainstStore]] runs per
     * micro-batch, graded in batch form. The oracle is qn24's one-shot
     * recursive-CTE SQL verbatim: the layout and every state-side plan
@@ -505,8 +506,18 @@ object NorthStar {
     graft.store.BucketedState.write(
       Dedup.shingleDocFreqs(sig0.where(col("id") >= half)),
       freqRoot, "b1", "s", numBuckets = 32)
-    store.load(Dedup.shingleSignatureCounts(sig0), "dedup/sigcounts",
-      externalKey = "b0")
+    // Counts as the THIRD bucketed surface (r17): one bucketed-by-id
+    // slice per ingest, read back through the same family scan — the
+    // layout [[graft.streaming.DocStreams.dedupBatchAgainstStore]]
+    // persists per micro-batch (docs partition across slices, so the
+    // family read IS the union, no fold needed).
+    val countsRoot = store.statePath("dedup/sigcounts")
+    graft.store.BucketedState.write(
+      Dedup.shingleSignatureCounts(sig0.where(col("id") < half)),
+      countsRoot, "b0", "id", numBuckets = 32)
+    graft.store.BucketedState.write(
+      Dedup.shingleSignatureCounts(sig0.where(col("id") >= half)),
+      countsRoot, "b1", "id", numBuckets = 32)
     val prevFreqs = graft.store.BucketedState.family(s, freqRoot)
       .groupBy("s").agg(sum("df").as("df"))
     val batchFreqs = Dedup.materialize(
@@ -520,7 +531,7 @@ object NorthStar {
       n = 3, threshold = 0.8,
       prevShingleFreqs = Some(prevFreqs),
       batchShingleFreqs = Some(batchFreqs),
-      prevSigCounts = Some(store.get("dedup/sigcounts", useLast = true)),
+      prevSigCounts = Some(graft.store.BucketedState.family(s, countsRoot)),
       prevFreqsPartitioned = true)
     keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
   }

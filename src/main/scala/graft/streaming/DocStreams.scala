@@ -416,11 +416,20 @@ object DocStreams {
     * restarted stream resumes against exactly the state its last
     * committed batch left; [[graft.store.BucketedState.compact]] bounds
     * slice count between ingests (the nightly compaction). The shingle
-    * FREQUENCY and per-doc COUNT tables stay row-versioned store tables:
-    * vocab-/docs-sized, read back whole, never joined at corpus scale —
-    * the counts table (r15) feeds the Jaccard denominators so the ingest
-    * never re-aggregates the state's signature rows per doc (the last
-    * state-sized shuffle, gone).
+    * FREQUENCY state is the second bucketed surface (r16), and the
+    * per-doc COUNT companion the third (r17): counts feed the Jaccard
+    * denominators so the ingest never re-aggregates the state's
+    * signature rows per doc (the last state-sized shuffle, gone — r15),
+    * and living as bucketed-by-`id` slices they inherit the SAME
+    * crash-atomic watermark fold as the other two surfaces. The r16
+    * layout folded counts through `Store.load(keepLast = true)`, which
+    * deletes every prior version BEFORE publishing the fold — a crash
+    * in that window silently lost counts while the signature slices
+    * survived, and later batches' Jaccard joins dropped pairs for the
+    * gapped docs with no symptom. [[graft.store.BucketedState.compact]]
+    * publishes-then-retires (staged data → retirement manifest → ONE
+    * sidecar commit → janitorial delete), so the counts fold now
+    * converges from any crash point exactly like the signatures.
     */
   def dedupBatchAgainstStore(
       batch: DataFrame,
@@ -440,6 +449,7 @@ object DocStreams {
     val countsTable = sigTable + "-counts"
     val sigRoot = store.statePath(sigTable)
     val freqRoot = store.statePath(freqTable)
+    val countsRoot = store.statePath(countsTable)
     // Slice-count watermark: a long-running stream accumulates one
     // bucketed slice per batch on BOTH state surfaces; once `maxSlices`
     // are live, fold history into one slice HERE — before any state
@@ -455,40 +465,19 @@ object DocStreams {
     if (maxSlices > 0) {
       val own = s"b$batchId"
       val foldLabel = s"c$batchId"
-      def watermark(root: String,
+      def watermark(root: String, bucketCol: String,
           fold: Seq[DataFrame] => DataFrame): Unit = {
         val live = BucketedState.versions(spark, root)
         if (live.size >= maxSlices && !live.contains(foldLabel) &&
             live.exists(v => v != own))
-          BucketedState.compact(spark, root, foldLabel, "s", sigBuckets,
-            exclude = Set(own), fold = fold)
+          BucketedState.compact(spark, root, foldLabel, bucketCol,
+            sigBuckets, exclude = Set(own), fold = fold)
       }
-      watermark(sigRoot, _.reduce(_ unionByName _))
-      watermark(freqRoot, Dedup.foldShingleFreqSlices)
-      // The per-doc counts companion is a row-versioned store table
-      // accumulating one version per batch — fold it at the same
-      // watermark (plain union: each doc's count lives in exactly one
-      // version) into ONE keepLast version so the accumulate read's
-      // version listing stays bounded too. Same replay discipline: the
-      // in-flight batch's own version is excluded (it is rewritten at
-      // batch end; its docs' pairs are duplicates of the batch
-      // self-join in the interim, which keep-min components ignore),
-      // and a live fold label skips.
-      locally {
-        val infoOpt = store.list(Some(countsTable))
-          .find(_.name == countsTable)
-        infoOpt.foreach { info =>
-          val others = info.versions.filterNot(_ == own)
-          if (info.versions.size >= maxSlices &&
-              !info.versions.contains(foldLabel) && others.nonEmpty) {
-            val folded = Dedup.materialize(others.map(v =>
-              store.get(countsTable, Some(v), useLast = false))
-              .reduce(_ unionByName _))
-            store.load(folded, countsTable, externalKey = foldLabel,
-              keepLast = true)
-          }
-        }
-      }
+      watermark(sigRoot, "s", _.reduce(_ unionByName _))
+      watermark(freqRoot, "s", Dedup.foldShingleFreqSlices)
+      // The counts fold is plain union: each doc arrives in exactly one
+      // batch, so its count lives in exactly one slice.
+      watermark(countsRoot, "id", _.reduce(_ unionByName _))
     }
     val prevSlices = BucketedState.slices(spark, sigRoot)
     // The r15 layout migration guard: pre-bucketed deployments stored
@@ -523,11 +512,25 @@ object DocStreams {
         BucketedState.family(spark, freqRoot)
           .groupBy("s").agg(sum("df").as("df"))
       else Seq.empty[(String, Long)].toDF("s", "df")
-    // Accumulate-read per-doc counts: each doc arrives in exactly one
-    // batch, so the version union IS the counts table (no aggregation).
-    val hasCounts = store.list(Some(countsTable)).exists(_.name == countsTable)
+    // Per-doc counts — the THIRD bucketed surface: each doc arrives in
+    // exactly one batch, so the slice union IS the counts table (no
+    // aggregation), and [[BucketedState.family]] reads every live slice
+    // as ONE bucketed-by-`id` scan. Same legacy-layout guard as the
+    // other two (the r16 layout stored counts as a row-versioned store
+    // table; resuming against it silently — by ignoring it — would
+    // re-derive denominators from a state aggregate the layout exists
+    // to avoid, and folding it stays exposed to the keepLast crash
+    // window the bucketed fold closes).
+    val hasCounts = BucketedState.exists(spark, countsRoot)
+    if (!hasCounts &&
+        store.list(Some(countsTable)).exists(_.name == countsTable))
+      throw new IllegalStateException(
+        s"legacy row-versioned per-doc counts state found at '$countsTable' " +
+          "but no bucketed slices: migrate it (accumulate-read the table, " +
+          "BucketedState.write one slice bucketed by id) before resuming " +
+          "the stream")
     val prevCounts =
-      if (hasCounts) Some(store.get(countsTable)) else None
+      if (hasCounts) Some(BucketedState.family(spark, countsRoot)) else None
     val kept = Dedup.dedupIncrementalSliced(batch, prevSlices, "doc_id",
       "text", n, threshold,
       prevShingleFreqs = Some(prevFreqs),
@@ -544,9 +547,9 @@ object DocStreams {
     if (!sig.isEmpty) {
       BucketedState.write(sig, sigRoot, s"b$batchId", "s", sigBuckets)
       BucketedState.write(freqs, freqRoot, s"b$batchId", "s", sigBuckets)
+      BucketedState.write(Dedup.shingleSignatureCounts(sig), countsRoot,
+        s"b$batchId", "id", sigBuckets)
     }
-    store.load(Dedup.shingleSignatureCounts(sig), countsTable,
-      externalKey = s"b$batchId")
     kept
   }
 

@@ -547,11 +547,13 @@ class StreamingSpec extends SparkSpec {
     assert(graft.store.BucketedState.versions(spark, sigRoot).toSet ==
       Set("b0", "b1"))
     // The bucketed signature dirs stay off the table catalog; the
-    // per-doc COUNTS companion is an ordinary versioned store table.
+    // per-doc COUNTS companion is the third bucketed surface (r17),
+    // one bucketed-by-id slice per batch, equally catalog-invisible.
     assert(!store.list().exists(_.name == "streaming/neardup-sigs"))
-    val cInfo = store.list(Some("streaming/neardup-sigs-counts"))
-      .find(_.name == "streaming/neardup-sigs-counts").get
-    assert(cInfo.versions.toSet == Set("b0", "b1"), cInfo.versions)
+    assert(!store.list().exists(_.name == "streaming/neardup-sigs-counts"))
+    val countsRoot = store.statePath("streaming/neardup-sigs-counts")
+    assert(graft.store.BucketedState.versions(spark, countsRoot).toSet ==
+      Set("b0", "b1"))
   }
 
   test("slice-count watermark: stream self-compacts, bounded slices, survivors unchanged") {
@@ -605,19 +607,22 @@ class StreamingSpec extends SparkSpec {
       store2.statePath("streaming/neardup-sigs")).size == 4)
     assert(streamed == expected,
       s"stream-only=${(streamed -- expected).size} batch-only=${(expected -- streamed).size}")
-    // Every state surface is bounded, including the row-versioned
-    // counts companion (folded into one keepLast version at the same
-    // watermark): versions = {latest fold} ∪ {latest batch}.
-    val cInfo = store.list(Some("streaming/neardup-sigs-counts"))
-      .find(_.name == "streaming/neardup-sigs-counts").get
-    assert(cInfo.versions.toSet == Set("c3", "b3"), cInfo.versions.toString)
+    // Every state surface is bounded, including the counts companion
+    // (the third bucketed surface, folded crash-atomically at the same
+    // watermark): live slices = {latest fold} ∪ {latest batch}.
+    def countsOf(st: graft.store.Store): Map[Long, Long] = {
+      val root = st.statePath("streaming/neardup-sigs-counts")
+      graft.store.BucketedState.family(spark, root)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val countsRoot = store.statePath("streaming/neardup-sigs-counts")
+    assert(graft.store.BucketedState.versions(spark, countsRoot).toSet ==
+      Set("c3", "b3"))
     // ...and the folded counts still cover every prior doc exactly once
-    // (the accumulate read over {fold, batch} == the never-compacted
-    // accumulate).
-    val cntA = store.get("streaming/neardup-sigs-counts")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val cntB = store2.get("streaming/neardup-sigs-counts")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (the family read over {fold, batch} == the never-compacted
+    // slice union).
+    val cntA = countsOf(store)
+    val cntB = countsOf(store2)
     assert(cntA == cntB, s"counts diverged: ${cntA.size} vs ${cntB.size}")
     // Replay idempotence at the fold boundary: re-running batch 3's
     // body (its slice live, its fold label live) must not throw, not
@@ -632,6 +637,26 @@ class StreamingSpec extends SparkSpec {
       .foldLeft(Seq.empty[Long])(_ ++ _)
     assert(stateDocs.distinct.size == stateDocs.size,
       "a doc's signatures appear in two live slices after replay")
+  }
+
+  test("legacy row-versioned counts state fails loudly, names the migration") {
+    import graft.streaming.DocStreams
+    import spark.implicits._
+    // A pre-r17 deployment: counts persisted as an ordinary store table
+    // (sig/freq already migrated away, or empty history). Resuming the
+    // stream must refuse — silently ignoring the legacy table would
+    // re-derive denominators the layout exists to persist, and folding
+    // it kept the keepLast delete-before-publish crash window open.
+    val store = new graft.store.Store(spark, TempDirs.create("graft_legacy_cnt_"))
+    store.load(Seq((1L, 5L)).toDF("id", "n_sh"),
+      "streaming/neardup-sigs-counts", externalKey = "b0")
+    val batch = Seq((10L, "src", "some document text for the guard test"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[IllegalStateException] {
+      DocStreams.dedupBatchAgainstStore(batch, 1L, store)
+    }
+    assert(e.getMessage.contains("legacy row-versioned per-doc counts"))
+    assert(e.getMessage.contains("BucketedState.write"))
   }
 
   test("streaming corpus ingest == replayed batch pipeline; card accumulates; decontam bites") {
