@@ -52,6 +52,7 @@ object BucketedState {
 
   private val SpecFile = "_bucketspec"
   private val ManifestFile = "_compaction"
+  private val LeaseFile = ".compact_lease"
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -83,6 +84,7 @@ object BucketedState {
       version: String,
       bucketCol: String,
       numBuckets: Int): Unit = {
+    requireNoLiveLease(df.sparkSession, root)
     writeData(df, root, version, bucketCol, numBuckets)
     commitSidecar(df.sparkSession, root, version, bucketCol, numBuckets)
   }
@@ -177,6 +179,118 @@ object BucketedState {
     }
   }
 
+  /** Acquire the root-level compaction lease — [[Store]]'s
+    * `.compact_lease_*` discipline (Store.scala:1159) ported to the
+    * bucketed layout: create-exclusive marker holding a compactor-unique
+    * token; a lease older than [[Store.CompactLeaseTtlMs]] belongs to a
+    * crashed compactor and is stolen via atomic RENAME to a
+    * stealer-unique claim (of N stealers exactly one rename wins;
+    * delete-then-create is not atomic — a second stealer's delete can
+    * remove the first's fresh lease and both proceed into the
+    * double-publish the lease exists to prevent). The rename may capture
+    * a FRESH lease an earlier stealer just re-created — verify the
+    * claim's age and put a fresh one back.
+    */
+  private def acquireLease(
+      spark: SparkSession, root: String): (Path, String) = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    if (!f.exists(rootP)) f.mkdirs(rootP)
+    val lease = new Path(rootP, LeaseFile)
+    val token = java.util.UUID.randomUUID().toString
+    def tryCreate(): Boolean =
+      try {
+        val out = f.create(lease, false)
+        try out.write(token.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def fail() = throw new IllegalStateException(
+      s"state under $root is already being compacted (lease $LeaseFile); " +
+        "retry after it completes — a lease older than " +
+        s"${Store.CompactLeaseTtlMs} ms is presumed crashed and is stolen")
+    if (!tryCreate()) {
+      val age = try System.currentTimeMillis() - f.getFileStatus(lease).getModificationTime
+      catch { case _: java.io.IOException => 0L } // vanished → racer active
+      if (age <= Store.CompactLeaseTtlMs) fail()
+      val claim = new Path(rootP,
+        s".compact_lease_claim_${java.util.UUID.randomUUID().toString.take(8)}")
+      val ok = try f.rename(lease, claim) catch { case _: java.io.IOException => false }
+      if (!ok) fail()
+      val claimedAge =
+        try System.currentTimeMillis() - f.getFileStatus(claim).getModificationTime
+        catch { case _: java.io.IOException => Long.MaxValue }
+      if (claimedAge <= Store.CompactLeaseTtlMs) {
+        val restored = try f.rename(claim, lease) catch { case _: java.io.IOException => false }
+        if (!restored) f.delete(claim, false)
+        fail()
+      }
+      f.delete(claim, false)
+      if (!tryCreate()) fail()
+    }
+    (lease, token)
+  }
+
+  /** Re-read the lease and confirm this compactor still owns it (its
+    * token is inside) — called immediately before the retirement
+    * manifest lands, the first step two compactors must never both
+    * reach (a thief's [[healCompaction]] would discard our staged data
+    * and our later sidecar commit would then publish an EMPTY version).
+    */
+  private def verifyLeaseOwned(
+      spark: SparkSession, lease: Path, token: String): Unit = {
+    val f = fs(spark, lease)
+    val owned = try {
+      val buf = new Array[Byte](f.getFileStatus(lease).getLen.toInt)
+      val in = f.open(lease)
+      try in.readFully(buf) finally in.close()
+      new String(buf, StandardCharsets.UTF_8) == token
+    } catch { case _: Exception => false }
+    if (!owned)
+      throw new java.io.IOException(
+        s"compact lease under ${lease.getParent} lost (stolen by another " +
+          "compactor) — aborting before publish")
+  }
+
+  private def releaseLease(
+      spark: SparkSession, lease: Path, token: String): Unit = {
+    val f = fs(spark, lease)
+    // Delete only if still ours — deleting a thief's fresh lease would
+    // re-open the window for a THIRD compactor.
+    val owned = try {
+      val buf = new Array[Byte](f.getFileStatus(lease).getLen.toInt)
+      val in = f.open(lease)
+      try in.readFully(buf) finally in.close()
+      new String(buf, StandardCharsets.UTF_8) == token
+    } catch { case _: Exception => false }
+    if (owned) f.delete(lease, false)
+  }
+
+  /** Writers fail loudly while a compaction holds the lease: a manual
+    * [[compact]] racing a live ingest could otherwise fold a slice the
+    * writer is mid-rewriting (the streaming watermark avoids this
+    * in-thread via `exclude`, but an out-of-band maintenance compact
+    * has no such knowledge). Writers never steal — a stale lease is the
+    * next compactor's to claim; they only wait out a live one. The
+    * residual window (a write IN FLIGHT when the compactor acquires) is
+    * fold-safe for NEW slices (no sidecar yet → invisible to the fold)
+    * and documented single-writer for replay-rewrites of existing ones.
+    */
+  private def requireNoLiveLease(spark: SparkSession, root: String): Unit = {
+    val lease = new Path(root, LeaseFile)
+    val f = fs(spark, lease)
+    val live = try {
+      f.exists(lease) &&
+        (System.currentTimeMillis() - f.getFileStatus(lease).getModificationTime
+          <= Store.CompactLeaseTtlMs)
+    } catch { case _: java.io.IOException => false } // vanished → released
+    if (live)
+      throw new IllegalStateException(
+        s"a compaction holds the lease under $root ($LeaseFile): retry the " +
+          "write after it completes (a lease older than " +
+          s"${Store.CompactLeaseTtlMs} ms is presumed crashed and ignored)")
+  }
+
   /** Versions present under `root`, sorted. A completed compaction's
     * retirement manifest hides the folded-away versions the moment the
     * compacted slice's sidecar lands (see [[compact]]); a PENDING
@@ -187,17 +301,40 @@ object BucketedState {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     if (!f.exists(rootP)) return Seq.empty
-    val complete = f.listStatus(rootP).toSeq
+    def listComplete(): Seq[String] = f.listStatus(rootP).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_"))
       // A crashed write can leave a dir without its sidecar (written
       // last): not a readable version yet, the replay will rewrite it.
       .filter(st => f.exists(new Path(st.getPath, SpecFile)))
       .map(_.getPath.getName.stripPrefix("v_"))
-    readManifest(spark, root) match {
-      case Some((successor, retired)) if complete.contains(successor) =>
-        (complete.toSet -- retired).toSeq.sorted
-      case _ => complete.sorted
+    // Read the manifest BEFORE the listing and again AFTER, retrying if
+    // it changed: listing first left a cross-session race where a reader
+    // captured successor + retired dirs and then found the manifest
+    // already deleted (retire() removes it LAST) — returning every doc
+    // twice. With the before-read: manifest-present → filter by it
+    // (retirement may delete dirs under us, but filtering
+    // already-deleted names is harmless and the successor dir provably
+    // existed first — publish precedes retire); manifest absent both
+    // sides → no compaction spanned the listing (a full staged-fold +
+    // publish + retire cycle inside one directory listing is not a
+    // physical window). A changed manifest means a compactor published
+    // or finished mid-listing — re-list against the new state.
+    var tries = 5
+    var before = readManifest(spark, root)
+    while (true) {
+      val listed = listComplete()
+      val after = readManifest(spark, root)
+      if (before == after || tries <= 0) {
+        return after.orElse(before) match {
+          case Some((successor, retired)) if listed.contains(successor) =>
+            (listed.toSet -- retired).toSeq.sorted
+          case _ => listed.sorted
+        }
+      }
+      before = after
+      tries -= 1
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The compaction manifest, if present: (successor, retired set). */
@@ -323,7 +460,13 @@ object BucketedState {
     * state-scan cost; schedule it like any compaction (nightly, or at a
     * slice-count watermark), not per ingest.
     *
-    * Crash-atomic and replay-idempotent (single writer): the folded
+    * Crash-atomic and replay-idempotent. Concurrent compactors are
+    * serialized by a root-level lease (create-exclusive + TTL steal,
+    * ownership re-verified immediately before the manifest/publish
+    * steps — [[acquireLease]]), and concurrent WRITERS fail loudly
+    * while one is held ([[requireNoLiveLease]]) — the r17 multi-writer
+    * story for a manual maintenance compact racing a live ingest
+    * stream. Within one holder: the folded
     * slice's DATA lands first but stays invisible (no sidecar), then the
     * retirement manifest records `successor + retired set`, and the ONE
     * publish step is the successor's sidecar commit — the instant it
@@ -358,18 +501,25 @@ object BucketedState {
       numBuckets: Int,
       exclude: Set[String] = Set.empty,
       fold: Seq[DataFrame] => DataFrame = _.reduce(_ unionByName _)): Unit = {
-    healCompaction(spark, root)
-    val old = versions(spark, root).filterNot(exclude)
-    require(old.nonEmpty, s"no versions to compact under $root")
-    if (old == Seq(version)) return // a published compaction replayed: done
-    require(!old.contains(version),
-      s"compaction version '$version' already exists under $root")
-    val all = fold(old.map(v => slice(spark, root, v)))
-    writeData(all, root, version, bucketCol, numBuckets)
-    atomicWrite(spark, new Path(root, ManifestFile),
-      s"successor=$version\nretired=${old.mkString(",")}")
-    commitSidecar(spark, root, version, bucketCol, numBuckets) // PUBLISH
-    retire(spark, root, old)
+    val (lease, token) = acquireLease(spark, root)
+    try {
+      healCompaction(spark, root)
+      val old = versions(spark, root).filterNot(exclude)
+      require(old.nonEmpty, s"no versions to compact under $root")
+      if (old == Seq(version)) return // a published compaction replayed: done
+      require(!old.contains(version),
+        s"compaction version '$version' already exists under $root with " +
+          "newer live slices alongside it — the fold with this label " +
+          "already published (its rows are live); pick a NEW label to " +
+          "compact the current slice set")
+      val all = fold(old.map(v => slice(spark, root, v)))
+      writeData(all, root, version, bucketCol, numBuckets)
+      verifyLeaseOwned(spark, lease, token)
+      atomicWrite(spark, new Path(root, ManifestFile),
+        s"successor=$version\nretired=${old.mkString(",")}")
+      commitSidecar(spark, root, version, bucketCol, numBuckets) // PUBLISH
+      retire(spark, root, old)
+    } finally releaseLease(spark, lease, token)
   }
 
   /** Finish (or discard) an interrupted compaction so a replay converges.

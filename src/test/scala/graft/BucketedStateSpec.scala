@@ -203,6 +203,59 @@ class BucketedStateSpec extends SparkSpec {
       s"crashed-compaction state diverged: $viaCrashed vs $oneShot")
   }
 
+  test("compact lease: second compactor and interleaved writer fail loudly; stale lease stolen") {
+    import spark.implicits._
+    val root = TempDirs.create("graft_bstate_ls_") + "/sigs"
+    val v0 = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+    val v1 = (101 to 150).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+    BucketedState.write(v0, root, "b0", "s", numBuckets = 2)
+    BucketedState.write(v1, root, "b1", "s", numBuckets = 2)
+    // Another compactor holds a FRESH lease: a second compact must not
+    // reach the fold (double-publish), and a live ingest writer must not
+    // land a slice the in-flight fold can't know about (the
+    // manual-compact-vs-live-stream race) — both fail loudly instead.
+    val lease = new org.apache.hadoop.fs.Path(root, ".compact_lease")
+    val f = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(lease, false)
+    out.write("other-token".getBytes("UTF-8")); out.close()
+    val e1 = intercept[IllegalStateException] {
+      BucketedState.compact(spark, root, "c0", "s", numBuckets = 2)
+    }
+    assert(e1.getMessage.contains("already being compacted"))
+    val e2 = intercept[IllegalStateException] {
+      BucketedState.write(v0, root, "b2", "s", numBuckets = 2)
+    }
+    assert(e2.getMessage.contains("compaction holds the lease"))
+    assert(BucketedState.versions(spark, root) == Seq("b0", "b1")) // untouched
+    // A STALE lease is a crashed compactor's: the next compact steals it
+    // and proceeds; release deletes the lease so writers resume.
+    f.setTimes(lease,
+      System.currentTimeMillis() - graft.store.Store.CompactLeaseTtlMs - 60000L, -1)
+    BucketedState.compact(spark, root, "c0", "s", numBuckets = 2)
+    assert(BucketedState.versions(spark, root) == Seq("c0"))
+    assert(!f.exists(lease))
+    BucketedState.write(v0, root, "b2", "s", numBuckets = 2)
+    assert(BucketedState.versions(spark, root) == Seq("b2", "c0"))
+  }
+
+  test("compact replayed with a published label after NEW slices landed: error names recovery") {
+    import spark.implicits._
+    val root = TempDirs.create("graft_bstate_rl_") + "/sigs"
+    BucketedState.write((1 to 50).map(i => (i.toLong, s"a$i")).toDF("id", "s"),
+      root, "b0", "s", numBuckets = 2)
+    BucketedState.compact(spark, root, "c0", "s", numBuckets = 2)
+    // New slices land, then an operator replays the OLD fold label: the
+    // refusal is correct (the old fold's rows are live; folding them
+    // "again" under the same name would be a no-op label collision) and
+    // the message must say what to do instead of a bare "exists".
+    BucketedState.write((51 to 80).map(i => (i.toLong, s"a$i")).toDF("id", "s"),
+      root, "b1", "s", numBuckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      BucketedState.compact(spark, root, "c0", "s", numBuckets = 2)
+    }
+    assert(e.getMessage.contains("pick a NEW label"), e.getMessage)
+  }
+
   test("dedupIncrementalSliced == dedupIncremental, any slicing of the state") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
