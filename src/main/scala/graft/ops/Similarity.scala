@@ -570,9 +570,44 @@ object Similarity {
     * metadata-scale), their ids collected into a PLAN-time IN filter
     * (the [[graft.ops.VectorIndex.searchIvf]] probed-cells discipline),
     * and parquet row-group stats + any id-keyed partition layout prune
-    * the float fetch to candidate-touched bytes. Result-identical
+    * the float fetch to candidate-touched bytes. The collect is bounded
+    * by [[PruneRerankMaxIds]] — past it the fetch falls back to the
+    * unpruned scan ([[pruneCorpusToCandidates]]). Result-identical
     * (spec-pinned); plan-only.
     */
+  /** Hard cap on [[rerankCandidates]]'s plan-time id collect. The
+    * candidate set is queries·k·oversample rows by construction —
+    * metadata-scale for any sane search — but nothing upstream BOUNDS
+    * it (a caller can pass a million queries), and an unbounded
+    * `.collect()` into a literal predicate risks driver memory plus a
+    * million-child `In` that stalls planning. Above the cap the fetch
+    * falls back to the unpruned full-corpus scan, which by then costs
+    * little extra: the pruning's byte win needs candidates SPARSE
+    * against the corpus's row groups, and 100k+ candidates touch
+    * nearly every row group anyway (the SCALEBENCH_r16_storage.log
+    * uniform-candidate finding).
+    */
+  private[graft] val PruneRerankMaxIds: Int = 100000
+
+  /** The candidate-id prune behind `pruneRerank`: collect the distinct
+    * candidate ids (bounded by `maxIds`) into a plan-time `isin` so
+    * parquet row-group stats + any id-keyed layout prune the float
+    * fetch to candidate-touched bytes; past the cap, return the corpus
+    * unpruned (plan-identical to `pruneRerank = false`). Result rows
+    * are identical either way — the rerank join keeps only candidate
+    * ids regardless; this is purely which bytes the scan reads.
+    */
+  private[graft] def pruneCorpusToCandidates(
+      cand: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      maxIds: Int = PruneRerankMaxIds): DataFrame = {
+    val ids = cand.select("vec_id").distinct().limit(maxIds + 1)
+      .collect().map(_.get(0))
+    if (ids.length > maxIds) corpus
+    else corpus.where(col(idCol).isin(ids.toSeq: _*))
+  }
+
   private def rerankCandidates(
       cand0: DataFrame,
       corpus0: DataFrame,
@@ -586,8 +621,7 @@ object Similarity {
       if (!pruneRerank) (cand0, corpus0)
       else {
         val m = graft.ops.Dedup.materialize(cand0)
-        val ids = m.select("vec_id").distinct().collect().map(_.get(0))
-        (m, corpus0.where(col(idCol).isin(ids.toSeq: _*)))
+        (m, pruneCorpusToCandidates(m, corpus0, idCol))
       }
     val cv = corpus.select(col(idCol).as("vec_id"),
       normalize(asDouble(col(vecCol))).as("__nv"))

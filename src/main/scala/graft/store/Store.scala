@@ -1240,8 +1240,50 @@ final class Store(
       s"$what is torn: $nameA _last=$a, $nameB _last=$b — either a save " +
         "crashed between the pair's tables, or this artifact predates " +
         "paired labels (per-call NOW timestamps on each half). Re-save " +
-        "the artifact, or pass the externalKey of a known-consistent " +
-        "save to read it")
+        "the artifact, pass the externalKey of a known-consistent save " +
+        "to read it, or — for a legacy pair the operator knows is " +
+        "consistent — align the labels once with alignPairLabels")
+  }
+
+  /** Rename one version of `name` (its `__version=` subtree) from label
+    * `from` to `to`, repointing `_last` if it named `from`. A pure
+    * metadata move — no data files are read or rewritten; sidecars
+    * (schema/stats) live inside the subtree and travel with it.
+    */
+  def relabelVersion(name: String, from: String, to: String): Unit = {
+    require(from != to, s"relabel of '$name': from and to are both '$from'")
+    val tableDir = new Path(rootPath, validateName(name))
+    val fromDir = new Path(tableDir, s"$VersionCol=${encodeVersion(from)}")
+    val toDir = new Path(tableDir, s"$VersionCol=${encodeVersion(to)}")
+    if (!fs.exists(fromDir))
+      throw new Store.GetError(s"Version '$from' of '$name' not found", null)
+    require(!fs.exists(toDir),
+      s"relabel of '$name': target version '$to' already exists")
+    if (!fs.rename(fromDir, toDir))
+      throw new java.io.IOException(s"rename $fromDir -> $toDir failed")
+    if (lastVersion(name).contains(from))
+      writeSmall(new Path(tableDir, LastFile), to)
+  }
+
+  /** Migration tooling for [[requireConsistentPair]]: legacy pair saves
+    * (pre-r16 language models, reference shingles) stamped each half
+    * with its own per-call NOW timestamp, so a genuinely consistent
+    * pair fails the torn-pair guard forever. This aligns the two
+    * `_last`-named versions under ONE shared label (default: the first
+    * table's current label) so the artifact serves again — an explicit
+    * operator action, not a silent acceptance: from here the guard
+    * cannot tell a legacy pair from a torn save, and only the operator
+    * knows the two halves belong together.
+    */
+  def alignPairLabels(
+      nameA: String, nameB: String, label: Option[String] = None): Unit = {
+    val target = label.orElse(lastVersion(nameA)).getOrElse(
+      throw new Store.GetError(s"'$nameA' has no versions to align", null))
+    Seq(nameA, nameB).foreach { n =>
+      val cur = lastVersion(n).getOrElse(
+        throw new Store.GetError(s"'$n' has no versions to align", null))
+      if (cur != target) relabelVersion(n, cur, target)
+    }
   }
 
   /** Newest version label from the `_last` pointer file (README.md:217),

@@ -901,6 +901,20 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.toString).toSeq ==
       runQ(false).orderBy("query_id", "rank")
         .collect().map(_.toString).toSeq)
+    // The id collect is driver-bounded: past the cap the prune falls
+    // back to the UNPRUNED corpus (no In filter, no unbounded literal)
+    // rather than building a million-child predicate on the driver.
+    val fl = floats
+    val cand = fl.select(col("vec_id")).limit(10)
+    val capped = graft.ops.Similarity.pruneCorpusToCandidates(
+      cand, fl, "vec_id", maxIds = 3)
+    assert(capped.queryExecution.logical eq fl.queryExecution.logical,
+      "past the cap the corpus must pass through unpruned")
+    val under = graft.ops.Similarity.pruneCorpusToCandidates(
+      cand, fl, "vec_id", maxIds = 100)
+    assert(under.count() == 10L,
+      "under the cap the corpus gains the candidate-id filter")
+    assert(capped.count() == fl.count())
   }
 
   test("aHash64: container-invariant, content-sensitive, near-dup tolerant") {
@@ -2428,6 +2442,32 @@ class OpsSpec extends SparkSpec {
     // The last CONSISTENT pair stays readable by its key.
     val (u1, b1) = TextOps.loadLanguageModel(store, "lm/t", Some("v1"))
     assert(u1.count() == 1L && b1.count() == 1L)
+  }
+
+  test("legacy pair artifact (per-call NOW labels) serves again after alignPairLabels") {
+    import spark.implicits._
+    val store = new graft.store.Store(spark, TempDirs.create("graft_lmlegacy_"))
+    // A pre-r16 save: each half stamped with its own NOW label — a
+    // genuinely consistent pair the torn-pair guard cannot distinguish
+    // from a crashed save.
+    store.load(Seq(("a", 2L)).toDF("term", "n"), "lm/leg/unigrams",
+      externalKey = "20250101T000000001")
+    store.load(Seq(("a", "a", 1L)).toDF("w1", "w2", "n"), "lm/leg/bigrams",
+      externalKey = "20250101T000000517")
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.loadLanguageModel(store, "lm/leg")
+    }
+    assert(ex.getMessage.contains("alignPairLabels"), ex.getMessage)
+    // The documented one-time migration: align both halves under one
+    // label (the operator asserting the pair belongs together)...
+    store.alignPairLabels("lm/leg/unigrams", "lm/leg/bigrams")
+    // ...and the artifact serves through the guard, data intact, _last
+    // pointers agreeing.
+    val (u, b) = TextOps.loadLanguageModel(store, "lm/leg")
+    assert(u.collect().map(_.toString).toSeq == Seq("[a,2]"))
+    assert(b.count() == 1L)
+    assert(store.lastVersion("lm/leg/unigrams") ==
+      store.lastVersion("lm/leg/bigrams"))
   }
 
   test("reference-shingle artifact: a torn save fails loudly at read") {
