@@ -553,6 +553,54 @@ object DocStreams {
     kept
   }
 
+  /** Out-of-band maintenance compaction of the streaming dedup state —
+    * folds all three bucketed surfaces ([[dedupBatchAgainstStore]]'s
+    * signatures, shingle frequencies, per-doc counts) to one slice each
+    * under `label`, so the fold's state-scan cost lands in a scheduled
+    * maintenance window instead of stalling a micro-batch at the
+    * slice-count watermark. Deployment recipe: size `maxSlices`
+    * generously (the watermark becomes a backstop, not the schedule)
+    * and run this nightly / at low traffic.
+    *
+    * Safe against the live stream, loudly: each fold runs under the
+    * root's compaction lease, so a batch racing this job fails its
+    * state WRITE with the lease error and the restarted query replays
+    * it cleanly (every per-batch write is replay-idempotent). What the
+    * lease can NOT know is a batch that already WROTE some slices and
+    * will rewrite them on replay — folding those would put their rows
+    * in two live slices — so either run with the stream stopped, or
+    * pass `exclude` covering any possibly-in-flight batch's slice
+    * label (the checkpoint names the highest committed batch id; the
+    * in-flight one is the next). Re-running with the same `label` after
+    * a crash converges ([[graft.store.BucketedState.compact]]'s replay
+    * contract); re-running after NEW batches landed refuses loudly and
+    * names the recovery (pick a new label).
+    *
+    * A surface already at one live slice (or with nothing outside
+    * `exclude`) is skipped — the job is cheap when there is nothing to
+    * fold.
+    */
+  def compactDedupState(
+      spark: SparkSession,
+      store: Store,
+      label: String,
+      sigTable: String = "streaming/neardup-sigs",
+      freqTable: String = "streaming/neardup-freqs",
+      sigBuckets: Int = 32,
+      exclude: Set[String] = Set.empty): Unit = {
+    def fold1(root: String, bucketCol: String,
+        fold: Seq[DataFrame] => DataFrame): Unit = {
+      val foldable = BucketedState.versions(spark, root).filterNot(exclude)
+      if (foldable.size > 1)
+        BucketedState.compact(spark, root, label, bucketCol, sigBuckets,
+          exclude = exclude, fold = fold)
+    }
+    fold1(store.statePath(sigTable), "s", _.reduce(_ unionByName _))
+    fold1(store.statePath(freqTable), "s", Dedup.foldShingleFreqSlices)
+    fold1(store.statePath(sigTable + "-counts"), "id",
+      _.reduce(_ unionByName _))
+  }
+
   /** One micro-batch of the FULL streaming corpus build — qn110's
     * delta-ingest pipeline as the `foreachBatch` body a continuously
     * crawling deployment runs: quality rules → incremental near-dup

@@ -314,6 +314,37 @@ object ScaleBench {
             prevShingleFreqs = Some(freqState),
             prevSigCounts = Some(countState)).count())
       }
+      // Watermark-fold latency envelope (r17): the slice-count
+      // watermark folds the FULL accumulated state inside one
+      // micro-batch at batch start; this op times exactly that fold —
+      // all three bucketed surfaces, 4 slices → 1 — at the point's
+      // state size, so the injected stall is a measured number an
+      // operator can size maxSlices against (per-batch overhead =
+      // fold/maxSlices amortized, or ~zero when compactDedupState runs
+      // the fold out-of-band). Slice builds land outside the timing.
+      if (opFilter.forall(_.findFirstIn("qn110_state_fold").isDefined)) {
+        val st = new graft.store.Store(spark,
+          graft.TempDirs.create("graft_sb_fold_"))
+        val kSlices = 4
+        val sigRoot = st.statePath("fold/sigs")
+        val freqRoot = st.statePath("fold/freqs")
+        val cntRoot = st.statePath("fold/sigs-counts")
+        (0 until kSlices).foreach { i =>
+          val part = docs.where(pmod(col("doc_id"), lit(kSlices)) === i)
+          val sig = Dedup.shingleSignatures(part, "doc_id", "text")
+          graft.store.BucketedState.write(sig, sigRoot, s"b$i", "s",
+            numBuckets = 32)
+          graft.store.BucketedState.write(Dedup.shingleDocFreqs(sig),
+            freqRoot, s"b$i", "s", numBuckets = 32)
+          graft.store.BucketedState.write(Dedup.shingleSignatureCounts(sig),
+            cntRoot, s"b$i", "id", numBuckets = 32)
+        }
+        addOp("qn110_state_fold") {
+          graft.streaming.DocStreams.compactDedupState(spark, st, "m0",
+            sigTable = "fold/sigs", freqTable = "fold/freqs")
+          graft.store.BucketedState.versions(spark, sigRoot).size.toLong
+        }
+      }
       // Store layout migration (qs15's 100 TB claim): the SOURCE table
       // loads outside the timed window; the timed section is exactly
       // one rekey — full read + partition-clustered staged write +

@@ -639,6 +639,52 @@ class StreamingSpec extends SparkSpec {
       "a doc's signatures appear in two live slices after replay")
   }
 
+  test("out-of-band compactDedupState folds all three surfaces; later batches unaffected") {
+    import graft.streaming.DocStreams
+    import graft.store.BucketedState
+    val d = Tables.read(spark, sf(), "documents")
+    val total = Tables.parquetRowCount(spark, s"${sf()}/documents.parquet")
+    val cuts = Seq(total / 4, total / 2, 3 * total / 4)
+    val preds = Seq(
+      col("doc_id") < cuts(0),
+      col("doc_id") >= cuts(0) && col("doc_id") < cuts(1),
+      col("doc_id") >= cuts(1) && col("doc_id") < cuts(2),
+      col("doc_id") >= cuts(2))
+    // Maintenance-compacted deployment vs never-compacted replay: two
+    // batches land, the nightly job folds (stream idle — no exclude),
+    // two more batches run against the folded state. Survivors and
+    // every later batch's state must be indistinguishable.
+    val stA = new graft.store.Store(spark, TempDirs.create("graft_oob_a_"))
+    val stB = new graft.store.Store(spark, TempDirs.create("graft_oob_b_"))
+    def run(st: graft.store.Store, i: Int): Set[Long] =
+      DocStreams.dedupBatchAgainstStore(d.where(preds(i)), i.toLong, st,
+        maxSlices = 0).select("doc_id").collect().map(_.getLong(0)).toSet
+    var kept = Set.empty[(Int, Long)]
+    (0 to 1).foreach(i => kept ++= run(stA, i).map(i -> _))
+    DocStreams.compactDedupState(spark, stA, "m0")
+    val sigRoot = stA.statePath("streaming/neardup-sigs")
+    val freqRoot = stA.statePath("streaming/neardup-freqs")
+    val cntRoot = stA.statePath("streaming/neardup-sigs-counts")
+    assert(BucketedState.versions(spark, sigRoot) == Seq("m0"))
+    assert(BucketedState.versions(spark, freqRoot) == Seq("m0"))
+    assert(BucketedState.versions(spark, cntRoot) == Seq("m0"))
+    // Idempotent replay of the maintenance job: no-op, not an error.
+    DocStreams.compactDedupState(spark, stA, "m0")
+    assert(BucketedState.versions(spark, sigRoot) == Seq("m0"))
+    (2 to 3).foreach(i => kept ++= run(stA, i).map(i -> _))
+    val expected = (0 to 3).flatMap(i => run(stB, i).map(i -> _)).toSet
+    assert(kept == expected,
+      s"oob-only=${(kept -- expected).size} plain-only=${(expected -- kept).size}")
+    // Re-running the job with the SAME label after new batches landed
+    // refuses loudly and names the recovery.
+    val e = intercept[IllegalArgumentException] {
+      DocStreams.compactDedupState(spark, stA, "m0")
+    }
+    assert(e.getMessage.contains("pick a NEW label"), e.getMessage)
+    DocStreams.compactDedupState(spark, stA, "m1")
+    assert(BucketedState.versions(spark, sigRoot) == Seq("m1"))
+  }
+
   test("legacy row-versioned counts state fails loudly, names the migration") {
     import graft.streaming.DocStreams
     import spark.implicits._
