@@ -610,6 +610,59 @@ object ScaleBench {
         cold("qn118_storage_bound_floatscan")(
           floats.agg(max(xxhash64(col("vec_id"), col("embedding"))))
             .head().getLong(0))
+        // Deployment-shaped rerank layout (r17, VERDICT #1): the r16
+        // numbers above honestly recorded that at a 32-file fixture the
+        // pruned rerank still reads ~every float byte — each file is
+        // ONE row group, and 2560 uniform candidate ids touch all 32.
+        // The quantized tiers' deployment claim is that the float fetch
+        // reads candidate-touched ROW GROUPS only, which needs (a) the
+        // corpus id-SORTED across many files/groups so each group owns
+        // a narrow id range, and (b) candidates sparse against the
+        // group count. This leg builds exactly that: floats
+        // range-partitioned + sorted by id into ~512 files with small
+        // row groups (the granule count stands in for a 100 TB
+        // corpus's 10⁵–10⁶ groups of 128 MB — granularity scales, the
+        // skip ARITHMETIC is what's measured), 4 queries → ≤160
+        // candidate ids, and the parquet In-pushdown threshold raised
+        // past the candidate count so the pushed filter stays an
+        // id-list (stock Spark rewrites big INs to a min/max RANGE,
+        // which prunes nothing for uniform candidates — that conf IS
+        // the deployment recipe, recorded here). The unsorted control
+        // (same files, hash-scattered rows) pins the sort as the
+        // ingredient: every group spans the full id range, nothing
+        // skips.
+        val inThresh = "spark.sql.parquet.pushdown.inFilterThreshold"
+        val savedThresh = spark.conf.get(inThresh)
+        try {
+          spark.conf.set(inThresh, "10000")
+          val sortedPath = s"$dir/floats_sorted"
+          val shuffledPath = s"$dir/floats_shuffled"
+          // ~512 files; 256 KB row groups → a few granules per file.
+          floats.repartitionByRange(512, col("vec_id"))
+            .sortWithinPartitions("vec_id")
+            .write.option("parquet.block.size", s"${256 * 1024}")
+            .mode("overwrite").parquet(sortedPath)
+          floats.repartition(512, xxhash64(col("vec_id")))
+            .write.option("parquet.block.size", s"${256 * 1024}")
+            .mode("overwrite").parquet(shuffledPath)
+          def fsorted = spark.read.parquet(sortedPath)
+          def fshuffled = spark.read.parquet(shuffledPath)
+          opBytes("artifact_floats_sorted") = dirBytes(sortedPath)
+          val q4 = floats.where(col("vec_id") < 4)
+          val queries4 = spark.createDataFrame(
+            java.util.Arrays.asList(q4.collect(): _*), q4.schema)
+          cold("qn128_storage_bound_sorted")(
+            graft.ops.VectorIndex.searchHamming(st, "ann/bq", fsorted,
+              queries4, "vec_id", "embedding", k = 10, oversample = 4,
+              pruneRerank = true).count())
+          cold("qn128_storage_bound_shuffled")(
+            graft.ops.VectorIndex.searchHamming(st, "ann/bq", fshuffled,
+              queries4, "vec_id", "embedding", k = 10, oversample = 4,
+              pruneRerank = true).count())
+          cold("qn128_storage_bound_sortedscan")(
+            fsorted.agg(max(xxhash64(col("vec_id"), col("embedding"))))
+              .head().getLong(0))
+        } finally spark.conf.set(inThresh, savedThresh)
       }
       addOp("qn51_dedup_spans")(
         // The stride-1 window stream is the heaviest text-op shape
