@@ -536,6 +536,60 @@ object NorthStar {
     keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
   }
 
+  /** qn129's day-0/day-1 replay with the r17 state-FOLD lifecycle in the
+    * middle: day 0 lands as FOUR slices on every bucketed surface
+    * (signatures, overlapping shingle-frequency slices, per-doc counts)
+    * and [[graft.streaming.DocStreams.compactDedupState]] — the
+    * out-of-band maintenance job, running each fold under the
+    * compaction lease through the staged-data → retirement-manifest →
+    * one-sidecar-publish protocol — folds all three to one slice before
+    * day 1 ingests. Graded against qn24's one-shot oracle verbatim: the
+    * fold is a layout operation, so if the frequency fold double-counts
+    * or drops a shingle (4 OVERLAPPING slices sum into 1 — the summing
+    * semantics are on the graded path), or the counts fold gaps a doc,
+    * the hot set / Jaccard denominators shift and the survivor set
+    * diverges.
+    */
+  private def qDedupStateFolded(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = Tables.parquetRowCount(s, s"$dir/documents.parquet") / 2
+    val old = d.where(col("doc_id") < cut)
+    val fresh = d.where(col("doc_id") >= cut)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_dedupf_"))
+    val sig0 = Dedup.materialize(
+      Dedup.shingleSignatures(old, "doc_id", "text", n = 3))
+    val sigRoot = store.statePath("dedup/sigs")
+    val freqRoot = store.statePath("dedup/freqs")
+    val countsRoot = store.statePath("dedup/sigs-counts")
+    (0 until 4).foreach { i =>
+      val part = sig0.where(pmod(col("id"), lit(4)) === i)
+      graft.store.BucketedState.write(part, sigRoot, s"b$i", "s",
+        numBuckets = 32)
+      graft.store.BucketedState.write(Dedup.shingleDocFreqs(part),
+        freqRoot, s"b$i", "s", numBuckets = 32)
+      graft.store.BucketedState.write(Dedup.shingleSignatureCounts(part),
+        countsRoot, s"b$i", "id", numBuckets = 32)
+    }
+    graft.streaming.DocStreams.compactDedupState(s, store, "m0",
+      sigTable = "dedup/sigs", freqTable = "dedup/freqs")
+    val prevFreqs = graft.store.BucketedState.family(s, freqRoot)
+      .groupBy("s").agg(sum("df").as("df"))
+    val batchFreqs = Dedup.materialize(
+      Dedup.shingleDocFreqs(Dedup.shingleSignatures(fresh, "doc_id", "text", n = 3)))
+    val corpusFreqs = prevFreqs.unionByName(batchFreqs)
+      .groupBy("s").agg(sum("df").as("df"))
+    val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3,
+      threshold = 0.8, shingleFreqs = Some(corpusFreqs))
+    val keptNew = Dedup.dedupIncrementalSliced(fresh,
+      graft.store.BucketedState.slices(s, sigRoot), "doc_id", "text",
+      n = 3, threshold = 0.8,
+      prevShingleFreqs = Some(prevFreqs),
+      batchShingleFreqs = Some(batchFreqs),
+      prevSigCounts = Some(graft.store.BucketedState.family(s, countsRoot)),
+      prevFreqsPartitioned = true)
+    keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
+  }
+
   /** Edit-distance + character-transform text functions. */
   private def qTextDistance(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -3670,6 +3724,8 @@ object NorthStar {
     QueryDef("qn24_dedup_incremental", qDedupIncremental _,
       Some(incrementalDedupOracle)),
     QueryDef("qn129_dedup_incremental_bucketed", qDedupIncrementalBucketed _,
+      Some(incrementalDedupOracle)),
+    QueryDef("qn130_dedup_state_folded", qDedupStateFolded _,
       Some(incrementalDedupOracle)),
     QueryDef("qn25_video_frames", qVideoFrames _, Some("""
       WITH d AS (SELECT doc_id,

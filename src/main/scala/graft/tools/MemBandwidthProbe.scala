@@ -116,3 +116,45 @@ object MemBandwidthProbe {
     println(f"""{"mem_bw_gbps":{"t1":$t1%.2f,"t$threads":$tN%.2f}}""")
   }
 }
+
+/** Co-tenant CPU weather probe (r17, VERDICT #2): per-op /proc/stat +
+  * /proc/self/stat deltas. The r16 delta campaign sampled 115–382 s on
+  * IDENTICAL code at one point, ANTI-correlated with the DRAM-bandwidth
+  * probe — because the bandwidth snapshot runs at a point boundary
+  * while the squeeze lives inside the op window. This probe integrates
+  * over exactly the timed window: `other` is the fraction of host CPU
+  * capacity consumed by processes other than this JVM during the op —
+  * the direct co-tenancy statistic an acceptance band can gate on.
+  * (The sbt parent JVM counts as "other"; it idles during a fork at
+  * well under 1% — visible in any accepted rep's floor.)
+  */
+object CpuWeatherProbe {
+  final case class Snap(total: Long, idle: Long, self: Long)
+
+  private def readFile(p: String): String = {
+    val s = scala.io.Source.fromFile(p)
+    try s.mkString finally s.close()
+  }
+
+  def snap(): Snap = {
+    val f = readFile("/proc/stat").linesIterator.next()
+      .trim.split("\\s+").drop(1).map(_.toLong)
+    val idle = f(3) + f(4) // idle + iowait
+    val st = readFile("/proc/self/stat")
+    val rest = st.substring(st.lastIndexOf(')') + 2).split(" ")
+    Snap(f.sum, idle, rest(11).toLong + rest(12).toLong) // utime+stime
+  }
+
+  /** Deltas as fractions of host CPU capacity over the window, plus the
+    * 1-minute loadavg at window end.
+    */
+  def deltaJson(a: Snap, b: Snap): String = {
+    val cap = math.max(b.total - a.total, 1L).toDouble
+    val busy = cap - (b.idle - a.idle)
+    val self = (b.self - a.self).toDouble
+    val other = math.max(busy - self, 0.0)
+    val load1 = readFile("/proc/loadavg").split(" ")(0).toDouble
+    f"""{"busy":${busy / cap}%.3f,"self":${self / cap}%.3f,""" +
+      f""""other":${other / cap}%.3f,"load1":$load1%.1f}"""
+  }
+}

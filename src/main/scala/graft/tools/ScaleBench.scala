@@ -221,6 +221,7 @@ object ScaleBench {
       //   SPARK_GRAFT_SCALE_OPS='qn8[23]' sbt 'runMain graft.tools.ScaleBench ...'
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.r)
       val opTasks = scala.collection.mutable.LinkedHashMap[String, String]()
+      val opWeather = scala.collection.mutable.LinkedHashMap[String, String]()
       def addOp(name: String)(f: => Long): Unit =
         if (opFilter.forall(_.findFirstIn(name).isDefined)) {
           // Jobs run under a per-op job group so the listener attributes
@@ -229,8 +230,12 @@ object ScaleBench {
           // settle only bounds completeness: events still in flight at
           // drain time are dropped, never mis-filed.
           spark.sparkContext.setJobGroup(s"op:$name", name)
+          val w0 = CpuWeatherProbe.snap()
           try ops(name) = timed(f)
-          finally spark.sparkContext.clearJobGroup()
+          finally {
+            spark.sparkContext.clearJobGroup()
+            opWeather(name) = CpuWeatherProbe.deltaJson(w0, CpuWeatherProbe.snap())
+          }
           taskStats.foreach { l =>
             Thread.sleep(500)
             opTasks(name) = l.drainJson(group = s"op:$name")
@@ -817,6 +822,13 @@ object ScaleBench {
         if (opTasks.isEmpty) ""
         else opTasks.map { case (k, v) => s""""$k":$v""" }
           .mkString(""","task_stats":{""", ",", "}")
+      // Per-op co-tenant CPU weather (r17): integrated over each op's
+      // exact timed window, unlike the point-boundary bandwidth probe —
+      // the statistic the fixed-delta acceptance band gates on.
+      val weatherJson =
+        if (opWeather.isEmpty) ""
+        else opWeather.map { case (k, v) => s""""$k":$v""" }
+          .mkString(""","cpu_weather":{""", ",", "}")
       val isWarm = warmN > 0 && n == warmN
       val crossJson = crossCensus.map { case (c, r, h) =>
         s""""cross_capped_pairs":$c,"cross_raw_pairs":$r,"cross_hot_dropped":$h,"""
@@ -830,7 +842,7 @@ object ScaleBench {
           .mkString(""","bytes_read":{""", ",", "}")
       println(s"""{"n_docs":$n,"n_vecs":$nVecs,"warmup":$isWarm,""" +
         s""""calibration_sec":${f"$calib%.3f"},""" +
-        s""""mem_bw_gbps":{"t1":${f"$bw1%.2f"},"t32":${f"$bwN%.2f"}}$watchJson$taskJson,""" +
+        s""""mem_bw_gbps":{"t1":${f"$bw1%.2f"},"t32":${f"$bwN%.2f"}}$watchJson$taskJson$weatherJson,""" +
         s"""$crossJson"capped_fanout":$cappedFanout,"raw_fanout":$rawFanout$bytesJson""" +
         (if (ops.isEmpty) "}" else s",$opsJson}"))
       docs.unpersist(); emb.unpersist()
