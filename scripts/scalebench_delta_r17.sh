@@ -1,0 +1,70 @@
+#!/usr/bin/env bash
+# Weather-gated fixed-delta ingest rep (r17, VERDICT #2).
+#
+# One rep = one solo ScaleBench run of qn110_delta_ingest at a single
+# state size (plus the untimed 100k JIT warmup point). The r16 campaign
+# sampled 115-382 s on identical code at the 4M point, ANTI-correlated
+# with the point-boundary DRAM probe, so no cross-rep wall claim was
+# possible. This protocol gates each rep on statistics measured INSIDE
+# the op's own timed window and accepts a rep only when ALL hold:
+#
+#   calibration_sec <= 2.0     fixed-size compute probe in its healthy
+#                              band (r16/r17: healthy reps read 0.6-1.6,
+#                              sick ones 3.0-12.8)
+#   cpu_weather.other <= 0.05  co-tenant PROCESSES consumed <= 5% of
+#                              host CPU capacity during the op window
+#                              (catches in-image co-tenants; the first
+#                              r17 rep measured other=0.000 while 2.6x
+#                              slow — this host's squeeze is
+#                              hypervisor-level, hence the next gate)
+#   in-window t1 >= 5.0 GB/s   median of the 30s-interval bandwidth
+#                              WATCHER samples falling inside the op's
+#                              [off, off+sec] window (healthy t1 ~= 7;
+#                              the sick rep read 2.55) — the in-window
+#                              version of the boundary probe r16 found
+#                              anti-correlated
+#
+# The law claim is then made from accepted reps only, >= 2 per point:
+#   scripts/scalebench_delta_r17.sh 2000000
+#   scripts/scalebench_delta_r17.sh 4000000
+#   scripts/scalebench_delta_r17.sh 8000000
+set -u
+N="${1:?usage: scalebench_delta_r17.sh <nDocs>}"
+LOG="${2:-SCALEBENCH_r17_delta.log}"
+MEM="${SPARK_DRIVER_MEM:-48g}"
+echo "=== rep start $(date -u +%FT%TZ) n=$N mem=$MEM (weather-gated r17 protocol v2: +bw-watch in-window gate) ===" >> "$LOG"
+OUT=$(SPARK_DRIVER_MEM="$MEM" SPARK_GRAFT_SCALE_OPS=qn110_delta_ingest \
+  SPARK_GRAFT_SCALE_FANOUT=0 SPARK_GRAFT_SCALE_WARMUP=100000 \
+  SPARK_GRAFT_TASK_METRICS=1 SPARK_GRAFT_BW_WATCH=1 \
+  sbt -batch "runMain graft.tools.ScaleBench $N" 2>&1 | grep -E '^\{')
+RC=$?
+echo "$OUT" >> "$LOG"
+VERDICT=$(REP_OUT="$OUT" REP_N="$N" python3 <<'EOF'
+import json, os
+n = int(os.environ["REP_N"])
+point = None
+for line in os.environ["REP_OUT"].splitlines():
+    try: d = json.loads(line)
+    except ValueError: continue
+    if d.get("n_docs") == n and not d.get("warmup"):
+        point = d
+if point is None:
+    print("REJECT no-point")
+    raise SystemExit
+op = point.get("qn110_delta_ingest", {})
+calib = point.get("calibration_sec", 99.0)
+other = point.get("cpu_weather", {}).get("qn110_delta_ingest", {}).get("other", 1.0)
+off, sec = op.get("off", 0.0), op.get("sec", 0.0)
+inwin = sorted(g for t, g in point.get("bw_watch_t1", []) if off <= t <= off + sec)
+t1med = inwin[len(inwin) // 2] if inwin else -1.0
+ok = calib <= 2.0 and other <= 0.05 and (t1med >= 5.0 or not inwin)
+tag = "ACCEPT" if ok else "REJECT"
+if not inwin and ok:
+    tag = "ACCEPT(no-watch-samples)"
+print(f"{tag} n={n} wall={op.get('sec')} calib={calib} other={other} "
+      f"t1_inwin_med={t1med} t32_boundary={point.get('mem_bw_gbps',{}).get('t32')}")
+EOF
+)
+echo "verdict: $VERDICT" >> "$LOG"
+echo "=== rep end rc=$RC $(date -u +%FT%TZ) ===" >> "$LOG"
+echo "$VERDICT"
