@@ -29,6 +29,9 @@
 #   scripts/scalebench_delta_r17.sh 4000000
 #   scripts/scalebench_delta_r17.sh 8000000
 set -u
+# pipefail so RC below reflects sbt's exit status, not grep's (an sbt
+# crash after the warmup JSON line otherwise logged rc=0).
+set -o pipefail
 N="${1:?usage: scalebench_delta_r17.sh <nDocs>}"
 LOG="${2:-SCALEBENCH_r17_delta.log}"
 MEM="${SPARK_DRIVER_MEM:-48g}"

@@ -602,6 +602,11 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       maxIds: Int = PruneRerankMaxIds): DataFrame = {
+    // `cand` is the standardized candidate frame every quantized tier
+    // emits (query_id, vec_id, score) — the id column is `vec_id` by
+    // contract; only the CORPUS side's id column varies with the caller.
+    require(cand.columns.contains("vec_id"),
+      s"candidate frame must carry 'vec_id' (got ${cand.columns.mkString(",")})")
     val ids = cand.select("vec_id").distinct().limit(maxIds + 1)
       .collect().map(_.get(0))
     if (ids.length > maxIds) corpus

@@ -54,6 +54,20 @@ object BucketedState {
   private val ManifestFile = "_compaction"
   private val LeaseFile = ".compact_lease"
 
+  /** Lease staleness horizon. Unlike [[Store.CompactLeaseTtlMs]] (1 h,
+    * sized for unattended whole-table compactions that are never
+    * refreshed), a BucketedState lease is HEARTBEATED — the holder
+    * re-touches it every [[LeaseHeartbeatMs]] for as long as the fold
+    * runs — so going stale means the holder is genuinely dead, and the
+    * horizon can be short: a crashed watermark fold must not wedge the
+    * restarted stream's replay (acquire + every state write) for an
+    * hour (the r17 review finding that contradicted the
+    * replay-converges contract). Heartbeating also means a LONG fold
+    * can never age itself into theft mid-publish.
+    */
+  private[graft] val LeaseTtlMs: Long = 10L * 60 * 1000
+  private val LeaseHeartbeatMs: Long = 60L * 1000
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))
@@ -182,7 +196,7 @@ object BucketedState {
   /** Acquire the root-level compaction lease — [[Store]]'s
     * `.compact_lease_*` discipline (Store.scala:1159) ported to the
     * bucketed layout: create-exclusive marker holding a compactor-unique
-    * token; a lease older than [[Store.CompactLeaseTtlMs]] belongs to a
+    * token; a lease older than [[LeaseTtlMs]] belongs to a
     * crashed compactor and is stolen via atomic RENAME to a
     * stealer-unique claim (of N stealers exactly one rename wins;
     * delete-then-create is not atomic — a second stealer's delete can
@@ -208,11 +222,11 @@ object BucketedState {
     def fail() = throw new IllegalStateException(
       s"state under $root is already being compacted (lease $LeaseFile); " +
         "retry after it completes — a lease older than " +
-        s"${Store.CompactLeaseTtlMs} ms is presumed crashed and is stolen")
+        s"${LeaseTtlMs} ms is presumed crashed and is stolen")
     if (!tryCreate()) {
       val age = try System.currentTimeMillis() - f.getFileStatus(lease).getModificationTime
       catch { case _: java.io.IOException => 0L } // vanished → racer active
-      if (age <= Store.CompactLeaseTtlMs) fail()
+      if (age <= LeaseTtlMs) fail()
       val claim = new Path(rootP,
         s".compact_lease_claim_${java.util.UUID.randomUUID().toString.take(8)}")
       val ok = try f.rename(lease, claim) catch { case _: java.io.IOException => false }
@@ -220,7 +234,7 @@ object BucketedState {
       val claimedAge =
         try System.currentTimeMillis() - f.getFileStatus(claim).getModificationTime
         catch { case _: java.io.IOException => Long.MaxValue }
-      if (claimedAge <= Store.CompactLeaseTtlMs) {
+      if (claimedAge <= LeaseTtlMs) {
         val restored = try f.rename(claim, lease) catch { case _: java.io.IOException => false }
         if (!restored) f.delete(claim, false)
         fail()
@@ -231,39 +245,64 @@ object BucketedState {
     (lease, token)
   }
 
-  /** Re-read the lease and confirm this compactor still owns it (its
-    * token is inside) — called immediately before the retirement
-    * manifest lands, the first step two compactors must never both
-    * reach (a thief's [[healCompaction]] would discard our staged data
-    * and our later sidecar commit would then publish an EMPTY version).
-    */
-  private def verifyLeaseOwned(
-      spark: SparkSession, lease: Path, token: String): Unit = {
+  private def ownsLease(
+      spark: SparkSession, lease: Path, token: String): Boolean = {
     val f = fs(spark, lease)
-    val owned = try {
+    try {
       val buf = new Array[Byte](f.getFileStatus(lease).getLen.toInt)
       val in = f.open(lease)
       try in.readFully(buf) finally in.close()
       new String(buf, StandardCharsets.UTF_8) == token
     } catch { case _: Exception => false }
-    if (!owned)
+  }
+
+  /** Re-read the lease and confirm this compactor still owns it (its
+    * token is inside) — called immediately before the retirement
+    * manifest lands AND again before the sidecar commit, the two steps
+    * two compactors must never both reach (a thief's [[healCompaction]]
+    * between them would discard our staged data and manifest, and an
+    * unguarded sidecar commit would then publish an EMPTY version and
+    * retire the live slices). With the heartbeat a live holder never
+    * goes stale, so a failed verify means a genuine crash-steal race.
+    */
+  private def verifyLeaseOwned(
+      spark: SparkSession, lease: Path, token: String): Unit =
+    if (!ownsLease(spark, lease, token))
       throw new java.io.IOException(
         s"compact lease under ${lease.getParent} lost (stolen by another " +
           "compactor) — aborting before publish")
+
+  /** Keep the holder's lease fresh while the fold runs: re-touch its
+    * mtime every [[LeaseHeartbeatMs]] for as long as the content is
+    * still our token. A crashed holder stops beating and goes stale
+    * within [[LeaseTtlMs]]; a live one can never be stolen no matter
+    * how long the fold takes.
+    */
+  private def startLeaseHeartbeat(
+      spark: SparkSession, lease: Path, token: String): Thread = {
+    val t = new Thread(() => {
+      val f = fs(spark, lease)
+      try {
+        var ours = true
+        while (ours) {
+          Thread.sleep(LeaseHeartbeatMs)
+          ours = ownsLease(spark, lease, token)
+          if (ours)
+            try f.setTimes(lease, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-bstate-lease-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   private def releaseLease(
       spark: SparkSession, lease: Path, token: String): Unit = {
-    val f = fs(spark, lease)
     // Delete only if still ours — deleting a thief's fresh lease would
     // re-open the window for a THIRD compactor.
-    val owned = try {
-      val buf = new Array[Byte](f.getFileStatus(lease).getLen.toInt)
-      val in = f.open(lease)
-      try in.readFully(buf) finally in.close()
-      new String(buf, StandardCharsets.UTF_8) == token
-    } catch { case _: Exception => false }
-    if (owned) f.delete(lease, false)
+    if (ownsLease(spark, lease, token)) fs(spark, lease).delete(lease, false)
   }
 
   /** Writers fail loudly while a compaction holds the lease: a manual
@@ -282,13 +321,13 @@ object BucketedState {
     val live = try {
       f.exists(lease) &&
         (System.currentTimeMillis() - f.getFileStatus(lease).getModificationTime
-          <= Store.CompactLeaseTtlMs)
+          <= LeaseTtlMs)
     } catch { case _: java.io.IOException => false } // vanished → released
     if (live)
       throw new IllegalStateException(
         s"a compaction holds the lease under $root ($LeaseFile): retry the " +
           "write after it completes (a lease older than " +
-          s"${Store.CompactLeaseTtlMs} ms is presumed crashed and ignored)")
+          s"${LeaseTtlMs} ms is presumed crashed and ignored)")
   }
 
   /** Versions present under `root`, sorted. A completed compaction's
@@ -357,6 +396,16 @@ object BucketedState {
 
   def exists(spark: SparkSession, root: String): Boolean =
     versions(spark, root).nonEmpty
+
+  /** The stored bucket spec of one version — (numBuckets, bucketCol).
+    * Maintenance jobs derive the layout from the slices themselves
+    * instead of trusting a caller-supplied spec (a mismatched manual
+    * fold would otherwise rewrite the state at the wrong modulus and
+    * stall the stream at its next family read).
+    */
+  private[graft] def bucketSpec(
+      spark: SparkSession, root: String, version: String): (Int, String) =
+    readSpec(spark, versionPath(root, version))
 
   private def readSpec(spark: SparkSession, path: Path): (Int, String) = {
     val f = fs(spark, path)
@@ -502,6 +551,7 @@ object BucketedState {
       exclude: Set[String] = Set.empty,
       fold: Seq[DataFrame] => DataFrame = _.reduce(_ unionByName _)): Unit = {
     val (lease, token) = acquireLease(spark, root)
+    val heartbeat = startLeaseHeartbeat(spark, lease, token)
     try {
       healCompaction(spark, root)
       val old = versions(spark, root).filterNot(exclude)
@@ -517,9 +567,13 @@ object BucketedState {
       verifyLeaseOwned(spark, lease, token)
       atomicWrite(spark, new Path(root, ManifestFile),
         s"successor=$version\nretired=${old.mkString(",")}")
+      verifyLeaseOwned(spark, lease, token)
       commitSidecar(spark, root, version, bucketCol, numBuckets) // PUBLISH
       retire(spark, root, old)
-    } finally releaseLease(spark, lease, token)
+    } finally {
+      heartbeat.interrupt()
+      releaseLease(spark, lease, token)
+    }
   }
 
   /** Finish (or discard) an interrupted compaction so a replay converges.

@@ -1255,8 +1255,18 @@ final class Store(
     val tableDir = new Path(rootPath, validateName(name))
     val fromDir = new Path(tableDir, s"$VersionCol=${encodeVersion(from)}")
     val toDir = new Path(tableDir, s"$VersionCol=${encodeVersion(to)}")
-    if (!fs.exists(fromDir))
+    if (!fs.exists(fromDir)) {
+      // Crash-replay convergence: a prior relabel that died between the
+      // dir rename and the pointer repoint leaves `_last` dangling at
+      // `from` with the data already under `to` — finish the pointer
+      // half instead of refusing, so re-running the migration heals it.
+      if (fs.exists(toDir)) {
+        if (lastVersion(name).contains(from))
+          writeSmall(new Path(tableDir, LastFile), to)
+        return
+      }
       throw new Store.GetError(s"Version '$from' of '$name' not found", null)
+    }
     require(!fs.exists(toDir),
       s"relabel of '$name': target version '$to' already exists")
     if (!fs.rename(fromDir, toDir))

@@ -586,19 +586,23 @@ object DocStreams {
       label: String,
       sigTable: String = "streaming/neardup-sigs",
       freqTable: String = "streaming/neardup-freqs",
-      sigBuckets: Int = 32,
       exclude: Set[String] = Set.empty): Unit = {
-    def fold1(root: String, bucketCol: String,
-        fold: Seq[DataFrame] => DataFrame): Unit = {
+    // The bucket spec comes from the slices themselves, never from a
+    // caller parameter: a maintenance job run with a different modulus
+    // than the stream would rewrite the state at the wrong spec and
+    // stall the next batch's family read.
+    def fold1(root: String, fold: Seq[DataFrame] => DataFrame): Unit = {
       val foldable = BucketedState.versions(spark, root).filterNot(exclude)
-      if (foldable.size > 1)
-        BucketedState.compact(spark, root, label, bucketCol, sigBuckets,
+      if (foldable.size > 1) {
+        val (buckets, bucketCol) =
+          BucketedState.bucketSpec(spark, root, foldable.head)
+        BucketedState.compact(spark, root, label, bucketCol, buckets,
           exclude = exclude, fold = fold)
+      }
     }
-    fold1(store.statePath(sigTable), "s", _.reduce(_ unionByName _))
-    fold1(store.statePath(freqTable), "s", Dedup.foldShingleFreqSlices)
-    fold1(store.statePath(sigTable + "-counts"), "id",
-      _.reduce(_ unionByName _))
+    fold1(store.statePath(sigTable), _.reduce(_ unionByName _))
+    fold1(store.statePath(freqTable), Dedup.foldShingleFreqSlices)
+    fold1(store.statePath(sigTable + "-counts"), _.reduce(_ unionByName _))
   }
 
   /** One micro-batch of the FULL streaming corpus build — qn110's

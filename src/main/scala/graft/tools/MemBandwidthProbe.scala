@@ -140,9 +140,13 @@ object CpuWeatherProbe {
     val f = readFile("/proc/stat").linesIterator.next()
       .trim.split("\\s+").drop(1).map(_.toLong)
     val idle = f(3) + f(4) // idle + iowait
+    // Capacity = user..steal (fields 1-8). guest/guest_nice are ALREADY
+    // folded into user/nice by the kernel — summing them again inflates
+    // capacity on VM-hosting hosts and deflates every gated fraction.
+    val total = f.take(8).sum
     val st = readFile("/proc/self/stat")
     val rest = st.substring(st.lastIndexOf(')') + 2).split(" ")
-    Snap(f.sum, idle, rest(11).toLong + rest(12).toLong) // utime+stime
+    Snap(total, idle, rest(11).toLong + rest(12).toLong) // utime+stime
   }
 
   /** Deltas as fractions of host CPU capacity over the window, plus the

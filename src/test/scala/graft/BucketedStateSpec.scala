@@ -230,7 +230,7 @@ class BucketedStateSpec extends SparkSpec {
     // A STALE lease is a crashed compactor's: the next compact steals it
     // and proceeds; release deletes the lease so writers resume.
     f.setTimes(lease,
-      System.currentTimeMillis() - graft.store.Store.CompactLeaseTtlMs - 60000L, -1)
+      System.currentTimeMillis() - graft.store.BucketedState.LeaseTtlMs - 60000L, -1)
     BucketedState.compact(spark, root, "c0", "s", numBuckets = 2)
     assert(BucketedState.versions(spark, root) == Seq("c0"))
     assert(!f.exists(lease))
