@@ -116,6 +116,14 @@ object Bench {
       .filter(n => onlyFilter.forall(_.findFirstIn(n).isDefined))
     val times = scala.collection.mutable.Map(names.map(_ -> Seq.newBuilder[Double]): _*)
     val okMap = scala.collection.mutable.Map(names.map(_ -> true): _*)
+    // Co-tenant CPU weather over the WHOLE timed suite (r18, promoting
+    // the delta campaign's per-rep gate into the standing bench): the
+    // bandwidth probe above is a point boundary; this integrates
+    // /proc/stat over exactly the rep loop, so every cross-round
+    // common-set comparison can be weather-screened the way the
+    // fixed-delta reps were ("other" = fraction of host CPU capacity
+    // burnt by processes that are not this JVM).
+    val weather0 = graft.tools.CpuWeatherProbe.snap()
     for (_ <- 0 until reps; name <- names if okMap(name)) {
       // a failing query fails deterministically — don't retry it reps×
       val t0 = System.nanoTime()
@@ -124,6 +132,9 @@ object Bench {
         times(name) += (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => okMap(name) = false }
     }
+    val weatherJson = "\"cpu_weather\":" +
+      graft.tools.CpuWeatherProbe.deltaJson(weather0,
+        graft.tools.CpuWeatherProbe.snap())
     val results = names.map(n => (n, times(n).result(), okMap(n)))
     def timeMap(f: Seq[Double] => Double): String =
       results.map { case (k, ts, ok) => s"\"" + k + "\":" + (if (ok) f(ts) else -1.0) }
@@ -146,7 +157,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${timeMap(median)},""" +
         s""""queries_min":${timeMap(_.min)},"queries_max":${timeMap(_.max)},""" +
         s""""reps":$reps,"failures":$failures,"cpus":$cpus,"shuffle_partitions":$cpus,""" +
-        s""""conf":"$confTag","warmup_sec":$warmupSec,$calJson,$bwJson,"sf":"$sfDir"}"""
+        s""""conf":"$confTag","warmup_sec":$warmupSec,$calJson,$bwJson,$weatherJson,"sf":"$sfDir"}"""
     // stderr, NOT stdout: the driver keeps a ~2000-char stdout tail and
     // parses its last line as JSON — a ~7 KB per-query map on stdout
     // truncates mid-object and poisons the tail (the BENCH_r10 lesson).
@@ -181,7 +192,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"median",""" +
         s""""n_queries":${results.size},"reps":$reps,"failures":$failures,""" +
-        s""""slowest":$slowest,$calJson,$bwJson,"conf":"$confTag",""" +
+        s""""slowest":$slowest,$calJson,$bwJson,$weatherJson,"conf":"$confTag",""" +
         s""""per_query_file":"$outFile","sf":"$sfDir"}""")
     if (results.exists(!_._3)) sys.exit(1)
   }

@@ -589,13 +589,45 @@ object Similarity {
     */
   private[graft] val PruneRerankMaxIds: Int = 100000
 
+  /** Range-term budget for [[pruneCorpusToCandidates]]'s pushable
+    * OR-of-ranges. Per-row cost is irrelevant (the range check sits
+    * BEHIND the short-circuiting `isin`, so only candidate rows ever
+    * evaluate it); the budget bounds the pushed predicate's size — the
+    * parquet reader evaluates it once per row-group/page against stats,
+    * and planning/codegen of a multi-thousand-term Or is where a
+    * truly unbounded list would hurt. 512 ranges keeps the 100 TB
+    * deployment shape (~2.5k candidates, VERDICT r17) at ~5 ids per
+    * range — for uniform candidate draws the merged spans stay narrow,
+    * so granule pruning is within noise of the exact id list.
+    */
+  private[graft] val PruneRerankMaxRanges: Int = 512
+
   /** The candidate-id prune behind `pruneRerank`: collect the distinct
-    * candidate ids (bounded by `maxIds`) into a plan-time `isin` so
+    * candidate ids (bounded by `maxIds`) into a plan-time filter so
     * parquet row-group stats + any id-keyed layout prune the float
     * fetch to candidate-touched bytes; past the cap, return the corpus
     * unpruned (plan-identical to `pruneRerank = false`). Result rows
     * are identical either way — the rerank join keeps only candidate
     * ids regardless; this is purely which bytes the scan reads.
+    *
+    * Filter shape (r18): `isin(ids) AND <or-of-id-ranges>` for integral
+    * ids, plain `isin` otherwise. The r17 recipe pushed the bare `In`,
+    * which stock Spark rewrites past
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10) into a
+    * single min/max RANGE that prunes nothing for uniform candidates —
+    * the deployment recipe therefore raised that conf SESSION-GLOBALLY,
+    * changing every co-tenant query's pushdown (VERDICT r17 #3). The
+    * range disjunction removes the conf from the recipe: ids sorted and
+    * split at their [[PruneRerankMaxRanges]]−1 largest gaps become
+    * `(id BETWEEN lo₁ AND hi₁) OR …`, which translates to parquet
+    * whole (Or/GtEq/LtEq have no pushdown threshold) and prunes any
+    * granule whose id stats intersect no range — the same skip set as
+    * the raised-threshold id list whenever ranges stay granule-narrow
+    * (measured equal at the r17 512-file layout:
+    * SCALEBENCH_r18_storage.log). Row-level exactness still comes from
+    * the `isin` (O(1) InSet), which short-circuits the AND so
+    * non-candidate rows never walk the range list; the ranges are a
+    * superset of the ids, so AND-ing them changes no result.
     */
   private[graft] def pruneCorpusToCandidates(
       cand: DataFrame,
@@ -610,7 +642,40 @@ object Similarity {
     val ids = cand.select("vec_id").distinct().limit(maxIds + 1)
       .collect().map(_.get(0))
     if (ids.length > maxIds) corpus
-    else corpus.where(col(idCol).isin(ids.toSeq: _*))
+    else {
+      val exact = col(idCol).isin(ids.toSeq: _*)
+      val longs = ids.collect {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case s: java.lang.Short => s.longValue()
+      }
+      if (longs.length != ids.length || longs.isEmpty) corpus.where(exact)
+      else {
+        val rangeOr = idRanges(longs, PruneRerankMaxRanges)
+          .map { case (lo, hi) =>
+            if (lo == hi) col(idCol) === lit(lo)
+            else col(idCol) >= lit(lo) && col(idCol) <= lit(hi) }
+          .reduce(_ || _)
+        corpus.where(exact && rangeOr)
+      }
+    }
+  }
+
+  /** Sorted ids merged into at most `maxRanges` closed [lo, hi] spans
+    * by splitting at the `maxRanges − 1` LARGEST gaps — the covering
+    * set that loses the least pruning power for a fixed term budget.
+    */
+  private[graft] def idRanges(
+      ids: Array[Long], maxRanges: Int): Seq[(Long, Long)] = {
+    val s = ids.distinct.sorted
+    if (s.length <= maxRanges) return s.toSeq.map(i => (i, i))
+    // Gap k sits between s(k) and s(k+1); keep the maxRanges−1 widest
+    // as split points (ties broken by position for determinism).
+    val splits = (0 until s.length - 1)
+      .sortBy(k => (-(s(k + 1) - s(k)), k))
+      .take(maxRanges - 1).sorted
+    val bounds = (-1 +: splits) :+ (s.length - 1)
+    bounds.sliding(2).map { case Seq(a, b) => (s(a + 1), s(b)) }.toSeq
   }
 
   private def rerankCandidates(

@@ -590,6 +590,81 @@ object NorthStar {
     keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
   }
 
+  /** qn130's fold lifecycle fired MID-OUTAGE of a crashed stream, the
+    * exclusion derived from the stream's own checkpoint (r18): batch
+    * 3's slices landed on every surface but its commit never did — the
+    * offsets/commits logs (fabricated exactly as Structured Streaming
+    * lays them out, plain batch-id file names; the LIVE-stream
+    * integration incl. the injected crash and real restart is pinned in
+    * StreamingSpec) show offsets {0..3} vs commits {0..2}, so
+    * [[graft.streaming.DocStreams.compactDedupState]] must fold b0–b2
+    * and leave b3 alone with NO manual exclude. The "restarted stream"
+    * then replays batch 3 (rewriting its slices — the
+    * replay-idempotence contract) before day 1 ingests against
+    * {m0, b3}. Graded against qn24's one-shot oracle verbatim: folding
+    * the uncommitted slice would put batch 3's rows in BOTH m0 and the
+    * rewritten b3 — doubled signatures and summed-twice frequencies
+    * shift the hot set and the Jaccard denominators, and the survivor
+    * set diverges. The in-query `require` makes the other failure mode
+    * (over-exclusion folding nothing) loud too.
+    */
+  private def qDedupFoldCrashedStream(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = Tables.parquetRowCount(s, s"$dir/documents.parquet") / 2
+    val old = d.where(col("doc_id") < cut)
+    val fresh = d.where(col("doc_id") >= cut)
+    val store = new graft.store.Store(s, graft.TempDirs.create("graft_dedupc_"))
+    val sig0 = Dedup.materialize(
+      Dedup.shingleSignatures(old, "doc_id", "text", n = 3))
+    val sigRoot = store.statePath("dedup/sigs")
+    val freqRoot = store.statePath("dedup/freqs")
+    val countsRoot = store.statePath("dedup/sigs-counts")
+    def writeBatch(i: Int): Unit = {
+      val part = sig0.where(pmod(col("id"), lit(4)) === i)
+      graft.store.BucketedState.write(part, sigRoot, s"b$i", "s",
+        numBuckets = 32)
+      graft.store.BucketedState.write(Dedup.shingleDocFreqs(part),
+        freqRoot, s"b$i", "s", numBuckets = 32)
+      graft.store.BucketedState.write(Dedup.shingleSignatureCounts(part),
+        countsRoot, s"b$i", "id", numBuckets = 32)
+    }
+    (0 until 4).foreach(writeBatch)
+    // The crashed stream's checkpoint: batch 3 write-ahead-logged
+    // (offsets/3) but never committed (no commits/3).
+    val ckpt = java.nio.file.Paths.get(
+      graft.TempDirs.create("graft_dedupc_ckpt_"))
+    java.nio.file.Files.createDirectories(ckpt.resolve("offsets"))
+    java.nio.file.Files.createDirectories(ckpt.resolve("commits"))
+    (0 to 3).foreach(i =>
+      java.nio.file.Files.write(ckpt.resolve(s"offsets/$i"), "v1".getBytes))
+    (0 to 2).foreach(i =>
+      java.nio.file.Files.write(ckpt.resolve(s"commits/$i"), "v1".getBytes))
+    graft.streaming.DocStreams.compactDedupState(s, store, "m0",
+      sigTable = "dedup/sigs", freqTable = "dedup/freqs",
+      checkpoint = Some(ckpt.toString))
+    val live = graft.store.BucketedState.versions(s, sigRoot).toSet
+    require(live == Set("b3", "m0"),
+      s"checkpoint-derived exclusion mis-sized the fold: live=$live")
+    // The restarted stream replays batch 3: slices rewritten in place.
+    writeBatch(3)
+    val prevFreqs = graft.store.BucketedState.family(s, freqRoot)
+      .groupBy("s").agg(sum("df").as("df"))
+    val batchFreqs = Dedup.materialize(
+      Dedup.shingleDocFreqs(Dedup.shingleSignatures(fresh, "doc_id", "text", n = 3)))
+    val corpusFreqs = prevFreqs.unionByName(batchFreqs)
+      .groupBy("s").agg(sum("df").as("df"))
+    val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3,
+      threshold = 0.8, shingleFreqs = Some(corpusFreqs))
+    val keptNew = Dedup.dedupIncrementalSliced(fresh,
+      graft.store.BucketedState.slices(s, sigRoot), "doc_id", "text",
+      n = 3, threshold = 0.8,
+      prevShingleFreqs = Some(prevFreqs),
+      batchShingleFreqs = Some(batchFreqs),
+      prevSigCounts = Some(graft.store.BucketedState.family(s, countsRoot)),
+      prevFreqsPartitioned = true)
+    keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
+  }
+
   /** Edit-distance + character-transform text functions. */
   private def qTextDistance(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -3143,8 +3218,10 @@ object NorthStar {
     */
   /** qn24's one-shot corpus dedup (recursive-CTE components over capped
     * exact Jaccard) — shared verbatim by qn24 (row-versioned freq
-    * state) and qn129 (the r16 bucketed layout end to end): the layout
-    * and plan change, the survivor set must not.
+    * state), qn129 (the r16 bucketed layout end to end), qn130 (the
+    * three-surface fold lifecycle) and qn131 (the fold mid-outage of a
+    * crashed stream, exclusions checkpoint-derived): the layout and
+    * plan change, the survivor set must not.
     */
   private val incrementalDedupOracle: String = """
       WITH RECURSIVE
@@ -3726,6 +3803,8 @@ object NorthStar {
     QueryDef("qn129_dedup_incremental_bucketed", qDedupIncrementalBucketed _,
       Some(incrementalDedupOracle)),
     QueryDef("qn130_dedup_state_folded", qDedupStateFolded _,
+      Some(incrementalDedupOracle)),
+    QueryDef("qn131_dedup_fold_crashed_stream", qDedupFoldCrashedStream _,
       Some(incrementalDedupOracle)),
     QueryDef("qn25_video_frames", qVideoFrames _, Some("""
       WITH d AS (SELECT doc_id,

@@ -52,6 +52,7 @@ object BucketedState {
 
   private val SpecFile = "_bucketspec"
   private val ManifestFile = "_compaction"
+  private val DoneManifestFile = "_compaction_done"
   private val LeaseFile = ".compact_lease"
 
   /** Lease staleness horizon. Unlike [[Store.CompactLeaseTtlMs]] (1 h,
@@ -98,9 +99,21 @@ object BucketedState {
       version: String,
       bucketCol: String,
       numBuckets: Int): Unit = {
-    requireNoLiveLease(df.sparkSession, root)
+    val spark = df.sparkSession
+    requireNoLiveLease(spark, root)
     writeData(df, root, version, bucketCol, numBuckets)
-    commitSidecar(df.sparkSession, root, version, bucketCol, numBuckets)
+    // A recycled label must not stay hidden by a PRIOR fold's done
+    // tombstone ([[retire]]): scrub this version out of it before the
+    // sidecar makes the slice visible. (The in-tree writers never
+    // recycle — batch labels are monotonic batch ids — but write() is
+    // public API and a hidden-yet-live slice would be a silent loss.)
+    readManifest(spark, root, DoneManifestFile).foreach {
+      case (succ, retired) if retired.contains(version) =>
+        atomicWrite(spark, new Path(root, DoneManifestFile),
+          s"successor=$succ\nretired=${(retired - version).mkString(",")}")
+      case _ => ()
+    }
+    commitSidecar(spark, root, version, bucketCol, numBuckets)
   }
 
   /** The data half of [[write]]: the bucketed table lands on disk and in
@@ -245,15 +258,48 @@ object BucketedState {
     (lease, token)
   }
 
-  private def ownsLease(
-      spark: SparkSession, lease: Path, token: String): Boolean = {
+  /** One lease read, tri-state: `Some(true)` = our token is inside,
+    * `Some(false)` = ANOTHER holder's token (confirmed loss), `None` =
+    * unreadable — the file is momentarily missing (a TTL-stealer's
+    * rename-inspect-restore window passes through a lease-less instant,
+    * [[acquireLease]]) or the read itself failed transiently. The r17
+    * `ownsLease` collapsed `None` into "lost", which made the heartbeat
+    * exit permanently on any flake and [[verifyLeaseOwned]] spuriously
+    * abort a healthy fold mid-restore; callers now retry `None` before
+    * concluding anything.
+    */
+  private def readLeaseOwned(
+      spark: SparkSession, lease: Path, token: String): Option[Boolean] = {
     val f = fs(spark, lease)
     try {
       val buf = new Array[Byte](f.getFileStatus(lease).getLen.toInt)
       val in = f.open(lease)
       try in.readFully(buf) finally in.close()
-      new String(buf, StandardCharsets.UTF_8) == token
-    } catch { case _: Exception => false }
+      Some(new String(buf, StandardCharsets.UTF_8) == token)
+    } catch { case _: Exception => None }
+  }
+
+  /** Ownership check that retries unreadable states with backoff
+    * (~200 ms → 2 s, ~5 s total) before concluding the lease is lost: a
+    * confirmed foreign token returns false immediately; a read that
+    * stays unreadable past the retries is treated as lost (the
+    * conservative answer for anything about to publish).
+    */
+  private[graft] def ownsLeaseRobust(
+      spark: SparkSession, lease: Path, token: String,
+      tries: Int = 5): Boolean = {
+    var i = 0
+    while (i < tries) {
+      readLeaseOwned(spark, lease, token) match {
+        case Some(owned) => return owned
+        case None =>
+          try Thread.sleep(math.min(200L << i, 2000L))
+          catch { case ie: InterruptedException =>
+            Thread.currentThread().interrupt(); return false }
+          i += 1
+      }
+    }
+    false
   }
 
   /** Re-read the lease and confirm this compactor still owns it (its
@@ -264,10 +310,13 @@ object BucketedState {
     * unguarded sidecar commit would then publish an EMPTY version and
     * retire the live slices). With the heartbeat a live holder never
     * goes stale, so a failed verify means a genuine crash-steal race.
+    * Transient read failures (and the stealer's momentary
+    * rename-restore window) are retried ([[ownsLeaseRobust]]) so the
+    * verify can't spuriously abort a healthy fold.
     */
   private def verifyLeaseOwned(
       spark: SparkSession, lease: Path, token: String): Unit =
-    if (!ownsLease(spark, lease, token))
+    if (!ownsLeaseRobust(spark, lease, token))
       throw new java.io.IOException(
         s"compact lease under ${lease.getParent} lost (stolen by another " +
           "compactor) — aborting before publish")
@@ -276,7 +325,12 @@ object BucketedState {
     * mtime every [[LeaseHeartbeatMs]] for as long as the content is
     * still our token. A crashed holder stops beating and goes stale
     * within [[LeaseTtlMs]]; a live one can never be stolen no matter
-    * how long the fold takes.
+    * how long the fold takes. The beat distinguishes CONFIRMED loss (a
+    * foreign token read back — exit, the fold's next verify aborts it)
+    * from an UNREADABLE lease (transient IO, or a stealer's momentary
+    * rename-restore window): unreadable keeps beating at the next
+    * period — exiting permanently on a flake was the r17 hole that let
+    * a healthy fold silently age into theft mid-publish.
     */
   private def startLeaseHeartbeat(
       spark: SparkSession, lease: Path, token: String): Thread = {
@@ -286,10 +340,13 @@ object BucketedState {
         var ours = true
         while (ours) {
           Thread.sleep(LeaseHeartbeatMs)
-          ours = ownsLease(spark, lease, token)
-          if (ours)
-            try f.setTimes(lease, System.currentTimeMillis(), -1)
-            catch { case _: java.io.IOException => () }
+          readLeaseOwned(spark, lease, token) match {
+            case Some(false) => ours = false // confirmed foreign holder
+            case Some(true) =>
+              try f.setTimes(lease, System.currentTimeMillis(), -1)
+              catch { case _: java.io.IOException => () } // retry next beat
+            case None => () // unreadable: keep beating, never exit on a flake
+          }
         }
       } catch { case _: InterruptedException => () }
     }, "graft-bstate-lease-heartbeat")
@@ -302,8 +359,54 @@ object BucketedState {
       spark: SparkSession, lease: Path, token: String): Unit = {
     // Delete only if still ours — deleting a thief's fresh lease would
     // re-open the window for a THIRD compactor.
-    if (ownsLease(spark, lease, token)) fs(spark, lease).delete(lease, false)
+    if (ownsLeaseRobust(spark, lease, token))
+      fs(spark, lease).delete(lease, false)
   }
+
+  /** Operator-visible lease state: (ageMs since last heartbeat, whether
+    * the TTL horizon makes it stealable, the holder's token). `None` =
+    * no lease held. Tooling for a human watching a stuck fold — the
+    * machine path never needs it (TTL-steal self-heals).
+    */
+  final case class LeaseInfo(ageMs: Long, stale: Boolean, holderToken: String)
+
+  def leaseInfo(spark: SparkSession, root: String): Option[LeaseInfo] = {
+    val lease = new Path(root, LeaseFile)
+    val f = fs(spark, lease)
+    try {
+      val st = f.getFileStatus(lease)
+      val buf = new Array[Byte](st.getLen.toInt)
+      val in = f.open(lease)
+      try in.readFully(buf) finally in.close()
+      val age = System.currentTimeMillis() - st.getModificationTime
+      Some(LeaseInfo(age, age > LeaseTtlMs,
+        new String(buf, StandardCharsets.UTF_8)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Human escape hatch for a wedged lease ([[leaseInfo]]'s companion):
+    * deletes a STALE lease immediately instead of waiting for the next
+    * compactor's TTL-steal, but REFUSES while the heartbeat is fresh —
+    * a live fold's lease must never be yanked from under it (its
+    * pre-publish verifies would abort an otherwise healthy fold, or
+    * worse, a second compactor could slip in before they run). Returns
+    * false when there is no lease to release. Racing a TTL-stealer is
+    * harmless: the stealer's rename finds the file gone and fails
+    * loudly.
+    */
+  def forceReleaseLease(spark: SparkSession, root: String): Boolean =
+    leaseInfo(spark, root) match {
+      case None => false
+      case Some(info) if !info.stale =>
+        throw new IllegalStateException(
+          s"lease under $root is FRESH (age ${info.ageMs} ms <= TTL " +
+            s"$LeaseTtlMs ms): its holder is alive and heartbeating — " +
+            "force-release would abort a live fold; wait for the TTL or " +
+            "stop the compactor first")
+      case Some(_) =>
+        fs(spark, new Path(root)).delete(new Path(root, LeaseFile), false)
+        true
+    }
 
   /** Writers fail loudly while a compaction holds the lease: a manual
     * [[compact]] racing a live ingest could otherwise fold a slice the
@@ -349,22 +452,29 @@ object BucketedState {
     // Read the manifest BEFORE the listing and again AFTER, retrying if
     // it changed: listing first left a cross-session race where a reader
     // captured successor + retired dirs and then found the manifest
-    // already deleted (retire() removes it LAST) — returning every doc
-    // twice. With the before-read: manifest-present → filter by it
-    // (retirement may delete dirs under us, but filtering
-    // already-deleted names is harmless and the successor dir provably
-    // existed first — publish precedes retire); manifest absent both
-    // sides → no compaction spanned the listing (a full staged-fold +
-    // publish + retire cycle inside one directory listing is not a
-    // physical window). A changed manifest means a compactor published
-    // or finished mid-listing — re-list against the new state.
+    // already deleted — returning every doc twice. With the before-read:
+    // manifest-present → filter by it (retirement may delete dirs under
+    // us, but filtering already-deleted names is harmless and the
+    // successor dir provably existed first — publish precedes retire).
+    // Manifest absent both sides does NOT prove no compaction spanned
+    // the listing (the fold is staged before the manifest lands, so only
+    // manifest-write → sidecar-commit → dir-deletes → retirement fit
+    // between the two reads — a few metadata ops, narrow but physical:
+    // the r17 "not a physical window" claim was too strong). The
+    // DONE-manifest closes it: [[retire]] RENAMES the manifest to
+    // [[DoneManifestFile]] instead of deleting it, so a reader whose
+    // listing still carries retired dirs always finds the retirement
+    // recorded in one file or the other and filters. A changed pending
+    // manifest means a compactor published or finished mid-listing —
+    // re-list against the new state.
     var tries = 5
-    var before = readManifest(spark, root)
+    var before = readManifest(spark, root, ManifestFile)
     while (true) {
       val listed = listComplete()
-      val after = readManifest(spark, root)
+      val after = readManifest(spark, root, ManifestFile)
       if (before == after || tries <= 0) {
-        return after.orElse(before) match {
+        return after.orElse(before)
+          .orElse(readManifest(spark, root, DoneManifestFile)) match {
           case Some((successor, retired)) if listed.contains(successor) =>
             (listed.toSet -- retired).toSeq.sorted
           case _ => listed.sorted
@@ -376,10 +486,12 @@ object BucketedState {
     throw new IllegalStateException("unreachable")
   }
 
-  /** The compaction manifest, if present: (successor, retired set). */
+  /** A compaction manifest (pending or done), if present:
+    * (successor, retired set). */
   private def readManifest(
-      spark: SparkSession, root: String): Option[(String, Set[String])] = {
-    val p = new Path(root, ManifestFile)
+      spark: SparkSession, root: String,
+      file: String): Option[(String, Set[String])] = {
+    val p = new Path(root, file)
     val f = fs(spark, p)
     if (!f.exists(p)) None
     else {
@@ -584,7 +696,7 @@ object BucketedState {
     * the manifest.
     */
   private def healCompaction(spark: SparkSession, root: String): Unit =
-    readManifest(spark, root).foreach { case (successor, retired) =>
+    readManifest(spark, root, ManifestFile).foreach { case (successor, retired) =>
       val succPath = versionPath(root, successor)
       val f = fs(spark, succPath)
       if (f.exists(new Path(succPath, SpecFile))) {
@@ -596,10 +708,18 @@ object BucketedState {
       }
     }
 
-  /** Physically remove retired version subtrees, then the manifest that
-    * named them (manifest last: until it is gone it keeps hiding any
-    * not-yet-deleted dirs from [[versions]], so this is safe to rerun
-    * from any point).
+  /** Physically remove retired version subtrees, then RENAME the
+    * manifest that named them to [[DoneManifestFile]] (manifest moved
+    * last: until then it keeps hiding any not-yet-deleted dirs from
+    * [[versions]], so this is safe to rerun from any point). The done
+    * copy is a persistent tombstone, not janitorial debris: a reader
+    * whose listing raced this retirement (captured the successor plus a
+    * not-yet-deleted retired dir, then found the pending manifest gone
+    * on both manifest reads) consults it and still filters the retired
+    * names — the r17 delete left that reader a narrow double-count
+    * window. One tiny file per root, replaced by the next compaction's
+    * retirement; [[write]] scrubs a recycled version label out of
+    * it.
     */
   private def retire(
       spark: SparkSession, root: String, retired: Seq[String]): Unit = {
@@ -609,6 +729,29 @@ object BucketedState {
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(p.toString)}")
       if (f.exists(p)) f.delete(p, true)
     }
-    f.delete(new Path(root, ManifestFile), false)
+    val manifest = new Path(root, ManifestFile)
+    // A healed re-run may find the manifest already renamed — no-op.
+    if (f.exists(manifest))
+      atomicRename(spark, manifest, new Path(root, DoneManifestFile))
+  }
+
+  /** Atomic file replace-rename: POSIX atomic move on the local scheme,
+    * delete+rename elsewhere (the same discipline as [[atomicWrite]]).
+    */
+  private def atomicRename(
+      spark: SparkSession, src: Path, dst: Path): Unit = {
+    val f = fs(spark, dst)
+    val uri = dst.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(new Path(src.toUri.getPath).toString),
+        java.nio.file.Paths.get(new Path(uri.getPath).toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      if (f.exists(dst)) f.delete(dst, false)
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
   }
 }

@@ -562,22 +562,31 @@ object DocStreams {
     * generously (the watermark becomes a backstop, not the schedule)
     * and run this nightly / at low traffic.
     *
-    * Safe against the live stream, loudly: each fold runs under the
-    * root's compaction lease, so a batch racing this job fails its
-    * state WRITE with the lease error and the restarted query replays
-    * it cleanly (every per-batch write is replay-idempotent). What the
-    * lease can NOT know is a batch that already WROTE some slices and
-    * will rewrite them on replay — folding those would put their rows
-    * in two live slices — so either run with the stream stopped, or
-    * pass `exclude` covering any possibly-in-flight batch's slice
-    * label (the checkpoint names the highest committed batch id; the
-    * in-flight one is the next). Re-running with the same `label` after
-    * a crash converges ([[graft.store.BucketedState.compact]]'s replay
-    * contract); re-running after NEW batches landed refuses loudly and
-    * names the recovery (pick a new label).
+    * Against a LIVE stream, pass the stream's `checkpoint` location:
+    * each fold runs under the root's compaction lease, so a batch
+    * racing this job fails its state WRITE with the lease error and the
+    * restarted query replays it cleanly (every per-batch write is
+    * replay-idempotent) — but the lease can NOT know about a batch that
+    * already WROTE some slices and will REWRITE them on replay (a
+    * half-committed batch at job start, or the one the lease just
+    * failed). Folding such a slice would put its rows in BOTH the fold
+    * and the rewritten slice. With `checkpoint` supplied the job
+    * derives that exclusion itself from the stream's own commit log
+    * ([[uncommittedBatchLabels]]: every batch id the offset WAL shows
+    * started but the commit log does not show finished — exactly the
+    * replay-rewritable set, since Structured Streaming writes
+    * `offsets/<id>` durably before the batch body runs and
+    * `commits/<id>` after). Without it, either run with the stream
+    * STOPPED or pass `exclude` covering any possibly-in-flight batch's
+    * slice label by hand — the r17 API left that inference to the
+    * operator, which was its one silent-corruption path. Re-running
+    * with the same `label` after a crash converges
+    * ([[graft.store.BucketedState.compact]]'s replay contract);
+    * re-running after NEW batches landed refuses loudly and names the
+    * recovery (pick a new label).
     *
-    * A surface already at one live slice (or with nothing outside
-    * `exclude`) is skipped — the job is cheap when there is nothing to
+    * A surface already at one live slice (or with nothing outside the
+    * exclusions) is skipped — the job is cheap when there is nothing to
     * fold.
     */
   def compactDedupState(
@@ -586,23 +595,59 @@ object DocStreams {
       label: String,
       sigTable: String = "streaming/neardup-sigs",
       freqTable: String = "streaming/neardup-freqs",
-      exclude: Set[String] = Set.empty): Unit = {
+      exclude: Set[String] = Set.empty,
+      checkpoint: Option[String] = None): Unit = {
+    val excl = exclude ++
+      checkpoint.map(uncommittedBatchLabels(spark, _)).getOrElse(Set.empty)
     // The bucket spec comes from the slices themselves, never from a
     // caller parameter: a maintenance job run with a different modulus
     // than the stream would rewrite the state at the wrong spec and
     // stall the next batch's family read.
     def fold1(root: String, fold: Seq[DataFrame] => DataFrame): Unit = {
-      val foldable = BucketedState.versions(spark, root).filterNot(exclude)
+      val foldable = BucketedState.versions(spark, root).filterNot(excl)
       if (foldable.size > 1) {
         val (buckets, bucketCol) =
           BucketedState.bucketSpec(spark, root, foldable.head)
         BucketedState.compact(spark, root, label, bucketCol, buckets,
-          exclude = exclude, fold = fold)
+          exclude = excl, fold = fold)
       }
     }
     fold1(store.statePath(sigTable), _.reduce(_ unionByName _))
     fold1(store.statePath(freqTable), Dedup.foldShingleFreqSlices)
     fold1(store.statePath(sigTable + "-counts"), _.reduce(_ unionByName _))
+  }
+
+  /** Slice labels (`b<batchId>`) of every batch the checkpoint shows
+    * STARTED but not COMMITTED — the set an out-of-band fold must leave
+    * alone because a restarted stream will rewrite their slices
+    * ([[compactDedupState]]). Mechanics: Structured Streaming's
+    * MicroBatchExecution write-ahead-logs `offsets/<batchId>` BEFORE
+    * the batch body (so any state slice a batch wrote has its offsets
+    * entry) and `commits/<batchId>` only after the body succeeds, so
+    * `offsets \ commits` is exactly the replay-rewritable set — at most
+    * one id on a healthy stream. `max(commits)+1` is added for the
+    * instant after a commit lands and before the next batch's WAL entry
+    * (that batch has written nothing yet, but it may START while the
+    * fold runs: its label must already be excluded, not discovered
+    * mid-fold — though even then the lease would fail its write
+    * loudly). Both logs may be absent on a fresh checkpoint (empty
+    * set). Log-file names are plain batch ids; non-numeric entries
+    * (temp files, `.compact` metadata of OTHER logs — offsets/commits
+    * themselves never compact) are ignored.
+    */
+  private[graft] def uncommittedBatchLabels(
+      spark: SparkSession, checkpoint: String): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def ids(sub: String): Set[Long] = {
+      val p = new org.apache.hadoop.fs.Path(checkpoint, sub)
+      val f = p.getFileSystem(conf)
+      if (!f.exists(p)) Set.empty
+      else f.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.forall(_.isDigit)).map(_.toLong).toSet
+    }
+    val commits = ids("commits")
+    val started = ids("offsets") -- commits
+    (started ++ commits.maxOption.map(_ + 1)).map(id => s"b$id")
   }
 
   /** One micro-batch of the FULL streaming corpus build — qn110's

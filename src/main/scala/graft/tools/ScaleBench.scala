@@ -628,18 +628,19 @@ object ScaleBench {
         // row groups (the granule count stands in for a 100 TB
         // corpus's 10⁵–10⁶ groups of 128 MB — granularity scales, the
         // skip ARITHMETIC is what's measured), 4 queries → ≤160
-        // candidate ids, and the parquet In-pushdown threshold raised
-        // past the candidate count so the pushed filter stays an
-        // id-list (stock Spark rewrites big INs to a min/max RANGE,
-        // which prunes nothing for uniform candidates — that conf IS
-        // the deployment recipe, recorded here). The unsorted control
-        // (same files, hash-scattered rows) pins the sort as the
-        // ingredient: every group spans the full id range, nothing
-        // skips.
-        val inThresh = "spark.sql.parquet.pushdown.inFilterThreshold"
-        val savedThresh = spark.conf.get(inThresh)
-        try {
-          spark.conf.set(inThresh, "10000")
+        // candidate ids. r17 additionally raised the parquet
+        // In-pushdown threshold past the candidate count (stock Spark
+        // rewrites big INs to a min/max RANGE, which prunes nothing for
+        // uniform candidates) — a session-global conf the VERDICT
+        // flagged as the recipe's blast radius. r18 removed the conf
+        // from the recipe: [[graft.ops.Similarity.pruneCorpusToCandidates]]
+        // now pushes an or-of-id-ranges next to the exact In, prunable
+        // at STOCK conf — this leg runs stock to prove the same bytes
+        // (r17 raised-threshold reference: 64.2 MB of 209.5 MB,
+        // SCALEBENCH_r17_storage.log). The unsorted control (same
+        // files, hash-scattered rows) pins the sort as the ingredient:
+        // every group spans the full id range, nothing skips.
+        locally {
           val sortedPath = s"$dir/floats_sorted"
           val shuffledPath = s"$dir/floats_shuffled"
           // ~512 files; 256 KB row groups → a few granules per file.
@@ -667,7 +668,7 @@ object ScaleBench {
           cold("qn128_storage_bound_sortedscan")(
             fsorted.agg(max(xxhash64(col("vec_id"), col("embedding"))))
               .head().getLong(0))
-        } finally spark.conf.set(inThresh, savedThresh)
+        }
       }
       addOp("qn51_dedup_spans")(
         // The stride-1 window stream is the heaviest text-op shape

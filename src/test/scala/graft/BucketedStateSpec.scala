@@ -13,6 +13,9 @@ import graft.store.BucketedState
   */
 class BucketedStateSpec extends SparkSpec {
 
+  private def fsOf(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
     df.count() // force AQE to finalize
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
@@ -236,6 +239,109 @@ class BucketedStateSpec extends SparkSpec {
     assert(!f.exists(lease))
     BucketedState.write(v0, root, "b2", "s", numBuckets = 2)
     assert(BucketedState.versions(spark, root) == Seq("b2", "c0"))
+  }
+
+  test("leaseInfo + forceReleaseLease: refused on a live lease, allowed on a stale one (r18)") {
+    import spark.implicits._
+    val root = TempDirs.create("graft_bstate_fr_") + "/sigs"
+    BucketedState.write((1 to 20).map(i => (i.toLong, s"a$i")).toDF("id", "s"),
+      root, "b0", "s", numBuckets = 2)
+    // No lease: info None, force-release a no-op.
+    assert(BucketedState.leaseInfo(spark, root).isEmpty)
+    assert(!BucketedState.forceReleaseLease(spark, root))
+    // A FRESH lease (heartbeating holder): visible to the operator,
+    // refused by the escape hatch — yanking it would abort a live fold.
+    val lease = new org.apache.hadoop.fs.Path(root, ".compact_lease")
+    val f = fsOf(lease)
+    val out = f.create(lease, false)
+    out.write("holder-token".getBytes("UTF-8")); out.close()
+    val live = BucketedState.leaseInfo(spark, root).get
+    assert(!live.stale && live.holderToken == "holder-token" &&
+      live.ageMs < graft.store.BucketedState.LeaseTtlMs)
+    val e = intercept[IllegalStateException] {
+      BucketedState.forceReleaseLease(spark, root)
+    }
+    assert(e.getMessage.contains("FRESH"), e.getMessage)
+    assert(f.exists(lease))
+    // Stale (holder dead past the TTL): info says stealable, the
+    // escape hatch releases immediately, writers resume.
+    f.setTimes(lease,
+      System.currentTimeMillis() - graft.store.BucketedState.LeaseTtlMs - 60000L, -1)
+    assert(BucketedState.leaseInfo(spark, root).get.stale)
+    assert(BucketedState.forceReleaseLease(spark, root))
+    assert(!f.exists(lease))
+    BucketedState.write((21 to 30).map(i => (i.toLong, s"a$i")).toDF("id", "s"),
+      root, "b1", "s", numBuckets = 2)
+    assert(BucketedState.versions(spark, root) == Seq("b0", "b1"))
+  }
+
+  test("ownsLeaseRobust: survives a transiently unreadable lease, rejects a foreign token (r18)") {
+    val root = TempDirs.create("graft_bstate_hb_")
+    val lease = new org.apache.hadoop.fs.Path(root, ".compact_lease")
+    val f = fsOf(lease)
+    // Foreign token: confirmed loss, immediate false (no retry stall).
+    val out = f.create(lease, false)
+    out.write("someone-else".getBytes("UTF-8")); out.close()
+    val t0 = System.nanoTime()
+    assert(!graft.store.BucketedState.ownsLeaseRobust(spark, lease, "mine"))
+    assert((System.nanoTime() - t0) / 1e6 < 1000,
+      "confirmed foreign token must not burn the retry budget")
+    // Momentarily MISSING lease (a TTL-stealer's rename-inspect-restore
+    // window, or an IO flake): the r17 check concluded "lost" instantly
+    // and the heartbeat died; the robust check retries into the restore.
+    f.delete(lease, false)
+    val restorer = new Thread(() => {
+      Thread.sleep(400)
+      val o = f.create(lease, false)
+      o.write("mine".getBytes("UTF-8")); o.close()
+    })
+    restorer.start()
+    assert(graft.store.BucketedState.ownsLeaseRobust(spark, lease, "mine"),
+      "ownership must survive the transient unreadable window")
+    restorer.join()
+    // Persistently missing: concluded lost after the bounded retries.
+    f.delete(lease, false)
+    assert(!graft.store.BucketedState.ownsLeaseRobust(spark, lease, "mine"))
+  }
+
+  test("retire leaves a done-manifest: a reader's stale listing can never double-serve (r18)") {
+    import spark.implicits._
+    // The r17 residual race (ADVICE low): the fold is STAGED before the
+    // pending manifest lands, so manifest-write -> sidecar-commit ->
+    // dir-deletes -> manifest-delete are only a few metadata ops — a
+    // reader could list retired dirs + the successor and find the
+    // pending manifest gone on BOTH reads, double-counting every folded
+    // row. r18's retire() RENAMES the manifest to _compaction_done
+    // instead of deleting it; versions() consults it whenever no pending
+    // manifest spans the listing. Reconstruct that reader's exact view
+    // by hand: successor + retired dirs all sidecar-complete, no pending
+    // manifest, done-manifest naming the retirement.
+    val root = TempDirs.create("graft_bstate_dm_") + "/sigs"
+    val rows = (1 to 60).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+    BucketedState.write(rows.where(col("id") <= 30), root, "b0", "s", 2)
+    BucketedState.write(rows.where(col("id") > 30), root, "b1", "s", 2)
+    BucketedState.write(rows, root, "m0", "s", 2) // the staged+published fold
+    val done = new org.apache.hadoop.fs.Path(root, "_compaction_done")
+    val out = fsOf(done).create(done, true)
+    out.write("successor=m0\nretired=b0,b1".getBytes("UTF-8")); out.close()
+    assert(BucketedState.versions(spark, root) == Seq("m0"),
+      "stale listing must be filtered by the done-manifest")
+    assert(BucketedState.family(spark, root).count() == 60L)
+    // The real lifecycle writes it too: a completed compact leaves the
+    // done tombstone behind (and no pending manifest).
+    val root2 = TempDirs.create("graft_bstate_dm2_") + "/sigs"
+    BucketedState.write(rows.where(col("id") <= 30), root2, "b0", "s", 2)
+    BucketedState.write(rows.where(col("id") > 30), root2, "b1", "s", 2)
+    BucketedState.compact(spark, root2, "c0", "s", numBuckets = 2)
+    val f2 = fsOf(done)
+    assert(f2.exists(new org.apache.hadoop.fs.Path(root2, "_compaction_done")))
+    assert(!f2.exists(new org.apache.hadoop.fs.Path(root2, "_compaction")))
+    assert(BucketedState.versions(spark, root2) == Seq("c0"))
+    // Recycled-label guard: a NEW slice re-using a retired label must
+    // not stay hidden by the tombstone — write() scrubs it.
+    BucketedState.write(rows.where(col("id") <= 10), root2, "b0", "s", 2)
+    assert(BucketedState.versions(spark, root2) == Seq("b0", "c0"))
+    assert(BucketedState.family(spark, root2).count() == 70L)
   }
 
   test("compact replayed with a published label after NEW slices landed: error names recovery") {

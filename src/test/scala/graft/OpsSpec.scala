@@ -885,13 +885,37 @@ class OpsSpec extends SparkSpec {
         "vec_id", "embedding", k = 5, oversample = 4, pruneRerank = prune)
     val want = run(false).orderBy("query_id", "rank")
       .collect().map(_.toString).toSeq
+    // The deployment recipe must not lean on (or mutate) the session's
+    // parquet In-pushdown threshold: under STOCK conf a pushed bare In
+    // past 10 values degrades to a prune-nothing min/max range, so the
+    // r17 recipe raised the conf session-globally (VERDICT r17 #3). The
+    // r18 filter shape pushes an explicit or-of-id-ranges alongside the
+    // exact In — prunable at stock conf, session untouched.
+    val inThresh = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val threshBefore = spark.conf.get(inThresh)
     val pruned = run(true)
     assert(pruned.orderBy("query_id", "rank")
       .collect().map(_.toString).toSeq == want)
-    val plan = pruned.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
+    assert(spark.conf.get(inThresh) == threshBefore,
+      "pruneRerank must not mutate the session In-pushdown threshold")
+    // The default 100-char metadata render truncates PushedFilters
+    // before the second pushed conjunct — widen it for the assert.
+    val mdLen = "spark.sql.maxMetadataStringLength"
+    val savedMd = spark.conf.get(mdLen)
+    val plan = try {
+      spark.conf.set(mdLen, "16384")
+      run(true).queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+    } finally spark.conf.set(mdLen, savedMd)
     assert(plan.contains("PushedFilters: [In(vec_id"),
       s"float fetch must push the candidate-id IN filter:\n$plan")
+    // ...and the threshold-immune range disjunction next to it (the
+    // granule-pruning workhorse at stock conf; with fewer distinct ids
+    // than the range budget every span is a singleton, so the pushed
+    // terms render as EqualTo rather than GreaterThanOrEqual).
+    assert(plan.contains("Or(EqualTo(vec_id") ||
+      plan.contains("GreaterThanOrEqual(vec_id"),
+      s"float fetch must push the candidate id-range disjunction:\n$plan")
     // Same contract on the SQ8 tier.
     VectorIndex.buildInt8(store, floats, "vec_id", "embedding", "sq", "v1")
     def runQ(prune: Boolean) =
@@ -915,6 +939,22 @@ class OpsSpec extends SparkSpec {
     assert(under.count() == 10L,
       "under the cap the corpus gains the candidate-id filter")
     assert(capped.count() == fl.count())
+    // idRanges: the range cover is exact below the budget, and above it
+    // merges at the LARGEST gaps, never dropping or inventing ids.
+    import graft.ops.Similarity.idRanges
+    assert(idRanges(Array(5L, 1L, 3L, 1L), 10) ==
+      Seq((1L, 1L), (3L, 3L), (5L, 5L)))
+    // 3 clusters, budget 3: splits land at the two widest gaps.
+    val clustered = Array(1L, 2L, 3L, 100L, 101L, 900L)
+    assert(idRanges(clustered, 3) == Seq((1L, 3L), (100L, 101L), (900L, 900L)))
+    // Budget 2: only the single widest gap (101 -> 900) splits.
+    assert(idRanges(clustered, 2) == Seq((1L, 101L), (900L, 900L)))
+    // Property: every id is covered and range count respects the budget.
+    val rnd = new scala.util.Random(7)
+    val ids = Array.fill(300)(rnd.nextLong() % 100000L)
+    val rs = idRanges(ids, 16)
+    assert(rs.size <= 16)
+    assert(ids.forall(i => rs.exists { case (lo, hi) => i >= lo && i <= hi }))
   }
 
   test("aHash64: container-invariant, content-sensitive, near-dup tolerant") {

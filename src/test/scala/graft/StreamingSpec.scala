@@ -685,6 +685,112 @@ class StreamingSpec extends SparkSpec {
     assert(BucketedState.versions(spark, sigRoot) == Seq("m1"))
   }
 
+  test("crash mid-batch: checkpoint-derived exclude folds safely, replay converges (r18)") {
+    import graft.store.BucketedState
+    import graft.streaming.DocStreams
+    // The r17 silent-corruption path: a batch crashes AFTER its state
+    // slices land but BEFORE the checkpoint commit; an out-of-band fold
+    // that consumed that slice would then race the replay's rewrite —
+    // the same docs live in the fold AND the rewritten slice. r18's
+    // compactDedupState reads the stream's own offsets/commits logs and
+    // excludes the uncommitted batch automatically — no manual exclude,
+    // no operator inference.
+    val d = Tables.read(spark, sf(), "documents")
+    val total = Tables.parquetRowCount(spark, s"${sf()}/documents.parquet")
+    val cuts = Seq(total / 4, total / 2, 3 * total / 4)
+    val preds = Seq(
+      col("doc_id") < cuts(0),
+      col("doc_id") >= cuts(0) && col("doc_id") < cuts(1),
+      col("doc_id") >= cuts(1) && col("doc_id") < cuts(2),
+      col("doc_id") >= cuts(2))
+    val srcDir = java.nio.file.Paths.get(TempDirs.create("graft_crash_src_"))
+    preds.zipWithIndex.foreach { case (pred, i) =>
+      val tmp = java.nio.file.Paths.get(TempDirs.create(s"graft_cr${i}_"))
+      d.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dest = srcDir.resolve(s"batch$i.parquet")
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified(1700000000000L + i.toLong * 60000L)
+    }
+    val store = new graft.store.Store(spark, TempDirs.create("graft_crash_st_"))
+    val outDir = TempDirs.create("graft_crash_out_") + "/kept"
+    val ckpt = TempDirs.create("graft_crash_ckpt_")
+    @volatile var crashed = false
+    def body(b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        id: Long): Unit = {
+      val kept = DocStreams.dedupBatchAgainstStore(b, id, store, maxSlices = 0)
+      // First attempt at batch 2 dies here: all three state slices are
+      // on disk, the sink write and the checkpoint commit never happen.
+      if (id == 2L && !crashed) {
+        crashed = true
+        throw new RuntimeException("injected mid-batch crash")
+      }
+      kept.write.mode("append").parquet(outDir)
+    }
+    def start() = spark.readStream.schema(DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .writeStream.foreachBatch(body _)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      throw q1.exception.get // surfaced either way: stop if PAA returned
+    }
+    q1.stop()
+    assert(crashed, "the injected crash never fired")
+    val sigRoot = store.statePath("streaming/neardup-sigs")
+    assert(BucketedState.versions(spark, sigRoot).toSet ==
+      Set("b0", "b1", "b2"), "crash staging is wrong")
+    // The derivation itself, against the REAL checkpoint the crashed
+    // query left: batch 2 started (offsets) but never committed.
+    assert(DocStreams.uncommittedBatchLabels(spark, ckpt) == Set("b2"))
+    // The nightly job, mid-outage, with NO manual exclude: must fold
+    // b0+b1 and leave the replay-rewritable b2 alone on all surfaces.
+    DocStreams.compactDedupState(spark, store, "m0",
+      checkpoint = Some(ckpt))
+    Seq("streaming/neardup-sigs", "streaming/neardup-freqs",
+      "streaming/neardup-sigs-counts").foreach { t =>
+      assert(BucketedState.versions(spark, store.statePath(t)).toSet ==
+        Set("m0", "b2"), s"surface $t folded the uncommitted slice")
+    }
+    // Restart: batch 2 replays (rewrites b2, appends its survivors once),
+    // batch 3 runs fresh.
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(BucketedState.versions(spark, sigRoot).toSet ==
+      Set("m0", "b2", "b3"))
+    // No doc's signatures are ever visible in two live slices.
+    val stateDocs = BucketedState.slices(spark, sigRoot)
+      .flatMap(_.select("id").distinct().collect().map(_.getLong(0)))
+    assert(stateDocs.distinct.size == stateDocs.size,
+      "a doc's signatures appear in two live slices after fold+replay")
+    // End-to-end equivalence with the never-crashed, never-folded run.
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val store2 = new graft.store.Store(spark, TempDirs.create("graft_crash_st2_"))
+    val expected = preds.zipWithIndex.flatMap { case (pred, i) =>
+      DocStreams.dedupBatchAgainstStore(d.where(pred), i.toLong, store2,
+        maxSlices = 0).select("doc_id").collect().map(_.getLong(0))
+    }.toSet
+    assert(streamed == expected,
+      s"crashed-run-only=${(streamed -- expected).size} " +
+        s"control-only=${(expected -- streamed).size}")
+    // Fabricated-checkpoint edges of the derivation: all committed ->
+    // only the NEXT batch id; fresh checkpoint -> empty.
+    val fake = TempDirs.create("graft_ckpt_fake_")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$fake/offsets"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$fake/commits"))
+    Seq("offsets/0", "offsets/1", "commits/0", "commits/1",
+      "offsets/.1.tmp").foreach { n =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$fake/$n"),
+        "x".getBytes)
+    }
+    assert(DocStreams.uncommittedBatchLabels(spark, fake) == Set("b2"))
+    assert(DocStreams.uncommittedBatchLabels(spark,
+      TempDirs.create("graft_ckpt_empty_")) == Set.empty)
+  }
+
   test("legacy row-versioned counts state fails loudly, names the migration") {
     import graft.streaming.DocStreams
     import spark.implicits._
