@@ -651,11 +651,19 @@ object Similarity {
       }
       if (longs.length != ids.length || longs.isEmpty) corpus.where(exact)
       else {
-        val rangeOr = idRanges(longs, PruneRerankMaxRanges)
+        // Balanced Or tree: a left-deep reduce of 512 terms overflows
+        // the stack in Column->Expression conversion (≈10 frames per
+        // level); pairwise reduction keeps depth at log2(n).
+        def balancedOr(cs: IndexedSeq[Column]): Column =
+          if (cs.length == 1) cs.head
+          else balancedOr(cs.grouped(2)
+            .map(g => if (g.length == 2) g(0) || g(1) else g(0))
+            .toIndexedSeq)
+        val rangeOr = balancedOr(idRanges(longs, PruneRerankMaxRanges)
           .map { case (lo, hi) =>
             if (lo == hi) col(idCol) === lit(lo)
             else col(idCol) >= lit(lo) && col(idCol) <= lit(hi) }
-          .reduce(_ || _)
+          .toIndexedSeq)
         corpus.where(exact && rangeOr)
       }
     }
