@@ -638,12 +638,25 @@ object DocStreams {
   private[graft] def uncommittedBatchLabels(
       spark: SparkSession, checkpoint: String): Set[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(checkpoint)
+    // A mistyped checkpoint path must fail LOUDLY: it would otherwise
+    // return an empty exclusion set and the fold would proceed exactly
+    // as unprotected as the r17 manual-exclude default — the silent
+    // hazard this derivation exists to close. A checkpoint that EXISTS
+    // but has no offsets log yet (stream never started a batch) is
+    // legitimately empty: no batch can have written state.
+    if (!root.getFileSystem(conf).exists(root))
+      throw new IllegalArgumentException(
+        s"checkpoint location '$checkpoint' does not exist — cannot derive " +
+          "the in-flight-batch exclusion from it (mistyped path?); point at " +
+          "the stream's checkpointLocation, or omit `checkpoint` and run " +
+          "with the stream stopped")
     def ids(sub: String): Set[Long] = {
       val p = new org.apache.hadoop.fs.Path(checkpoint, sub)
       val f = p.getFileSystem(conf)
       if (!f.exists(p)) Set.empty
       else f.listStatus(p).toSeq.map(_.getPath.getName)
-        .filter(_.forall(_.isDigit)).map(_.toLong).toSet
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSet
     }
     val commits = ids("commits")
     val started = ids("offsets") -- commits

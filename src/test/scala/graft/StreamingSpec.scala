@@ -787,8 +787,15 @@ class StreamingSpec extends SparkSpec {
         "x".getBytes)
     }
     assert(DocStreams.uncommittedBatchLabels(spark, fake) == Set("b2"))
+    // Existing-but-fresh checkpoint (no batch ever started): legitimately
+    // empty. A MISTYPED path must fail loudly instead of silently
+    // returning the unprotected empty set.
     assert(DocStreams.uncommittedBatchLabels(spark,
       TempDirs.create("graft_ckpt_empty_")) == Set.empty)
+    val typo = intercept[IllegalArgumentException] {
+      DocStreams.uncommittedBatchLabels(spark, "/nonexistent/ckpt/path")
+    }
+    assert(typo.getMessage.contains("does not exist"), typo.getMessage)
   }
 
   test("legacy row-versioned counts state fails loudly, names the migration") {
