@@ -107,6 +107,16 @@ object BucketedState {
     // sidecar makes the slice visible. (The in-tree writers never
     // recycle — batch labels are monotonic batch ids — but write() is
     // public API and a hidden-yet-live slice would be a silent loss.)
+    // The scrub is a read-modify-write of the tombstone, so it must not
+    // clobber a CONCURRENT fold's retirement (rename) with a stale
+    // read: re-verify no lease is live and re-read the tombstone
+    // IMMEDIATELY before the write — a retirement can then only land
+    // inside this millisecond window if an entire fold (acquire →
+    // staged fold → publish → retire) fits in it, which is not a
+    // physical window (unlike versions()'s listing race, where a few
+    // metadata ops sufficed — here the fold's full data cost sits
+    // between the acquire and the rename).
+    requireNoLiveLease(spark, root)
     readManifest(spark, root, DoneManifestFile).foreach {
       case (succ, retired) if retired.contains(version) =>
         atomicWrite(spark, new Path(root, DoneManifestFile),
@@ -192,17 +202,29 @@ object BucketedState {
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val uri = target.toUri
+    atomicRename(spark, tmp, target)
+  }
+
+  /** Atomic replace-rename — the single publish-step discipline every
+    * commit here goes through ([[atomicWrite]]'s tail, [[retire]]'s
+    * manifest→tombstone move): POSIX atomic move on the local scheme,
+    * delete+rename elsewhere (the same tiny window every rename-based
+    * commit has on an object store).
+    */
+  private def atomicRename(
+      spark: SparkSession, src: Path, dst: Path): Unit = {
+    val f = fs(spark, dst)
+    val uri = dst.toUri
     if (uri.getScheme == null || uri.getScheme == "file") {
       java.nio.file.Files.move(
-        java.nio.file.Paths.get(new Path(tmp.toUri.getPath).toString),
+        java.nio.file.Paths.get(new Path(src.toUri.getPath).toString),
         java.nio.file.Paths.get(new Path(uri.getPath).toString),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } else {
-      if (f.exists(target)) f.delete(target, false)
-      if (!f.rename(tmp, target))
-        throw new java.io.IOException(s"rename $tmp -> $target failed")
+      if (f.exists(dst)) f.delete(dst, false)
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
     }
   }
 
@@ -385,28 +407,54 @@ object BucketedState {
   }
 
   /** Human escape hatch for a wedged lease ([[leaseInfo]]'s companion):
-    * deletes a STALE lease immediately instead of waiting for the next
+    * removes a STALE lease immediately instead of waiting for the next
     * compactor's TTL-steal, but REFUSES while the heartbeat is fresh —
     * a live fold's lease must never be yanked from under it (its
     * pre-publish verifies would abort an otherwise healthy fold, or
     * worse, a second compactor could slip in before they run). Returns
-    * false when there is no lease to release. Racing a TTL-stealer is
-    * harmless: the stealer's rename finds the file gone and fails
-    * loudly.
+    * false when there is no lease to release.
+    *
+    * The removal goes through the SAME rename-capture + re-verify-age
+    * discipline as [[acquireLease]]'s steal path, never a bare
+    * exists-then-delete: between a staleness check and a delete, a TTL
+    * stealer can complete its whole steal and be mid-fold on a FRESH
+    * lease — deleting that would be exactly the live-fold yank this
+    * method exists to refuse (the r18 review finding). Rename-capture
+    * is atomic (of N contenders one wins); a captured lease that turns
+    * out fresh is restored and the call refuses.
     */
-  def forceReleaseLease(spark: SparkSession, root: String): Boolean =
-    leaseInfo(spark, root) match {
-      case None => false
-      case Some(info) if !info.stale =>
-        throw new IllegalStateException(
-          s"lease under $root is FRESH (age ${info.ageMs} ms <= TTL " +
-            s"$LeaseTtlMs ms): its holder is alive and heartbeating — " +
-            "force-release would abort a live fold; wait for the TTL or " +
-            "stop the compactor first")
-      case Some(_) =>
-        fs(spark, new Path(root)).delete(new Path(root, LeaseFile), false)
-        true
+  def forceReleaseLease(spark: SparkSession, root: String): Boolean = {
+    val info = leaseInfo(spark, root)
+    if (info.isEmpty) return false
+    if (!info.get.stale)
+      throw new IllegalStateException(
+        s"lease under $root is FRESH (age ${info.get.ageMs} ms <= TTL " +
+          s"$LeaseTtlMs ms): its holder is alive and heartbeating — " +
+          "force-release would abort a live fold; wait for the TTL or " +
+          "stop the compactor first")
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val lease = new Path(rootP, LeaseFile)
+    val claim = new Path(rootP,
+      s".compact_lease_claim_${java.util.UUID.randomUUID().toString.take(8)}")
+    val captured = try f.rename(lease, claim)
+    catch { case _: java.io.IOException => false }
+    if (!captured) return false // vanished or contended: nothing to release
+    val claimedAge =
+      try System.currentTimeMillis() - f.getFileStatus(claim).getModificationTime
+      catch { case _: java.io.IOException => Long.MaxValue }
+    if (claimedAge <= LeaseTtlMs) {
+      // A stealer re-created a FRESH lease between our staleness read
+      // and the capture: put it back and refuse.
+      val restored = try f.rename(claim, lease) catch { case _: java.io.IOException => false }
+      if (!restored) f.delete(claim, false)
+      throw new IllegalStateException(
+        s"lease under $root was re-acquired by a live compactor during " +
+          "force-release — refusing (its fold is in progress)")
     }
+    f.delete(claim, false)
+    true
+  }
 
   /** Writers fail loudly while a compaction holds the lease: a manual
     * [[compact]] racing a live ingest could otherwise fold a slice the
@@ -580,10 +628,19 @@ object BucketedState {
     * with the partitioning intact. Re-registered from the live version
     * set on every call (metadata-only DDL), so a compaction or append
     * between reads is picked up and retired dirs are never referenced.
+    *
+    * `exclude` drops named versions from the registered partition set —
+    * a REPLAYED streaming batch must read the state minus its own
+    * half-committed slice (it is about to rewrite it; reading it AND
+    * re-supplying the batch's own aggregates would double-count the
+    * batch against e.g. the shingle hot cap — the r18 review finding).
     */
-  def family(spark: SparkSession, root: String): DataFrame = {
-    val vs = versions(spark, root)
-    require(vs.nonEmpty, s"no versions under $root")
+  def family(spark: SparkSession, root: String,
+      exclude: Set[String] = Set.empty): DataFrame = {
+    val vs = versions(spark, root).filterNot(exclude)
+    require(vs.nonEmpty,
+      s"no versions under $root" +
+        (if (exclude.nonEmpty) s" outside the excluded $exclude" else ""))
     val head = versionPath(root, vs.head)
     val (buckets, bucketCol) = readSpec(spark, head)
     // Every live version MUST share the spec: declaring the head's
@@ -735,23 +792,4 @@ object BucketedState {
       atomicRename(spark, manifest, new Path(root, DoneManifestFile))
   }
 
-  /** Atomic file replace-rename: POSIX atomic move on the local scheme,
-    * delete+rename elsewhere (the same discipline as [[atomicWrite]]).
-    */
-  private def atomicRename(
-      spark: SparkSession, src: Path, dst: Path): Unit = {
-    val f = fs(spark, dst)
-    val uri = dst.toUri
-    if (uri.getScheme == null || uri.getScheme == "file") {
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(new Path(src.toUri.getPath).toString),
-        java.nio.file.Paths.get(new Path(uri.getPath).toString),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } else {
-      if (f.exists(dst)) f.delete(dst, false)
-      if (!f.rename(src, dst))
-        throw new java.io.IOException(s"rename $src -> $dst failed")
-    }
-  }
 }

@@ -479,7 +479,24 @@ object DocStreams {
       // batch, so its count lives in exactly one slice.
       watermark(countsRoot, "id", _.reduce(_ unionByName _))
     }
-    val prevSlices = BucketedState.slices(spark, sigRoot)
+    // REPLAY discipline on the read side (r18 review finding): a
+    // replayed half-committed batch's OWN slices are about to be
+    // rewritten and its contribution is re-supplied fresh
+    // (`batchShingleFreqs`, the batch side of every join), so they must
+    // be EXCLUDED from the state reads. Reading the stale own-slice
+    // freqs AND adding the batch freqs again double-counts the batch
+    // against the shingle hot cap — a shingle with prior df p and batch
+    // df d such that p + d <= cap < p + 2d flips hot on the replay
+    // only, its signatures get anti-joined away, and the replayed
+    // survivor set silently diverges from the never-crashed run. (The
+    // own SIG slice was previously tolerated as "self-edges are
+    // ignored", which holds for the pair legs but not for the freq
+    // denominators; all three surfaces now read state-minus-own.)
+    val ownLabel = s"b$batchId"
+    val prevSigVersions =
+      BucketedState.versions(spark, sigRoot).filterNot(_ == ownLabel)
+    val prevSlices =
+      prevSigVersions.map(v => BucketedState.slice(spark, sigRoot, v))
     // The r15 layout migration guard: pre-bucketed deployments stored
     // the signature state as an ordinary row-versioned STORE table
     // under `sigTable`. Resuming such a checkpoint here would silently
@@ -500,8 +517,9 @@ object DocStreams {
     // full-outer join with its `HashPartitioning(s)` intact — the old
     // row-versioned table paid one vocab-wide Exchange every batch.
     // Same legacy-layout guard as the signatures.
-    val hasFreqState = BucketedState.exists(spark, freqRoot)
-    if (!hasFreqState &&
+    val hasFreqState =
+      BucketedState.versions(spark, freqRoot).exists(_ != ownLabel)
+    if (!hasFreqState && !BucketedState.exists(spark, freqRoot) &&
         store.list(Some(freqTable)).exists(_.name == freqTable))
       throw new IllegalStateException(
         s"legacy row-versioned shingle-frequency state found at '$freqTable' " +
@@ -509,7 +527,7 @@ object DocStreams {
           "BucketedState.write one slice) before resuming the stream")
     val prevFreqs =
       if (hasFreqState)
-        BucketedState.family(spark, freqRoot)
+        BucketedState.family(spark, freqRoot, exclude = Set(ownLabel))
           .groupBy("s").agg(sum("df").as("df"))
       else Seq.empty[(String, Long)].toDF("s", "df")
     // Per-doc counts — the THIRD bucketed surface: each doc arrives in
@@ -521,8 +539,9 @@ object DocStreams {
     // re-derive denominators from a state aggregate the layout exists
     // to avoid, and folding it stays exposed to the keepLast crash
     // window the bucketed fold closes).
-    val hasCounts = BucketedState.exists(spark, countsRoot)
-    if (!hasCounts &&
+    val hasCounts =
+      BucketedState.versions(spark, countsRoot).exists(_ != ownLabel)
+    if (!hasCounts && !BucketedState.exists(spark, countsRoot) &&
         store.list(Some(countsTable)).exists(_.name == countsTable))
       throw new IllegalStateException(
         s"legacy row-versioned per-doc counts state found at '$countsTable' " +
@@ -530,7 +549,9 @@ object DocStreams {
           "BucketedState.write one slice bucketed by id) before resuming " +
           "the stream")
     val prevCounts =
-      if (hasCounts) Some(BucketedState.family(spark, countsRoot)) else None
+      if (hasCounts)
+        Some(BucketedState.family(spark, countsRoot, exclude = Set(ownLabel)))
+      else None
     val kept = Dedup.dedupIncrementalSliced(batch, prevSlices, "doc_id",
       "text", n, threshold,
       prevShingleFreqs = Some(prevFreqs),

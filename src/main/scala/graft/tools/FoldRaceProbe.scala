@@ -117,6 +117,17 @@ object FoldRaceProbe {
     // Fire the fold the moment batch 1 is write-ahead-logged.
     val off1 = java.nio.file.Paths.get(ckpt, "offsets", "1")
     while (!java.nio.file.Files.exists(off1) && q1.isActive) Thread.sleep(100)
+    // The wait also exits if q1 DIED before batch 1 was ever WALed
+    // (e.g. a batch-0 failure) — that is a broken harness, not a lease
+    // collision; attributing it to batch 1 would record a false
+    // collision in the artifact. Fail loudly instead.
+    if (!java.nio.file.Files.exists(off1)) {
+      System.err.println("[fold_race] query died before batch 1 was " +
+        s"write-ahead-logged: ${Option(q1.exception.orNull).map(_.getMessage)} " +
+        "— no collision to measure; aborting")
+      spark.stop()
+      sys.exit(2)
+    }
     val foldT0 = now()
     DocStreams.compactDedupState(spark, store, "m0", checkpoint = Some(ckpt))
     val foldSec = now() - foldT0

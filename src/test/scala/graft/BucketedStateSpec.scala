@@ -344,6 +344,31 @@ class BucketedStateSpec extends SparkSpec {
     assert(BucketedState.family(spark, root2).count() == 70L)
   }
 
+  test("family(exclude): a replayed batch reads the state minus its own slice (r18)") {
+    import spark.implicits._
+    // The replay-read discipline behind dedupBatchAgainstStore: a
+    // half-committed batch re-runs with its own stale slice still live;
+    // its freq/count contribution is re-supplied fresh, so the family
+    // read must serve state-minus-own or the batch double-counts
+    // against the shingle hot cap (a shingle with prior df p and batch
+    // df d, p + d <= cap < p + 2d, flips hot on replay only).
+    val root = TempDirs.create("graft_bstate_fx_") + "/freqs"
+    BucketedState.write(Seq(("a", 3L), ("b", 1L)).toDF("s", "df"),
+      root, "b0", "s", 2)
+    BucketedState.write(Seq(("a", 2L), ("c", 5L)).toDF("s", "df"),
+      root, "b1", "s", 2)
+    def sums(ex: Set[String]) =
+      BucketedState.family(spark, root, exclude = ex)
+        .groupBy("s").agg(org.apache.spark.sql.functions.sum("df").as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums(Set.empty) == Map("a" -> 5L, "b" -> 1L, "c" -> 5L))
+    assert(sums(Set("b1")) == Map("a" -> 3L, "b" -> 1L),
+      "the excluded slice must not contribute to the family aggregate")
+    intercept[IllegalArgumentException] {
+      BucketedState.family(spark, root, exclude = Set("b0", "b1"))
+    }
+  }
+
   test("compact replayed with a published label after NEW slices landed: error names recovery") {
     import spark.implicits._
     val root = TempDirs.create("graft_bstate_rl_") + "/sigs"

@@ -893,20 +893,22 @@ class OpsSpec extends SparkSpec {
     // exact In — prunable at stock conf, session untouched.
     val inThresh = "spark.sql.parquet.pushdown.inFilterThreshold"
     val threshBefore = spark.conf.get(inThresh)
-    val pruned = run(true)
+    // The default 100-char metadata render truncates PushedFilters
+    // before the second pushed conjunct — widen it BEFORE the single
+    // run(true) so the same candidate pipeline serves both the result
+    // and the plan assert (a second run(true) re-pays the whole LSH +
+    // candidate materialization just to render a string).
+    val mdLen = "spark.sql.maxMetadataStringLength"
+    val savedMd = spark.conf.get(mdLen)
+    val (pruned, plan) = try {
+      spark.conf.set(mdLen, "16384")
+      val p = run(true)
+      (p, p.queryExecution.executedPlan.toString.split("== Initial Plan ==").head)
+    } finally spark.conf.set(mdLen, savedMd)
     assert(pruned.orderBy("query_id", "rank")
       .collect().map(_.toString).toSeq == want)
     assert(spark.conf.get(inThresh) == threshBefore,
       "pruneRerank must not mutate the session In-pushdown threshold")
-    // The default 100-char metadata render truncates PushedFilters
-    // before the second pushed conjunct — widen it for the assert.
-    val mdLen = "spark.sql.maxMetadataStringLength"
-    val savedMd = spark.conf.get(mdLen)
-    val plan = try {
-      spark.conf.set(mdLen, "16384")
-      run(true).queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
-    } finally spark.conf.set(mdLen, savedMd)
     assert(plan.contains("PushedFilters: [In(vec_id"),
       s"float fetch must push the candidate-id IN filter:\n$plan")
     // ...and the threshold-immune range disjunction next to it (the
