@@ -678,9 +678,20 @@ object Similarity {
     val s = ids.distinct.sorted
     if (s.length <= maxRanges) return s.toSeq.map(i => (i, i))
     // Gap k sits between s(k) and s(k+1); keep the maxRanges−1 widest
-    // as split points (ties broken by position for determinism).
+    // as split points (ties broken by position for determinism). Gaps
+    // are compared UNSIGNED: ids spanning more than Long.MaxValue
+    // (plausible for xxhash64-derived ids covering the full 64-bit
+    // range) overflow the signed difference negative, which would rank
+    // the widest gap as the smallest and silently degrade the pushed
+    // range disjunction to near-full-domain spans that prune nothing.
+    // The array is sorted ascending, so the true gap always fits in
+    // unsigned 64 bits.
     val splits = (0 until s.length - 1)
-      .sortBy(k => (-(s(k + 1) - s(k)), k))
+      .sortWith { (a, b) =>
+        val c = java.lang.Long.compareUnsigned(
+          s(a + 1) - s(a), s(b + 1) - s(b))
+        if (c != 0) c > 0 else a < b
+      }
       .take(maxRanges - 1).sorted
     val bounds = (-1 +: splits) :+ (s.length - 1)
     bounds.sliding(2).map { case Seq(a, b) => (s(a + 1), s(b)) }.toSeq

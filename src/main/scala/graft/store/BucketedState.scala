@@ -109,19 +109,32 @@ object BucketedState {
     // public API and a hidden-yet-live slice would be a silent loss.)
     // The scrub is a read-modify-write of the tombstone, so it must not
     // clobber a CONCURRENT fold's retirement (rename) with a stale
-    // read: re-verify no lease is live and re-read the tombstone
-    // IMMEDIATELY before the write — a retirement can then only land
-    // inside this millisecond window if an entire fold (acquire →
-    // staged fold → publish → retire) fits in it, which is not a
-    // physical window (unlike versions()'s listing race, where a few
-    // metadata ops sufficed — here the fold's full data cost sits
-    // between the acquire and the rename).
-    requireNoLiveLease(spark, root)
-    readManifest(spark, root, DoneManifestFile).foreach {
-      case (succ, retired) if retired.contains(version) =>
-        atomicWrite(spark, new Path(root, DoneManifestFile),
-          s"successor=$succ\nretired=${(retired - version).mkString(",")}")
-      case _ => ()
+    // read. requireNoLiveLease alone was not enough (r19 review): a
+    // compactor whose heartbeat paused past LeaseTtlMs (long GC /
+    // SIGSTOP) presents a STALE lease yet is still alive, and with only
+    // a liveness check it could complete publish+retire (its own verify
+    // still sees its token) while our stale read clobbers its fresh
+    // tombstone — re-opening the double-serve listing race the
+    // tombstone closes. So the scrub runs UNDER the compaction lease:
+    // acquiring it TTL-steals the paused holder's lease and swaps in
+    // our token, which makes the holder's verify-before-retire (and
+    // verify-before-sidecar) read a foreign token and abort its
+    // publish; our verify immediately before the tombstone write
+    // closes the symmetric direction. Only the recycled-label path
+    // (version already in the tombstone) pays the lease round-trip —
+    // the in-tree writers' monotonic batch labels skip it entirely.
+    if (readManifest(spark, root, DoneManifestFile)
+        .exists(_._2.contains(version))) {
+      val (lease, token) = acquireLease(spark, root)
+      try {
+        readManifest(spark, root, DoneManifestFile).foreach {
+          case (succ, retired) if retired.contains(version) =>
+            verifyLeaseOwned(spark, lease, token)
+            atomicWrite(spark, new Path(root, DoneManifestFile),
+              s"successor=$succ\nretired=${(retired - version).mkString(",")}")
+          case _ => ()
+        }
+      } finally releaseLease(spark, lease, token)
     }
     commitSidecar(spark, root, version, bucketCol, numBuckets)
   }

@@ -504,7 +504,14 @@ object DocStreams {
     // dropped on the floor) — fail loudly instead and name the
     // migration (read the legacy table once, BucketedState.write it as
     // a b0 slice + shingleSignatureCounts, then drop the legacy table).
-    if (prevSlices.isEmpty && store.list(Some(sigTable)).exists(_.name == sigTable))
+    // Like the freq/counts guards below, an own-slice-only layout must
+    // NOT trip this: a replayed half-committed batch whose own slice is
+    // the only bucketed sig state (first batch ever, crashed after the
+    // state write) is a legitimate resume, not an unmigrated legacy
+    // deployment — `prevSlices` excludes the own label, so the escape
+    // is the BucketedState.exists check on the root.
+    if (prevSlices.isEmpty && !BucketedState.exists(spark, sigRoot) &&
+        store.list(Some(sigTable)).exists(_.name == sigTable))
       throw new IllegalStateException(
         s"legacy row-versioned signature state found at '$sigTable' but no " +
           "bucketed slices: migrate it (BucketedState.write + " +

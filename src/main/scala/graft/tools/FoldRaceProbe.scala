@@ -131,18 +131,28 @@ object FoldRaceProbe {
     val foldT0 = now()
     DocStreams.compactDedupState(spark, store, "m0", checkpoint = Some(ckpt))
     val foldSec = now() - foldT0
-    // Wait for the racing query's verdict: either it died on the lease
-    // (the expected collision) or it slipped its writes in before the
-    // fold reached that surface and committed.
-    val failedBatch: Option[Long] =
-      try { q1.processAllAvailable(); q1.stop(); None }
+    // Wait for the racing query's verdict, modeled as an explicit
+    // outcome (the r18 artifact's failed_batch:-1 sentinel conflated
+    // "no collision" with "committed then died" and could never match
+    // a batchId in the replay lookup): "batch1" = died with batch 1
+    // uncommitted (the expected lease collision, replay measurable);
+    // "committed-then-died" = the stream slipped its writes in before
+    // the fold reached that surface, committed batch 1, then died;
+    // "none" = no collision at all.
+    val collision: String =
+      try { q1.processAllAvailable(); q1.stop(); "none" }
       catch { case _: Throwable =>
         val failAt = now() - streamStart
         System.err.println(f"[fold_race] query died at $failAt%.1f s " +
           s"after stream start: ${Option(q1.exception.orNull).map(_.getMessage)}")
         val committed = java.nio.file.Paths.get(ckpt, "commits", "1")
-        Some(if (java.nio.file.Files.exists(committed)) -1L else 1L)
+        if (java.nio.file.Files.exists(committed)) "committed-then-died"
+        else "batch1"
       }
+    // Replay duration is only meaningful for a genuine uncommitted
+    // failed batch.
+    val failedBatch: Option[Long] =
+      if (collision == "batch1") Some(1L) else None
     val sigRoot = store.statePath("streaming/neardup-sigs")
     val foldedVersions = BucketedState.versions(spark, sigRoot)
     // Restart → replay the failed batch against the folded state.
@@ -183,6 +193,7 @@ object FoldRaceProbe {
     println(
       s"""{"probe":"fold_race","n_docs":$n,"state_docs":$stateN,""" +
         s""""batch_docs":$batchN,"fold_sec":$foldSec,""" +
+        s""""collision":"$collision",""" +
         s""""failed_batch":${failedBatch.getOrElse("null")},""" +
         s""""replay_total_sec":$replaySec,""" +
         s""""replay_batch_sec":${replayBatchSec.getOrElse("null")},""" +

@@ -957,6 +957,23 @@ class OpsSpec extends SparkSpec {
     val rs = idRanges(ids, 16)
     assert(rs.size <= 16)
     assert(ids.forall(i => rs.exists { case (lo, hi) => i >= lo && i <= hi }))
+    // Unsigned gap compare (r19): ids spanning more than Long.MaxValue
+    // overflow the SIGNED gap negative — the widest gap (the one that
+    // must split first) would rank as the smallest and the cover would
+    // degrade to near-full-domain spans. Two tight clusters at the
+    // signed extremes, budget 2: the only sane cover is one range per
+    // cluster; the signed-overflow bug instead split inside a cluster.
+    val extremes = Array(Long.MinValue + 1, Long.MinValue + 2,
+      Long.MinValue + 10, Long.MaxValue - 10, Long.MaxValue - 2,
+      Long.MaxValue - 1)
+    assert(idRanges(extremes, 2) ==
+      Seq((Long.MinValue + 1, Long.MinValue + 10),
+          (Long.MaxValue - 10, Long.MaxValue - 1)))
+    // Full-64-bit-range property: every id covered, budget respected.
+    val wide = Array.fill(300)(rnd.nextLong())
+    val wrs = idRanges(wide, 16)
+    assert(wrs.size <= 16)
+    assert(wide.forall(i => wrs.exists { case (lo, hi) => i >= lo && i <= hi }))
   }
 
   test("aHash64: container-invariant, content-sensitive, near-dup tolerant") {
