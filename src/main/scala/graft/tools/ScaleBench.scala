@@ -162,9 +162,23 @@ object ScaleBench {
       ((System.nanoTime() - t0) / 1e9, out, off)
     }
 
+    // Growing-vocabulary mode (r19 item 1 — separating the closed
+    // fixture's pair densification from real state-side scaling):
+    // SPARK_GRAFT_SCALE_VOCAB = unset/"fixed" → the closed 30k
+    // vocabulary every prior campaign ran; "heaps" →
+    // [[ScaleData.heapsVocab]] per point (types grow 1.62× per corpus
+    // doubling, the realistic law); an integer → that absolute
+    // vocabulary at every point.
+    val vocabMode = sys.env.getOrElse("SPARK_GRAFT_SCALE_VOCAB", "fixed")
+    val vocabOf: Long => Long = vocabMode match {
+      case "fixed" => _ => ScaleData.VocabSize.toLong
+      case "heaps" => ScaleData.heapsVocab
+      case v => _ => v.toLong
+    }
+
     val results = scales.map { n =>
       val nVecs = n * 2 / 5
-      val docs = ScaleData.documents(spark, n).cache()
+      val docs = ScaleData.documents(spark, n, vocabSize = vocabOf(n)).cache()
       val emb = ScaleData.embeddings(spark, nVecs).cache()
       docs.count(); emb.count() // materialize outside the timings
 
@@ -842,6 +856,7 @@ object ScaleBench {
         else opBytes.map { case (k, v) => s""""$k":$v""" }
           .mkString(""","bytes_read":{""", ",", "}")
       println(s"""{"n_docs":$n,"n_vecs":$nVecs,"warmup":$isWarm,""" +
+        s""""vocab_mode":"$vocabMode","vocab_size":${vocabOf(n)},""" +
         s""""calibration_sec":${f"$calib%.3f"},""" +
         s""""mem_bw_gbps":{"t1":${f"$bw1%.2f"},"t32":${f"$bwN%.2f"}}$watchJson$taskJson$weatherJson,""" +
         s"""$crossJson"capped_fanout":$cappedFanout,"raw_fanout":$rawFanout$bytesJson""" +

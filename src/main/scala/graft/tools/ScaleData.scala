@@ -47,8 +47,27 @@ object ScaleData {
     * survives: the skew audit asserts the detector still finds exactly
     * the same pairs while no reducer hot-spots.
     */
+  /** Vocabulary size for a GROWING-vocabulary corpus of `n` docs: real
+    * corpora obey Heaps' law (distinct types ≈ K·tokens^β, β ≈ 0.7 for
+    * web text) — the fixed 30k default is the OTHER extreme, a closed
+    * vocabulary whose shingle doc-frequencies densify linearly with the
+    * corpus and drive the pair-candidate volume quadratic until the
+    * hot-cap engages. The r18 fixed-delta campaign read 2.2–2.5× wall
+    * per 2× state on that closed fixture; this mode exists to separate
+    * the fixture's densification from any real state-side
+    * superlinearity (r19 item 1). K=8 over tokens ≈ 60·n gives a
+    * realistic ~3% type–token ratio at campaign scale (2M docs ≈ 120M
+    * tokens → ≈3.6M types; 8M docs → ≈9.6M) growing 2^0.7 ≈ 1.62× per
+    * corpus doubling, so per-shingle doc-frequency grows only ~1.23×
+    * per doubling instead of the closed fixture's 2×. Floored at the
+    * closed default so tiny audits keep their hot-cap behavior.
+    */
+  def heapsVocab(n: Long): Long =
+    math.max(VocabSize.toLong, (8.0 * math.pow(60.0 * n, 0.7)).toLong)
+
   def documents(spark: SparkSession, n: Long, seed: Long = 42L,
-      skew: Double = 3.0, giantFactor: Long = 1L): DataFrame = {
+      skew: Double = 3.0, giantFactor: Long = 1L,
+      vocabSize: Long = VocabSize.toLong): DataFrame = {
     // Near-dups copy doc_id-1's body; exact dups copy doc_id-2's. The
     // anchor chain is 1 deep by construction (97 and 193 are coprime to
     // each other's offsets; the rare anchor-of-an-anchor collision just
@@ -66,7 +85,7 @@ object ScaleData {
         when(col("anchor") === 0L, len0 * giantFactor).otherwise(len0)
       else len0).as("len")
     val words = transform(sequence(lit(1L), col("len")), i =>
-      concat(lit("w"), floor(lit(VocabSize.toDouble) *
+      concat(lit("w"), floor(lit(vocabSize.toDouble) *
         pow(unit(xxhash64(col("anchor"), i, lit(seed + 1))), lit(skew))).cast("long")))
     val body = concat_ws(" ", words)
     base.withColumn("len", len)
