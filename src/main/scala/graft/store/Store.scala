@@ -254,6 +254,13 @@ final class Store(
       // listable.
       val publishedVDir = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")
       if (fs.exists(publishedVDir)) {
+        // Crash window (r19 fuzzer, documented contract): a kill between
+        // mergeMove above and this pointer write leaves the version
+        // PUBLISHED but `_last` stale. Data-first is the only safe
+        // order — pointer-first would dangle `_last` at an unpublished
+        // version for every use_last reader. Recovery is pointer repair
+        // ([[rollback]] to the published label), NOT a re-load: load is
+        // accumulate, so re-loading published data appends a second copy.
         writeSmall(new Path(tableDir, LastFile), label)
       } else if (keepLast)
         // keep_last with 0 rows wiped every version: a surviving pointer
@@ -305,6 +312,11 @@ final class Store(
     val tableDir = new Path(rootPath, relPath)
     if (!fs.exists(tableDir))
       throw new Store.GetError(s"DataFrame '$name' not found under $root", null)
+    // Every read surface funnels through here (get/getMerged/history
+    // callers included): refuse to serve a table one of whose versions
+    // is hidden in a killed compactor's swap staging — silently
+    // returning fewer rows is the failure mode the fuzzer flagged.
+    requireNoCrashedSwap(tableDir)
     // Version known up front → open only that version's subtree
     // (basePath keeps the partition columns). This skips footer reads for
     // every other version — with mergeSchema on a whole 100 TB table the
@@ -922,10 +934,22 @@ final class Store(
     var (beforeTotal, afterTotal) = (0L, 0L)
     labels.foreach { label =>
       val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")
-      if (!fs.exists(vDir))
+      val marker = swapMarkerPath(tableDir, label)
+      if (!fs.exists(vDir) && !fs.exists(marker))
         throw new Store.GetError(s"Version '$label' of '$name' not found", null)
       val (lease, leaseToken) = acquireCompactLease(tableDir, label, name)
       try {
+        // Heal a PREVIOUS compactor's crashed swap of this label before
+        // touching anything (no-op without a marker; the lease we now
+        // hold serializes the heal against live compactors — a stale
+        // crashed lease was stolen by the acquire above). Found by the
+        // r19 crash-schedule fuzzer: a process kill between the two swap
+        // renames left the version invisible to every reader with no
+        // automated recovery — the in-process catch-rollback below never
+        // runs after a kill.
+        healCompactSwap(tableDir, label)
+        if (!fs.exists(vDir))
+          throw new Store.GetError(s"Version '$label' of '$name' not found", null)
         // Snapshot the input file set FIRST, then read exactly those
         // files: the compacted output then holds precisely the
         // snapshot's rows, and any file landing in the version dir after
@@ -1020,6 +1044,26 @@ final class Store(
           val mergeMarker = new Path(vDir, MergeFile)
           if (fs.exists(mergeMarker))
             writeSmall(new Path(tmp, MergeFile), readSmall(mergeMarker))
+          // SWAP MARKER — the crash-recovery record for the two-rename
+          // window below (r19 fuzzer finding). Written (atomically,
+          // writeSmall is tmp+rename) only after `tmp` is COMPLETE, so
+          // its presence means "roll FORWARD is always safe". It carries
+          // everything a healer needs to finish what the catch below
+          // would have done in-process: the snapshot file set (so
+          // racing-load files in the hidden old subtree are salvaged,
+          // snapshot files are not resurrected), the pre-compact stats
+          // sidecar names (superseded — they die with the old subtree),
+          // and the version dir's original mtime (vacuum/lastVersion
+          // order by mtime). Deleted on success and on in-process
+          // rollback; a kill leaves it for [[healCompactSwap]], which
+          // runs at the next compact of this label, and the read
+          // surfaces fail LOUDLY on a marker whose version dir is gone
+          // ([[requireNoCrashedSwap]]) instead of silently serving a
+          // table minus one version.
+          writeSmall(marker,
+            (Seq("#mtime", beforeMtime.toString) ++
+              ("#snap" +: snapRel.toSeq.sorted) ++
+              ("#prestats" +: preStats.toSeq.sorted)).mkString("\n"))
           compactTestHook("pre-swap")
           // Last ownership check before the point of no return: if the
           // lease was stolen (this compactor stalled past the TTL), abort
@@ -1078,13 +1122,15 @@ final class Store(
           // rank an OLD version as newest — vacuum would then delete the
           // genuinely newest data. Restore the original mtime.
           fs.setTimes(vDir, beforeMtime, -1)
+          fs.delete(marker, false)
         } catch {
           case e: Exception =>
             // Roll the swap back only if the new subtree never landed;
             // after a successful swap the compacted data is live and a
             // salvage failure must NOT restore old files next to it
-            // (duplication) — the hidden old dir is left for manual
-            // recovery instead.
+            // (duplication) — the hidden old dir (and the swap marker,
+            // so [[healCompactSwap]] finishes the salvage later) is left
+            // instead.
             if (!swapDone && fs.exists(old)) {
               // If a racing load recreated vDir and the compacted merge
               // then failed (mergeMove rolls its own partial moves back
@@ -1097,6 +1143,12 @@ final class Store(
               else restoreOldInto(old, vDir)
             }
             if (!swapDone) fs.delete(tmp, true)
+            // The attempt is abandoned (rolled back, or never swapped):
+            // the marker must not outlive it, or readers would block on
+            // a swap that is not happening. Delete only when the live
+            // tree is back; a swapDone salvage failure KEEPS the marker
+            // so the next compact's heal finishes draining `old`.
+            if (!swapDone && fs.exists(vDir)) fs.delete(marker, false)
             throw new Store.LoadError(s"Error compacting '$name' version '$label': ${e.getMessage}", e)
         }
         afterTotal += dataFileStats(vDir)._1
@@ -1143,6 +1195,129 @@ final class Store(
       }
     }
     if (stranded == 0) fs.delete(old, true)
+  }
+
+  private def swapMarkerPath(tableDir: Path, label: String): Path =
+    new Path(tableDir, Store.SwapMarkerPrefix + encodeVersion(label))
+
+  /** Finish (or discard) a compaction swap a killed compactor left
+    * behind (r19 crash-schedule fuzzer finding). Caller holds the
+    * label's compaction lease. Decision tree on what exists:
+    *
+    *   - no marker → nothing to heal;
+    *   - marker, no hidden `old` subtree → the swap never began (the
+    *     marker lands only after `tmp` completes, and `old` is the
+    *     FIRST rename) or it fully finished and only the marker delete
+    *     was lost: discard staged debris + marker, the live tree is
+    *     authoritative;
+    *   - marker + `old` → the swap began, and because the marker is
+    *     written only after the compacted tree is complete, rolling
+    *     FORWARD is always safe: make `tmp` live (whole-dir rename, or
+    *     per-file merge if a racing load recreated the version dir),
+    *     salvage from `old` everything the snapshot does not cover
+    *     (racing-load data files and their sidecars; the pre-compact
+    *     stats sidecars named in the marker die with the subtree —
+    *     their file maps describe deleted files), restore the recorded
+    *     mtime (vacuum/lastVersion order by it), drop `old`, drop the
+    *     marker.
+    */
+  private def healCompactSwap(tableDir: Path, label: String): Unit = {
+    val marker = swapMarkerPath(tableDir, label)
+    if (!fs.exists(marker)) return
+    val enc = encodeVersion(label)
+    val vDir = new Path(tableDir, s"$VersionCol=$enc")
+    val tmp = new Path(tableDir, s".compact_tmp_$enc")
+    val old = new Path(tableDir, s".compact_old_$enc")
+    var mtime = -1L
+    val snap = scala.collection.mutable.Set.empty[String]
+    val preStats = scala.collection.mutable.Set.empty[String]
+    var section = ""
+    readSmall(marker).split("\n").foreach { l =>
+      if (l.startsWith("#")) section = l
+      else if (l.nonEmpty) section match {
+        case "#mtime" => mtime = l.trim.toLong
+        case "#snap" => snap += l
+        case "#prestats" => preStats += l
+        case _ => ()
+      }
+    }
+    if (!fs.exists(old)) {
+      fs.delete(tmp, true)
+      fs.delete(marker, false)
+      return
+    }
+    // Roll forward: land the compacted tree (mirroring the live swap's
+    // racing-load fallbacks).
+    if (!fs.exists(vDir)) {
+      if (!fs.exists(tmp))
+        throw new java.io.IOException(
+          s"crashed compaction of version '$label' left neither a live " +
+            s"nor a staged tree under $tableDir — manual recovery from " +
+            s"'${old.getName}' required")
+      if (!fs.rename(tmp, vDir)) {
+        if (fs.exists(vDir)) mergeMove(tmp, vDir)
+        else throw new java.io.IOException(
+          s"heal: swap rename failed for version '$label'")
+      } else {
+        val nested = new Path(vDir, tmp.getName)
+        if (fs.exists(nested)) mergeMove(nested, vDir)
+      }
+    } else if (fs.exists(tmp)) mergeMove(tmp, vDir)
+    // Salvage: everything under `old` the snapshot does not account for
+    // (idempotent — a dest that already exists was salvaged by the
+    // crashed attempt or an earlier heal).
+    val oldBase = fs.makeQualified(old).toString
+    walkFiles(old) { st =>
+      val n = st.getPath.getName
+      val isSidecar = n.startsWith(SchemaFilePrefix) ||
+        (n.startsWith(StatsFilePrefix) && !preStats.contains(n))
+      if (isSidecar || (!n.startsWith("_") && !n.startsWith("."))) {
+        val rel = fs.makeQualified(st.getPath).toString
+          .stripPrefix(oldBase).stripPrefix("/")
+        if (isSidecar || !snap.contains(rel)) {
+          val dest = new Path(vDir, rel)
+          if (!fs.exists(dest)) {
+            fs.mkdirs(dest.getParent)
+            if (!fs.rename(st.getPath, dest))
+              throw new java.io.IOException(
+                s"heal: failed to salvage '$rel' of version '$label'")
+          }
+        }
+      }
+    }
+    fs.delete(old, true)
+    if (mtime > 0) fs.setTimes(vDir, mtime, -1)
+    fs.delete(marker, false)
+  }
+
+  /** Read-surface guard against a crashed compaction swap: a swap
+    * marker whose version dir is MISSING means a killed compactor left
+    * the version's only copies in hidden staging — serving the table
+    * without it would be silent data loss (accumulate reads would just
+    * return fewer rows). Fail loudly and name the recovery. A live
+    * compactor's swap window (two renames) also passes through this
+    * state for sub-millisecond — the brief retry rides that out.
+    */
+  private def requireNoCrashedSwap(tableDir: Path): Unit = {
+    if (!fs.exists(tableDir)) return
+    fs.listStatus(tableDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(Store.SwapMarkerPrefix)) {
+        val label = decodeVersion(n.stripPrefix(Store.SwapMarkerPrefix))
+        val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")
+        var tries = 0
+        while (!fs.exists(vDir) && fs.exists(st.getPath) && tries < 5) {
+          Thread.sleep(100)
+          tries += 1
+        }
+        if (fs.exists(st.getPath) && !fs.exists(vDir))
+          throw new Store.GetError(
+            s"version '$label' is mid-crashed-compaction-swap (marker " +
+              s"'$n' present, version dir missing): run compact(name, " +
+              s"Some(\"$label\")) — it heals the swap first — before reading",
+            null)
+      }
+    }
   }
 
   /** Test-only interposition point for deterministic compact/load race
@@ -1789,6 +1964,12 @@ object Store {
     * than this belongs to a crashed compactor and may be stolen.
     */
   val CompactLeaseTtlMs: Long = 60L * 60 * 1000
+
+  /** Compaction swap-recovery marker: `.compact_swap_<encodedLabel>` in
+    * the table dir, present exactly while a swap may be (or may have
+    * been, across a crash) in flight. See `healCompactSwap`.
+    */
+  private[store] val SwapMarkerPrefix = ".compact_swap_"
   private val NowFormat = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssSSS")
 
   def partColName(c: String): String = s"__p_$c"
