@@ -389,6 +389,10 @@ final class Store(
     val tableDir = new Path(rootPath, validateName(name))
     if (!fs.exists(tableDir))
       throw new Store.GetError(s"DataFrame '$name' not found under $root", null)
+    // Same crashed-swap guard as the data reads: an operability view
+    // silently missing a version would misinform the operator deciding
+    // what to vacuum or roll back to.
+    requireNoCrashedSwap(tableDir)
     val last = lastVersion(name)
     versionsByRecency(tableDir).map { case (label, mtime) =>
       val vDir = new Path(tableDir, s"$VersionCol=${encodeVersion(label)}")
