@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Mixture, TextOps}
@@ -73,10 +73,20 @@ object CorpusBuildRehearsal {
       .write.mode("overwrite").parquet(srcDir + "/docs")
     val d = spark.read.parquet(srcDir + "/docs")
 
+    // The synthetic fixture's vocabulary ("w<id>" tokens) contains no
+    // English stopwords, so qn104's stock stopword floor would reject
+    // 100% of it and zero the pipeline at stage 1. The rehearsal drops
+    // that ONE rule (floor 0 = vacuous) and keeps the other three
+    // (length / word-shape / repetition) — the stage's COST is a
+    // codegen'd per-row scan either way, which is what is being
+    // measured; its selectivity on real text is qn104's concern.
+    def quality(c: Column) =
+      TextOps.qualityRules(c, minStopwordFraction = 0.0).keep
+
     // Untimed warmup of the op families (JIT/codegen), campaign-style.
     locally {
       val w = ScaleData.documents(spark, 100000L, vocabSize = vocabSize)
-      w.where(TextOps.qualityRules(col("text")).keep).count()
+      w.where(quality(col("text"))).count()
       Dedup.dedupByJaccard(w, "doc_id", "text", n = 3, threshold = 0.8).count()
     }
 
@@ -109,7 +119,7 @@ object CorpusBuildRehearsal {
     val corpus = stage("stage0_corpus")(
       d.select("doc_id", "source", "text").where(!isBench))
     val q = stage("stage1_quality")(
-      corpus.where(TextOps.qualityRules(col("text")).keep))
+      corpus.where(quality(col("text"))))
     val dd = stage("stage2_dedup")(
       Dedup.dedupByJaccard(q, "doc_id", "text", n = 3, threshold = 0.8))
     val dc = stage("stage3_decontam") {
