@@ -59,11 +59,22 @@ object TextOps {
     * engine restate the loop over a delimiter-wrapped string rendering
     * (greedy non-overlapping merge ≡ left-to-right string replace).
     */
+  /** Vocabulary-row ceiling for [[bpeTrain]]'s driver route: 1M
+    * (freq, word) rows ≈ tens of MB collected — fit-sample scale (the
+    * [[graft.ops.Dedup.DefaultSmallGraphMaxEdges]] discipline applied
+    * to the merge loop). Below it the whole loop runs locally in one
+    * pass over the collected vocabulary; above it the per-round
+    * distributed census runs as before — the 100 TB path never ships
+    * the vocabulary to the driver.
+    */
+  val DefaultSmallVocabMaxRows: Long = 1000000L
+
   def bpeTrain(
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      minWordLen: Int = 2): DataFrame = {
+      minWordLen: Int = 2,
+      smallVocabMaxRows: Long = DefaultSmallVocabMaxRows): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = docs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -77,6 +88,22 @@ object TextOps {
     var vocab = vocab0.persist(lvl)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
+      // Small-vocabulary route: the count materializes the cached vocab —
+      // work the distributed loop's first census pays anyway — and when
+      // the word-TYPE table is driver-sized the whole merge loop runs
+      // locally on the collected vocabulary (2 jobs total instead of 2
+      // per round; the per-round argmax census on a tiny table was pure
+      // job-scheduling overhead). Pair census, argmax tie-break
+      // (count desc, pair asc in UTF-8 binary order — UTF8String's
+      // ordering) and the greedy non-overlapping apply replicate the
+      // distributed expressions exactly; BpeLocalSpec pins route
+      // equality on fixtures with ties and overlapping merges.
+      if (smallVocabMaxRows > 0 && vocab.count() <= smallVocabMaxRows) {
+        val words = vocab.collect().map { r =>
+          (r.getLong(0), r.getSeq[String](1).toArray)
+        }
+        merges ++= bpeTrainLocal(words, numMerges)
+      } else {
       var r = 1
       var done = false
       while (r <= numMerges && !done) {
@@ -101,11 +128,105 @@ object TextOps {
           r += 1
         }
       }
+      }
     } finally vocab.unpersist(blocking = false)
     import spark.implicits._
     merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
       .select(col("round").cast("int").as("round"), col("lhs"), col("rhs"),
         col("pair_count"))
+  }
+
+  /** [[bpeTrain]]'s driver route: the identical merge loop over the
+    * collected (freq, syms) vocabulary. Semantics replicated from the
+    * distributed plan bit for bit:
+    *   - pair census = every ADJACENT occurrence (wordShinglesAll n=2 —
+    *     duplicates kept), weighted by word frequency;
+    *   - argmax tie-break = highest count, then smallest "lhs rhs"
+    *     rendering in UNSIGNED UTF-8 BYTE order (UTF8String's comparison
+    *     — Java String compareTo differs above the BMP, so the
+    *     comparison is on the encoded bytes);
+    *   - apply = greedy left-to-right NON-overlapping adjacent replace
+    *     ([[org.apache.spark.sql.graft.BpeMergePairExpr]]).
+    */
+  private[graft] def bpeTrainLocal(
+      vocab: Array[(Long, Array[String])],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    def utf8Less(x: String, y: String): Boolean = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    val words = vocab.map { case (f, syms) => (f, syms) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (f, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.put(k, counts.getOrDefault(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bestPair: (String, String) = null
+        var bestRender: String = null
+        var bestN = Long.MinValue
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val render = e.getKey._1 + " " + e.getKey._2
+          if (e.getValue > bestN ||
+              (e.getValue == bestN && utf8Less(render, bestRender))) {
+            bestN = e.getValue
+            bestPair = e.getKey
+            bestRender = render
+          }
+        }
+        val (a, b) = bestPair
+        merges += ((r, a, b, bestN))
+        val ab = a + b
+        var wi = 0
+        while (wi < words.length) {
+          val syms = words(wi)._2
+          if (syms.length >= 2) {
+            var touched = false
+            var i = 0
+            while (!touched && i < syms.length - 1) {
+              if (syms(i) == a && syms(i + 1) == b) touched = true
+              i += 1
+            }
+            if (touched) {
+              val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+              var j = 0
+              while (j < syms.length) {
+                if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+                  out += ab
+                  j += 2
+                } else {
+                  out += syms(j)
+                  j += 1
+                }
+              }
+              words(wi) = (words(wi)._1, out.toArray)
+            }
+          }
+          wi += 1
+        }
+        r += 1
+      }
+    }
+    merges.toSeq
   }
 
   /** Persist a [[bpeTrain]] merge table as a versioned store artifact —

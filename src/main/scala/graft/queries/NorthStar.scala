@@ -496,28 +496,34 @@ object NorthStar {
       Dedup.shingleSignatures(old, "doc_id", "text", n = 3))
     val sigRoot = store.statePath("dedup/sigs")
     val freqRoot = store.statePath("dedup/freqs")
-    graft.store.BucketedState.write(
-      sig0.where(col("id") < half), sigRoot, "b0", "s", numBuckets = 32)
-    graft.store.BucketedState.write(
-      sig0.where(col("id") >= half), sigRoot, "b1", "s", numBuckets = 32)
-    graft.store.BucketedState.write(
-      Dedup.shingleDocFreqs(sig0.where(col("id") < half)),
-      freqRoot, "b0", "s", numBuckets = 32)
-    graft.store.BucketedState.write(
-      Dedup.shingleDocFreqs(sig0.where(col("id") >= half)),
-      freqRoot, "b1", "s", numBuckets = 32)
     // Counts as the THIRD bucketed surface (r17): one bucketed-by-id
     // slice per ingest, read back through the same family scan — the
     // layout [[graft.streaming.DocStreams.dedupBatchAgainstStore]]
     // persists per micro-batch (docs partition across slices, so the
     // family read IS the union, no fold needed).
     val countsRoot = store.statePath("dedup/sigcounts")
-    graft.store.BucketedState.write(
-      Dedup.shingleSignatureCounts(sig0.where(col("id") < half)),
-      countsRoot, "b0", "id", numBuckets = 32)
-    graft.store.BucketedState.write(
-      Dedup.shingleSignatureCounts(sig0.where(col("id") >= half)),
-      countsRoot, "b1", "id", numBuckets = 32)
+    // Materialize sig0 BEFORE the fan-out (one pass; the six concurrent
+    // writes then share its cached blocks), and submit the six
+    // independent writes — six (root, label) pairs, no shared files —
+    // concurrently (guide §2.6) instead of paying six serial job walls.
+    sig0.count()
+    graft.Concurrency.inParallel(Seq[() => Unit](
+      () => graft.store.BucketedState.write(
+        sig0.where(col("id") < half), sigRoot, "b0", "s", numBuckets = 32),
+      () => graft.store.BucketedState.write(
+        sig0.where(col("id") >= half), sigRoot, "b1", "s", numBuckets = 32),
+      () => graft.store.BucketedState.write(
+        Dedup.shingleDocFreqs(sig0.where(col("id") < half)),
+        freqRoot, "b0", "s", numBuckets = 32),
+      () => graft.store.BucketedState.write(
+        Dedup.shingleDocFreqs(sig0.where(col("id") >= half)),
+        freqRoot, "b1", "s", numBuckets = 32),
+      () => graft.store.BucketedState.write(
+        Dedup.shingleSignatureCounts(sig0.where(col("id") < half)),
+        countsRoot, "b0", "id", numBuckets = 32),
+      () => graft.store.BucketedState.write(
+        Dedup.shingleSignatureCounts(sig0.where(col("id") >= half)),
+        countsRoot, "b1", "id", numBuckets = 32)))(_.apply())
     val prevFreqs = graft.store.BucketedState.family(s, freqRoot)
       .groupBy("s").agg(sum("df").as("df"))
     val batchFreqs = Dedup.materialize(
@@ -561,15 +567,20 @@ object NorthStar {
     val sigRoot = store.statePath("dedup/sigs")
     val freqRoot = store.statePath("dedup/freqs")
     val countsRoot = store.statePath("dedup/sigs-counts")
-    (0 until 4).foreach { i =>
-      val part = sig0.where(pmod(col("id"), lit(4)) === i)
-      graft.store.BucketedState.write(part, sigRoot, s"b$i", "s",
-        numBuckets = 32)
-      graft.store.BucketedState.write(Dedup.shingleDocFreqs(part),
-        freqRoot, s"b$i", "s", numBuckets = 32)
-      graft.store.BucketedState.write(Dedup.shingleSignatureCounts(part),
-        countsRoot, s"b$i", "id", numBuckets = 32)
-    }
+    // 12 independent (root, label) writes — materialize sig0 once, then
+    // fan the writes out on driver threads (guide §2.6: overlap
+    // independent jobs) instead of 12 serial job walls.
+    sig0.count()
+    graft.Concurrency.inParallel((0 until 4).flatMap { i =>
+      def part = sig0.where(pmod(col("id"), lit(4)) === i)
+      Seq[() => Unit](
+        () => graft.store.BucketedState.write(part, sigRoot, s"b$i", "s",
+          numBuckets = 32),
+        () => graft.store.BucketedState.write(Dedup.shingleDocFreqs(part),
+          freqRoot, s"b$i", "s", numBuckets = 32),
+        () => graft.store.BucketedState.write(Dedup.shingleSignatureCounts(part),
+          countsRoot, s"b$i", "id", numBuckets = 32))
+    })(_.apply())
     graft.streaming.DocStreams.compactDedupState(s, store, "m0",
       sigTable = "dedup/sigs", freqTable = "dedup/freqs")
     val prevFreqs = graft.store.BucketedState.family(s, freqRoot)
@@ -619,16 +630,23 @@ object NorthStar {
     val sigRoot = store.statePath("dedup/sigs")
     val freqRoot = store.statePath("dedup/freqs")
     val countsRoot = store.statePath("dedup/sigs-counts")
-    def writeBatch(i: Int): Unit = {
-      val part = sig0.where(pmod(col("id"), lit(4)) === i)
-      graft.store.BucketedState.write(part, sigRoot, s"b$i", "s",
-        numBuckets = 32)
-      graft.store.BucketedState.write(Dedup.shingleDocFreqs(part),
-        freqRoot, s"b$i", "s", numBuckets = 32)
-      graft.store.BucketedState.write(Dedup.shingleSignatureCounts(part),
-        countsRoot, s"b$i", "id", numBuckets = 32)
+    // Per-batch surface writes as independent thunks: 12 (root, label)
+    // pairs for the initial ingest, 3 for the replay — fanned out on
+    // driver threads (guide §2.6) after sig0 materializes once.
+    def batchWrites(i: Int): Seq[() => Unit] = {
+      def part = sig0.where(pmod(col("id"), lit(4)) === i)
+      Seq(
+        () => graft.store.BucketedState.write(part, sigRoot, s"b$i", "s",
+          numBuckets = 32),
+        () => graft.store.BucketedState.write(Dedup.shingleDocFreqs(part),
+          freqRoot, s"b$i", "s", numBuckets = 32),
+        () => graft.store.BucketedState.write(Dedup.shingleSignatureCounts(part),
+          countsRoot, s"b$i", "id", numBuckets = 32))
     }
-    (0 until 4).foreach(writeBatch)
+    def writeBatch(i: Int): Unit =
+      graft.Concurrency.inParallel(batchWrites(i))(_.apply())
+    sig0.count()
+    graft.Concurrency.inParallel((0 until 4).flatMap(batchWrites))(_.apply())
     // The crashed stream's checkpoint: batch 3 write-ahead-logged
     // (offsets/3) but never committed (no commits/3).
     val ckpt = java.nio.file.Paths.get(

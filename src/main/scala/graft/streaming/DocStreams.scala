@@ -573,10 +573,19 @@ object DocStreams {
     // bucketed table couldn't re-register after a restart (no parquet
     // footer to infer a schema from).
     if (!sig.isEmpty) {
-      BucketedState.write(sig, sigRoot, s"b$batchId", "s", sigBuckets)
-      BucketedState.write(freqs, freqRoot, s"b$batchId", "s", sigBuckets)
-      BucketedState.write(Dedup.shingleSignatureCounts(sig), countsRoot,
-        s"b$batchId", "id", sigBuckets)
+      // Three INDEPENDENT roots, three independent jobs (guide §2.6):
+      // submit them concurrently so the freq/counts writes back-fill
+      // the cores the sig write's straggler tail frees. `sig` is fully
+      // materialized by the isEmpty action above, so the concurrent
+      // scans share its cached blocks instead of racing to compute it.
+      // Crash semantics are unchanged: the read path excludes the own
+      // label on every surface and a replay rewrites all three, so no
+      // invariant depends on surface write ORDER.
+      graft.Concurrency.inParallel(Seq(
+        () => BucketedState.write(sig, sigRoot, s"b$batchId", "s", sigBuckets),
+        () => BucketedState.write(freqs, freqRoot, s"b$batchId", "s", sigBuckets),
+        () => BucketedState.write(Dedup.shingleSignatureCounts(sig), countsRoot,
+          s"b$batchId", "id", sigBuckets)))(_.apply())
     }
     kept
   }
@@ -640,9 +649,14 @@ object DocStreams {
           exclude = excl, fold = fold)
       }
     }
-    fold1(store.statePath(sigTable), _.reduce(_ unionByName _))
-    fold1(store.statePath(freqTable), Dedup.foldShingleFreqSlices)
-    fold1(store.statePath(sigTable + "-counts"), _.reduce(_ unionByName _))
+    // Three independent roots (each fold runs under its OWN root's
+    // compaction lease) — overlap the three fold jobs (guide §2.6); the
+    // maintenance window pays ~max(fold walls) instead of their sum.
+    graft.Concurrency.inParallel(Seq[() => Unit](
+      () => fold1(store.statePath(sigTable), _.reduce(_ unionByName _)),
+      () => fold1(store.statePath(freqTable), Dedup.foldShingleFreqSlices),
+      () => fold1(store.statePath(sigTable + "-counts"),
+        _.reduce(_ unionByName _))))(_.apply())
   }
 
   /** Slice labels (`b<batchId>`) of every batch the checkpoint shows

@@ -358,12 +358,21 @@ object TextPropSpec extends Properties("TextOps.reference") {
     val genCorpusB = Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, genDocB))
       .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
     Prop.forAllNoShrink(genCorpusB) { corpus =>
-      val got = TextOps.bpeTrain(toDf(corpus), "text", numMerges = 5)
-        .orderBy("round").collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-        .toSeq
+      // Both routes against the reference: the default (small vocab →
+      // the r19 driver-local loop) and the forced-distributed per-round
+      // census (smallVocabMaxRows = 0) — route equality is the local
+      // loop's correctness contract.
+      def run(cap: Long) =
+        TextOps.bpeTrain(toDf(corpus), "text", numMerges = 5,
+            smallVocabMaxRows = cap)
+          .orderBy("round").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
+      val gotLocal = run(TextOps.DefaultSmallVocabMaxRows)
+      val gotDist = run(0L)
       val ref = refBpe(corpus.map(_._2), 5)
-      Prop(got == ref) :| s"got=$got ref=$ref"
+      (Prop(gotLocal == ref) :| s"local=$gotLocal ref=$ref") &&
+        (Prop(gotDist == ref) :| s"dist=$gotDist ref=$ref")
     }
   }
 
