@@ -57,11 +57,36 @@ object Graft {
     * task JITs normally on another executor); twolevel-off remains a
     * measured win for ≥ ~10⁵-group aggregations either way. All
     * runtime-settable (safe on an existing session via [[tuneForScale]]).
+    *
+    *  - `files.openCostInBytes=64k` (r19, guide §6): the stock 4 MB
+    *    models a remote-FS open; on the local/NVMe filesystems a
+    *    single-JVM deployment reads, an open is microseconds, and the
+    *    4 MB floor forbids splitting any file smaller than ~4 MB — a
+    *    modest corpus parquet scans as ONE task and every per-row text
+    *    kernel (tokenize, shingle, decode) runs on one core of 32
+    *    (measured: the dedup-family scans went 1 → ~10 tasks and
+    *    qn24's wall dropped ~30% from this conf alone). Scale-adaptive
+    *    by construction: large files split by `maxPartitionBytes`
+    *    exactly as before, and the only behavior change is split
+    *    PACKING for sub-4MB files — on a remote-FS cluster keep the
+    *    stock 4 MB (this map is the single-JVM profile, not the
+    *    cluster one).
+    */
+  /*  - `parallelPartitionDiscovery.threshold=8192` (r19, guide §6): at
+    *    the stock 32, reading a store table with more than 32 partition
+    *    dirs (every date-keyed table) launches a DISTRIBUTED
+    *    "listing leaf files" Spark job — measured 0.3 s per listing,
+    *    fired repeatedly per read — to stat directories a local
+    *    filesystem lists in microseconds. Driver-side listing wins up
+    *    to thousands of dirs on one box; object-store deployments keep
+    *    the stock threshold (this map is the single-JVM profile).
     */
   val singleJvmScaleConfs: Map[String, String] = Map(
     "spark.sql.codegen.aggregate.map.twolevel.enabled" -> "false",
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304",
-    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true",
+    "spark.sql.files.openCostInBytes" -> "65536",
+    "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "8192")
 
   /** Apply [[singleJvmScaleConfs]] to an existing session (all entries
     * are runtime SQL confs — no session rebuild needed).

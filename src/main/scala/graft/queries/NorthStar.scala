@@ -2793,15 +2793,27 @@ object NorthStar {
     val isBench = pmod(col("doc_id"), lit(50)) === 3
     val corpus = d.select("doc_id", "source", "text").where(!isBench)
     val bench = d.where(isBench)
-    val q = corpus.where(TextOps.qualityRules(col("text")).keep)
-    val dd = Dedup.dedupByJaccard(q, "doc_id", "text", n = 3, threshold = 0.8)
+    // Stage boundaries MATERIALIZED (r19, guide §3.3 "materialising an
+    // intermediate truncates the plan"): the manifest plus the five
+    // conserved-count aggregates each hung a COPY of the stage subtree
+    // off the final plan — the quality-rules regex scan evaluated 5×,
+    // the dedup anti-join 4×. A lazy localCheckpoint per boundary
+    // computes each stage once and lets every downstream consumer read
+    // the cached rows; results are bit-identical (same frames, same
+    // algebra — qn104 keeps grading the store-checkpointed shape).
+    val q = Dedup.materialize(
+      corpus.where(TextOps.qualityRules(col("text")).keep))
+    val dd = Dedup.materialize(
+      Dedup.dedupByJaccard(q, "doc_id", "text", n = 3, threshold = 0.8))
     val contaminated = TextOps.contaminationOverlap(dd, bench, "doc_id", "text")
-    val dc = dd.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+    val dc = Dedup.materialize(
+      dd.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti"))
     val t = dc.withColumn("toks", TextOps.tokenCount(col("text")).cast("long"))
     val budgets = t.select(col("source")).distinct()
       .withColumn("budget",
         lit(200L) + lit(50L) * substring(col("source"), 4, 8).cast("long"))
-    val samp = Mixture.sampleByTokenBudget(t, "doc_id", "toks", "source", budgets)
+    val samp = Dedup.materialize(
+      Mixture.sampleByTokenBudget(t, "doc_id", "toks", "source", budgets))
     val manifest = Mixture.tokenShards(samp, "doc_id", "toks", numShards = 8)
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("shard_tokens"))
