@@ -648,13 +648,22 @@ object Dedup {
     // the loop.
     val rawEdges = materialize(
       pairs.select(col(aCol).as("u"), col(bCol).as("v")))
-    // Small-graph route: the count forces the materialization (needed by
-    // every path), so routing adds no extra pass over the detector.
+    // Small-graph route. ONE action does routing AND (when small) the
+    // edge fetch (r19 — was a count() job followed by a separate
+    // collect() inside localComponents): the limit's action forces the
+    // materialization every path needs, returns at most cap+1 rows, and
+    // the length answers the routing question. Above the cap the
+    // (possibly partial) row array is discarded and the star loop runs
+    // distributed on the already-materialized edges, exactly as before.
     val longKeyed = rawEdges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longKeyed && smallGraphMaxEdges > 0 &&
-        rawEdges.count() <= smallGraphMaxEdges)
-      return localComponents(rawEdges)
+    if (longKeyed && smallGraphMaxEdges > 0) {
+      val probe = rawEdges
+        .limit(math.min(smallGraphMaxEdges, Int.MaxValue - 1L).toInt + 1)
+        .collect()
+      if (probe.length <= smallGraphMaxEdges)
+        return localComponents(rawEdges.sparkSession, probe)
+    }
     val allNodes = rawEdges.select(col("u").as("node"))
       .union(rawEdges.select(col("v").as("node")))
       .distinct()
@@ -705,8 +714,9 @@ object Dedup {
     * assigns — no second labeling pass. Self-pairs register their node
     * (singleton components), duplicate edges are no-ops.
     */
-  private def localComponents(rawEdges: DataFrame): DataFrame = {
-    val spark = rawEdges.sparkSession
+  private def localComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -715,7 +725,7 @@ object Dedup {
       while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    rawEdges.collect().foreach { row =>
+    edges.foreach { row =>
       val (u, v) = (row.getLong(0), row.getLong(1))
       parent.getOrElseUpdate(u, u)
       parent.getOrElseUpdate(v, v)

@@ -442,9 +442,15 @@ object NorthStar {
     // has both halves in hand by construction; a true day-0 run would
     // cap over day-0 alone and reconcile on the next ingest.
     val store = new graft.store.Store(s, graft.TempDirs.create("graft_dedup_"))
-    val sig0 = Dedup.shingleSignatures(old, "doc_id", "text", n = 3)
-    store.load(sig0, "dedup/signatures", externalKey = "day0")
-    store.load(Dedup.shingleDocFreqs(sig0), "dedup/freqs", externalKey = "day0")
+    // sig0 feeds both state loads — materialize the explode once and
+    // run the two independent-table loads concurrently (guide §2.6).
+    val sig0 = Dedup.materialize(
+      Dedup.shingleSignatures(old, "doc_id", "text", n = 3))
+    sig0.count()
+    graft.Concurrency.inParallel(Seq[() => Unit](
+      () => { store.load(sig0, "dedup/signatures", externalKey = "day0"); () },
+      () => { store.load(Dedup.shingleDocFreqs(sig0), "dedup/freqs",
+        externalKey = "day0"); () }))(_.apply())
     // The fresh half's shingle-frequency table feeds TWO cap legs — the
     // day-0 corpus-wide cap (summed with the persisted day-0 freqs) and
     // dedupIncremental's internal prev∪batch hot set — so it is
@@ -2945,24 +2951,41 @@ object NorthStar {
     // later ingest's state join storage-partitions, shuffling only the
     // delta side), freqs as ordinary row versions. The batch freq table
     // feeds two cap legs (the qn24 sharing), so it aggregates once.
-    val sig0 = Dedup.shingleSignatures(q0, "doc_id", "text", n = 3)
+    // sig0 feeds the signature state write(s) AND both companion-state
+    // loads — materialize the explode (which re-runs the quality regex
+    // scan) once, then fan the independent state writes out on driver
+    // threads (guide §2.6). The compaction fold (compactState leg)
+    // still runs strictly after its two flush writes.
+    val sig0 = Dedup.materialize(
+      Dedup.shingleSignatures(q0, "doc_id", "text", n = 3))
+    sig0.count()
     val sigRoot = store.statePath("cb/signatures")
-    if (!compactState) {
-      graft.store.BucketedState.write(sig0, sigRoot, "b0", "s", numBuckets = 32)
-    } else {
-      // Two intra-day flushes (split by doc id), then the nightly
-      // compaction folds them to one slice BEFORE the ingest — the
-      // graded claim is that day 1 cannot tell the difference.
-      val mid = cut / 2
-      graft.store.BucketedState.write(
-        sig0.where(col("id") < mid), sigRoot, "b0a", "s", numBuckets = 32)
-      graft.store.BucketedState.write(
-        sig0.where(col("id") >= mid), sigRoot, "b0b", "s", numBuckets = 32)
-      graft.store.BucketedState.compact(s, sigRoot, "c0", "s", numBuckets = 32)
-    }
-    store.load(Dedup.shingleDocFreqs(sig0), "cb/freqs", externalKey = "b0")
-    store.load(Dedup.shingleSignatureCounts(sig0), "cb/sigcounts",
-      externalKey = "b0")
+    val sigWrites: Seq[() => Unit] =
+      if (!compactState)
+        Seq(() => graft.store.BucketedState.write(
+          sig0, sigRoot, "b0", "s", numBuckets = 32))
+      else {
+        // Two intra-day flushes (split by doc id), then the nightly
+        // compaction folds them to one slice BEFORE the ingest — the
+        // graded claim is that day 1 cannot tell the difference.
+        val mid = cut / 2
+        Seq(() => {
+          graft.Concurrency.inParallel(Seq[() => Unit](
+            () => graft.store.BucketedState.write(
+              sig0.where(col("id") < mid), sigRoot, "b0a", "s",
+              numBuckets = 32),
+            () => graft.store.BucketedState.write(
+              sig0.where(col("id") >= mid), sigRoot, "b0b", "s",
+              numBuckets = 32)))(_.apply())
+          graft.store.BucketedState.compact(s, sigRoot, "c0", "s",
+            numBuckets = 32)
+        })
+      }
+    graft.Concurrency.inParallel(sigWrites ++ Seq[() => Unit](
+      () => { store.load(Dedup.shingleDocFreqs(sig0), "cb/freqs",
+        externalKey = "b0"); () },
+      () => { store.load(Dedup.shingleSignatureCounts(sig0), "cb/sigcounts",
+        externalKey = "b0"); () }))(_.apply())
     val batchFreqs = Dedup.materialize(
       Dedup.shingleDocFreqs(Dedup.shingleSignatures(q1, "doc_id", "text", n = 3)))
     val prevFreqs = store.get("cb/freqs", useLast = true).select(col("s"), col("df"))
@@ -2982,7 +3005,6 @@ object NorthStar {
     val dc0 = Dedup.materialize(decontam(Dedup.dedupByJaccard(q0,
       "doc_id", "text", n = 3, threshold = 0.8,
       shingleFreqs = Some(corpusFreqs))))
-    store.load(dc0, "cb/corpus", externalKey = "b0")
     // Day 1: ONLY the delta flows — incremental dedup against the
     // read-back bucketed signature slices, per-doc decontam, append
     // version.
@@ -2991,14 +3013,24 @@ object NorthStar {
       n = 3, threshold = 0.8,
       prevShingleFreqs = Some(prevFreqs), batchShingleFreqs = Some(batchFreqs),
       prevSigCounts = Some(store.get("cb/sigcounts", useLast = true)))))
-    store.load(dc1, "cb/corpus", externalKey = "b1")
     // Published card: per-batch stats versions, accumulate-read SUM
     // (the qn95 mergeable pattern applied to the build output).
     def cardStats(b: DataFrame): DataFrame =
       b.groupBy("source").agg(count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
-    store.load(cardStats(dc0), "cb/card", externalKey = "b0")
-    store.load(cardStats(dc1), "cb/card", externalKey = "b1")
+    // The two batch computations are independent (dc1's state inputs
+    // are all written above) — materialize them concurrently, then fan
+    // the four independent version loads out together (corpus b0/b1 and
+    // card b0/b1 — concurrent loads of one table land intact by the
+    // store's staging protocol, and version labels are distinct).
+    graft.Concurrency.inParallel(Seq[() => Unit](
+      () => { dc0.count(); () }, () => { dc1.count(); () }))(_.apply())
+    graft.Concurrency.inParallel(Seq[() => Unit](
+      () => { store.load(dc0, "cb/corpus", externalKey = "b0"); () },
+      () => { store.load(dc1, "cb/corpus", externalKey = "b1"); () },
+      () => { store.load(cardStats(dc0), "cb/card", externalKey = "b0"); () },
+      () => { store.load(cardStats(dc1), "cb/card", externalKey = "b1"); () }))(
+      _.apply())
     store.get("cb/card")
       .groupBy("source")
       .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
