@@ -467,13 +467,21 @@ object NorthStar {
     val corpusFreqs = prevFreqs
       .unionByName(freshFreqs)
       .groupBy("s").agg(sum("df").as("df"))
-    val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3, threshold = 0.8,
-      shingleFreqs = Some(corpusFreqs))
-    val keptNew = Dedup.dedupIncremental(fresh,
-      store.get("dedup/signatures", useLast = true),
-      "doc_id", "text", n = 3, threshold = 0.8,
-      prevShingleFreqs = Some(prevFreqs),
-      batchShingleFreqs = Some(freshFreqs))
+    // The two legs are independent detector+components pipelines whose
+    // construction runs EAGER driver actions (signature materialization
+    // + the components collect) — build them concurrently (guide §2.6).
+    // freshFreqs feeds both legs: force its materialization first so
+    // the concurrent scans share cache instead of racing to compute it.
+    freshFreqs.count()
+    val Seq(keptOld, keptNew) = graft.Concurrency.inParallel(
+      Seq[() => DataFrame](
+        () => Dedup.dedupByJaccard(old, "doc_id", "text", n = 3,
+          threshold = 0.8, shingleFreqs = Some(corpusFreqs)),
+        () => Dedup.dedupIncremental(fresh,
+          store.get("dedup/signatures", useLast = true),
+          "doc_id", "text", n = 3, threshold = 0.8,
+          prevShingleFreqs = Some(prevFreqs),
+          batchShingleFreqs = Some(freshFreqs))))(_.apply())
     keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
   }
 
@@ -536,15 +544,20 @@ object NorthStar {
       Dedup.shingleDocFreqs(Dedup.shingleSignatures(fresh, "doc_id", "text", n = 3)))
     val corpusFreqs = prevFreqs.unionByName(batchFreqs)
       .groupBy("s").agg(sum("df").as("df"))
-    val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3,
-      threshold = 0.8, shingleFreqs = Some(corpusFreqs))
-    val keptNew = Dedup.dedupIncrementalSliced(fresh,
-      graft.store.BucketedState.slices(s, sigRoot), "doc_id", "text",
-      n = 3, threshold = 0.8,
-      prevShingleFreqs = Some(prevFreqs),
-      batchShingleFreqs = Some(batchFreqs),
-      prevSigCounts = Some(graft.store.BucketedState.family(s, countsRoot)),
-      prevFreqsPartitioned = true)
+    // Independent legs, eager construction actions — build concurrently
+    // (guide §2.6); batchFreqs feeds both, so force it first.
+    batchFreqs.count()
+    val Seq(keptOld, keptNew) = graft.Concurrency.inParallel(
+      Seq[() => DataFrame](
+        () => Dedup.dedupByJaccard(old, "doc_id", "text", n = 3,
+          threshold = 0.8, shingleFreqs = Some(corpusFreqs)),
+        () => Dedup.dedupIncrementalSliced(fresh,
+          graft.store.BucketedState.slices(s, sigRoot), "doc_id", "text",
+          n = 3, threshold = 0.8,
+          prevShingleFreqs = Some(prevFreqs),
+          batchShingleFreqs = Some(batchFreqs),
+          prevSigCounts = Some(graft.store.BucketedState.family(s, countsRoot)),
+          prevFreqsPartitioned = true)))(_.apply())
     keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
   }
 
@@ -595,15 +608,20 @@ object NorthStar {
       Dedup.shingleDocFreqs(Dedup.shingleSignatures(fresh, "doc_id", "text", n = 3)))
     val corpusFreqs = prevFreqs.unionByName(batchFreqs)
       .groupBy("s").agg(sum("df").as("df"))
-    val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3,
-      threshold = 0.8, shingleFreqs = Some(corpusFreqs))
-    val keptNew = Dedup.dedupIncrementalSliced(fresh,
-      graft.store.BucketedState.slices(s, sigRoot), "doc_id", "text",
-      n = 3, threshold = 0.8,
-      prevShingleFreqs = Some(prevFreqs),
-      batchShingleFreqs = Some(batchFreqs),
-      prevSigCounts = Some(graft.store.BucketedState.family(s, countsRoot)),
-      prevFreqsPartitioned = true)
+    // Independent legs, eager construction actions — build concurrently
+    // (guide §2.6); batchFreqs feeds both, so force it first.
+    batchFreqs.count()
+    val Seq(keptOld, keptNew) = graft.Concurrency.inParallel(
+      Seq[() => DataFrame](
+        () => Dedup.dedupByJaccard(old, "doc_id", "text", n = 3,
+          threshold = 0.8, shingleFreqs = Some(corpusFreqs)),
+        () => Dedup.dedupIncrementalSliced(fresh,
+          graft.store.BucketedState.slices(s, sigRoot), "doc_id", "text",
+          n = 3, threshold = 0.8,
+          prevShingleFreqs = Some(prevFreqs),
+          batchShingleFreqs = Some(batchFreqs),
+          prevSigCounts = Some(graft.store.BucketedState.family(s, countsRoot)),
+          prevFreqsPartitioned = true)))(_.apply())
     keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
   }
 
@@ -677,15 +695,20 @@ object NorthStar {
       Dedup.shingleDocFreqs(Dedup.shingleSignatures(fresh, "doc_id", "text", n = 3)))
     val corpusFreqs = prevFreqs.unionByName(batchFreqs)
       .groupBy("s").agg(sum("df").as("df"))
-    val keptOld = Dedup.dedupByJaccard(old, "doc_id", "text", n = 3,
-      threshold = 0.8, shingleFreqs = Some(corpusFreqs))
-    val keptNew = Dedup.dedupIncrementalSliced(fresh,
-      graft.store.BucketedState.slices(s, sigRoot), "doc_id", "text",
-      n = 3, threshold = 0.8,
-      prevShingleFreqs = Some(prevFreqs),
-      batchShingleFreqs = Some(batchFreqs),
-      prevSigCounts = Some(graft.store.BucketedState.family(s, countsRoot)),
-      prevFreqsPartitioned = true)
+    // Independent legs, eager construction actions — build concurrently
+    // (guide §2.6); batchFreqs feeds both, so force it first.
+    batchFreqs.count()
+    val Seq(keptOld, keptNew) = graft.Concurrency.inParallel(
+      Seq[() => DataFrame](
+        () => Dedup.dedupByJaccard(old, "doc_id", "text", n = 3,
+          threshold = 0.8, shingleFreqs = Some(corpusFreqs)),
+        () => Dedup.dedupIncrementalSliced(fresh,
+          graft.store.BucketedState.slices(s, sigRoot), "doc_id", "text",
+          n = 3, threshold = 0.8,
+          prevShingleFreqs = Some(prevFreqs),
+          batchShingleFreqs = Some(batchFreqs),
+          prevSigCounts = Some(graft.store.BucketedState.family(s, countsRoot)),
+          prevFreqsPartitioned = true)))(_.apply())
     keptOld.select("doc_id").union(keptNew.select("doc_id")).orderBy("doc_id")
   }
 
@@ -3002,29 +3025,38 @@ object NorthStar {
     // guard), so the published card reads through the selector-less
     // ACCUMULATE path, which unions whatever versions exist instead of
     // pinning one that may not.
-    val dc0 = Dedup.materialize(decontam(Dedup.dedupByJaccard(q0,
-      "doc_id", "text", n = 3, threshold = 0.8,
-      shingleFreqs = Some(corpusFreqs))))
-    // Day 1: ONLY the delta flows — incremental dedup against the
+    // The two batch pipelines are independent once the day-0 state is
+    // written (dc1 reads it back): CONSTRUCT and materialize them
+    // concurrently — construction runs eager driver actions (signature
+    // materialization + the components collect), so sequential `val`s
+    // would serialize the expensive halves (guide §2.6). batchFreqs
+    // feeds both legs; force it first so the scans share cache.
+    // Day 1 (dc1): ONLY the delta flows — incremental dedup against the
     // read-back bucketed signature slices, per-doc decontam, append
     // version.
-    val dc1 = Dedup.materialize(decontam(Dedup.dedupIncrementalSliced(q1,
-      graft.store.BucketedState.slices(s, sigRoot), "doc_id", "text",
-      n = 3, threshold = 0.8,
-      prevShingleFreqs = Some(prevFreqs), batchShingleFreqs = Some(batchFreqs),
-      prevSigCounts = Some(store.get("cb/sigcounts", useLast = true)))))
+    batchFreqs.count()
+    val Seq(dc0, dc1) = graft.Concurrency.inParallel(
+      Seq[() => DataFrame](
+        () => {
+          val f = Dedup.materialize(decontam(Dedup.dedupByJaccard(q0,
+            "doc_id", "text", n = 3, threshold = 0.8,
+            shingleFreqs = Some(corpusFreqs))))
+          f.count(); f
+        },
+        () => {
+          val f = Dedup.materialize(decontam(Dedup.dedupIncrementalSliced(q1,
+            graft.store.BucketedState.slices(s, sigRoot), "doc_id", "text",
+            n = 3, threshold = 0.8,
+            prevShingleFreqs = Some(prevFreqs),
+            batchShingleFreqs = Some(batchFreqs),
+            prevSigCounts = Some(store.get("cb/sigcounts", useLast = true)))))
+          f.count(); f
+        }))(_.apply())
     // Published card: per-batch stats versions, accumulate-read SUM
     // (the qn95 mergeable pattern applied to the build output).
     def cardStats(b: DataFrame): DataFrame =
       b.groupBy("source").agg(count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
-    // The two batch computations are independent (dc1's state inputs
-    // are all written above) — materialize them concurrently, then fan
-    // the four independent version loads out together (corpus b0/b1 and
-    // card b0/b1 — concurrent loads of one table land intact by the
-    // store's staging protocol, and version labels are distinct).
-    graft.Concurrency.inParallel(Seq[() => Unit](
-      () => { dc0.count(); () }, () => { dc1.count(); () }))(_.apply())
     graft.Concurrency.inParallel(Seq[() => Unit](
       () => { store.load(dc0, "cb/corpus", externalKey = "b0"); () },
       () => { store.load(dc1, "cb/corpus", externalKey = "b1"); () },
