@@ -48,7 +48,11 @@ object VectorIndex {
       externalKey: String = "v1",
       maxFitRows: Long = 100000L): (Int, Long) = {
     val spark = corpus.sparkSession
-    val rows = corpus.count()
+    // Footer-derived row count when the plan is count-preserving (exact
+    // by [[Similarity.planRowUpperBound]]'s contract) — skips a full
+    // count() job per build; shrunk/unknown plans still pay the exact
+    // count.
+    val rows = Similarity.planRowUpperBound(corpus).getOrElse(corpus.count())
     val nl = if (nlist > 0) nlist else Similarity.ivfNlistFor(rows)
     val (assigned, centroids, _) =
       Similarity.fitCells(corpus, idCol, vecCol, nl, maxFitRows, Some(rows))
